@@ -1,0 +1,29 @@
+"""Array helpers: seeded shuffle (F1) and slicing (F2).
+
+The reference shuffles each basket in-place with Python's global RNG
+(/root/reference/pipeline/data_preprocessing/data_prep.py:156-157) so a
+positional window approximates whole-basket context.  ``F.shuffle`` is
+seedless, which would break golden-file tests and the DuckDB oracle, so
+the engine shuffles deterministically: sort items by a per-(seed, order,
+item) md5 key.  Distribution-wise this is a uniform random permutation
+keyed by the seed (SURVEY.md §7.4 "Seeded array shuffle").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def seeded_shuffle(arr: Column, salt: Column, seed: int = 42) -> Column:
+    """Deterministic permutation of ``arr``: elements ordered by
+    md5(seed || salt || element).  ``salt`` should identify the row
+    (e.g. order_id) so different baskets permute independently."""
+    keyed = F.transform(
+        arr,
+        lambda x, i: F.struct(
+            F.md5(F.concat_ws("|", F.lit(seed), salt, x.cast("string"), i.cast("string"))).alias("k"),
+            x.alias("v"),
+        ),
+    )
+    return F.transform(F.array_sort(keyed), lambda s: s["v"])

@@ -1,0 +1,154 @@
+"""Basket assembly, vocabulary build, OOV indexing.
+
+Reference anchors (/root/reference/pipeline/data_preprocessing/data_prep.py):
+  A1 baskets:      groupby(bask_id)[prod_id].apply(tolist)      :40-42
+  A2+W1 vocab:     Counter(prods).most_common(num_prods-1),
+                   index = insertion order, index 0 = 'UNK'      :78-87
+  J2 OOV probe:    per-product dict lookup, miss -> 0, misses
+                   counted                                       :91-103
+  F2 length cap:   sequence[0:max_basket_length]                 :160
+
+Engine design (SURVEY.md §7.2 steps 4):
+  * Baskets are ``collect_list`` over a hash-partitioned groupBy — ONE
+    shuffle keyed by order_id; the same partitioning is reused by pair
+    generation downstream (no second shuffle).
+  * The vocabulary is a *table*, not a driver dict: at 100 TB the id
+    space may not fit driver RAM (SURVEY.md §7.4 risk 3).  Top-N uses
+    ``TakeOrderedAndProject`` (limit pushdown) — only the N survivors
+    pass through the single-partition rank window, so the window is
+    O(N), not O(|items|).
+  * Ties in frequency break by product_id (deterministic; the pandas
+    Counter breaks by insertion order — documented deviation, SURVEY.md
+    §2.5 W1).
+  * OOV indexing is a broadcast left join + coalesce(idx, 0) — the
+    relational form of the reference's dict probe with UNK default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+UNK_IDX = 0
+
+
+def assemble_baskets(
+    items: DataFrame,
+    order_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+    pos_col: str = "l_linenumber",
+    max_len: int | None = None,
+) -> DataFrame:
+    """A1+F2: one row per order with the item array.
+
+    Items are ordered deterministically by (pos, item) within the basket
+    — the physical cart order, matching the reference's row order before
+    its (seedless) shuffle.  Returns (order_id, basket).
+    """
+    basket = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(pos_col).alias("p"), F.col(item_col).alias("v")))
+        ),
+        lambda s: s["v"],
+    )
+    if max_len is not None:
+        basket = F.slice(basket, 1, max_len)
+    return items.groupBy(F.col(order_col).alias("order_id")).agg(basket.alias("basket"))
+
+
+def build_vocab(
+    items: DataFrame,
+    item_col: str = "l_partkey",
+    num_prods: int = 35_000,
+) -> DataFrame:
+    """A2+W1: frequency-ranked vocabulary with UNK pinned at idx 0.
+
+    Returns (product_id, count, idx): idx 1..N-1 by descending count
+    (ties by product_id), plus the UNK row (NULL product_id, idx 0).
+    StringIndexer is rejected on purpose — its OOV bucket lands at the
+    *last* index while the reference pins UNK = 0 (SURVEY.md §7.3).
+    """
+    counts = (
+        items.groupBy(F.col(item_col).alias("product_id"))
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.desc("count"), F.asc("product_id"))
+        .limit(num_prods - 1)
+    )
+    ranked = counts.withColumn(
+        "idx",
+        F.row_number().over(Window.orderBy(F.desc("count"), F.asc("product_id"))),
+    )
+    spark = items.sparkSession
+    unk = spark.createDataFrame(
+        [(None, None, UNK_IDX)], schema="product_id long, count long, idx int"
+    )
+    return unk.unionByName(ranked.select("product_id", "count", "idx"))
+
+
+def index_items(
+    items: DataFrame,
+    vocab: DataFrame,
+    item_col: str = "l_partkey",
+) -> DataFrame:
+    """J2: probe the vocabulary, OOV -> UNK_IDX, keeping all input rows.
+
+    The vocab side is explicitly ``broadcast`` — it is bounded by
+    num_prods regardless of fact size, so the probe is a map-side join
+    with zero shuffle even at 100 TB.
+    """
+    dim = F.broadcast(
+        vocab.filter(F.col("product_id").isNotNull()).select("product_id", "idx")
+    )
+    return (
+        items.join(dim, items[item_col] == dim["product_id"], "left")
+        .drop("product_id")
+        .withColumn("idx", F.coalesce(F.col("idx"), F.lit(UNK_IDX)))
+    )
+
+
+def index_baskets(baskets: DataFrame, vocab: DataFrame) -> DataFrame:
+    """J2 over assembled baskets: map each basket's items to vocab
+    indices without exploding — explode+join+regroup would shuffle the
+    fact twice.  Instead the (small) vocab is collected into a literal
+    map expression evaluated per element.
+
+    NOTE: this variant deliberately materializes the vocab driver-side
+    (bounded by num_prods, same assumption the reference makes at
+    data_prep.py:82-87 — but bounded here, so safe).  For unbounded id
+    spaces use ``index_items`` on the exploded form instead.
+    """
+    pairs = (
+        vocab.filter(F.col("product_id").isNotNull())
+        .select("product_id", "idx")
+        .collect()
+    )
+    mapping = {}
+    for r in pairs:
+        mapping[r["product_id"]] = r["idx"]
+    m = F.create_map(
+        *[F.lit(x) for kv in mapping.items() for x in kv]
+    ) if mapping else F.create_map()
+    return baskets.withColumn(
+        "basket_idx",
+        F.transform(F.col("basket"), lambda x: F.coalesce(m[x], F.lit(UNK_IDX))),
+    )
+
+
+def oov_miss_count(
+    items: DataFrame, vocab: DataFrame, item_col: str = "l_partkey"
+) -> DataFrame:
+    """A6: how many probes missed the vocabulary (reference counts
+    ``unk_count`` at data_prep.py:91-103).  Single aggregate over the
+    broadcast-joined fact."""
+    dim = F.broadcast(
+        vocab.filter(F.col("product_id").isNotNull()).select(
+            "product_id", F.lit(1).alias("_hit")
+        )
+    )
+    return (
+        items.join(dim, items[item_col] == dim["product_id"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0)).alias("n_miss"),
+        )
+    )

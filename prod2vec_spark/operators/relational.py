@@ -1,0 +1,74 @@
+"""Relational core (SURVEY.md §2.2-2.7): thin, composable wrappers that
+give the reference's projections/filters/joins/aggs/sorts names in the
+engine, expressed so Catalyst can do its job (broadcast small dims,
+push predicates, prune columns).
+
+Reference anchors in docstrings; everything here is built-in DataFrame
+API — zero UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def project(df: DataFrame, *cols: str | Column) -> DataFrame:
+    """P1 (util_functions.py:49, data_prep.py:256)."""
+    return df.select(*cols)
+
+
+def theta_filter(df: DataFrame, predicate: Column) -> DataFrame:
+    """P4-P6 (model_train.py:38 — drop self-row; dq range gates)."""
+    return df.filter(predicate)
+
+
+def broadcast_lookup(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str | list[str] | Column,
+    how: str = "left",
+) -> DataFrame:
+    """J1-J3: the reference's driver-dict probe
+    (util_functions.py:30-52) as a broadcast hash join — build side is
+    the dim, probe side streams; no shuffle of the fact."""
+    return fact.join(F.broadcast(dim), on, how)
+
+
+def with_default(df: DataFrame, col: str, default) -> DataFrame:
+    """J2's miss -> UNK default (data_prep.py:96-99)."""
+    return df.withColumn(col, F.coalesce(F.col(col), F.lit(default)))
+
+
+def top_k(df: DataFrame, order: list[Column], k: int) -> DataFrame:
+    """O1-O3 (model_train.py:37-48, post_process.py:64-65):
+    global sort + limit — planned as TakeOrderedAndProject, never a
+    full sort at scale."""
+    return df.orderBy(*order).limit(k)
+
+
+def top_k_per_key(
+    df: DataFrame, key_cols: list[str], order: list[Column], k: int, rank_col: str = "rank"
+) -> DataFrame:
+    """W2 (model_train.py:37-48 per validation product): rank within
+    partition, keep ≤ k.  One shuffle on the key."""
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
+def distinct_values(df: DataFrame, *cols: str) -> DataFrame:
+    """D1 (data_prep.py:256-257)."""
+    return df.select(*cols).distinct()
+
+
+def frequency_rank(
+    df: DataFrame, col: str, desc: bool = True, rank_col: str = "rank"
+) -> DataFrame:
+    """A2+W1: counts with a deterministic dense global rank (ties by
+    value).  The window runs on the *aggregated* (small) result."""
+    counts = df.groupBy(col).agg(F.count(F.lit(1)).alias("count"))
+    order = [F.desc("count") if desc else F.asc("count"), F.asc(col)]
+    return counts.withColumn("rank", F.row_number().over(Window.orderBy(*order)))

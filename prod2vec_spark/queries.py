@@ -1,0 +1,459 @@
+"""Query catalog: every implemented operator from SURVEY.md §2 as a
+(spark, sf_dir) -> DataFrame callable plus a matched DuckDB oracle SQL.
+
+Contract (driver): the Spark result and the oracle result must agree on
+row count, schema and an order-insensitive value hash at sf=0.01.
+Conventions used to make two engines hash-identically:
+  * every computed column is explicitly aliased on both sides;
+  * doubles that aggregate many rows are rounded (or summed as
+    decimal then cast) so partition-order float drift can't surface;
+  * arrays are emitted as ','-joined strings (engines render native
+    arrays differently);
+  * ranks/indices are cast to INT on the DuckDB side (its row_number
+    is BIGINT, Spark's is INT);
+  * all pseudo-randomness is md5-derived (functions/hashing.py) so the
+    oracle replays the identical stream.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from prod2vec_spark.operators import baskets as B
+from prod2vec_spark.operators import quality as Q
+from prod2vec_spark.operators import relational as R
+from prod2vec_spark.operators import skipgram as SG
+from prod2vec_spark.sources.io import read_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+VOCAB_SIZE = 101  # top-100 products + UNK for the testdata catalog
+SKIPGRAM_WINDOW = 4
+NUM_NS = 4
+SEED = 42
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# ----------------------------------------------------------------- S1/P1
+def q_part_scan_project(spark, sf_dir):
+    """S1+P1+P6: projection + range predicate; both reach the parquet
+    reader (PushedFilters / ReadSchema — see tests/test_plans.py)."""
+    part = _t(spark, sf_dir, "part")
+    return R.project(
+        R.theta_filter(part, F.col("p_size") > 25),
+        "p_partkey", "p_name", "p_retailprice",
+    )
+
+
+SQL_PART_SCAN = """
+SELECT p_partkey, p_name, p_retailprice FROM part WHERE p_size > 25
+"""
+
+
+# ------------------------------------------------------------------- A1
+def q_pricing_summary(spark, sf_dir):
+    """A2/A4/A5-class global agg (TPC-H Q1 shape) on lineitem.
+    Sums go through decimal so the value is partition-order exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)      AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------- A3/D1
+def q_distinct_parts(spark, sf_dir):
+    """A3+A5: distinct products vs total rows (data_prep.py:254-259)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+SQL_DISTINCT_PARTS = """
+SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+       count(*) AS n_rows
+FROM lineitem
+"""
+
+
+# ------------------------------------------------------------------- A4
+def q_null_counts(spark, sf_dir):
+    """A4/Q1: null counts for the key columns, one scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    nn = lambda c: F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}")  # noqa: E731
+    return li.agg(nn("l_orderkey"), nn("l_partkey"), nn("l_quantity"))
+
+
+SQL_NULL_COUNTS = """
+SELECT CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_l_orderkey,
+       CAST(sum(CASE WHEN l_partkey  IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_l_partkey,
+       CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_l_quantity
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------- A1/F2
+def q_baskets(spark, sf_dir):
+    """A1+F2: basket per order, cart-ordered, capped at 50; array
+    emitted as a string for engine-portable hashing."""
+    li = _t(spark, sf_dir, "lineitem")
+    b = B.assemble_baskets(li, max_len=50)
+    return b.select(
+        "order_id",
+        F.size("basket").alias("basket_size"),
+        F.concat_ws(",", F.transform("basket", lambda x: x.cast("string"))).alias("basket_str"),
+    )
+
+
+SQL_BASKETS = """
+SELECT l_orderkey AS order_id,
+       CAST(len(list_slice(list(l_partkey ORDER BY l_linenumber, l_partkey), 1, 50)) AS INT) AS basket_size,
+       array_to_string(list_slice(list(l_partkey ORDER BY l_linenumber, l_partkey), 1, 50), ',') AS basket_str
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+# ---------------------------------------------------------------- A2/W1
+def q_vocab(spark, sf_dir):
+    """A2+W1+union: frequency-ranked vocabulary, UNK pinned at idx 0
+    (data_prep.py:78-87)."""
+    li = _t(spark, sf_dir, "lineitem")
+    v = B.build_vocab(li, num_prods=VOCAB_SIZE)
+    return v.select("product_id", F.col("count").alias("cnt"), "idx")
+
+
+SQL_VOCAB = """
+SELECT CAST(NULL AS BIGINT) AS product_id, CAST(NULL AS BIGINT) AS cnt, 0 AS idx
+UNION ALL
+SELECT product_id, cnt,
+       CAST(row_number() OVER (ORDER BY cnt DESC, product_id) AS INT) AS idx
+FROM (SELECT l_partkey AS product_id, count(*) AS cnt
+      FROM lineitem GROUP BY 1 ORDER BY cnt DESC, product_id LIMIT 100)
+"""
+
+_SQL_VOCAB_CTE = """
+vocab AS (
+  SELECT product_id,
+         CAST(row_number() OVER (ORDER BY cnt DESC, product_id) AS INT) AS idx
+  FROM (SELECT l_partkey AS product_id, count(*) AS cnt
+        FROM lineitem GROUP BY 1 ORDER BY cnt DESC, product_id LIMIT 100))
+"""
+
+
+# ------------------------------------------------------------------- J2
+def q_index_items(spark, sf_dir):
+    """J2: vocabulary probe with OOV->0 over the full fact (broadcast
+    left join, zero fact shuffle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    v = B.build_vocab(li, num_prods=VOCAB_SIZE)
+    out = B.index_items(li.select("l_orderkey", "l_linenumber", "l_partkey"), v)
+    return out.select("l_orderkey", "l_linenumber", "l_partkey", "idx")
+
+
+SQL_INDEX_ITEMS = f"""
+WITH {_SQL_VOCAB_CTE}
+SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, COALESCE(v.idx, 0) AS idx
+FROM lineitem l LEFT JOIN vocab v ON l.l_partkey = v.product_id
+"""
+
+
+# ---------------------------------------------------------------- A6/J2
+def q_oov_miss_count(spark, sf_dir):
+    """A6: UNK probe-miss accumulator (data_prep.py:91-103)."""
+    li = _t(spark, sf_dir, "lineitem")
+    v = B.build_vocab(li, num_prods=VOCAB_SIZE)
+    return B.oov_miss_count(li, v)
+
+
+SQL_OOV_MISS = f"""
+WITH {_SQL_VOCAB_CTE}
+SELECT count(*) AS n_probes,
+       CAST(sum(CASE WHEN v.idx IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_miss
+FROM lineitem l LEFT JOIN vocab v ON l.l_partkey = v.product_id
+"""
+
+
+# ------------------------------------------------------------------- J3
+def q_enrich_names(spark, sf_dir):
+    """J3: chained broadcast enrichment idx -> product_id -> name
+    (post_process.py:96-99)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    v = B.build_vocab(li, num_prods=21).filter(F.col("product_id").isNotNull())
+    return (
+        v.join(
+            F.broadcast(part.select(F.col("p_partkey"), F.col("p_name"))),
+            v["product_id"] == F.col("p_partkey"),
+            "left",
+        )
+        .select("idx", "product_id", "p_name")
+    )
+
+
+SQL_ENRICH_NAMES = """
+WITH vocab AS (
+  SELECT product_id,
+         CAST(row_number() OVER (ORDER BY cnt DESC, product_id) AS INT) AS idx
+  FROM (SELECT l_partkey AS product_id, count(*) AS cnt
+        FROM lineitem GROUP BY 1 ORDER BY cnt DESC, product_id LIMIT 20))
+SELECT v.idx, v.product_id, p.p_name
+FROM vocab v LEFT JOIN part p ON v.product_id = p.p_partkey
+"""
+
+
+# ---------------------------------------------------------------- J4/F4
+def _baskets_for_pairs(spark, sf_dir):
+    """Basket arrays ordered by the full deterministic position key
+    (l_linenumber, l_partkey, l_suppkey) — l_linenumber alone is not
+    unique within an order in the testdata."""
+    li = _t(spark, sf_dir, "lineitem")
+    basket = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("l_linenumber").alias("p"),
+                    F.col("l_partkey").alias("v"),
+                    F.col("l_suppkey").alias("s"),
+                )
+            )
+        ),
+        lambda st: st["v"],
+    )
+    return li.groupBy(F.col("l_orderkey").alias("order_id")).agg(basket.alias("basket"))
+
+
+def q_skipgram_stats(spark, sf_dir):
+    """J4/F4 via the no-shuffle array form: per-target pair statistics.
+    Oracle uses the equivalent posexplode-self-join SQL — the two forms
+    emit the identical pair multiset (SURVEY.md §4.4)."""
+    pairs = SG.skipgram_pairs_array(_baskets_for_pairs(spark, sf_dir), SKIPGRAM_WINDOW)
+    return pairs.groupBy("target").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("context").alias("distinct_ctx"),
+        F.sum("context").alias("ctx_sum"),
+    )
+
+
+SQL_SKIPGRAM_STATS = """
+WITH pos AS (
+  SELECT l_orderkey AS o, l_partkey AS item,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_linenumber, l_partkey, l_suppkey) AS p
+  FROM lineitem)
+SELECT t.item AS target,
+       count(*) AS n_pairs,
+       CAST(count(DISTINCT c.item) AS BIGINT) AS distinct_ctx,
+       CAST(sum(c.item) AS BIGINT) AS ctx_sum
+FROM pos t JOIN pos c ON t.o = c.o AND abs(t.p - c.p) BETWEEN 1 AND 4
+GROUP BY t.item
+"""
+
+
+# ---------------------------------------------------------------- F5/F6
+def q_negative_sampling_stats(spark, sf_dir):
+    """F5+F6: md5-seeded log-uniform negative sampling over the skip-gram
+    pairs, flattened to (target, candidate, label) and summarized per
+    target.  The oracle replays the exact same hash-derived stream."""
+    pairs = SG.skipgram_pairs_array(_baskets_for_pairs(spark, sf_dir), SKIPGRAM_WINDOW)
+    withneg = SG.negative_samples(pairs, vocab_size=VOCAB_SIZE, num_ns=NUM_NS, seed=SEED)
+    flat = SG.training_examples_flat(withneg)
+    return flat.groupBy("target").agg(
+        F.count(F.lit(1)).alias("n_examples"),
+        F.sum("label").alias("n_pos"),
+        F.sum(F.when(F.col("label") == 0, F.col("candidate")).otherwise(0)).alias("neg_sum"),
+    )
+
+
+SQL_NEGATIVE_SAMPLING = """
+WITH pos AS (
+  SELECT l_orderkey AS o, l_partkey AS item,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_linenumber, l_partkey, l_suppkey) AS p
+  FROM lineitem),
+pairs AS (
+  SELECT t.o AS order_id, t.item AS target, c.item AS context
+  FROM pos t JOIN pos c ON t.o = c.o AND abs(t.p - c.p) BETWEEN 1 AND 4),
+negs AS (
+  -- one md5 per pair; draw i reads hex slice [1+8i, 8] (matches
+  -- operators/skipgram.py negative_samples digest slicing)
+  SELECT order_id, target, context, i,
+         least(100, CAST(floor(exp(
+             (('0x' || substr(md5(concat_ws('|', '42', order_id, target, context, '0')), 1 + i * 8, 8))::BIGINT
+              / 4294967296.0) * ln(102.0))) AS BIGINT) - 1) AS candidate
+  FROM pairs CROSS JOIN (VALUES (0),(1),(2),(3)) t(i)),
+flat AS (
+  SELECT target, context AS candidate, 1 AS label FROM pairs
+  UNION ALL
+  SELECT target, candidate, 0 AS label FROM negs)
+SELECT target,
+       count(*) AS n_examples,
+       CAST(sum(label) AS BIGINT) AS n_pos,
+       CAST(sum(CASE WHEN label = 0 THEN candidate ELSE 0 END) AS BIGINT) AS neg_sum
+FROM flat GROUP BY target
+"""
+
+
+# ------------------------------------------------------------------- W2
+def q_window_rank(spark, sf_dir):
+    """W2: top-3 per key via row_number window (model_train.py:37-48
+    shape, generalized)."""
+    part = _t(spark, sf_dir, "part")
+    out = R.top_k_per_key(
+        part, ["p_brand"], [F.desc("p_retailprice"), F.asc("p_partkey")], 3, "rk"
+    )
+    return out.select("p_brand", "p_partkey", "p_retailprice", "rk")
+
+
+SQL_WINDOW_RANK = """
+SELECT p_brand, p_partkey, p_retailprice, CAST(rk AS INT) AS rk
+FROM (SELECT p_brand, p_partkey, p_retailprice,
+             row_number() OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice DESC, p_partkey) AS rk
+      FROM part)
+WHERE rk <= 3
+"""
+
+
+# ------------------------------------------------------------------- O1
+def q_topk_orders(spark, sf_dir):
+    """O1/O3: global top-k — TakeOrderedAndProject, not a full sort."""
+    orders = _t(spark, sf_dir, "orders")
+    out = R.top_k(orders, [F.desc("o_totalprice"), F.asc("o_orderkey")], 20)
+    return out.select("o_orderkey", "o_totalprice")
+
+
+SQL_TOPK_ORDERS = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------- Q1-Q5
+def q_dq_lineitem(spark, sf_dir):
+    """Q1/Q2-class gates on the basket fact as a violations report."""
+    li = _t(spark, sf_dir, "lineitem")
+    rules = Q.Rules(
+        not_null=["l_orderkey", "l_partkey"],
+        distinct_between={"l_partkey": (100.0, 10_000_000.0)},
+        row_count_between=(1000.0, 1e12),
+    )
+    return Q.expect(li, rules)
+
+
+SQL_DQ_LINEITEM = """
+WITH m AS (
+  SELECT CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+         CAST(sum(CASE WHEN l_partkey  IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS n2,
+         CAST(count(DISTINCT l_partkey) AS DOUBLE) AS nd,
+         CAST(count(*) AS DOUBLE) AS nr
+  FROM lineitem)
+SELECT 'not_null' AS rule, 'l_orderkey' AS col_name, n1 AS metric,
+       0.0 AS lo, 0.0 AS hi, n1 BETWEEN 0 AND 0 AS passed FROM m
+UNION ALL
+SELECT 'not_null', 'l_partkey', n2, 0.0, 0.0, n2 BETWEEN 0 AND 0 FROM m
+UNION ALL
+SELECT 'distinct_between', 'l_partkey', nd, 100.0, 10000000.0,
+       nd BETWEEN 100.0 AND 10000000.0 FROM m
+UNION ALL
+SELECT 'row_count_between', '*', nr, 1000.0, 1000000000000.0,
+       nr BETWEEN 1000.0 AND 1000000000000.0 FROM m
+"""
+
+
+def q_dq_part(spark, sf_dir):
+    """Q3/Q4/Q5-class gates on the catalog: unique key, column count,
+    schema match (metadata-only — no Spark job for the last two)."""
+    from prod2vec_spark.sources.io import expected_schema
+
+    part = _t(spark, sf_dir, "part")
+    rules = Q.Rules(
+        unique_key=["p_partkey"],
+        column_count=6,
+        schema=expected_schema("part"),
+        row_count_between=(10.0, 1e9),
+    )
+    return Q.expect(part, rules)
+
+
+SQL_DQ_PART = """
+WITH m AS (
+  SELECT CAST(count(*) - count(DISTINCT p_partkey) AS DOUBLE) AS dup,
+         CAST(count(*) AS DOUBLE) AS nr
+  FROM part)
+SELECT 'row_count_between' AS rule, '*' AS col_name, nr AS metric,
+       10.0 AS lo, 1000000000.0 AS hi, nr BETWEEN 10.0 AND 1000000000.0 AS passed FROM m
+UNION ALL
+SELECT 'unique_key', 'p_partkey', dup, 0.0, 0.0, dup BETWEEN 0 AND 0 FROM m
+UNION ALL
+SELECT 'column_count', '*', 6.0, 6.0, 6.0, true FROM m
+UNION ALL
+SELECT 'schema_match', '*', 1.0, 1.0, 1.0, true FROM m
+"""
+
+
+# ------------------------------------------------------------- registry
+QUERIES: dict[str, QueryFn] = {
+    "part_scan_project": q_part_scan_project,
+    "pricing_summary": q_pricing_summary,
+    "distinct_parts": q_distinct_parts,
+    "null_counts": q_null_counts,
+    "baskets": q_baskets,
+    "vocab": q_vocab,
+    "index_items": q_index_items,
+    "oov_miss_count": q_oov_miss_count,
+    "enrich_names": q_enrich_names,
+    "skipgram_stats": q_skipgram_stats,
+    "negative_sampling_stats": q_negative_sampling_stats,
+    "window_rank": q_window_rank,
+    "topk_orders": q_topk_orders,
+    "dq_lineitem": q_dq_lineitem,
+    "dq_part": q_dq_part,
+}
+
+ORACLES: dict[str, str] = {
+    "part_scan_project": SQL_PART_SCAN,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "distinct_parts": SQL_DISTINCT_PARTS,
+    "null_counts": SQL_NULL_COUNTS,
+    "baskets": SQL_BASKETS,
+    "vocab": SQL_VOCAB,
+    "index_items": SQL_INDEX_ITEMS,
+    "oov_miss_count": SQL_OOV_MISS,
+    "enrich_names": SQL_ENRICH_NAMES,
+    "skipgram_stats": SQL_SKIPGRAM_STATS,
+    "negative_sampling_stats": SQL_NEGATIVE_SAMPLING,
+    "window_rank": SQL_WINDOW_RANK,
+    "topk_orders": SQL_TOPK_ORDERS,
+    "dq_lineitem": SQL_DQ_LINEITEM,
+    "dq_part": SQL_DQ_PART,
+}

@@ -1,0 +1,61 @@
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from prod2vec_spark.session import get_spark
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_ORACLE = "/root/testdata/sf0.01"
+
+TABLE_NAMES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("prod2vec-tests", cpus=8, shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def duck():
+    """DuckDB connection with the sf0.01 tables registered as views —
+    mirrors the driver's oracle harness."""
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_ORACLE}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def assert_oracle_match(spark, duck, query_fn, sql, sf_dir=SF_ORACLE, float_tol=None):
+    """Local replica of the driver's t2 gate: row count, column names,
+    and order-insensitive values must match."""
+    sdf = query_fn(spark, sf_dir).toPandas()
+    ddf = duck.execute(sql).fetchdf()
+    assert list(sorted(sdf.columns)) == list(sorted(ddf.columns)), (
+        f"columns differ: {sorted(sdf.columns)} vs {sorted(ddf.columns)}"
+    )
+    assert len(sdf) == len(ddf), f"row counts differ: {len(sdf)} vs {len(ddf)}"
+    cols = sorted(sdf.columns)
+    a = sdf[cols].sort_values(cols).reset_index(drop=True)
+    b = ddf[cols].sort_values(cols).reset_index(drop=True)
+    import pandas as pd
+
+    for c in cols:
+        x, y = a[c], b[c]
+        if float_tol is not None and x.dtype.kind == "f":
+            import numpy as np
+
+            assert np.allclose(
+                x.fillna(-1e18), y.astype(float).fillna(-1e18), atol=float_tol
+            ), f"values differ in {c}"
+        else:
+            pd.testing.assert_series_equal(
+                x, y.astype(x.dtype), check_names=False, check_dtype=False
+            )
