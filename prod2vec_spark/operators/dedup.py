@@ -1,0 +1,248 @@
+"""Deduplication operators over ``documents`` (ENGINE scope — the
+LLM-data-pipeline dedup family: exact, MinHash+LSH, SimHash, n-gram
+Jaccard; embedding-cosine near-dup lives in simsearch.py).
+
+Scale design:
+  * exact dedup — hash-groupBy on a normalized-text digest: one
+    shuffle keyed by a 128-bit hash, the canonical 100 TB exact-dedup
+    plan (never groupBy the raw text: keys stay 32 bytes).
+  * MinHash — signatures are row-local expressions (min over shingle
+    hashes); LSH banding turns near-dup search into an equi-join on
+    (band_id, band_signature) — a shuffle join on tiny keys instead of
+    an O(n²) cross join.  Candidates then verify exact Jaccard.
+  * the hash is md5 (engine-portable, see functions/hashing.py), with
+    the lexicographic MIN over hex digests as the MinHash order — a
+    valid uniform hash order reproducible in any engine with md5.
+
+MLlib's MinHashLSH offers the same capability class; this
+implementation is preferred because it is (a) seedable/deterministic
+across engines for the oracle gate and (b) pure Column expressions
+(no UDT vectors, no estimator fit pass over 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from prod2vec_spark.operators.text import tokens
+
+
+def normalized(text: Column) -> Column:
+    """lowercase + whitespace-collapse — the canonical form for exact
+    dedup."""
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def text_digest(text: Column) -> Column:
+    return F.md5(normalized(text))
+
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: group by content digest; one row per distinct
+    content with its cardinality and representative (min doc_id)."""
+    return (
+        docs.select(F.col("doc_id"), text_digest(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+def word_shingles(toks: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles: shingle i = toks[i..i+k-1] joined by a
+    single space.  Empty array when the doc has < k tokens.
+
+    ``toks`` MUST be a materialized array column (a plain attribute),
+    not an inline ``split(...)`` expression: higher-order-function
+    lambdas are interpreted without common-subexpression elimination,
+    so an inlined split would re-tokenize the full text for every
+    element_at — measured as the dominant cost of the whole minhash
+    pipeline (k re-splits per shingle)."""
+    n = F.size(toks)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(k)]
+            ),
+        )
+    )
+
+
+MINHASH_P = 2_147_483_647  # 2^31-1
+
+
+def shingle_hashes(shingles: Column) -> Column:
+    """ONE md5 per shingle → struct(h1 = hex 1-8, h2 = hex 9-16) as
+    longs — the base for the double-hashing MinHash family.  Must be
+    materialized as a concrete column before fanning out to the
+    per-seed minima (inlined copies would re-hash per seed)."""
+    # two-pass transform so md5 runs ONCE per shingle — HOF lambdas are
+    # interpreted (no codegen, no common-subexpression elimination), so
+    # md5(s) inlined under both h1 and h2 would hash twice (measured 2×)
+    return F.transform(
+        F.transform(shingles, lambda s: F.md5(s)),
+        lambda x: F.struct(
+            F.conv(F.substring(x, 1, 8), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(x, 9, 8), 16, 10).cast("long").alias("h2"),
+        ),
+    )
+
+
+def minhash_signature(hashed: Column, num_hashes: int = 8) -> list[Column]:
+    """MinHash via Kirsch-Mitzenmacher double hashing: hash family
+    g_j = (h1 + j·h2) mod p over a materialized ``shingle_hashes``
+    array.  num_hashes minima cost zero extra md5 — 8 md5/shingle → 1
+    (md5 was the measured bottleneck).  NULL when the set is empty."""
+    return [
+        F.array_min(
+            F.transform(hashed, lambda h: (h["h1"] + F.lit(j) * h["h2"]) % F.lit(MINHASH_P))
+        ).alias(f"mh{j}")
+        for j in range(num_hashes)
+    ]
+
+
+def minhash_bands(
+    docs: DataFrame,
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 4,
+) -> DataFrame:
+    """(doc_id, band_id, band_sig): band signature = md5 of its
+    concatenated minhashes.  Docs with no shingles emit no bands."""
+    # Stage tokens, then hashed shingles, as concrete columns: each
+    # later stage reads attributes instead of re-evaluating the
+    # tokenize/shingle/md5 pipeline (interpreted HOFs have no CSE).
+    # The no-shingle filter runs on token count — filtering on
+    # mh0 IS NOT NULL would be predicate-pushed below the projections,
+    # re-substituting the whole pipeline into the Filter node
+    # (measured 8× slowdown).  size(toks) ≥ k ⇔ shingle set nonempty.
+    staged = (
+        docs.select("doc_id", tokens(F.col(text_col)).alias("_toks"))
+        .filter(F.size("_toks") >= shingle_k)
+        .select(
+            "doc_id",
+            shingle_hashes(word_shingles(F.col("_toks"), shingle_k)).alias("_hs"),
+        )
+    )
+    sigs = staged.select("doc_id", *minhash_signature(F.col("_hs"), num_hashes))
+    n_bands = num_hashes // band_size
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"mh{b * band_size + i}") for i in range(band_size)]
+        bands.append(
+            F.struct(F.lit(b).alias("band_id"), F.md5(F.concat_ws("|", *cols)).alias("band_sig"))
+        )
+    return (
+        sigs.select("doc_id", F.explode(F.array(*bands)).alias("b"))
+        .select("doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_sig").alias("band_sig"))
+    )
+
+
+def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
+    """Distinct doc pairs sharing ≥1 band.
+
+    NOT a self-join: that would re-evaluate the whole minhash pipeline
+    on both sides (measured 153s vs <10s at sf0.1).  Instead group by
+    (band_id, band_sig), collect the (typically tiny) doc lists, and
+    expand i<j pairs inside the array — one shuffle of 32-byte keys,
+    signatures computed exactly once.  At 100 TB a degenerate band
+    (e.g. empty-ish docs hashing identically) would blow the group —
+    exact-dup them away first (exact_dup_groups) or cap group size."""
+    grouped = (
+        bands.groupBy("band_id", "band_sig")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.filter(
+                F.transform(
+                    F.col("ids"),
+                    lambda y, j: F.when(j > i, F.struct(x.alias("a"), y.alias("b"))),
+                ),
+                lambda s: s.isNotNull(),
+            ),
+        )
+    )
+    return (
+        grouped.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    shingle_k: int = 2,
+    threshold: float = 0.05,
+    max_df: int = 100,
+) -> DataFrame:
+    """n-gram Jaccard near-dup: exact pairwise Jaccard over word
+    k-shingles via an explode + equi-join on the shingle (co-occurrence
+    count) — the verify step of the LSH pipeline, usable standalone.
+    |A∩B| from the join, |A∪B| = |A|+|B|−|A∩B|.
+
+    ``max_df``: shingles appearing in more than max_df documents are
+    dropped (standard common-gram filtering).  A shingle with document
+    frequency d contributes d² candidate pairs, so stop-shingles
+    dominate cost while carrying no dedup signal — measured 73M → 2.4K
+    pair rows on the sf0.1 corpus.  Jaccard is then over each doc's
+    *rare* shingle set.
+
+    Shape: ONE shuffle of (shingle → doc list); pairs expand inside
+    each group array (i<j), so the base scan+shingle pipeline runs
+    once — no shingle self-join re-evaluating it per side.  Per-doc
+    rare-shingle sizes derive from the same grouped result."""
+    sh = docs.select("doc_id", tokens(F.col(text_col)).alias("_toks")).select(
+        "doc_id", F.explode(word_shingles(F.col("_toks"), shingle_k)).alias("shingle")
+    )
+    groups = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    )
+    rare = groups.filter(F.size("ids") <= max_df)
+    sizes = (
+        rare.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.filter(
+                F.transform(
+                    F.col("ids"),
+                    lambda y, j: F.when(j > i, F.struct(x.alias("a"), y.alias("b"))),
+                ),
+                lambda s: s.isNotNull(),
+            ),
+        )
+    )
+    inter = (
+        rare.filter(F.size("ids") > 1)
+        .select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")),
+                5,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_inter", "jaccard")
+    )

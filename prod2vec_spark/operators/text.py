@@ -1,0 +1,147 @@
+"""Text-analysis operators over the ``documents`` table (ENGINE scope —
+the reference has no text surface; these are the LLM-training-data
+operators the north star requires: token counting, quality scoring,
+language-ID, fingerprinting).
+
+Design rule: everything is a row-local Column expression (split /
+higher-order functions / md5) — zero shuffles, zero UDFs, linear scans
+that trivially survive 100 TB.  Aggregation only happens when a query
+asks for corpus-level stats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from prod2vec_spark.functions.hashing import hex_prefix_long
+
+# Whitespace tokenization shared by every operator (and every oracle:
+# DuckDB regexp_split_to_array(trim(text), '\s+')).
+def tokens(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+# BPE-ish lexer: words | digit runs | single non-space symbol — the
+# token-budget estimator shape used by data pipelines when the real
+# tokenizer is too slow for a 100 TB scan.
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0))
+
+
+# Marker vocabularies for the language-ID heuristic.  Deterministic
+# argmax with a fixed precedence order (en > de > es > fr > zh) — the
+# oracle evaluates the identical formula.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "in", "is", "to"],
+    "de": ["der", "die", "das", "und", "ist", "nicht"],
+    "es": ["el", "la", "de", "que", "y", "es"],
+    "fr": ["le", "la", "les", "et", "est", "une"],
+    "zh": [],  # zh scored by CJK char presence, not markers
+}
+
+
+def _marker_hits(toks: Column, markers: list[str]) -> Column:
+    if not markers:
+        return F.lit(0)
+    return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language integer scores: marker-token hits; zh scored by
+    CJK-codepoint count (none in the synthetic corpus, but the operator
+    is the real heuristic)."""
+    toks = tokens(text)
+    scores = {
+        lang: _marker_hits(toks, m) for lang, m in LANG_MARKERS.items() if lang != "zh"
+    }
+    # zh proxy: non-ASCII character count (portable regex in both engines)
+    scores["zh"] = F.length(F.regexp_replace(text, "[\\x00-\\x7F]", ""))
+    return scores
+
+
+def lang_guess(text: Column) -> Column:
+    """argmax over lang_scores with fixed precedence en>de>es>fr>zh;
+    all-zero → 'und' (undetermined)."""
+    s = lang_scores(text)
+    best = F.greatest(*s.values())
+    out = F.lit("und")
+    # reversed precedence so earlier langs win ties via later .when chain
+    expr = F.when(best == 0, F.lit("und"))
+    for lang in ["en", "de", "es", "fr", "zh"]:
+        expr = expr.when(s[lang] == best, F.lit(lang))
+    return expr.otherwise(out)
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Heuristic quality signals (Gopher/C4-style): token count, mean
+    token length, stopword ratio, non-alnum ratio, type-token ratio."""
+    toks = tokens(text)
+    n = F.size(toks)
+    total_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    stop_hits = _marker_hits(toks, LANG_MARKERS["en"])
+    nonalnum = F.length(F.regexp_replace(text, "[A-Za-z0-9\\s]", ""))
+    return {
+        "n_tokens": n,
+        "n_distinct_tokens": F.size(F.array_distinct(toks)),
+        "avg_token_len": F.round(total_len.cast("double") / n, 4),
+        "stopword_ratio": F.round(stop_hits.cast("double") / n, 4),
+        "symbol_ratio": F.round(nonalnum.cast("double") / F.length(text), 4),
+        "type_token_ratio": F.round(F.size(F.array_distinct(toks)).cast("double") / n, 4),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality score — monotone in 'looks like prose':
+    penalize very short docs, symbol soup, and extreme repetition."""
+    f = quality_features(text)
+    length_ok = F.least(F.lit(1.0), f["n_tokens"].cast("double") / F.lit(20.0))
+    symbol_ok = F.greatest(F.lit(0.0), F.lit(1.0) - F.lit(4.0) * f["symbol_ratio"])
+    repeat_ok = f["type_token_ratio"]
+    return F.round((length_ok + symbol_ok + repeat_ok) / F.lit(3.0), 4)
+
+
+def fingerprint(text: Column) -> Column:
+    """Rolling polynomial hash over tokens mod 2147483647 (document
+    fingerprint; functions/hashing.py).  Oracle: list_reduce with the
+    same fold."""
+    from prod2vec_spark.functions.hashing import rolling_fingerprint
+
+    return rolling_fingerprint(tokens(text))
+
+
+def simhash32(text: Column) -> Column:
+    """32-bit SimHash over whitespace tokens, entirely row-local:
+    h(tok) = 32-bit md5 prefix; v_b = Σ_tokens (2·bit_b(h) − 1);
+    simhash = Σ_b [v_b > 0]·2^b.  Nested higher-order functions — no
+    explode, no shuffle, codegen-friendly."""
+    toks = tokens(text)
+    # bit b of h: floor(h / 2^b) % 2 — exact for h < 2^32 (double
+    # mantissa 53 bits); shiftright() can't take a lambda-bound Column.
+    bit = lambda h, b: (h.cast("double") / F.pow(F.lit(2.0), b)).cast("long") % 2  # noqa: E731
+    bitsum = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("long"), 32),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(31)),
+                lambda b: (bit(hex_prefix_long(t, 8), b) * 2 - 1).cast("long"),
+            ),
+            lambda a, x: a + x,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            bitsum,
+            F.sequence(F.lit(0), F.lit(31)),
+            lambda v, b: F.when(v > 0, F.pow(F.lit(2.0), b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )

@@ -422,7 +422,7 @@ SELECT 'schema_match', '*', 1.0, 1.0, 1.0, true FROM m
 
 
 # ------------------------------------------------------------- registry
-QUERIES: dict[str, QueryFn] = {
+_QUERIES_CORE: dict[str, QueryFn] = {
     "part_scan_project": q_part_scan_project,
     "pricing_summary": q_pricing_summary,
     "distinct_parts": q_distinct_parts,
@@ -440,7 +440,7 @@ QUERIES: dict[str, QueryFn] = {
     "dq_part": q_dq_part,
 }
 
-ORACLES: dict[str, str] = {
+_ORACLES_CORE: dict[str, str] = {
     "part_scan_project": SQL_PART_SCAN,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "distinct_parts": SQL_DISTINCT_PARTS,
@@ -457,3 +457,9 @@ ORACLES: dict[str, str] = {
     "dq_lineitem": SQL_DQ_LINEITEM,
     "dq_part": SQL_DQ_PART,
 }
+
+# Extension catalog (text / dedup / simsearch / events / multi-join)
+from prod2vec_spark.queries_ext import EXT_ORACLES, EXT_QUERIES  # noqa: E402
+
+QUERIES: dict[str, QueryFn] = {**_QUERIES_CORE, **EXT_QUERIES}
+ORACLES: dict[str, str] = {**_ORACLES_CORE, **EXT_ORACLES}

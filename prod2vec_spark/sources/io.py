@@ -15,6 +15,7 @@ operators/quality.py) rather than the reader.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # Expected logical schemas for the driver testdata (FIXTURES.md §2).
@@ -119,8 +120,18 @@ def expected_schema(name: str) -> T.StructType:
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """S1-class scan: one logical table from the testdata directory."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """S1-class scan: one logical table from the testdata directory.
+
+    The events table carries TIMESTAMP(NANOS) parquet, which Spark 4
+    refuses by default — enable the nanos-as-long escape hatch
+    defensively (harmless otherwise) and convert ns → microsecond
+    TimestampType with integer division (no double rounding)."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def read_csv(
