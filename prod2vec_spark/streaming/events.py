@@ -1,0 +1,77 @@
+"""Structured Streaming variants of the incremental operators
+(SURVEY.md §2.13: the reference is batch-only — `@once` DAG — so this
+is ENGINE scope: the same transforms kept incremental-friendly).
+
+The batch/stream parity rule: every streaming query here has a batch
+twin in the query catalog (events_daily, dedup_exact) computing the
+same result, and tests assert they agree when the stream is drained
+with trigger(availableNow) over the same files.
+
+Scale notes: watermarks bound state; the windowed agg state is
+O(open windows × event types); streaming dedup state is bounded by the
+watermark horizon.  Sinks in tests use format("memory"); production
+would use kafka/delta with checkpointLocation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from prod2vec_spark.sources.io import TABLES
+
+
+def read_events_stream(spark: SparkSession, dir_path: str) -> DataFrame:
+    """File-source stream over the events parquet.  Schema must be
+    declared up front (streams can't infer); ts arrives as ns-long
+    (nanosAsLong, see sources/io.py) and converts to TimestampType."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    raw = spark.readStream.schema(schema).parquet(dir_path)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 day",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Streaming twin of the events_daily batch query: tumbling-window
+    counts + value sums per event type, late data bounded by the
+    watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, keys: list[str], watermark: str = "2 days") -> DataFrame:
+    """Streaming exact dedup: dropDuplicates keyed state bounded by the
+    event-time watermark — the incremental twin of exact_dup_groups."""
+    return events.withWatermark("ts", watermark).dropDuplicates(keys)
+
+
+def run_to_memory(stream_df: DataFrame, table_name: str, output_mode: str = "append") -> None:
+    """Drain an availableNow trigger into an in-memory sink (tests).
+    Aggregations need output_mode='complete'; row streams 'append'."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,183 @@
+"""Operator unit + property tests on tiny literal DataFrames
+(FIXTURES.md §3-4 invariants), mirroring the reference's own quality
+gates (data_quality_checks.py) as engine expectations."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from prod2vec_spark.functions.arrays import seeded_shuffle
+from prod2vec_spark.operators.baskets import (
+    assemble_baskets,
+    build_vocab,
+    index_baskets,
+    index_items,
+)
+from prod2vec_spark.operators.quality import Rules, assert_expectations, expect
+from prod2vec_spark.operators.skipgram import (
+    negative_samples,
+    skipgram_pairs_array,
+    skipgram_pairs_selfjoin,
+    training_examples_flat,
+    training_triples,
+    with_positions,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_lineitem(spark):
+    rows = [
+        # order 1: items 10,20,30,40,50,60 at positions 1..6
+        *[(1, 10 * i, 100 + i, i) for i in range(1, 7)],
+        # order 2: two items
+        (2, 10, 101, 1),
+        (2, 99, 102, 2),
+        # order 3: single item (no pairs)
+        (3, 20, 103, 1),
+    ]
+    return spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int"
+    )
+
+
+def test_basket_order_and_cap(spark, tiny_lineitem):
+    b = {r["order_id"]: r["basket"] for r in assemble_baskets(tiny_lineitem, max_len=3).collect()}
+    assert b[1] == [10, 20, 30]  # cart order, capped at 3
+    assert b[2] == [10, 99]
+    assert b[3] == [20]
+
+
+def test_vocab_unk_pinned_and_rank_bijection(spark, tiny_lineitem):
+    v = build_vocab(tiny_lineitem, num_prods=4).collect()
+    by_idx = {r["idx"]: r for r in v}
+    assert by_idx[0]["product_id"] is None  # UNK at 0 (data_prep.py:78-84)
+    assert sorted(by_idx) == [0, 1, 2, 3]
+    # idx 1 = most frequent; ties by product_id: 10 and 20 both count 2
+    assert by_idx[1]["product_id"] == 10
+    assert by_idx[2]["product_id"] == 20
+    counts = [by_idx[i]["count"] for i in (1, 2, 3)]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_oov_defaults_to_unk(spark, tiny_lineitem):
+    v = build_vocab(tiny_lineitem, num_prods=3)  # only 2 real entries
+    out = index_items(tiny_lineitem, v)
+    idx_of = {(r["l_orderkey"], r["l_partkey"]): r["idx"] for r in out.collect()}
+    assert idx_of[(2, 99)] == 0  # OOV -> UNK
+    assert idx_of[(1, 10)] in (1, 2)
+
+
+def test_index_baskets_matches_index_items(spark, tiny_lineitem):
+    v = build_vocab(tiny_lineitem, num_prods=4)
+    b = index_baskets(assemble_baskets(tiny_lineitem), v).collect()
+    for r in b:
+        assert len(r["basket_idx"]) == len(r["basket"])
+        for item, idx in zip(r["basket"], r["basket_idx"]):
+            assert idx >= 0
+
+
+def test_skipgram_forms_agree(spark, tiny_lineitem):
+    """Array form and self-join form emit the identical pair multiset
+    (SURVEY.md §4.4)."""
+    arr = skipgram_pairs_array(assemble_baskets(tiny_lineitem), 2)
+    sj = skipgram_pairs_selfjoin(with_positions(tiny_lineitem), 2)
+    a = sorted(map(tuple, arr.collect()))
+    s = sorted(map(tuple, sj.collect()))
+    assert a == s
+    assert len(a) > 0
+
+
+def test_skipgram_window_invariants(spark, tiny_lineitem):
+    """Every pair co-occurs in its basket within window distance; both
+    directions are emitted; no self-position pairs (FIXTURES.md §4)."""
+    window = 2
+    baskets = {r["order_id"]: r["basket"] for r in assemble_baskets(tiny_lineitem).collect()}
+    pairs = skipgram_pairs_array(assemble_baskets(tiny_lineitem), window).collect()
+    seen = set()
+    for r in pairs:
+        basket = baskets[r["order_id"]]
+        pt = [i for i, x in enumerate(basket) if x == r["target"]]
+        pc = [i for i, x in enumerate(basket) if x == r["context"]]
+        assert any(1 <= abs(i - j) <= window for i in pt for j in pc)
+        seen.add((r["order_id"], r["target"], r["context"]))
+    # symmetric: (t,c) present => (c,t) present
+    for (o, t, c) in seen:
+        assert (o, c, t) in seen
+    # singleton basket emits nothing
+    assert not any(r["order_id"] == 3 for r in pairs)
+
+
+def test_negative_sampling_invariants(spark, tiny_lineitem):
+    vocab_size = 50
+    pairs = skipgram_pairs_array(assemble_baskets(tiny_lineitem), 2)
+    withneg = negative_samples(pairs, vocab_size, num_ns=4, seed=7)
+    for r in withneg.collect():
+        assert len(r["negatives"]) == 4
+        assert all(0 <= n < vocab_size for n in r["negatives"])
+    # determinism: same seed -> same stream
+    again = negative_samples(pairs, vocab_size, num_ns=4, seed=7)
+    assert sorted(map(tuple, withneg.collect())) == sorted(map(tuple, again.collect()))
+    # different seed -> different stream
+    other = negative_samples(pairs, vocab_size, num_ns=4, seed=8)
+    assert sorted(map(tuple, withneg.collect())) != sorted(map(tuple, other.collect()))
+
+
+def test_negative_sampling_distinct_mode(spark, tiny_lineitem):
+    """distinct=True: negatives unique within row and != true context."""
+    pairs = skipgram_pairs_array(assemble_baskets(tiny_lineitem), 2)
+    withneg = negative_samples(pairs, vocab_size=10, num_ns=3, seed=1, distinct=True)
+    for r in withneg.collect():
+        negs = r["negatives"]
+        assert len(negs) == len(set(negs))
+        assert r["context"] not in negs
+
+
+def test_training_shapes(spark, tiny_lineitem):
+    """Triple assembly: context_vec = [true]+negs, label = [1,0,...]
+    (data_prep.py:188-199)."""
+    pairs = skipgram_pairs_array(assemble_baskets(tiny_lineitem), 2)
+    withneg = negative_samples(pairs, vocab_size=50, num_ns=4)
+    for r in training_triples(withneg, num_ns=4).collect():
+        assert len(r["context_vec"]) == 5
+        assert r["label_vec"] == [1, 0, 0, 0, 0]
+    flat = training_examples_flat(withneg)
+    n_pairs = pairs.count()
+    assert flat.count() == n_pairs * 5
+    assert flat.filter(F.col("label") == 1).count() == n_pairs
+
+
+def test_seeded_shuffle_deterministic_permutation(spark):
+    df = spark.createDataFrame([(1, list(range(20))), (2, list(range(20)))], "id long, arr array<int>")
+    out1 = df.select("id", seeded_shuffle(F.col("arr"), F.col("id")).alias("s")).collect()
+    out2 = df.select("id", seeded_shuffle(F.col("arr"), F.col("id")).alias("s")).collect()
+    by_id1 = {r["id"]: r["s"] for r in out1}
+    by_id2 = {r["id"]: r["s"] for r in out2}
+    assert by_id1 == by_id2  # deterministic
+    for id_, s in by_id1.items():
+        assert sorted(s) == list(range(20))  # a permutation
+        assert s != list(range(20))  # actually shuffled (20! odds)
+    assert by_id1[1] != by_id1[2]  # salt-dependent
+
+
+def test_quality_gates_fail_modes(spark):
+    """Q1 nulls / Q3 column count / Q5 dup keys must fail; clean data
+    passes (data_quality_checks.py:7-133 re-expressed)."""
+    clean = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    dup = spark.createDataFrame([(1, "a"), (1, "b")], "k long, v string")
+    nulls = spark.createDataFrame([(None, "a"), (2, "b")], "k long, v string")
+
+    ok = expect(clean, Rules(not_null=["k"], unique_key=["k"], column_count=2))
+    assert all(r["passed"] for r in ok.collect())
+
+    bad_dup = expect(dup, Rules(unique_key=["k"]))
+    assert not bad_dup.collect()[0]["passed"]
+
+    bad_null = expect(nulls, Rules(not_null=["k"]))
+    assert not bad_null.collect()[0]["passed"]
+
+    with pytest.raises(ValueError, match="not_null"):
+        assert_expectations(nulls, Rules(not_null=["k"]))
+
+    bad_cols = expect(clean, Rules(column_count=3))
+    assert not bad_cols.collect()[0]["passed"]

@@ -1,0 +1,58 @@
+"""End-to-end pipeline runs (G1), both DAG branches, on sf0.001."""
+
+from __future__ import annotations
+
+import pytest
+
+from prod2vec_spark.pipeline import PipelineConfig, Prod2VecPipeline
+from prod2vec_spark.ml.prod2vec import Prod2VecParams
+from tests.conftest import SF_SMOKE
+
+
+def test_pipeline_train_branch(spark, tmp_path):
+    cfg = PipelineConfig(
+        sf_dir=SF_SMOKE,
+        work_dir=str(tmp_path / "work"),
+        train=Prod2VecParams(vector_size=16, max_iter=1),
+        run_hyperparameter_opt=False,
+    )
+    out = Prod2VecPipeline(spark, cfg).run()
+    rows = out.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["neighbor_id"] != r["query_id"]
+        assert 1 <= r["rank"] <= cfg.top_k
+    # checkpoints exist and reload
+    for name in ["baskets", "vocab", "pairs", "embeddings_out", "neighbors"]:
+        assert spark.read.parquet(f"{cfg.work_dir}/{name}").count() > 0
+
+
+def test_pipeline_tune_branch(spark, tmp_path):
+    cfg = PipelineConfig(
+        sf_dir=SF_SMOKE,
+        work_dir=str(tmp_path / "work"),
+        train=Prod2VecParams(vector_size=16, max_iter=1),
+        run_hyperparameter_opt=True,
+        tune_dims=[8, 16],
+        tune_lrs=[0.025],
+    )
+    out = Prod2VecPipeline(spark, cfg).run()
+    assert out.count() > 0
+    results = spark.read.parquet(f"{cfg.work_dir}/tuning_results")
+    rows = {r["TrainingJobName"]: r for r in results.collect()}
+    assert len(rows) == 2  # 2 dims x 1 lr
+    ranks = [r["objective_rank"] for r in rows.values()]
+    assert sorted(ranks) == [1, 2]
+    # iteration = original trial order, NOT affected by objective sort
+    assert sorted(r["iteration"] for r in rows.values()) == [0, 1]
+
+
+def test_quality_gate_failure_stops_pipeline(spark, tmp_path):
+    """A broken expectation must raise (reference behavior: the DAG
+    task fails)."""
+    from prod2vec_spark.operators.quality import Rules, assert_expectations
+    from prod2vec_spark.sources.io import read_table
+
+    li = read_table(spark, SF_SMOKE, "lineitem")
+    with pytest.raises(ValueError):
+        assert_expectations(li, Rules(row_count_between=(1.0, 10.0)))

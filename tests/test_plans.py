@@ -1,0 +1,76 @@
+"""Physical-plan shape assertions: the scale-design rules from
+SURVEY.md §4.3 are locked in as tests, not prose.
+
+Every flagship operator has an intended plan; silently adding a
+shuffle, dropping a broadcast, or losing parquet pushdown is a
+regression even while results stay correct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from prod2vec_spark.operators.baskets import assemble_baskets, build_vocab, index_items
+from prod2vec_spark.operators.skipgram import skipgram_pairs_array
+from prod2vec_spark.plans import (
+    count_exchanges,
+    has_broadcast_join,
+    pushed_filters,
+    read_schema_columns,
+)
+from prod2vec_spark.queries import QUERIES
+from tests.conftest import SF_SMOKE
+
+
+def test_filter_and_projection_reach_parquet(spark):
+    """part_scan_project: predicate in PushedFilters, ReadSchema pruned
+    to the 4 referenced columns (3 projected + 1 filtered)."""
+    df = QUERIES["part_scan_project"](spark, SF_SMOKE)
+    pf = pushed_filters(df)
+    assert any("p_size" in f for f in pf), pf
+    cols = set(read_schema_columns(df))
+    assert cols == {"p_partkey", "p_name", "p_retailprice", "p_size"}, cols
+
+
+def test_basket_assembly_single_shuffle(spark):
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    df = assemble_baskets(li)
+    assert count_exchanges(df) == 1  # one hash partition by order key
+
+
+def test_skipgram_array_form_adds_no_shuffle(spark):
+    """The array-form pair expansion must stay at the basket groupBy's
+    single shuffle — that's its whole point vs the self-join form."""
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    pairs = skipgram_pairs_array(assemble_baskets(li), 4)
+    assert count_exchanges(pairs) == 1
+
+
+def test_vocab_probe_is_broadcast_join(spark):
+    """index_items: fact side must not shuffle — the vocab broadcasts."""
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    v = build_vocab(li, num_prods=101)
+    out = index_items(li.select("l_orderkey", "l_partkey"), v)
+    assert has_broadcast_join(out)
+
+
+def test_region_star_join_broadcasts_dims(spark):
+    df = QUERIES["region_revenue"](spark, SF_SMOKE)
+    assert has_broadcast_join(df)
+
+
+def test_lineitem_agg_prunes_columns(spark):
+    """pricing_summary reads only the 7 columns it needs of 11."""
+    df = QUERIES["pricing_summary"](spark, SF_SMOKE)
+    cols = set(read_schema_columns(df))
+    assert cols == {
+        "l_returnflag", "l_linestatus", "l_quantity",
+        "l_extendedprice", "l_discount",
+    }, cols
+
+
+def test_text_pipeline_no_shuffle(spark):
+    """Row-local text operators must stay shuffle-free."""
+    for name in ["text_stats", "simhash", "fingerprint", "token_counts"]:
+        df = QUERIES[name](spark, SF_SMOKE)
+        assert count_exchanges(df) == 0, name

@@ -1,0 +1,66 @@
+"""Batch/stream parity: draining the streaming twins over the same
+files must reproduce the batch results."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import shutil
+
+import pytest
+
+from prod2vec_spark.streaming.events import (
+    read_events_stream,
+    run_to_memory,
+    streaming_dedup,
+    windowed_event_counts,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    """The file stream source requires a directory; stage the (small)
+    events parquet into one."""
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{SF_SMOKE}/events.parquet", d / "part-000.parquet")
+    return str(d)
+
+
+def test_windowed_counts_match_batch(spark, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    assert stream.isStreaming
+    run_to_memory(
+        windowed_event_counts(stream), "stream_daily", output_mode="complete"
+    )
+    got = {
+        (r["day"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.table("stream_daily").collect()
+    }
+
+    from prod2vec_spark.sources.io import read_table
+
+    ev = read_table(spark, SF_SMOKE, "events")
+    want = {
+        (r["day"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in ev.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
+def test_streaming_dedup_bounded_by_keys(spark, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    run_to_memory(
+        streaming_dedup(stream, ["user_id", "event_type"]), "stream_dedup"
+    )
+    got = spark.table("stream_dedup")
+    n_distinct = got.select("user_id", "event_type").distinct().count()
+    assert got.count() == n_distinct  # exact one row per key
