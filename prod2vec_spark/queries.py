@@ -460,6 +460,7 @@ _ORACLES_CORE: dict[str, str] = {
 
 # Extension catalog (text / dedup / simsearch / events / multi-join)
 from prod2vec_spark.queries_ext import EXT_ORACLES, EXT_QUERIES  # noqa: E402
+from prod2vec_spark.queries_more import MORE_ORACLES, MORE_QUERIES  # noqa: E402
 
-QUERIES: dict[str, QueryFn] = {**_QUERIES_CORE, **EXT_QUERIES}
-ORACLES: dict[str, str] = {**_ORACLES_CORE, **EXT_ORACLES}
+QUERIES: dict[str, QueryFn] = {**_QUERIES_CORE, **EXT_QUERIES, **MORE_QUERIES}
+ORACLES: dict[str, str] = {**_ORACLES_CORE, **EXT_ORACLES, **MORE_ORACLES}

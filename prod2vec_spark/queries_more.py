@@ -1,0 +1,165 @@
+"""Third query-catalog module: seeded randomness surfaces (F1/F3),
+grouping-set aggregates, and the ML-layer queries (rows-only checks —
+training output is not SQL-expressible, SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from prod2vec_spark.functions.arrays import seeded_shuffle
+from prod2vec_spark.operators.baskets import assemble_baskets, build_vocab
+from prod2vec_spark.operators.skipgram import subsample_keep_prob
+from prod2vec_spark.sources.io import read_table
+
+
+# ------------------------------------------------------- F1 seeded shuffle
+def q_seeded_shuffle(spark, sf_dir):
+    """F1: deterministic basket permutation (hash-sort; the engine's
+    seedable replacement for the reference's random.shuffle at
+    data_prep.py:156-157).  The oracle replays the identical md5 sort
+    keys."""
+    li = read_table(spark, sf_dir, "lineitem")
+    b = assemble_baskets(li)
+    shuffled = seeded_shuffle(F.col("basket"), F.col("order_id"), seed=42)
+    return b.select(
+        "order_id",
+        F.concat_ws(",", F.transform(shuffled, lambda x: x.cast("string"))).alias(
+            "shuffled_basket"
+        ),
+    )
+
+
+SQL_SEEDED_SHUFFLE = """
+WITH b AS (
+  SELECT l_orderkey AS order_id,
+         list(l_partkey ORDER BY l_linenumber, l_partkey) AS basket
+  FROM lineitem GROUP BY l_orderkey)
+SELECT order_id, string_agg(v, ',' ORDER BY k, v) AS shuffled_basket
+FROM (SELECT order_id, basket[i] AS v,
+             md5('42|' || order_id || '|' || basket[i] || '|' || (i - 1)) AS k
+      FROM b, LATERAL unnest(generate_series(1, len(basket))) t(i))
+GROUP BY order_id
+"""
+
+
+# ---------------------------------------------------- F3 subsample table
+def q_subsample_table(spark, sf_dir):
+    """F3: word2vec frequent-item subsampling keep-probabilities from
+    the frequency rank (keras make_sampling_table formula,
+    data_prep.py:150-151)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    v = build_vocab(li, num_prods=101).filter(F.col("product_id").isNotNull())
+    return v.select(
+        "idx",
+        "product_id",
+        F.round(subsample_keep_prob(F.col("idx"), 101), 6).alias("keep_prob"),
+    )
+
+
+SQL_SUBSAMPLE_TABLE = """
+WITH vocab AS (
+  SELECT product_id,
+         CAST(row_number() OVER (ORDER BY cnt DESC, product_id) AS INT) AS idx
+  FROM (SELECT l_partkey AS product_id, count(*) AS cnt
+        FROM lineitem GROUP BY 1 ORDER BY cnt DESC, product_id LIMIT 100))
+SELECT idx, product_id,
+       round(least(1.0, sqrt(1e-5 / (1.0 / (idx * (ln(101.0) + 0.57721566490153286))))
+                        + 1e-5 / (1.0 / (idx * (ln(101.0) + 0.57721566490153286)))), 6) AS keep_prob
+FROM vocab
+"""
+
+
+# -------------------------------------------------------------- rollup
+def q_rollup_pricing(spark, sf_dir):
+    """Grouping sets: revenue rollup over (returnflag, linestatus) with
+    subtotals and grand total — free from Catalyst (SURVEY.md §2.4),
+    exposed as a first-class query."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_price",
+        )
+    )
+
+
+SQL_ROLLUP_PRICING = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+# ------------------------------------------- ML layer (rows-only checks)
+def q_word2vec_neighbors(spark, sf_dir):
+    """M1-M4: MLlib Word2Vec trained on (a bounded sample of) baskets,
+    top-5 cosine neighbors for the 3 most frequent products, names
+    joined.  No oracle — training is not SQL-expressible; the driver
+    records a rows-only check and pytest asserts the invariants."""
+    from prod2vec_spark.ml.prod2vec import (
+        Prod2VecParams,
+        embedding_table,
+        enrich_embeddings,
+        fit_prod2vec,
+        top_k_similar,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    baskets = assemble_baskets(li, max_len=50).orderBy("order_id").limit(20_000)
+    vocab = build_vocab(li, num_prods=201)
+    model = fit_prod2vec(
+        baskets, Prod2VecParams(vector_size=16, max_iter=1, num_partitions=4)
+    )
+    vectors = embedding_table(model)
+    probe = [
+        r["product_id"]
+        for r in vocab.filter(F.col("idx").between(1, 3)).collect()
+    ]
+    part = read_table(spark, sf_dir, "part")
+    topk = top_k_similar(vectors, probe, k=5)
+    return enrich_embeddings(
+        topk.withColumnRenamed("neighbor_id", "product_id"), part
+    ).select(
+        "query_id",
+        F.col("product_id").alias("neighbor_id"),
+        "product_name",
+        F.round("cosine_sim", 6).alias("cosine_sim"),
+        "rank",
+    )
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via sign-LSH buckets (no oracle:
+    exercised rows-only; the exact-cosine verify path is oracle-checked
+    by ann_topk/ann_lsh_topk)."""
+    from prod2vec_spark.operators.simsearch import embedding_neardup
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return embedding_neardup(emb, threshold=0.5, num_planes=4)
+
+
+MORE_QUERIES = {
+    "seeded_shuffle": q_seeded_shuffle,
+    "subsample_table": q_subsample_table,
+    "rollup_pricing": q_rollup_pricing,
+    "word2vec_neighbors": q_word2vec_neighbors,
+    "embedding_neardup": q_embedding_neardup,
+}
+
+MORE_ORACLES = {
+    "seeded_shuffle": SQL_SEEDED_SHUFFLE,
+    "subsample_table": SQL_SUBSAMPLE_TABLE,
+    "rollup_pricing": SQL_ROLLUP_PRICING,
+    # word2vec_neighbors / embedding_neardup: rows-only by design
+}
