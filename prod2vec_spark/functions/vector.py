@@ -37,3 +37,17 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     """dot(a,b) / (|a||b|); NULL when either norm is zero (matches
     DuckDB's list_cosine_similarity NaN-avoidance via nullif)."""
     return dot(a, b) / F.nullif(l2_norm(a) * l2_norm(b), F.lit(0.0))
+
+
+def normalized(a: Column, norm: Column) -> Column:
+    """Unit-scale ``a`` by a PRE-MATERIALIZED norm column.
+
+    The norm must be computed once per row into its own column
+    (``withColumn("nrm", l2_norm(v))``) before calling this —
+    interpreted higher-order functions have no common-subexpression
+    elimination, so inlining ``l2_norm(a)`` here would re-fold the
+    whole array per element.  Pre-normalizing turns every pairwise
+    cosine in a join into ONE dot product instead of dot + two norms:
+    O(rows·d) preparation amortized across O(pairs·d) work — the only
+    layout that survives a 100 TB corpus."""
+    return F.transform(a, lambda x: x.cast("double") / norm)

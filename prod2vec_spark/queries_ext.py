@@ -275,25 +275,28 @@ def q_ann_topk(spark, sf_dir):
 
 
 # dot/norms as strict left folds (list_reduce) to match Spark's
-# aggregate() accumulation order bit-for-bit.
+# aggregate() accumulation order bit-for-bit.  Vectors are unit-scaled
+# ONCE per row (same as simsearch._with_unit) so the per-pair formula
+# is a single dot product — the oracle mirrors the normalize-then-dot
+# arithmetic exactly, not just the mathematical value.
 _DOT = (
     "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
     "list_transform(generate_series(1, 64), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)), (x, y) -> x + y)"
 )
-_SIM = (
-    "("
-    + _DOT.format(a="qv", b="embedding")
-    + ") / nullif(sqrt("
-    + _DOT.format(a="qv", b="qv")
-    + ") * sqrt("
-    + _DOT.format(a="embedding", b="embedding")
-    + "), 0)"
+_L2 = (
+    "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform({a}, x -> x::DOUBLE * x::DOUBLE)), (x, y) -> x + y))"
 )
+_UNIT = (
+    "list_transform({a}, x -> x::DOUBLE / nullif(" + _L2 + ", 0))"
+)
+_NSIM = "(" + _DOT.format(a="qn", b="nvec") + ")"
 
 SQL_ANN_TOPK = f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
-p AS (SELECT query_id, vec_id, ({_SIM}) AS sim
-      FROM embeddings CROSS JOIN q
+WITH n AS (SELECT vec_id, {_UNIT.format(a='embedding')} AS nvec FROM embeddings),
+q AS (SELECT vec_id AS query_id, nvec AS qn FROM n WHERE vec_id < 20),
+p AS (SELECT query_id, vec_id, {_NSIM} AS sim
+      FROM n CROSS JOIN q
       WHERE vec_id != query_id)
 SELECT query_id, vec_id AS neighbor_id, round(sim, 5) AS cosine_sim,
        CAST(rank AS INT) AS rank
@@ -329,9 +332,11 @@ def _sql_bucket(vec: str) -> str:
 
 def _sql_ann_lsh() -> str:
     return f"""
-WITH c AS (SELECT vec_id, embedding, ({_sql_bucket('embedding')}) AS bucket FROM embeddings),
-q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM c WHERE vec_id < 20),
-p AS (SELECT query_id, c.vec_id, ({_SIM}) AS sim
+WITH c AS (SELECT vec_id, ({_sql_bucket('embedding')}) AS bucket,
+                  {_UNIT.format(a='embedding')} AS nvec
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, nvec AS qn, bucket FROM c WHERE vec_id < 20),
+p AS (SELECT query_id, c.vec_id, {_NSIM} AS sim
       FROM c JOIN q USING (bucket)
       WHERE c.vec_id != query_id)
 SELECT query_id, vec_id AS neighbor_id, round(sim, 5) AS cosine_sim,

@@ -140,13 +140,53 @@ def q_word2vec_neighbors(spark, sf_dir):
 
 
 def q_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs via sign-LSH buckets (no oracle:
-    exercised rows-only; the exact-cosine verify path is oracle-checked
-    by ann_topk/ann_lsh_topk)."""
+    """Embedding-cosine near-dup pairs via BANDED sign-LSH (4 bands ×
+    4 planes, OR-over-bands): equi-join candidates on the band
+    signature, exact unit-vector cosine ≥ 0.4 confirms.  Fully
+    deterministic (md5-derived hyperplanes) — the oracle replays the
+    identical banding and arithmetic."""
     from prod2vec_spark.operators.simsearch import embedding_neardup
 
     emb = read_table(spark, sf_dir, "embeddings")
-    return embedding_neardup(emb, threshold=0.5, num_planes=4)
+    return embedding_neardup(
+        emb, dims=64, threshold=0.4, bands=4, planes_per_band=4
+    )
+
+
+def _sql_neardup() -> str:
+    from prod2vec_spark.operators.simsearch import deterministic_planes
+    from prod2vec_spark.queries_ext import _DOT, _UNIT
+
+    planes = deterministic_planes(64, 16)
+    sig_selects = []
+    for b in range(4):
+        terms = []
+        for p in range(4):
+            lits = ", ".join(repr(c) for c in planes[b * 4 + p])
+            d = (
+                "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+                f"list_transform(generate_series(1, 64), i -> nvec[i]::DOUBLE * ([{lits}])[i])), "
+                "(x, y) -> x + y)"
+            )
+            terms.append(
+                f"(CASE WHEN ({d}) > 0 THEN {1 << p}::BIGINT ELSE 0::BIGINT END)"
+            )
+        sig_selects.append(
+            f"SELECT vec_id, nvec, {b} AS band, ({' + '.join(terms)}) AS sig FROM n"
+        )
+    sigs = " UNION ALL ".join(sig_selects)
+    pair_dot = _DOT.format(a="na.nvec", b="nb.nvec")
+    return f"""
+WITH n AS (SELECT vec_id, {_UNIT.format(a='embedding')} AS nvec FROM embeddings),
+s AS ({sigs}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM s a JOIN s b ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
+p AS (
+  SELECT vec_a, vec_b, round({pair_dot}, 5) AS cosine_sim
+  FROM cand JOIN n na ON na.vec_id = vec_a JOIN n nb ON nb.vec_id = vec_b)
+SELECT vec_a, vec_b, cosine_sim FROM p WHERE cosine_sim >= 0.4
+"""
 
 
 MORE_QUERIES = {
@@ -161,5 +201,6 @@ MORE_ORACLES = {
     "seeded_shuffle": SQL_SEEDED_SHUFFLE,
     "subsample_table": SQL_SUBSAMPLE_TABLE,
     "rollup_pricing": SQL_ROLLUP_PRICING,
-    # word2vec_neighbors / embedding_neardup: rows-only by design
+    "embedding_neardup": _sql_neardup(),
+    # word2vec_neighbors: rows-only by design (ML training)
 }
