@@ -2,8 +2,10 @@
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 
-Each query is forced with a count() of the result (no driver collect of
-payload — we time the distributed plan, not pandas conversion).
+Each query is forced with a noop-format write (every output column is
+fully computed and serialized on the executors, nothing returns to the
+driver) — a count() would let Catalyst prune unreferenced projection
+columns, under-timing expression-heavy queries like simhash/text_stats.
 """
 
 from __future__ import annotations
@@ -28,23 +30,49 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
         t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
+    out = {
+        "metric": "catalog_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    baseline = _per_query_baseline()
+    if baseline:
+        ratios = {
+            q: round(timings[q] / baseline[q], 2)
+            for q in timings
+            if q in baseline and baseline[q] > 0
+        }
+        if ratios:
+            out["vs_baseline"] = {
+                "per_query_ratio": ratios,
+                "max_ratio": max(ratios.values()),
+                "regressed_over_2x": sorted(
+                    q for q, r in ratios.items() if r > 2.0
+                ),
             }
-        )
-    )
+    print(json.dumps(out))
     spark.stop()
+
+
+def _per_query_baseline() -> dict[str, float]:
+    """Per-query reference timings (BASELINE.json 'queries' key if
+    present) so the 2× gate is machine-checkable per query, not just
+    on the catalog total."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.json")
+    try:
+        with open(path) as f:
+            data = json.load(f)
+        q = data.get("queries", {})
+        return {k: float(v) for k, v in q.items()}
+    except (OSError, ValueError):
+        return {}
 
 
 if __name__ == "__main__":

@@ -95,7 +95,6 @@ def top_k_similar(
     The query side is tiny (≤ hundreds) → broadcast; the big side
     streams once.  Self-pairs excluded (model_train.py:38).  At vocab
     ≳100k this switches to LSH (operators/simsearch.py)."""
-    to_arr = lambda c: F.col(c)  # noqa: E731
     queries = vectors.filter(F.col("product_id").isin(query_ids)).select(
         F.col("product_id").alias("query_id"),
         F.col("vector").alias("query_vec"),

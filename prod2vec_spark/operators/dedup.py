@@ -143,37 +143,47 @@ def minhash_bands(
     )
 
 
-def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(bands: DataFrame, max_group: int | None = None) -> DataFrame:
     """Distinct doc pairs sharing ≥1 band.
 
     NOT a self-join: that would re-evaluate the whole minhash pipeline
     on both sides (measured 153s vs <10s at sf0.1).  Instead group by
     (band_id, band_sig), collect the (typically tiny) doc lists, and
-    expand i<j pairs inside the array — one shuffle of 32-byte keys,
-    signatures computed exactly once.  At 100 TB a degenerate band
-    (e.g. empty-ish docs hashing identically) would blow the group —
-    exact-dup them away first (exact_dup_groups) or cap group size."""
+    expand i<j pairs inside the array (functions.arrays.pair_expand) —
+    one shuffle of 32-byte keys, signatures computed exactly once.
+
+    ``max_group`` guards the degenerate band at 100 TB: a hot
+    signature (e.g. empty-ish docs hashing identically) contributes
+    |group|² pairs and a |group|-sized collected array; groups above
+    the cap are *dropped* (they are exact-dup clusters in disguise —
+    collapse them with exact_dup_groups first, which is both cheaper
+    and lossless for that case).  Count dropped groups via
+    ``lsh_oversize_groups`` when auditing recall."""
+    from prod2vec_spark.functions.arrays import pair_expand
+
     grouped = (
         bands.groupBy("band_id", "band_sig")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    pairs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.filter(
-                F.transform(
-                    F.col("ids"),
-                    lambda y, j: F.when(j > i, F.struct(x.alias("a"), y.alias("b"))),
-                ),
-                lambda s: s.isNotNull(),
-            ),
-        )
-    )
+    if max_group is not None:
+        grouped = grouped.filter(F.size("ids") <= max_group)
     return (
-        grouped.select(F.explode(pairs).alias("p"))
+        grouped.select(F.explode(pair_expand(F.col("ids"))).alias("p"))
         .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .distinct()
+    )
+
+
+def lsh_oversize_groups(bands: DataFrame, max_group: int) -> DataFrame:
+    """Audit companion to ``lsh_candidate_pairs(max_group=…)``: the
+    (band_id, band_sig, n_docs) groups the cap would drop, so a 100 TB
+    run can report lost-recall candidates instead of silently skipping
+    them."""
+    return (
+        bands.groupBy("band_id", "band_sig")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > max_group)
     )
 
 
@@ -200,6 +210,8 @@ def jaccard_pairs(
     each group array (i<j), so the base scan+shingle pipeline runs
     once — no shingle self-join re-evaluating it per side.  Per-doc
     rare-shingle sizes derive from the same grouped result."""
+    from prod2vec_spark.functions.arrays import pair_expand
+
     sh = docs.select("doc_id", tokens(F.col(text_col)).alias("_toks")).select(
         "doc_id", F.explode(word_shingles(F.col("_toks"), shingle_k)).alias("shingle")
     )
@@ -212,21 +224,9 @@ def jaccard_pairs(
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_sh"))
     )
-    pair_arr = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.filter(
-                F.transform(
-                    F.col("ids"),
-                    lambda y, j: F.when(j > i, F.struct(x.alias("a"), y.alias("b"))),
-                ),
-                lambda s: s.isNotNull(),
-            ),
-        )
-    )
     inter = (
         rare.filter(F.size("ids") > 1)
-        .select(F.explode(pair_arr).alias("p"))
+        .select(F.explode(pair_expand(F.col("ids"))).alias("p"))
         .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )

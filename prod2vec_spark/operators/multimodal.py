@@ -79,8 +79,18 @@ def _decode_stub(media_type: str, blob: bytes) -> list[float]:
 def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
     """mapInPandas feature extraction: Arrow-batched iterator in, rows
     with a fixed-width feature vector out.  The iterator protocol keeps
-    peak memory at one Arrow batch per task regardless of blob sizes."""
+    peak memory at one Arrow batch per task regardless of blob sizes.
+
+    ``batch_hint`` caps rows per Arrow batch
+    (spark.sql.execution.arrow.maxRecordsPerBatch) — size it so
+    batch_hint × max-blob-bytes fits executor memory when blobs are
+    large (video)."""
     import hashlib
+
+    if batch_hint is not None:
+        media.sparkSession.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_hint)
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -71,4 +71,4 @@ def frequency_rank(
     value).  The window runs on the *aggregated* (small) result."""
     counts = df.groupBy(col).agg(F.count(F.lit(1)).alias("count"))
     order = [F.desc("count") if desc else F.asc("count"), F.asc(col)]
-    return counts.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+    return counts.withColumn(rank_col, F.row_number().over(Window.orderBy(*order)))

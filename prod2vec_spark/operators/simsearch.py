@@ -91,6 +91,21 @@ def deterministic_planes(dims: int, num_planes: int) -> list[list[float]]:
     return out
 
 
+def planes_matrix(dims: int, num_planes: int, first_plane: int = 0) -> Column:
+    """The deterministic hyperplane family as ONE array<array<double>>
+    literal built via a single parsed SQL expression.  Building it
+    per-component with F.lit costs ~0.6 ms of py4j round-trip per
+    element (16 planes × 64 dims ≈ 1 s of driver time per query);
+    one F.expr parse is ~milliseconds.  repr() emits the shortest
+    round-trip float form, identical to what the DuckDB oracle SQL
+    embeds — both engines evaluate the same bits."""
+    planes = deterministic_planes(dims, first_plane + num_planes)[first_plane:]
+    sql = "array(" + ",".join(
+        "array(" + ",".join(repr(c) + "D" for c in row) + ")" for row in planes
+    ) + ")"
+    return F.expr(sql)
+
+
 def sign_lsh_bucket(
     vec: Column, dims: int, num_planes: int = 8, first_plane: int = 0
 ) -> Column:
@@ -163,52 +178,97 @@ def embedding_neardup(
     vec_col: str = "embedding",
     bands: int = 4,
     planes_per_band: int = 4,
+    max_group: int | None = None,
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via banded sign-LSH.
 
     Each vector gets ``bands`` signatures of ``planes_per_band``
     sign-bits over disjoint deterministic hyperplanes; candidate pairs
-    share ANY band signature (explode → equi-join on (band, sig) →
-    distinct), then exact cosine on unit vectors keeps pairs ≥
-    threshold.  Candidate probability 1−(1−p^r)^B: ~0.95 at sim 0.9,
-    ~0.5 at sim 0.4 — versus ~0.03 for a single 16-plane bucket.
-    The join is an equi-join on a 2-int key; no cross join exists at
-    any scale."""
+    share ANY band signature, then exact cosine on unit vectors keeps
+    pairs ≥ threshold.  Candidate probability 1−(1−p^r)^B: ~0.95 at
+    sim 0.9, ~0.5 at sim 0.4 — versus ~0.03 for a single 16-plane
+    bucket.
+
+    Plan shape (the scale contract, locked by tests/test_plans.py):
+
+    1. ONE signature pass — the banded signatures are computed once,
+       then reduced to id-only rows.  No self-join: a self-join would
+       re-evaluate the normalize + 16-plane pipeline on both sides
+       and shuffle 64-float vectors through the join (measured 18.8s
+       → ~3s at sf0.1 for this exact rewrite).
+    2. groupBy (band, sig) collects the (typically tiny) id lists and
+       expands i<j pairs *inside* the array (``pair_expand``) — the
+       shuffle carries 2-int keys + id lists only.
+    3. The deduped candidate id-pairs are broadcast back against a
+       single unit-vector projection for the exact-cosine verify —
+       two map-side joins, the corpus streams and never shuffles.
+       (If dup density is ever high enough that candidates outgrow a
+       broadcast, drop the hint and let AQE pick the join.)
+
+    ``max_group`` caps a degenerate band group (e.g. near-constant
+    vectors all landing in one signature): groups above the cap are
+    dropped rather than expanded quadratically — run exact dedup
+    first to collapse identical inputs.
+
+    ``min_parallelism``: interpreted HOF signatures are compute-bound,
+    so a small input read as fewer partitions than cores (one parquet
+    file → one task) serializes the whole pipeline; when set and the
+    scan is narrower than this, the corpus is repartitioned first.
+    The gate means a real 100 TB corpus (thousands of scan partitions)
+    never pays the shuffle — only pathologically-underpartitioned
+    small inputs do, where it costs ~nothing and buys full-core
+    parallelism."""
+    from prod2vec_spark.functions.arrays import pair_expand
+
+    if (
+        min_parallelism is not None
+        and corpus.rdd.getNumPartitions() < min_parallelism
+    ):
+        corpus = corpus.repartition(min_parallelism)
     all_planes = planes_per_band * bands
     unit = _with_unit(corpus, vec_col, "nvec").select(id_col, "nvec")
+    # ALL plane dots in one pass over one matrix literal, materialized
+    # as a concrete column — interpreted HOFs have no CSE, so the 16
+    # folds run exactly once per row and the per-band sig bits read
+    # element_at slots.
+    dotted = unit.withColumn(
+        "_d",
+        F.transform(
+            planes_matrix(dims, all_planes),
+            lambda plane: vec_dot(F.col("nvec"), plane),
+        ),
+    )
     band_cols = []
     for b in range(bands):
         sig = F.lit(0).cast("long")
-        planes = deterministic_planes(dims, all_planes)[
-            b * planes_per_band : (b + 1) * planes_per_band
-        ]
-        for p, row in enumerate(planes):
-            d = vec_dot(F.col("nvec"), F.array(*[F.lit(c) for c in row]))
+        for p in range(planes_per_band):
+            d = F.element_at(F.col("_d"), b * planes_per_band + p + 1)
             sig = sig + F.when(d > 0, F.lit(1 << p).cast("long")).otherwise(
                 F.lit(0).cast("long")
             )
         band_cols.append(F.struct(F.lit(b).alias("band"), sig.alias("sig")))
-    sigs = unit.select(
-        id_col, "nvec", F.explode(F.array(*band_cols)).alias("bs")
-    ).select(id_col, "nvec", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
-    l, r = sigs.alias("l"), sigs.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.sig") == F.col("r.sig"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("vec_a"),
-            F.col(f"r.{id_col}").alias("vec_b"),
-            F.col("l.nvec").alias("na"),
-            F.col("r.nvec").alias("nb"),
-        )
-        .dropDuplicates(["vec_a", "vec_b"])
+    sigs = dotted.select(
+        id_col, F.explode(F.array(*band_cols)).alias("bs")
+    ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    grouped = (
+        sigs.groupBy("band", "sig")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
+    if max_group is not None:
+        grouped = grouped.filter(F.size("ids") <= max_group)
+    cand = (
+        grouped.select(F.explode(pair_expand(F.col("ids"))).alias("p"))
+        .select(F.col("p.a").alias("vec_a"), F.col("p.b").alias("vec_b"))
+        .distinct()
+    )
+    ua = unit.select(F.col(id_col).alias("vec_a"), F.col("nvec").alias("na"))
+    ub = unit.select(F.col(id_col).alias("vec_b"), F.col("nvec").alias("nb"))
+    verified = ub.join(
+        F.broadcast(ua.join(F.broadcast(cand), "vec_a")), "vec_b"
+    ).withColumn("cosine_sim", F.round(vec_dot(F.col("na"), F.col("nb")), 5))
     return (
-        cand.withColumn("cosine_sim", F.round(vec_dot(F.col("na"), F.col("nb")), 5))
-        .filter(F.col("cosine_sim") >= threshold)
+        verified.filter(F.col("cosine_sim") >= threshold)
         .select("vec_a", "vec_b", "cosine_sim")
     )

@@ -38,8 +38,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from prod2vec_spark.functions.hashing import hash_unit
-
 
 def with_positions(
     items: DataFrame,

@@ -221,17 +221,27 @@ SELECT doc_id, band_id, band_sig FROM bands
 
 
 # ----------------------------------------------------- LSH candidates
+LSH_MAX_GROUP = 64  # degenerate-band cap: a hot signature group above
+# this expands quadratically and is an exact-dup cluster in disguise
+
+
 def q_lsh_candidates(spark, sf_dir):
-    """Near-dup candidate pairs: docs sharing a MinHash band."""
+    """Near-dup candidate pairs: docs sharing a MinHash band, with the
+    degenerate-band group cap applied (oracle replays the cap)."""
     docs = read_table(spark, sf_dir, "documents")
-    return DD.lsh_candidate_pairs(DD.minhash_bands(docs))
+    return DD.lsh_candidate_pairs(DD.minhash_bands(docs), max_group=LSH_MAX_GROUP)
 
 
 SQL_LSH_CANDIDATES = f"""
 WITH {_SQL_SHINGLES3},
-{_SQL_MINHASH}
+{_SQL_MINHASH},
+eligible AS (
+  SELECT band_id, band_sig FROM bands
+  GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND {LSH_MAX_GROUP})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b
+FROM bands a
+JOIN eligible e ON a.band_id = e.band_id AND a.band_sig = e.band_sig
+JOIN bands b
   ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
 """
 

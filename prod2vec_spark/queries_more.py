@@ -149,7 +149,12 @@ def q_embedding_neardup(spark, sf_dir):
 
     emb = read_table(spark, sf_dir, "embeddings")
     return embedding_neardup(
-        emb, dims=64, threshold=0.4, bands=4, planes_per_band=4
+        emb,
+        dims=64,
+        threshold=0.4,
+        bands=4,
+        planes_per_band=4,
+        min_parallelism=spark.sparkContext.defaultParallelism,
     )
 
 

@@ -40,7 +40,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode: driver heap IS the executor heap for all 32 task
+        # threads; interpreted HOF expressions allocate boxed values
+        # heavily, and an undersized heap turns into a GC storm with
+        # 10x run-to-run variance (measured on embedding_neardup:
+        # 3s..117s at 8g, stable ~3s at 24g+)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.ansi.enabled", "false")
     )

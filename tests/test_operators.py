@@ -181,3 +181,33 @@ def test_quality_gates_fail_modes(spark):
 
     bad_cols = expect(clean, Rules(column_count=3))
     assert not bad_cols.collect()[0]["passed"]
+
+
+def test_lsh_degenerate_band_cap(spark):
+    """A hot band signature (many identical docs) must be droppable:
+    max_group keeps the pair expansion from going quadratic, and
+    lsh_oversize_groups reports exactly what was dropped."""
+    from prod2vec_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        lsh_oversize_groups,
+        minhash_bands,
+    )
+
+    same = [(i, "the same exact document text repeated verbatim here") for i in range(40)]
+    near = [
+        (100, "a genuinely different document about distributed joins"),
+        (101, "a genuinely different document about distributed joins ok"),
+    ]
+    docs = spark.createDataFrame(same + near, "doc_id long, text string")
+    bands = minhash_bands(docs)
+
+    uncapped = lsh_candidate_pairs(bands)
+    assert uncapped.count() == (40 * 39) // 2 + 1  # identical clique + near pair
+
+    capped = lsh_candidate_pairs(bands, max_group=10)
+    rows = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert rows == {(100, 101)}  # clique dropped, real near-dup kept
+
+    over = lsh_oversize_groups(bands, max_group=10).collect()
+    assert len(over) == 2  # both bands of the identical clique
+    assert all(r["n_docs"] == 40 for r in over)

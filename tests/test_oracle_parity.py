@@ -27,5 +27,5 @@ def test_rows_only_queries_nonempty(spark, name):
     from tests.conftest import SF_ORACLE
 
     df = QUERIES[name](spark, SF_ORACLE)
-    assert df.count() >= 0
+    assert df.count() > 0
     assert len(df.columns) > 0

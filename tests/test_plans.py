@@ -74,3 +74,21 @@ def test_text_pipeline_no_shuffle(spark):
     for name in ["text_stats", "simhash", "fingerprint", "token_counts"]:
         df = QUERIES[name](spark, SF_SMOKE)
         assert count_exchanges(df) == 0, name
+
+
+def test_embedding_neardup_no_signature_selfjoin(spark):
+    """The near-dup plan contract (round-2 rewrite): candidate pairs
+    come from the grouped id arrays — exactly TWO shuffles (the
+    (band, sig) groupBy and the id-pair distinct) — and the exact-
+    cosine verify joins back via broadcast, so unit vectors never ride
+    a shuffle and the 16-plane signature pipeline is never evaluated
+    on two sides of a self-join."""
+    from prod2vec_spark.operators.simsearch import embedding_neardup
+    from prod2vec_spark.plans.inspect import explain_str
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    df = embedding_neardup(emb, dims=64, threshold=0.4)
+    assert count_exchanges(df) == 2
+    assert has_broadcast_join(df)
+    plan = explain_str(df)
+    assert "SortMergeJoin" not in plan
