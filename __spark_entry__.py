@@ -40,9 +40,15 @@ def entry(spark: SparkSession) -> DataFrame:
     )
     vectors = embedding_table(model)
 
+    # F8: seeded sample of 3 probes from the top-20 products
+    # (reference model_train.py:18-20 np.random.choice w/o replacement)
+    from prod2vec_spark.operators.relational import seeded_sample
+
     probe_ids = [
         r["product_id"]
-        for r in vocab.filter(F.col("idx").between(1, 3)).select("product_id").collect()
+        for r in seeded_sample(
+            vocab.filter(F.col("idx").between(1, 20)), 3, ["product_id"], seed=42
+        ).collect()
     ]
     topk = top_k_similar(vectors, probe_ids, k=5)
     names = enrich_embeddings(

@@ -68,6 +68,24 @@ def fit_prod2vec(baskets: DataFrame, params: Prod2VecParams | None = None) -> Wo
     return w2v.fit(sentences)
 
 
+def save_model(model: Word2VecModel, path: str) -> None:
+    """S7 model sink (reference model_train.py:131
+    ``prod2vec.save('/opt/ml/model/prod2vec_model')``): persist the
+    trained model as an MLlib artifact directory — parquet vectors +
+    JSON metadata, readable by any Spark cluster.  Overwrites like the
+    reference's fixed artifact path."""
+    model.write().overwrite().save(path)
+
+
+def load_model(spark, path: str) -> Word2VecModel:
+    """S6 model source (reference post_process.py:85-89: untar
+    model.tar.gz + keras load_model): reload a saved model so
+    post-processing / serving can run without retraining.  ``spark``
+    anchors the active session (MLlib reads through it)."""
+    _ = spark  # the session must exist; MLlib resolves it implicitly
+    return Word2VecModel.load(path)
+
+
 def embedding_table(model: Word2VecModel) -> DataFrame:
     """M4: (product_id, vector array<float>) from the trained model —
     the engine's form of post_process.py:92-99."""
@@ -116,6 +134,25 @@ def _vec_to_array(col: str):
     from pyspark.ml.functions import vector_to_array
 
     return vector_to_array(F.col(col))
+
+
+def neighbor_name_report(neighbors: DataFrame) -> DataFrame:
+    """F9 (model_train.py:48 ``Series.str.cat(sep='; ')``): one row per
+    query product with its neighbor names '; '-joined in rank order.
+    collect_list order is partition-nondeterministic, so (rank, name)
+    structs sort in-array before joining — same single shuffle."""
+    names = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("rank"), F.col("product_name").alias("nm"))
+                )
+            ),
+            lambda s: s["nm"],
+        ),
+        "; ",
+    )
+    return neighbors.groupBy("query_id").agg(names.alias("neighbor_names"))
 
 
 def find_synonyms(model: Word2VecModel, product_id: int, k: int = 20) -> DataFrame:

@@ -48,11 +48,15 @@ class Trial:
 
 
 def pair_similarity_objective(
-    vectors: DataFrame, pairs: DataFrame, sample_n: int = 2000, seed: int = 42
+    vectors: DataFrame, pairs: DataFrame, sample_mod: int = 50, seed: int = 42
 ) -> float:
-    """Negative mean cosine over a deterministic sample of observed
-    (target, context) pairs, minus a shifted-pair baseline.  Lower is
-    better (matches the reference's minimize-loss direction)."""
+    """Negative mean cosine over a deterministic ~1/sample_mod hash
+    sample of observed (target, context) pairs.  Lower is better
+    (matches the reference's minimize-loss direction).
+
+    The sample bound is a pure map-side filter
+    (xxhash64 % sample_mod == 0) — no orderBy(hash).limit(n) global
+    sort/limit funnel, so the objective scales with the pair table."""
     va = vectors.select(
         F.col("product_id").alias("target"),
         F.col("vector").alias("va"),
@@ -63,11 +67,12 @@ def pair_similarity_objective(
     )
     from pyspark.ml.functions import vector_to_array
 
+    from prod2vec_spark.operators.relational import hash_sample_filter
+
     sample = (
         pairs.select("target", "context")
         .where(F.col("target") != F.col("context"))
-        .orderBy(F.xxhash64("target", "context", F.lit(seed)))
-        .limit(sample_n)
+        .where(hash_sample_filter(sample_mod, "target", "context", seed=seed))
     )
     joined = sample.join(F.broadcast(va), "target").join(F.broadcast(vb), "context")
     sim = cosine_similarity(vector_to_array(F.col("va")), vector_to_array(F.col("vb")))

@@ -59,6 +59,38 @@ def top_k_per_key(
     )
 
 
+def seeded_sample(
+    df: DataFrame, k: int, key_cols: list[str], seed: int = 42
+) -> DataFrame:
+    """F8: deterministic sample-without-replacement of k rows — the
+    engine's seedable replacement for the reference's
+    ``np.random.choice(..., replace=False)`` over the top-1000
+    products (model_train.py:18-20).
+
+    Rows are ordered by md5(seed | key...) — a uniform hash order any
+    engine can replay bit-for-bit — and the first k taken.  Plans as
+    TakeOrderedAndProject (per-partition top-k heaps + driver merge of
+    k rows), never a full sort, so sampling a 100 TB table moves only
+    k rows.  ``key_cols`` must uniquely identify a row (ties broken by
+    the key itself, so the sample is total-order deterministic)."""
+    key = F.md5(
+        F.concat_ws(
+            "|", F.lit(str(seed)), *[F.col(c).cast("string") for c in key_cols]
+        )
+    )
+    return df.orderBy(key, *[F.asc(c) for c in key_cols]).limit(k)
+
+
+def hash_sample_filter(modulus: int, *cols, seed: int = 42) -> Column:
+    """Scale-safe approximate row sampling: keep rows where
+    xxhash64(cols, seed) % modulus == 0 (≈ 1/modulus of the input).
+    Unlike orderBy(hash).limit(n) this is a pure map-side filter — no
+    sort, no single-point limit — the right way to bound a training
+    sample on a 1000-executor cluster.  Deterministic given (cols,
+    seed); use where exact-k is not required."""
+    return F.pmod(F.xxhash64(*cols, F.lit(seed)), F.lit(modulus)) == 0
+
+
 def distinct_values(df: DataFrame, *cols: str) -> DataFrame:
     """D1 (data_prep.py:256-257)."""
     return df.select(*cols).distinct()

@@ -26,6 +26,9 @@ from prod2vec_spark.ml.prod2vec import (
     embedding_table,
     enrich_embeddings,
     fit_prod2vec,
+    load_model,
+    neighbor_name_report,
+    save_model,
     top_k_similar,
 )
 from prod2vec_spark.ml.tuning import grid_tune, tuning_report
@@ -92,6 +95,11 @@ class Prod2VecPipeline:
 
     # -- stage 3: train or tune (branch, DAG :215-219) ------------------
     def train_or_tune(self, staged: dict[str, DataFrame]):
+        """Returns the trained (or best-tuned) model, persisted first:
+        the model is a checkpoint exactly like every DataFrame stage
+        (S6/S7 — reference saves at model_train.py:131 and reloads at
+        post_process.py:85-89), so postprocess can resume from disk
+        without retraining (see ``resume_postprocess``)."""
         if self.cfg.run_hyperparameter_opt:
             results, best = grid_tune(
                 staged["baskets"],
@@ -101,8 +109,15 @@ class Prod2VecPipeline:
                 base=self.cfg.train,
             )
             write_parquet(tuning_report(results), f"{self.cfg.work_dir}/tuning_results")
-            return best["model"]
-        return fit_prod2vec(staged["baskets"], self.cfg.train)
+            model = best["model"]
+        else:
+            model = fit_prod2vec(staged["baskets"], self.cfg.train)
+        save_model(model, self.model_path)
+        return load_model(self.spark, self.model_path)
+
+    @property
+    def model_path(self) -> str:
+        return f"{self.cfg.work_dir}/model"
 
     # -- stage 4: postprocess (post_process.py:14-103) -------------------
     def postprocess(self, model, staged: dict[str, DataFrame]) -> DataFrame:
@@ -131,7 +146,26 @@ class Prod2VecPipeline:
             "rank",
         )
         write_parquet(neighbors, f"{self.cfg.work_dir}/neighbors")
-        return self.spark.read.parquet(f"{self.cfg.work_dir}/neighbors")
+        persisted = self.spark.read.parquet(f"{self.cfg.work_dir}/neighbors")
+        # F9: per-query '; '-joined neighbor names (model_train.py:48)
+        write_parquet(
+            neighbor_name_report(persisted), f"{self.cfg.work_dir}/neighbor_report"
+        )
+        return persisted
+
+    # -- resumable postprocess-only run ----------------------------------
+    def resume_postprocess(self) -> DataFrame:
+        """Train-now-serve-later: rebuild stage 4 purely from disk
+        checkpoints (staged parquet + saved model) — no preprocess, no
+        quality gates, no fit.  This is the engine twin of the
+        reference's post-processing task, which starts from S3
+        artifacts only (post_process.py:41-89)."""
+        staged = {
+            name: self.spark.read.parquet(f"{self.cfg.work_dir}/{name}")
+            for name in ["baskets", "vocab", "pairs"]
+        }
+        model = load_model(self.spark, self.model_path)
+        return self.postprocess(model, staged)
 
     # -- full DAG ---------------------------------------------------------
     def run(self) -> DataFrame:

@@ -101,12 +101,80 @@ FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """
 
 
+# ------------------------------------------------------ F8 seeded sample
+def q_validation_sample(spark, sf_dir):
+    """F8: seeded sample-without-replacement of 20 validation products
+    from the top-100 vocabulary — the engine's form of the reference's
+    ``np.random.choice(top_1000, 100, replace=False)``
+    (model_train.py:18-20).  md5 hash order, so the oracle replays the
+    identical draw."""
+    from prod2vec_spark.operators.relational import seeded_sample
+
+    li = read_table(spark, sf_dir, "lineitem")
+    v = build_vocab(li, num_prods=101).filter(F.col("product_id").isNotNull())
+    return seeded_sample(v.select("product_id", "idx"), 20, ["product_id"], seed=42)
+
+
+SQL_VALIDATION_SAMPLE = """
+WITH vocab AS (
+  SELECT product_id,
+         CAST(row_number() OVER (ORDER BY cnt DESC, product_id) AS INT) AS idx
+  FROM (SELECT l_partkey AS product_id, count(*) AS cnt
+        FROM lineitem GROUP BY 1 ORDER BY cnt DESC, product_id LIMIT 100))
+SELECT product_id, idx FROM vocab
+ORDER BY md5('42|' || product_id), product_id LIMIT 20
+"""
+
+
+# ------------------------------------------------- F9 ranked string agg
+def q_string_agg_names(spark, sf_dir):
+    """F9: rank-ordered name aggregation with a separator — the
+    engine's form of the reference's neighbor-name report
+    (model_train.py:48, ``Series.str.cat(sep='; ')`` over the top-20
+    names): top-3 part names per brand, '; '-joined in rank order.
+    collect_list is order-nondeterministic across partitions, so the
+    (rank, name) structs are sorted in-array before joining."""
+    from prod2vec_spark.operators.relational import top_k_per_key
+
+    part = read_table(spark, sf_dir, "part")
+    top = top_k_per_key(
+        part, ["p_brand"], [F.desc("p_retailprice"), F.asc("p_partkey")], 3, "rk"
+    )
+    names = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("rk"), F.col("p_name").alias("nm")))
+            ),
+            lambda s: s["nm"],
+        ),
+        "; ",
+    )
+    return top.groupBy("p_brand").agg(names.alias("top_names"))
+
+
+SQL_STRING_AGG_NAMES = """
+SELECT p_brand, string_agg(p_name, '; ' ORDER BY rk) AS top_names
+FROM (SELECT p_brand, p_name,
+             row_number() OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice DESC, p_partkey) AS rk
+      FROM part)
+WHERE rk <= 3
+GROUP BY p_brand
+"""
+
+
 # ------------------------------------------- ML layer (rows-only checks)
 def q_word2vec_neighbors(spark, sf_dir):
-    """M1-M4: MLlib Word2Vec trained on (a bounded sample of) baskets,
-    top-5 cosine neighbors for the 3 most frequent products, names
-    joined.  No oracle — training is not SQL-expressible; the driver
-    records a rows-only check and pytest asserts the invariants."""
+    """M1-M4: MLlib Word2Vec trained on a hash-bounded sample of
+    baskets, top-5 cosine neighbors for 3 seeded-sampled frequent
+    products, names joined.  No oracle — training is not
+    SQL-expressible; the driver records a rows-only check and pytest
+    asserts the invariants.
+
+    Scale notes: the training-sample bound is a pure map-side hash
+    filter (no global sort — orderBy(...).limit() would funnel through
+    a single-point limit); probe selection is the F8 seeded sample
+    over the top-20 vocabulary (reference model_train.py:18-20)."""
     from prod2vec_spark.ml.prod2vec import (
         Prod2VecParams,
         embedding_table,
@@ -114,9 +182,12 @@ def q_word2vec_neighbors(spark, sf_dir):
         fit_prod2vec,
         top_k_similar,
     )
+    from prod2vec_spark.operators.relational import hash_sample_filter, seeded_sample
 
     li = read_table(spark, sf_dir, "lineitem")
-    baskets = assemble_baskets(li, max_len=50).orderBy("order_id").limit(20_000)
+    baskets = assemble_baskets(li, max_len=50).filter(
+        hash_sample_filter(8, "order_id", seed=42)
+    )
     vocab = build_vocab(li, num_prods=201)
     model = fit_prod2vec(
         baskets, Prod2VecParams(vector_size=16, max_iter=1, num_partitions=4)
@@ -124,7 +195,9 @@ def q_word2vec_neighbors(spark, sf_dir):
     vectors = embedding_table(model)
     probe = [
         r["product_id"]
-        for r in vocab.filter(F.col("idx").between(1, 3)).collect()
+        for r in seeded_sample(
+            vocab.filter(F.col("idx").between(1, 20)), 3, ["product_id"], seed=42
+        ).collect()
     ]
     part = read_table(spark, sf_dir, "part")
     topk = top_k_similar(vectors, probe, k=5)
@@ -198,6 +271,8 @@ MORE_QUERIES = {
     "seeded_shuffle": q_seeded_shuffle,
     "subsample_table": q_subsample_table,
     "rollup_pricing": q_rollup_pricing,
+    "validation_sample": q_validation_sample,
+    "string_agg_names": q_string_agg_names,
     "word2vec_neighbors": q_word2vec_neighbors,
     "embedding_neardup": q_embedding_neardup,
 }
@@ -206,6 +281,8 @@ MORE_ORACLES = {
     "seeded_shuffle": SQL_SEEDED_SHUFFLE,
     "subsample_table": SQL_SUBSAMPLE_TABLE,
     "rollup_pricing": SQL_ROLLUP_PRICING,
+    "validation_sample": SQL_VALIDATION_SAMPLE,
+    "string_agg_names": SQL_STRING_AGG_NAMES,
     "embedding_neardup": _sql_neardup(),
     # word2vec_neighbors: rows-only by design (ML training)
 }

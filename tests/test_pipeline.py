@@ -56,3 +56,53 @@ def test_quality_gate_failure_stops_pipeline(spark, tmp_path):
     li = read_table(spark, SF_SMOKE, "lineitem")
     with pytest.raises(ValueError):
         assert_expectations(li, Rules(row_count_between=(1.0, 10.0)))
+
+
+def test_model_save_load_roundtrip(spark, tmp_path):
+    """S6/S7: a saved model reloads with bit-identical vectors
+    (reference: model_train.py:131 save; post_process.py:85-89 load)."""
+    from prod2vec_spark.ml.prod2vec import (
+        embedding_table,
+        fit_prod2vec,
+        load_model,
+        save_model,
+    )
+    from prod2vec_spark.operators.baskets import assemble_baskets
+    from prod2vec_spark.sources.io import read_table
+
+    li = read_table(spark, SF_SMOKE, "lineitem")
+    model = fit_prod2vec(
+        assemble_baskets(li, max_len=50),
+        Prod2VecParams(vector_size=8, max_iter=1),
+    )
+    path = str(tmp_path / "model")
+    save_model(model, path)
+    reloaded = load_model(spark, path)
+
+    orig = {r["product_id"]: list(r["vector"]) for r in embedding_table(model).collect()}
+    back = {r["product_id"]: list(r["vector"]) for r in embedding_table(reloaded).collect()}
+    assert orig == back
+    save_model(reloaded, path)  # overwrite semantics, like the reference's fixed path
+
+
+def test_resume_postprocess_from_checkpoints(spark, tmp_path):
+    """Train-now-serve-later: after a full run, a FRESH pipeline object
+    rebuilds postprocess purely from disk (staged parquet + saved
+    model) — no retraining."""
+    cfg = PipelineConfig(
+        sf_dir=SF_SMOKE,
+        work_dir=str(tmp_path / "work"),
+        train=Prod2VecParams(vector_size=8, max_iter=1),
+    )
+    first = Prod2VecPipeline(spark, cfg).run().collect()
+
+    resumed = Prod2VecPipeline(spark, cfg).resume_postprocess().collect()
+    assert len(resumed) == len(first) > 0
+    # same model on disk -> identical neighbor sets
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in resumed) == \
+           sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in first)
+    # F9 report checkpoint exists and aggregates per query
+    rep = spark.read.parquet(f"{cfg.work_dir}/neighbor_report").collect()
+    assert len(rep) > 0
+    assert all("; " in r["neighbor_names"] or r["neighbor_names"] for r in rep)
