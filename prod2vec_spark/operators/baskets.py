@@ -106,22 +106,32 @@ def index_items(
     )
 
 
-def index_baskets(baskets: DataFrame, vocab: DataFrame) -> DataFrame:
+def index_baskets(
+    baskets: DataFrame, vocab: DataFrame, max_map_size: int = 10_000
+) -> DataFrame:
     """J2 over assembled baskets: map each basket's items to vocab
-    indices without exploding — explode+join+regroup would shuffle the
-    fact twice.  Instead the (small) vocab is collected into a literal
-    map expression evaluated per element.
+    indices without exploding — the (small) vocab is collected into a
+    literal map expression evaluated per element, zero extra shuffle.
 
-    NOTE: this variant deliberately materializes the vocab driver-side
-    (bounded by num_prods, same assumption the reference makes at
-    data_prep.py:82-87 — but bounded here, so safe).  For unbounded id
-    spaces use ``index_items`` on the exploded form instead.
+    This plan has a cliff: a create_map literal embeds 2·|vocab|
+    expression nodes in the plan, so analysis cost grows with the
+    vocab and large maps (the reference's real vocab is 35k) approach
+    the plan-size limit.  ``max_map_size`` guards it — above the bound
+    this raises and points at ``index_baskets_exploded``, the
+    unbounded-vocab shape.  (The reference materializes the same dict
+    driver-side at data_prep.py:82-87, unguarded.)
     """
     pairs = (
         vocab.filter(F.col("product_id").isNotNull())
         .select("product_id", "idx")
         .collect()
     )
+    if len(pairs) > max_map_size:
+        raise ValueError(
+            f"vocab has {len(pairs)} entries > max_map_size={max_map_size}: "
+            "a create_map literal this large bloats the plan; use "
+            "index_baskets_exploded (posexplode + broadcast join + regroup)"
+        )
     mapping = {}
     for r in pairs:
         mapping[r["product_id"]] = r["idx"]
@@ -131,6 +141,41 @@ def index_baskets(baskets: DataFrame, vocab: DataFrame) -> DataFrame:
     return baskets.withColumn(
         "basket_idx",
         F.transform(F.col("basket"), lambda x: F.coalesce(m[x], F.lit(UNK_IDX))),
+    )
+
+
+def index_baskets_exploded(
+    baskets: DataFrame, vocab: DataFrame, order_col: str = "order_id"
+) -> DataFrame:
+    """J2 over assembled baskets at unbounded vocab size: posexplode →
+    broadcast vocab probe → regroup.  One shuffle of the exploded fact
+    (the regroup), no driver-side vocab, no literal-map plan bloat —
+    the shape that holds at a 35k+ vocab over a 100 TB fact.  Both the
+    original basket and the index array rebuild from the same sorted
+    struct collect, so no join back to the input is needed."""
+    ex = baskets.select(
+        order_col, F.posexplode("basket").alias("pos", "product_id")
+    )
+    dim = F.broadcast(
+        vocab.filter(F.col("product_id").isNotNull()).select("product_id", "idx")
+    )
+    probed = ex.join(dim, "product_id", "left").select(
+        order_col,
+        "pos",
+        "product_id",
+        F.coalesce(F.col("idx"), F.lit(UNK_IDX)).alias("idx"),
+    )
+    sorted_structs = F.array_sort(
+        F.collect_list(F.struct("pos", F.col("product_id").alias("pid"), "idx"))
+    )
+    return (
+        probed.groupBy(order_col)
+        .agg(sorted_structs.alias("_s"))
+        .select(
+            order_col,
+            F.transform(F.col("_s"), lambda s: s["pid"]).alias("basket"),
+            F.transform(F.col("_s"), lambda s: s["idx"]).alias("basket_idx"),
+        )
     )
 
 

@@ -183,11 +183,29 @@ def training_triples(pairs_with_negs: DataFrame, num_ns: int = 4) -> DataFrame:
 
 def training_examples_flat(pairs_with_negs: DataFrame) -> DataFrame:
     """Flat form preferred by the engine (FIXTURES.md §3): one row per
-    (target, candidate, label) — streaming/shuffle-friendly."""
-    pos = pairs_with_negs.select(
-        "order_id", "target", F.col("context").cast("long").alias("candidate"), F.lit(1).alias("label")
+    (target, candidate, label) — streaming/shuffle-friendly.
+
+    Single explode of [true] + negatives, NOT a union of two selects:
+    a union evaluates the upstream pair-generation + digest lineage
+    once per branch (the double-evaluation trap), and the positive
+    branch re-pays the negative-sampling md5 work it doesn't use."""
+    cands = F.concat(
+        F.array(
+            F.struct(
+                F.col("context").cast("long").alias("candidate"),
+                F.lit(1).alias("label"),
+            )
+        ),
+        F.transform(
+            F.col("negatives"),
+            lambda n: F.struct(n.alias("candidate"), F.lit(0).alias("label")),
+        ),
     )
-    neg = pairs_with_negs.select(
-        "order_id", "target", F.explode("negatives").alias("candidate"), F.lit(0).alias("label")
+    return pairs_with_negs.select(
+        "order_id", "target", F.explode(cands).alias("c")
+    ).select(
+        "order_id",
+        "target",
+        F.col("c.candidate").alias("candidate"),
+        F.col("c.label").alias("label"),
     )
-    return pos.unionByName(neg)

@@ -119,17 +119,22 @@ def simhash32(text: Column) -> Column:
     simhash = Σ_b [v_b > 0]·2^b.  Nested higher-order functions — no
     explode, no shuffle, codegen-friendly."""
     toks = tokens(text)
-    # bit b of h: floor(h / 2^b) % 2 — exact for h < 2^32 (double
-    # mantissa 53 bits); shiftright() can't take a lambda-bound Column.
-    bit = lambda h, b: (h.cast("double") / F.pow(F.lit(2.0), b)).cast("long") % 2  # noqa: E731
+    # ONE md5 per token, materialized inside the fold's input array —
+    # interpreted HOFs have no CSE, so hashing inside the per-bit
+    # lambda would md5 every token 32 times (measured 30x slowdown).
+    # Bit b comes from shiftright with a Python-literal shift, unrolled
+    # over the 32 positions.
+    hashed = F.transform(toks, lambda t: hex_prefix_long(t, 8))
     bitsum = F.aggregate(
-        toks,
+        hashed,
         F.array_repeat(F.lit(0).cast("long"), 32),
-        lambda acc, t: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(31)),
-                lambda b: (bit(hex_prefix_long(t, 8), b) * 2 - 1).cast("long"),
+            F.array(
+                *[
+                    ((F.shiftright(h, b) % 2) * 2 - 1).cast("long")
+                    for b in range(32)
+                ]
             ),
             lambda a, x: a + x,
         ),

@@ -109,6 +109,10 @@ class Prod2VecPipeline:
                 base=self.cfg.train,
             )
             write_parquet(tuning_report(results), f"{self.cfg.work_dir}/tuning_results")
+            # M7: objective-vs-hyperparameter PNGs (plot_helpers.py:12-63)
+            from prod2vec_spark.ml.plots import save_tuning_plots
+
+            save_tuning_plots(results, f"{self.cfg.work_dir}/plots")
             model = best["model"]
         else:
             model = fit_prod2vec(staged["baskets"], self.cfg.train)

@@ -58,6 +58,30 @@ def windowed_event_counts(
     )
 
 
+def streaming_sessions(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Streaming sessionization via ``session_window`` — the
+    incremental twin of the batch lag()-gap ``sessionize`` query: a
+    session is a maximal run of a user's events with < gap between
+    consecutive ones.  State is one open window per (user, session),
+    merged as events arrive and finalized once the watermark passes
+    the session's close — bounded regardless of stream length."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def streaming_dedup(events: DataFrame, keys: list[str], watermark: str = "2 days") -> DataFrame:
     """Streaming exact dedup: dropDuplicates keyed state bounded by the
     event-time watermark — the incremental twin of exact_dup_groups."""

@@ -211,3 +211,62 @@ def test_lsh_degenerate_band_cap(spark):
     over = lsh_oversize_groups(bands, max_group=10).collect()
     assert len(over) == 2  # both bands of the identical clique
     assert all(r["n_docs"] == 40 for r in over)
+
+
+def test_index_baskets_exploded_matches_literal_map(spark):
+    """The unbounded-vocab shape (posexplode + broadcast + regroup)
+    must emit identical (basket, basket_idx) pairs to the literal-map
+    variant, including OOV -> UNK."""
+    from prod2vec_spark.operators.baskets import (
+        assemble_baskets,
+        build_vocab,
+        index_baskets,
+        index_baskets_exploded,
+    )
+    from tests.conftest import SF_SMOKE
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    baskets = assemble_baskets(li)
+    vocab = build_vocab(li, num_prods=51)
+    lit = {
+        r["order_id"]: (list(r["basket"]), list(r["basket_idx"]))
+        for r in index_baskets(baskets, vocab).collect()
+    }
+    exp = {
+        r["order_id"]: (list(r["basket"]), list(r["basket_idx"]))
+        for r in index_baskets_exploded(baskets, vocab).collect()
+    }
+    assert lit == exp
+
+
+def test_index_baskets_guard_and_35k_vocab(spark):
+    """At the reference's real vocab scale (35k) the literal-map plan
+    is fenced off; the exploded shape handles it without plan blowup."""
+    import pytest as _pytest
+
+    from prod2vec_spark.operators.baskets import (
+        index_baskets,
+        index_baskets_exploded,
+    )
+    from pyspark.sql import functions as F
+
+    vocab = (
+        spark.range(1, 35_001)
+        .select(
+            F.col("id").alias("product_id"),
+            F.lit(1).alias("count"),
+            F.col("id").cast("int").alias("idx"),
+        )
+    )
+    baskets = spark.createDataFrame(
+        [(1, [1, 2, 34_999, 99_999_999]), (2, [5, 70_000_000])],
+        "order_id long, basket array<long>",
+    )
+    with _pytest.raises(ValueError, match="index_baskets_exploded"):
+        index_baskets(baskets, vocab)
+
+    out = {
+        r["order_id"]: list(r["basket_idx"])
+        for r in index_baskets_exploded(baskets, vocab).collect()
+    }
+    assert out == {1: [1, 2, 34_999, 0], 2: [5, 0]}  # OOV -> UNK 0

@@ -45,6 +45,12 @@ def test_pipeline_tune_branch(spark, tmp_path):
     assert sorted(ranks) == [1, 2]
     # iteration = original trial order, NOT affected by objective sort
     assert sorted(r["iteration"] for r in rows.values()) == [0, 1]
+    # M7: tune branch writes one PNG per tuned hyperparameter
+    import os
+
+    for xcol in ["embedding_dim", "learning_rate"]:
+        p = f"{cfg.work_dir}/plots/objective_vs_{xcol}.png"
+        assert os.path.exists(p) and os.path.getsize(p) > 100
 
 
 def test_quality_gate_failure_stops_pipeline(spark, tmp_path):
@@ -106,3 +112,34 @@ def test_resume_postprocess_from_checkpoints(spark, tmp_path):
     rep = spark.read.parquet(f"{cfg.work_dir}/neighbor_report").collect()
     assert len(rep) > 0
     assert all("; " in r["neighbor_names"] or r["neighbor_names"] for r in rep)
+
+
+def test_tuning_plots_written(spark, tmp_path):
+    """M7 artifact contract: one valid PNG per tuned hyperparameter
+    (reference plot_helpers.py renders seaborn to PNG; the engine
+    falls back to a stdlib rasterizer when matplotlib is absent)."""
+    import struct
+
+    from prod2vec_spark.ml.plots import save_tuning_plots
+
+    results = spark.createDataFrame(
+        [
+            ("t0", -0.5, 0.0, 8, 0.025, 0),
+            ("t1", -0.7, 0.0, 16, 0.025, 1),
+            ("t2", -0.6, 0.0, 16, 0.1, 2),
+        ],
+        schema=(
+            "TrainingJobName string, FinalObjectiveValue double, "
+            "TrainingStartTime double, embedding_dim int, "
+            "learning_rate double, iteration int"
+        ),
+    )
+    paths = save_tuning_plots(results, str(tmp_path / "plots"))
+    assert len(paths) == 2
+    for p in paths:
+        with open(p, "rb") as f:
+            data = f.read()
+        assert data[:8] == b"\x89PNG\r\n\x1a\n"
+        w, h = struct.unpack(">II", data[16:24])
+        assert w > 100 and h > 100
+        assert data.rstrip().endswith(b"IEND\xaeB`\x82")

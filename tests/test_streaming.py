@@ -64,3 +64,33 @@ def test_streaming_dedup_bounded_by_keys(spark, events_dir):
     got = spark.table("stream_dedup")
     n_distinct = got.select("user_id", "event_type").distinct().count()
     assert got.count() == n_distinct  # exact one row per key
+
+
+def test_streaming_sessions_match_batch(spark, events_dir):
+    """session_window sessionization must agree with the batch lag-gap
+    sessionize query: same per-user session count and event count.
+    (Boundary note: an exactly-30:00.000 gap would split in the stream
+    but not in batch lag>gap — sub-second event times make that a
+    measure-zero case on real data.)"""
+    from prod2vec_spark.queries import QUERIES
+    from prod2vec_spark.streaming.events import streaming_sessions
+    from tests.conftest import SF_SMOKE
+
+    stream = read_events_stream(spark, events_dir)
+    run_to_memory(streaming_sessions(stream), "stream_sessions", output_mode="complete")
+    got = (
+        spark.table("stream_sessions")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )
+    stream_rows = {
+        r["user_id"]: (r["n_sessions"], r["n_events"]) for r in got.collect()
+    }
+    batch_rows = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in QUERIES["sessionize"](spark, SF_SMOKE).collect()
+    }
+    assert stream_rows == batch_rows
