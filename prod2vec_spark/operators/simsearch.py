@@ -170,6 +170,108 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dims: int,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_parallelism: int | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the data-adaptive
+    counterpart to sign-LSH bucketing.
+
+    Coarse quantizer: ``n_centroids`` unit vectors seeded-sampled from
+    the corpus itself (md5 hash order — deterministic, oracle-
+    replayable; a k-means refinement would sharpen cells but adds a
+    nondeterministic iterative fit).  Every corpus vector is assigned
+    to its nearest centroid ROW-LOCALLY — the centroid matrix is a
+    collected literal (bounded by n_centroids, exactly like the LSH
+    hyperplane matrix), so assignment is one map pass with zero
+    shuffle, not a crossJoin + window.  Queries probe their ``nprobe``
+    nearest cells; candidates come from one broadcast equi-join on
+    cell id, and only candidate rows reach the per-query top-k window.
+
+    Scale shape: corpus streams once for assignment; the only shuffle
+    is the per-query rank over candidates (|corpus| · nprobe /
+    n_centroids expected rows).  Recall grows with nprobe; nprobe =
+    n_centroids degenerates to exact brute force."""
+    unit = _with_unit(corpus, vec_col, "nvec").select(id_col, "nvec")
+    if (
+        min_parallelism is not None
+        and corpus.rdd.getNumPartitions() < min_parallelism
+    ):
+        unit = unit.repartition(min_parallelism)
+    cents = [
+        list(r["nvec"])
+        for r in unit.orderBy(
+            F.md5(F.concat_ws("|", F.lit("ivf"), F.col(id_col))), F.col(id_col)
+        )
+        .limit(n_centroids)
+        .collect()
+    ]
+    cmat = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(repr(c) + "D" for c in row) + ")" for row in cents
+        )
+        + ")"
+    )
+
+    def with_cell_dots(df: DataFrame) -> DataFrame:
+        # ONE dots array per row, materialized (no HOF CSE)
+        return df.withColumn(
+            "_cd", F.transform(cmat, lambda c: vec_dot(F.col("nvec"), c))
+        )
+
+    # corpus: argmax cell — first index of the max (ties -> lowest cid)
+    assigned = with_cell_dots(unit).select(
+        id_col,
+        "nvec",
+        (F.array_position(F.col("_cd"), F.array_max(F.col("_cd"))) - 1).alias("cid"),
+    )
+    # queries: nprobe nearest cells via an in-array sort on (-dot, cid)
+    keyed = F.zip_with(
+        F.col("_cd"),
+        F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+        lambda d, i: F.struct((-d).alias("negd"), i.alias("cid")),
+    )
+    qprobe = (
+        with_cell_dots(
+            _with_unit(queries, vec_col, "nvec").select(
+                F.col(id_col).alias("query_id"), "nvec"
+            )
+        )
+        .select(
+            "query_id",
+            F.col("nvec").alias("qn"),
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort(keyed), 1, nprobe), lambda s: s["cid"]
+                )
+            ).alias("cid"),
+        )
+    )
+    sim = vec_dot(F.col("qn"), F.col("nvec"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        assigned.join(F.broadcast(qprobe), "cid")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round("sim", 5).alias("cosine_sim"),
+            "rank",
+        )
+    )
+
+
 def embedding_neardup(
     corpus: DataFrame,
     dims: int,

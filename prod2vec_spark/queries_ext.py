@@ -317,6 +317,62 @@ WHERE rank <= 5
 """
 
 
+# -------------------------------------------------------- IVF ANN topk
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF approximate top-5: data-adaptive cells (8 seeded-sample
+    centroids, 2 probed per query) — the inverted-file counterpart to
+    the sign-LSH bucket path.  Fully deterministic: centroid choice is
+    md5 hash order, assignment/probing replayed identically by the
+    oracle."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return SS.ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 20),
+        dims=EMB_DIMS,
+        k=5,
+        n_centroids=8,
+        nprobe=2,
+        min_parallelism=spark.sparkContext.defaultParallelism,
+    )
+
+
+def _sql_ann_ivf() -> str:
+    dot_nc = _DOT.format(a="n.nvec", b="c.cvec")
+    dot_qc = _DOT.format(a="q.qn", b="c.cvec")
+    dot_qa = _DOT.format(a="qn", b="a.nvec")
+    return f"""
+WITH n AS (SELECT vec_id, {_UNIT.format(a='embedding')} AS nvec FROM embeddings),
+cent AS (SELECT vec_id, nvec FROM n ORDER BY md5('ivf|' || vec_id), vec_id LIMIT 8),
+cid AS (SELECT row_number() OVER (ORDER BY md5('ivf|' || vec_id), vec_id) - 1 AS cid,
+               nvec AS cvec
+        FROM cent),
+assign AS (
+  SELECT vec_id, nvec, cid FROM (
+    SELECT n.vec_id, n.nvec, c.cid,
+           row_number() OVER (PARTITION BY n.vec_id
+                              ORDER BY ({dot_nc}) DESC, c.cid) AS rk
+    FROM n CROSS JOIN cid c)
+  WHERE rk = 1),
+q AS (SELECT vec_id AS query_id, nvec AS qn FROM n WHERE vec_id < 20),
+qprobe AS (
+  SELECT query_id, qn, cid FROM (
+    SELECT q.query_id, q.qn, c.cid,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY ({dot_qc}) DESC, c.cid) AS rk
+    FROM q CROSS JOIN cid c)
+  WHERE rk <= 2),
+p AS (SELECT query_id, a.vec_id, ({dot_qa}) AS sim
+      FROM qprobe JOIN assign a USING (cid)
+      WHERE a.vec_id != query_id)
+SELECT query_id, vec_id AS neighbor_id, round(sim, 5) AS cosine_sim,
+       CAST(rank AS INT) AS rank
+FROM (SELECT query_id, vec_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+      FROM p)
+WHERE rank <= 5
+"""
+
+
 # -------------------------------------------------------- LSH ANN topk
 def q_ann_lsh_topk(spark, sf_dir):
     """Sign-LSH bucketed approximate top-5 (scale path): candidates
@@ -533,6 +589,7 @@ EXT_QUERIES = {
     "lsh_candidates": q_lsh_candidates,
     "ngram_jaccard": q_ngram_jaccard,
     "ann_topk": q_ann_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "events_daily": q_events_daily,
     "sessionize": q_sessionize,
@@ -552,6 +609,7 @@ EXT_ORACLES = {
     "lsh_candidates": SQL_LSH_CANDIDATES,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "ann_topk": SQL_ANN_TOPK,
+    "ann_ivf_topk": _sql_ann_ivf(),
     "ann_lsh_topk": _sql_ann_lsh(),
     "events_daily": SQL_EVENTS_DAILY,
     "sessionize": SQL_SESSIONIZE,

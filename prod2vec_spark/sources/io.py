@@ -166,3 +166,43 @@ def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
     reference's one-file pandas ``to_csv`` — only for small results."""
     out = df.coalesce(1) if single_file else df
     out.write.mode("overwrite").option("header", True).csv(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+    sort_col: str | None = None,
+) -> None:
+    """Bucketed managed-table sink (ENGINE scope; SURVEY.md §4.3
+    shuffle-minimization): pay the partitioning ONCE at write time so
+    every later join/aggregate on the bucket key is exchange-free —
+    the standard way to co-locate a fact table that is joined on the
+    same key by many downstream queries (at 100 TB, re-shuffling the
+    fact per query is the dominant cost).  ``sort_col`` additionally
+    sorts within buckets, letting sort-merge joins skip their sort.
+
+    tests/test_plans.py locks the zero-Exchange join plan."""
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """JSON-lines source (ENGINE scope: the interchange format of most
+    LLM-corpus drops).  Explicit schema strongly preferred — inference
+    double-scans, and a 100 TB json read without a schema also silently
+    widens mixed-type fields."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_json(df: DataFrame, path: str) -> None:
+    """JSON-lines sink (ENGINE scope)."""
+    df.write.mode("overwrite").json(path)

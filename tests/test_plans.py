@@ -92,3 +92,33 @@ def test_embedding_neardup_no_signature_selfjoin(spark):
     assert has_broadcast_join(df)
     plan = explain_str(df)
     assert "SortMergeJoin" not in plan
+
+
+def test_bucketed_join_is_exchange_free(spark):
+    """Co-location contract: two tables bucketed on the join key join
+    with ZERO Exchange operators — the write-side shuffle is paid once
+    and amortized over every downstream join (broadcast disabled so
+    the small test tables can't cheat the assertion)."""
+    from prod2vec_spark.sources.io import write_bucketed
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    write_bucketed(li, "b_lineitem", "l_orderkey", n_buckets=4, sort_col="l_orderkey")
+    write_bucketed(orders, "b_orders", "o_orderkey", n_buckets=4, sort_col="o_orderkey")
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            a, b = spark.table("b_lineitem"), spark.table("b_orders")
+            joined = a.join(b, a["l_orderkey"] == b["o_orderkey"])
+            assert count_exchanges(joined) == 0
+            assert joined.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")

@@ -54,3 +54,52 @@ train:
         from_dict({"sf_dir": "x", "work_dir": "y", "num_prods": 1})
     with pytest.raises(ConfigError, match="window_size"):
         from_dict({"sf_dir": "x", "work_dir": "y", "window_size": 0})
+
+
+def test_artifact_put_get_roundtrip(spark, tmp_path):
+    """S5: binary artifact plane over the Hadoop FS API (file:// here,
+    s3a:// on a cluster with the same code path)."""
+    from prod2vec_spark.sources.artifacts import (
+        artifact_exists,
+        get_artifact,
+        list_artifacts,
+        put_artifact,
+    )
+
+    base = f"file://{tmp_path}/artifacts"
+    blob = bytes(range(256)) * 10
+    put_artifact(spark, f"{base}/model.bin", blob)
+    put_artifact(spark, f"{base}/plot.png", b"\x89PNG fake")
+
+    assert artifact_exists(spark, f"{base}/model.bin")
+    assert not artifact_exists(spark, f"{base}/missing")
+    assert get_artifact(spark, f"{base}/model.bin") == blob
+    assert list_artifacts(spark, base) == ["model.bin", "plot.png"]
+    # overwrite semantics (the reference's fixed S3 keys)
+    put_artifact(spark, f"{base}/model.bin", b"v2")
+    assert get_artifact(spark, f"{base}/model.bin") == b"v2"
+
+
+def test_json_roundtrip(spark, tmp_path):
+    """JSON-lines source/sink with explicit schema."""
+    from pyspark.sql import types as T
+
+    from prod2vec_spark.sources.io import read_json, write_json
+
+    df = spark.createDataFrame(
+        [(1, "hello", 0.5), (2, "world", 1.5)], "id long, text string, score double"
+    )
+    path = str(tmp_path / "docs_json")
+    write_json(df, path)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    back = read_json(spark, path, schema)
+    assert sorted((r["id"], r["text"], r["score"]) for r in back.collect()) == [
+        (1, "hello", 0.5),
+        (2, "world", 1.5),
+    ]
