@@ -443,6 +443,46 @@ FROM events GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------- as-of join
+def q_asof_latest_event(spark, sf_dir):
+    """As-of join: each order annotated with the customer's most
+    recent event value at-or-before the order date (point-in-time
+    feature lookup).  The right side is pre-deduped to one row per
+    (user, ts) so the at-tie pick is well-defined in both engines;
+    the oracle uses DuckDB's native ASOF LEFT JOIN."""
+    from prod2vec_spark.operators.asof import asof_join
+
+    orders = read_table(spark, sf_dir, "orders")
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    out = asof_join(
+        orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+        ev.select(F.col("user_id").alias("o_custkey"), "ts", "value"),
+        on="o_custkey",
+        left_ts="o_orderdate",
+        right_ts="ts",
+        value_cols=["value"],
+    )
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("value", 4).alias("last_event_value"),
+    )
+
+
+SQL_ASOF_LATEST_EVENT = """
+WITH e AS (
+  SELECT user_id, ts, max(value) AS value
+  FROM events GROUP BY 1, 2)
+SELECT o.o_orderkey, o.o_custkey, round(e.value, 4) AS last_event_value
+FROM orders o
+ASOF LEFT JOIN e ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+"""
+
+
 # -------------------------------------------------------- sessionize
 def q_sessionize(spark, sf_dir):
     """Session counting via lag(): a new session starts after a >30 min
@@ -591,6 +631,7 @@ EXT_QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "asof_latest_event": q_asof_latest_event,
     "events_daily": q_events_daily,
     "sessionize": q_sessionize,
     "revenue_topk": q_revenue_topk,
@@ -611,6 +652,7 @@ EXT_ORACLES = {
     "ann_topk": SQL_ANN_TOPK,
     "ann_ivf_topk": _sql_ann_ivf(),
     "ann_lsh_topk": _sql_ann_lsh(),
+    "asof_latest_event": SQL_ASOF_LATEST_EVENT,
     "events_daily": SQL_EVENTS_DAILY,
     "sessionize": SQL_SESSIONIZE,
     "revenue_topk": SQL_REVENUE_TOPK,

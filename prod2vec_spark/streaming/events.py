@@ -88,6 +88,41 @@ def streaming_dedup(events: DataFrame, keys: list[str], watermark: str = "2 days
     return events.withWatermark("ts", watermark).dropDuplicates(keys)
 
 
+def streaming_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``
+    (SURVEY.md §2.13 / the arbitrary-state path): per-user running
+    event count + value sum maintained across micro-batches in
+    explicit GroupState.
+
+    This is the escape hatch for stateful logic the built-in windowed
+    aggregations can't express (conditional resets, custom eviction,
+    cross-event derived state); for plain running totals the built-in
+    agg is preferred — this operator exists to keep the custom-state
+    plumbing (Arrow batch iteration, state schema, update semantics)
+    real and tested.  State is one (count, sum) pair per user — O(1)
+    per key."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, sum_value double",
+        stateStructType="n long, s double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(stream_df: DataFrame, table_name: str, output_mode: str = "append") -> None:
     """Drain an availableNow trigger into an in-memory sink (tests).
     Aggregations need output_mode='complete'; row streams 'append'."""

@@ -94,3 +94,33 @@ def test_streaming_sessions_match_batch(spark, events_dir):
         for r in QUERIES["sessionize"](spark, SF_SMOKE).collect()
     }
     assert stream_rows == batch_rows
+
+
+def test_stateful_user_totals_match_batch(spark, events_dir):
+    """applyInPandasWithState running totals: after draining the whole
+    stream, the final emitted state per user equals the batch
+    groupBy totals."""
+    import pytest as _pytest
+
+    from prod2vec_spark.sources.io import read_table
+    from prod2vec_spark.streaming.events import streaming_user_totals
+    from tests.conftest import SF_SMOKE
+
+    stream = read_events_stream(spark, events_dir)
+    run_to_memory(streaming_user_totals(stream), "stream_totals", output_mode="update")
+    # availableNow over one file = one micro-batch -> one row per user
+    got = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in spark.table("stream_totals").collect()
+    }
+    batch = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in read_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(got) == set(batch)
+    for uid in got:
+        assert got[uid][0] == batch[uid][0]
+        assert got[uid][1] == _pytest.approx(batch[uid][1], rel=1e-9)
