@@ -1,0 +1,78 @@
+"""Range join + skew-safe join (ENGINE scope — operators Spark's
+DataFrame API has no scale-safe built-in for).
+
+Range join: Spark plans ``x BETWEEN lo AND hi`` as a
+BroadcastNestedLoopJoin — every (point, interval) pair is tested,
+which is fine for a literal handful of bands but quadratic the moment
+the interval table grows.  ``bin_range_join`` turns it into an
+equi-join: intervals explode to the fixed-width bins they cover,
+points compute their bin, the join is hash-partitioned on the bin id,
+and an exact residual predicate trims bin-boundary false positives.
+Choose ``bin_width`` near the median interval width: fan-out per
+interval is ~width/bin_width + 1, candidates per point are the
+intervals sharing its bin.
+
+Skew-safe join: one monster key (the classic null-ish / default-value
+key) funnels an entire join partition through one reducer.
+``salted_join`` spreads it: the fact side derives a deterministic salt
+in [0, n) from its full row hash, the dim side replicates each row n
+times, and the join key becomes (key, salt).  AQE's skew-join split
+solves the common cases at runtime; explicit salting remains for
+joins AQE can't split and for deterministic plan shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bin_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each point row to the interval rows with
+    lo <= point < hi, as a binned equi-join (see module docstring)."""
+    w = F.lit(float(bin_width))
+    pts = points.withColumn(
+        "_bin", F.floor(F.col(point_col) / w).cast("long")
+    )
+    ivl = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / w).cast("long"),
+                F.floor(F.col(hi_col) / w).cast("long"),
+            )
+        ),
+    )
+    return (
+        pts.join(ivl, "_bin", how)
+        .filter((F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col)))
+        .drop("_bin")
+    )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the fact's hot keys spread across ``n_salts``
+    reducers.  Emits exactly the rows of ``fact.join(dim, on, how)``
+    (inner/left): the salt is an internal partitioning detail."""
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in fact.columns], F.lit(7)), F.lit(n_salts)
+    )
+    f = fact.withColumn("_salt", salt)
+    d = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<long>"))
+    )
+    return f.join(d, [on, "_salt"], how).drop("_salt")

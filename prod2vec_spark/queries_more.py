@@ -163,6 +163,54 @@ GROUP BY p_brand
 """
 
 
+# ------------------------------------------------------- range join
+PRICE_BANDS = [
+    ("micro", 0.0, 50_000.0),
+    ("small", 50_000.0, 150_000.0),
+    ("mid", 150_000.0, 300_000.0),
+    ("large", 300_000.0, 1_000_000_000.0),
+]
+
+
+def q_range_join_bands(spark, sf_dir):
+    """Range join (point-in-interval) as a binned equi-join: orders
+    priced into irregular bands, then per-band stats.  Spark's native
+    plan for BETWEEN predicates is a nested-loop join — the binned
+    form is the shape that survives a large interval table
+    (operators/ranges.py)."""
+    from prod2vec_spark.operators.ranges import bin_range_join
+
+    orders = read_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(PRICE_BANDS, "band string, lo double, hi double")
+    joined = bin_range_join(
+        orders.select("o_orderkey", "o_totalprice"),
+        bands,
+        point_col="o_totalprice",
+        lo_col="lo",
+        hi_col="hi",
+        bin_width=50_000.0,
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+SQL_RANGE_JOIN_BANDS = """
+WITH bands(band, lo, hi) AS (VALUES
+  ('micro', 0.0, 50000.0),
+  ('small', 50000.0, 150000.0),
+  ('mid', 150000.0, 300000.0),
+  ('large', 300000.0, 1000000000.0))
+SELECT band, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders o JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+GROUP BY band
+"""
+
+
 # ------------------------------------------- ML layer (rows-only checks)
 def q_word2vec_neighbors(spark, sf_dir):
     """M1-M4: MLlib Word2Vec trained on a hash-bounded sample of
@@ -273,6 +321,7 @@ MORE_QUERIES = {
     "rollup_pricing": q_rollup_pricing,
     "validation_sample": q_validation_sample,
     "string_agg_names": q_string_agg_names,
+    "range_join_bands": q_range_join_bands,
     "word2vec_neighbors": q_word2vec_neighbors,
     "embedding_neardup": q_embedding_neardup,
 }
@@ -283,6 +332,7 @@ MORE_ORACLES = {
     "rollup_pricing": SQL_ROLLUP_PRICING,
     "validation_sample": SQL_VALIDATION_SAMPLE,
     "string_agg_names": SQL_STRING_AGG_NAMES,
+    "range_join_bands": SQL_RANGE_JOIN_BANDS,
     "embedding_neardup": _sql_neardup(),
     # word2vec_neighbors: rows-only by design (ML training)
 }

@@ -270,3 +270,48 @@ def test_index_baskets_guard_and_35k_vocab(spark):
         for r in index_baskets_exploded(baskets, vocab).collect()
     }
     assert out == {1: [1, 2, 34_999, 0], 2: [5, 0]}  # OOV -> UNK 0
+
+
+def test_bin_range_join_boundaries(spark):
+    """Binned range join must agree with the naive BETWEEN semantics,
+    including exact lo (inclusive) / hi (exclusive) boundaries and
+    intervals spanning multiple bins."""
+    from prod2vec_spark.operators.ranges import bin_range_join
+
+    pts = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([0.0, 9.99, 10.0, 25.0, 99.9, 100.0, 250.0])],
+        "pid long, x double",
+    )
+    ivl = spark.createDataFrame(
+        [("a", 0.0, 10.0), ("b", 10.0, 100.0), ("c", 50.0, 260.0)],
+        "name string, lo double, hi double",
+    )
+    got = {
+        (r["pid"], r["name"])
+        for r in bin_range_join(pts, ivl, "x", "lo", "hi", bin_width=30.0).collect()
+    }
+    naive = {
+        (r["pid"], r["name"])
+        for r in pts.crossJoin(ivl)
+        .filter((F.col("x") >= F.col("lo")) & (F.col("x") < F.col("hi")))
+        .collect()
+    }
+    assert got == naive and len(got) > 0
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting is an internal partitioning detail: row multiset must
+    equal the plain join, skewed hot key included."""
+    from prod2vec_spark.operators.ranges import salted_join
+
+    fact = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(2, 1000), (3, 2000)], "k long, v long"
+    )
+    dim = spark.createDataFrame([(1, "hot"), (2, "warm"), (4, "unused")], "k long, name string")
+    got = sorted(
+        (r["k"], r["v"], r["name"]) for r in salted_join(fact, dim, "k", n_salts=4).collect()
+    )
+    plain = sorted(
+        (r["k"], r["v"], r["name"]) for r in fact.join(dim, "k").collect()
+    )
+    assert got == plain and len(got) == 501

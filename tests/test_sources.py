@@ -103,3 +103,26 @@ def test_json_roundtrip(spark, tmp_path):
         (1, "hello", 0.5),
         (2, "world", 1.5),
     ]
+
+
+def test_partitioned_parquet_layout(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    """partition_by produces hive-style directories (partition pruning
+    surface for downstream scans) and round-trips."""
+    import os
+
+    from prod2vec_spark.sources.io import write_parquet
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "a", 3.0)], "id long, grp string, v double"
+    )
+    path = str(tmp_path / "pt")
+    write_parquet(df, path, partition_by=["grp"])
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("grp=")
+    ) == ["grp=a", "grp=b"]
+    back = spark.read.parquet(path)
+    assert back.count() == 3
+    # partition filter prunes to one directory
+    assert back.filter(F.col("grp") == "a").count() == 2
