@@ -137,6 +137,77 @@ def grid_tune(
     return results, {"name": best_name, "model": models[best_name]}
 
 
+def random_search_tune(
+    baskets: DataFrame,
+    pairs: DataFrame,
+    n_trials: int = 5,
+    dim_range: tuple[int, int] = (8, 64),
+    lr_range: tuple[float, float] = (1e-3, 1e-1),
+    base: Prod2VecParams | None = None,
+    seed: int = 42,
+) -> tuple[DataFrame, dict]:
+    """M6 seeded random search — closer to the reference's SageMaker
+    tuner (random/Bayesian exploration over embedding_dim ∈ [100,1024]
+    and lr ∈ [1e-4,1e-3], dags/prod2vec_train_dag.py:156-188) than the
+    plain grid: dims draw uniformly, lrs log-uniformly, both from
+    md5-derived uniforms so every run (and any other engine) replays
+    the identical trial set.  The Bayesian surrogate itself remains a
+    documented out-of-Spark gap (SURVEY.md §7.3); seeded random search
+    is its standard strong baseline."""
+    import hashlib
+    import math
+
+    def u(i: int, what: str) -> float:
+        h = hashlib.md5(f"tune|{seed}|{i}|{what}".encode()).hexdigest()[:8]
+        return int(h, 16) / 4294967296.0
+
+    lo_d, hi_d = dim_range
+    lo_l, hi_l = lr_range
+    grid = [
+        (
+            lo_d + int(u(i, "dim") * (hi_d - lo_d + 1)),
+            math.exp(
+                math.log(lo_l) + u(i, "lr") * (math.log(hi_l) - math.log(lo_l))
+            ),
+        )
+        for i in range(n_trials)
+    ]
+    spark: SparkSession = baskets.sparkSession
+    b = base or Prod2VecParams()
+    trials: list[Trial] = []
+    models = {}
+    for i, (dim, lr) in enumerate(grid):
+        started = time.time()
+        params = Prod2VecParams(
+            vector_size=dim,
+            window_size=b.window_size,
+            max_iter=b.max_iter,
+            step_size=lr,
+            min_count=b.min_count,
+            max_sentence_length=b.max_sentence_length,
+            num_partitions=b.num_partitions,
+            seed=b.seed,
+        )
+        model = fit_prod2vec(baskets, params)
+        obj = pair_similarity_objective(embedding_table(model), pairs)
+        name = f"rand-{i:03d}-dim{dim}-lr{round(lr, 6)}"
+        trials.append(Trial(name, dim, lr, obj, started))
+        models[name] = model
+    results = spark.createDataFrame(
+        [
+            (t.name, t.objective, t.started_at, t.embedding_dim, t.learning_rate, i)
+            for i, t in enumerate(trials)
+        ],
+        schema=(
+            "TrainingJobName string, FinalObjectiveValue double, "
+            "TrainingStartTime double, embedding_dim int, "
+            "learning_rate double, iteration int"
+        ),
+    )
+    best_name = best_trial(results)
+    return results, {"name": best_name, "model": models[best_name]}
+
+
 def best_trial(results: DataFrame) -> str:
     """M5/O3: minimal objective, deterministic tie-break by name
     (post_process.py:64-65: sort + take first)."""

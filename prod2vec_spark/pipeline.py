@@ -49,6 +49,8 @@ class PipelineConfig:
     num_ns: int = 4  # yaml:27
     max_basket_length: int = 50  # yaml:28
     run_hyperparameter_opt: bool = False  # DAG branch (yaml:46)
+    tune_strategy: str = "grid"  # "grid" | "random" (seeded random search)
+    tune_n_trials: int = 4  # random-search budget (reference: 5 jobs)
     tune_dims: list[int] = field(default_factory=lambda: [16, 32])
     tune_lrs: list[float] = field(default_factory=lambda: [0.025, 0.1])
     train: Prod2VecParams = field(default_factory=lambda: Prod2VecParams(vector_size=32, max_iter=2))
@@ -101,13 +103,23 @@ class Prod2VecPipeline:
         post_process.py:85-89), so postprocess can resume from disk
         without retraining (see ``resume_postprocess``)."""
         if self.cfg.run_hyperparameter_opt:
-            results, best = grid_tune(
-                staged["baskets"],
-                staged["pairs"],
-                dims=self.cfg.tune_dims,
-                lrs=self.cfg.tune_lrs,
-                base=self.cfg.train,
-            )
+            if self.cfg.tune_strategy == "random":
+                from prod2vec_spark.ml.tuning import random_search_tune
+
+                results, best = random_search_tune(
+                    staged["baskets"],
+                    staged["pairs"],
+                    n_trials=self.cfg.tune_n_trials,
+                    base=self.cfg.train,
+                )
+            else:
+                results, best = grid_tune(
+                    staged["baskets"],
+                    staged["pairs"],
+                    dims=self.cfg.tune_dims,
+                    lrs=self.cfg.tune_lrs,
+                    base=self.cfg.train,
+                )
             write_parquet(tuning_report(results), f"{self.cfg.work_dir}/tuning_results")
             # M7: objective-vs-hyperparameter PNGs (plot_helpers.py:12-63)
             from prod2vec_spark.ml.plots import save_tuning_plots

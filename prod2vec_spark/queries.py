@@ -421,6 +421,42 @@ SELECT 'schema_match', '*', 1.0, 1.0, 1.0, true FROM m
 """
 
 
+def q_dq_documents(spark, sf_dir):
+    """Q1/Q2/Q5-class gates over the LLM corpus table: the dedup /
+    text-analysis family assumes non-null unique doc ids and a sane
+    corpus size — this is the gate that enforces it."""
+    docs = _t(spark, sf_dir, "documents")
+    rules = Q.Rules(
+        not_null=["doc_id", "text"],
+        unique_key=["doc_id"],
+        distinct_between={"lang": (1.0, 100.0)},
+        row_count_between=(10.0, 1e12),
+    )
+    return Q.expect(docs, rules)
+
+
+SQL_DQ_DOCUMENTS = """
+WITH m AS (
+  SELECT CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+         CAST(sum(CASE WHEN text   IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS n2,
+         CAST(count(DISTINCT lang) AS DOUBLE) AS nl,
+         CAST(count(*) - count(DISTINCT doc_id) AS DOUBLE) AS dup,
+         CAST(count(*) AS DOUBLE) AS nr
+  FROM documents)
+SELECT 'not_null' AS rule, 'doc_id' AS col_name, n1 AS metric,
+       0.0 AS lo, 0.0 AS hi, n1 BETWEEN 0 AND 0 AS passed FROM m
+UNION ALL
+SELECT 'not_null', 'text', n2, 0.0, 0.0, n2 BETWEEN 0 AND 0 FROM m
+UNION ALL
+SELECT 'distinct_between', 'lang', nl, 1.0, 100.0, nl BETWEEN 1.0 AND 100.0 FROM m
+UNION ALL
+SELECT 'row_count_between', '*', nr, 10.0, 1000000000000.0,
+       nr BETWEEN 10.0 AND 1000000000000.0 FROM m
+UNION ALL
+SELECT 'unique_key', 'doc_id', dup, 0.0, 0.0, dup BETWEEN 0 AND 0 FROM m
+"""
+
+
 # ------------------------------------------------------------- registry
 _QUERIES_CORE: dict[str, QueryFn] = {
     "part_scan_project": q_part_scan_project,
@@ -438,6 +474,7 @@ _QUERIES_CORE: dict[str, QueryFn] = {
     "topk_orders": q_topk_orders,
     "dq_lineitem": q_dq_lineitem,
     "dq_part": q_dq_part,
+    "dq_documents": q_dq_documents,
 }
 
 _ORACLES_CORE: dict[str, str] = {
@@ -456,6 +493,7 @@ _ORACLES_CORE: dict[str, str] = {
     "topk_orders": SQL_TOPK_ORDERS,
     "dq_lineitem": SQL_DQ_LINEITEM,
     "dq_part": SQL_DQ_PART,
+    "dq_documents": SQL_DQ_DOCUMENTS,
 }
 
 # Extension catalog (text / dedup / simsearch / events / multi-join)

@@ -143,3 +143,32 @@ def test_tuning_plots_written(spark, tmp_path):
         w, h = struct.unpack(">II", data[16:24])
         assert w > 100 and h > 100
         assert data.rstrip().endswith(b"IEND\xaeB`\x82")
+
+
+def test_pipeline_random_search_branch(spark, tmp_path):
+    """Seeded random-search tuning: deterministic trial set, best-trial
+    selection, plots + results table as in the grid branch."""
+    cfg = PipelineConfig(
+        sf_dir=SF_SMOKE,
+        work_dir=str(tmp_path / "work"),
+        train=Prod2VecParams(vector_size=8, max_iter=1),
+        run_hyperparameter_opt=True,
+        tune_strategy="random",
+        tune_n_trials=2,
+    )
+    out = Prod2VecPipeline(spark, cfg).run()
+    assert out.count() > 0
+    results = spark.read.parquet(f"{cfg.work_dir}/tuning_results")
+    rows = results.collect()
+    assert len(rows) == 2
+    names = sorted(r["TrainingJobName"] for r in rows)
+    # trial set is seed-deterministic: re-deriving gives identical names
+    from prod2vec_spark.ml.tuning import random_search_tune  # noqa: F401
+    import hashlib, math
+    def u(i, what):
+        return int(hashlib.md5(f"tune|42|{i}|{what}".encode()).hexdigest()[:8], 16) / 4294967296.0
+    expect = sorted(
+        f"rand-{i:03d}-dim{8 + int(u(i,'dim') * 57)}-lr{round(math.exp(math.log(1e-3) + u(i,'lr') * (math.log(1e-1) - math.log(1e-3))), 6)}"
+        for i in range(2)
+    )
+    assert names == expect
