@@ -315,3 +315,27 @@ def test_salted_join_equals_plain_join(spark):
         (r["k"], r["v"], r["name"]) for r in fact.join(dim, "k").collect()
     )
     assert got == plain and len(got) == 501
+
+
+def test_arrow_cosine_matches_hof_path(spark):
+    """The pandas_udf cosine variant must return the same neighbor
+    sets and ranks as the exact interpreted-fold path (float drift is
+    ~1 ulp — only sub-1e-12 ties could flip, none in the testdata)."""
+    import pytest as _pytest
+
+    from prod2vec_spark.operators.simsearch import (
+        brute_force_topk,
+        brute_force_topk_arrow,
+    )
+    from tests.conftest import SF_SMOKE
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine_sim"])
+             for r in brute_force_topk(emb, q, k=5).collect()}
+    arrow = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine_sim"])
+             for r in brute_force_topk_arrow(emb, q, k=5).collect()}
+    assert set(exact) == set(arrow)
+    for key in exact:
+        assert exact[key][0] == arrow[key][0]
+        assert exact[key][1] == _pytest.approx(arrow[key][1], abs=1e-5)
