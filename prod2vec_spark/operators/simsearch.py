@@ -238,24 +238,40 @@ def ivf_topk(
     nearest cells; candidates come from one broadcast equi-join on
     cell id, and only candidate rows reach the per-query top-k window.
 
-    Scale shape: corpus streams once for assignment; the only shuffle
-    is the per-query rank over candidates (|corpus| · nprobe /
-    n_centroids expected rows).  Recall grows with nprobe; nprobe =
-    n_centroids degenerates to exact brute force."""
-    unit = _with_unit(corpus, vec_col, "nvec").select(id_col, "nvec")
+    Scale shape: corpus streams once for assignment — over the RAW
+    vectors: argmax_c cos(v, c) = argmax_c ⟨v, c⟩ when the centroids
+    are unit vectors, so the corpus pass does NOT normalize anything
+    (a per-row norm inside the assignment lambda would re-fold per
+    centroid — interpreted HOFs have no CSE).  Normalization happens
+    only on the ~|corpus|·nprobe/n_centroids candidate rows that
+    survive the probe join.  The only shuffle is the per-query rank
+    over candidates.  Recall grows with nprobe; nprobe = n_centroids
+    degenerates to exact brute force."""
+    import math
+
     if (
         min_parallelism is not None
         and corpus.rdd.getNumPartitions() < min_parallelism
     ):
-        unit = unit.repartition(min_parallelism)
-    cents = [
-        list(r["nvec"])
-        for r in unit.orderBy(
-            F.md5(F.concat_ws("|", F.lit("ivf"), F.col(id_col))), F.col(id_col)
-        )
+        corpus = corpus.repartition(min_parallelism)
+    # Seeded centroid sample: RAW vectors collected (TakeOrdered by a
+    # hash of the id — no corpus-wide normalize), unit-scaled on the
+    # driver with the exact left-fold arithmetic of l2_norm/normalized
+    # so the embedded literals match what the oracle computes in-engine.
+    raw_rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.md5(F.concat_ws("|", F.lit("ivf"), F.col(id_col))), F.col(id_col))
         .limit(n_centroids)
         .collect()
-    ]
+    )
+    cents = []
+    for r in raw_rows:
+        v = [float(x) for x in r[vec_col]]
+        acc = 0.0
+        for x in v:
+            acc = acc + x * x
+        nrm = math.sqrt(acc)
+        cents.append([x / nrm for x in v])
     cmat = F.expr(
         "array("
         + ",".join(
@@ -264,46 +280,55 @@ def ivf_topk(
         + ")"
     )
 
-    def with_cell_dots(df: DataFrame) -> DataFrame:
-        # ONE dots array per row, materialized (no HOF CSE)
-        return df.withColumn(
-            "_cd", F.transform(cmat, lambda c: vec_dot(F.col("nvec"), c))
+    def cell_structs(vec) -> Column:
+        # (raw dot, cid) per centroid — dot computed ONCE per centroid
+        # inside a single zip_with; no outer expression referenced from
+        # inside a lambda body
+        return F.zip_with(
+            cmat,
+            F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+            lambda c, i: F.struct(vec_dot(vec, c).alias("d"), i.alias("i")),
         )
 
-    # corpus: argmax cell — first index of the max (ties -> lowest cid)
-    assigned = with_cell_dots(unit).select(
-        id_col,
-        "nvec",
-        (F.array_position(F.col("_cd"), F.array_max(F.col("_cd"))) - 1).alias("cid"),
+    # corpus: single-fold argmax (ties -> lowest cid via strict >)
+    best = F.aggregate(
+        cell_structs(F.col(vec_col)),
+        F.struct(
+            F.lit(float("-inf")).alias("d"), F.lit(-1).cast("int").alias("i")
+        ),
+        lambda acc, x: F.when(x["d"] > acc["d"], x).otherwise(acc),
+    )["i"]
+    assigned = corpus.select(
+        id_col, F.col(vec_col).alias("_cvec"), best.alias("cid")
     )
     # queries: nprobe nearest cells via an in-array sort on (-dot, cid)
-    keyed = F.zip_with(
-        F.col("_cd"),
+    qkeyed = F.zip_with(
+        cmat,
         F.sequence(F.lit(0), F.lit(len(cents) - 1)),
-        lambda d, i: F.struct((-d).alias("negd"), i.alias("cid")),
+        lambda c, i: F.struct((-vec_dot(F.col(vec_col), c)).alias("negd"), i.alias("cid")),
     )
-    qprobe = (
-        with_cell_dots(
-            _with_unit(queries, vec_col, "nvec").select(
-                F.col(id_col).alias("query_id"), "nvec"
-            )
-        )
-        .select(
-            "query_id",
-            F.col("nvec").alias("qn"),
+    qprobe = _with_unit(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            vec_col,
             F.explode(
-                F.transform(
-                    F.slice(F.array_sort(keyed), 1, nprobe), lambda s: s["cid"]
-                )
+                F.transform(F.slice(F.array_sort(qkeyed), 1, nprobe), lambda s: s["cid"])
             ).alias("cid"),
-        )
+        ),
+        vec_col,
+        "qn",
+    ).select("query_id", "qn", "cid")
+    # candidates only: normalize the corpus side, then one dot per pair
+    cand = (
+        assigned.join(F.broadcast(qprobe), "cid")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn("_nrm", F.nullif(l2_norm(F.col("_cvec")), F.lit(0.0)))
+        .withColumn("nvec", normalized(F.col("_cvec"), F.col("_nrm")))
     )
     sim = vec_dot(F.col("qn"), F.col("nvec"))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
     return (
-        assigned.join(F.broadcast(qprobe), "cid")
-        .filter(F.col(id_col) != F.col("query_id"))
-        .withColumn("sim", sim)
+        cand.withColumn("sim", sim)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(

@@ -337,32 +337,37 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 
 def _sql_ann_ivf() -> str:
-    dot_nc = _DOT.format(a="n.nvec", b="c.cvec")
-    dot_qc = _DOT.format(a="q.qn", b="c.cvec")
-    dot_qa = _DOT.format(a="qn", b="a.nvec")
+    # assignment + probing use RAW dots against the unit centroids
+    # (argmax-equivalent to cosine, exactly what the Spark plan does);
+    # normalization happens only for the final candidate similarity
+    dot_ec = _DOT.format(a="e.embedding", b="c.cvec")
+    dot_qc = _DOT.format(a="q.embedding", b="c.cvec")
+    dot_qa = _DOT.format(a="qn", b="nvec")
     return f"""
-WITH n AS (SELECT vec_id, {_UNIT.format(a='embedding')} AS nvec FROM embeddings),
-cent AS (SELECT vec_id, nvec FROM n ORDER BY md5('ivf|' || vec_id), vec_id LIMIT 8),
+WITH cent AS (SELECT vec_id, {_UNIT.format(a='embedding')} AS cvec
+              FROM embeddings ORDER BY md5('ivf|' || vec_id), vec_id LIMIT 8),
 cid AS (SELECT row_number() OVER (ORDER BY md5('ivf|' || vec_id), vec_id) - 1 AS cid,
-               nvec AS cvec
+               cvec
         FROM cent),
 assign AS (
-  SELECT vec_id, nvec, cid FROM (
-    SELECT n.vec_id, n.nvec, c.cid,
-           row_number() OVER (PARTITION BY n.vec_id
-                              ORDER BY ({dot_nc}) DESC, c.cid) AS rk
-    FROM n CROSS JOIN cid c)
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY ({dot_ec}) DESC, c.cid) AS rk
+    FROM embeddings e CROSS JOIN cid c)
   WHERE rk = 1),
-q AS (SELECT vec_id AS query_id, nvec AS qn FROM n WHERE vec_id < 20),
+q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 20),
 qprobe AS (
   SELECT query_id, qn, cid FROM (
-    SELECT q.query_id, q.qn, c.cid,
+    SELECT q.query_id, {_UNIT.format(a='q.embedding')} AS qn, c.cid,
            row_number() OVER (PARTITION BY q.query_id
                               ORDER BY ({dot_qc}) DESC, c.cid) AS rk
     FROM q CROSS JOIN cid c)
   WHERE rk <= 2),
 p AS (SELECT query_id, a.vec_id, ({dot_qa}) AS sim
-      FROM qprobe JOIN assign a USING (cid)
+      FROM (SELECT query_id, qn, cid FROM qprobe) qp
+      JOIN (SELECT vec_id, cid, {_UNIT.format(a='embedding')} AS nvec FROM assign) a
+        USING (cid)
       WHERE a.vec_id != query_id)
 SELECT query_id, vec_id AS neighbor_id, round(sim, 5) AS cosine_sim,
        CAST(rank AS INT) AS rank
