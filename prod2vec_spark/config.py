@@ -34,8 +34,16 @@ def validate(cfg: PipelineConfig) -> PipelineConfig:
         raise ConfigError("vector_size must be >= 1")
     if not (0.0 < cfg.train.step_size):
         raise ConfigError("step_size must be positive")
-    if cfg.run_hyperparameter_opt and not (cfg.tune_dims and cfg.tune_lrs):
-        raise ConfigError("tuning enabled but tune_dims/tune_lrs empty")
+    if cfg.tune_strategy not in ("grid", "random"):
+        raise ConfigError("tune_strategy must be 'grid' or 'random'")
+    if (
+        cfg.run_hyperparameter_opt
+        and cfg.tune_strategy == "grid"
+        and not (cfg.tune_dims and cfg.tune_lrs)
+    ):
+        raise ConfigError("grid tuning enabled but tune_dims/tune_lrs empty")
+    if cfg.run_hyperparameter_opt and cfg.tune_strategy == "random" and cfg.tune_n_trials < 1:
+        raise ConfigError("random tuning enabled but tune_n_trials < 1")
     return cfg
 
 

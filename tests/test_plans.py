@@ -122,3 +122,55 @@ def test_bucketed_join_is_exchange_free(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_asof_join_single_shuffle(spark):
+    """The as-of join must cost ONE shuffle (the union sorts within
+    key partitions) — never a nested-loop non-equi join."""
+    from prod2vec_spark.operators.asof import asof_join
+    from prod2vec_spark.plans.inspect import explain_str
+    from prod2vec_spark.sources.io import read_table
+
+    orders = read_table(spark, SF_SMOKE, "orders")
+    ev = read_table(spark, SF_SMOKE, "events")
+    out = asof_join(
+        orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+        ev.select(F.col("user_id").alias("o_custkey"), "ts", "value"),
+        on="o_custkey",
+        left_ts="o_orderdate",
+        right_ts="ts",
+        value_cols=["value"],
+    )
+    plan = explain_str(out)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert count_exchanges(out) == 1
+
+
+def test_ivf_corpus_pass_is_shuffle_free(spark):
+    """IVF cell assignment must be a pure map pass over the corpus:
+    raw-dot argmax with no exchange; the full query's only shuffle is
+    the per-query candidate rank window."""
+    from prod2vec_spark.operators.simsearch import ivf_topk
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    df = ivf_topk(emb, emb.filter(F.col("vec_id") < 5), dims=64, k=3)
+    assert has_broadcast_join(df)
+    assert count_exchanges(df) == 1  # the rank window only
+
+
+def test_range_join_is_hash_join(spark):
+    """Binned range join must plan as a hash equi-join on the bin id,
+    not the BroadcastNestedLoopJoin Spark gives BETWEEN predicates."""
+    from prod2vec_spark.operators.ranges import bin_range_join
+    from prod2vec_spark.plans.inspect import explain_str
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    bands = spark.createDataFrame(
+        [("a", 0.0, 50_000.0), ("b", 50_000.0, 1e9)], "band string, lo double, hi double"
+    )
+    df = bin_range_join(orders, bands, "o_totalprice", "lo", "hi", bin_width=50_000.0)
+    plan = explain_str(df)
+    assert "NestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
