@@ -34,16 +34,20 @@ def validate(cfg: PipelineConfig) -> PipelineConfig:
         raise ConfigError("vector_size must be >= 1")
     if not (0.0 < cfg.train.step_size):
         raise ConfigError("step_size must be positive")
-    if cfg.tune_strategy not in ("grid", "random"):
-        raise ConfigError("tune_strategy must be 'grid' or 'random'")
+    if cfg.tune_strategy not in ("grid", "random", "tpe"):
+        raise ConfigError("tune_strategy must be 'grid', 'random' or 'tpe'")
     if (
         cfg.run_hyperparameter_opt
         and cfg.tune_strategy == "grid"
         and not (cfg.tune_dims and cfg.tune_lrs)
     ):
         raise ConfigError("grid tuning enabled but tune_dims/tune_lrs empty")
-    if cfg.run_hyperparameter_opt and cfg.tune_strategy == "random" and cfg.tune_n_trials < 1:
-        raise ConfigError("random tuning enabled but tune_n_trials < 1")
+    if (
+        cfg.run_hyperparameter_opt
+        and cfg.tune_strategy in ("random", "tpe")
+        and cfg.tune_n_trials < 1
+    ):
+        raise ConfigError(f"{cfg.tune_strategy} tuning enabled but tune_n_trials < 1")
     return cfg
 
 

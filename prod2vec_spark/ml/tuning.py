@@ -69,35 +69,59 @@ def pair_similarity_objective(
 
     from prod2vec_spark.operators.relational import hash_sample_filter
 
-    sample = (
-        pairs.select("target", "context")
-        .where(F.col("target") != F.col("context"))
-        .where(hash_sample_filter(sample_mod, "target", "context", seed=seed))
-    )
-    joined = sample.join(F.broadcast(va), "target").join(F.broadcast(vb), "context")
+    base = pairs.select("target", "context").where(F.col("target") != F.col("context"))
+    sample = base.where(hash_sample_filter(sample_mod, "target", "context", seed=seed))
     sim = cosine_similarity(vector_to_array(F.col("va")), vector_to_array(F.col("vb")))
-    row = joined.agg(F.avg(sim).alias("m")).collect()[0]
+
+    def _mean(src: DataFrame):
+        j = src.join(F.broadcast(va), "target").join(F.broadcast(vb), "context")
+        return j.agg(F.avg(sim).alias("m"), F.count(F.lit(1)).alias("n")).collect()[0]
+
+    row = _mean(sample)
+    if row["n"] == 0 or row["m"] is None:
+        # hash sample came up empty (tiny pair table) — fall back to the
+        # unsampled mean rather than silently scoring every trial 0.0
+        # and letting best_trial degenerate to an alphabetical tie-break
+        row = _mean(base)
     return -float(row["m"] if row["m"] is not None else 0.0)
 
 
-def grid_tune(
+def _hash_uniform(seed: int, i: int, what: str) -> float:
+    """md5-derived uniform in [0, 1) — every strategy's randomness
+    routes through this so trial sets replay identically anywhere."""
+    import hashlib
+
+    h = hashlib.md5(f"tune|{seed}|{i}|{what}".encode()).hexdigest()[:8]
+    return int(h, 16) / 4294967296.0
+
+
+def _run_trials(
     baskets: DataFrame,
     pairs: DataFrame,
-    dims: list[int],
-    lrs: list[float],
-    base: Prod2VecParams | None = None,
+    n_trials: int,
+    suggest,
+    name_prefix: str,
+    base: Prod2VecParams | None,
+    work_dir: str | None = None,
 ) -> tuple[DataFrame, dict]:
-    """M6 grid: fit each (dim, lr), score, return (results_df, best).
+    """Shared trial driver: fit, score, track ONLY the running best.
 
-    results_df mirrors the SageMaker tuning table consumed by the
-    reference (tuning_analysis.py:30-43): TrainingJobName,
-    FinalObjectiveValue, TrainingStartTime, embedding_dim,
-    learning_rate, iteration."""
+    Round-2 kept every trial's model in a dict — at reference scale
+    (35k vocab × 1024 dims × 5 trials) ~0.5 GB of driver-held vectors
+    alive for the whole tune.  Now: with ``work_dir`` each trial is
+    persisted via the S7 model sink and the winner reloaded (S6) at
+    the end — zero models held across trials; without it only the
+    single running-best model object survives.  Tie-break (obj, name)
+    ascending == best_trial()'s ordering."""
+    from prod2vec_spark.ml.prod2vec import load_model, save_model
+
     spark: SparkSession = baskets.sparkSession
     b = base or Prod2VecParams()
     trials: list[Trial] = []
-    models = {}
-    for i, (dim, lr) in enumerate([(d, l) for d in dims for l in lrs]):
+    history: list[tuple[int, float, float]] = []  # (dim, lr, objective)
+    best: tuple[float, str, object] | None = None  # (obj, name, model|path)
+    for i in range(n_trials):
+        dim, lr = suggest(i, history)
         started = time.time()
         params = Prod2VecParams(
             vector_size=dim,
@@ -111,9 +135,16 @@ def grid_tune(
         )
         model = fit_prod2vec(baskets, params)
         obj = pair_similarity_objective(embedding_table(model), pairs)
-        name = f"trial-{i:03d}-dim{dim}-lr{lr}"
+        name = f"{name_prefix}-{i:03d}-dim{dim}-lr{round(lr, 6)}"
         trials.append(Trial(name, dim, lr, obj, started))
-        models[name] = model
+        history.append((dim, lr, obj))
+        if work_dir is not None:
+            keep: object = f"{work_dir}/trial-models/{name}"
+            save_model(model, keep)
+        else:
+            keep = model
+        if best is None or (obj, name) < (best[0], best[1]):
+            best = (obj, name, keep)
 
     results = spark.createDataFrame(
         [
@@ -133,8 +164,29 @@ def grid_tune(
             "learning_rate double, iteration int"
         ),
     )
-    best_name = best_trial(results)
-    return results, {"name": best_name, "model": models[best_name]}
+    assert best is not None
+    model = load_model(spark, best[2]) if work_dir is not None else best[2]
+    return results, {"name": best[1], "model": model}
+
+
+def grid_tune(
+    baskets: DataFrame,
+    pairs: DataFrame,
+    dims: list[int],
+    lrs: list[float],
+    base: Prod2VecParams | None = None,
+    work_dir: str | None = None,
+) -> tuple[DataFrame, dict]:
+    """M6 grid: fit each (dim, lr), score, return (results_df, best).
+
+    results_df mirrors the SageMaker tuning table consumed by the
+    reference (tuning_analysis.py:30-43): TrainingJobName,
+    FinalObjectiveValue, TrainingStartTime, embedding_dim,
+    learning_rate, iteration."""
+    grid = [(d, float(l)) for d in dims for l in lrs]
+    return _run_trials(
+        baskets, pairs, len(grid), lambda i, _h: grid[i], "trial", base, work_dir
+    )
 
 
 def random_search_tune(
@@ -145,67 +197,127 @@ def random_search_tune(
     lr_range: tuple[float, float] = (1e-3, 1e-1),
     base: Prod2VecParams | None = None,
     seed: int = 42,
+    work_dir: str | None = None,
 ) -> tuple[DataFrame, dict]:
     """M6 seeded random search — closer to the reference's SageMaker
     tuner (random/Bayesian exploration over embedding_dim ∈ [100,1024]
     and lr ∈ [1e-4,1e-3], dags/prod2vec_train_dag.py:156-188) than the
     plain grid: dims draw uniformly, lrs log-uniformly, both from
     md5-derived uniforms so every run (and any other engine) replays
-    the identical trial set.  The Bayesian surrogate itself remains a
-    documented out-of-Spark gap (SURVEY.md §7.3); seeded random search
-    is its standard strong baseline."""
-    import hashlib
+    the identical trial set."""
     import math
-
-    def u(i: int, what: str) -> float:
-        h = hashlib.md5(f"tune|{seed}|{i}|{what}".encode()).hexdigest()[:8]
-        return int(h, 16) / 4294967296.0
 
     lo_d, hi_d = dim_range
     lo_l, hi_l = lr_range
-    grid = [
-        (
-            lo_d + int(u(i, "dim") * (hi_d - lo_d + 1)),
+
+    def suggest(i: int, _h) -> tuple[int, float]:
+        return (
+            lo_d + int(_hash_uniform(seed, i, "dim") * (hi_d - lo_d + 1)),
             math.exp(
-                math.log(lo_l) + u(i, "lr") * (math.log(hi_l) - math.log(lo_l))
+                math.log(lo_l)
+                + _hash_uniform(seed, i, "lr") * (math.log(hi_l) - math.log(lo_l))
             ),
         )
-        for i in range(n_trials)
-    ]
-    spark: SparkSession = baskets.sparkSession
-    b = base or Prod2VecParams()
-    trials: list[Trial] = []
-    models = {}
-    for i, (dim, lr) in enumerate(grid):
-        started = time.time()
-        params = Prod2VecParams(
-            vector_size=dim,
-            window_size=b.window_size,
-            max_iter=b.max_iter,
-            step_size=lr,
-            min_count=b.min_count,
-            max_sentence_length=b.max_sentence_length,
-            num_partitions=b.num_partitions,
-            seed=b.seed,
+
+    return _run_trials(baskets, pairs, n_trials, suggest, "rand", base, work_dir)
+
+
+def tpe_suggest(
+    history: list[tuple[int, float, float]],
+    i: int,
+    dim_range: tuple[int, int],
+    lr_range: tuple[float, float],
+    seed: int = 42,
+    n_startup: int = 3,
+    n_candidates: int = 8,
+    gamma: float = 0.25,
+) -> tuple[int, float]:
+    """Deterministic TPE-lite suggestion (M6 Bayesian-surrogate
+    counterpart of dags/prod2vec_train_dag.py:156-188, SageMaker's
+    Bayesian strategy).  Pure function of (history, i, seed) so the
+    trial sequence replays exactly — all randomness is md5-derived.
+
+    Standard Tree-structured Parzen Estimator shape: split completed
+    trials at the ``gamma`` objective quantile into good/bad, model
+    each side as a Parzen kernel mixture (Gaussian in the search
+    space: dim linear, lr log), draw ``n_candidates`` from the good
+    mixture, keep the candidate maximizing the density ratio
+    l_good(x)/g_bad(x) — expected-improvement-ranked exploration,
+    which beats blind random search once a few trials reveal where
+    the objective is low (and, before n_startup, IS random search)."""
+    import math
+
+    lo_d, hi_d = dim_range
+    lo_l, hi_l = lr_range
+    llo, lhi = math.log(lo_l), math.log(hi_l)
+
+    def rand_point(j: int) -> tuple[int, float]:
+        return (
+            lo_d + int(_hash_uniform(seed, j, "dim") * (hi_d - lo_d + 1)),
+            math.exp(llo + _hash_uniform(seed, j, "lr") * (lhi - llo)),
         )
-        model = fit_prod2vec(baskets, params)
-        obj = pair_similarity_objective(embedding_table(model), pairs)
-        name = f"rand-{i:03d}-dim{dim}-lr{round(lr, 6)}"
-        trials.append(Trial(name, dim, lr, obj, started))
-        models[name] = model
-    results = spark.createDataFrame(
-        [
-            (t.name, t.objective, t.started_at, t.embedding_dim, t.learning_rate, i)
-            for i, t in enumerate(trials)
-        ],
-        schema=(
-            "TrainingJobName string, FinalObjectiveValue double, "
-            "TrainingStartTime double, embedding_dim int, "
-            "learning_rate double, iteration int"
-        ),
-    )
-    best_name = best_trial(results)
-    return results, {"name": best_name, "model": models[best_name]}
+
+    done = [h for h in history if h is not None]
+    if i < n_startup or len(done) < 2:
+        return rand_point(i)
+
+    ranked = sorted(done, key=lambda h: h[2])
+    n_good = max(1, int(math.ceil(gamma * len(ranked))))
+    good, bad = ranked[:n_good], ranked[n_good:] or ranked[-1:]
+    # kernel bandwidths: a fixed fraction of each dimension's span
+    bw_d = max(1.0, (hi_d - lo_d) / 5.0)
+    bw_l = max(1e-9, (lhi - llo) / 5.0)
+
+    def density(pts: list[tuple[int, float, float]], d: int, loglr: float) -> float:
+        s = 0.0
+        for pd, plr, _ in pts:
+            zd = (d - pd) / bw_d
+            zl = (loglr - math.log(plr)) / bw_l
+            s += math.exp(-0.5 * (zd * zd + zl * zl))
+        return s / len(pts) + 1e-12
+
+    def gauss(j: int, tag: str) -> float:
+        # Box-Muller from two md5 uniforms — deterministic N(0,1)
+        u1 = max(_hash_uniform(seed, j, f"{tag}|u1|{i}"), 1e-12)
+        u2 = _hash_uniform(seed, j, f"{tag}|u2|{i}")
+        return math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.pi * u2)
+
+    best_x, best_score = None, float("-inf")
+    for j in range(n_candidates):
+        pick = good[int(_hash_uniform(seed, j, f"pick|{i}") * len(good))]
+        d = int(round(pick[0] + gauss(j, "dim") * bw_d))
+        d = min(hi_d, max(lo_d, d))
+        loglr = math.log(pick[1]) + gauss(j, "lr") * bw_l
+        loglr = min(lhi, max(llo, loglr))
+        score = math.log(density(good, d, loglr)) - math.log(density(bad, d, loglr))
+        if score > best_score:
+            best_x, best_score = (d, math.exp(loglr)), score
+    assert best_x is not None
+    return best_x
+
+
+def tpe_tune(
+    baskets: DataFrame,
+    pairs: DataFrame,
+    n_trials: int = 5,
+    dim_range: tuple[int, int] = (8, 64),
+    lr_range: tuple[float, float] = (1e-3, 1e-1),
+    base: Prod2VecParams | None = None,
+    seed: int = 42,
+    work_dir: str | None = None,
+) -> tuple[DataFrame, dict]:
+    """M6 third strategy: deterministic TPE-lite (see tpe_suggest) —
+    the engine's stand-in for the reference's SageMaker Bayesian
+    optimization.  Where it beats random search: once n_startup
+    trials exist, candidates concentrate around the low-objective
+    region instead of sampling the box uniformly, so with the same
+    budget the expected best objective is ≤ random's (equal only
+    when the objective carries no structure)."""
+
+    def suggest(i: int, history) -> tuple[int, float]:
+        return tpe_suggest(history, i, dim_range, lr_range, seed=seed)
+
+    return _run_trials(baskets, pairs, n_trials, suggest, "tpe", base, work_dir)
 
 
 def best_trial(results: DataFrame) -> str:

@@ -19,6 +19,7 @@ maxPartitionBytes governs blob-scan partition sizing.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from contextlib import contextmanager
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -76,40 +77,65 @@ def _decode_stub(media_type: str, blob: bytes) -> list[float]:
     ]
 
 
+@contextmanager
+def arrow_batch_scope(spark, max_records: int):
+    """Scope spark.sql.execution.arrow.maxRecordsPerBatch around an
+    ACTION, restoring the previous value on exit.  Arrow input-batch
+    sizing is a session conf read at execution time, so a lazy
+    operator cannot scope it itself — callers wrap the write/collect:
+
+        with arrow_batch_scope(spark, 256):
+            extract_features(media).write.parquet(...)
+    """
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    # get(key, None) returns None when the key is not EXPLICITLY set
+    # (a bare get would return the SQL default, and restoring that
+    # would pin the conf to an explicit value it never had)
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, str(max_records))
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
     """mapInPandas feature extraction: Arrow-batched iterator in, rows
     with a fixed-width feature vector out.  The iterator protocol keeps
     peak memory at one Arrow batch per task regardless of blob sizes.
 
-    ``batch_hint`` caps rows per Arrow batch
-    (spark.sql.execution.arrow.maxRecordsPerBatch) — size it so
-    batch_hint × max-blob-bytes fits executor memory when blobs are
-    large (video)."""
+    ``batch_hint`` caps rows per OUTPUT Arrow batch by slicing inside
+    the UDF — no session conf is touched (the round-2 version mutated
+    spark.sql.execution.arrow.maxRecordsPerBatch session-wide as a
+    side effect; a lazy operator must not).  To also cap the INPUT
+    batch size for very large blobs, wrap the action in
+    ``arrow_batch_scope`` — that conf only exists session-side."""
     import hashlib
-
-    if batch_hint is not None:
-        media.sparkSession.conf.set(
-            "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_hint)
-        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                _decode_stub(mt, b if b is not None else b"")
-                for mt, b in zip(pdf["media_type"], pdf["blob"])
-            ]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "media_type": pdf["media_type"],
-                    "n_bytes": [len(b) if b is not None else 0 for b in pdf["blob"]],
-                    "blob_digest": [
-                        hashlib.md5(b if b is not None else b"").hexdigest()
-                        for b in pdf["blob"]
-                    ],
-                    "feature": feats,
-                }
-            )
+            step = batch_hint or len(pdf) or 1
+            for lo in range(0, len(pdf), step):
+                sub = pdf.iloc[lo : lo + step]
+                feats = [
+                    _decode_stub(mt, b if b is not None else b"")
+                    for mt, b in zip(sub["media_type"], sub["blob"])
+                ]
+                yield pd.DataFrame(
+                    {
+                        "media_id": sub["media_id"],
+                        "media_type": sub["media_type"],
+                        "n_bytes": [len(b) if b is not None else 0 for b in sub["blob"]],
+                        "blob_digest": [
+                            hashlib.md5(b if b is not None else b"").hexdigest()
+                            for b in sub["blob"]
+                        ],
+                        "feature": feats,
+                    }
+                )
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 

@@ -37,13 +37,23 @@ def bin_range_join(
     how: str = "inner",
 ) -> DataFrame:
     """Join each point row to the interval rows with
-    lo <= point < hi, as a binned equi-join (see module docstring)."""
+    lo <= point < hi, as a binned equi-join (see module docstring).
+
+    ``how`` is restricted to inner/left: the exact range residual is
+    part of the JOIN CONDITION (not a post-join filter), so a left
+    join keeps unmatched point rows null-extended instead of silently
+    dropping them (a post-join ``point >= lo`` evaluates to NULL on
+    null-extended rows — the round-2 left-degenerates-to-inner bug).
+    right/full would emit each unmatched interval row once per
+    exploded bin, which has no sane semantics — rejected."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"bin_range_join supports how='inner'|'left', got {how!r}")
     w = F.lit(float(bin_width))
     pts = points.withColumn(
-        "_bin", F.floor(F.col(point_col) / w).cast("long")
+        "_pbin", F.floor(F.col(point_col) / w).cast("long")
     )
     ivl = intervals.withColumn(
-        "_bin",
+        "_ibin",
         F.explode(
             F.sequence(
                 F.floor(F.col(lo_col) / w).cast("long"),
@@ -51,11 +61,12 @@ def bin_range_join(
             )
         ),
     )
-    return (
-        pts.join(ivl, "_bin", how)
-        .filter((F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col)))
-        .drop("_bin")
+    cond = (
+        (pts["_pbin"] == ivl["_ibin"])
+        & (pts[point_col] >= ivl[lo_col])
+        & (pts[point_col] < ivl[hi_col])
     )
+    return pts.join(ivl, cond, how).drop("_pbin", "_ibin")
 
 
 def salted_join(
@@ -67,7 +78,11 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join with the fact's hot keys spread across ``n_salts``
     reducers.  Emits exactly the rows of ``fact.join(dim, on, how)``
-    (inner/left): the salt is an internal partitioning detail."""
+    (inner/left): the salt is an internal partitioning detail.
+    right/full are rejected — the dim side is replicated per salt, so
+    an outer-preserved dim row would surface n_salts times."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports how='inner'|'left', got {how!r}")
     salt = F.pmod(
         F.xxhash64(*[F.col(c) for c in fact.columns], F.lit(7)), F.lit(n_salts)
     )

@@ -260,6 +260,10 @@ def ivf_topk(
     # so the embedded literals match what the oracle computes in-engine.
     raw_rows = (
         corpus.select(id_col, vec_col)
+        # zero vectors can't be unit-scaled into centroids — skip them
+        # BEFORE the seeded sample (the candidate path already guards
+        # zero norms via nullif; this closes the centroid path)
+        .where(l2_norm(F.col(vec_col)) > 0)
         .orderBy(F.md5(F.concat_ws("|", F.lit("ivf"), F.col(id_col))), F.col(id_col))
         .limit(n_centroids)
         .collect()

@@ -116,6 +116,74 @@ def subsample_keep_prob(rank: Column, vocab_size: int) -> Column:
     return F.least(F.lit(1.0), F.sqrt(ratio) + ratio)
 
 
+def subsampled_positions(
+    positions: DataFrame,
+    vocab: DataFrame,
+    vocab_size: int,
+    seed: int = 42,
+) -> DataFrame:
+    """F3 wiring (reference data_prep.py:150-151,163-169: keras
+    ``skipgrams(..., sampling_table=...)``): drop each TARGET
+    occurrence of a frequent item with probability 1 − keep_prob(rank).
+
+    Keras semantics, matched exactly: the sampling_table check runs on
+    the enumerated sequence element — ONE coin flip per occurrence, so
+    all pairs with that occurrence as target live or die together,
+    while the occurrence still serves as context for its neighbors.
+    The flip is hash-derived (md5(seed|sub|order|pos)) so the oracle
+    replays the identical keep/drop stream.  Items outside the vocab
+    are the rarest — keep_prob 1 by construction (NULL rank ⇒ keep).
+
+    One broadcast join (vocab is small by definition) + a row-local
+    filter: zero extra shuffles on the 100 TB path."""
+    from prod2vec_spark.functions.hashing import hash_unit
+
+    v = F.broadcast(
+        vocab.where(F.col("product_id").isNotNull()).select(
+            F.col("product_id").alias("item"), F.col("idx").alias("_rank")
+        )
+    )
+    keep = F.when(F.col("_rank").isNull(), F.lit(1.0)).otherwise(
+        subsample_keep_prob(F.col("_rank"), vocab_size)
+    )
+    u = hash_unit(
+        F.concat_ws("|", F.lit(seed), F.lit("sub"), F.col("order_id"), F.col("pos"))
+    )
+    return (
+        positions.join(v, "item", "left")
+        .where(u < keep)
+        .select("order_id", "item", "pos")
+    )
+
+
+def skipgram_pairs_subsampled(
+    positions: DataFrame,
+    vocab: DataFrame,
+    vocab_size: int,
+    window: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """F3 ∘ F4 composed: skip-gram pairs with frequent-target
+    subsampling — the engine form of the reference's
+    ``skipgrams(seq, sampling_table=sampling_table)`` call
+    (data_prep.py:163-169).  Target side filtered per-occurrence
+    (``subsampled_positions``), context side unfiltered, exactly like
+    keras: a dropped element emits no pairs as target but still
+    appears as context."""
+    t = subsampled_positions(positions, vocab, vocab_size, seed).alias("t")
+    c = positions.alias("c")
+    d = F.abs(F.col("t.pos") - F.col("c.pos"))
+    return (
+        t.join(c, F.col("t.order_id") == F.col("c.order_id"))
+        .where((d >= 1) & (d <= window))
+        .select(
+            F.col("t.order_id").alias("order_id"),
+            F.col("t.item").alias("target"),
+            F.col("c.item").alias("context"),
+        )
+    )
+
+
 def log_uniform_negative(u: Column, vocab_size: int) -> Column:
     """F5 inverse CDF: k = floor(exp(u·ln(V+1))) - 1  ∈ [0, V)."""
     return F.least(
@@ -134,10 +202,16 @@ def negative_samples(
     """F5: append ``negatives: array<long>`` to each (target, context)
     pair.  Deterministic: u_i = md5(seed|order|target|context|i)/2^32.
 
-    ``distinct=True`` mimics TF's unique=True + true-class exclusion by
-    oversampling 2·num_ns draws, dropping duplicates and the true
-    context, and keeping the first num_ns — a documented slight
-    distribution deviation (SURVEY.md §7.4 risk 1).
+    ``distinct=True`` mimics TF's unique=True + true-class exclusion
+    (data_prep.py:178-186 guarantees exactly num_ns unique draws):
+    oversample 2·num_ns hash draws, drop duplicates and the true
+    context, keep the first num_ns — and GUARANTEE the arity by
+    appending the deterministic fallback sequence (context+j) mod V,
+    j=1.., which is distinct and context-free by construction, before
+    the final slice.  The fallback only surfaces when the hash draws
+    under-fill (tiny vocab / unlucky draws — the round-2 silent
+    under-fill); requires vocab_size - 1 >= num_ns, else no valid
+    draw exists and a ValueError names the contradiction.
 
     Cost note: one md5 digest yields FOUR independent 32-bit uniforms
     (32 hex chars = 4 × 8), so draw i reads hex slice [1+8·(i%4), 8] of
@@ -146,6 +220,11 @@ def negative_samples(
     computes each exactly once per row (inlining them in the array
     expression re-evaluated the hash per draw — measured 3× slower).
     The oracle slices identically."""
+    if distinct and vocab_size - 1 < num_ns:
+        raise ValueError(
+            f"distinct=True needs vocab_size-1 >= num_ns distinct non-true "
+            f"candidates, got vocab_size={vocab_size}, num_ns={num_ns}"
+        )
     draws = 2 * num_ns if distinct else num_ns
     blocks = (draws + 3) // 4
     key = F.concat_ws(
@@ -159,8 +238,15 @@ def negative_samples(
     ).cast("double") / F.lit(4294967296.0)
     negs = F.array(*[log_uniform_negative(u(i), vocab_size) for i in range(draws)])
     if distinct:
+        ctx = F.col("context").cast("long")
+        # (ctx + j) mod V for j = 1..num_ns: num_ns distinct values, all
+        # != ctx when num_ns <= V-1 — the arity-guaranteeing tail
+        fallback = F.transform(
+            F.sequence(F.lit(1), F.lit(num_ns)),
+            lambda j: F.pmod(ctx + j.cast("long"), F.lit(vocab_size).cast("long")),
+        )
         negs = F.slice(
-            F.array_except(F.array_distinct(negs), F.array(F.col("context").cast("long"))),
+            F.array_except(F.concat(negs, fallback), F.array(ctx)),
             1,
             num_ns,
         )

@@ -49,7 +49,7 @@ class PipelineConfig:
     num_ns: int = 4  # yaml:27
     max_basket_length: int = 50  # yaml:28
     run_hyperparameter_opt: bool = False  # DAG branch (yaml:46)
-    tune_strategy: str = "grid"  # "grid" | "random" (seeded random search)
+    tune_strategy: str = "grid"  # "grid" | "random" | "tpe" (seeded TPE-lite)
     tune_n_trials: int = 4  # random-search budget (reference: 5 jobs)
     tune_dims: list[int] = field(default_factory=lambda: [16, 32])
     tune_lrs: list[float] = field(default_factory=lambda: [0.025, 0.1])
@@ -103,6 +103,8 @@ class Prod2VecPipeline:
         post_process.py:85-89), so postprocess can resume from disk
         without retraining (see ``resume_postprocess``)."""
         if self.cfg.run_hyperparameter_opt:
+            # work_dir => every trial model spills to the S7 sink and
+            # only the winner is reloaded (no driver-held model dict)
             if self.cfg.tune_strategy == "random":
                 from prod2vec_spark.ml.tuning import random_search_tune
 
@@ -111,6 +113,17 @@ class Prod2VecPipeline:
                     staged["pairs"],
                     n_trials=self.cfg.tune_n_trials,
                     base=self.cfg.train,
+                    work_dir=self.cfg.work_dir,
+                )
+            elif self.cfg.tune_strategy == "tpe":
+                from prod2vec_spark.ml.tuning import tpe_tune
+
+                results, best = tpe_tune(
+                    staged["baskets"],
+                    staged["pairs"],
+                    n_trials=self.cfg.tune_n_trials,
+                    base=self.cfg.train,
+                    work_dir=self.cfg.work_dir,
                 )
             else:
                 results, best = grid_tune(
@@ -119,6 +132,7 @@ class Prod2VecPipeline:
                     dims=self.cfg.tune_dims,
                     lrs=self.cfg.tune_lrs,
                     base=self.cfg.train,
+                    work_dir=self.cfg.work_dir,
                 )
             write_parquet(tuning_report(results), f"{self.cfg.work_dir}/tuning_results")
             # M7: objective-vs-hyperparameter PNGs (plot_helpers.py:12-63)

@@ -345,7 +345,9 @@ def _sql_ann_ivf() -> str:
     dot_qa = _DOT.format(a="qn", b="nvec")
     return f"""
 WITH cent AS (SELECT vec_id, {_UNIT.format(a='embedding')} AS cvec
-              FROM embeddings ORDER BY md5('ivf|' || vec_id), vec_id LIMIT 8),
+              FROM embeddings
+              WHERE {_L2.format(a='embedding')} > 0
+              ORDER BY md5('ivf|' || vec_id), vec_id LIMIT 8),
 cid AS (SELECT row_number() OVER (ORDER BY md5('ivf|' || vec_id), vec_id) - 1 AS cid,
                cvec
         FROM cent),

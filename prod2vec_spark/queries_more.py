@@ -8,7 +8,11 @@ from pyspark.sql import functions as F
 
 from prod2vec_spark.functions.arrays import seeded_shuffle
 from prod2vec_spark.operators.baskets import assemble_baskets, build_vocab
-from prod2vec_spark.operators.skipgram import subsample_keep_prob
+from prod2vec_spark.operators.skipgram import (
+    skipgram_pairs_subsampled,
+    subsample_keep_prob,
+    with_positions,
+)
 from prod2vec_spark.sources.io import read_table
 
 
@@ -66,6 +70,129 @@ SELECT idx, product_id,
        round(least(1.0, sqrt(1e-5 / (1.0 / (idx * (ln(101.0) + 0.57721566490153286))))
                         + 1e-5 / (1.0 / (idx * (ln(101.0) + 0.57721566490153286)))), 6) AS keep_prob
 FROM vocab
+"""
+
+
+# --------------------------------------------- F3 ∘ F4 subsampled pairs
+def q_skipgram_subsampled(spark, sf_dir):
+    """F3 wired INTO pair generation (the round-2 gap): skip-gram pairs
+    with frequent-target subsampling, per-target stats.  Matches the
+    reference's ``skipgrams(seq, sampling_table=...)`` composition
+    (data_prep.py:150-151,163-169) — one hash coin flip per target
+    occurrence, context side unfiltered."""
+    li = read_table(spark, sf_dir, "lineitem")
+    pos = with_positions(li)
+    vocab = build_vocab(li, num_prods=101)
+    pairs = skipgram_pairs_subsampled(pos, vocab, vocab_size=101, window=4, seed=42)
+    return pairs.groupBy("target").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("context").alias("distinct_ctx"),
+        F.sum("context").alias("ctx_sum"),
+    )
+
+
+# keep-prob replayed from the rank exactly as SQL_SUBSAMPLE_TABLE; the
+# coin flip replays operators/skipgram.subsampled_positions's
+# md5(seed|sub|order|pos) uniform
+_SQL_KEEP = (
+    "least(1.0, sqrt(1e-5 / (1.0 / (v.idx * (ln(101.0) + 0.57721566490153286))))"
+    " + 1e-5 / (1.0 / (v.idx * (ln(101.0) + 0.57721566490153286))))"
+)
+
+SQL_SKIPGRAM_SUBSAMPLED = f"""
+WITH pos AS (
+  SELECT l_orderkey AS o, l_partkey AS item,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_linenumber, l_partkey, l_suppkey) AS p
+  FROM lineitem),
+vocab AS (
+  SELECT product_id,
+         CAST(row_number() OVER (ORDER BY cnt DESC, product_id) AS INT) AS idx
+  FROM (SELECT l_partkey AS product_id, count(*) AS cnt
+        FROM lineitem GROUP BY 1 ORDER BY cnt DESC, product_id LIMIT 100)),
+tkeep AS (
+  SELECT t.o, t.item, t.p
+  FROM pos t LEFT JOIN vocab v ON t.item = v.product_id
+  WHERE ('0x' || substr(md5('42|sub|' || t.o || '|' || t.p), 1, 8))::BIGINT
+        / 4294967296.0
+        < CASE WHEN v.idx IS NULL THEN 1.0 ELSE {_SQL_KEEP} END)
+SELECT t.item AS target,
+       count(*) AS n_pairs,
+       CAST(count(DISTINCT c.item) AS BIGINT) AS distinct_ctx,
+       CAST(sum(c.item) AS BIGINT) AS ctx_sum
+FROM tkeep t JOIN pos c ON t.o = c.o AND abs(t.p - c.p) BETWEEN 1 AND 4
+GROUP BY t.item
+"""
+
+
+# ------------------------------------------------- set ops (§2.7 D1+)
+def q_intersect_parts(spark, sf_dir):
+    """INTERSECT (set semantics): part keys ordered at quantity 1 AND
+    at quantity 2 — distinct-based set op, one shuffle per side + the
+    distinct, exactly Catalyst's plan for INTERSECT.  (Quantity
+    predicates are selective enough that neither side nor the result
+    is the whole part universe.)"""
+    li = read_table(spark, sf_dir, "lineitem")
+    one = li.where(F.col("l_quantity") == 1).select("l_partkey")
+    two = li.where(F.col("l_quantity") == 2).select("l_partkey")
+    return one.intersect(two)
+
+
+SQL_INTERSECT_PARTS = """
+SELECT l_partkey FROM lineitem WHERE l_quantity = 1
+INTERSECT
+SELECT l_partkey FROM lineitem WHERE l_quantity = 2
+"""
+
+
+def q_except_parts(spark, sf_dir):
+    """EXCEPT (set semantics): part keys ordered at quantity 1 but
+    never at quantity 2.  ``subtract`` is Spark's EXCEPT DISTINCT
+    (``exceptAll`` would be multiset-except: a key seen 3x on the
+    left and 1x on the right would wrongly survive)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    one = li.where(F.col("l_quantity") == 1).select("l_partkey")
+    two = li.where(F.col("l_quantity") == 2).select("l_partkey")
+    return one.subtract(two)
+
+
+SQL_EXCEPT_PARTS = """
+SELECT l_partkey FROM lineitem WHERE l_quantity = 1
+EXCEPT
+SELECT l_partkey FROM lineitem WHERE l_quantity = 2
+"""
+
+
+# ----------------------------------------- A3 at scale: approx distinct
+def q_approx_distinct_parts(spark, sf_dir):
+    """A3's 100 TB form (SURVEY §2.4): HyperLogLog++
+    approx_count_distinct beside the exact count.  The sketch value
+    itself is engine-specific (Spark HLL++ vs DuckDB HLL give
+    different estimates), so the oracle-checkable output is the exact
+    count plus the DOCUMENTED ERROR BOUND assertion: rsd=0.05 ⇒
+    |approx−exact|/exact < 0.15 (3σ) with overwhelming probability at
+    this cardinality — both engines' estimates must satisfy it."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("exact_cnt"),
+        (
+            (
+                F.abs(
+                    F.approx_count_distinct("l_partkey", rsd=0.05)
+                    - F.countDistinct("l_partkey")
+                )
+                / F.countDistinct("l_partkey")
+            )
+            < 0.15
+        ).alias("approx_ok"),
+    )
+
+
+SQL_APPROX_DISTINCT = """
+SELECT count(DISTINCT l_partkey) AS exact_cnt,
+       (abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+        / CAST(count(DISTINCT l_partkey) AS DOUBLE)) < 0.15 AS approx_ok
+FROM lineitem
 """
 
 
@@ -318,6 +445,10 @@ SELECT vec_a, vec_b, cosine_sim FROM p WHERE cosine_sim >= 0.4
 MORE_QUERIES = {
     "seeded_shuffle": q_seeded_shuffle,
     "subsample_table": q_subsample_table,
+    "skipgram_subsampled": q_skipgram_subsampled,
+    "intersect_parts": q_intersect_parts,
+    "except_parts": q_except_parts,
+    "approx_distinct_parts": q_approx_distinct_parts,
     "rollup_pricing": q_rollup_pricing,
     "validation_sample": q_validation_sample,
     "string_agg_names": q_string_agg_names,
@@ -329,6 +460,10 @@ MORE_QUERIES = {
 MORE_ORACLES = {
     "seeded_shuffle": SQL_SEEDED_SHUFFLE,
     "subsample_table": SQL_SUBSAMPLE_TABLE,
+    "skipgram_subsampled": SQL_SKIPGRAM_SUBSAMPLED,
+    "intersect_parts": SQL_INTERSECT_PARTS,
+    "except_parts": SQL_EXCEPT_PARTS,
+    "approx_distinct_parts": SQL_APPROX_DISTINCT,
     "rollup_pricing": SQL_ROLLUP_PRICING,
     "validation_sample": SQL_VALIDATION_SAMPLE,
     "string_agg_names": SQL_STRING_AGG_NAMES,

@@ -63,3 +63,26 @@ def test_frame_sample_plan(spark):
     # every video with nonzero duration contributes frames
     vids = {m for m, d in durations.items() if m % 3 == 2}
     assert vids == {r["media_id"] for r in rows} | {m for m in vids if durations[m] == 0}
+
+
+def test_extract_features_leaves_session_conf_alone(spark):
+    """batch_hint must NOT leak into session conf (round-2 side
+    effect); arrow_batch_scope restores the previous value."""
+    from prod2vec_spark.operators.multimodal import (
+        arrow_batch_scope,
+        attach_blobs,
+        extract_features,
+    )
+    from prod2vec_spark.sources.io import read_table
+    from tests.conftest import SF_SMOKE
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    before = spark.conf.get(key, None)
+    media = attach_blobs(read_table(spark, SF_SMOKE, "documents").limit(40))
+    out = extract_features(media, batch_hint=7)
+    assert out.count() == 40
+    assert spark.conf.get(key, None) == before
+    with arrow_batch_scope(spark, 16):
+        assert spark.conf.get(key) == "16"
+        assert extract_features(media).count() == 40
+    assert spark.conf.get(key, None) == before

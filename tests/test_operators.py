@@ -339,3 +339,108 @@ def test_arrow_cosine_matches_hof_path(spark):
     for key in exact:
         assert exact[key][0] == arrow[key][0]
         assert exact[key][1] == _pytest.approx(arrow[key][1], abs=1e-5)
+
+
+def test_bin_range_join_left_keeps_unmatched(spark):
+    """how='left' must null-extend unmatched points (round-2 bug:
+    post-join residual filter silently dropped them = inner)."""
+    from prod2vec_spark.operators.ranges import bin_range_join
+
+    pts = spark.createDataFrame(
+        [(1, 5.0), (2, 15.0), (3, 999.0)], "pid long, x double"
+    )
+    ivl = spark.createDataFrame(
+        [("a", 0.0, 10.0), ("b", 10.0, 20.0)], "name string, lo double, hi double"
+    )
+    got = sorted(
+        (r["pid"], r["name"])
+        for r in bin_range_join(pts, ivl, "x", "lo", "hi", bin_width=7.0, how="left").collect()
+    )
+    naive = sorted(
+        (r["pid"], r["name"])
+        for r in pts.join(
+            ivl, (F.col("x") >= F.col("lo")) & (F.col("x") < F.col("hi")), "left"
+        ).collect()
+    )
+    assert got == naive
+    assert (3, None) in got  # the unmatched point survives null-extended
+    with pytest.raises(ValueError):
+        bin_range_join(pts, ivl, "x", "lo", "hi", bin_width=7.0, how="full")
+
+
+def test_salted_join_rejects_outer_how(spark):
+    from prod2vec_spark.operators.ranges import salted_join
+
+    fact = spark.createDataFrame([(1, 1)], "k long, v long")
+    dim = spark.createDataFrame([(1, "x")], "k long, name string")
+    with pytest.raises(ValueError):
+        salted_join(fact, dim, "k", how="right")
+
+
+def test_negative_sampling_distinct_exact_arity(spark):
+    """distinct=True must emit EXACTLY num_ns negatives per row even
+    when the oversample dedups below num_ns (tiny vocab) — TF's
+    unique=True contract (data_prep.py:178-186).  vocab_size=6 with
+    num_ns=4 demonstrably under-filled the round-2 slice."""
+    from prod2vec_spark.operators.skipgram import negative_samples
+
+    rows = [(o, t, c) for o in range(30) for t, c in [(1, 2), (3, 4), (0, 5)]]
+    pairs = spark.createDataFrame(rows, "order_id long, target long, context long")
+    out = negative_samples(pairs, vocab_size=6, num_ns=4, seed=3, distinct=True)
+    for r in out.collect():
+        negs = r["negatives"]
+        assert len(negs) == 4, f"under-filled: {negs}"
+        assert len(set(negs)) == 4
+        assert r["context"] not in negs
+        assert all(0 <= n < 6 for n in negs)
+    # impossible contract -> loud error, not silent under-fill
+    with pytest.raises(ValueError):
+        negative_samples(pairs, vocab_size=4, num_ns=4, distinct=True)
+
+
+def test_skipgram_subsampled_properties(spark):
+    """F3 wiring invariants (keras skipgrams + sampling_table,
+    data_prep.py:163-169): subsampling drops only vocab-ranked TARGET
+    occurrences — OOV targets keep every pair; frequent ranks retain
+    less than the keep-everything baseline; deterministic in seed."""
+    from prod2vec_spark.operators.baskets import build_vocab
+    from prod2vec_spark.operators.skipgram import (
+        skipgram_pairs_selfjoin,
+        skipgram_pairs_subsampled,
+        with_positions,
+    )
+    from prod2vec_spark.sources.io import read_table
+    from tests.conftest import SF_SMOKE
+
+    li = read_table(spark, SF_SMOKE, "lineitem")
+    pos = with_positions(li)
+    vocab = build_vocab(li, num_prods=101)
+    full = skipgram_pairs_selfjoin(pos, 4).groupBy("target").count()
+    sub = (
+        skipgram_pairs_subsampled(pos, vocab, vocab_size=101, window=4, seed=42)
+        .groupBy("target")
+        .count()
+    )
+    in_vocab = {
+        r["product_id"]
+        for r in vocab.collect()
+        if r["product_id"] is not None
+    }
+    f = {r["target"]: r["count"] for r in full.collect()}
+    s = {r["target"]: r["count"] for r in sub.collect()}
+    # every subsampled target-count is <= the unsubsampled one
+    assert all(s[t] <= f[t] for t in s)
+    # OOV targets (rarest; keep_prob = 1) lose nothing
+    oov = [t for t in f if t not in in_vocab]
+    assert oov and all(s.get(t, 0) == f[t] for t in oov)
+    # vocab targets (frequent) are aggressively subsampled at t=1e-5
+    kept = sum(s.get(t, 0) for t in in_vocab)
+    total = sum(f[t] for t in in_vocab)
+    assert kept < 0.5 * total
+    # determinism
+    again = (
+        skipgram_pairs_subsampled(pos, vocab, vocab_size=101, window=4, seed=42)
+        .groupBy("target")
+        .count()
+    )
+    assert s == {r["target"]: r["count"] for r in again.collect()}
