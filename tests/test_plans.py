@@ -174,3 +174,11 @@ def test_range_join_is_hash_join(spark):
     plan = explain_str(df)
     assert "NestedLoop" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_skipgram_subsampled_vocab_join_broadcasts(spark):
+    """F3 wiring: the vocab rank lookup must broadcast (vocab is small
+    by definition) — the positions side must not shuffle for it; the
+    only exchanges are the position window + the pair self-join."""
+    df = QUERIES["skipgram_subsampled"](spark, SF_SMOKE)
+    assert has_broadcast_join(df)
