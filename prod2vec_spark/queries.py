@@ -499,6 +499,11 @@ _ORACLES_CORE: dict[str, str] = {
 # Extension catalog (text / dedup / simsearch / events / multi-join)
 from prod2vec_spark.queries_ext import EXT_ORACLES, EXT_QUERIES  # noqa: E402
 from prod2vec_spark.queries_more import MORE_ORACLES, MORE_QUERIES  # noqa: E402
+from prod2vec_spark.queries_r3 import R3_ORACLES, R3_QUERIES  # noqa: E402
 
-QUERIES: dict[str, QueryFn] = {**_QUERIES_CORE, **EXT_QUERIES, **MORE_QUERIES}
-ORACLES: dict[str, str] = {**_ORACLES_CORE, **EXT_ORACLES, **MORE_ORACLES}
+QUERIES: dict[str, QueryFn] = {
+    **_QUERIES_CORE, **EXT_QUERIES, **MORE_QUERIES, **R3_QUERIES,
+}
+ORACLES: dict[str, str] = {
+    **_ORACLES_CORE, **EXT_ORACLES, **MORE_ORACLES, **R3_ORACLES,
+}

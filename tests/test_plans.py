@@ -182,3 +182,52 @@ def test_skipgram_subsampled_vocab_join_broadcasts(spark):
     only exchanges are the position window + the pair self-join."""
     df = QUERIES["skipgram_subsampled"](spark, SF_SMOKE)
     assert has_broadcast_join(df)
+
+
+def test_semi_anti_joins_broadcast(spark):
+    """semi_parts / anti_customers: the distinct key set broadcasts so
+    the probed table never shuffles (the 100 TB blocklist shape)."""
+    from prod2vec_spark.plans.inspect import explain_str
+
+    for name in ["semi_parts", "anti_customers"]:
+        df = QUERIES[name](spark, SF_SMOKE)
+        plan = explain_str(df)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_pivot_two_bounded_shuffles_no_value_scan(spark):
+    """pivot_status with an explicit value list: the fact table is
+    scanned ONCE (no distinct-scan job to discover pivot values), and
+    the plan is the two-level pivotfirst agg — the second exchange
+    carries only the already-reduced priority x status grid (bounded,
+    ~15 rows at any SF)."""
+    from prod2vec_spark.plans.inspect import explain_str
+
+    df = QUERIES["pivot_status"](spark, SF_SMOKE)
+    assert count_exchanges(df) == 2
+    # one file-scan node (formatted explain prints "Location:" once per scan)
+    assert explain_str(df).count("Location: InMemoryFileIndex") == 1
+
+
+def test_stratified_sample_no_global_sort(spark):
+    """stratified_sample: per-key window top-n — exactly the stratum
+    hash shuffle, no global Sort/Exchange funnel."""
+    from prod2vec_spark.plans.inspect import explain_str
+
+    df = QUERIES["stratified_sample"](spark, SF_SMOKE)
+    assert count_exchanges(df) == 1
+    assert "rangepartitioning" not in explain_str(df).lower()
+
+
+def test_tfidf_corpus_count_broadcasts(spark):
+    """tfidf_terms: the 1-row corpus-size scalar joins via broadcast;
+    the only real shuffles are the (doc,term) hash agg and the top-N
+    funnel on an already-aggregated table.  The join shows as a 1-row
+    BroadcastNestedLoopJoin (the degenerate crossJoin) — scan side
+    streams, never shuffles."""
+    from prod2vec_spark.plans.inspect import explain_str
+
+    plan = explain_str(QUERIES["tfidf_terms"](spark, SF_SMOKE))
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
