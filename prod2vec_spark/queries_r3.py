@@ -97,6 +97,34 @@ FROM events GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------- sliding window (F-ext)
+def q_events_sliding(spark, sf_dir):
+    """Overlapping 6-hour windows sliding every 3 hours: each event
+    lands in exactly size/slide = 2 windows.  Spark plans this as one
+    Expand (2x map-side, same machinery as cube) + one hash agg — the
+    overlap never re-reads the source."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours", "3 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+# an event at ts belongs to the windows starting at floor_3h(ts) and
+# floor_3h(ts) - 3h (both epoch-aligned); unnest replays Spark's Expand
+SQL_EVENTS_SLIDING = """
+WITH s AS (
+  SELECT event_type,
+         date_trunc('day', ts)
+           + INTERVAL (CAST(floor(hour(ts) / 3) * 3 AS INT)) HOUR AS s0
+  FROM events)
+SELECT ws AS window_start, event_type, count(*) AS n_events
+FROM (SELECT event_type, unnest([s0, s0 - INTERVAL 3 HOUR]) AS ws FROM s)
+GROUP BY 1, 2
+"""
+
+
 # ------------------------------------------------------------- semi join (J)
 def q_semi_parts(spark, sf_dir):
     """Left-semi join: parts that ship in any high-quantity line item.
@@ -335,9 +363,101 @@ FROM d, n ORDER BY df DESC, term LIMIT {TFIDF_TOP}
 """
 
 
+# ------------------------------------------------- dedup clusters (LLM)
+def q_dedup_clusters(spark, sf_dir):
+    """Full near-dup pipeline: minhash bands -> LSH candidate pairs ->
+    connected components -> (doc_id, cluster_id, is_canonical).  The
+    component id is the cluster's min doc_id (deterministic); the
+    canonical doc is the one a dedup pass keeps.  CC is min-label
+    propagation — 2 shuffles/round, rounds = graph diameter (~2 for
+    LSH near-clique clusters), lineage broken per round
+    (operators/graph.py scale notes)."""
+    from prod2vec_spark.operators import dedup as DD
+    from prod2vec_spark.operators import graph as GR
+    from prod2vec_spark.queries_ext import LSH_MAX_GROUP
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.lsh_candidate_pairs(DD.minhash_bands(docs), max_group=LSH_MAX_GROUP)
+    return GR.dedup_clusters(pairs)
+
+
+def _sql_dedup_clusters() -> str:
+    from prod2vec_spark.queries_ext import _SQL_MINHASH, _SQL_SHINGLES3, LSH_MAX_GROUP
+
+    return f"""
+WITH RECURSIVE {_SQL_SHINGLES3},
+{_SQL_MINHASH},
+eligible AS (
+  SELECT band_id, band_sig FROM bands
+  GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND {LSH_MAX_GROUP}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN eligible e ON a.band_id = e.band_id AND a.band_sig = e.band_sig
+  JOIN bands b
+    ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+r(a, b) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+  UNION
+  SELECT r.a, e.b FROM r JOIN e ON r.b = e.a)
+SELECT a AS doc_id, min(b) AS cluster_id,
+       CAST(a = min(b) AS INT) AS is_canonical
+FROM r GROUP BY a
+"""
+
+
+# ------------------------------------------------- quality filter (LLM)
+QUALITY_PCT = 0.25
+
+
+def q_quality_filter(spark, sf_dir):
+    """Percentile-threshold quality gate — the 'drop the worst quartile'
+    stage of an LLM data pipeline.  Scores are row-local
+    (text.quality_score); the global p25 threshold is a 1-row aggregate
+    joined back as a broadcast scalar (same shape as tfidf's corpus
+    count — never a global window over the corpus)."""
+    from prod2vec_spark.operators import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "lang", TX.quality_score(F.col("text")).alias("q")
+    )
+    thr = scored.agg(
+        F.percentile("q", F.lit(QUALITY_PCT)).alias("q_thr")
+    )
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .where(F.col("q") >= F.col("q_thr"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(F.avg("q"), 4).alias("avg_q"),
+        )
+    )
+
+
+def _sql_quality_filter() -> str:
+    from prod2vec_spark.queries_ext import _TOKS
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang,
+    round((least(1.0, CAST(len(toks) AS DOUBLE) / 20.0)
+           + greatest(0.0, 1.0 - 4.0 * round(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text), 4))
+           + round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4)) / 3.0, 4) AS q
+  FROM (SELECT doc_id, lang, text, {_TOKS} AS toks FROM documents)),
+thr AS (SELECT quantile_cont(q, {QUALITY_PCT}) AS q_thr FROM t)
+SELECT lang, count(*) AS n_kept, round(avg(q), 4) AS avg_q
+FROM t, thr WHERE q >= q_thr GROUP BY lang
+"""
+
+
 R3_QUERIES = {
     "events_json": q_events_json,
     "events_window": q_events_window,
+    "events_sliding": q_events_sliding,
     "semi_parts": q_semi_parts,
     "anti_customers": q_anti_customers,
     "pivot_status": q_pivot_status,
@@ -346,11 +466,14 @@ R3_QUERIES = {
     "running_revenue": q_running_revenue,
     "stratified_sample": q_stratified_sample,
     "tfidf_terms": q_tfidf_terms,
+    "dedup_clusters": q_dedup_clusters,
+    "quality_filter": q_quality_filter,
 }
 
 R3_ORACLES = {
     "events_json": SQL_EVENTS_JSON,
     "events_window": SQL_EVENTS_WINDOW,
+    "events_sliding": SQL_EVENTS_SLIDING,
     "semi_parts": SQL_SEMI_PARTS,
     "anti_customers": SQL_ANTI_CUSTOMERS,
     "pivot_status": SQL_PIVOT_STATUS,
@@ -359,4 +482,6 @@ R3_ORACLES = {
     "running_revenue": SQL_RUNNING_REVENUE,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "tfidf_terms": SQL_TFIDF_TERMS,
+    "dedup_clusters": _sql_dedup_clusters(),
+    "quality_filter": _sql_quality_filter(),
 }

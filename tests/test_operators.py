@@ -444,3 +444,42 @@ def test_skipgram_subsampled_properties(spark):
         .count()
     )
     assert s == {r["target"]: r["count"] for r in again.collect()}
+
+
+def test_connected_components_chain_and_islands(spark):
+    """CC on a worst-case-diameter chain (0-1-2-3-4), a separate
+    triangle, and a 2-node island: labels converge to the component
+    minimum for every node; self-loops and duplicate edges are inert."""
+    from prod2vec_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4),          # chain, diameter 4
+         (10, 11), (11, 12), (12, 10),            # triangle
+         (20, 21), (21, 20), (21, 21)],           # island + dup + loop
+        "src: long, dst: long",
+    )
+    got = {
+        (r["node"], r["comp"])
+        for r in connected_components(edges).collect()
+    }
+    want = {(n, 0) for n in range(5)} | {(n, 10) for n in (10, 11, 12)} | {
+        (20, 20), (21, 20)}
+    assert got == want
+
+
+def test_dedup_clusters_canonical_flags(spark):
+    """dedup_clusters: exactly one canonical doc per cluster, and it is
+    the min id."""
+    from prod2vec_spark.operators.graph import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(5, 9), (9, 7), (100, 101)], "doc_a: long, doc_b: long"
+    )
+    rows = dedup_clusters(pairs).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    assert set(by_cluster) == {5, 100}
+    for cid, members in by_cluster.items():
+        canon = [m for m in members if m["is_canonical"] == 1]
+        assert len(canon) == 1 and canon[0]["doc_id"] == cid

@@ -231,3 +231,16 @@ def test_tfidf_corpus_count_broadcasts(spark):
     plan = explain_str(QUERIES["tfidf_terms"](spark, SF_SMOKE))
     assert "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_sliding_window_expand_single_shuffle(spark):
+    """events_sliding: the 2x window overlap is one map-side Expand
+    feeding one hash-agg shuffle — the source is scanned once, never
+    re-read per overlapping window."""
+    from prod2vec_spark.plans.inspect import explain_str
+
+    df = QUERIES["events_sliding"](spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "Expand" in plan
+    assert count_exchanges(df) == 1
+    assert plan.count("Location: InMemoryFileIndex") == 1
