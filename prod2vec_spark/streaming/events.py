@@ -123,6 +123,52 @@ def streaming_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def streaming_conversions(
+    events: DataFrame,
+    left_type: str = "view",
+    right_type: str = "purchase",
+    within: str = "1 hour",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Stream-stream inner join with a time-range condition: each
+    ``right_type`` event (purchase) matched to every ``left_type``
+    event (view) of the same user in the preceding ``within`` —
+    the attribution/conversion shape.
+
+    State on BOTH sides is bounded: the watermarks plus the time-range
+    predicate let Spark evict a buffered view once no future purchase
+    can land inside its window (and vice versa) — without the range
+    condition the join state would grow forever.  One shuffle per side
+    on user_id."""
+    views = (
+        events.where(F.col("event_type") == left_type)
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    buys = (
+        events.where(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("event_id").alias("buy_id"),
+            F.col("ts").alias("buy_ts"),
+        )
+        .withWatermark("buy_ts", watermark)
+    )
+    return views.join(
+        buys,
+        F.expr(
+            f"v_user = b_user AND buy_ts >= view_ts "
+            f"AND buy_ts <= view_ts + INTERVAL {within}"
+        ),
+    ).select(
+        F.col("v_user").alias("user_id"), "view_id", "buy_id", "view_ts", "buy_ts"
+    )
+
+
 def run_to_memory(stream_df: DataFrame, table_name: str, output_mode: str = "append") -> None:
     """Drain an availableNow trigger into an in-memory sink (tests).
     Aggregations need output_mode='complete'; row streams 'append'."""

@@ -124,3 +124,41 @@ def test_stateful_user_totals_match_batch(spark, events_dir):
     for uid in got:
         assert got[uid][0] == batch[uid][0]
         assert got[uid][1] == _pytest.approx(batch[uid][1], rel=1e-9)
+
+
+def test_stream_stream_join_matches_batch(spark, events_dir):
+    """streaming_conversions (stream-stream time-range join) drained
+    over the files equals the identical batch join."""
+    from prod2vec_spark.sources.io import read_table
+    from prod2vec_spark.streaming.events import streaming_conversions
+
+    stream = read_events_stream(spark, events_dir)
+    run_to_memory(streaming_conversions(stream), "stream_conv")
+    got = {
+        (r["user_id"], r["view_id"], r["buy_id"])
+        for r in spark.table("stream_conv").collect()
+    }
+
+    ev = read_table(spark, SF_SMOKE, "events")
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    b = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"),
+        F.col("event_id").alias("buy_id"),
+        F.col("ts").alias("buy_ts"),
+    )
+    want = {
+        (r["v_user"], r["view_id"], r["buy_id"])
+        for r in v.join(
+            b,
+            F.expr(
+                "v_user = b_user AND buy_ts >= view_ts "
+                "AND buy_ts <= view_ts + INTERVAL 1 HOUR"
+            ),
+        ).collect()
+    }
+    assert got == want
+    assert len(got) > 0
