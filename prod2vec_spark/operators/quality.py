@@ -40,6 +40,10 @@ class Rules:
     column_count: int | None = None
     schema: T.StructType | None = None
     unique_key: list[str] = field(default_factory=list)
+    # escape hatch: name -> (aggregate Column, lo, hi).  Arbitrary
+    # aggregate gates (vector dimension counts, ratio bounds, ...)
+    # folded into the same single-scan agg as the built-in rules.
+    agg_between: dict[str, tuple[object, float, float]] = field(default_factory=dict)
 
 
 def expect(df: DataFrame, rules: Rules) -> DataFrame:
@@ -68,6 +72,9 @@ def expect(df: DataFrame, rules: Rules) -> DataFrame:
             (F.count(F.lit(1)) - F.countDistinct(F.col(c))).cast("long").alias(f"dupkeys__{c}")
         )
         meta.append(("unique_key", c, 0.0, 0.0))
+    for name, (col, lo, hi) in rules.agg_between.items():
+        aggs.append(col.cast("double").alias(f"agg__{name}"))
+        meta.append(("agg_between", name, float(lo), float(hi)))
 
     rows: list[tuple] = []
     if aggs:

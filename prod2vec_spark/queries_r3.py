@@ -454,6 +454,68 @@ FROM t, thr WHERE q >= q_thr GROUP BY lang
 """
 
 
+# ------------------------------------------------- vector-plane DQ (Q-ext)
+EMB_DIM = 64
+
+
+def q_dq_embeddings(spark, sf_dir):
+    """Data-quality gate for the embeddings table — the vector-plane
+    preconditions every similarity/ANN operator assumes: unique ids,
+    no null vectors, every vector exactly EMB_DIM wide, no zero-norm
+    vectors (they break cosine).  The vector checks ride the
+    ``agg_between`` escape hatch, so all rules still collapse into ONE
+    aggregate scan."""
+    from prod2vec_spark.operators import quality as Q
+
+    emb = _t(spark, sf_dir, "embeddings")
+    wrong_dim = F.sum((F.size("embedding") != EMB_DIM).cast("long"))
+    zero_norm = F.sum(
+        (
+            F.aggregate(
+                "embedding", F.lit(0.0), lambda a, x: a + x.cast("double") * x
+            )
+            == 0.0
+        ).cast("long")
+    )
+    rules = Q.Rules(
+        not_null=["vec_id", "embedding"],
+        unique_key=["vec_id"],
+        row_count_between=(10.0, 1e12),
+        agg_between={
+            "wrong_dim": (wrong_dim, 0.0, 0.0),
+            "zero_norm": (zero_norm, 0.0, 0.0),
+        },
+    )
+    return Q.expect(emb, rules)
+
+
+SQL_DQ_EMBEDDINGS = f"""
+WITH m AS (
+  SELECT CAST(sum(CASE WHEN vec_id IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+         CAST(sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS n2,
+         CAST(count(*) AS DOUBLE) AS nr,
+         CAST(count(*) - count(DISTINCT vec_id) AS DOUBLE) AS dup,
+         CAST(sum(CASE WHEN len(embedding) != {EMB_DIM} THEN 1 ELSE 0 END) AS DOUBLE) AS wd,
+         CAST(sum(CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(embedding, x -> x::DOUBLE * x)), (a, b) -> a + b) = 0
+              THEN 1 ELSE 0 END) AS DOUBLE) AS zn
+  FROM embeddings)
+SELECT 'not_null' AS rule, 'vec_id' AS col_name, n1 AS metric,
+       0.0 AS lo, 0.0 AS hi, n1 BETWEEN 0 AND 0 AS passed FROM m
+UNION ALL
+SELECT 'not_null', 'embedding', n2, 0.0, 0.0, n2 BETWEEN 0 AND 0 FROM m
+UNION ALL
+SELECT 'row_count_between', '*', nr, 10.0, 1000000000000.0,
+       nr BETWEEN 10.0 AND 1000000000000.0 FROM m
+UNION ALL
+SELECT 'unique_key', 'vec_id', dup, 0.0, 0.0, dup BETWEEN 0 AND 0 FROM m
+UNION ALL
+SELECT 'agg_between', 'wrong_dim', wd, 0.0, 0.0, wd BETWEEN 0 AND 0 FROM m
+UNION ALL
+SELECT 'agg_between', 'zero_norm', zn, 0.0, 0.0, zn BETWEEN 0 AND 0 FROM m
+"""
+
+
 R3_QUERIES = {
     "events_json": q_events_json,
     "events_window": q_events_window,
@@ -468,6 +530,7 @@ R3_QUERIES = {
     "tfidf_terms": q_tfidf_terms,
     "dedup_clusters": q_dedup_clusters,
     "quality_filter": q_quality_filter,
+    "dq_embeddings": q_dq_embeddings,
 }
 
 R3_ORACLES = {
@@ -484,4 +547,5 @@ R3_ORACLES = {
     "tfidf_terms": SQL_TFIDF_TERMS,
     "dedup_clusters": _sql_dedup_clusters(),
     "quality_filter": _sql_quality_filter(),
+    "dq_embeddings": SQL_DQ_EMBEDDINGS,
 }
