@@ -1,0 +1,65 @@
+"""MLlib KMeans over the embeddings table (ENGINE scope — the
+reference's only estimator is the embedding model itself; clustering
+is the natural companion the LLM-pipeline family needs: corpus
+bucketing, IVF centroid refinement, diversity sampling).
+
+Relation to simsearch.ivf_topk: IVF there uses md5-seeded SAMPLED
+centroids (cheap, deterministic, oracle-checkable).  ``kmeans_fit``
+is the quality upgrade — Lloyd-refined centroids drop mean
+quantization error and tighten ANN recall at the same nprobe; the
+collected centroid matrix plugs into the same assignment path.
+
+Scale notes (100 TB design point): MLlib KMeans is the distributed
+implementation (k-means|| init, per-iteration map-side partial sums —
+one pass over the data per iteration, centroids live on the driver,
+k x dim doubles).  Assignment via ``model.transform`` is row-local
+against broadcast centroids: zero shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+    seed: int = 42,
+    max_iter: int = 20,
+):
+    """Fit KMeans on an array<float> column; returns (model, assigned)
+    where ``assigned`` = input rows + ``cluster`` int column.  The
+    array column converts to the MLlib vector type row-locally
+    (array_to_vector); no shuffle is added by assignment."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = emb.withColumn(
+        "_features", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    km = KMeans(
+        k=k,
+        seed=seed,
+        maxIter=max_iter,
+        featuresCol="_features",
+        predictionCol="cluster",
+    )
+    model = km.fit(feats)
+    return model, model.transform(feats).drop("_features")
+
+
+def cluster_profile(assigned: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-cluster summary (cluster, n_vecs, avg_norm): one hash-agg
+    shuffle on the (tiny-cardinality) cluster key."""
+    sq_norm = F.aggregate(
+        vec_col, F.lit(0.0), lambda a, x: a + x.cast("double") * x
+    )
+    return (
+        assigned.select("cluster", F.sqrt(sq_norm).alias("_nrm"))
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("_nrm"), 4).alias("avg_norm"),
+        )
+    )

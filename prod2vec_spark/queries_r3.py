@@ -454,6 +454,20 @@ FROM t, thr WHERE q >= q_thr GROUP BY lang
 """
 
 
+# ------------------------------------------------- kmeans clustering (ML)
+def q_kmeans_profile(spark, sf_dir):
+    """MLlib KMeans over the embeddings (k-means|| init, seeded) +
+    per-cluster profile.  Rows-only catalog entry — iterative ML is
+    not SQL-expressible (same class as word2vec_neighbors); the
+    nearest-centroid assignment invariant is pytest-checked exactly
+    (tests/test_operators.py)."""
+    from prod2vec_spark.ml.clustering import cluster_profile, kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    _, assigned = kmeans_fit(emb, k=8, seed=42, max_iter=10)
+    return cluster_profile(assigned).orderBy("cluster")
+
+
 # ------------------------------------------------- vector-plane DQ (Q-ext)
 EMB_DIM = 64
 
@@ -531,6 +545,7 @@ R3_QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "quality_filter": q_quality_filter,
     "dq_embeddings": q_dq_embeddings,
+    "kmeans_profile": q_kmeans_profile,
 }
 
 R3_ORACLES = {

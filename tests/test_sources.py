@@ -5,8 +5,11 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from prod2vec_spark.config import ConfigError, from_dict, from_yaml
 from prod2vec_spark.sources.io import read_csv, read_table, write_csv, write_parquet
+from tests.conftest import SF_SMOKE
 
 
 def test_csv_roundtrip(spark, tmp_path):
@@ -126,3 +129,58 @@ def test_partitioned_parquet_layout(spark, tmp_path):
     assert back.count() == 3
     # partition filter prunes to one directory
     assert back.filter(F.col("grp") == "a").count() == 2
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    """ORC sink/source roundtrip preserves data; filters reach the ORC
+    scan as PushedFilters just like parquet."""
+    from prod2vec_spark.sources.io import read_orc, read_table, write_orc
+
+    part = read_table(spark, SF_SMOKE, "part").select(
+        "p_partkey", "p_name", "p_size"
+    )
+    path = str(tmp_path / "part_orc")
+    write_orc(part, path)
+    back = read_orc(spark, path)
+    assert back.count() == part.count()
+    assert set(back.columns) == set(part.columns)
+
+    filtered = back.where(F.col("p_size") > 20)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "p_size" in plan
+
+
+def test_text_source_one_row_per_line(spark, tmp_path):
+    from prod2vec_spark.sources.io import read_text
+
+    p = tmp_path / "corpus.txt"
+    p.write_text("alpha beta\ngamma\n\ndelta epsilon zeta\n")
+    df = read_text(spark, str(p))
+    assert df.columns == ["value"]
+    assert df.count() == 4  # blank line preserved
+
+
+def test_register_views_sql_equals_dataframe(spark):
+    """spark.sql over the registered views returns the same result as
+    the DataFrame catalog query — the SQL surface is real."""
+    from prod2vec_spark.queries import QUERIES
+    from prod2vec_spark.sources.io import register_views
+
+    names = register_views(spark, SF_SMOKE)
+    assert "lineitem" in names and "documents" in names
+    got = {
+        (r["l_returnflag"], r["l_linestatus"]): r["n"]
+        for r in spark.sql(
+            "SELECT l_returnflag, l_linestatus, count(*) AS n "
+            "FROM lineitem GROUP BY 1, 2"
+        ).collect()
+    }
+    from pyspark.sql import functions as SF
+
+    want = {
+        (r["l_returnflag"], r["l_linestatus"]): r["n"]
+        for r in QUERIES["pricing_summary"](spark, SF_SMOKE)
+        .select("l_returnflag", "l_linestatus", SF.col("count_order").alias("n"))
+        .collect()
+    }
+    assert got == want
