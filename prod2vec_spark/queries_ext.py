@@ -499,7 +499,12 @@ def q_sessionize(spark, sf_dir):
 
     ev = read_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
-    gap = F.unix_millis(F.col("ts")) - F.unix_millis(F.lag("ts").over(w))
+    # ts arrives as TIMESTAMP or TIMESTAMP_NTZ depending on how the
+    # parquet writer stamped isAdjustedToUTC; unix_millis only takes
+    # TIMESTAMP, and with the session pinned to UTC (session.py) the
+    # cast is exact for both inputs.
+    ms = lambda c: F.unix_millis(c.cast("timestamp"))
+    gap = ms(F.col("ts")) - ms(F.lag("ts").over(w))
     return (
         ev.withColumn("gap_ms", gap)
         .groupBy("user_id")
