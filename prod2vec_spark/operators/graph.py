@@ -32,8 +32,9 @@ Scale notes (100 TB design point):
   cluster prefer reliable ``checkpoint`` (HDFS) so a lost executor
   does not recompute the whole chain.
 * Convergence is detected with an order-insensitive label checksum
-  (sum of xxhash64(node, comp)) — one lightweight agg job per round,
-  no driver-side collect of the label table.
+  (decimal(38,0) sum of xxhash64(node, comp) — overflow-free, so it
+  survives ANSI mode) — one lightweight agg job per round, no
+  driver-side collect of the label table.
 """
 
 from __future__ import annotations
@@ -42,18 +43,34 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def _label_checksum(labels: DataFrame) -> int:
-    row = labels.agg(F.sum(F.xxhash64("node", "comp")).alias("s")).first()
+    """Order-insensitive checksum of the (node, comp) assignment.
+
+    The per-row hashes are summed as decimal(38,0), NOT long: a long
+    sum of xxhash64 values overflows almost immediately, which is a
+    crash under ANSI mode (Spark 4's default) and silent wraparound
+    otherwise.  decimal(38,0) holds ~10^19 rows of int64 headroom and
+    is portable to ANSI-on clusters."""
+    row = labels.agg(
+        F.sum(F.xxhash64("node", "comp").cast("decimal(38,0)")).alias("s")
+    ).first()
     return 0 if row["s"] is None else int(row["s"])
 
 
-def connected_components(
+def connected_components_with_rounds(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
-) -> DataFrame:
-    """(node, comp) for every node appearing in ``edges``; ``comp`` is
-    the minimum node id reachable from ``node`` (undirected).
+) -> tuple[DataFrame, int]:
+    """(node, comp) for every node appearing in ``edges``, plus the
+    number of propagation rounds actually executed before the fixed
+    point; ``comp`` is the minimum node id reachable from ``node``
+    (undirected).
+
+    The rounds count makes the scale claim testable: on LSH candidate
+    graphs (unions of near-cliques) it must stay ~diameter ≈ 2-3 —
+    tests/test_graph assert the bound so a regression to long-chain
+    behavior is caught, not assumed.
 
     ``edges`` is treated as undirected and may contain duplicates or
     self-loops; both are harmless (min is idempotent).  Nodes with no
@@ -74,6 +91,7 @@ def connected_components(
     labels = labels.localCheckpoint(eager=True)
     prev = _label_checksum(labels)
 
+    rounds = 0
     for _ in range(max_iter):
         # each node's new label: min over (its own label, labels of
         # all neighbors) — propagate across edges then min-agg
@@ -86,10 +104,23 @@ def connected_components(
             .agg(F.min("comp").alias("comp"))
             .localCheckpoint(eager=True)
         )
+        rounds += 1
         cur = _label_checksum(labels)
         if cur == prev:
             break
         prev = cur
+    return labels, rounds
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """See :func:`connected_components_with_rounds` — same computation,
+    labels only."""
+    labels, _ = connected_components_with_rounds(edges, src=src, dst=dst, max_iter=max_iter)
     return labels
 
 

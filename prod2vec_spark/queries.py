@@ -500,10 +500,31 @@ _ORACLES_CORE: dict[str, str] = {
 from prod2vec_spark.queries_ext import EXT_ORACLES, EXT_QUERIES  # noqa: E402
 from prod2vec_spark.queries_more import MORE_ORACLES, MORE_QUERIES  # noqa: E402
 from prod2vec_spark.queries_r3 import R3_ORACLES, R3_QUERIES  # noqa: E402
+from prod2vec_spark.queries_r4 import R4_ORACLES, R4_QUERIES  # noqa: E402
+
+_ALL_QUERIES: dict[str, QueryFn] = {
+    **_QUERIES_CORE, **EXT_QUERIES, **MORE_QUERIES, **R3_QUERIES, **R4_QUERIES,
+}
+_ALL_ORACLES: dict[str, str] = {
+    **_ORACLES_CORE, **EXT_ORACLES, **MORE_ORACLES, **R3_ORACLES, **R4_ORACLES,
+}
+
+# Catalog order matters: the correctness driver verifies entries in
+# insertion order with a cap, so queries that have never received an
+# official verdict (the 11 r3 tail entries + everything new) are
+# promoted to the front; the long-verified core follows.
+_PRIORITY: list[str] = [
+    *R4_QUERIES,
+    "anti_customers", "pivot_status", "cube_pricing", "order_percentiles",
+    "running_revenue", "stratified_sample", "tfidf_terms", "dedup_clusters",
+    "quality_filter", "dq_embeddings", "kmeans_profile",
+]
 
 QUERIES: dict[str, QueryFn] = {
-    **_QUERIES_CORE, **EXT_QUERIES, **MORE_QUERIES, **R3_QUERIES,
+    **{k: _ALL_QUERIES[k] for k in _PRIORITY},
+    **{k: v for k, v in _ALL_QUERIES.items() if k not in set(_PRIORITY)},
 }
 ORACLES: dict[str, str] = {
-    **_ORACLES_CORE, **EXT_ORACLES, **MORE_ORACLES, **R3_ORACLES,
+    **{k: _ALL_ORACLES[k] for k in _PRIORITY if k in _ALL_ORACLES},
+    **{k: v for k, v in _ALL_ORACLES.items() if k not in set(_PRIORITY)},
 }

@@ -21,17 +21,52 @@ from pyspark.sql import functions as F
 from prod2vec_spark.sources.io import TABLES
 
 
+def _events_ts_is_nanos_long(dir_path: str) -> bool:
+    """Inspect the parquet footer to learn the physical type of ``ts``.
+
+    Streams must declare their schema up front, so mirror the batch
+    reader's dtype branch (sources/io.py read_table): TIMESTAMP(NANOS)
+    parquet surfaces as int64 only under the nanosAsLong escape hatch,
+    while plain µs TIMESTAMP reads directly as TimestampType.  Footer
+    inspection is one driver-side metadata read — no data scan."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    candidates = (
+        sorted(glob.glob(os.path.join(dir_path, "*.parquet")))
+        if os.path.isdir(dir_path)
+        else [dir_path]
+    )
+    for f in candidates:
+        try:
+            typ = pq.read_schema(f).field("ts").type
+        except (OSError, KeyError):
+            continue
+        return str(typ) in ("timestamp[ns]", "int64")
+    return False
+
+
 def read_events_stream(spark: SparkSession, dir_path: str) -> DataFrame:
     """File-source stream over the events parquet.  Schema must be
-    declared up front (streams can't infer); ts arrives as ns-long
-    (nanosAsLong, see sources/io.py) and converts to TimestampType."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    declared up front (streams can't infer).  ``ts`` is declared
+    TimestampType when the footer says so; the legacy ns-long layout
+    (nanosAsLong, see sources/io.py) is converted only when the
+    physical type really is int64/nanos."""
+    if _events_ts_is_nanos_long(dir_path):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = (
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        raw = spark.readStream.schema(schema).parquet(dir_path)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     schema = (
-        "event_id long, ts long, user_id long, event_type string, "
+        "event_id long, ts timestamp, user_id long, event_type string, "
         "value double, props string"
     )
-    raw = spark.readStream.schema(schema).parquet(dir_path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.readStream.schema(schema).parquet(dir_path)
 
 
 def windowed_event_counts(

@@ -485,6 +485,44 @@ def test_dedup_clusters_canonical_flags(spark):
         assert len(canon) == 1 and canon[0]["doc_id"] == cid
 
 
+def test_connected_components_survives_ansi_mode(spark):
+    """The convergence checksum must not overflow under ANSI mode
+    (Spark 4's default): sum(xxhash64) as long crashes with
+    ARITHMETIC_OVERFLOW on ANSI-on clusters; the decimal(38,0) form is
+    portable.  Run CC with ansi enabled and restore the repo default."""
+    from prod2vec_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 2)] + [(0, 2), (4, 6)],
+        "src: long, dst: long",
+    )
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        got = {(r["node"], r["comp"]) for r in connected_components(edges).collect()}
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+    assert (2, 0) in got and (6, 4) in got
+
+
+def test_connected_components_rounds_bound_on_lsh_graph(spark):
+    """Locks the scale claim 'LSH candidate graphs converge in
+    ~diameter ≈ 2-3 rounds': run the real bands→pairs→CC pipeline on
+    the sf0.001 documents and assert the fixed point is reached within
+    4 propagation rounds (diameter + 1 confirmation round)."""
+    from prod2vec_spark.operators import dedup as DD
+    from prod2vec_spark.operators.graph import connected_components_with_rounds
+    from prod2vec_spark.queries_ext import LSH_MAX_GROUP
+    from prod2vec_spark.sources.io import read_table
+    from tests.conftest import SF_SMOKE
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    pairs = DD.lsh_candidate_pairs(DD.minhash_bands(docs), max_group=LSH_MAX_GROUP)
+    labels, rounds = connected_components_with_rounds(pairs, src="doc_a", dst="doc_b")
+    assert labels.count() > 0
+    assert rounds <= 4, f"LSH dedup graph took {rounds} rounds — near-clique claim broken"
+
+
 def test_kmeans_assignment_is_nearest_centroid(spark):
     """KMeans invariants: k clusters, deterministic under a seed, and
     every row's assigned cluster IS the argmin-distance centroid
