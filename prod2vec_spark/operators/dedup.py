@@ -105,31 +105,40 @@ def minhash_signature(hashed: Column, num_hashes: int = 8) -> list[Column]:
     ]
 
 
-def minhash_bands(
+def minhash_sigs(
     docs: DataFrame,
     text_col: str = "text",
     shingle_k: int = 3,
     num_hashes: int = 8,
-    band_size: int = 4,
+    keep_shingles: bool = False,
 ) -> DataFrame:
-    """(doc_id, band_id, band_sig): band signature = md5 of its
-    concatenated minhashes.  Docs with no shingles emit no bands."""
-    # Stage tokens, then hashed shingles, as concrete columns: each
-    # later stage reads attributes instead of re-evaluating the
-    # tokenize/shingle/md5 pipeline (interpreted HOFs have no CSE).
-    # The no-shingle filter runs on token count — filtering on
-    # mh0 IS NOT NULL would be predicate-pushed below the projections,
-    # re-substituting the whole pipeline into the Filter node
-    # (measured 8× slowdown).  size(toks) ≥ k ⇔ shingle set nonempty.
+    """(doc_id, mh0..mh{n-1}) MinHash signature table; with
+    ``keep_shingles`` the distinct shingle array rides along as
+    ``_sh`` (the jaccard audit needs both on the same row).
+
+    Staging discipline: tokens, then hashed shingles, land as concrete
+    columns so each later stage reads attributes instead of
+    re-evaluating the tokenize/shingle/md5 pipeline (interpreted HOFs
+    have no CSE).  The no-shingle filter runs on token count —
+    filtering on mh0 IS NOT NULL would be predicate-pushed below the
+    projections, re-substituting the whole pipeline into the Filter
+    node (measured 8× slowdown).  size(toks) ≥ k ⇔ shingle set
+    nonempty."""
     staged = (
         docs.select("doc_id", tokens(F.col(text_col)).alias("_toks"))
         .filter(F.size("_toks") >= shingle_k)
-        .select(
-            "doc_id",
-            shingle_hashes(word_shingles(F.col("_toks"), shingle_k)).alias("_hs"),
-        )
+        .select("doc_id", word_shingles(F.col("_toks"), shingle_k).alias("_sh"))
+        .select("doc_id", "_sh", shingle_hashes(F.col("_sh")).alias("_hs"))
     )
-    sigs = staged.select("doc_id", *minhash_signature(F.col("_hs"), num_hashes))
+    keep = ["doc_id", "_sh"] if keep_shingles else ["doc_id"]
+    return staged.select(*keep, *minhash_signature(F.col("_hs"), num_hashes))
+
+
+def bands_from_sigs(
+    sigs: DataFrame, num_hashes: int = 8, band_size: int = 4
+) -> DataFrame:
+    """(doc_id, band_id, band_sig) from a ``minhash_sigs`` table: band
+    signature = md5 of its concatenated minhashes."""
     n_bands = num_hashes // band_size
     bands = []
     for b in range(n_bands):
@@ -140,6 +149,23 @@ def minhash_bands(
     return (
         sigs.select("doc_id", F.explode(F.array(*bands)).alias("b"))
         .select("doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_sig").alias("band_sig"))
+    )
+
+
+def minhash_bands(
+    docs: DataFrame,
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 4,
+) -> DataFrame:
+    """(doc_id, band_id, band_sig): band signature = md5 of its
+    concatenated minhashes.  Docs with no shingles emit no bands.
+    Composition of :func:`minhash_sigs` + :func:`bands_from_sigs`."""
+    return bands_from_sigs(
+        minhash_sigs(docs, text_col=text_col, shingle_k=shingle_k, num_hashes=num_hashes),
+        num_hashes=num_hashes,
+        band_size=band_size,
     )
 
 

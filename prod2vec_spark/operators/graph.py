@@ -69,8 +69,8 @@ def connected_components_with_rounds(
 
     The rounds count makes the scale claim testable: on LSH candidate
     graphs (unions of near-cliques) it must stay ~diameter ≈ 2-3 —
-    tests/test_graph assert the bound so a regression to long-chain
-    behavior is caught, not assumed.
+    tests/test_operators.py asserts the bound so a regression to
+    long-chain behavior is caught, not assumed.
 
     ``edges`` is treated as undirected and may contain duplicates or
     self-loops; both are harmless (min is idempotent).  Nodes with no

@@ -91,17 +91,36 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 
 # ---------------------------------------------------------------- A3/D1
 def q_distinct_parts(spark, sf_dir):
-    """A3+A5: distinct products vs total rows (data_prep.py:254-259)."""
+    """A3+A5 and A3's 100 TB twin in one row: exact distinct products
+    vs total rows (data_prep.py:254-259) PLUS the HyperLogLog++
+    approx_count_distinct error-bound assertion (absorbed from the
+    retired approx_distinct_parts entry).  The sketch value itself is
+    engine-specific, so the oracle-checkable output is the exact count
+    plus the DOCUMENTED BOUND: rsd=0.05 ⇒ |approx−exact|/exact < 0.15
+    (3σ) with overwhelming probability — both engines' own estimates
+    must satisfy it."""
     li = _t(spark, sf_dir, "lineitem")
     return li.agg(
         F.countDistinct("l_partkey").alias("n_parts"),
         F.count(F.lit(1)).alias("n_rows"),
+        (
+            (
+                F.abs(
+                    F.approx_count_distinct("l_partkey", rsd=0.05)
+                    - F.countDistinct("l_partkey")
+                )
+                / F.countDistinct("l_partkey")
+            )
+            < 0.15
+        ).alias("approx_ok"),
     )
 
 
 SQL_DISTINCT_PARTS = """
 SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
-       count(*) AS n_rows
+       count(*) AS n_rows,
+       (abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+        / CAST(count(DISTINCT l_partkey) AS DOUBLE)) < 0.15 AS approx_ok
 FROM lineitem
 """
 
@@ -501,30 +520,52 @@ from prod2vec_spark.queries_ext import EXT_ORACLES, EXT_QUERIES  # noqa: E402
 from prod2vec_spark.queries_more import MORE_ORACLES, MORE_QUERIES  # noqa: E402
 from prod2vec_spark.queries_r3 import R3_ORACLES, R3_QUERIES  # noqa: E402
 from prod2vec_spark.queries_r4 import R4_ORACLES, R4_QUERIES  # noqa: E402
+from prod2vec_spark.queries_r5 import R5_ORACLES, R5_QUERIES, _sql_dq_suite  # noqa: E402
 
-_ALL_QUERIES: dict[str, QueryFn] = {
+# Superset registry: EVERY implemented query, including the ones the
+# driver-facing catalog consolidated away (they keep full pytest
+# oracle coverage via tests/test_oracle_parity.py).
+ALL_QUERIES: dict[str, QueryFn] = {
     **_QUERIES_CORE, **EXT_QUERIES, **MORE_QUERIES, **R3_QUERIES, **R4_QUERIES,
+    **R5_QUERIES,
 }
-_ALL_ORACLES: dict[str, str] = {
+ALL_ORACLES: dict[str, str] = {
     **_ORACLES_CORE, **EXT_ORACLES, **MORE_ORACLES, **R3_ORACLES, **R4_ORACLES,
+    **R5_ORACLES,
 }
+ALL_ORACLES["dq_suite"] = _sql_dq_suite()  # composed after SQL_DQ_* exist
 
-# Catalog order matters: the correctness driver verifies entries in
-# insertion order with a cap, so queries that have never received an
-# official verdict (the 11 r3 tail entries + everything new) are
-# promoted to the front; the long-verified core follows.
-_PRIORITY: list[str] = [
-    *R4_QUERIES,
-    "anti_customers", "pivot_status", "cube_pricing", "order_percentiles",
-    "running_revenue", "stratified_sample", "tfidf_terms", "dedup_clusters",
-    "quality_filter", "dq_embeddings", "kmeans_profile",
+# Driver-facing catalog: EXACTLY the entries the correctness driver
+# checks (its artifact caps at 50) — one entry per operator family,
+# every entry oracled, so a single round's CORRECTNESS file certifies
+# the whole surface (VERDICT r4 ask #1).  New/reshaped entries lead.
+CATALOG: list[str] = [
+    # round-5 new / reshaped
+    "minhash_jaccard_audit", "word2vec_neighbors", "kmeans_audit",
+    "text_profile", "doc_signatures", "setops_parts", "events_windows",
+    "dq_suite", "distinct_parts", "ann_recall",
+    # relational / grouping-sets / window plane
+    "pricing_summary", "baskets", "vocab", "index_items", "oov_miss_count",
+    "skipgram_stats", "negative_sampling_stats", "window_rank", "topk_orders",
+    "pivot_status", "cube_pricing", "order_percentiles", "running_revenue",
+    "rollup_pricing", "union_nation_counts",
+    # joins
+    "semi_parts", "anti_customers", "revenue_topk", "region_revenue",
+    "asof_latest_event", "range_join_bands",
+    # seeded randomness / sampling
+    "seeded_shuffle", "skipgram_subsampled", "validation_sample",
+    "stratified_sample", "string_agg_names",
+    # LLM pipeline: dedup / text / similarity
+    "dedup_exact", "minhash_bands", "lsh_candidates", "ngram_jaccard",
+    "dedup_clusters", "tfidf_terms", "quality_filter", "embedding_neardup",
+    "ann_topk", "ann_ivf_topk", "ann_lsh_topk",
+    # events
+    "events_daily", "events_json", "sessionize",
 ]
+assert len(CATALOG) == 50, f"driver catalog must be exactly 50, got {len(CATALOG)}"
+assert set(CATALOG) <= set(ALL_QUERIES), sorted(set(CATALOG) - set(ALL_QUERIES))
 
-QUERIES: dict[str, QueryFn] = {
-    **{k: _ALL_QUERIES[k] for k in _PRIORITY},
-    **{k: v for k, v in _ALL_QUERIES.items() if k not in set(_PRIORITY)},
-}
+QUERIES: dict[str, QueryFn] = {k: ALL_QUERIES[k] for k in CATALOG}
 ORACLES: dict[str, str] = {
-    **{k: _ALL_ORACLES[k] for k in _PRIORITY if k in _ALL_ORACLES},
-    **{k: v for k, v in _ALL_ORACLES.items() if k not in set(_PRIORITY)},
+    k: ALL_ORACLES[k] for k in CATALOG if k in ALL_ORACLES
 }

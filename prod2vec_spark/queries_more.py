@@ -338,13 +338,11 @@ GROUP BY band
 """
 
 
-# ------------------------------------------- ML layer (rows-only checks)
-def q_word2vec_neighbors(spark, sf_dir):
-    """M1-M4: MLlib Word2Vec trained on a hash-bounded sample of
-    baskets, top-5 cosine neighbors for 3 seeded-sampled frequent
-    products, names joined.  No oracle — training is not
-    SQL-expressible; the driver records a rows-only check and pytest
-    asserts the invariants.
+# ----------------------------------------------------- ML layer (M1-M4)
+def _w2v_neighbor_listing(spark, sf_dir):
+    """M1-M4 pipeline: MLlib Word2Vec trained on a hash-bounded sample
+    of baskets, top-5 cosine neighbors for 3 seeded-sampled frequent
+    products, names joined.
 
     Scale notes: the training-sample bound is a pure map-side hash
     filter (no global sort — orderBy(...).limit() would funnel through
@@ -385,6 +383,56 @@ def q_word2vec_neighbors(spark, sf_dir):
         F.round("cosine_sim", 6).alias("cosine_sim"),
         "rank",
     )
+
+
+def q_word2vec_neighbors_full(spark, sf_dir):
+    """The raw neighbor listing (query_id, neighbor_id, product_name,
+    cosine_sim, rank) — trained floats, so rows-only: pytest checks
+    nonemptiness + invariants; entry() serves the same shape."""
+    return _w2v_neighbor_listing(spark, sf_dir)
+
+
+def q_word2vec_neighbors(spark, sf_dir):
+    """M1-M4 with its first ORACLE verdict (VERDICT r4 ask #2): the
+    trained neighbor values are not SQL-expressible, but every
+    structural invariant of the listing IS — per probe: exactly k=5
+    neighbors, all distinct, self excluded (model_train.py:38), every
+    neighbor name-enriched (J3), ranks summing 1+..+5, every cosine in
+    [-1, 1].  The probe ids themselves replay in SQL (F8 md5-order
+    sample over the top-20 vocabulary), so the oracle verifies WHICH
+    queries ran, not just how many — a full rows+schema+hash green row
+    for the flagship estimator path."""
+    out = _w2v_neighbor_listing(spark, sf_dir)
+    return out.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_neighbors"),
+        F.countDistinct("neighbor_id").alias("n_distinct_neighbors"),
+        F.sum((F.col("neighbor_id") == F.col("query_id")).cast("long")).alias("n_self"),
+        F.sum(F.col("product_name").isNotNull().cast("long")).alias("n_named"),
+        F.sum("rank").alias("rank_sum"),
+        F.sum(
+            F.col("cosine_sim").between(-1.000001, 1.000001).cast("long")
+        ).alias("n_sim_in_range"),
+    )
+
+
+SQL_WORD2VEC_NEIGHBORS = """
+WITH vocab AS (
+  SELECT product_id,
+         CAST(row_number() OVER (ORDER BY cnt DESC, product_id) AS INT) AS idx
+  FROM (SELECT l_partkey AS product_id, count(*) AS cnt
+        FROM lineitem GROUP BY 1 ORDER BY cnt DESC, product_id LIMIT 200)),
+probe AS (
+  SELECT product_id FROM vocab WHERE idx BETWEEN 1 AND 20
+  ORDER BY md5('42|' || product_id), product_id LIMIT 3)
+SELECT product_id AS query_id,
+       CAST(5 AS BIGINT) AS n_neighbors,
+       CAST(5 AS BIGINT) AS n_distinct_neighbors,
+       CAST(0 AS BIGINT) AS n_self,
+       CAST(5 AS BIGINT) AS n_named,
+       CAST(15 AS BIGINT) AS rank_sum,
+       CAST(5 AS BIGINT) AS n_sim_in_range
+FROM probe
+"""
 
 
 def q_embedding_neardup(spark, sf_dir):
@@ -454,6 +502,7 @@ MORE_QUERIES = {
     "string_agg_names": q_string_agg_names,
     "range_join_bands": q_range_join_bands,
     "word2vec_neighbors": q_word2vec_neighbors,
+    "word2vec_neighbors_full": q_word2vec_neighbors_full,
     "embedding_neardup": q_embedding_neardup,
 }
 
@@ -468,6 +517,7 @@ MORE_ORACLES = {
     "validation_sample": SQL_VALIDATION_SAMPLE,
     "string_agg_names": SQL_STRING_AGG_NAMES,
     "range_join_bands": SQL_RANGE_JOIN_BANDS,
+    "word2vec_neighbors": SQL_WORD2VEC_NEIGHBORS,
     "embedding_neardup": _sql_neardup(),
-    # word2vec_neighbors: rows-only by design (ML training)
+    # word2vec_neighbors_full: rows-only by design (trained floats)
 }

@@ -28,7 +28,13 @@ def _events_ts_is_nanos_long(dir_path: str) -> bool:
     reader's dtype branch (sources/io.py read_table): TIMESTAMP(NANOS)
     parquet surfaces as int64 only under the nanosAsLong escape hatch,
     while plain µs TIMESTAMP reads directly as TimestampType.  Footer
-    inspection is one driver-side metadata read — no data scan."""
+    inspection is one driver-side metadata read — no data scan.
+
+    The ns match is prefix-based so tz-aware ``timestamp[ns, tz=…]``
+    footers take the nanos branch too.  A directory with no readable
+    top-level parquet footer raises instead of silently guessing µs:
+    the stream schema is fixed at definition time, so a wrong silent
+    default would poison every late-arriving nanos file."""
     import glob
     import os
 
@@ -44,8 +50,13 @@ def _events_ts_is_nanos_long(dir_path: str) -> bool:
             typ = pq.read_schema(f).field("ts").type
         except (OSError, KeyError):
             continue
-        return str(typ) in ("timestamp[ns]", "int64")
-    return False
+        s = str(typ)
+        return s.startswith("timestamp[ns") or s == "int64"
+    raise FileNotFoundError(
+        f"read_events_stream: no readable parquet footer with a 'ts' field "
+        f"under {dir_path!r}; cannot pin the stream schema (seed the "
+        f"directory with at least one file, or pass an explicit file path)"
+    )
 
 
 def read_events_stream(spark: SparkSession, dir_path: str) -> DataFrame:

@@ -1,31 +1,42 @@
 """Local replica of the driver's t2 correctness gate: every query in
-the catalog must match its DuckDB oracle at sf0.01 (row count, columns,
-order-insensitive values)."""
+the SUPERSET registry (driver catalog + the consolidated-away singles)
+must match its DuckDB oracle at sf0.01 (row count, columns,
+order-insensitive values) — so retiring an entry from the capped
+driver catalog never loses its regression coverage."""
 
 from __future__ import annotations
 
 import pytest
 
-from prod2vec_spark.queries import ORACLES, QUERIES
+from prod2vec_spark.queries import ALL_ORACLES, ALL_QUERIES, CATALOG, ORACLES, QUERIES
 from tests.conftest import assert_oracle_match
 
 
-@pytest.mark.parametrize("name", sorted(ORACLES))
+@pytest.mark.parametrize("name", sorted(ALL_ORACLES))
 def test_query_matches_oracle(spark, duck, name):
-    assert_oracle_match(spark, duck, QUERIES[name], ORACLES[name])
+    assert_oracle_match(spark, duck, ALL_QUERIES[name], ALL_ORACLES[name])
 
 
 def test_every_oracle_has_query():
+    assert set(ALL_ORACLES) <= set(ALL_QUERIES)
     assert set(ORACLES) <= set(QUERIES)
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_driver_catalog_fits_cap_and_is_fully_oracled():
+    """VERDICT r4 ask #1: one artifact certifies everything — the
+    driver catalog is exactly 50 entries and every one has an oracle."""
+    assert len(CATALOG) == 50
+    assert set(QUERIES) == set(CATALOG)
+    assert set(ORACLES) == set(CATALOG)
+
+
+@pytest.mark.parametrize("name", sorted(set(ALL_QUERIES) - set(ALL_ORACLES)))
 def test_rows_only_queries_nonempty(spark, name):
-    """Queries without an oracle (non-SQL-expressible: ML training,
-    LSH near-dup) get the driver's weaker rows-only check — mirror it
+    """Queries without an oracle (non-SQL-expressible: trained-float
+    listings) get the driver's weaker rows-only check — mirror it
     plus schema stability."""
     from tests.conftest import SF_ORACLE
 
-    df = QUERIES[name](spark, SF_ORACLE)
+    df = ALL_QUERIES[name](spark, SF_ORACLE)
     assert df.count() > 0
     assert len(df.columns) > 0

@@ -18,7 +18,7 @@ from prod2vec_spark.plans import (
     pushed_filters,
     read_schema_columns,
 )
-from prod2vec_spark.queries import QUERIES
+from prod2vec_spark.queries import ALL_QUERIES as QUERIES
 from tests.conftest import SF_SMOKE
 
 
