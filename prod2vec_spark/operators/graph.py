@@ -22,7 +22,9 @@ Scale notes (100 TB design point):
   For general graphs with long chains the alternating
   large-star/small-star algorithm (Kiveris et al., "Connected
   Components in MapReduce and Beyond", SoCC'14) converges in
-  O(log² n) rounds; it plugs into the same loop shape if ever needed.
+  O(log² n) rounds — implemented as
+  :func:`connected_components_star` (equivalence + rounds-bound
+  pytest-locked on a 64-chain).
 * Each round is exactly 2 shuffles: propagate (join labels onto the
   edge list) + re-label (min-agg per node).  The edge list is
   re-used every round — at cluster scale persist it.
@@ -122,6 +124,105 @@ def connected_components(
     labels only."""
     labels, _ = connected_components_with_rounds(edges, src=src, dst=dst, max_iter=max_iter)
     return labels
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> tuple[DataFrame, int]:
+    """Alternating large-star/small-star connected components (Kiveris
+    et al., "Connected Components in MapReduce and Beyond", SoCC'14):
+    the general-graph counterpart of min-label propagation, converging
+    in O(log² n) rounds on LONG CHAINS where propagation needs
+    diameter rounds.  Same contract as
+    :func:`connected_components_with_rounds`: ((node, comp), rounds).
+
+    Per round, each node u with directed neighborhood Γ(u) and
+    m = min(Γ(u) ∪ {u}):
+      * large-star: rewire every neighbor v > u to m;
+      * small-star: rewire every neighbor v ≤ u (and u itself) to m.
+    At the fixed point every component is a star rooted at its minimum
+    node, so labels read directly off the edge set.
+
+    Scale notes: each half-round is one groupBy-min + one equi-join —
+    2 shuffles, the same budget as a propagation round; lineage breaks
+    per round (localCheckpoint); convergence via the overflow-free
+    decimal checksum.  Use this over propagation when the candidate
+    graph is NOT a union of near-cliques (e.g. transitive similarity
+    chains across a corpus); for LSH near-clique graphs propagation's
+    ~2 rounds wins."""
+    both = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    # canonical undirected edge list (u < v), self-loops dropped
+    e = (
+        both.filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("u"),
+            F.greatest("a", "b").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    singletons = both.select(F.col("a").alias("node")).distinct()
+
+    def _star(cur: DataFrame, large: bool) -> DataFrame:
+        d = cur.select(F.col("u").alias("x"), F.col("v").alias("y")).union(
+            cur.select(F.col("v").alias("x"), F.col("u").alias("y"))
+        )
+        mins = d.groupBy("x").agg(F.min("y").alias("mn"))
+        mins = mins.select(
+            "x", F.least(F.col("mn"), F.col("x")).alias("m")
+        )
+        joined = d.join(mins, "x")
+        if large:
+            # rewire every strictly-larger neighbor to m; every edge
+            # (a<b) is processed by its smaller endpoint, so no edge
+            # drops out of the graph
+            out = joined.filter(F.col("y") > F.col("x")).select(
+                F.least(F.col("y"), F.col("m")).alias("u"),
+                F.greatest(F.col("y"), F.col("m")).alias("v"),
+            )
+        else:
+            # v ranges over Γ⁺(u) = neighbors ≤ u PLUS u itself — the
+            # center edge (u, m) is what keeps u attached once its
+            # smaller neighbors are rewired away (Kiveris §3)
+            nbrs = joined.filter(F.col("y") <= F.col("x")).select(
+                F.least(F.col("y"), F.col("m")).alias("u"),
+                F.greatest(F.col("y"), F.col("m")).alias("v"),
+            )
+            centers = mins.select(
+                F.least(F.col("x"), F.col("m")).alias("u"),
+                F.greatest(F.col("x"), F.col("m")).alias("v"),
+            )
+            out = nbrs.union(centers)
+        return out.filter(F.col("u") != F.col("v")).distinct()
+
+    def _checksum(cur: DataFrame) -> int:
+        row = cur.agg(
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("s")
+        ).first()
+        return 0 if row["s"] is None else int(row["s"])
+
+    prev = _checksum(e)
+    rounds = 0
+    for _ in range(max_iter):
+        e = _star(e, large=True)
+        e = _star(e, large=False).localCheckpoint(eager=True)
+        rounds += 1
+        cur = _checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    # fixed point: every edge points root -> member; emit labels, and
+    # re-attach isolated-after-rewiring roots + true singletons
+    members = e.select(F.col("v").alias("node"), F.col("u").alias("comp"))
+    roots = singletons.join(
+        members.select(F.col("node")), "node", "left_anti"
+    ).select("node", F.col("node").alias("comp"))
+    return members.unionByName(roots), rounds
 
 
 def dedup_clusters(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -> DataFrame:

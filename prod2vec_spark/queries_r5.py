@@ -288,6 +288,43 @@ FROM embeddings
 """
 
 
+# ------------------------------------------- approx-percentile twin
+def q_order_percentiles_approx(spark, sf_dir):
+    """The documented 100 TB swap for order_percentiles
+    (queries_r3.py: 'the exact form becomes approx_percentile') as a
+    CHECKED claim, mirroring the A3 exact/HLL twin: each engine
+    computes its own t-digest/approx estimate and asserts it lands
+    between the exact quantiles at p±0.05 — sketch values differ
+    across engines, the bound must hold in both."""
+    orders = read_table(spark, sf_dir, "orders")
+    ex = lambda p: F.percentile("o_totalprice", F.lit(p))  # noqa: E731
+    ap = lambda p: F.approx_percentile(  # noqa: E731
+        "o_totalprice", F.lit(p), F.lit(10_000)
+    )
+    ok = lambda p: (  # noqa: E731
+        ap(p).between(ex(p - 0.05), ex(p + 0.05))
+    )
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(ex(0.50), 4).alias("p50_exact"),
+        ok(0.25).alias("p25_ok"),
+        ok(0.50).alias("p50_ok"),
+        ok(0.75).alias("p75_ok"),
+    )
+
+
+SQL_ORDER_PERCENTILES_APPROX = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.50), 4) AS p50_exact,
+       approx_quantile(o_totalprice, 0.25)
+         BETWEEN quantile_cont(o_totalprice, 0.20) AND quantile_cont(o_totalprice, 0.30) AS p25_ok,
+       approx_quantile(o_totalprice, 0.50)
+         BETWEEN quantile_cont(o_totalprice, 0.45) AND quantile_cont(o_totalprice, 0.55) AS p50_ok,
+       approx_quantile(o_totalprice, 0.75)
+         BETWEEN quantile_cont(o_totalprice, 0.70) AND quantile_cont(o_totalprice, 0.80) AS p75_ok
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 R5_QUERIES = {
     "text_profile": q_text_profile,
     "doc_signatures": q_doc_signatures,
@@ -295,6 +332,8 @@ R5_QUERIES = {
     "events_windows": q_events_windows,
     "dq_suite": q_dq_suite,
     "kmeans_audit": q_kmeans_audit,
+    # superset-only (pytest-oracled; not in the 50-entry driver catalog)
+    "order_percentiles_approx": q_order_percentiles_approx,
 }
 
 R5_ORACLES = {
@@ -305,4 +344,5 @@ R5_ORACLES = {
     # dq_suite's oracle is composed in queries.py AFTER its SQL_DQ_*
     # constants exist (import-order constraint): _sql_dq_suite()
     "kmeans_audit": SQL_KMEANS_AUDIT,
+    "order_percentiles_approx": SQL_ORDER_PERCENTILES_APPROX,
 }

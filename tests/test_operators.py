@@ -523,6 +523,43 @@ def test_connected_components_rounds_bound_on_lsh_graph(spark):
     assert rounds <= 4, f"LSH dedup graph took {rounds} rounds — near-clique claim broken"
 
 
+def test_star_cc_matches_propagation(spark):
+    """Large-star/small-star CC must produce the identical
+    (node, comp) labeling as min-label propagation on an arbitrary
+    mixed graph (cliques + chains + a singleton pair)."""
+    from prod2vec_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(5, 9), (9, 7), (7, 5), (100, 101), (3, 11), (11, 2), (2, 40)],
+        "src: long, dst: long",
+    )
+    want = {(r["node"], r["comp"]) for r in connected_components(edges).collect()}
+    labels, _ = connected_components_star(edges)
+    got = {(r["node"], r["comp"]) for r in labels.collect()}
+    assert got == want
+
+
+def test_star_cc_beats_diameter_on_long_chain(spark):
+    """The reason the two-phase algorithm exists: on a path graph of
+    diameter 63, min-label propagation needs ~63 rounds while
+    large-star/small-star must finish in O(log² n) — assert ≤ 10
+    rounds AND a correct single component."""
+    from prod2vec_spark.operators.graph import connected_components_star
+
+    n = 64
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src: long, dst: long"
+    )
+    labels, rounds = connected_components_star(edges)
+    rows = labels.collect()
+    assert len(rows) == n
+    assert {r["comp"] for r in rows} == {0}, "chain must collapse to one component"
+    assert rounds <= 10, f"two-phase CC took {rounds} rounds on a 64-chain"
+
+
 def test_kmeans_assignment_is_nearest_centroid(spark):
     """KMeans invariants: k clusters, deterministic under a seed, and
     every row's assigned cluster IS the argmin-distance centroid
