@@ -9,8 +9,11 @@ with trigger(availableNow) over the same files.
 
 Scale notes: watermarks bound state; the windowed agg state is
 O(open windows × event types); streaming dedup state is bounded by the
-watermark horizon.  Sinks in tests use format("memory"); production
-would use kafka/delta with checkpointLocation.
+watermark horizon.  Parity tests drain to format("memory"); the
+production path is ``write_stream_parquet`` — a checkpointed file sink
+with the exactly-once restart contract pytest-locked (a kafka/delta
+sink swaps in with the same options; those connectors aren't in this
+environment).
 """
 
 from __future__ import annotations
@@ -125,6 +128,35 @@ def streaming_sessions(
             F.col("w.end").alias("session_end"),
             "n_events",
         )
+    )
+
+
+def write_stream_parquet(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    output_mode: str = "append",
+):
+    """Checkpointed parquet streaming sink — the production file-sink
+    path (the memory sink is test-only).  Exactly-once across restarts:
+    the file sink records committed files in its _spark_metadata
+    transaction log and the checkpoint records consumed source offsets,
+    so re-starting the query with the same checkpoint neither re-reads
+    nor re-writes data already committed — the standard Structured
+    Streaming recovery contract (a kafka/delta sink swaps in with the
+    same options; those connectors aren't in this environment).
+
+    Drains with trigger(availableNow=True): process everything
+    currently available, then stop — the batch-parity testing mode and
+    the incremental-backfill production mode.  Returns the started
+    StreamingQuery; callers awaitTermination()."""
+    return (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
     )
 
 

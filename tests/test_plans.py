@@ -244,3 +244,34 @@ def test_sliding_window_expand_single_shuffle(spark):
     assert "Expand" in plan
     assert count_exchanges(df) == 1
     assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_text_profile_and_signatures_are_shuffle_free(spark):
+    """The merged text-analysis queries must stay pure row-local maps:
+    zero Exchange operators — the embarrassingly-parallel 100 TB claim
+    as a plan fact, not prose."""
+    for name in ["text_profile", "doc_signatures"]:
+        df = QUERIES[name](spark, SF_SMOKE)
+        assert count_exchanges(df) == 0, name
+
+
+def test_events_windows_two_legs_one_shuffle_each(spark):
+    """events_windows: tumbling + sliding union — one hash-agg shuffle
+    per leg, Expand (not a re-scan) for the sliding overlap."""
+    from prod2vec_spark.plans.inspect import explain_str
+
+    df = QUERIES["events_windows"](spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "Expand" in plan
+    assert count_exchanges(df) == 2
+
+
+def test_minhash_jaccard_audit_broadcasts_candidates(spark):
+    """minhash_jaccard_audit: the candidate pairs broadcast into the
+    signature table — no sort-merge self-join of the corpus."""
+    from prod2vec_spark.plans.inspect import explain_str, has_broadcast_join
+
+    df = QUERIES["minhash_jaccard_audit"](spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert has_broadcast_join(df)
+    assert "SortMergeJoin" not in plan

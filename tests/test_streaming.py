@@ -162,3 +162,48 @@ def test_stream_stream_join_matches_batch(spark, events_dir):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_checkpointed_parquet_sink_exactly_once(spark, tmp_path):
+    """write_stream_parquet: the production file-sink path.  Drain a
+    projection to parquet, then RESTART the query with the same
+    checkpoint twice — once with no new input (must write nothing new)
+    and once after a second input file lands (must write exactly its
+    rows) — the exactly-once recovery contract, asserted by row
+    counts, not trusted."""
+    import shutil
+
+    from prod2vec_spark.sources.io import read_table
+    from prod2vec_spark.streaming.events import write_stream_parquet
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", src / "part-000.parquet")
+
+    def drain():
+        stream = read_events_stream(spark, str(src))
+        tx = stream.where(F.col("event_type") == "view").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        q = write_stream_parquet(tx, out, ckpt)
+        q.awaitTermination()
+
+    n_batch = (
+        read_table(spark, SF_SMOKE, "events")
+        .where(F.col("event_type") == "view")
+        .count()
+    )
+
+    drain()
+    assert spark.read.parquet(out).count() == n_batch
+
+    # restart with no new input: offsets are committed, nothing re-emits
+    drain()
+    assert spark.read.parquet(out).count() == n_batch
+
+    # a second file lands; restart processes ONLY the new rows
+    shutil.copy(f"{SF_SMOKE}/events.parquet", src / "part-001.parquet")
+    drain()
+    assert spark.read.parquet(out).count() == 2 * n_batch
