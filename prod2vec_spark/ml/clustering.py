@@ -49,6 +49,45 @@ def kmeans_fit(
     return model, model.transform(feats).drop("_features")
 
 
+def kmeans_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dims: int,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    seed: int = 42,
+    max_iter: int = 10,
+    vec_col: str = "embedding",
+):
+    """IVF ANN with Lloyd-refined centroids — the quality upgrade this
+    module's docstring promises: fit MLlib KMeans, hand
+    ``model.clusterCenters()`` to the same ivf_topk assignment/probe
+    path (collected centroid literal, zero-shuffle corpus pass,
+    broadcast probe join).  Refined cells track the data distribution,
+    so at equal nprobe recall is at least that of seeded-sample cells
+    (pytest-checked on the testdata).  No oracle — the centroid fit is
+    iterative ML; the sampled-centroid `ann_ivf_topk` remains the
+    hash-matched catalog entry."""
+    from prod2vec_spark.operators.simsearch import ivf_topk
+
+    model, _ = kmeans_fit(
+        corpus, vec_col=vec_col, k=n_centroids, seed=seed, max_iter=max_iter
+    )
+    centers = [list(map(float, c)) for c in model.clusterCenters()]
+    centers = [c for c in centers if any(x != 0.0 for x in c)]
+    return ivf_topk(
+        corpus,
+        queries,
+        dims=dims,
+        k=k,
+        n_centroids=len(centers),
+        nprobe=nprobe,
+        vec_col=vec_col,
+        centroids=centers,
+    )
+
+
 def cluster_profile(assigned: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Per-cluster summary (cluster, n_vecs, avg_norm): one hash-agg
     shuffle on the (tiny-cardinality) cluster key."""

@@ -223,14 +223,17 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     min_parallelism: int | None = None,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: the data-adaptive
     counterpart to sign-LSH bucketing.
 
     Coarse quantizer: ``n_centroids`` unit vectors seeded-sampled from
     the corpus itself (md5 hash order — deterministic, oracle-
-    replayable; a k-means refinement would sharpen cells but adds a
-    nondeterministic iterative fit).  Every corpus vector is assigned
+    replayable), OR caller-supplied ``centroids`` (raw vectors,
+    unit-scaled here) — the k-means refinement path
+    (ml/clustering.kmeans_ivf_topk) plugs its Lloyd-refined centers in
+    through this parameter.  Every corpus vector is assigned
     to its nearest centroid ROW-LOCALLY — the centroid matrix is a
     collected literal (bounded by n_centroids, exactly like the LSH
     hyperplane matrix), so assignment is one map pass with zero
@@ -258,19 +261,24 @@ def ivf_topk(
     # hash of the id — no corpus-wide normalize), unit-scaled on the
     # driver with the exact left-fold arithmetic of l2_norm/normalized
     # so the embedded literals match what the oracle computes in-engine.
-    raw_rows = (
-        corpus.select(id_col, vec_col)
-        # zero vectors can't be unit-scaled into centroids — skip them
-        # BEFORE the seeded sample (the candidate path already guards
-        # zero norms via nullif; this closes the centroid path)
-        .where(l2_norm(F.col(vec_col)) > 0)
-        .orderBy(F.md5(F.concat_ws("|", F.lit("ivf"), F.col(id_col))), F.col(id_col))
-        .limit(n_centroids)
-        .collect()
-    )
+    if centroids is not None:
+        raw_vecs = [list(v) for v in centroids]
+    else:
+        raw_rows = (
+            corpus.select(id_col, vec_col)
+            # zero vectors can't be unit-scaled into centroids — skip
+            # them BEFORE the seeded sample (the candidate path already
+            # guards zero norms via nullif; this closes the centroid
+            # path)
+            .where(l2_norm(F.col(vec_col)) > 0)
+            .orderBy(F.md5(F.concat_ws("|", F.lit("ivf"), F.col(id_col))), F.col(id_col))
+            .limit(n_centroids)
+            .collect()
+        )
+        raw_vecs = [r[vec_col] for r in raw_rows]
     cents = []
-    for r in raw_rows:
-        v = [float(x) for x in r[vec_col]]
+    for raw in raw_vecs:
+        v = [float(x) for x in raw]
         acc = 0.0
         for x in v:
             acc = acc + x * x

@@ -1,0 +1,144 @@
+"""Config-driven LLM-corpus curation pipeline (ENGINE scope): the
+dedup / text-analysis / quality operator family (SURVEY.md §2.14-2.16)
+composed into one runnable, checkpointed dataflow — the data-prep
+counterpart of the Prod2VecPipeline DAG (pipeline.py).
+
+Stage graph (the canonical web-corpus curation shape):
+
+    gates → exact_dedup → quality_filter → near_dedup → stats
+
+Every stage hand-off is a parquet checkpoint under ``work_dir`` so a
+failed 100 TB run resumes at the last stage, and each stage reuses the
+already-tested operators — this module adds composition, not new
+relational logic.
+
+Scale notes per stage:
+  * gates — one aggregate scan (operators/quality.py).
+  * exact_dedup — one shuffle on 32-byte content digests, keep the
+    min-id doc per digest (operators/dedup.exact_dup_groups).
+  * quality_filter — row-local scoring; the global percentile
+    threshold is a 1-row aggregate broadcast back (never a corpus-wide
+    window) — identical shape to the oracle-checked quality_filter
+    catalog query.
+  * near_dedup — minhash bands → banded equi-join candidates (capped
+    + auditable) → connected components (2 shuffles/round, ~2 rounds
+    on LSH near-clique graphs) → drop non-canonical members.  The
+    non-canonical id set is usually a small fraction of the corpus; it
+    broadcasts into a left-anti join so the corpus never shuffles for
+    the final subtraction.
+  * stats — per-stage counts + final token budget, a handful of
+    1-row aggregates unioned driver-side.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from prod2vec_spark.operators import dedup as DD
+from prod2vec_spark.operators import text as TX
+from prod2vec_spark.operators.quality import Rules, assert_expectations
+from prod2vec_spark.sources.io import read_table, write_parquet
+
+
+@dataclass
+class CorpusConfig:
+    sf_dir: str
+    work_dir: str
+    quality_pct: float = 0.25  # drop the worst quartile
+    lsh_max_group: int = 64  # degenerate-band cap (queries_ext.py)
+    shingle_k: int = 3
+
+
+class CorpusCurationPipeline:
+    def __init__(self, spark: SparkSession, cfg: CorpusConfig):
+        self.spark = spark
+        self.cfg = cfg
+
+    # -- stage 0: input gates -----------------------------------------
+    def gates(self) -> None:
+        docs = read_table(self.spark, self.cfg.sf_dir, "documents")
+        assert_expectations(
+            docs,
+            Rules(
+                not_null=["doc_id", "text"],
+                unique_key=["doc_id"],
+                row_count_between=(1.0, 1e12),
+            ),
+        )
+
+    # -- stage 1: exact dedup ------------------------------------------
+    def exact_dedup(self) -> DataFrame:
+        docs = read_table(self.spark, self.cfg.sf_dir, "documents")
+        keep = DD.exact_dup_groups(docs).select(
+            F.col("keep_doc_id").alias("doc_id")
+        )
+        out = docs.join(keep, "doc_id", "left_semi")
+        write_parquet(out, f"{self.cfg.work_dir}/exact_deduped")
+        return self.spark.read.parquet(f"{self.cfg.work_dir}/exact_deduped")
+
+    # -- stage 2: quality filter ---------------------------------------
+    def quality_filter(self, docs: DataFrame) -> DataFrame:
+        scored = docs.withColumn("q", TX.quality_score(F.col("text")))
+        thr = scored.agg(
+            F.percentile("q", F.lit(self.cfg.quality_pct)).alias("q_thr")
+        )
+        kept = (
+            scored.crossJoin(F.broadcast(thr))
+            .where(F.col("q") >= F.col("q_thr"))
+            .drop("q_thr")
+        )
+        write_parquet(kept, f"{self.cfg.work_dir}/quality_kept")
+        return self.spark.read.parquet(f"{self.cfg.work_dir}/quality_kept")
+
+    # -- stage 3: near dedup -------------------------------------------
+    def near_dedup(self, docs: DataFrame) -> DataFrame:
+        from prod2vec_spark.operators.graph import dedup_clusters
+
+        pairs = DD.lsh_candidate_pairs(
+            DD.minhash_bands(docs, shingle_k=self.cfg.shingle_k),
+            max_group=self.cfg.lsh_max_group,
+        )
+        clusters = dedup_clusters(pairs)
+        drop = clusters.where(F.col("is_canonical") == 0).select("doc_id")
+        # the drop set is the non-canonical fraction — broadcast it so
+        # the corpus-side anti join never shuffles
+        out = docs.join(F.broadcast(drop), "doc_id", "left_anti")
+        write_parquet(clusters, f"{self.cfg.work_dir}/near_dup_clusters")
+        write_parquet(out, f"{self.cfg.work_dir}/curated")
+        return self.spark.read.parquet(f"{self.cfg.work_dir}/curated")
+
+    # -- stage 4: stats report -----------------------------------------
+    def stats(
+        self, n_input: int, n_exact: int, n_quality: int, final: DataFrame
+    ) -> DataFrame:
+        budget = final.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(TX.tokens(F.col("text")))).alias("n_ws_tokens"),
+            F.sum(TX.bpe_ish_token_count(F.col("text"))).alias("n_bpe_tokens"),
+        ).first()
+        rows = [
+            ("input", n_input),
+            ("after_exact_dedup", n_exact),
+            ("after_quality_filter", n_quality),
+            ("final", budget["n_docs"]),
+            ("final_ws_tokens", budget["n_ws_tokens"]),
+            ("final_bpe_tokens", budget["n_bpe_tokens"]),
+        ]
+        report = self.spark.createDataFrame(rows, "stage string, n long")
+        write_parquet(report, f"{self.cfg.work_dir}/curation_report")
+        return report
+
+    # -- full run -------------------------------------------------------
+    def run(self) -> DataFrame:
+        self.gates()
+        docs = read_table(self.spark, self.cfg.sf_dir, "documents")
+        n_input = docs.count()
+        exact = self.exact_dedup()
+        n_exact = exact.count()
+        quality = self.quality_filter(exact)
+        n_quality = quality.count()
+        final = self.near_dedup(quality)
+        return self.stats(n_input, n_exact, n_quality, final)

@@ -592,3 +592,35 @@ def test_kmeans_assignment_is_nearest_centroid(spark):
     a = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
     b = {r["vec_id"]: r["cluster"] for r in again.collect()}
     assert a == b
+
+
+def test_kmeans_ivf_recall_beats_sampled_centroids(spark):
+    """The clustering module's quality-upgrade claim as a checked
+    number: IVF with Lloyd-refined centroids must reach at least the
+    recall@5 of seeded-sample centroids at equal nprobe (both paths
+    fully seeded, so the comparison is deterministic)."""
+    from pyspark.sql import functions as F
+
+    from prod2vec_spark.ml.clustering import kmeans_ivf_topk
+    from prod2vec_spark.operators.simsearch import brute_force_topk, ivf_topk
+    from prod2vec_spark.sources.io import read_table
+    from tests.conftest import SF_SMOKE
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    samp = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, q, dims=64, k=5, n_centroids=8, nprobe=2).collect()
+    }
+    km = {
+        (r["query_id"], r["neighbor_id"])
+        for r in kmeans_ivf_topk(emb, q, dims=64, k=5, n_centroids=8, nprobe=2).collect()
+    }
+    r_samp = len(samp & exact) / len(exact)
+    r_km = len(km & exact) / len(exact)
+    assert r_km >= r_samp, (r_km, r_samp)
+    assert r_km > 0.3  # sanity floor: refined cells must stay useful

@@ -238,3 +238,40 @@ def test_config_accepts_tpe_strategy():
         from_dict(
             {**base, "run_hyperparameter_opt": True, "tune_strategy": "tpe", "tune_n_trials": 0}
         )
+
+
+def test_corpus_curation_pipeline_end_to_end(spark, tmp_path):
+    """The LLM-corpus curation DAG (gates -> exact dedup -> quality
+    filter -> near dedup -> stats) over the sf0.001 documents:
+    monotone stage counts, no duplicate content digests in the final
+    corpus, no non-canonical near-dup member survives, and the report
+    checkpoint is readable."""
+    from pyspark.sql import functions as F
+
+    from prod2vec_spark.operators import dedup as DD
+    from prod2vec_spark.pipeline_llm import CorpusConfig, CorpusCurationPipeline
+    from tests.conftest import SF_SMOKE
+
+    cfg = CorpusConfig(sf_dir=SF_SMOKE, work_dir=str(tmp_path / "corpus"))
+    report = CorpusCurationPipeline(spark, cfg).run()
+    by_stage = {r["stage"]: r["n"] for r in report.collect()}
+    assert (
+        by_stage["input"]
+        >= by_stage["after_exact_dedup"]
+        >= by_stage["after_quality_filter"]
+        >= by_stage["final"]
+        > 0
+    )
+    assert by_stage["final_ws_tokens"] > 0
+
+    final = spark.read.parquet(f"{cfg.work_dir}/curated")
+    # exact-dup free: every content digest unique
+    digests = final.select(DD.text_digest(F.col("text")).alias("h"))
+    assert digests.count() == digests.distinct().count()
+    # near-dup free: no surviving doc is a non-canonical cluster member
+    clusters = spark.read.parquet(f"{cfg.work_dir}/near_dup_clusters")
+    dropped = clusters.where(F.col("is_canonical") == 0).select("doc_id")
+    assert final.join(dropped, "doc_id", "inner").count() == 0
+    # the checkpointed report round-trips
+    persisted = spark.read.parquet(f"{cfg.work_dir}/curation_report")
+    assert {r["stage"] for r in persisted.collect()} == set(by_stage)
