@@ -184,3 +184,30 @@ def test_register_views_sql_equals_dataframe(spark):
         .collect()
     }
     assert got == want
+
+
+def test_register_query_views_sql_surface(spark):
+    """Every catalog query is reachable from spark.sql as q_<name>,
+    results identical to the DataFrame form.  (Full registration at
+    sf0.001 includes the ML-backed audits' definition-time fits —
+    cheap at smoke scale and part of the registration contract.)"""
+    from prod2vec_spark.queries import QUERIES
+    from prod2vec_spark.sources.io import register_query_views
+
+    names = register_query_views(spark, SF_SMOKE)
+    assert len(names) == len(QUERIES) == 50
+    got = {
+        (r["side"], r["nationkey"]): r["n"]
+        for r in spark.sql("SELECT * FROM q_union_nation_counts").collect()
+    }
+    want = {
+        (r["side"], r["nationkey"]): r["n"]
+        for r in QUERIES["union_nation_counts"](spark, SF_SMOKE).collect()
+    }
+    assert got == want and len(got) > 0
+    # Catalyst plans straight through the view: a filter composed on
+    # top in SQL still prunes at the source
+    assert (
+        spark.sql("SELECT * FROM q_topk_orders WHERE o_totalprice > 0").count()
+        > 0
+    )
