@@ -40,3 +40,34 @@ def test_rows_only_queries_nonempty(spark, name):
     df = ALL_QUERIES[name](spark, SF_ORACLE)
     assert df.count() > 0
     assert len(df.columns) > 0
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "pricing_summary",          # decimal-staged aggregates
+        "negative_sampling_stats",  # hex conv + exp/log arithmetic
+        "doc_signatures",           # bit shifts + modular rolling hash
+        "minhash_jaccard_audit",    # conv() longs + ratio division
+        "dedup_clusters",           # iterative checksum + min-label
+        "events_windows",           # interval / window arithmetic
+    ],
+)
+def test_catalog_survives_ansi_mode(spark, name):
+    """Spark 4 clusters default to spark.sql.ansi.enabled=true, where
+    silent overflow/bad-cast become runtime errors.  The
+    arithmetic-heaviest catalog entries must produce IDENTICAL results
+    with ANSI on — the engine's cluster-portability contract (the CC
+    checksum already crashed under ANSI once; this sweep keeps the
+    whole class covered)."""
+    from prod2vec_spark.queries import ALL_QUERIES
+    from tests.conftest import SF_SMOKE
+
+    base = sorted(map(str, ALL_QUERIES[name](spark, SF_SMOKE).collect()))
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        ansi = sorted(map(str, ALL_QUERIES[name](spark, SF_SMOKE).collect()))
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+    assert ansi == base
