@@ -107,7 +107,10 @@ class CorpusCurationPipeline:
         # the corpus-side anti join never shuffles
         out = docs.join(F.broadcast(drop), "doc_id", "left_anti")
         write_parquet(clusters, f"{self.cfg.work_dir}/near_dup_clusters")
-        write_parquet(out, f"{self.cfg.work_dir}/curated")
+        # hive-partition the curated corpus by language: downstream
+        # per-language training reads prune whole directories (the
+        # partition column is low-cardinality by the dq gate)
+        write_parquet(out, f"{self.cfg.work_dir}/curated", partition_by=["lang"])
         return self.spark.read.parquet(f"{self.cfg.work_dir}/curated")
 
     # -- stage 4: stats report -----------------------------------------

@@ -624,3 +624,54 @@ def test_kmeans_ivf_recall_beats_sampled_centroids(spark):
     r_km = len(km & exact) / len(exact)
     assert r_km >= r_samp, (r_km, r_samp)
     assert r_km > 0.3  # sanity floor: refined cells must stay useful
+
+
+def test_bin_range_join_equivalent_to_between_property(spark):
+    """Property (hypothesis): on arbitrary generated interval tables
+    and point sets, the binned equi-join form must produce EXACTLY the
+    pairs of the naive BETWEEN theta join it replaces — including
+    intervals wider than, narrower than, and straddling the bin
+    width."""
+    from hypothesis import given, settings, strategies as st
+
+    from prod2vec_spark.operators.ranges import bin_range_join
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        points=st.lists(
+            st.floats(min_value=0.0, max_value=1000.0, allow_nan=False),
+            min_size=1,
+            max_size=20,
+        ),
+        intervals=st.lists(
+            st.tuples(
+                st.floats(min_value=0.0, max_value=1000.0, allow_nan=False),
+                st.floats(min_value=0.0, max_value=500.0, allow_nan=False),
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+    )
+    def check(points, intervals):
+        pts = spark.createDataFrame(
+            [(i, float(p)) for i, p in enumerate(points)], "pid int, x double"
+        )
+        ivs = spark.createDataFrame(
+            [(j, float(lo), float(lo + w)) for j, (lo, w) in enumerate(intervals)],
+            "iid int, lo double, hi double",
+        )
+        got = {
+            (r["pid"], r["iid"])
+            for r in bin_range_join(
+                pts, ivs, point_col="x", lo_col="lo", hi_col="hi", bin_width=100.0
+            ).collect()
+        }
+        want = {
+            (i, j)
+            for i, p in enumerate(points)
+            for j, (lo, w) in enumerate(intervals)
+            if lo <= p < lo + w
+        }
+        assert got == want
+
+    check()
