@@ -288,6 +288,34 @@ FROM embeddings
 """
 
 
+# ---------------------------------------------- LSH oversize audit
+AUDIT_GROUP_CAP = 2  # low cap so the sf0.01 corpus actually trips it
+
+
+def q_lsh_oversize_groups(spark, sf_dir):
+    """The degenerate-band audit (operators/dedup.lsh_oversize_groups)
+    as an oracle-checked query: the (band, signature) groups a
+    ``max_group`` cap would DROP, with their cardinality — so a 100 TB
+    dedup run reports lost-recall candidates instead of silently
+    skipping them.  Uses a deliberately low cap so the testdata
+    produces rows; the production cap (64) rarely trips at small SF."""
+    from prod2vec_spark.operators import dedup as DD
+
+    docs = read_table(spark, sf_dir, "documents")
+    return DD.lsh_oversize_groups(DD.minhash_bands(docs), max_group=AUDIT_GROUP_CAP)
+
+
+def _sql_lsh_oversize_groups() -> str:
+    from prod2vec_spark.queries_ext import _SQL_MINHASH, _SQL_SHINGLES3
+
+    return f"""
+WITH {_SQL_SHINGLES3},
+{_SQL_MINHASH}
+SELECT band_id, band_sig, count(*) AS n_docs
+FROM bands GROUP BY 1, 2 HAVING count(*) > {AUDIT_GROUP_CAP}
+"""
+
+
 # ------------------------------------------- approx-percentile twin
 def q_order_percentiles_approx(spark, sf_dir):
     """The documented 100 TB swap for order_percentiles
@@ -334,6 +362,7 @@ R5_QUERIES = {
     "kmeans_audit": q_kmeans_audit,
     # superset-only (pytest-oracled; not in the 50-entry driver catalog)
     "order_percentiles_approx": q_order_percentiles_approx,
+    "lsh_oversize_groups": q_lsh_oversize_groups,
 }
 
 R5_ORACLES = {
@@ -345,4 +374,5 @@ R5_ORACLES = {
     # constants exist (import-order constraint): _sql_dq_suite()
     "kmeans_audit": SQL_KMEANS_AUDIT,
     "order_percentiles_approx": SQL_ORDER_PERCENTILES_APPROX,
+    "lsh_oversize_groups": _sql_lsh_oversize_groups(),
 }
