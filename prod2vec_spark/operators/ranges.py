@@ -69,6 +69,61 @@ def bin_range_join(
     return pts.join(ivl, cond, how).drop("_pbin", "_ibin")
 
 
+def overlap_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    bin_width: float,
+) -> DataFrame:
+    """Interval-OVERLAP join (both sides are interval tables): pairs
+    where ``[left_lo, left_hi)`` and ``[right_lo, right_hi)``
+    intersect — the session-vs-outage / ad-exposure-vs-visit shape the
+    point-in-interval join can't express.
+
+    Same binning trick as ``bin_range_join``, applied to BOTH sides:
+    each interval explodes to the fixed-width bins it covers, the join
+    hash-partitions on the bin id, the exact overlap predicate
+    (lo_a < hi_b AND lo_b < hi_a) trims boundary false positives, and
+    a bin-ownership clause (the overlap's start bin) keeps each
+    genuinely-overlapping pair from being emitted once per shared bin
+    — dedup by construction, no post-join distinct over the pair
+    blow-up.  Fan-out per row is ~width/bin_width + 1; Spark's native
+    plan for the same predicate is a nested-loop join."""
+    w = F.lit(float(bin_width))
+    lb = left.withColumn(
+        "_lbin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(left_lo) / w).cast("long"),
+                F.floor(F.col(left_hi) / w).cast("long"),
+            )
+        ),
+    )
+    rb = right.withColumn(
+        "_rbin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_lo) / w).cast("long"),
+                F.floor(F.col(right_hi) / w).cast("long"),
+            )
+        ),
+    )
+    overlap_start_bin = F.floor(
+        F.greatest(lb[left_lo], rb[right_lo]) / w
+    ).cast("long")
+    cond = (
+        (lb["_lbin"] == rb["_rbin"])
+        & (lb[left_lo] < rb[right_hi])
+        & (rb[right_lo] < lb[left_hi])
+        # ownership: only the bin containing the overlap's start emits
+        & (lb["_lbin"] == overlap_start_bin)
+    )
+    return lb.join(rb, cond, "inner").drop("_lbin", "_rbin")
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,

@@ -104,3 +104,23 @@ def frequency_rank(
     counts = df.groupBy(col).agg(F.count(F.lit(1)).alias("count"))
     order = [F.desc("count") if desc else F.asc("count"), F.asc(col)]
     return counts.withColumn(rank_col, F.row_number().over(Window.orderBy(*order)))
+
+
+def skew_safe_count_distinct(
+    df: DataFrame, key_cols: list[str], value_col: str, n_salts: int = 16
+) -> DataFrame:
+    """Exact per-key distinct count that survives a monster key.
+
+    ``countDistinct`` keeps every distinct value of a key inside ONE
+    reducer's hash set — a hot key (the classic default-value id) puts
+    millions of values on a single task.  Salting BY THE VALUE'S HASH
+    fixes it exactly: each distinct value maps to exactly one salt, so
+    per-(key, salt) distinct counts are disjoint and ADD without
+    error.  Two hash-agg shuffles, the second over key × n_salts tiny
+    partial rows; contrast with salting by row hash, which would
+    double-count values split across salts."""
+    salt = F.pmod(F.xxhash64(F.col(value_col), F.lit(11)), F.lit(n_salts))
+    partial = df.groupBy(*key_cols, salt.alias("_salt")).agg(
+        F.countDistinct(value_col).alias("_pd")
+    )
+    return partial.groupBy(*key_cols).agg(F.sum("_pd").alias("n_distinct"))

@@ -675,3 +675,68 @@ def test_bin_range_join_equivalent_to_between_property(spark):
         assert got == want
 
     check()
+
+
+def test_overlap_range_join_equivalent_to_theta_property(spark):
+    """Property (hypothesis): the binned interval-overlap join emits
+    exactly the pairs of the naive overlap theta join
+    (lo_a < hi_b AND lo_b < hi_a), each pair ONCE — the bin-ownership
+    clause must dedup shared-bin pairs by construction."""
+    from hypothesis import given, settings, strategies as st
+
+    from prod2vec_spark.operators.ranges import overlap_range_join
+
+    ivl = st.lists(
+        st.tuples(
+            st.floats(min_value=0.0, max_value=500.0, allow_nan=False),
+            st.floats(min_value=0.0, max_value=300.0, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(a=ivl, b=ivl)
+    def check(a, b):
+        la = spark.createDataFrame(
+            [(i, float(lo), float(lo + w)) for i, (lo, w) in enumerate(a)],
+            "aid int, a_lo double, a_hi double",
+        )
+        lb = spark.createDataFrame(
+            [(j, float(lo), float(lo + w)) for j, (lo, w) in enumerate(b)],
+            "bid int, b_lo double, b_hi double",
+        )
+        rows = overlap_range_join(
+            la, lb, "a_lo", "a_hi", "b_lo", "b_hi", bin_width=100.0
+        ).collect()
+        got = [(r["aid"], r["bid"]) for r in rows]
+        want = [
+            (i, j)
+            for i, (alo, awid) in enumerate(a)
+            for j, (blo, bwid) in enumerate(b)
+            if alo < blo + bwid and blo < alo + awid
+        ]
+        assert sorted(got) == sorted(want)  # exact multiset: no dup emits
+
+    check()
+
+
+def test_skew_safe_count_distinct_exact(spark):
+    """Value-hash salting must reproduce countDistinct exactly,
+    including on a deliberately hot key carrying many distinct and
+    many duplicated values."""
+    from prod2vec_spark.operators.relational import skew_safe_count_distinct
+
+    rows = [("hot", v % 97) for v in range(2000)] + [
+        ("cold", v) for v in range(5)
+    ]
+    df = spark.createDataFrame(rows, "k string, v long")
+    got = {
+        r["k"]: r["n_distinct"]
+        for r in skew_safe_count_distinct(df, ["k"], "v", n_salts=8).collect()
+    }
+    want = {
+        r["k"]: r["nd"]
+        for r in df.groupBy("k").agg(F.countDistinct("v").alias("nd")).collect()
+    }
+    assert got == want == {"hot": 97, "cold": 5}
