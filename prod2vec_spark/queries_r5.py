@@ -353,6 +353,82 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+# -------------------------------------------- interval-overlap join
+OVR_DAYS = 14.0
+
+
+def q_order_window_overlaps(spark, sf_dir):
+    """Interval-overlap join on real data: urgent-order fulfillment
+    windows [orderdate, +14d) vs low-priority ones — per urgent order,
+    how many low-priority windows it overlaps (top 20).  Exercises
+    operators/ranges.overlap_range_join: both interval sides bin to
+    14-day buckets, bin-ownership dedups, the naive theta join is the
+    oracle."""
+    from prod2vec_spark.operators.ranges import overlap_range_join
+
+    orders = read_table(spark, sf_dir, "orders")
+    days = F.unix_timestamp("o_orderdate") / 86400.0
+
+    def windows(prio, key, pricemin):
+        return (
+            orders.where(
+                (F.col("o_orderpriority") == prio)
+                & (F.col("o_totalprice") > pricemin)
+            )
+            .select(
+                F.col("o_orderkey").alias(key),
+                days.alias(f"{key}_lo"),
+                (days + OVR_DAYS).alias(f"{key}_hi"),
+            )
+        )
+
+    a = windows("1-URGENT", "a_key", 400_000.0)
+    b = windows("5-LOW", "b_key", 400_000.0)
+    joined = overlap_range_join(
+        a, b, "a_key_lo", "a_key_hi", "b_key_lo", "b_key_hi", bin_width=OVR_DAYS
+    )
+    return (
+        joined.groupBy("a_key")
+        .agg(F.count(F.lit(1)).alias("n_overlaps"))
+        .orderBy(F.desc("n_overlaps"), F.asc("a_key"))
+        .limit(20)
+        .select(F.col("a_key").alias("urgent_orderkey"), "n_overlaps")
+    )
+
+
+SQL_ORDER_WINDOW_OVERLAPS = f"""
+WITH a AS (
+  SELECT o_orderkey AS k, epoch(o_orderdate) / 86400.0 AS lo,
+         epoch(o_orderdate) / 86400.0 + {OVR_DAYS} AS hi
+  FROM orders WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 400000),
+b AS (
+  SELECT o_orderkey AS k, epoch(o_orderdate) / 86400.0 AS lo,
+         epoch(o_orderdate) / 86400.0 + {OVR_DAYS} AS hi
+  FROM orders WHERE o_orderpriority = '5-LOW' AND o_totalprice > 400000)
+SELECT a.k AS urgent_orderkey, count(*) AS n_overlaps
+FROM a JOIN b ON a.lo < b.hi AND b.lo < a.hi
+GROUP BY a.k ORDER BY n_overlaps DESC, a.k LIMIT 20
+"""
+
+
+# ---------------------------------------- skew-safe distinct count
+def q_skew_safe_distinct(spark, sf_dir):
+    """skew_safe_count_distinct on the basket fact: distinct parts per
+    returnflag via value-hash salting — must equal plain
+    COUNT(DISTINCT) exactly (the salting is an internal partitioning
+    detail)."""
+    from prod2vec_spark.operators.relational import skew_safe_count_distinct
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return skew_safe_count_distinct(li, ["l_returnflag"], "l_partkey", n_salts=16)
+
+
+SQL_SKEW_SAFE_DISTINCT = """
+SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_distinct
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 R5_QUERIES = {
     "text_profile": q_text_profile,
     "doc_signatures": q_doc_signatures,
@@ -363,6 +439,8 @@ R5_QUERIES = {
     # superset-only (pytest-oracled; not in the 50-entry driver catalog)
     "order_percentiles_approx": q_order_percentiles_approx,
     "lsh_oversize_groups": q_lsh_oversize_groups,
+    "order_window_overlaps": q_order_window_overlaps,
+    "skew_safe_distinct": q_skew_safe_distinct,
 }
 
 R5_ORACLES = {
@@ -375,4 +453,6 @@ R5_ORACLES = {
     "kmeans_audit": SQL_KMEANS_AUDIT,
     "order_percentiles_approx": SQL_ORDER_PERCENTILES_APPROX,
     "lsh_oversize_groups": _sql_lsh_oversize_groups(),
+    "order_window_overlaps": SQL_ORDER_WINDOW_OVERLAPS,
+    "skew_safe_distinct": SQL_SKEW_SAFE_DISTINCT,
 }
