@@ -353,6 +353,71 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+# ------------------------------------------ cross-modal agreement
+def q_neardup_modal_agreement(spark, sf_dir):
+    """Cross-modal dedup agreement audit (capstone of the audit
+    family): the testdata's doc_id and vec_id spaces align 1:1, so the
+    TEXT near-dup candidates (MinHash LSH over 3-shingles) and the
+    EMBEDDING near-dup pairs (banded sign-LSH + cosine ≥ 0.4) describe
+    the same corpus through two modalities — this query measures how
+    much they agree: pair counts per modality, the intersection, and
+    the Jaccard of the two pair sets.
+
+    Scale shape: both inputs are the OUTPUTS of already-bucketed
+    operators (candidate pair lists, orders of magnitude smaller than
+    the corpus); the agreement join runs on those lists only."""
+    from prod2vec_spark.queries_ext import q_lsh_candidates
+    from prod2vec_spark.queries_more import q_embedding_neardup as _q_emb
+
+    txt = q_lsh_candidates(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    emb = _q_emb(spark, sf_dir).select(
+        F.col("vec_a").alias("a"), F.col("vec_b").alias("b")
+    )
+    both = txt.join(emb, ["a", "b"])
+    nt = txt.agg(F.count(F.lit(1)).alias("n_text_pairs"))
+    ne = emb.agg(F.count(F.lit(1)).alias("n_emb_pairs"))
+    nb = both.agg(F.count(F.lit(1)).alias("n_both"))
+    return (
+        nt.crossJoin(ne)
+        .crossJoin(nb)
+        .select(
+            "n_text_pairs",
+            "n_emb_pairs",
+            "n_both",
+            F.round(
+                F.col("n_both")
+                / F.nullif(
+                    (F.col("n_text_pairs") + F.col("n_emb_pairs") - F.col("n_both")).cast(
+                        "double"
+                    ),
+                    F.lit(0.0),
+                ),
+                5,
+            ).alias("pair_jaccard"),
+        )
+    )
+
+
+def _sql_neardup_modal_agreement() -> str:
+    from prod2vec_spark.queries_ext import SQL_LSH_CANDIDATES
+    from prod2vec_spark.queries_more import _sql_neardup
+
+    return f"""
+WITH t AS (SELECT doc_a AS a, doc_b AS b FROM ({SQL_LSH_CANDIDATES})),
+e AS (SELECT vec_a AS a, vec_b AS b FROM ({_sql_neardup()})),
+m AS (SELECT (SELECT count(*) FROM t) AS n_text_pairs,
+             (SELECT count(*) FROM e) AS n_emb_pairs,
+             (SELECT count(*) FROM t JOIN e USING (a, b)) AS n_both)
+SELECT n_text_pairs, n_emb_pairs, n_both,
+       round(CAST(n_both AS DOUBLE)
+             / nullif(CAST(n_text_pairs + n_emb_pairs - n_both AS DOUBLE), 0), 5)
+         AS pair_jaccard
+FROM m
+"""
+
+
 # -------------------------------------------- interval-overlap join
 OVR_DAYS = 14.0
 
@@ -441,6 +506,7 @@ R5_QUERIES = {
     "lsh_oversize_groups": q_lsh_oversize_groups,
     "order_window_overlaps": q_order_window_overlaps,
     "skew_safe_distinct": q_skew_safe_distinct,
+    "neardup_modal_agreement": q_neardup_modal_agreement,
 }
 
 R5_ORACLES = {
@@ -455,4 +521,5 @@ R5_ORACLES = {
     "lsh_oversize_groups": _sql_lsh_oversize_groups(),
     "order_window_overlaps": SQL_ORDER_WINDOW_OVERLAPS,
     "skew_safe_distinct": SQL_SKEW_SAFE_DISTINCT,
+    "neardup_modal_agreement": _sql_neardup_modal_agreement(),
 }
