@@ -2,12 +2,17 @@
 opaque ``binary`` columns with a typed metadata struct, processed by
 Arrow-batched ``mapInPandas`` stages.
 
-The container has no image/audio codecs, so the DECODE step is stubbed
-(deterministic fake features, clearly marked) — but everything Spark
-cares about is real and tested: the schema contract, the Pandas-UDF
-batch shape (iterator of DataFrames), partition sizing, and the
-metadata pushdown-friendly layout (metadata columns live OUTSIDE the
-blob so filters prune without touching bytes).
+Image and audio decode is REAL, stdlib-only (round-6): a pure-Python
+PNG decoder (``zlib`` inflate + per-scanline unfilter → width/height/
+bit-depth/color-type + a digest of the reconstructed pixel bytes) and
+a WAV decoder (``wave`` + ``struct`` → sample rate, duration, RMS).
+Only VIDEO decode remains stubbed (``_decode_stub`` — no container
+codec exists for it); unknown formats take the same deterministic
+byte-stats path.  The Spark-side contract is real throughout: the
+schema, the Pandas-UDF batch shape (iterator of DataFrames),
+partition sizing, and the metadata pushdown-friendly layout (metadata
+columns live OUTSIDE the blob so filters prune without touching
+bytes).
 
 Scale notes: blobs ride in parquet binary columns; filters on
 media_type/width/duration prune row groups without decoding; the
@@ -18,6 +23,12 @@ maxPartitionBytes governs blob-scan partition sizing.
 
 from __future__ import annotations
 
+import hashlib
+import io
+import math
+import struct
+import wave
+import zlib
 from collections.abc import Iterator
 from contextlib import contextmanager
 
@@ -39,8 +50,12 @@ MEDIA_SCHEMA = T.StructType(
 
 FEATURE_SCHEMA = (
     "media_id long, media_type string, n_bytes int, "
-    "blob_digest string, feature array<float>"
+    "blob_digest string, format string, width int, height int, "
+    "bit_depth int, sample_rate int, duration_ms double, rms double, "
+    "pixel_digest string, feature array<float>"
 )
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def attach_blobs(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -60,11 +75,172 @@ def attach_blobs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def png_header(blob: bytes) -> dict:
+    """Parse just the IHDR chunk (no inflate) — cheap metadata probe
+    for scans that only need dimensions."""
+    if blob[:8] != PNG_SIG or blob[12:16] != b"IHDR":
+        raise ValueError("not a PNG")
+    width, height, bit_depth, color_type, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", blob[16:29]
+    )
+    if comp != 0 or filt != 0:
+        raise ValueError("invalid PNG compression/filter method")
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"invalid PNG color type {color_type}")
+    return {
+        "width": width,
+        "height": height,
+        "bit_depth": bit_depth,
+        "color_type": color_type,
+        "channels": _PNG_CHANNELS[color_type],
+        "interlace": interlace,
+    }
+
+
+def _png_unfilter(raw: bytes, stride: int, height: int, bpp: int) -> bytes:
+    """Reverse the per-scanline PNG filters (spec §6: None/Sub/Up/
+    Average/Paeth).  Filters are byte-wise with a ``bpp``-byte
+    lookback, so this works for every bit depth / color type."""
+    out = bytearray(stride * height)
+    prev = bytes(stride)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        pos += 1
+        line = bytearray(raw[pos : pos + stride])
+        if len(line) != stride:
+            raise ValueError("truncated PNG scanline")
+        pos += stride
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa = p - a if p > a else a - p
+                pb = p - b if p > b else b - p
+                pc = p - c if p > c else c - p
+                if pa <= pb and pa <= pc:
+                    pr = a
+                elif pb <= pc:
+                    pr = b
+                else:
+                    pr = c
+                line[i] = (line[i] + pr) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"invalid PNG filter type {ftype}")
+        out[y * stride : (y + 1) * stride] = line
+        prev = line
+    return bytes(out)
+
+
+def decode_png(blob: bytes) -> dict:
+    """Real stdlib-only PNG decode: chunk walk → IHDR metadata, IDAT
+    concat → ``zlib`` inflate → scanline unfilter → digest + mean of
+    the reconstructed raw pixel bytes (palette indices for color type
+    3).  Non-interlaced images only (Adam7 is rejected explicitly, not
+    silently mis-decoded); every bit depth and color type in the spec
+    is handled because PNG filtering is byte-wise."""
+    hdr = png_header(blob)
+    if hdr["interlace"] != 0:
+        raise ValueError("interlaced (Adam7) PNG not supported")
+    idat = bytearray()
+    pos = 8
+    while pos + 8 <= len(blob):
+        (length,) = struct.unpack(">I", blob[pos : pos + 4])
+        ctype = blob[pos + 4 : pos + 8]
+        if ctype == b"IDAT":
+            idat += blob[pos + 8 : pos + 8 + length]
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # len + type + data + crc
+    raw = zlib.decompress(bytes(idat))
+    bits_per_pixel = hdr["channels"] * hdr["bit_depth"]
+    stride = (hdr["width"] * bits_per_pixel + 7) // 8
+    bpp = max(1, bits_per_pixel // 8)
+    if len(raw) != (stride + 1) * hdr["height"]:
+        raise ValueError("PNG pixel payload size mismatch")
+    pixels = _png_unfilter(raw, stride, hdr["height"], bpp)
+    return {
+        "format": "png",
+        "width": hdr["width"],
+        "height": hdr["height"],
+        "bit_depth": hdr["bit_depth"],
+        "color_type": hdr["color_type"],
+        "channels": hdr["channels"],
+        "pixel_digest": hashlib.md5(pixels).hexdigest(),
+        "mean_pixel_byte": (sum(pixels) / len(pixels)) if pixels else 0.0,
+    }
+
+
+def decode_wav(blob: bytes) -> dict:
+    """Real stdlib-only WAV decode via ``wave``: sample rate, channel
+    count, bit depth, duration, and RMS amplitude (in raw sample
+    units) computed from the PCM frames with ``struct``."""
+    with wave.open(io.BytesIO(blob), "rb") as w:
+        n_channels = w.getnchannels()
+        sampwidth = w.getsampwidth()
+        framerate = w.getframerate()
+        n_frames = w.getnframes()
+        frames = w.readframes(n_frames)
+    n = len(frames) // sampwidth
+    if sampwidth == 1:  # unsigned 8-bit, centered at 128
+        samples = [b - 128 for b in frames[:n]]
+    elif sampwidth == 2:
+        samples = struct.unpack(f"<{n}h", frames[: n * 2])
+    elif sampwidth == 4:
+        samples = struct.unpack(f"<{n}i", frames[: n * 4])
+    else:
+        raise ValueError(f"unsupported WAV sample width {sampwidth}")
+    rms = math.sqrt(sum(s * s for s in samples) / n) if n else 0.0
+    return {
+        "format": "wav",
+        "sample_rate": framerate,
+        "n_channels": n_channels,
+        "bit_depth": sampwidth * 8,
+        "duration_ms": (n_frames / framerate * 1000.0) if framerate else 0.0,
+        "rms": rms,
+    }
+
+
+def decode_media(media_type: str, blob: bytes) -> dict:
+    """Sniff the container by magic bytes and run the REAL decoder
+    (PNG / WAV); everything else — video (no codec in the container)
+    and unknown formats — falls through to the deterministic
+    byte-stats stub with ``format='raw'``.  A corrupt PNG/WAV is
+    reported as ``format='corrupt'`` rather than mis-decoded."""
+    fmt = "raw"
+    if blob[:8] == PNG_SIG:
+        try:
+            return decode_png(blob)
+        except Exception:
+            fmt = "corrupt"
+    elif blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+        try:
+            return decode_wav(blob)
+        except Exception:
+            fmt = "corrupt"
+    return {"format": fmt}
+
+
 def _decode_stub(media_type: str, blob: bytes) -> list[float]:
-    """STUB — real deployments plug a codec here (PIL/libav/ffmpeg are
-    not in this container).  Deterministic fake: 4 features derived
-    from blob length and simple byte stats, so tests have stable
-    expectations while the Spark-side contract stays real."""
+    """Byte-stats fallback features for formats with no container
+    codec (video) and unknown blobs — the only remaining stub (PNG and
+    WAV decode are real above).  Deterministic: 4 features from blob
+    length and simple byte stats, so tests have stable expectations."""
     n = len(blob)
     if n == 0:
         return [0.0, 0.0, 0.0, 0.0]
@@ -107,33 +283,46 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
     with a fixed-width feature vector out.  The iterator protocol keeps
     peak memory at one Arrow batch per task regardless of blob sizes.
 
+    Real PNG/WAV decode happens here per blob (``decode_media``); the
+    decoded metadata rides in typed columns (width/height/bit_depth
+    for images, sample_rate/duration_ms/rms for audio — null where a
+    field does not apply to the format), alongside the generic
+    byte-stats ``feature`` vector that every format gets.
+
     ``batch_hint`` caps rows per OUTPUT Arrow batch by slicing inside
     the UDF — no session conf is touched (the round-2 version mutated
     spark.sql.execution.arrow.maxRecordsPerBatch session-wide as a
     side effect; a lazy operator must not).  To also cap the INPUT
     batch size for very large blobs, wrap the action in
     ``arrow_batch_scope`` — that conf only exists session-side."""
-    import hashlib
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             step = batch_hint or len(pdf) or 1
             for lo in range(0, len(pdf), step):
                 sub = pdf.iloc[lo : lo + step]
-                feats = [
-                    _decode_stub(mt, b if b is not None else b"")
-                    for mt, b in zip(sub["media_type"], sub["blob"])
+                blobs = [b if b is not None else b"" for b in sub["blob"]]
+                decoded = [
+                    decode_media(mt, b) for mt, b in zip(sub["media_type"], blobs)
                 ]
                 yield pd.DataFrame(
                     {
                         "media_id": sub["media_id"],
                         "media_type": sub["media_type"],
-                        "n_bytes": [len(b) if b is not None else 0 for b in sub["blob"]],
-                        "blob_digest": [
-                            hashlib.md5(b if b is not None else b"").hexdigest()
-                            for b in sub["blob"]
+                        "n_bytes": [len(b) for b in blobs],
+                        "blob_digest": [hashlib.md5(b).hexdigest() for b in blobs],
+                        "format": [d["format"] for d in decoded],
+                        "width": [d.get("width") for d in decoded],
+                        "height": [d.get("height") for d in decoded],
+                        "bit_depth": [d.get("bit_depth") for d in decoded],
+                        "sample_rate": [d.get("sample_rate") for d in decoded],
+                        "duration_ms": [d.get("duration_ms") for d in decoded],
+                        "rms": [d.get("rms") for d in decoded],
+                        "pixel_digest": [d.get("pixel_digest") for d in decoded],
+                        "feature": [
+                            _decode_stub(mt, b)
+                            for mt, b in zip(sub["media_type"], blobs)
                         ],
-                        "feature": feats,
                     }
                 )
 
