@@ -76,6 +76,13 @@ def kmeans_ivf_topk(
     )
     centers = [list(map(float, c)) for c in model.clusterCenters()]
     centers = [c for c in centers if any(x != 0.0 for x in c)]
+    if not centers:
+        # degenerate corpus (all-zero vectors): ivf_topk would build a
+        # malformed empty centroid matrix — fail with the cause instead
+        raise ValueError(
+            "kmeans_ivf_topk: all fitted cluster centers have zero norm "
+            "(is the corpus all zero vectors?); no IVF cells to probe"
+        )
     return ivf_topk(
         corpus,
         queries,

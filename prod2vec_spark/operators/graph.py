@@ -78,6 +78,11 @@ def connected_components_with_rounds(
     self-loops; both are harmless (min is idempotent).  Nodes with no
     edges are absent — union them in as singletons at the call site if
     the full domain is needed.
+
+    If ``max_iter`` is exhausted before the checksum fixed point, a
+    ``RuntimeError`` is raised — a truncated label table is NOT a
+    valid component assignment and must not be returned silently
+    (ADVICE r5).  Callers that want best-effort labels can catch it.
     """
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -94,6 +99,7 @@ def connected_components_with_rounds(
     prev = _label_checksum(labels)
 
     rounds = 0
+    converged = False
     for _ in range(max_iter):
         # each node's new label: min over (its own label, labels of
         # all neighbors) — propagate across edges then min-agg
@@ -109,8 +115,15 @@ def connected_components_with_rounds(
         rounds += 1
         cur = _label_checksum(labels)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"connected_components: no fixed point after {max_iter} rounds "
+            f"— the graph's diameter exceeds max_iter (raise it, or use "
+            f"connected_components_star for long-chain graphs)"
+        )
     return labels, rounds
 
 
@@ -208,14 +221,25 @@ def connected_components_star(
 
     prev = _checksum(e)
     rounds = 0
+    converged = False
     for _ in range(max_iter):
         e = _star(e, large=True)
         e = _star(e, large=False).localCheckpoint(eager=True)
         rounds += 1
         cur = _checksum(e)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # a truncated star graph is not a component assignment —
+        # surface it instead of returning silently-wrong labels
+        # (ADVICE r5; the checksum fixed point is the convergence
+        # certificate, max_iter is only a runaway bound)
+        raise RuntimeError(
+            f"connected_components_star: no fixed point after "
+            f"{max_iter} rounds; raise max_iter (O(log² n) expected)"
+        )
     # fixed point: every edge points root -> member; emit labels, and
     # re-attach isolated-after-rewiring roots + true singletons
     members = e.select(F.col("v").alias("node"), F.col("u").alias("comp"))

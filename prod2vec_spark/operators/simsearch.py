@@ -262,7 +262,17 @@ def ivf_topk(
     # driver with the exact left-fold arithmetic of l2_norm/normalized
     # so the embedded literals match what the oracle computes in-engine.
     if centroids is not None:
-        raw_vecs = [list(v) for v in centroids]
+        # mirror the sampled path's zero-norm guard: a zero vector
+        # cannot be unit-scaled (x / 0 at plan-build time) — drop it
+        # rather than crash, and reject an all-zero list outright
+        raw_vecs = [
+            list(v) for v in centroids if any(float(x) != 0.0 for x in v)
+        ]
+        if not raw_vecs:
+            raise ValueError(
+                "ivf_topk: every supplied centroid has zero norm — "
+                "no unit-scalable cells to probe"
+            )
     else:
         raw_rows = (
             corpus.select(id_col, vec_col)

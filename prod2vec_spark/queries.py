@@ -562,8 +562,15 @@ CATALOG: list[str] = [
     # events
     "events_daily", "events_json", "sessionize",
 ]
-assert len(CATALOG) == 50, f"driver catalog must be exactly 50, got {len(CATALOG)}"
-assert set(CATALOG) <= set(ALL_QUERIES), sorted(set(CATALOG) - set(ALL_QUERIES))
+# import-time guards (explicit raise, NOT assert: asserts vanish under
+# python -O and the driver catalog must stay guarded in optimized runs)
+if len(CATALOG) != 50:
+    raise ValueError(f"driver catalog must be exactly 50, got {len(CATALOG)}")
+if not set(CATALOG) <= set(ALL_QUERIES):
+    raise ValueError(
+        f"catalog entries missing implementations: "
+        f"{sorted(set(CATALOG) - set(ALL_QUERIES))}"
+    )
 
 QUERIES: dict[str, QueryFn] = {k: ALL_QUERIES[k] for k in CATALOG}
 ORACLES: dict[str, str] = {

@@ -62,13 +62,25 @@ def _events_ts_is_nanos_long(dir_path: str) -> bool:
     )
 
 
-def read_events_stream(spark: SparkSession, dir_path: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession,
+    dir_path: str,
+    ts_is_nanos: bool | None = None,
+) -> DataFrame:
     """File-source stream over the events parquet.  Schema must be
     declared up front (streams can't infer).  ``ts`` is declared
     TimestampType when the footer says so; the legacy ns-long layout
     (nanosAsLong, see sources/io.py) is converted only when the
-    physical type really is int64/nanos."""
-    if _events_ts_is_nanos_long(dir_path):
+    physical type really is int64/nanos.
+
+    ``ts_is_nanos`` is the explicit override for starting a stream on
+    an INITIALLY-EMPTY landing directory (a normal streaming-source
+    pattern): with no footer to sniff, the caller declares the layout
+    (True = ns-long parquet, False = µs timestamp) and no file read
+    happens.  Left at None, the footer sniff runs and an empty
+    directory raises rather than silently guessing (ADVICE r5)."""
+    nanos = ts_is_nanos if ts_is_nanos is not None else _events_ts_is_nanos_long(dir_path)
+    if nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         schema = (
             "event_id long, ts long, user_id long, event_type string, "

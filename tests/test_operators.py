@@ -740,3 +740,67 @@ def test_skew_safe_count_distinct_exact(spark):
         for r in df.groupBy("k").agg(F.countDistinct("v").alias("nd")).collect()
     }
     assert got == want == {"hot": 97, "cold": 5}
+
+
+def test_cc_raises_on_max_iter_exhaustion(spark):
+    """A truncated run must not masquerade as a fixed point (ADVICE
+    r5): a diameter-7 chain cannot converge in 2 propagation rounds,
+    and both CC variants must raise rather than return partial
+    labels."""
+    import pytest
+
+    from prod2vec_spark.operators.graph import (
+        connected_components_star,
+        connected_components_with_rounds,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(7)], "src: long, dst: long"
+    )
+    with pytest.raises(RuntimeError, match="no fixed point"):
+        connected_components_with_rounds(edges, max_iter=2)
+    with pytest.raises(RuntimeError, match="no fixed point"):
+        connected_components_star(edges, max_iter=1)
+    # with enough budget the same graphs converge fine
+    labels, _ = connected_components_with_rounds(edges, max_iter=25)
+    assert {r["comp"] for r in labels.collect()} == {0}
+
+
+def test_ivf_supplied_centroids_zero_norm_guard(spark):
+    """ADVICE r5: caller-supplied centroids get the same zero-norm
+    guard as the sampled path — zero vectors are dropped, an all-zero
+    list is a ValueError, and a mixed list still answers."""
+    import pytest
+
+    from prod2vec_spark.operators.simsearch import ivf_topk
+    from prod2vec_spark.sources.io import read_table
+    from tests.conftest import SF_SMOKE
+
+    corpus = read_table(spark, SF_SMOKE, "embeddings").limit(50)
+    queries = corpus.limit(2).select("vec_id", "embedding")
+    dims = len(corpus.first()["embedding"])
+    with pytest.raises(ValueError, match="zero norm"):
+        ivf_topk(corpus, queries, dims=dims, centroids=[[0.0] * dims])
+    mixed = [[0.0] * dims, [1.0] + [0.0] * (dims - 1)]
+    out = ivf_topk(
+        corpus, queries, dims=dims, k=3, n_centroids=2, nprobe=1,
+        centroids=mixed,
+    )
+    assert out.count() > 0
+
+
+def test_kmeans_ivf_all_zero_corpus_raises(spark):
+    """ADVICE r5: a corpus of zero vectors leaves no unit-scalable
+    cluster centers — kmeans_ivf_topk must fail with the cause, not
+    build a malformed empty centroid matrix."""
+    import pytest
+
+    from prod2vec_spark.ml.clustering import kmeans_ivf_topk
+
+    zeros = spark.createDataFrame(
+        [(i, [0.0, 0.0, 0.0]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = zeros.limit(1).select("vec_id", "embedding")
+    with pytest.raises(ValueError, match="zero norm"):
+        kmeans_ivf_topk(zeros, queries, dims=3, n_centroids=2)

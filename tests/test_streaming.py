@@ -207,3 +207,50 @@ def test_checkpointed_parquet_sink_exactly_once(spark, tmp_path):
     shutil.copy(f"{SF_SMOKE}/events.parquet", src / "part-001.parquet")
     drain()
     assert spark.read.parquet(out).count() == 2 * n_batch
+
+
+def test_stream_starts_on_empty_dir_with_explicit_schema(spark, tmp_path):
+    """ADVICE r5: an initially-empty landing directory is a normal
+    streaming-source pattern — the explicit ts_is_nanos override must
+    let the stream START with no footer to sniff, then pick up files
+    that land later; without the override the sniff still raises."""
+    import shutil
+
+    import pytest
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    with pytest.raises(FileNotFoundError):
+        read_events_stream(spark, str(src))
+
+    # sniff the real fixture's layout once, then declare it explicitly
+    from prod2vec_spark.streaming.events import _events_ts_is_nanos_long
+
+    nanos = _events_ts_is_nanos_long(f"{SF_SMOKE}/events.parquet")
+    stream = read_events_stream(spark, str(src), ts_is_nanos=nanos)
+    agg = stream.groupBy("event_type").count()
+
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("empty_start")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.sql("select * from empty_start").count() == 0  # empty dir drained
+
+    shutil.copy(f"{SF_SMOKE}/events.parquet", src / "part-000.parquet")
+    q2 = (
+        stream.groupBy("event_type").count()
+        .writeStream.format("memory")
+        .queryName("empty_start2")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    from prod2vec_spark.sources.io import read_table
+
+    want = read_table(spark, SF_SMOKE, "events").select("event_type").distinct().count()
+    assert spark.sql("select * from empty_start2").count() == want
