@@ -58,6 +58,8 @@ import time
 
 
 FLAGSHIP = "__flagship__"
+CURATION10X = "__curation10x__"
+BASELINE_SF = 0.1  # scale factor the BASELINE.json timings were recorded at
 
 
 def _flagship(spark, sf_dir):
@@ -97,6 +99,18 @@ def _flagship(spark, sf_dir):
     return enrich_embeddings(topk.withColumnRenamed("neighbor_id", "product_id"), part)
 
 
+def _curation10x(spark, sf_dir):
+    """10x-amplified exact-dedup → LSH → connected-components chain
+    (queries_r6.curation_stress) timed per-round so the curation
+    path's behavior at a ~10x denser candidate graph is a recorded
+    number, not a claim (VERDICT r5 ask #6).  Runs ONCE per bench (a
+    macro-benchmark: the CC loop's eager checkpoints dominate, and
+    one run is representative)."""
+    from prod2vec_spark.queries_r6 import curation_stress
+
+    return curation_stress(spark, sf_dir, factor=10)
+
+
 def run_chunk(names: list[str], sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
     """Child entry: time the named queries in THIS process's fresh JVM."""
     from prod2vec_spark.queries import QUERIES
@@ -113,16 +127,18 @@ def run_chunk(names: list[str], sf_dir: str) -> tuple[dict[str, float], dict[str
     runs = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    special = {FLAGSHIP: _flagship, CURATION10X: _curation10x}
     for name in names:
-        fn = _flagship if name == FLAGSHIP else QUERIES[name]
+        fn = special.get(name) or QUERIES[name]
+        n_runs = 1 if name == CURATION10X else runs
         times = []
-        for _ in range(runs):
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             times.append(round(time.perf_counter() - t0, 3))
         # sub-second queries: absolute jitter (scheduler, one slow task)
         # dominates the ratio, so buy extra samples — they cost <1s each
-        while min(times) < 1.0 and len(times) < runs + 3:
+        while min(times) < 1.0 and len(times) < n_runs + 3:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             times.append(round(time.perf_counter() - t0, 3))
@@ -137,10 +153,11 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from prod2vec_spark.queries import QUERIES
 
-    # the flagship estimator pipeline is timed too, appended last so
-    # its training cost never precedes (and so ages the JVM of) the
-    # catalog queries sharing its chunk
-    names = list(QUERIES) + [FLAGSHIP]
+    # the flagship estimator pipeline and the 10x curation stress are
+    # timed too, appended last so their heavy driver-side work never
+    # precedes (and so ages the JVM of) the catalog queries sharing
+    # their chunk
+    names = list(QUERIES) + [FLAGSHIP, CURATION10X]
     chunk_size = int(os.environ.get("SPARK_GRAFT_BENCH_CHUNK", "6"))
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
@@ -168,7 +185,12 @@ def main() -> None:
     # verdict.  Ambient host-noise episodes (whole multi-minute windows
     # where every query runs 2-16x slow) vanish in isolation; a real
     # plan regression reproduces and stays flagged.
-    baseline = _per_query_baseline()
+    # baselines were recorded at sf0.1 (BASELINE.json queries_note);
+    # cross-SF ratios are meaningless (fixed per-plan overheads don't
+    # scale down), so both the adjudication pass and vs_baseline only
+    # engage at the baseline's scale factor
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+    baseline = _per_query_baseline() if sf == BASELINE_SF else {}
     adjudications: dict[str, dict] = {}
     suspects = [
         q
@@ -202,7 +224,6 @@ def main() -> None:
         timings[q] = min(timings[q], isolated)
 
     total = round(sum(timings.values()), 3)
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
     out = {
         "metric": "catalog_total_runtime",
         "value": total,

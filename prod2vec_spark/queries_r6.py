@@ -151,6 +151,98 @@ SELECT CAST(query_id AS BIGINT) AS query_id,
 FROM probes
 """
 
+def amplify_documents(docs, factor: int = 10, exact_replicas: int = 2):
+    """Scale-stress corpus synthesis (VERDICT r5 ask #6): blow the
+    documents table up ``factor``x with a row-local explode — no new
+    fixtures, no shuffle.
+
+    Replica semantics per source doc (replica r in [0, factor)):
+      * r < ``exact_replicas``: text kept VERBATIM — an exact-dup
+        group the digest pass must collapse;
+      * r >= ``exact_replicas``: a per-replica salt token appended —
+        a near-dup (high-Jaccard) variant the LSH+CC pass must
+        cluster, but exact dedup must NOT collapse.
+
+    New doc_id = doc_id * factor + r, so the source doc is recoverable
+    as doc_id div factor and ids stay unique.  The result is a corpus
+    whose near-dup cluster structure is known by construction:
+    (factor - exact_replicas + 1) surviving variants per distinct
+    source text, all mutually near-identical."""
+    r = F.col("replica")
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            "lang",
+            F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("replica"),
+        )
+        .select(
+            (F.col("doc_id") * factor + r).cast("long").alias("doc_id"),
+            F.when(r < exact_replicas, F.col("text"))
+            .otherwise(F.concat(F.col("text"), F.lit(" variant"), r.cast("string")))
+            .alias("text"),
+            "lang",
+        )
+    )
+
+
+def curation_stress(spark, sf_dir, factor: int = 10, max_group: int = 64):
+    """End-to-end exact-dedup → MinHash/LSH → connected-components run
+    over the ``factor``x amplified corpus; returns a 1-row stats frame
+    (every count a full-pipeline side effect, so a noop write of this
+    frame times the whole dataflow).
+
+    This is the 100 TB curation shape exercised at a candidate graph
+    ~factor² denser than the base fixture: exact groups of
+    2x the base multiplicity, LSH bands whose near-clique components
+    have (factor-1) members, and a CC pass whose round bound must hold
+    regardless (near-cliques converge in ~2 rounds independent of
+    corpus size — that's the scale claim, asserted in
+    tests/test_scale_stress.py and timed per-round in bench.py as
+    ``__curation10x__``)."""
+    from prod2vec_spark.operators.dedup import (
+        exact_dup_groups,
+        lsh_candidate_pairs,
+        lsh_oversize_groups,
+        minhash_bands,
+    )
+    from prod2vec_spark.operators.graph import connected_components_with_rounds
+
+    docs = amplify_documents(read_table(spark, sf_dir, "documents"), factor=factor)
+    n_input = docs.count()
+
+    keep = exact_dup_groups(docs).select(F.col("keep_doc_id").alias("doc_id"))
+    survivors = docs.join(keep, "doc_id", "left_semi")
+    n_exact = survivors.count()
+
+    bands = minhash_bands(survivors, shingle_k=3)
+    pairs = lsh_candidate_pairs(bands, max_group=max_group)
+    n_dropped_groups = lsh_oversize_groups(bands, max_group).count()
+
+    labels, rounds = connected_components_with_rounds(
+        pairs, src="doc_a", dst="doc_b"
+    )
+    clusters = labels.agg(
+        F.countDistinct("comp").alias("n_clusters"),
+        F.count(F.lit(1)).alias("n_clustered_docs"),
+    ).first()
+
+    return spark.createDataFrame(
+        [
+            (
+                n_input,
+                n_exact,
+                n_dropped_groups,
+                clusters["n_clusters"],
+                clusters["n_clustered_docs"],
+                rounds,
+            )
+        ],
+        "n_input long, n_exact long, n_dropped_groups long, "
+        "n_clusters long, n_clustered_docs long, cc_rounds long",
+    )
+
+
 R6_QUERIES = {
     "word2vec_stability": q_word2vec_stability,
 }

@@ -1,0 +1,131 @@
+"""10x curation scale-stress (VERDICT r5 ask #6): the exact-dedup →
+LSH → connected-components chain run end-to-end on an amplified
+corpus with KNOWN structure, asserting the invariants the 100 TB
+design leans on — the CC round bound on near-clique graphs, exact
+dedup collapsing exactly the verbatim replicas, and the oversize-group
+audit reporting (not silently dropping) capped bands.
+
+The corpus is synthesized by a row-local explode of the documents
+fixture (no new fixtures): see queries_r6.amplify_documents.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from prod2vec_spark.operators.dedup import (
+    exact_dup_groups,
+    lsh_candidate_pairs,
+    lsh_oversize_groups,
+    minhash_bands,
+    text_digest,
+)
+from prod2vec_spark.operators.graph import connected_components_with_rounds
+from prod2vec_spark.queries_r6 import amplify_documents, curation_stress
+from prod2vec_spark.sources.io import read_table
+from tests.conftest import SF_SMOKE
+
+FACTOR = 10
+EXACT_REPLICAS = 2
+
+
+@pytest.fixture(scope="module")
+def amplified(spark):
+    docs = amplify_documents(
+        read_table(spark, SF_SMOKE, "documents"),
+        factor=FACTOR,
+        exact_replicas=EXACT_REPLICAS,
+    ).localCheckpoint()
+    return docs
+
+
+def test_amplification_shape(spark, amplified):
+    base = read_table(spark, SF_SMOKE, "documents")
+    assert amplified.count() == base.count() * FACTOR
+    # ids stay unique and recoverable
+    assert amplified.select("doc_id").distinct().count() == base.count() * FACTOR
+
+
+def test_exact_dedup_collapses_exactly_the_verbatim_replicas(spark, amplified):
+    """Survivor count == distinct base digests x (FACTOR - EXACT_REPLICAS
+    + 1): the verbatim replicas collapse to one, each salted variant
+    survives — known by construction, so the digest pass is checked
+    against ground truth at 10x, not just for idempotence."""
+    base = read_table(spark, SF_SMOKE, "documents")
+    n_digests = (
+        base.select(text_digest(F.col("text")).alias("h")).distinct().count()
+    )
+    keep = exact_dup_groups(amplified).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    n_survivors = amplified.join(keep, "doc_id", "left_semi").count()
+    assert n_survivors == n_digests * (FACTOR - EXACT_REPLICAS + 1)
+
+
+def test_cc_round_bound_holds_on_10x_candidate_graph(spark, amplified):
+    """The scale claim: LSH candidate graphs are unions of near-cliques,
+    so CC converges in ~diameter rounds INDEPENDENT of corpus size.
+    At 10x the candidate graph is ~10x denser per component than the
+    base fixture's — the bound must not grow."""
+    keep = exact_dup_groups(amplified).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    survivors = amplified.join(keep, "doc_id", "left_semi")
+    bands = minhash_bands(survivors, shingle_k=3)
+    pairs = lsh_candidate_pairs(bands, max_group=64).localCheckpoint()
+    assert pairs.count() > 0  # the salted variants must LSH-collide
+
+    labels, rounds = connected_components_with_rounds(
+        pairs, src="doc_a", dst="doc_b"
+    )
+    assert rounds <= 4, f"CC needed {rounds} rounds on the 10x graph"
+
+    # every variant family that got candidate edges must cluster with
+    # its own source doc (doc_id div FACTOR): same-source pairs are
+    # near-identical by construction, so a cluster mixing zero
+    # same-source members would mean LSH recall collapsed
+    fam = labels.withColumn("src_doc", (F.col("node") / FACTOR).cast("long"))
+    same_src_clusters = (
+        fam.groupBy("comp")
+        .agg(F.countDistinct("src_doc").alias("n_src"), F.count("*").alias("n"))
+    )
+    multi = same_src_clusters.filter(F.col("n") > 1).count()
+    assert multi > 0  # variant families actually formed clusters
+
+
+def test_oversize_audit_reports_capped_bands(spark, amplified):
+    """With a cap below the variant-family size, families hit the cap
+    and MUST show up in the audit — conservation between dropped
+    groups and emitted pairs, never silent loss."""
+    keep = exact_dup_groups(amplified).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    survivors = amplified.join(keep, "doc_id", "left_semi")
+    bands = minhash_bands(survivors, shingle_k=3).localCheckpoint()
+
+    cap = 4  # below the 9-member variant families
+    dropped = lsh_oversize_groups(bands, cap)
+    n_dropped = dropped.count()
+    assert n_dropped > 0, "cap below family size must drop groups"
+    assert dropped.filter(F.col("n_docs") <= cap).count() == 0
+
+    # capped pairs must be a subset of uncapped pairs
+    capped = lsh_candidate_pairs(bands, max_group=cap)
+    uncapped = lsh_candidate_pairs(bands, max_group=None)
+    assert capped.count() < uncapped.count()
+    assert capped.exceptAll(uncapped).count() == 0
+
+
+def test_curation_stress_stats_frame(spark):
+    """The bench-facing entry returns a sane 1-row stats frame."""
+    row = curation_stress(spark, SF_SMOKE, factor=FACTOR).first()
+    # exact dedup must collapse AT LEAST the verbatim replica per doc
+    assert (
+        row["n_exact"]
+        <= row["n_input"] * (FACTOR - EXACT_REPLICAS + 1) // FACTOR
+    )
+    assert row["n_exact"] < row["n_input"]
+    assert row["n_clusters"] > 0
+    assert row["cc_rounds"] <= 4
+    assert row["n_clustered_docs"] >= row["n_clusters"]

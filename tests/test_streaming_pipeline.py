@@ -1,0 +1,134 @@
+"""Streaming end-to-end curation smoke (VERDICT r5 stretch #7): the
+two-stage dedup → sessionize streaming pipeline drained, crashed
+mid-pipeline, restarted, and fed replayed input — with exactly-once
+invariants asserted against batch ground truth at every step.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from prod2vec_spark.sources.io import read_table
+from prod2vec_spark.streaming.pipeline import (
+    StreamCurationConfig,
+    StreamingCurationPipeline,
+)
+from tests.conftest import SF_SMOKE
+
+GAP_MIN = 30
+
+
+def _batch_sessions(events):
+    """Batch ground truth with session_window semantics: session =
+    maximal run with < gap between consecutive events; start = first
+    event, end = last event + gap (Spark's session_window end)."""
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_ms = GAP_MIN * 60 * 1000
+    # ts may arrive as TIMESTAMP_NTZ; unix_millis needs TIMESTAMP and
+    # the session is pinned UTC so the cast is exact (queries_ext.py)
+    ms = lambda c: F.unix_millis(c.cast("timestamp"))  # noqa: E731
+    marked = events.select("user_id", "ts").withColumn(
+        "new_s",
+        (ms(F.col("ts")) - ms(F.lag("ts").over(w)) >= gap_ms)
+        .cast("int")
+        .cast("long"),
+    )
+    sess = marked.withColumn(
+        "sid", F.sum(F.coalesce("new_s", F.lit(0))).over(w)
+    )
+    return sess.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("session_start"),
+        (F.max("ts") + F.expr(f"INTERVAL {GAP_MIN} MINUTES")).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).drop("sid")
+
+
+@pytest.fixture(scope="module")
+def split_events(spark, tmp_path_factory):
+    """Time-split the events fixture: batch A = earliest 60% of rows,
+    batch B = the remainder PLUS a replay of A's latest rows (the
+    duplicate-delivery case a streaming dedup exists for)."""
+    d = tmp_path_factory.mktemp("landing_split")
+    ev = read_table(spark, SF_SMOKE, "events")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    cut = ev.select(F.percentile(ms, F.lit(0.6)).alias("p")).first()["p"]
+    a = ev.where(ms <= cut)
+    b = ev.where(ms > cut)
+    replay = a.orderBy(F.desc("ts")).limit(20)
+    a.coalesce(1).write.mode("overwrite").parquet(str(d / "batch_a"))
+    b.unionByName(replay).coalesce(1).write.mode("overwrite").parquet(
+        str(d / "batch_b")
+    )
+    return d, ev
+
+
+def test_streaming_curation_exactly_once_across_restarts(
+    spark, tmp_path, split_events
+):
+    import shutil
+
+    staged, ev_all = split_events
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    work = str(tmp_path / "work")
+    cfg = StreamCurationConfig(landing_dir=str(landing), work_dir=work)
+    pipe = StreamingCurationPipeline(spark, cfg)
+
+    def land(batch_dir):
+        for i, f in enumerate(sorted(batch_dir.glob("*.parquet"))):
+            shutil.copy(f, landing / f"{batch_dir.name}-{i}.parquet")
+
+    # ---- drain 1: batch A only --------------------------------------
+    land(staged / "batch_a")
+    pipe.run()
+    dedup1 = spark.read.parquet(cfg.deduped_dir)
+    n_a = dedup1.count()
+    assert n_a == dedup1.select("event_id").distinct().count()
+
+    # ---- mid-pipeline crash simulation: batch B lands, stage 1 runs,
+    # the process "dies" before stage 2 ------------------------------
+    land(staged / "batch_b")
+    pipe.dedup_stage()
+
+    dedup2 = spark.read.parquet(cfg.deduped_dir)
+    # exactly-once + cross-restart dedup state: the replayed A rows
+    # must NOT reappear — total committed rows == distinct event ids
+    # of everything landed
+    assert dedup2.count() == ev_all.select("event_id").distinct().count()
+    assert (
+        dedup2.groupBy("event_id").count().filter(F.col("count") > 1).count()
+        == 0
+    )
+
+    # ---- restart: run() resumes stage 1 (nothing new) and catches
+    # stage 2 up over B ----------------------------------------------
+    sessions = pipe.run()
+    assert spark.read.parquet(cfg.deduped_dir).count() == dedup2.count()
+
+    # ---- session output vs batch ground truth -----------------------
+    want = _batch_sessions(ev_all)
+    got = sessions.select("user_id", "session_start", "session_end", "n_events")
+
+    got_keys = {tuple(r) for r in got.collect()}
+    want_keys = {tuple(r) for r in want.collect()}
+    # append mode emits only watermark-finalized sessions: everything
+    # emitted must be exactly a batch session...
+    assert got_keys <= want_keys
+    assert len(got_keys) > 0
+    # ...and anything withheld must be a trailing session the final
+    # watermark (max ts - session_watermark) hadn't passed yet
+    max_ts = ev_all.agg(F.max("ts")).first()[0]
+    import datetime
+
+    horizon = max_ts - datetime.timedelta(minutes=1)
+    for row in want_keys - got_keys:
+        session_end = row[2]
+        assert session_end >= horizon, (
+            f"finalized session missing from stream output: {row}"
+        )
+
+    # ---- no-new-input restart writes nothing -------------------------
+    pipe.run()
+    assert sessions.count() == spark.read.parquet(cfg.sessions_dir).count()
