@@ -200,4 +200,12 @@ COVERAGE: dict[str, dict] = {
                                ("tests.test_multimodal", "test_frame_sample_plan")]},
     "L-STREAM-DEDUP": {"status": "implemented",
                        "tests": [("tests.test_streaming", "test_streaming_dedup_bounded_by_keys")]},
+    "L-STREAM-NEARDUP": {"status": "implemented",
+                         "tests": [("tests.test_streaming_neardup", "test_first_presenter_gate_invariants"),
+                                   ("tests.test_streaming_neardup", "test_state_persists_across_restarts")]},
+    "L-STREAM-PIPELINE": {"status": "implemented",
+                          "tests": [("tests.test_streaming_pipeline", "test_streaming_curation_exactly_once_across_restarts")]},
+    "L-CURATION-10X": {"status": "implemented",
+                       "tests": [("tests.test_scale_stress", "test_cc_round_bound_holds_on_10x_candidate_graph"),
+                                 ("tests.test_scale_stress", "test_exact_dedup_collapses_exactly_the_verbatim_replicas")]},
 }

@@ -1,0 +1,148 @@
+"""Streaming MinHash/LSH near-dedup (ENGINE scope): the incremental
+counterpart of the batch bands → candidate-pairs → CC pipeline
+(operators/dedup.py, operators/graph.py), built as ONE stateful
+streaming query.
+
+Semantics — the *first-presenter* gate: every arriving document
+computes its LSH band signatures row-locally (the exact same
+minhash_bands expressions as batch — pure column transforms, so they
+run unchanged on a stream); a per-(band_id, band_sig) GroupState
+records the first document ever to present that signature (min doc_id
+within a micro-batch, earliest batch across restarts).  A document is
+KEPT iff it owns ALL of its bands — i.e. none of its band signatures
+was presented by any earlier document.  This is deliberately MORE
+conservative than the batch pipeline in two ways, both documented
+rather than hidden:
+
+  * batch LSH treats a band collision as a *candidate* then clusters
+    via connected components and keeps one doc per cluster; the
+    streaming gate drops on collision without the exact-verify step
+    (a kafka-fed curation front door wants cheap conservative
+    filtering; the batch pipeline re-adjudicates on the archived
+    corpus), and
+  * a doc colliding only with an earlier DROPPED doc is still dropped
+    (the dropped doc's bands stay owned) — first presenter owns the
+    band, kept or not.
+
+The invariant the conservatism buys (pytest-locked): the kept set's
+band signatures are PAIRWISE DISJOINT — running the batch
+lsh_candidate_pairs over the kept docs yields zero pairs.
+
+Scale notes: state is one long (owner doc_id) per distinct band
+signature, hash-distributed across executors by the groupBy key —
+the same cardinality the batch band shuffle carries, held resident
+instead of re-shuffled per run.  ``state_ttl`` (processing-time)
+bounds the registry for unbounded streams; expired signatures re-admit
+later near-dups — the same horizon/completeness tradeoff as the batch
+watermark, chosen per deployment.  Docs too short to shingle
+(< shingle_k tokens) emit no bands and never reach the state store;
+they are trivially kept and must be unioned back by the caller
+(pipeline wiring does this), keeping the hot path free of a
+per-short-doc state entry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from prod2vec_spark.operators.dedup import minhash_bands
+
+_DECISION_SCHEMA = "doc_id long, keep int"
+
+
+def streaming_band_owners(
+    docs: DataFrame,
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 4,
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """(doc_id, owner) per presented band: ``owner`` is the first
+    document to have presented that band signature.  Stateful —
+    applyInPandasWithState keyed by (band_id, band_sig), state = one
+    owner id per signature."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    bands = minhash_bands(
+        docs,
+        text_col=text_col,
+        shingle_k=shingle_k,
+        num_hashes=num_hashes,
+        band_size=band_size,
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        doc_ids = sorted(
+            {int(x) for pdf in pdfs for x in pdf["doc_id"].tolist()}
+        )
+        if not doc_ids:
+            return
+        owner = state.get[0] if state.exists else doc_ids[0]
+        state.update((owner,))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
+        yield pd.DataFrame({"doc_id": doc_ids, "owner": [owner] * len(doc_ids)})
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return bands.groupBy("band_id", "band_sig").applyInPandasWithState(
+        update,
+        outputStructType="doc_id long, owner long",
+        stateStructType="owner long",
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
+def start_near_dedup(
+    owners: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+):
+    """Sink the per-band ownership stream as per-doc keep/drop
+    decisions: a doc is kept iff it owns every band it presented.
+
+    All of a doc's band rows are emitted in the micro-batch that
+    consumed the doc (bands derive row-locally from its single input
+    row), so the fold is a plain per-batch aggregate — no second
+    stateful stage.  foreachBatch writes each batch's decisions to
+    ``out_dir/batch_id=N`` with overwrite, so a replayed batch after a
+    crash rewrites the same partition instead of duplicating rows —
+    idempotent-by-path, the standard foreachBatch exactly-once recipe
+    (the file-sink _spark_metadata log doesn't cover foreachBatch).
+
+    Returns the started StreamingQuery (availableNow drain)."""
+    from pyspark.sql import functions as F
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        decisions = batch_df.groupBy("doc_id").agg(
+            F.min((F.col("owner") == F.col("doc_id")).cast("int")).alias("keep")
+        )
+        decisions.write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
+
+    return (
+        owners.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_decisions(spark, out_dir: str) -> DataFrame:
+    """The accumulated (doc_id, keep) decision table across all drained
+    batches."""
+    return spark.read.option("basePath", out_dir).parquet(out_dir).select(
+        "doc_id", "keep"
+    )

@@ -1,0 +1,149 @@
+"""Streaming MinHash/LSH near-dedup: first-presenter gate invariants,
+checked against the BATCH LSH operators as ground truth, plus
+cross-restart state persistence and idempotent re-drains.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from prod2vec_spark.operators.dedup import lsh_candidate_pairs, minhash_bands
+from prod2vec_spark.queries_r6 import amplify_documents
+from prod2vec_spark.sources.io import read_table
+from prod2vec_spark.streaming.neardup import (
+    read_decisions,
+    start_near_dedup,
+    streaming_band_owners,
+)
+from tests.conftest import SF_SMOKE
+
+_DOCS_SCHEMA = "doc_id long, text string, lang string"
+
+
+def _drain(spark, landing, out, ckpt, **kw):
+    stream = spark.readStream.schema(_DOCS_SCHEMA).parquet(landing)
+    q = start_near_dedup(
+        streaming_band_owners(stream, **kw), out, ckpt
+    )
+    q.awaitTermination()
+
+
+def test_first_presenter_gate_invariants(spark, tmp_path):
+    """Drain an amplified corpus (guaranteed near-dups) and check the
+    gate's contract against the batch operators:
+      * decisions cover exactly the banded (shingle-able) docs;
+      * the KEPT set's bands are pairwise disjoint — batch
+        lsh_candidate_pairs over kept docs finds ZERO pairs;
+      * every DROPPED doc band-collides with an earlier (smaller-id,
+        single-batch arrival) doc."""
+    docs = (
+        amplify_documents(
+            read_table(spark, SF_SMOKE, "documents").limit(150), factor=3
+        )
+        .select("doc_id", "text", "lang")
+        .localCheckpoint()
+    )
+    landing = str(tmp_path / "landing")
+    docs.coalesce(1).write.parquet(landing)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _drain(spark, landing, out, ckpt)
+
+    decisions = read_decisions(spark, out).localCheckpoint()
+    banded_ids = {
+        r["doc_id"]
+        for r in minhash_bands(docs).select("doc_id").distinct().collect()
+    }
+    assert {r["doc_id"] for r in decisions.collect()} == banded_ids
+    assert decisions.count() == len(banded_ids)  # one decision per doc
+
+    kept = decisions.filter(F.col("keep") == 1).select("doc_id")
+    dropped = decisions.filter(F.col("keep") == 0).select("doc_id")
+    assert kept.count() > 0 and dropped.count() > 0
+
+    # kept docs never share a band: the batch candidate generator must
+    # come up empty over the kept subset
+    kept_docs = docs.join(kept, "doc_id", "left_semi")
+    assert lsh_candidate_pairs(minhash_bands(kept_docs)).count() == 0
+
+    # every dropped doc collides with a smaller-id doc (single batch:
+    # owner = min doc_id per signature)
+    bands = minhash_bands(docs).localCheckpoint()
+    other = bands.select(
+        F.col("band_id").alias("band_id"),
+        F.col("band_sig").alias("band_sig"),
+        F.col("doc_id").alias("other_id"),
+    )
+    has_earlier = (
+        bands.join(other, ["band_id", "band_sig"])
+        .filter(F.col("other_id") < F.col("doc_id"))
+        .select("doc_id")
+        .distinct()
+    )
+    assert dropped.exceptAll(has_earlier).count() == 0
+
+
+def test_state_persists_across_restarts(spark, tmp_path):
+    """A near-dup arriving in a LATER drain must still be dropped: the
+    band registry lives in the checkpointed state store, not the
+    micro-batch."""
+    base_text = " ".join(f"tok{i}" for i in range(30))
+    novel_text = " ".join(f"other{i}" for i in range(30))
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    spark.createDataFrame(
+        [(1, base_text, "en")], _DOCS_SCHEMA
+    ).coalesce(1).write.parquet(str(landing / "a"))
+    # the file stream needs a flat dir of files; stage via subdir glob
+    import shutil
+
+    for f in (landing / "a").glob("*.parquet"):
+        shutil.move(str(f), landing / "batch_a.parquet")
+    shutil.rmtree(landing / "a")
+
+    _drain(spark, str(landing), out, ckpt)
+    d1 = read_decisions(spark, out)
+    assert [(r["doc_id"], r["keep"]) for r in d1.collect()] == [(1, 1)]
+
+    # batch B: doc 2 duplicates doc 1's text (all bands owned by 1),
+    # doc 3 is novel — state across the restart must drop 2, keep 3
+    spark.createDataFrame(
+        [(2, base_text, "en"), (3, novel_text, "en")], _DOCS_SCHEMA
+    ).coalesce(1).write.parquet(str(landing / "b"))
+    for f in (landing / "b").glob("*.parquet"):
+        shutil.move(str(f), landing / "batch_b.parquet")
+    shutil.rmtree(landing / "b")
+
+    _drain(spark, str(landing), out, ckpt)
+    got = {
+        r["doc_id"]: r["keep"] for r in read_decisions(spark, out).collect()
+    }
+    assert got == {1: 1, 2: 0, 3: 1}
+
+    # no-new-input re-drain: decision table unchanged (exactly-once)
+    _drain(spark, str(landing), out, ckpt)
+    assert read_decisions(spark, out).count() == 3
+
+
+def test_short_docs_bypass_state(spark, tmp_path):
+    """Docs under shingle_k tokens never enter the state store — no
+    decision rows, trivially kept by the caller."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    long_text = " ".join(f"w{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, "too short", "en"), (2, long_text, "en")], _DOCS_SCHEMA
+    )
+    import shutil
+
+    df.coalesce(1).write.parquet(str(landing / "x"))
+    for f in (landing / "x").glob("*.parquet"):
+        shutil.move(str(f), landing / "docs.parquet")
+    shutil.rmtree(landing / "x")
+
+    _drain(spark, str(landing), out, ckpt)
+    got = {r["doc_id"] for r in read_decisions(spark, out).collect()}
+    assert got == {2}
