@@ -206,6 +206,7 @@ COVERAGE: dict[str, dict] = {
     "L-STREAM-PIPELINE": {"status": "implemented",
                           "tests": [("tests.test_streaming_pipeline", "test_streaming_curation_exactly_once_across_restarts")]},
     "L-CURATION-10X": {"status": "implemented",
+                       "entries": ["curation_stress_audit"],
                        "tests": [("tests.test_scale_stress", "test_cc_round_bound_holds_on_10x_candidate_graph"),
                                  ("tests.test_scale_stress", "test_exact_dedup_collapses_exactly_the_verbatim_replicas")]},
 }

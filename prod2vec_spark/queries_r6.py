@@ -243,10 +243,89 @@ def curation_stress(spark, sf_dir, factor: int = 10, max_group: int = 64):
     )
 
 
+def q_curation_stress_audit(spark, sf_dir):
+    """The COMPOSED 10x curation pipeline under a full oracle verdict:
+    where each stage (dedup_exact, minhash_bands, lsh_candidates,
+    dedup_clusters) is individually oracled, this entry certifies their
+    10x-amplified composition end-to-end — DuckDB replays the
+    amplification, the digest collapse, the MinHash/LSH banding with
+    the oversize cap, and the connected components (recursive CTE),
+    and every count must hash-match.  ``cc_rounds_ok`` turns the
+    algorithmic round bound into a SQL-replayable indicator."""
+    stats = curation_stress(spark, sf_dir, factor=10)
+    return stats.select(
+        "n_input",
+        "n_exact",
+        "n_dropped_groups",
+        "n_clusters",
+        "n_clustered_docs",
+        (F.col("cc_rounds") <= 4).cast("long").alias("cc_rounds_ok"),
+    )
+
+
+def _sql_curation_stress_audit() -> str:
+    """DuckDB replay of the amplified pipeline, reusing the exact
+    shingle/minhash/banding formulations the per-stage oracles use
+    (queries_ext._SQL_MINHASH) with the shingle source swapped to the
+    exact-dedup survivors of the amplified corpus."""
+    from prod2vec_spark.queries_ext import _SQL_MINHASH, _TOKS, LSH_MAX_GROUP
+
+    shingles_from_sdocs = f"""
+sh3 AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 0)),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM sdocs))
+"""
+    return f"""
+WITH RECURSIVE amp AS (
+  SELECT doc_id * 10 + r AS doc_id,
+         CASE WHEN r < 2 THEN text
+              ELSE text || ' variant' || r END AS text
+  FROM documents, UNNEST(generate_series(0, 9)) AS t(r)),
+keep AS (
+  SELECT min(doc_id) AS doc_id
+  FROM (SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+        FROM amp)
+  GROUP BY h),
+sdocs AS (SELECT a.doc_id, a.text FROM amp a JOIN keep k ON a.doc_id = k.doc_id),
+{shingles_from_sdocs},
+{_SQL_MINHASH},
+grp AS (
+  SELECT band_id, band_sig, count(*) AS n FROM bands GROUP BY 1, 2),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN grp g ON a.band_id = g.band_id AND a.band_sig = g.band_sig
+            AND g.n BETWEEN 2 AND {LSH_MAX_GROUP}
+  JOIN bands b
+    ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+   AND a.doc_id < b.doc_id),
+e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+r(a, b) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+  UNION
+  SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+comp AS (SELECT a AS node, min(b) AS comp FROM r GROUP BY a)
+SELECT (SELECT count(*) FROM amp)   AS n_input,
+       (SELECT count(*) FROM sdocs) AS n_exact,
+       (SELECT count(*) FROM grp WHERE n > {LSH_MAX_GROUP})
+         AS n_dropped_groups,
+       (SELECT CAST(count(DISTINCT comp) AS BIGINT) FROM comp) AS n_clusters,
+       (SELECT count(*) FROM comp) AS n_clustered_docs,
+       CAST(1 AS BIGINT) AS cc_rounds_ok
+"""
+
+
 R6_QUERIES = {
     "word2vec_stability": q_word2vec_stability,
+    "curation_stress_audit": q_curation_stress_audit,
 }
 
 R6_ORACLES = {
     "word2vec_stability": _SQL_WORD2VEC_STABILITY,
+    "curation_stress_audit": _sql_curation_stress_audit(),
 }
