@@ -804,3 +804,70 @@ def test_kmeans_ivf_all_zero_corpus_raises(spark):
     queries = zeros.limit(1).select("vec_id", "embedding")
     with pytest.raises(ValueError, match="zero norm"):
         kmeans_ivf_topk(zeros, queries, dims=3, n_centroids=2)
+
+
+def test_cc_both_algorithms_match_union_find_property(spark):
+    """Property (hypothesis): on arbitrary random graphs (self-loops,
+    duplicates, multi-component, chains) BOTH distributed CC
+    implementations must produce exactly the component partition of a
+    driver-side union-find reference — label propagation and
+    large-star/small-star are interchangeable correctness-wise, they
+    differ only in round complexity."""
+    from hypothesis import given, settings, strategies as st
+
+    from prod2vec_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 25), st.integers(0, 25)),
+            min_size=1,
+            max_size=35,
+        )
+    )
+    def check(edges):
+        # driver-side union-find ground truth
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+        for a, b in edges:
+            union(a, b)
+        # canonicalize: component id = min member (what the operators emit)
+        comp_min = {}
+        for n in parent:
+            r = find(n)
+            comp_min[r] = min(comp_min.get(r, n), n)
+        want = {n: comp_min[find(n)] for n in parent}
+        # nodes whose ONLY edges are self-loops: propagation keeps them
+        # as singletons, star drops them (documented — self-loops are
+        # filtered; callers union singletons back).  Compare on the
+        # common domain, and require any extra node to be a singleton.
+        real = {n for a, b in edges if a != b for n in (a, b)}
+
+        e = spark.createDataFrame(edges, "src long, dst long")
+        for fn in (connected_components, connected_components_star):
+            out = fn(e, src="src", dst="dst")
+            labels = out[0] if isinstance(out, tuple) else out
+            got = {r["node"]: r["comp"] for r in labels.collect()}
+            assert {n: c for n, c in got.items() if n in real} == {
+                n: c for n, c in want.items() if n in real
+            }, fn.__name__
+            for n, c in got.items():
+                if n not in real:
+                    assert c == n, fn.__name__
+
+    check()
