@@ -126,3 +126,117 @@ class StreamingCurationPipeline:
         self.dedup_stage()
         self.session_stage()
         return self.spark.read.parquet(self.cfg.sessions_dir)
+
+
+# ---------------------------------------------------------------------
+# Streaming CORPUS curation: the documents-plane counterpart of the
+# events pipeline above, mirroring pipeline_llm.py's batch stages as
+# incremental streaming queries.
+# ---------------------------------------------------------------------
+
+_DOCS_SCHEMA = "doc_id long, text string, lang string"
+_EXACT_SCHEMA = _DOCS_SCHEMA + ", text_hash string"
+
+
+@dataclass
+class StreamCorpusConfig:
+    landing_dir: str
+    work_dir: str
+    shingle_k: int = 3
+    num_hashes: int = 8
+    band_size: int = 4
+
+    @property
+    def exact_dir(self) -> str:
+        return f"{self.work_dir}/exact_deduped"
+
+    @property
+    def decisions_dir(self) -> str:
+        return f"{self.work_dir}/neardup_decisions"
+
+
+class StreamingCorpusPipeline:
+    """landing docs ──stream──> exact dedup ──parquet+ckpt──>
+    near-dedup gate ──decisions──> curated corpus.
+
+      * stage 1 — exact dedup: the content digest (dedup.text_digest,
+        row-local) keys a streaming ``dropDuplicates``; the first
+        arrival per digest survives, replayed/duplicated documents are
+        dropped across restarts by the checkpointed state store.  The
+        batch counterpart keeps min doc_id per digest
+        (exact_dup_groups); a stream has arrival order instead — both
+        keep exactly one doc per distinct content.
+      * stage 2 — near-dedup: the first-presenter MinHash/LSH gate
+        (streaming/neardup.py) over stage 1's committed output.
+      * curated corpus — stage-1 survivors minus gate-dropped docs
+        (docs too short to shingle have no decision row and are kept),
+        materialized on read: both inputs are parquet tables, so the
+        subtraction is a plain batch join at read time rather than a
+        third stateful stage.
+
+    Scale notes: digest state is one row per distinct content (the
+    same cardinality the batch digest shuffle carries); band-registry
+    state per streaming/neardup.py.  Unbounded deployments bound both
+    with TTLs (dropDuplicatesWithinWatermark / state_ttl_ms) at the
+    documented completeness cost."""
+
+    def __init__(self, spark: SparkSession, cfg: StreamCorpusConfig):
+        self.spark = spark
+        self.cfg = cfg
+
+    def exact_stage(self) -> None:
+        from prod2vec_spark.operators.dedup import text_digest
+
+        docs = self.spark.readStream.schema(_DOCS_SCHEMA).parquet(
+            self.cfg.landing_dir
+        )
+        deduped = docs.withColumn(
+            "text_hash", text_digest(docs["text"])
+        ).dropDuplicates(["text_hash"])
+        q = write_stream_parquet(
+            deduped, self.cfg.exact_dir, f"{self.cfg.work_dir}/ckpt_exact"
+        )
+        q.awaitTermination()
+
+    def neardup_stage(self) -> None:
+        from prod2vec_spark.streaming.neardup import (
+            start_near_dedup,
+            streaming_band_owners,
+        )
+
+        survivors = self.spark.readStream.schema(_EXACT_SCHEMA).parquet(
+            self.cfg.exact_dir
+        )
+        owners = streaming_band_owners(
+            survivors,
+            shingle_k=self.cfg.shingle_k,
+            num_hashes=self.cfg.num_hashes,
+            band_size=self.cfg.band_size,
+        )
+        q = start_near_dedup(
+            owners, self.cfg.decisions_dir, f"{self.cfg.work_dir}/ckpt_neardup"
+        )
+        q.awaitTermination()
+
+    def curated(self) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from prod2vec_spark.streaming.neardup import read_decisions
+
+        exact = self.spark.read.parquet(self.cfg.exact_dir)
+        # subtract only the DROP set — the near-dup fraction, usually
+        # small relative to the corpus — broadcast into a left-anti
+        # join so the corpus side never shuffles (same shape as
+        # pipeline_llm.near_dedup's final subtraction); docs with no
+        # decision row (too short to shingle) are kept by construction
+        drop = (
+            read_decisions(self.spark, self.cfg.decisions_dir)
+            .where(F.col("keep") == 0)
+            .select("doc_id")
+        )
+        return exact.join(F.broadcast(drop), "doc_id", "left_anti")
+
+    def run(self) -> DataFrame:
+        self.exact_stage()
+        self.neardup_stage()
+        return self.curated()

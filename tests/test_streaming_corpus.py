@@ -1,0 +1,77 @@
+"""Streaming corpus curation pipeline: exact dedup -> near-dedup gate
+over an amplified corpus with KNOWN structure, with the curated-set
+invariants checked against the batch operators and exactly-once across
+a full input replay.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from prod2vec_spark.operators.dedup import (
+    lsh_candidate_pairs,
+    minhash_bands,
+    text_digest,
+)
+from prod2vec_spark.queries_r6 import amplify_documents
+from prod2vec_spark.sources.io import read_table
+from prod2vec_spark.streaming.pipeline import (
+    StreamCorpusConfig,
+    StreamingCorpusPipeline,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_streaming_corpus_curation_invariants_and_replay(spark, tmp_path):
+    # factor 3 / 2 verbatim replicas: per source doc, one exact-dup
+    # pair (stage 1 must collapse) + one salted near-dup variant
+    # (stage 2 must drop against the kept verbatim doc)
+    docs = (
+        amplify_documents(
+            read_table(spark, SF_SMOKE, "documents").limit(120),
+            factor=3,
+            exact_replicas=2,
+        )
+        .select("doc_id", "text", "lang")
+        .localCheckpoint()
+    )
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    docs.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage"))
+    import shutil
+
+    src_files = sorted((tmp_path / "stage").glob("*.parquet"))
+    shutil.copy(src_files[0], landing / "batch_a.parquet")
+
+    cfg = StreamCorpusConfig(
+        landing_dir=str(landing), work_dir=str(tmp_path / "work")
+    )
+    pipe = StreamingCorpusPipeline(spark, cfg)
+    curated = pipe.run().localCheckpoint()
+
+    # stage 1 contract: one survivor per distinct content digest
+    exact = spark.read.parquet(cfg.exact_dir)
+    n_digests = (
+        docs.select(text_digest(F.col("text")).alias("h")).distinct().count()
+    )
+    assert exact.count() == n_digests
+    assert exact.select("text_hash").distinct().count() == n_digests
+
+    # curated-set invariants (against the BATCH operators):
+    # digest-unique, and no two curated docs share an LSH band
+    assert curated.count() == curated.select("text_hash").distinct().count()
+    assert lsh_candidate_pairs(minhash_bands(curated)).count() == 0
+    assert curated.count() > 0
+    # curated is a subset of the input ids
+    assert curated.join(docs, "doc_id", "left_anti").count() == 0
+    # the salted variants actually exercised the gate: curated is a
+    # strict subset of the exact-dedup survivors
+    n_curated = curated.count()
+    assert n_curated < exact.count()
+
+    # full input replay lands again: both state stores must drop
+    # everything — curated corpus byte-identical
+    shutil.copy(src_files[0], landing / "batch_a_replay.parquet")
+    curated2 = pipe.run()
+    assert curated2.count() == n_curated
+    assert spark.read.parquet(cfg.exact_dir).count() == n_digests
