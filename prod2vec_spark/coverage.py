@@ -176,6 +176,9 @@ COVERAGE: dict[str, dict] = {
               "entries": ["order_window_overlaps"]},
     "E-A11": {"status": "implemented",  # skew-safe exact distinct (round 5)
               "entries": ["skew_safe_distinct"]},
+    "E-A12": {"status": "implemented",  # count-min sketch table (round 6)
+              "entries": ["heavy_hitters"],
+              "tests": [("tests.test_operators", "test_cms_sketch_never_underestimates_and_merges")]},
     # --- LLM-data-pipeline component table ---------------------------
     "L-DEDUP-EXACT": {"status": "implemented", "entries": ["dedup_exact"]},
     "L-MINHASH-LSH": {"status": "implemented",

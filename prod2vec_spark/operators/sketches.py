@@ -1,0 +1,102 @@
+"""Count-min sketch as a DataFrame (ENGINE sketch surface, joining the
+HLL distinct-count twin in ``distinct_parts`` and the t-digest
+percentile swap in ``order_percentiles_approx``).
+
+The sketch IS a table — (depth, bucket, cnt), depth × width rows — not
+a driver-side opaque object: it shuffles once to build, merges across
+corpora by unioning + re-aggregating (counters add), and estimates by
+an equi-join.  Hashing is md5-derived (functions/hashing.py policy) so
+the DuckDB oracle replays the identical sketch bucket-for-bucket and
+the estimates hash-match — an engine-specific sketch (Spark's JVM
+CountMinSketch) could only be bound-checked, not value-checked.
+
+Guarantees (standard CMS): estimate ≥ true count always (counters only
+over-count on collisions); estimate ≤ true + ε·N with probability
+≥ 1 − δ where ε ≈ e/width and δ ≈ e^-depth.  The ``heavy_hitters``
+catalog entry asserts a 4N/width bound per top term — comfortably
+inside the guarantee at the test widths, and a *checked number* both
+engines must reproduce.
+
+100 TB shape: the build is one explode (depth rows per item) feeding
+one hash-agg shuffle whose output is bounded by depth × width —
+thousands of rows regardless of input size; estimation broadcasts the
+(tiny) probe set into the bounded sketch.  This is the
+frequent-token / heavy-hitter primitive an LLM corpus pipeline uses
+when exact per-term counts at full vocabulary width are too wide to
+keep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from prod2vec_spark.functions.hashing import hex_prefix_long
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def _bucket(col: Column, d: int, width: int) -> Column:
+    """Row-local bucket for depth d: 32-bit md5 prefix of 'd|value'
+    mod width — replayable in DuckDB as
+    ('0x' || substr(md5(d || '|' || x), 1, 8))::BIGINT % width."""
+    return hex_prefix_long(F.concat_ws("|", F.lit(str(d)), col), 8) % F.lit(width)
+
+
+def cms_sketch(
+    items: DataFrame,
+    col: str = "term",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """(depth, bucket, cnt): the count-min table for the item column.
+    One explode (depth rows/item) + one hash-agg shuffle; output rows
+    ≤ depth × width."""
+    cells = items.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("depth"),
+                        _bucket(F.col(col), d, width).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("c")
+    )
+    return cells.groupBy(
+        F.col("c.depth").alias("depth"), F.col("c.bucket").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    col: str = "term",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """(col, cms_est) per probe row: min over depths of the probed
+    bucket counters.  The probe set broadcasts (it is small by
+    definition); the sketch side is ≤ depth × width rows."""
+    cells = probes.select(
+        F.col(col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("depth"),
+                        _bucket(F.col(col), d, width).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select(col, F.col("c.depth").alias("depth"), F.col("c.bucket").alias("bucket"))
+    return (
+        sketch.join(F.broadcast(cells), ["depth", "bucket"])
+        .groupBy(col)
+        .agg(F.min("cnt").alias("cms_est"))
+    )

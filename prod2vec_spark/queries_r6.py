@@ -320,12 +320,107 @@ SELECT (SELECT count(*) FROM amp)   AS n_input,
 """
 
 
+HH_TOP = 20
+HH_BOUND_MULT = 4.0  # bound: est ≤ cnt + 4N/width (ε·N at ε = 4/width)
+
+
+def q_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch heavy hitters over document tokens: exact
+    top-20 term counts (the oracle-checkable truth) + the CMS estimate
+    from the md5-derived sketch TABLE + a checked error-bound
+    indicator (est ≥ cnt always; est ≤ cnt + 4N/width).  Because the
+    sketch hashing is engine-portable, the ESTIMATES hash-match the
+    DuckDB replay — the sketch itself is under oracle, not just its
+    bound (unlike HLL/t-digest, which are engine-specific and only
+    bound-checked).
+
+    Scale shape: two scans of the exploded terms (exact top-k funnel +
+    sketch build whose agg output is bounded by depth×width); N comes
+    from summing one sketch row-set, not a third scan; probes
+    broadcast."""
+    from prod2vec_spark.operators import text as TX
+    from prod2vec_spark.operators.sketches import (
+        CMS_WIDTH,
+        cms_estimate,
+        cms_sketch,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    terms = docs.select(F.explode(TX.tokens(F.col("text"))).alias("term"))
+    top = (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(HH_TOP)
+    )
+    sketch = cms_sketch(terms)
+    est = cms_estimate(sketch, top.select("term"))
+    # N = total items = the sum of any single depth's counters
+    total = sketch.where(F.col("depth") == 0).agg(
+        F.sum("cnt").alias("n_total")
+    )
+    return (
+        top.join(est, "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "term",
+            "cnt",
+            "cms_est",
+            (
+                (F.col("cms_est") >= F.col("cnt"))
+                & (
+                    F.col("cms_est")
+                    <= F.col("cnt") + HH_BOUND_MULT * F.col("n_total") / CMS_WIDTH
+                )
+            )
+            .cast("long")
+            .alias("cms_ok"),
+        )
+    )
+
+
+def _sql_heavy_hitters() -> str:
+    from prod2vec_spark.operators.sketches import CMS_DEPTH, CMS_WIDTH
+    from prod2vec_spark.queries_ext import _TOKS
+
+    ds = ",".join(f"({d})" for d in range(CMS_DEPTH))
+    return f"""
+WITH t AS (
+  SELECT unnest({_TOKS}) AS term FROM documents),
+top AS (
+  SELECT term, count(*) AS cnt FROM t
+  GROUP BY term ORDER BY cnt DESC, term LIMIT {HH_TOP}),
+cells AS (
+  SELECT d, ('0x' || substr(md5(d || '|' || term), 1, 8))::BIGINT
+             % {CMS_WIDTH} AS bucket
+  FROM t CROSS JOIN (VALUES {ds}) v(d)),
+sk AS (SELECT d, bucket, count(*) AS cnt FROM cells GROUP BY 1, 2),
+n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM sk WHERE d = 0),
+probe AS (
+  SELECT term, d,
+         ('0x' || substr(md5(d || '|' || term), 1, 8))::BIGINT
+           % {CMS_WIDTH} AS bucket
+  FROM top CROSS JOIN (VALUES {ds}) v(d)),
+est AS (
+  SELECT p.term, min(sk.cnt) AS cms_est
+  FROM probe p JOIN sk ON p.d = sk.d AND p.bucket = sk.bucket
+  GROUP BY p.term)
+SELECT top.term, top.cnt, est.cms_est,
+       CAST(est.cms_est >= top.cnt
+            AND est.cms_est <= top.cnt + {HH_BOUND_MULT} * n.n_total / {CMS_WIDTH}
+            AS BIGINT) AS cms_ok
+FROM top JOIN est ON top.term = est.term CROSS JOIN n
+"""
+
+
 R6_QUERIES = {
     "word2vec_stability": q_word2vec_stability,
     "curation_stress_audit": q_curation_stress_audit,
+    "heavy_hitters": q_heavy_hitters,
 }
 
 R6_ORACLES = {
     "word2vec_stability": _SQL_WORD2VEC_STABILITY,
     "curation_stress_audit": _sql_curation_stress_audit(),
+    "heavy_hitters": _sql_heavy_hitters(),
 }

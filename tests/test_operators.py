@@ -871,3 +871,42 @@ def test_cc_both_algorithms_match_union_find_property(spark):
                     assert c == n, fn.__name__
 
     check()
+
+
+def test_cms_sketch_never_underestimates_and_merges(spark):
+    """Count-min invariants on a known multiset: estimate >= true for
+    EVERY item, and the sketch of a union equals the counter-wise sum
+    of the parts' sketches (mergeability — the reason the sketch is a
+    table, not a driver object)."""
+    from pyspark.sql import functions as F
+
+    from prod2vec_spark.operators.sketches import cms_estimate, cms_sketch
+
+    a = spark.createDataFrame(
+        [("x",)] * 50 + [("y",)] * 20 + [("z",)] * 5, "term string"
+    )
+    b = spark.createDataFrame(
+        [("x",)] * 30 + [("w",)] * 7, "term string"
+    )
+    both = a.unionAll(b)
+    true = {"x": 80, "y": 20, "z": 5, "w": 7}
+
+    probes = spark.createDataFrame([(t,) for t in true], "term string")
+    est = {
+        r["term"]: r["cms_est"]
+        for r in cms_estimate(cms_sketch(both), probes).collect()
+    }
+    assert set(est) == set(true)
+    for t, n in true.items():
+        assert est[t] >= n, (t, est[t], n)
+
+    # merge = union + counter sum; must equal the one-shot sketch
+    merged = (
+        cms_sketch(a)
+        .unionByName(cms_sketch(b))
+        .groupBy("depth", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    one_shot = cms_sketch(both)
+    assert merged.exceptAll(one_shot).count() == 0
+    assert one_shot.exceptAll(merged).count() == 0
