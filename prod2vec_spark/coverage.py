@@ -212,6 +212,7 @@ COVERAGE: dict[str, dict] = {
                         "tests": [("tests.test_streaming_corpus", "test_streaming_corpus_curation_invariants_and_replay")]},
     "L-ANN-10X": {"status": "implemented",
                   "tests": [("tests.test_ann_scale_stress", "test_ann_recall_holds_at_10x")]},
+    "L-MIX": {"status": "implemented", "entries": ["corpus_mix_sample"]},
     "L-CURATION-10X": {"status": "implemented",
                        "entries": ["curation_stress_audit"],
                        "tests": [("tests.test_scale_stress", "test_cc_round_bound_holds_on_10x_candidate_graph"),

@@ -413,14 +413,72 @@ FROM top JOIN est ON top.term = est.term CROSS JOIN n
 """
 
 
+# per-language keep rates for the training-mix sampler — the "data
+# recipe" knob of an LLM pipeline (upsample/downsample per source)
+MIX_RATES = {"en": 0.5, "zh": 1.0, "es": 0.8, "de": 0.25, "fr": 1.0}
+MIX_DEFAULT_RATE = 0.1  # languages outside the recipe
+MIX_SEED = 42
+
+
+def q_corpus_mix_sample(spark, sf_dir):
+    """Deterministic per-language corpus mixing (LLM training-data
+    recipe): each document is kept iff its md5-derived uniform
+    (functions/hashing.hash_unit over seed|doc_id) falls under its
+    language's target rate — a row-local map-side filter, no shuffle,
+    no global sort, exactly replayable by the oracle DOC-FOR-DOC (the
+    output is the sampled id set itself, not just counts).  Per-lang
+    realized rates ride along for the recipe report.
+
+    Scale notes: the rate lookup is a tiny literal map (the recipe is
+    bounded by the language set, a few dozen entries at worst); the
+    aggregate after the filter is the standard bounded groupBy.  The
+    same hash-unit keeps the sample STABLE under corpus growth: a doc's
+    keep/drop never changes as neighbors arrive — the property that
+    makes incremental recomputation and cross-run diffing possible at
+    100 TB."""
+    from prod2vec_spark.functions.hashing import hash_unit
+
+    docs = read_table(spark, sf_dir, "documents")
+    rate = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(r))
+            for lang, r in MIX_RATES.items()
+        ],
+        F.lit(MIX_DEFAULT_RATE),
+    )
+    u = hash_unit(F.concat_ws("|", F.lit(str(MIX_SEED)), F.col("doc_id")))
+    kept = docs.where(u < rate).select("doc_id", "lang")
+    per_lang = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+    return kept.join(per_lang, "lang").select("doc_id", "lang", "n_kept")
+
+
+def _sql_corpus_mix_sample() -> str:
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {r}" for lang, r in MIX_RATES.items()
+    )
+    return f"""
+WITH kept AS (
+  SELECT doc_id, lang
+  FROM documents
+  WHERE ('0x' || substr(md5('{MIX_SEED}' || '|' || doc_id), 1, 8))::BIGINT
+          / 4294967296.0
+        < CASE lang {cases} ELSE {MIX_DEFAULT_RATE} END),
+n AS (SELECT lang, count(*) AS n_kept FROM kept GROUP BY lang)
+SELECT kept.doc_id, kept.lang, n.n_kept
+FROM kept JOIN n ON kept.lang = n.lang
+"""
+
+
 R6_QUERIES = {
     "word2vec_stability": q_word2vec_stability,
     "curation_stress_audit": q_curation_stress_audit,
     "heavy_hitters": q_heavy_hitters,
+    "corpus_mix_sample": q_corpus_mix_sample,
 }
 
 R6_ORACLES = {
     "word2vec_stability": _SQL_WORD2VEC_STABILITY,
     "curation_stress_audit": _sql_curation_stress_audit(),
     "heavy_hitters": _sql_heavy_hitters(),
+    "corpus_mix_sample": _sql_corpus_mix_sample(),
 }
