@@ -128,9 +128,14 @@ def run_chunk(names: list[str], sf_dir: str) -> tuple[dict[str, float], dict[str
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     special = {FLAGSHIP: _flagship, CURATION10X: _curation10x}
+    # macro entries run once in the main pass (the CC loop's eager
+    # checkpoints dominate; one run is representative) — but an
+    # adjudication re-run restores the best-of-N protocol by setting
+    # SPARK_GRAFT_MACRO_RUNS so its verdict never rests on one sample
+    macro_runs = int(os.environ.get("SPARK_GRAFT_MACRO_RUNS", "1"))
     for name in names:
         fn = special.get(name) or QUERIES[name]
-        n_runs = 1 if name == CURATION10X else runs
+        n_runs = macro_runs if name == CURATION10X else runs
         times = []
         for _ in range(n_runs):
             t0 = time.perf_counter()
@@ -203,6 +208,7 @@ def main() -> None:
             capture_output=True,
             text=True,
             cwd=here,
+            env={**os.environ, "SPARK_GRAFT_MACRO_RUNS": "3"},
         )
         if proc.returncode != 0:
             adjudications[q] = {

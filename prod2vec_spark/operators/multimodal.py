@@ -81,7 +81,9 @@ _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 def png_header(blob: bytes) -> dict:
     """Parse just the IHDR chunk (no inflate) — cheap metadata probe
     for scans that only need dimensions."""
-    if blob[:8] != PNG_SIG or blob[12:16] != b"IHDR":
+    if len(blob) < 29 or blob[:8] != PNG_SIG or blob[12:16] != b"IHDR":
+        # the length guard keeps the contract ValueError on truncated
+        # blobs (struct.unpack would raise struct.error otherwise)
         raise ValueError("not a PNG")
     width, height, bit_depth, color_type, comp, filt, interlace = struct.unpack(
         ">IIBBBBB", blob[16:29]

@@ -78,9 +78,11 @@ def cms_estimate(
     depth: int = CMS_DEPTH,
     width: int = CMS_WIDTH,
 ) -> DataFrame:
-    """(col, cms_est) per probe row: min over depths of the probed
-    bucket counters.  The probe set broadcasts (it is small by
-    definition); the sketch side is ≤ depth × width rows."""
+    """(col, cms_est) per probe row — EVERY probe row, including items
+    the sketch never saw: an empty bucket is a zero counter, so the min
+    treats a missing sketch row as 0 (a term absent from the corpus
+    estimates 0 unless every one of its buckets collides).  Probes
+    LEFT-join the bounded sketch (≤ depth × width rows, broadcast)."""
     cells = probes.select(
         F.col(col),
         F.explode(
@@ -96,7 +98,7 @@ def cms_estimate(
         ).alias("c"),
     ).select(col, F.col("c.depth").alias("depth"), F.col("c.bucket").alias("bucket"))
     return (
-        sketch.join(F.broadcast(cells), ["depth", "bucket"])
+        cells.join(F.broadcast(sketch), ["depth", "bucket"], "left")
         .groupBy(col)
-        .agg(F.min("cnt").alias("cms_est"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
     )

@@ -83,7 +83,19 @@ def q_word2vec_stability(spark, sf_dir):
         top_k_similar,
     )
 
-    orders = read_table(spark, sf_dir, "orders").limit(_N_TRAIN_ORDERS)
+    # deterministic training subset: a bare limit() is partition-order
+    # dependent (scan layout picks the rows); md5-ordered top-k makes
+    # the subset — and therefore the fits and the calibrated indicator
+    # thresholds — reproducible, per the repo's seeded-sample policy
+    # (same shape as ivf_topk's centroid sample)
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .orderBy(
+            F.md5(F.concat_ws("|", F.lit("w2vstab"), F.col("o_orderkey"))),
+            F.col("o_orderkey"),
+        )
+        .limit(_N_TRAIN_ORDERS)
+    )
     baskets = planted_theme_baskets(orders)
     n_train = baskets.count()
 

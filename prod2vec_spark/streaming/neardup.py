@@ -47,8 +47,6 @@ from pyspark.sql import DataFrame
 
 from prod2vec_spark.operators.dedup import minhash_bands
 
-_DECISION_SCHEMA = "doc_id long, keep int"
-
 
 def streaming_band_owners(
     docs: DataFrame,
@@ -142,7 +140,15 @@ def start_near_dedup(
 
 def read_decisions(spark, out_dir: str) -> DataFrame:
     """The accumulated (doc_id, keep) decision table across all drained
-    batches."""
+    batches.  A gate that has not committed any batch yet (empty
+    landing dir, nothing shingle-able) has an empty decision table —
+    not a read error."""
+    import glob
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    if not glob.glob(os.path.join(out_dir, "batch_id=*", "*.parquet")):
+        return spark.createDataFrame([], "doc_id long, keep int")
     return spark.read.option("basePath", out_dir).parquet(out_dir).select(
         "doc_id", "keep"
     )

@@ -59,6 +59,24 @@ _DEDUPED_SCHEMA = (
     "value double, props string"
 )
 
+_SESSIONS_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long"
+)
+
+
+def _read_output(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Batch-read a streaming stage's output directory, which does not
+    EXIST until the stage commits its first batch (an empty landing
+    dir, or an append-mode agg whose first drain finalizes nothing, is
+    a normal state — not an error).  The declared schema makes the
+    empty case a typed empty DataFrame instead of a schema-inference
+    failure."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    return spark.read.schema(schema).parquet(path)
+
 
 @dataclass
 class StreamCurationConfig:
@@ -106,6 +124,11 @@ class StreamingCurationPipeline:
 
     # -- stage 2: streaming sessionization ------------------------------
     def session_stage(self) -> None:
+        import os
+
+        # stage 1 creates this dir only on its first commit; an empty
+        # landing dir must still let stage 2 start (and drain nothing)
+        os.makedirs(self.cfg.deduped_dir, exist_ok=True)
         deduped = self.spark.readStream.schema(_DEDUPED_SCHEMA).parquet(
             self.cfg.deduped_dir
         )
@@ -125,7 +148,7 @@ class StreamingCurationPipeline:
     def run(self) -> DataFrame:
         self.dedup_stage()
         self.session_stage()
-        return self.spark.read.parquet(self.cfg.sessions_dir)
+        return _read_output(self.spark, self.cfg.sessions_dir, _SESSIONS_SCHEMA)
 
 
 # ---------------------------------------------------------------------
@@ -199,11 +222,14 @@ class StreamingCorpusPipeline:
         q.awaitTermination()
 
     def neardup_stage(self) -> None:
+        import os
+
         from prod2vec_spark.streaming.neardup import (
             start_near_dedup,
             streaming_band_owners,
         )
 
+        os.makedirs(self.cfg.exact_dir, exist_ok=True)
         survivors = self.spark.readStream.schema(_EXACT_SCHEMA).parquet(
             self.cfg.exact_dir
         )
@@ -223,7 +249,7 @@ class StreamingCorpusPipeline:
 
         from prod2vec_spark.streaming.neardup import read_decisions
 
-        exact = self.spark.read.parquet(self.cfg.exact_dir)
+        exact = _read_output(self.spark, self.cfg.exact_dir, _EXACT_SCHEMA)
         # subtract only the DROP set — the near-dup fraction, usually
         # small relative to the corpus — broadcast into a left-anti
         # join so the corpus side never shuffles (same shape as

@@ -891,14 +891,19 @@ def test_cms_sketch_never_underestimates_and_merges(spark):
     both = a.unionAll(b)
     true = {"x": 80, "y": 20, "z": 5, "w": 7}
 
-    probes = spark.createDataFrame([(t,) for t in true], "term string")
+    # probe set includes a term the sketch never saw: it must still get
+    # a row, and (absent collisions in every depth) estimate 0
+    probes = spark.createDataFrame(
+        [(t,) for t in true] + [("never_seen_term",)], "term string"
+    )
     est = {
         r["term"]: r["cms_est"]
         for r in cms_estimate(cms_sketch(both), probes).collect()
     }
-    assert set(est) == set(true)
+    assert set(est) == set(true) | {"never_seen_term"}
     for t, n in true.items():
         assert est[t] >= n, (t, est[t], n)
+    assert est["never_seen_term"] >= 0  # ≥ true count (0); usually == 0
 
     # merge = union + counter sum; must equal the one-shot sketch
     merged = (

@@ -75,3 +75,16 @@ def test_streaming_corpus_curation_invariants_and_replay(spark, tmp_path):
     curated2 = pipe.run()
     assert curated2.count() == n_curated
     assert spark.read.parquet(cfg.exact_dir).count() == n_digests
+
+
+def test_corpus_pipeline_runs_on_initially_empty_landing_dir(spark, tmp_path):
+    """Bootstrap state: no input yet — both stages start, the curated
+    corpus is a typed empty frame (code-review r6 finding)."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    cfg = StreamCorpusConfig(
+        landing_dir=str(landing), work_dir=str(tmp_path / "work")
+    )
+    curated = StreamingCorpusPipeline(spark, cfg).run()
+    assert curated.count() == 0
+    assert "text_hash" in curated.columns

@@ -132,3 +132,22 @@ def test_streaming_curation_exactly_once_across_restarts(
     # ---- no-new-input restart writes nothing -------------------------
     pipe.run()
     assert sessions.count() == spark.read.parquet(cfg.sessions_dir).count()
+
+
+def test_pipeline_runs_on_initially_empty_landing_dir(spark, tmp_path):
+    """An initially-empty landing directory is a normal streaming
+    bootstrap state: both stages must start, drain nothing, and the
+    final read must return a typed EMPTY frame — not a
+    schema-inference failure (code-review r6 finding)."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    cfg = StreamCurationConfig(
+        landing_dir=str(landing),
+        work_dir=str(tmp_path / "work"),
+        ts_is_nanos=False,
+    )
+    sessions = StreamingCurationPipeline(spark, cfg).run()
+    assert sessions.count() == 0
+    assert set(sessions.columns) == {
+        "user_id", "session_start", "session_end", "n_events",
+    }
