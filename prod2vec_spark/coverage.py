@@ -178,7 +178,8 @@ COVERAGE: dict[str, dict] = {
               "entries": ["skew_safe_distinct"]},
     "E-A12": {"status": "implemented",  # count-min sketch table (round 6)
               "entries": ["heavy_hitters"],
-              "tests": [("tests.test_operators", "test_cms_sketch_never_underestimates_and_merges")]},
+              "tests": [("tests.test_operators", "test_cms_sketch_never_underestimates_and_merges"),
+                        ("tests.test_streaming_neardup", "test_streaming_cms_equals_batch_sketch")]},
     # --- LLM-data-pipeline component table ---------------------------
     "L-DEDUP-EXACT": {"status": "implemented", "entries": ["dedup_exact"]},
     "L-MINHASH-LSH": {"status": "implemented",

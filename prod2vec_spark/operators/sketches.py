@@ -102,3 +102,54 @@ def cms_estimate(
         .groupBy(col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
     )
+
+
+def start_cms_stream(
+    items: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+    col: str = "term",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+):
+    """Maintain the count-min sketch INCREMENTALLY over a stream: each
+    micro-batch's items are sketched batch-side in foreachBatch and the
+    partial sketch lands at ``out_dir/batch_id=N`` (overwrite — a
+    replayed batch rewrites its own partition, the idempotent
+    foreachBatch recipe).  Because counters add, the current sketch is
+    just the counter-wise sum of the committed partials — no
+    read-modify-write of a master copy, no stateful operator, and the
+    partials double as a time-sliced sketch history (drop old
+    partitions to age data out).  Returns the started query
+    (availableNow drain)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cms_sketch(batch_df, col=col, depth=depth, width=width).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/batch_id={batch_id}")
+
+    return (
+        items.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_cms(spark, out_dir: str, depth: int = CMS_DEPTH) -> DataFrame:
+    """Merge the committed per-batch partials into the current sketch
+    (counter-wise sum — the mergeability the unit test locks).  Before
+    the first commit the sketch is empty, not an error."""
+    import glob
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    if not glob.glob(os.path.join(out_dir, "batch_id=*", "*.parquet")):
+        return spark.createDataFrame([], "depth int, bucket long, cnt long")
+    return (
+        spark.read.option("basePath", out_dir)
+        .parquet(out_dir)
+        .groupBy("depth", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

@@ -147,3 +147,56 @@ def test_short_docs_bypass_state(spark, tmp_path):
     _drain(spark, str(landing), out, ckpt)
     got = {r["doc_id"] for r in read_decisions(spark, out).collect()}
     assert got == {2}
+
+
+def test_streaming_cms_equals_batch_sketch(spark, tmp_path):
+    """The incrementally-maintained CMS (per-batch partials summed on
+    read) must equal the one-shot batch sketch of all data EXACTLY —
+    counter for counter — across two drains and a no-input restart."""
+    import shutil
+
+    from prod2vec_spark.operators.sketches import (
+        cms_sketch,
+        read_cms,
+        start_cms_stream,
+    )
+    from prod2vec_spark.operators.text import tokens as tok
+
+    docs = read_table(spark, SF_SMOKE, "documents").limit(200).localCheckpoint()
+    terms = docs.select(F.explode(tok(F.col("text"))).alias("term"))
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out, ckpt = str(tmp_path / "sketch"), str(tmp_path / "ckpt")
+
+    half_a = docs.where(F.col("doc_id") % 2 == 0)
+    half_b = docs.where(F.col("doc_id") % 2 == 1)
+    for name, half in [("a", half_a), ("b", half_b)]:
+        half.select("doc_id", "text").coalesce(1).write.parquet(
+            str(tmp_path / f"st_{name}")
+        )
+
+    def drain():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(
+            str(landing)
+        )
+        q = start_cms_stream(
+            stream.select(F.explode(tok(F.col("text"))).alias("term")),
+            out,
+            ckpt,
+        )
+        q.awaitTermination()
+
+    for f in (tmp_path / "st_a").glob("*.parquet"):
+        shutil.copy(f, landing / "a.parquet")
+    drain()
+    for f in (tmp_path / "st_b").glob("*.parquet"):
+        shutil.copy(f, landing / "b.parquet")
+    drain()
+    drain()  # no new input: partials unchanged
+
+    merged = read_cms(spark, out)
+    want = cms_sketch(terms)
+    assert merged.exceptAll(want).count() == 0
+    assert want.exceptAll(merged).count() == 0
+    assert merged.count() > 0
