@@ -51,6 +51,8 @@ def test_rows_only_queries_nonempty(spark, name):
         "minhash_jaccard_audit",    # conv() longs + ratio division
         "dedup_clusters",           # iterative checksum + min-label
         "events_windows",           # interval / window arithmetic
+        "heavy_hitters",            # CMS conv() buckets + bound ratio
+        "corpus_mix_sample",        # md5-uniform division threshold
     ],
 )
 def test_catalog_survives_ansi_mode(spark, name):
