@@ -180,6 +180,8 @@ COVERAGE: dict[str, dict] = {
               "entries": ["heavy_hitters"],
               "tests": [("tests.test_operators", "test_cms_sketch_never_underestimates_and_merges"),
                         ("tests.test_streaming_neardup", "test_streaming_cms_equals_batch_sketch")]},
+    "E-A13": {"status": "implemented",  # Bloom-filter bit table (round 6)
+              "entries": ["bloom_blocklist"]},
     # --- LLM-data-pipeline component table ---------------------------
     "L-DEDUP-EXACT": {"status": "implemented", "entries": ["dedup_exact"]},
     "L-MINHASH-LSH": {"status": "implemented",

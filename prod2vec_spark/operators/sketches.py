@@ -104,6 +104,59 @@ def cms_estimate(
     )
 
 
+BLOOM_K = 4
+BLOOM_M = 8192
+
+
+def bloom_bits(
+    items: DataFrame,
+    col: str = "term",
+    k: int = BLOOM_K,
+    m: int = BLOOM_M,
+) -> DataFrame:
+    """(bit,) — the set bit positions of a Bloom filter over the item
+    column: bit_j(x) = md5-prefix of 'j|x' mod m.  Like the CMS, the
+    filter IS a bounded table (≤ m rows after distinct): one explode +
+    one distinct shuffle to build, union+distinct to merge, broadcast
+    join to probe — and md5 hashing makes membership verdicts
+    oracle-replayable bit-for-bit."""
+    return (
+        items.select(
+            F.explode(
+                F.array(*[_bucket(F.col(col), j, m) for j in range(k)])
+            ).alias("bit")
+        )
+        .distinct()
+    )
+
+
+def bloom_maybe_contains(
+    bits: DataFrame,
+    probes: DataFrame,
+    col: str = "term",
+    k: int = BLOOM_K,
+    m: int = BLOOM_M,
+) -> DataFrame:
+    """(col, maybe) per probe row: maybe=1 iff ALL k probe bits are
+    set — the standard no-false-negative / bounded-false-positive
+    Bloom contract.  The bits table (≤ m rows) broadcasts; probes
+    never shuffle."""
+    cells = probes.select(
+        F.col(col),
+        F.explode(
+            F.array(*[_bucket(F.col(col), j, m) for j in range(k)])
+        ).alias("bit"),
+    )
+    hit = bits.withColumn("is_set", F.lit(1))
+    return (
+        cells.join(F.broadcast(hit), "bit", "left")
+        .groupBy(col)
+        .agg(
+            F.min(F.coalesce(F.col("is_set"), F.lit(0))).alias("maybe")
+        )
+    )
+
+
 def start_cms_stream(
     items: DataFrame,
     out_dir: str,

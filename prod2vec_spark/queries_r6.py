@@ -481,11 +481,123 @@ FROM kept JOIN n ON kept.lang = n.lang
 """
 
 
+def q_bloom_blocklist(spark, sf_dir):
+    """Bloom-filter blocklist membership (the contamination-screen
+    shape when the blocklist is too big to broadcast exactly): build
+    the bit table over blocked part names, probe EVERY part name, and
+    emit the audit row — members found (no-false-negative contract),
+    measured false positives among non-members, and the theoretical
+    FP-rate bound as a checked indicator.  md5 bit positions make the
+    verdicts oracle-replayable bit-for-bit, so the MEASURED fp count
+    hash-matches, not just the bound."""
+    from prod2vec_spark.operators.sketches import (
+        BLOOM_K,
+        BLOOM_M,
+        bloom_bits,
+        bloom_maybe_contains,
+    )
+
+    part = read_table(spark, sf_dir, "part")
+    # blocklist identity = part KEY (p_name has only ~64 distinct
+    # values in the fixture — keys give a unique, ~10%-selective set)
+    members = part.where(F.col("p_size") > 45).select(
+        F.col("p_partkey").cast("string").alias("term")
+    ).distinct()
+    probes = part.select(
+        F.col("p_partkey").cast("string").alias("term")
+    ).distinct()
+    verdicts = bloom_maybe_contains(bloom_bits(members), probes)
+    joined = verdicts.join(
+        members.withColumn("is_member", F.lit(1)), "term", "left"
+    ).select("term", "maybe", F.coalesce("is_member", F.lit(0)).alias("is_member"))
+    # expected FP probability p = (1 - e^{-k·n/m})^k; assert measured
+    # count within 2x expectation (+5 absolute slack for small counts)
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum("is_member").alias("n_members"),
+        F.sum("maybe").alias("n_maybe"),
+        F.sum(((F.col("maybe") == 1) & (F.col("is_member") == 0)).cast("long")).alias(
+            "n_false_pos"
+        ),
+        (
+            F.sum(((F.col("is_member") == 1) & (F.col("maybe") == 0)).cast("long"))
+            == 0
+        )
+        .cast("long")
+        .alias("no_false_neg"),
+    ).select(
+        "n_probes",
+        "n_members",
+        "n_maybe",
+        "n_false_pos",
+        "no_false_neg",
+        (
+            F.col("n_false_pos")
+            <= 2.0
+            * F.pow(
+                1.0 - F.exp(-(float(BLOOM_K) * F.col("n_members")) / BLOOM_M),
+                float(BLOOM_K),
+            )
+            * (F.col("n_probes") - F.col("n_members"))
+            + 5.0
+        )
+        .cast("long")
+        .alias("fp_bound_ok"),
+    )
+
+
+def _sql_bloom_blocklist() -> str:
+    from prod2vec_spark.operators.sketches import BLOOM_K, BLOOM_M
+
+    js = ",".join(f"({j})" for j in range(BLOOM_K))
+    return f"""
+WITH members AS (
+  SELECT DISTINCT CAST(p_partkey AS VARCHAR) AS term
+  FROM part WHERE p_size > 45),
+bits AS (
+  SELECT DISTINCT ('0x' || substr(md5(j || '|' || term), 1, 8))::BIGINT
+                    % {BLOOM_M} AS bit
+  FROM members CROSS JOIN (VALUES {js}) v(j)),
+probes AS (SELECT DISTINCT CAST(p_partkey AS VARCHAR) AS term FROM part),
+cells AS (
+  SELECT term, ('0x' || substr(md5(j || '|' || term), 1, 8))::BIGINT
+                 % {BLOOM_M} AS bit
+  FROM probes CROSS JOIN (VALUES {js}) v(j)),
+verdict AS (
+  SELECT c.term,
+         min(CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END) AS maybe
+  FROM cells c LEFT JOIN bits b ON c.bit = b.bit
+  GROUP BY c.term),
+joined AS (
+  SELECT v.term, v.maybe,
+         CASE WHEN m.term IS NULL THEN 0 ELSE 1 END AS is_member
+  FROM verdict v LEFT JOIN members m ON v.term = m.term),
+agg AS (
+  SELECT count(*) AS n_probes,
+         CAST(sum(is_member) AS BIGINT) AS n_members,
+         CAST(sum(maybe) AS BIGINT) AS n_maybe,
+         CAST(sum(CASE WHEN maybe = 1 AND is_member = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_false_pos,
+         CAST(sum(CASE WHEN is_member = 1 AND maybe = 0 THEN 1 ELSE 0 END) = 0
+              AS BIGINT) AS no_false_neg
+  FROM joined)
+SELECT n_probes, n_members, n_maybe, n_false_pos, no_false_neg,
+       CAST(n_false_pos
+            <= 2.0 * pow(1.0 - exp(-({BLOOM_K}.0 * n_members) / {BLOOM_M}),
+                         {BLOOM_K}.0)
+                   * (n_probes - n_members)
+               + 5.0
+            AS BIGINT) AS fp_bound_ok
+FROM agg
+"""
+
+
 R6_QUERIES = {
     "word2vec_stability": q_word2vec_stability,
     "curation_stress_audit": q_curation_stress_audit,
     "heavy_hitters": q_heavy_hitters,
     "corpus_mix_sample": q_corpus_mix_sample,
+    "bloom_blocklist": q_bloom_blocklist,
 }
 
 R6_ORACLES = {
@@ -493,4 +605,5 @@ R6_ORACLES = {
     "curation_stress_audit": _sql_curation_stress_audit(),
     "heavy_hitters": _sql_heavy_hitters(),
     "corpus_mix_sample": _sql_corpus_mix_sample(),
+    "bloom_blocklist": _sql_bloom_blocklist(),
 }
