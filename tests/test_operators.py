@@ -915,3 +915,39 @@ def test_cms_sketch_never_underestimates_and_merges(spark):
     one_shot = cms_sketch(both)
     assert merged.exceptAll(one_shot).count() == 0
     assert one_shot.exceptAll(merged).count() == 0
+
+
+def test_cms_overestimate_property(spark):
+    """Property (hypothesis): for ARBITRARY multisets the CMS estimate
+    is >= the true count for every distinct item — the one-sided error
+    contract, independent of collision structure."""
+    from collections import Counter
+
+    from hypothesis import given, settings, strategies as st
+
+    from prod2vec_spark.operators.sketches import cms_estimate, cms_sketch
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        items=st.lists(
+            st.text(alphabet="abcde", min_size=1, max_size=3),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    def check(items):
+        true = Counter(items)
+        df = spark.createDataFrame([(x,) for x in items], "term string")
+        probes = spark.createDataFrame([(t,) for t in true], "term string")
+        # small width forces real collisions; the contract must hold
+        est = {
+            r["term"]: r["cms_est"]
+            for r in cms_estimate(
+                cms_sketch(df, width=16), probes, width=16
+            ).collect()
+        }
+        assert set(est) == set(true)
+        for t, n in true.items():
+            assert est[t] >= n, (t, est[t], n)
+
+    check()

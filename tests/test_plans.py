@@ -275,3 +275,26 @@ def test_minhash_jaccard_audit_broadcasts_candidates(spark):
     plan = explain_str(df)
     assert has_broadcast_join(df)
     assert "SortMergeJoin" not in plan
+
+
+def test_r6_sketch_and_mix_entries_broadcast_not_sortmerge(spark):
+    """Round-6 superset entries: every join in the sketch/mix plans is
+    a broadcast of a bounded side (probe sets, sketch tables, 1-row
+    scalars) — a SortMergeJoin appearing here would mean a corpus-side
+    shuffle snuck into a bounded-side join.  Exchange counts are locked
+    (all are bounded aggregates, not corpus reshuffles)."""
+    from prod2vec_spark.plans.inspect import explain_str
+
+    expected_exchanges = {
+        "heavy_hitters": 5,       # top-k funnel, sketch agg, estimate agg
+        "corpus_mix_sample": 1,   # per-lang count only (filter is map-side)
+        "bloom_blocklist": 5,     # member/probe distincts + bit/verdict aggs
+    }
+    for name, n_ex in expected_exchanges.items():
+        df = QUERIES[name](spark, SF_SMOKE)
+        plan = explain_str(df)
+        assert "SortMergeJoin" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+        from prod2vec_spark.plans import count_exchanges
+
+        assert count_exchanges(df) == n_ex, name
