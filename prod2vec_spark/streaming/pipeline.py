@@ -168,6 +168,13 @@ class StreamCorpusConfig:
     shingle_k: int = 3
     num_hashes: int = 8
     band_size: int = 4
+    # row-local quality gate applied before dedup; 0.0 disables.  The
+    # batch pipeline derives its threshold as a corpus percentile
+    # (pipeline_llm.quality_filter) — a stream has no finished corpus
+    # to take a percentile over, so the streaming gate takes the
+    # threshold as config (typically the percentile computed offline
+    # on the archived corpus, refreshed per deployment).
+    quality_min: float = 0.0
 
     @property
     def exact_dir(self) -> str:
@@ -208,11 +215,20 @@ class StreamingCorpusPipeline:
         self.cfg = cfg
 
     def exact_stage(self) -> None:
+        from pyspark.sql import functions as F
+
         from prod2vec_spark.operators.dedup import text_digest
+        from prod2vec_spark.operators.text import quality_score
 
         docs = self.spark.readStream.schema(_DOCS_SCHEMA).parquet(
             self.cfg.landing_dir
         )
+        # quality gate first (row-local, stateless) so low-quality docs
+        # never occupy digest state
+        if self.cfg.quality_min > 0.0:
+            docs = docs.where(
+                quality_score(F.col("text")) >= self.cfg.quality_min
+            )
         deduped = docs.withColumn(
             "text_hash", text_digest(docs["text"])
         ).dropDuplicates(["text_hash"])

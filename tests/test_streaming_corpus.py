@@ -88,3 +88,58 @@ def test_corpus_pipeline_runs_on_initially_empty_landing_dir(spark, tmp_path):
     curated = StreamingCorpusPipeline(spark, cfg).run()
     assert curated.count() == 0
     assert "text_hash" in curated.columns
+
+
+def test_streaming_quality_gate_matches_batch_filter(spark, tmp_path):
+    """With quality_min set, the streaming gate must admit EXACTLY the
+    docs the batch row-local score admits (the score is deterministic),
+    before any dedup state is spent on low-quality docs."""
+    import shutil
+
+    from prod2vec_spark.operators.text import quality_score
+
+    docs = (
+        read_table(spark, SF_SMOKE, "documents")
+        .limit(200)
+        .select("doc_id", "text", "lang")
+        .localCheckpoint()
+    )
+    thr = 0.8  # ~median of the fixture scores — selective by construction
+    want_ids = {
+        r["doc_id"]
+        for r in docs.where(quality_score(F.col("text")) >= thr)
+        .select("doc_id")
+        .collect()
+    }
+    assert 0 < len(want_ids) < docs.count()  # gate actually selective
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    docs.coalesce(1).write.parquet(str(tmp_path / "stage"))
+    shutil.copy(
+        sorted((tmp_path / "stage").glob("*.parquet"))[0],
+        landing / "a.parquet",
+    )
+    cfg = StreamCorpusConfig(
+        landing_dir=str(landing),
+        work_dir=str(tmp_path / "work"),
+        quality_min=thr,
+    )
+    pipe = StreamingCorpusPipeline(spark, cfg)
+    pipe.exact_stage()
+    got_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(cfg.exact_dir).select("doc_id").collect()
+    }
+    # exact-dedup also collapses duplicate texts among the admitted
+    # docs, so got ⊆ want with one survivor per digest
+    assert got_ids <= want_ids
+    from prod2vec_spark.operators.dedup import text_digest
+
+    n_digests = (
+        docs.where(quality_score(F.col("text")) >= thr)
+        .select(text_digest(F.col("text")).alias("h"))
+        .distinct()
+        .count()
+    )
+    assert len(got_ids) == n_digests
