@@ -34,7 +34,11 @@ the same cardinality the batch band shuffle carries, held resident
 instead of re-shuffled per run.  ``state_ttl`` (processing-time)
 bounds the registry for unbounded streams; expired signatures re-admit
 later near-dups — the same horizon/completeness tradeoff as the batch
-watermark, chosen per deployment.  Docs too short to shingle
+watermark, chosen per deployment.  Caveat: processing-time timeouts
+interact badly with trigger(availableNow) drains (the drain does not
+terminate while timeouts remain schedulable — observed in this
+environment), so the TTL path is for LONG-RUNNING triggers only; the
+drain-style tests and pipelines run with NoTimeout.  Docs too short to shingle
 (< shingle_k tokens) emit no bands and never reach the state store;
 they are trivially kept and must be unioned back by the caller
 (pipeline wiring does this), keeping the hot path free of a
