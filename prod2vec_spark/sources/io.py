@@ -255,12 +255,14 @@ def register_query_views(
     (word2vec_neighbors, kmeans_audit) and the checkpointing audits
     (ann_recall, minhash_jaccard_audit) do their model fit /
     materialization at DEFINITION time — pass ``names`` to register a
-    subset when that cost is unwanted."""
-    from prod2vec_spark.queries import QUERIES
+    subset when that cost is unwanted.  ``names`` may reference ANY
+    superset query (including entries retired from the driver
+    catalog); the default registers exactly the driver catalog."""
+    from prod2vec_spark.queries import ALL_QUERIES, QUERIES
 
     todo = list(QUERIES) if names is None else names
     out = []
     for name in todo:
-        QUERIES[name](spark, sf_dir).createOrReplaceTempView(f"q_{name}")
+        ALL_QUERIES[name](spark, sf_dir).createOrReplaceTempView(f"q_{name}")
         out.append(f"q_{name}")
     return out

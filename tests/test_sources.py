@@ -194,15 +194,20 @@ def test_register_query_views_sql_surface(spark):
     from prod2vec_spark.queries import QUERIES
     from prod2vec_spark.sources.io import register_query_views
 
+    from prod2vec_spark.queries import ALL_QUERIES
+
     names = register_query_views(spark, SF_SMOKE)
     assert len(names) == len(QUERIES) == 50
+    # superset entries retired from the driver catalog stay reachable
+    # by explicit name — the SQL surface covers the whole superset
+    register_query_views(spark, SF_SMOKE, names=["union_nation_counts"])
     got = {
         (r["side"], r["nationkey"]): r["n"]
         for r in spark.sql("SELECT * FROM q_union_nation_counts").collect()
     }
     want = {
         (r["side"], r["nationkey"]): r["n"]
-        for r in QUERIES["union_nation_counts"](spark, SF_SMOKE).collect()
+        for r in ALL_QUERIES["union_nation_counts"](spark, SF_SMOKE).collect()
     }
     assert got == want and len(got) > 0
     # Catalyst plans straight through the view: a filter composed on
