@@ -220,4 +220,14 @@ COVERAGE: dict[str, dict] = {
                        "entries": ["curation_stress_audit"],
                        "tests": [("tests.test_scale_stress", "test_cc_round_bound_holds_on_10x_candidate_graph"),
                                  ("tests.test_scale_stress", "test_exact_dedup_collapses_exactly_the_verbatim_replicas")]},
+    "L-REPETITION": {"status": "implemented", "entries": ["doc_repetition"],
+                     "tests": [("tests.test_llm_ops_r6b", "test_repetition_discriminates_looped_text"),
+                               ("tests.test_llm_ops_r6b", "test_repetition_gate_split_is_nontrivial_on_corpus")]},
+    "L-DECONTAM": {"status": "implemented", "entries": ["decontaminate"],
+                   "tests": [("tests.test_llm_ops_r6b", "test_decontamination_flags_planted_leak")]},
+    "E-F19": {"status": "implemented", "entries": ["weighted_sample"],
+              "tests": [("tests.test_llm_ops_r6b", "test_weighted_sample_tracks_weights_and_is_deterministic"),
+                        ("tests.test_llm_ops_r6b", "test_weighted_sample_equal_weights_reduces_to_hash_order")]},
+    "L-SEMDEDUP": {"status": "implemented", "entries": ["semdedup_audit"],
+                   "tests": [("tests.test_llm_ops_r6b", "test_semdedup_invariants_and_planted_duplicates")]},
 }

@@ -81,6 +81,43 @@ def seeded_sample(
     return df.orderBy(key, *[F.asc(c) for c in key_cols]).limit(k)
 
 
+def weighted_sample_aes(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_cols: list[str],
+    seed: str = "ws",
+    key_out: str = "_aes_key",
+) -> DataFrame:
+    """Weighted sample-without-replacement of k rows via the
+    Efraimidis–Spirakis A-ES scheme: each row draws u ~ U(0,1) and the
+    k rows maximizing u^(1/w) win — provably equivalent to sequential
+    weighted draws without replacement.  We rank by the monotone
+    transform ln(u)/w (same order, no pow underflow for huge weights).
+
+    u is the md5-uniform hash_unit(seed|key...) (functions/hashing.py),
+    so the draw is deterministic and the DuckDB oracle replays it:
+    ln(('0x'||substr(md5(s||'|'||id),1,8))::BIGINT / 4294967296.0) / w.
+
+    Plans as TakeOrderedAndProject like seeded_sample — per-partition
+    top-k heaps, k rows to the driver, no full sort.  Weights must be
+    > 0; ``key_cols`` must uniquely identify a row (appended as the
+    deterministic tiebreak)."""
+    from prod2vec_spark.functions.hashing import hash_unit
+
+    u = hash_unit(
+        F.concat_ws(
+            "|", F.lit(seed), *[F.col(c).cast("string") for c in key_cols]
+        )
+    )
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.withColumn(key_out, key)
+        .orderBy(F.desc(key_out), *[F.asc(c) for c in key_cols])
+        .limit(k)
+    )
+
+
 def hash_sample_filter(modulus: int, *cols, seed: int = 42) -> Column:
     """Scale-safe approximate row sampling: keep rows where
     xxhash64(cols, seed) % modulus == 0 (≈ 1/modulus of the input).

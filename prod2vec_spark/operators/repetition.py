@@ -1,0 +1,116 @@
+"""Intra-document repetition features (Gopher-style repetition
+filters, Rae et al. 2021 §A1.1) — the standard LLM-corpus gate the
+reference's pipeline lacks (ENGINE scope; reference anchor: the
+corpus-prep role of utils/prep_utils.py, which stops at basket
+assembly).
+
+All features are row-local Column expressions over the whitespace
+token array: word n-grams via a slice-window transform, per-gram
+occurrence counts via filter-over-distinct.  Zero shuffles, zero UDFs
+— a linear scan that survives 100 TB (per-row cost is
+O(distinct_grams × n_grams), bounded by document length, not corpus
+size).
+
+HOF-CSE rule (operators/text.py simhash comment): interpreted
+higher-order functions re-evaluate any outer expression referenced
+inside a lambda, so callers MUST stage the token/gram arrays as real
+columns (``withColumn``) before passing them here — passing a
+``split(...)`` expression directly would re-split the document once
+per distinct gram.
+
+DuckDB oracle equivalents (queries_r6b.py) evaluate the identical
+formulas with list_transform / list_filter / list_slice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Array of space-joined word ``n``-grams of the token array; empty
+    array when the document has fewer than ``n`` tokens (guarded —
+    Spark's ``sequence(1, 0)`` would count DOWN, not return empty).
+
+    Oracle: list_transform(generate_series(1, len(toks) - (n-1)),
+    i -> array_to_string(list_slice(toks, i, i + (n-1)), ' ')) —
+    DuckDB's generate_series returns [] when stop < start.
+    """
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def occurrence_counts(grams: Column) -> Column:
+    """Occurrence count of each DISTINCT gram (aligned with
+    array_distinct order — order-insensitive consumers only: max/sum).
+
+    ``grams`` must be a staged column reference, not a nested
+    expression (HOF-CSE rule above)."""
+    return F.transform(
+        F.array_distinct(grams),
+        lambda g: F.size(F.filter(grams, lambda x: x == g)),
+    )
+
+
+def top_gram_fraction(grams: Column) -> Column:
+    """Fraction of n-gram OCCURRENCES taken by the single most frequent
+    n-gram (Gopher's top-n-gram fraction, token-occurrence form) —
+    0.0 for documents too short to have any gram."""
+    counts = occurrence_counts(grams)
+    return F.when(
+        F.size(grams) > 0,
+        F.round(
+            F.array_max(counts).cast("double") / F.size(grams).cast("double"), 4
+        ),
+    ).otherwise(F.lit(0.0))
+
+
+def dup_gram_fraction(grams: Column) -> Column:
+    """Fraction of n-gram occurrences whose gram appears ≥2 times in
+    the document (Gopher's duplicate-n-gram fraction, token-occurrence
+    form)."""
+    counts = occurrence_counts(grams)
+    dup_occurrences = F.aggregate(
+        counts,
+        F.lit(0).cast("long"),
+        lambda acc, c: acc + F.when(c >= 2, c.cast("long")).otherwise(F.lit(0).cast("long")),
+    )
+    return F.when(
+        F.size(grams) > 0,
+        F.round(dup_occurrences.cast("double") / F.size(grams).cast("double"), 4),
+    ).otherwise(F.lit(0.0))
+
+
+def dup_token_fraction(toks: Column) -> Column:
+    """1 − distinct/total tokens: the crudest repetition signal (a
+    type-token-ratio complement; kept as the feature every corpus
+    report starts with)."""
+    return F.when(
+        F.size(toks) > 0,
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(toks)).cast("double") / F.size(toks).cast("double"),
+            4,
+        ),
+    ).otherwise(F.lit(0.0))
+
+
+# Gate thresholds: Gopher's published cuts are corpus-calibrated; these
+# are the same SHAPE (reject documents dominated by one bigram or by
+# repeated trigram spans) tuned so the synthetic corpus splits
+# non-trivially.  The oracle evaluates the identical constants.
+TOP_BIGRAM_MAX = 0.08
+DUP_TRIGRAM_MAX = 0.20
+
+
+def repetition_gate(top_bigram_frac: Column, dup_trigram_frac: Column) -> Column:
+    """True ⇔ the document passes the repetition filter."""
+    return (top_bigram_frac <= TOP_BIGRAM_MAX) & (
+        dup_trigram_frac <= DUP_TRIGRAM_MAX
+    )

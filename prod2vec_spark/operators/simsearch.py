@@ -464,3 +464,117 @@ def embedding_neardup(
         verified.filter(F.col("cosine_sim") >= threshold)
         .select("vec_a", "vec_b", "cosine_sim")
     )
+
+
+def semdedup(
+    corpus: DataFrame,
+    dims: int,
+    n_clusters: int = 8,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "sem",
+    min_parallelism: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings, then dropping within-
+    cluster cosine near-duplicates.  Deterministic variant: keep a
+    row iff it has NO same-cluster τ-neighbor with a smaller id —
+    exactly the paper's "keep one per duplicate neighborhood" with the
+    min-id as the canonical representative, and (unlike k-means-seeded
+    SemDeDup) fully replayable by a SQL oracle.
+
+    Pipeline, shuffle-audited for the 100 TB shape:
+
+    1. Centroids: md5-hash-order seeded sample of ``n_clusters``
+       non-zero corpus vectors (the ivf_topk convention), unit-scaled
+       on the driver with the same left-fold arithmetic as
+       l2_norm/normalized — a bounded collect (≤ n_clusters rows).
+    2. Assignment: row-local argmax ⟨v, c⟩ over the centroid literal
+       matrix (valid because centroids are unit vectors) — the corpus
+       streams once, zero shuffle, exactly ivf_topk's corpus pass.
+    3. Within-cluster pairs: self-join on cid with id_a < id_b and
+       exact unit-vector cosine ≥ τ.  The join shuffles on cid, so
+       per-cluster size bounds the quadratic work: at real scale
+       n_clusters grows with the corpus (the paper uses ~10⁵ clusters
+       for LAION-scale data) keeping clusters at ~√corpus; here 8
+       cells suffice for the test fixture.  Zero-norm vectors cannot
+       be near anything under cosine — they are kept unconditionally
+       and skip the pair join.
+
+    Output: one row per corpus vector — (id, cid, kept) with
+    kept=false iff a smaller-id same-cluster τ-neighbor exists.
+
+    Reference anchor: none (the reference has no embedding surface);
+    ENGINE scope per SURVEY.md §2's LLM-pipeline extension table.
+    """
+    import math
+
+    if (
+        min_parallelism is not None
+        and corpus.rdd.getNumPartitions() < min_parallelism
+    ):
+        corpus = corpus.repartition(min_parallelism)
+    raw_rows = (
+        corpus.select(id_col, vec_col)
+        .where(l2_norm(F.col(vec_col)) > 0)
+        .orderBy(F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col))), F.col(id_col))
+        .limit(n_clusters)
+        .collect()
+    )
+    if not raw_rows:
+        raise ValueError("semdedup: corpus has no non-zero-norm vectors")
+    cents = []
+    for r in raw_rows:
+        v = [float(x) for x in r[vec_col]]
+        acc = 0.0
+        for x in v:
+            acc = acc + x * x
+        nrm = math.sqrt(acc)
+        cents.append([x / nrm for x in v])
+    cmat = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(repr(c) + "D" for c in row) + ")" for row in cents
+        )
+        + ")"
+    )
+    # row-local argmax over the centroid literal (ties → lowest cid,
+    # strict >) — identical fold to ivf_topk's corpus assignment
+    best = F.aggregate(
+        F.zip_with(
+            cmat,
+            F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+            lambda c, i: F.struct(vec_dot(F.col(vec_col), c).alias("d"), i.alias("i")),
+        ),
+        F.struct(
+            F.lit(float("-inf")).alias("d"), F.lit(-1).cast("int").alias("i")
+        ),
+        lambda acc, x: F.when(x["d"] > acc["d"], x).otherwise(acc),
+    )["i"]
+    assigned = _with_unit(corpus, vec_col, "nvec").select(
+        F.col(id_col).alias("id"), best.alias("cid"), F.col("nvec")
+    )
+    # zero-norm rows have null nvec: kept unconditionally, never paired
+    a = assigned.where(F.col("nvec").isNotNull()).select(
+        F.col("id").alias("id_a"), F.col("cid"), F.col("nvec").alias("na")
+    )
+    b = assigned.where(F.col("nvec").isNotNull()).select(
+        F.col("id").alias("id_b"), F.col("cid"), F.col("nvec").alias("nb")
+    )
+    dropped = (
+        a.join(b, "cid")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.round(vec_dot(F.col("na"), F.col("nb")), 5) >= F.lit(threshold))
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+        .withColumn("_drop", F.lit(1))
+    )
+    return (
+        assigned.join(dropped, "id", "left")
+        .select(
+            "id",
+            "cid",
+            F.col("_drop").isNull().alias("kept"),
+        )
+    )

@@ -1,0 +1,261 @@
+"""Round-6 depth tranche: four more LLM-training-data operator
+families, each with a full DuckDB oracle (superset entries — the
+driver catalog is capped at 50, so these certify through the pytest
+oracle-parity gate until a future rotation).
+
+* ``doc_repetition``     — Gopher-style intra-document repetition
+  features (dup-token / top-bigram / dup-trigram fractions) + gate.
+* ``decontaminate``      — benchmark n-gram decontamination (GPT-3
+  appendix-C shape): training docs sharing word 5-grams with a
+  held-out split are flagged.
+* ``weighted_sample``    — Efraimidis–Spirakis A-ES weighted sample
+  without replacement (md5-derived draws, TakeOrdered plan).
+* ``semdedup_audit``     — SemDeDup (Abbas et al. 2023): cluster-then-
+  near-dup semantic dedup over embeddings, per-cluster audit row.
+
+Catalog conventions (queries.py header) apply: every aggregate/derived
+column aliased identically in Spark and SQL; booleans surfaced as
+BIGINT 0/1; md5 as the portable hash; floats rounded at 4-5 digits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from prod2vec_spark.operators import repetition as RP
+from prod2vec_spark.operators import text as TX
+from prod2vec_spark.sources.io import read_table
+
+
+# ---------------------------------------------------- doc repetition
+def q_doc_repetition(spark, sf_dir):
+    """Per-document repetition profile: the three Gopher repetition
+    signals plus the boolean gate (as 0/1).  One row-local scan —
+    token and gram arrays staged as columns per the HOF-CSE rule
+    (operators/repetition.py)."""
+    docs = read_table(spark, sf_dir, "documents")
+    staged = (
+        docs.withColumn("_toks", TX.tokens(F.col("text")))
+        .withColumn("_g2", RP.word_ngrams(F.col("_toks"), 2))
+        .withColumn("_g3", RP.word_ngrams(F.col("_toks"), 3))
+    )
+    out = staged.select(
+        "doc_id",
+        RP.dup_token_fraction(F.col("_toks")).alias("dup_token_frac"),
+        RP.top_gram_fraction(F.col("_g2")).alias("top_bigram_frac"),
+        RP.dup_gram_fraction(F.col("_g3")).alias("dup_trigram_frac"),
+    )
+    return out.withColumn(
+        "repetition_ok",
+        RP.repetition_gate(
+            F.col("top_bigram_frac"), F.col("dup_trigram_frac")
+        ).cast("long"),
+    )
+
+
+def _sql_doc_repetition() -> str:
+    from prod2vec_spark.queries_ext import _TOKS
+
+    tb_max, dt_max = RP.TOP_BIGRAM_MAX, RP.DUP_TRIGRAM_MAX
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (SELECT doc_id, toks,
+  list_transform(generate_series(1, len(toks) - 1),
+                 i -> array_to_string(list_slice(toks, i, i + 1), ' ')) AS g2,
+  list_transform(generate_series(1, len(toks) - 2),
+                 i -> array_to_string(list_slice(toks, i, i + 2), ' ')) AS g3
+ FROM t),
+c AS (SELECT doc_id, toks, g2, g3,
+  list_transform(list_distinct(g2), x -> len(list_filter(g2, y -> y = x))) AS c2,
+  list_transform(list_distinct(g3), x -> len(list_filter(g3, y -> y = x))) AS c3
+ FROM g),
+f AS (SELECT doc_id,
+  CASE WHEN len(toks) > 0
+       THEN round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 4)
+       ELSE 0.0 END AS dup_token_frac,
+  CASE WHEN len(g2) > 0
+       THEN round(CAST(list_max(c2) AS DOUBLE) / CAST(len(g2) AS DOUBLE), 4)
+       ELSE 0.0 END AS top_bigram_frac,
+  CASE WHEN len(g3) > 0
+       THEN round(CAST(list_sum(list_transform(c3, c -> CASE WHEN c >= 2 THEN c ELSE 0 END)) AS DOUBLE)
+                  / CAST(len(g3) AS DOUBLE), 4)
+       ELSE 0.0 END AS dup_trigram_frac
+ FROM c)
+SELECT doc_id, dup_token_frac, top_bigram_frac, dup_trigram_frac,
+       CAST(top_bigram_frac <= {tb_max} AND dup_trigram_frac <= {dt_max}
+            AS BIGINT) AS repetition_ok
+FROM f
+"""
+
+
+# ----------------------------------------------------- decontaminate
+_DECON_N = 5
+_DECON_BENCH_FRAC = 0.1
+_DECON_MIN_FRAC = 0.2
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination report: each training document's
+    distinct word 5-grams joined (broadcast) against the held-out
+    split's gram set; collision count/fraction + the contaminated
+    verdict as 0/1.  The held-out split is the md5-uniform
+    hash_unit('bench'|doc_id) < 0.1 — deterministic, oracle-replayed.
+    Corpus streams once; only the small benchmark gram set is
+    broadcast (operators/decontam.py)."""
+    from prod2vec_spark.operators.decontam import contamination_report
+
+    docs = read_table(spark, sf_dir, "documents")
+    rep = contamination_report(
+        docs,
+        n=_DECON_N,
+        bench_frac=_DECON_BENCH_FRAC,
+        contaminated_min_frac=_DECON_MIN_FRAC,
+    )
+    return rep.withColumn("contaminated", F.col("contaminated").cast("long"))
+
+
+def _sql_decontaminate() -> str:
+    from prod2vec_spark.queries_ext import _TOKS
+
+    span = _DECON_N - 1
+    return f"""
+WITH d AS (SELECT doc_id, text,
+  ('0x' || substr(md5('bench|' || doc_id), 1, 8))::BIGINT / 4294967296.0
+    < {_DECON_BENCH_FRAC} AS is_bench
+ FROM documents),
+t AS (SELECT doc_id, is_bench, {_TOKS} AS toks FROM d),
+g AS (SELECT doc_id, is_bench,
+  list_distinct(list_transform(generate_series(1, len(toks) - {span}),
+    i -> array_to_string(list_slice(toks, i, i + {span}), ' '))) AS grams
+ FROM t),
+bg AS (SELECT DISTINCT gram
+       FROM (SELECT unnest(grams) AS gram FROM g WHERE is_bench)),
+tg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE NOT is_bench),
+r AS (SELECT tg.doc_id,
+        count(*) AS n_grams,
+        CAST(sum(CASE WHEN bg.gram IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_hit
+      FROM tg LEFT JOIN bg ON tg.gram = bg.gram
+      GROUP BY tg.doc_id)
+SELECT doc_id, n_grams, n_hit,
+       round(CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE), 4) AS hit_frac,
+       CAST(round(CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE), 4)
+            >= {_DECON_MIN_FRAC} AS BIGINT) AS contaminated
+FROM r
+"""
+
+
+# --------------------------------------------------- weighted sample
+_WS_K = 25
+
+
+def q_weighted_sample(spark, sf_dir):
+    """A-ES weighted sample: the 25 documents winning the
+    ln(u)/n_chars race (u = md5-uniform of 'ws'|doc_id) — longer
+    documents proportionally likelier, fully deterministic.  Plans as
+    TakeOrderedAndProject; the rank window runs on the 25-row
+    result."""
+    from prod2vec_spark.operators.relational import weighted_sample_aes
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    top = weighted_sample_aes(docs, "n_chars", _WS_K, ["doc_id"], seed="ws")
+    w = Window.orderBy(F.desc("_aes_key"), F.asc("doc_id"))
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"), "doc_id", "n_chars"
+    )
+
+
+def _sql_weighted_sample() -> str:
+    return f"""
+WITH k AS (SELECT doc_id, n_chars,
+  ln(('0x' || substr(md5('ws|' || doc_id), 1, 8))::BIGINT / 4294967296.0)
+    / CAST(n_chars AS DOUBLE) AS aes_key
+ FROM documents)
+SELECT CAST(row_number() OVER (ORDER BY aes_key DESC, doc_id) AS INT) AS rank,
+       doc_id, n_chars
+FROM k
+ORDER BY aes_key DESC, doc_id
+LIMIT {_WS_K}
+"""
+
+
+# --------------------------------------------------- semdedup audit
+_SEM_CLUSTERS = 8
+_SEM_THRESHOLD = 0.4
+
+
+def q_semdedup_audit(spark, sf_dir):
+    """SemDeDup per-cluster audit: cluster embeddings into 8
+    deterministic cells, drop within-cluster cosine near-duplicates
+    (keep the min-id representative), report per-cluster totals plus
+    a kept-id checksum so the hash match certifies WHICH rows
+    survived, not just how many (operators/simsearch.semdedup)."""
+    from prod2vec_spark.operators import simsearch as SS
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    flags = SS.semdedup(
+        emb,
+        dims=64,
+        n_clusters=_SEM_CLUSTERS,
+        threshold=_SEM_THRESHOLD,
+        min_parallelism=spark.sparkContext.defaultParallelism,
+    )
+    return flags.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.sum((~F.col("kept")).cast("long")).alias("n_dropped"),
+        F.sum(F.when(F.col("kept"), F.col("id")).otherwise(F.lit(0))).alias(
+            "kept_id_sum"
+        ),
+    )
+
+
+def _sql_semdedup_audit() -> str:
+    from prod2vec_spark.queries_ext import _DOT, _L2, _UNIT
+
+    dot_ec = _DOT.format(a="e.embedding", b="c.cvec")
+    dot_ab = _DOT.format(a="a.nvec", b="b.nvec")
+    return f"""
+WITH cent AS (SELECT vec_id, {_UNIT.format(a='embedding')} AS cvec
+              FROM embeddings
+              WHERE {_L2.format(a='embedding')} > 0
+              ORDER BY md5('sem|' || vec_id), vec_id LIMIT {_SEM_CLUSTERS}),
+cid AS (SELECT row_number() OVER (ORDER BY md5('sem|' || vec_id), vec_id) - 1 AS cid,
+               cvec
+        FROM cent),
+assign AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY ({dot_ec}) DESC, c.cid) AS rk
+    FROM embeddings e CROSS JOIN cid c)
+  WHERE rk = 1),
+u AS (SELECT vec_id, cid, {_UNIT.format(a='embedding')} AS nvec FROM assign),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM u a JOIN u b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE round({dot_ab}, 5) >= {_SEM_THRESHOLD})
+SELECT s.cid,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+       CAST(sum(CASE WHEN d.vec_id IS NULL THEN s.vec_id ELSE 0 END) AS BIGINT)
+         AS kept_id_sum
+FROM assign s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+GROUP BY s.cid
+"""
+
+
+R6B_QUERIES = {
+    "doc_repetition": q_doc_repetition,
+    "decontaminate": q_decontaminate,
+    "weighted_sample": q_weighted_sample,
+    "semdedup_audit": q_semdedup_audit,
+}
+
+R6B_ORACLES = {
+    "doc_repetition": _sql_doc_repetition(),
+    "decontaminate": _sql_decontaminate(),
+    "weighted_sample": _sql_weighted_sample(),
+    "semdedup_audit": _sql_semdedup_audit(),
+}

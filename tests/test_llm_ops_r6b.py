@@ -1,0 +1,219 @@
+"""Round-6 depth tranche: operator-level properties for the four new
+LLM-pipeline families (repetition, decontamination, A-ES weighted
+sampling, SemDeDup).  Oracle parity for the same entries runs in
+tests/test_oracle_parity.py's superset gate; these tests check the
+SEMANTIC claims oracle parity can't (gate discrimination, planted
+leakage, sampling proportionality, dedup invariants).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from prod2vec_spark.operators import repetition as RP
+from prod2vec_spark.operators.text import tokens
+
+
+def _rep_features(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    staged = (
+        df.withColumn("_toks", tokens(F.col("text")))
+        .withColumn("_g2", RP.word_ngrams(F.col("_toks"), 2))
+        .withColumn("_g3", RP.word_ngrams(F.col("_toks"), 3))
+    )
+    rows = staged.select(
+        "doc_id",
+        RP.dup_token_fraction(F.col("_toks")).alias("dt"),
+        RP.top_gram_fraction(F.col("_g2")).alias("tb"),
+        RP.dup_gram_fraction(F.col("_g3")).alias("d3"),
+    ).collect()
+    return {r["doc_id"]: r for r in rows}
+
+
+def test_repetition_discriminates_looped_text(spark):
+    diverse = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    looped = "spam ham " * 20  # one bigram dominates; trigrams all repeat
+    short = "one two"  # shorter than a trigram window
+    f = _rep_features(spark, [diverse, looped, short])
+    assert f[0]["dt"] == 0.0 and f[0]["d3"] == 0.0
+    # the 10 distinct diverse bigrams each occur once → top frac 1/9
+    assert f[0]["tb"] == pytest.approx(1 / 9, abs=1e-4)
+    assert f[1]["dt"] > 0.9 and f[1]["d3"] == 1.0 and f[1]["tb"] > 0.4
+    assert not (
+        f[1]["tb"] <= RP.TOP_BIGRAM_MAX and f[1]["d3"] <= RP.DUP_TRIGRAM_MAX
+    ), "looped text must fail the gate"
+    # sub-window docs produce empty gram arrays, not errors
+    assert f[2]["d3"] == 0.0 and f[2]["tb"] > 0.0
+
+
+def test_repetition_gate_split_is_nontrivial_on_corpus(spark, duck):
+    """The corpus gate must actually discriminate — an all-pass or
+    all-fail threshold is untested code."""
+    from prod2vec_spark.queries_r6b import q_doc_repetition
+    from tests.conftest import SF_ORACLE
+
+    counts = {
+        r["repetition_ok"]: r["n"]
+        for r in q_doc_repetition(spark, SF_ORACLE)
+        .groupBy("repetition_ok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert counts.get(0, 0) > 0 and counts.get(1, 0) > 0, counts
+
+
+def test_decontamination_flags_planted_leak(spark):
+    from prod2vec_spark.operators.decontam import contamination_report
+
+    bench_text = "the quick brown fox jumps over the lazy sleeping dog today"
+    clean = "entirely different words about spark shuffles and parquet files"
+    # leaked doc shares an 8-token span with the bench doc → several
+    # colliding 5-grams
+    leaked = "prefix tokens first then the quick brown fox jumps over the lazy end"
+    # doc_id 0 hashes into the bench split at frac=0.5 with seed
+    # 'bench'?  Don't rely on hashing: force the split by choosing ids
+    # until the tagged split matches (ids are deterministic, so probe).
+    from prod2vec_spark.functions.hashing import hash_unit
+
+    probe = spark.createDataFrame(
+        [(i,) for i in range(40)], ["doc_id"]
+    ).withColumn(
+        "u", hash_unit(F.concat_ws("|", F.lit("bench"), F.col("doc_id")))
+    )
+    us = {r["doc_id"]: r["u"] for r in probe.collect()}
+    bench_id = min(i for i in us if us[i] < 0.1)
+    train_ids = [i for i in us if us[i] >= 0.1][:2]
+    df = spark.createDataFrame(
+        [
+            (bench_id, bench_text),
+            (train_ids[0], leaked),
+            (train_ids[1], clean),
+        ],
+        ["doc_id", "text"],
+    )
+    rep = {
+        r["doc_id"]: r
+        for r in contamination_report(
+            df, n=5, bench_frac=0.1, contaminated_min_frac=0.2
+        ).collect()
+    }
+    assert set(rep) == set(train_ids)  # the bench doc is not reported
+    assert rep[train_ids[0]]["n_hit"] >= 4 and rep[train_ids[0]]["contaminated"]
+    assert rep[train_ids[1]]["n_hit"] == 0 and not rep[train_ids[1]]["contaminated"]
+
+
+def test_weighted_sample_tracks_weights_and_is_deterministic(spark):
+    from prod2vec_spark.operators.relational import weighted_sample_aes
+
+    rows = [(i, 10.0 if i == 0 else 1.0) for i in range(10)]
+    df = spark.createDataFrame(rows, ["id", "w"])
+    # determinism: identical plans → identical winners
+    a = [r["id"] for r in weighted_sample_aes(df, "w", 3, ["id"], seed="s1").collect()]
+    b = [r["id"] for r in weighted_sample_aes(df, "w", 3, ["id"], seed="s1").collect()]
+    assert a == b and len(a) == 3
+    # proportionality: P(heavy row wins a 1-draw) = 10/19 ≈ 0.53.
+    # 200 deterministic seeds: expected ~105 wins, σ≈7 — the [0.35,
+    # 0.70] window is ±5σ, so this can only fail if the weighting is
+    # actually broken (e.g. weights ignored → P=0.1).
+    wins = 0
+    trials = 200
+    for s in range(trials):
+        top = weighted_sample_aes(df, "w", 1, ["id"], seed=f"t{s}").collect()
+        wins += top[0]["id"] == 0
+    assert 0.35 < wins / trials < 0.70, wins
+
+
+def test_weighted_sample_equal_weights_reduces_to_hash_order(spark):
+    """With all weights equal, A-ES must pick exactly the k rows whose
+    u = md5-uniform is largest — the same family as seeded_sample."""
+    from prod2vec_spark.functions.hashing import hash_unit
+    from prod2vec_spark.operators.relational import weighted_sample_aes
+
+    df = spark.createDataFrame([(i, 1.0) for i in range(50)], ["id", "w"])
+    got = sorted(
+        r["id"] for r in weighted_sample_aes(df, "w", 5, ["id"], seed="eq").collect()
+    )
+    byu = (
+        df.withColumn(
+            "u", hash_unit(F.concat_ws("|", F.lit("eq"), F.col("id")))
+        )
+        .orderBy(F.desc("u"))
+        .limit(5)
+        .collect()
+    )
+    assert got == sorted(r["id"] for r in byu)
+
+
+def _planted_embeddings(spark, dims=64):
+    """3 well-separated direction families; ids 0/1/2 are verbatim
+    copies of each other (family A), 10/11 near-copies (family B)."""
+    import random
+
+    rng = random.Random(7)
+    base = [[rng.gauss(0, 1) for _ in range(dims)] for _ in range(3)]
+
+    def jitter(v, eps):
+        return [x + rng.gauss(0, eps) for x in v]
+
+    rows = []
+    for i in range(3):
+        rows.append((i, [float(x) for x in base[0]]))
+    rows.append((10, [float(x) for x in base[1]]))
+    rows.append((11, [float(x) for x in jitter(base[1], 0.01)]))
+    for i, v in enumerate(
+        [jitter(base[2], 2.0) for _ in range(20)]
+    ):  # spread-out background
+        rows.append((100 + i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_semdedup_invariants_and_planted_duplicates(spark):
+    from prod2vec_spark.functions.vector import dot as vec_dot
+    from prod2vec_spark.operators.simsearch import _with_unit, semdedup
+
+    df = _planted_embeddings(spark)
+    n = df.count()
+    out = semdedup(df, dims=64, n_clusters=4, threshold=0.9)
+    rows = out.collect()
+    # partition: every vector exactly once
+    assert len(rows) == n and len({r["id"] for r in rows}) == n
+    kept = {r["id"] for r in rows if r["kept"]}
+    by_cid = {r["id"]: r["cid"] for r in rows}
+    # verbatim copies 0/1/2 share a cluster (identical vectors share an
+    # argmax) → only the min id survives; near-copies 10/11 likewise
+    assert 0 in kept and 1 not in kept and 2 not in kept
+    assert by_cid[0] == by_cid[1] == by_cid[2]
+    assert 10 in kept and 11 not in kept
+    # soundness: no τ-pair survives within a cluster (the rule's fixed
+    # point) — recompute pairwise cosine over the kept set
+    unit = _with_unit(df, "embedding", "nvec").select("vec_id", "nvec")
+    ka = unit.where(F.col("vec_id").isin(*kept)).select(
+        F.col("vec_id").alias("ia"), F.col("nvec").alias("na")
+    )
+    kb = unit.where(F.col("vec_id").isin(*kept)).select(
+        F.col("vec_id").alias("ib"), F.col("nvec").alias("nb")
+    )
+    pairs = (
+        ka.crossJoin(kb)
+        .where(F.col("ia") < F.col("ib"))
+        .withColumn("cos", F.round(vec_dot(F.col("na"), F.col("nb")), 5))
+        .where(F.col("cos") >= 0.9)
+        .collect()
+    )
+    same_cluster = [p for p in pairs if by_cid[p["ia"]] == by_cid[p["ib"]]]
+    assert not same_cluster, same_cluster
+
+
+def test_semdedup_rejects_all_zero_corpus(spark):
+    from prod2vec_spark.operators.simsearch import semdedup
+
+    df = spark.createDataFrame(
+        [(i, [0.0] * 8) for i in range(4)], ["vec_id", "embedding"]
+    )
+    with pytest.raises(ValueError, match="no non-zero-norm"):
+        semdedup(df, dims=8, n_clusters=2)
