@@ -1,0 +1,72 @@
+"""Training-sequence chunking: slide a fixed-length token window with
+overlap across each document, producing the sequence rows a
+pre-training data loader consumes (the "pack documents into seq_len
+examples" prep stage; ENGINE scope — reference anchor: none, the
+reference stops at basket assembly).
+
+Row-local: window starts come from ``sequence(1, n_tokens, stride)``
+and each chunk is a ``slice`` — one transform + one explode, no
+shuffle, no UDF.  Both engines implement stride sequences and
+beyond-end slice truncation identically (parity probed in tests), so
+the DuckDB oracle replays chunking exactly.  The per-chunk rolling
+fingerprint (functions/hashing.rolling_fingerprint) lets an aggregate
+certify chunk CONTENT without shipping token arrays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from prod2vec_spark.functions.hashing import rolling_fingerprint
+from prod2vec_spark.operators.text import tokens
+
+
+def chunk_starts(toks: Column, stride: int) -> Column:
+    """1-based window start positions: 1, 1+stride, … ≤ n_tokens."""
+    return F.sequence(F.lit(1), F.size(toks), F.lit(stride))
+
+
+def doc_chunks(
+    docs: DataFrame,
+    seq_len: int = 32,
+    stride: int = 24,
+    min_len: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One row per training chunk: (doc_id, chunk_idx, n_tokens,
+    chunk_fp).  Tail windows shorter than ``min_len`` tokens are
+    dropped (they duplicate the previous window's suffix).  stride <
+    seq_len gives overlapping context windows; stride = seq_len packs
+    disjointly.
+
+    Token arrays are staged as columns (HOF-CSE rule,
+    operators/repetition.py) and the chunk structs are built inside
+    ONE transform over the start sequence, so each document is
+    tokenized and sliced exactly once."""
+    if not (0 < stride <= seq_len):
+        raise ValueError(f"need 0 < stride <= seq_len, got {stride}/{seq_len}")
+    staged = docs.withColumn("_toks", tokens(F.col(text_col)))
+    # chunk_idx derives from the start position ((s-1)/stride is an
+    # exact multiple → exact in double arithmetic), NOT the lambda's
+    # element index: Spark's transform index is 0-based while DuckDB's
+    # is 1-based, and start-derived indexes sidestep the mismatch.
+    chunks = F.filter(
+        F.transform(
+            chunk_starts(F.col("_toks"), stride),
+            lambda s: F.struct(
+                ((s - F.lit(1)) / F.lit(stride)).cast("int").alias("idx"),
+                F.slice(F.col("_toks"), s, seq_len).alias("ctoks"),
+            ),
+        ),
+        lambda c: F.size(c["ctoks"]) >= min_len,
+    )
+    return staged.select(
+        id_col, F.explode(chunks).alias("_c")
+    ).select(
+        id_col,
+        F.col("_c.idx").alias("chunk_idx"),
+        F.size(F.col("_c.ctoks")).alias("n_tokens"),
+        rolling_fingerprint(F.col("_c.ctoks")).alias("chunk_fp"),
+    )

@@ -1,0 +1,48 @@
+"""PII redaction for LLM training corpora: regex scrub of emails and
+phone numbers with per-document redaction counts (the C4/Dolma-style
+pre-training scrub; ENGINE scope — the reference has no text surface).
+
+Patterns are PORTABLE by construction: no backreferences, no
+lookarounds — the same pattern string compiles identically under
+Spark's Java regex and DuckDB's RE2, so the oracle replays the scrub
+bit-for-bit (parity probed in tests).  Everything is a row-local
+Column expression: regexp_extract_all to count, regexp_replace to
+redact — a linear scan at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+EMAIL_TOKEN = "<EMAIL>"
+PHONE_TOKEN = "<PHONE>"
+
+
+def count_matches(text: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), 0))
+
+
+def scrub(text: Column) -> Column:
+    """Redact emails first (their local parts can contain digits that
+    a phone pattern could half-match), then phones — the oracle
+    applies the same order."""
+    return F.regexp_replace(
+        F.regexp_replace(text, EMAIL_PATTERN, EMAIL_TOKEN),
+        PHONE_PATTERN,
+        PHONE_TOKEN,
+    )
+
+
+def redaction_report(text: Column) -> dict[str, Column]:
+    """Per-row counts + an md5 of the scrubbed text, so an aggregate
+    over the report certifies the exact redacted output without
+    shipping the strings."""
+    return {
+        "n_emails": count_matches(text, EMAIL_PATTERN),
+        "n_phones": count_matches(text, PHONE_PATTERN),
+        "scrub_md5": F.md5(scrub(text)),
+    }

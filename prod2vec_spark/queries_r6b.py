@@ -246,11 +246,117 @@ GROUP BY s.cid
 """
 
 
+# --------------------------------------------------------- pii scrub
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction report: the synthetic corpus carries no PII, so
+    the query PLANTS deterministic emails (doc_id % 7 = 0) and phone
+    numbers (doc_id % 11 = 0) first, then scrubs — exercising the real
+    operator over the real table with a known ground truth.  Output:
+    per-doc match counts + md5 of the scrubbed text, so the oracle
+    hash-certifies the exact redacted byte stream (operators/pii.py)."""
+    from prod2vec_spark.operators.pii import redaction_report
+
+    docs = read_table(spark, sf_dir, "documents")
+    planted = F.col("text")
+    planted = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            planted,
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+        ),
+    ).otherwise(planted)
+    planted = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(planted, F.lit(" call 555-867-5309")),
+    ).otherwise(planted)
+    staged = docs.withColumn("_pt", planted)
+    rep = redaction_report(F.col("_pt"))
+    return staged.select(
+        "doc_id",
+        rep["n_emails"].alias("n_emails"),
+        rep["n_phones"].alias("n_phones"),
+        rep["scrub_md5"].alias("scrub_md5"),
+    )
+
+
+def _sql_pii_scrub() -> str:
+    from prod2vec_spark.operators.pii import (
+        EMAIL_PATTERN,
+        EMAIL_TOKEN,
+        PHONE_PATTERN,
+        PHONE_TOKEN,
+    )
+
+    return f"""
+WITH p AS (SELECT doc_id,
+  CASE WHEN doc_id % 11 = 0
+       THEN (CASE WHEN doc_id % 7 = 0
+                  THEN text || ' contact user' || doc_id || '@example.com'
+                  ELSE text END) || ' call 555-867-5309'
+       ELSE (CASE WHEN doc_id % 7 = 0
+                  THEN text || ' contact user' || doc_id || '@example.com'
+                  ELSE text END) END AS pt
+ FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(pt, '{EMAIL_PATTERN}')) AS INT) AS n_emails,
+  CAST(len(regexp_extract_all(pt, '{PHONE_PATTERN}')) AS INT) AS n_phones,
+  md5(regexp_replace(regexp_replace(pt, '{EMAIL_PATTERN}', '{EMAIL_TOKEN}', 'g'),
+                     '{PHONE_PATTERN}', '{PHONE_TOKEN}', 'g')) AS scrub_md5
+FROM p
+"""
+
+
+# -------------------------------------------------------- doc chunks
+_CHUNK_LEN = 32
+_CHUNK_STRIDE = 24
+_CHUNK_MIN = 8
+
+
+def q_doc_chunks(spark, sf_dir):
+    """Training-sequence chunking: 32-token windows at stride 24
+    (8-token overlap), sub-8-token tails dropped; per-chunk rolling
+    fingerprint certifies chunk CONTENT through the hash match
+    (operators/chunking.py)."""
+    from prod2vec_spark.operators.chunking import doc_chunks
+
+    docs = read_table(spark, sf_dir, "documents")
+    return doc_chunks(
+        docs, seq_len=_CHUNK_LEN, stride=_CHUNK_STRIDE, min_len=_CHUNK_MIN
+    )
+
+
+def _sql_doc_chunks() -> str:
+    from prod2vec_spark.queries_ext import _TOKS
+
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, toks,
+        unnest(generate_series(1, len(toks), {_CHUNK_STRIDE})) AS st
+      FROM t),
+c AS (SELECT doc_id,
+        CAST((st - 1) / {_CHUNK_STRIDE} AS INT) AS chunk_idx,
+        list_slice(toks, st, st + {_CHUNK_LEN - 1}) AS ctoks
+      FROM s)
+SELECT doc_id, chunk_idx,
+       CAST(len(ctoks) AS INT) AS n_tokens,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(ctoks, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT % 2147483647)),
+         (a, b) -> (a * 131 + b) % 2147483647) AS chunk_fp
+FROM c
+WHERE len(ctoks) >= {_CHUNK_MIN}
+"""
+
+
 R6B_QUERIES = {
     "doc_repetition": q_doc_repetition,
     "decontaminate": q_decontaminate,
     "weighted_sample": q_weighted_sample,
     "semdedup_audit": q_semdedup_audit,
+    "pii_scrub": q_pii_scrub,
+    "doc_chunks": q_doc_chunks,
 }
 
 R6B_ORACLES = {
@@ -258,4 +364,6 @@ R6B_ORACLES = {
     "decontaminate": _sql_decontaminate(),
     "weighted_sample": _sql_weighted_sample(),
     "semdedup_audit": _sql_semdedup_audit(),
+    "pii_scrub": _sql_pii_scrub(),
+    "doc_chunks": _sql_doc_chunks(),
 }

@@ -217,3 +217,57 @@ def test_semdedup_rejects_all_zero_corpus(spark):
     )
     with pytest.raises(ValueError, match="no non-zero-norm"):
         semdedup(df, dims=8, n_clusters=2)
+
+
+def test_pii_scrub_plants_and_redacts_exactly(spark):
+    from prod2vec_spark.operators.pii import redaction_report, scrub
+
+    df = spark.createDataFrame(
+        [
+            (0, "reach alice.b+tag@sub.example.co.uk and 555-123-4567 now"),
+            (1, "no pii here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    rep = redaction_report(F.col("text"))
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            rep["n_emails"].alias("ne"),
+            rep["n_phones"].alias("np"),
+            scrub(F.col("text")).alias("s"),
+        ).collect()
+    }
+    assert rows[0]["ne"] == 1 and rows[0]["np"] == 1
+    assert rows[0]["s"] == "reach <EMAIL> and <PHONE> now"
+    assert rows[1]["ne"] == 0 and rows[1]["np"] == 0
+    assert rows[1]["s"] == "no pii here at all"
+
+
+def test_doc_chunks_cover_every_token_with_overlap(spark):
+    from prod2vec_spark.operators.chunking import doc_chunks
+
+    n_tokens = 100
+    text = " ".join(f"t{i}" for i in range(n_tokens))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = sorted(
+        doc_chunks(df, seq_len=32, stride=24, min_len=8).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    # starts 1,25,49,73,97: the 97-start tail has 4 < min_len tokens →
+    # dropped; remaining windows: 32,32,32,28 tokens
+    assert [r["chunk_idx"] for r in rows] == [0, 1, 2, 3]
+    assert [r["n_tokens"] for r in rows] == [32, 32, 32, 28]
+    # coverage: consecutive windows overlap by seq_len - stride = 8,
+    # so the kept windows span tokens 1..100 — no gap before the
+    # dropped tail (its content is entirely inside window 3)
+    assert 24 * 3 + 28 == n_tokens
+    # disjoint packing: stride == seq_len partitions the tokens
+    packed = doc_chunks(df, seq_len=25, stride=25, min_len=1).collect()
+    assert sorted(r["n_tokens"] for r in packed) == [25, 25, 25, 25]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="stride"):
+        doc_chunks(df, seq_len=8, stride=9)
