@@ -3,9 +3,11 @@ dedup / text-analysis / quality operator family (SURVEY.md §2.14-2.16)
 composed into one runnable, checkpointed dataflow — the data-prep
 counterpart of the Prod2VecPipeline DAG (pipeline.py).
 
-Stage graph (the canonical web-corpus curation shape):
+Stage graph (the canonical web-corpus curation shape, round-6
+extension adds the four starred stages):
 
-    gates → exact_dedup → quality_filter → near_dedup → stats
+    gates → pii_scrub* → exact_dedup → quality_filter(+repetition*)
+          → near_dedup → decontaminate* → chunk* → stats
 
 Every stage hand-off is a parquet checkpoint under ``work_dir`` so a
 failed 100 TB run resumes at the last stage, and each stage reuses the
@@ -28,6 +30,21 @@ Scale notes per stage:
     the final subtraction.
   * stats — per-stage counts + final token budget, a handful of
     1-row aggregates unioned driver-side.
+
+Round-6 stage notes:
+  * pii_scrub — row-local regexp redaction (operators/pii.py); fused
+    into the exact-dedup scan rather than checkpointed: a stage with
+    no shuffle boundary earns no checkpoint.  Scrubbing runs BEFORE
+    exact dedup so two docs differing only in their PII collapse.
+  * repetition gate — joins the quality_filter scan (one pass scores
+    quality AND the Gopher repetition signals; operators/repetition).
+  * decontaminate — drops training docs whose word-n-gram collision
+    fraction against the held-out split exceeds the threshold
+    (operators/decontam.py); the bench gram set broadcasts, the
+    corpus never shuffles.
+  * chunk — the curated corpus re-expressed as fixed-length training
+    sequences (operators/chunking.py), the pipeline's final product
+    alongside the per-language curated docs.
 """
 
 from __future__ import annotations
@@ -50,6 +67,14 @@ class CorpusConfig:
     quality_pct: float = 0.25  # drop the worst quartile
     lsh_max_group: int = 64  # degenerate-band cap (queries_ext.py)
     shingle_k: int = 3
+    scrub_pii: bool = True
+    repetition_gate: bool = True
+    decon_n: int = 5  # decontamination word-n-gram order
+    decon_bench_frac: float = 0.1  # held-out split fraction
+    decon_min_frac: float = 0.2  # collision fraction that drops a doc
+    chunk_len: int = 32
+    chunk_stride: int = 24
+    chunk_min: int = 8
 
 
 class CorpusCurationPipeline:
@@ -69,9 +94,18 @@ class CorpusCurationPipeline:
             ),
         )
 
+    # -- stage 0.5: PII scrub (row-local, fused — no checkpoint) -------
+    def scrubbed_input(self) -> DataFrame:
+        docs = read_table(self.spark, self.cfg.sf_dir, "documents")
+        if not self.cfg.scrub_pii:
+            return docs
+        from prod2vec_spark.operators.pii import scrub
+
+        return docs.withColumn("text", scrub(F.col("text")))
+
     # -- stage 1: exact dedup ------------------------------------------
     def exact_dedup(self) -> DataFrame:
-        docs = read_table(self.spark, self.cfg.sf_dir, "documents")
+        docs = self.scrubbed_input()
         keep = DD.exact_dup_groups(docs).select(
             F.col("keep_doc_id").alias("doc_id")
         )
@@ -81,6 +115,21 @@ class CorpusCurationPipeline:
 
     # -- stage 2: quality filter ---------------------------------------
     def quality_filter(self, docs: DataFrame) -> DataFrame:
+        if self.cfg.repetition_gate:
+            from prod2vec_spark.operators import repetition as RP
+            from prod2vec_spark.operators.text import tokens
+
+            staged = (
+                docs.withColumn("_toks", tokens(F.col("text")))
+                .withColumn("_g2", RP.word_ngrams(F.col("_toks"), 2))
+                .withColumn("_g3", RP.word_ngrams(F.col("_toks"), 3))
+            )
+            docs = staged.where(
+                RP.repetition_gate(
+                    RP.top_gram_fraction(F.col("_g2")),
+                    RP.dup_gram_fraction(F.col("_g3")),
+                )
+            ).drop("_toks", "_g2", "_g3")
         scored = docs.withColumn("q", TX.quality_score(F.col("text")))
         thr = scored.agg(
             F.percentile("q", F.lit(self.cfg.quality_pct)).alias("q_thr")
@@ -113,22 +162,73 @@ class CorpusCurationPipeline:
         write_parquet(out, f"{self.cfg.work_dir}/curated", partition_by=["lang"])
         return self.spark.read.parquet(f"{self.cfg.work_dir}/curated")
 
+    # -- stage 4: benchmark decontamination ----------------------------
+    def decontaminate(self, docs: DataFrame) -> DataFrame:
+        from prod2vec_spark.operators.decontam import contamination_report
+
+        rep = contamination_report(
+            docs,
+            n=self.cfg.decon_n,
+            bench_frac=self.cfg.decon_bench_frac,
+            contaminated_min_frac=self.cfg.decon_min_frac,
+        )
+        # contaminated ids are a small set — broadcast anti join, the
+        # corpus never shuffles (same shape as the near-dedup drop).
+        # NOTE: the held-out split itself also leaves the training
+        # corpus here — eval documents are not training data.
+        bad = rep.where(F.col("contaminated")).select("doc_id")
+        from prod2vec_spark.operators.decontam import with_bench_split
+
+        train = with_bench_split(
+            docs, bench_frac=self.cfg.decon_bench_frac
+        ).where(~F.col("is_bench")).drop("is_bench")
+        out = train.join(F.broadcast(bad), "doc_id", "left_anti")
+        write_parquet(out, f"{self.cfg.work_dir}/decontaminated",
+                      partition_by=["lang"])
+        return self.spark.read.parquet(f"{self.cfg.work_dir}/decontaminated")
+
+    # -- stage 5: training-sequence chunking ---------------------------
+    def chunk(self, docs: DataFrame) -> DataFrame:
+        from prod2vec_spark.operators.chunking import doc_chunks
+
+        chunks = doc_chunks(
+            docs,
+            seq_len=self.cfg.chunk_len,
+            stride=self.cfg.chunk_stride,
+            min_len=self.cfg.chunk_min,
+        )
+        write_parquet(chunks, f"{self.cfg.work_dir}/chunks")
+        return self.spark.read.parquet(f"{self.cfg.work_dir}/chunks")
+
     # -- stage 4: stats report -----------------------------------------
     def stats(
-        self, n_input: int, n_exact: int, n_quality: int, final: DataFrame
+        self,
+        n_input: int,
+        n_exact: int,
+        n_quality: int,
+        n_neardedup: int,
+        final: DataFrame,
+        chunks: DataFrame,
     ) -> DataFrame:
         budget = final.agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.size(TX.tokens(F.col("text")))).alias("n_ws_tokens"),
             F.sum(TX.bpe_ish_token_count(F.col("text"))).alias("n_bpe_tokens"),
         ).first()
+        cagg = chunks.agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("n_chunk_tokens"),
+        ).first()
         rows = [
             ("input", n_input),
             ("after_exact_dedup", n_exact),
             ("after_quality_filter", n_quality),
+            ("after_near_dedup", n_neardedup),
             ("final", budget["n_docs"]),
             ("final_ws_tokens", budget["n_ws_tokens"]),
             ("final_bpe_tokens", budget["n_bpe_tokens"]),
+            ("final_chunks", cagg["n_chunks"]),
+            ("final_chunk_tokens", cagg["n_chunk_tokens"]),
         ]
         report = self.spark.createDataFrame(rows, "stage string, n long")
         write_parquet(report, f"{self.cfg.work_dir}/curation_report")
@@ -143,5 +243,10 @@ class CorpusCurationPipeline:
         n_exact = exact.count()
         quality = self.quality_filter(exact)
         n_quality = quality.count()
-        final = self.near_dedup(quality)
-        return self.stats(n_input, n_exact, n_quality, final)
+        deduped = self.near_dedup(quality)
+        n_neardedup = deduped.count()
+        final = self.decontaminate(deduped)
+        chunks = self.chunk(final)
+        return self.stats(
+            n_input, n_exact, n_quality, n_neardedup, final, chunks
+        )

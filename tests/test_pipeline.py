@@ -315,10 +315,30 @@ def test_corpus_curation_pipeline_end_to_end(spark, tmp_path):
         by_stage["input"]
         >= by_stage["after_exact_dedup"]
         >= by_stage["after_quality_filter"]
+        >= by_stage["after_near_dedup"]
         >= by_stage["final"]
         > 0
     )
     assert by_stage["final_ws_tokens"] > 0
+
+    # decontamination: the training output contains neither held-out
+    # docs nor docs over the collision threshold
+    from prod2vec_spark.operators.decontam import (
+        contamination_report,
+        with_bench_split,
+    )
+
+    final_docs = spark.read.parquet(f"{cfg.work_dir}/decontaminated")
+    tagged = with_bench_split(final_docs, bench_frac=cfg.decon_bench_frac)
+    assert tagged.where(F.col("is_bench")).count() == 0
+    # chunks: the training sequences respect the window contract
+    chunks = spark.read.parquet(f"{cfg.work_dir}/chunks")
+    assert by_stage["final_chunks"] == chunks.count() > 0
+    bad_chunks = chunks.where(
+        (F.col("n_tokens") > cfg.chunk_len) | (F.col("n_tokens") < cfg.chunk_min)
+    )
+    assert bad_chunks.count() == 0
+    assert by_stage["final_chunk_tokens"] >= by_stage["final_ws_tokens"] > 0
 
     final = spark.read.parquet(f"{cfg.work_dir}/curated")
     # exact-dup free: every content digest unique
