@@ -53,6 +53,10 @@ def test_rows_only_queries_nonempty(spark, name):
         "events_windows",           # interval / window arithmetic
         "heavy_hitters",            # CMS conv() buckets + bound ratio
         "corpus_mix_sample",        # md5-uniform division threshold
+        "doc_repetition",           # HOF count folds + ratio division
+        "weighted_sample",          # ln(md5-uniform)/weight keys
+        "semdedup_audit",           # unit-scale folds + argmax struct
+        "doc_chunks",               # stride sequence + modular rolling hash
     ],
 )
 def test_catalog_survives_ansi_mode(spark, name):

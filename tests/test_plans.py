@@ -298,3 +298,28 @@ def test_r6_sketch_and_mix_entries_broadcast_not_sortmerge(spark):
         from prod2vec_spark.plans import count_exchanges
 
         assert count_exchanges(df) == n_ex, name
+
+
+def test_r6b_llm_entries_plan_shapes(spark):
+    """Round-6 depth-tranche entries keep their scale shapes: the
+    text-plane scans are shuffle-free, the A-ES sample plans as
+    TakeOrderedAndProject (no full sort), and decontamination's only
+    join is the broadcast of the bench gram set (a SortMergeJoin here
+    would shuffle the corpus against a few-MB eval suite)."""
+    from prod2vec_spark.plans import count_exchanges
+    from prod2vec_spark.plans.inspect import explain_str
+    from prod2vec_spark.queries import ALL_QUERIES
+
+    for name in ("doc_repetition", "doc_chunks", "pii_scrub"):
+        df = ALL_QUERIES[name](spark, SF_SMOKE)
+        assert count_exchanges(df) == 0, name
+
+    ws = ALL_QUERIES["weighted_sample"](spark, SF_SMOKE)
+    plan = explain_str(ws)
+    assert count_exchanges(ws) == 0
+    assert "TakeOrderedAndProject" in plan and "Sort " not in plan
+
+    dc = ALL_QUERIES["decontaminate"](spark, SF_SMOKE)
+    plan = explain_str(dc)
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" in plan
+    assert count_exchanges(dc) <= 2
