@@ -100,9 +100,11 @@ def weighted_sample_aes(
     ln(('0x'||substr(md5(s||'|'||id),1,8))::BIGINT / 4294967296.0) / w.
 
     Plans as TakeOrderedAndProject like seeded_sample — per-partition
-    top-k heaps, k rows to the driver, no full sort.  Weights must be
-    > 0; ``key_cols`` must uniquely identify a row (appended as the
-    deterministic tiebreak)."""
+    top-k heaps, k rows to the driver, no full sort.  A-ES is defined
+    for weights > 0 only: rows with weight ≤ 0 or NULL are excluded
+    up front (a map-side filter — silent inclusion would flip the key
+    sign and rank zero-weight rows FIRST).  ``key_cols`` must uniquely
+    identify a row (appended as the deterministic tiebreak)."""
     from prod2vec_spark.functions.hashing import hash_unit
 
     u = hash_unit(
@@ -112,7 +114,8 @@ def weighted_sample_aes(
     )
     key = F.log(u) / F.col(weight_col).cast("double")
     return (
-        df.withColumn(key_out, key)
+        df.where(F.col(weight_col) > 0)
+        .withColumn(key_out, key)
         .orderBy(F.desc(key_out), *[F.asc(c) for c in key_cols])
         .limit(k)
     )

@@ -170,7 +170,7 @@ def _sql_weighted_sample() -> str:
 WITH k AS (SELECT doc_id, n_chars,
   ln(('0x' || substr(md5('ws|' || doc_id), 1, 8))::BIGINT / 4294967296.0)
     / CAST(n_chars AS DOUBLE) AS aes_key
- FROM documents)
+ FROM documents WHERE n_chars > 0)
 SELECT CAST(row_number() OVER (ORDER BY aes_key DESC, doc_id) AS INT) AS rank,
        doc_id, n_chars
 FROM k

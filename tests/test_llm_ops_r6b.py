@@ -271,3 +271,18 @@ def test_doc_chunks_cover_every_token_with_overlap(spark):
 
     with _pytest.raises(ValueError, match="stride"):
         doc_chunks(df, seq_len=8, stride=9)
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    """A zero/negative weight flips the ln(u)/w key sign and would
+    rank FIRST if included — the operator must exclude such rows, not
+    promote them."""
+    from prod2vec_spark.operators.relational import weighted_sample_aes
+
+    df = spark.createDataFrame(
+        [(0, 0.0), (1, -5.0), (2, 1.0), (3, 1.0), (4, 1.0)], ["id", "w"]
+    )
+    got = sorted(
+        r["id"] for r in weighted_sample_aes(df, "w", 5, ["id"], seed="z").collect()
+    )
+    assert got == [2, 3, 4]
