@@ -542,19 +542,32 @@ ALL_ORACLES["dq_suite"] = _sql_dq_suite()  # composed after SQL_DQ_* exist
 # every entry oracled, so a single round's CORRECTNESS file certifies
 # the whole surface (VERDICT r4 ask #1).  New/reshaped entries lead.
 #
-# Round-6 rotation: the four new operator families (M1 embedding-
+# Round-6 rotation (two waves): wave 1 brought in the M1 embedding-
 # quality audit, count-min heavy hitters, per-language mix sampler,
-# Bloom blocklist) enter; four entries whose operator family keeps a
-# sibling in the catalog retire to the pytest superset gate with no
-# loss of oracle coverage (union_nation_counts → setops_parts,
+# and Bloom blocklist, retiring union_nation_counts → setops_parts,
 # rollup_pricing → cube_pricing/pivot_status, anti_customers →
-# semi_parts, stratified_sample → validation_sample/seeded_shuffle).
+# semi_parts, stratified_sample → validation_sample/seeded_shuffle.
+# Wave 2 brings in the depth-tranche LLM families (repetition gate,
+# benchmark decontamination, A-ES weighted sampling, SemDeDup, PII
+# scrub, training-sequence chunking); six entries whose operator
+# family keeps a catalog sibling retire to the pytest superset gate
+# with no loss of oracle coverage:
+#   minhash_bands → lsh_candidates/minhash_jaccard_audit (the banding
+#     expressions run inside both), events_daily → events_windows/
+#     sessionize, region_revenue → revenue_topk, ann_lsh_topk →
+#     ann_topk/ann_ivf_topk (+ ann_recall still measures the LSH
+#     path's recall internally), seeded_shuffle → validation_sample/
+#     weighted_sample, topk_orders → revenue_topk/window_rank (the
+#     TakeOrdered shape also plan-locked via weighted_sample).
 # curation_stress_audit stays superset-only on purpose: its dataflow
 # is already timed per-round as bench.py's __curation10x__ macro and
 # oracle-certified by the pytest gate; catalog entry would double-run
 # a ~30 s macro inside the per-query bench loop.
 CATALOG: list[str] = [
-    # round-6 new
+    # round-6 new (wave 2: LLM depth tranche)
+    "doc_repetition", "decontaminate", "weighted_sample",
+    "semdedup_audit", "pii_scrub", "doc_chunks",
+    # round-6 new (wave 1)
     "word2vec_stability", "heavy_hitters", "corpus_mix_sample",
     "bloom_blocklist",
     # round-5 new / reshaped
@@ -563,20 +576,20 @@ CATALOG: list[str] = [
     "dq_suite", "distinct_parts", "ann_recall",
     # relational / grouping-sets / window plane
     "pricing_summary", "baskets", "vocab", "index_items", "oov_miss_count",
-    "skipgram_stats", "negative_sampling_stats", "window_rank", "topk_orders",
+    "skipgram_stats", "negative_sampling_stats", "window_rank",
     "pivot_status", "cube_pricing", "order_percentiles", "running_revenue",
     # joins
-    "semi_parts", "revenue_topk", "region_revenue",
+    "semi_parts", "revenue_topk",
     "asof_latest_event", "range_join_bands",
     # seeded randomness / sampling
-    "seeded_shuffle", "skipgram_subsampled", "validation_sample",
+    "skipgram_subsampled", "validation_sample",
     "string_agg_names",
     # LLM pipeline: dedup / text / similarity
-    "dedup_exact", "minhash_bands", "lsh_candidates", "ngram_jaccard",
+    "dedup_exact", "lsh_candidates", "ngram_jaccard",
     "dedup_clusters", "tfidf_terms", "quality_filter", "embedding_neardup",
-    "ann_topk", "ann_ivf_topk", "ann_lsh_topk",
+    "ann_topk", "ann_ivf_topk",
     # events
-    "events_daily", "events_json", "sessionize",
+    "events_json", "sessionize",
 ]
 # import-time guards (explicit raise, NOT assert: asserts vanish under
 # python -O and the driver catalog must stay guarded in optimized runs)

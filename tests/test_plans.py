@@ -55,7 +55,9 @@ def test_vocab_probe_is_broadcast_join(spark):
 
 
 def test_region_star_join_broadcasts_dims(spark):
-    df = QUERIES["region_revenue"](spark, SF_SMOKE)
+    from prod2vec_spark.queries import ALL_QUERIES
+
+    df = ALL_QUERIES["region_revenue"](spark, SF_SMOKE)
     assert has_broadcast_join(df)
 
 

@@ -213,6 +213,6 @@ def test_register_query_views_sql_surface(spark):
     # Catalyst plans straight through the view: a filter composed on
     # top in SQL still prunes at the source
     assert (
-        spark.sql("SELECT * FROM q_topk_orders WHERE o_totalprice > 0").count()
+        spark.sql("SELECT * FROM q_revenue_topk WHERE revenue > 0").count()
         > 0
     )
