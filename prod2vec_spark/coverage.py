@@ -212,7 +212,8 @@ COVERAGE: dict[str, dict] = {
     "L-STREAM-PIPELINE": {"status": "implemented",
                           "tests": [("tests.test_streaming_pipeline", "test_streaming_curation_exactly_once_across_restarts")]},
     "L-STREAM-CORPUS": {"status": "implemented",
-                        "tests": [("tests.test_streaming_corpus", "test_streaming_corpus_curation_invariants_and_replay")]},
+                        "tests": [("tests.test_streaming_corpus", "test_streaming_corpus_curation_invariants_and_replay"),
+                                  ("tests.test_streaming_corpus", "test_streaming_repetition_gate_matches_batch_gate")]},
     "L-ANN-10X": {"status": "implemented",
                   "tests": [("tests.test_ann_scale_stress", "test_ann_recall_holds_at_10x")]},
     "L-MIX": {"status": "implemented", "entries": ["corpus_mix_sample"]},

@@ -175,6 +175,11 @@ class StreamCorpusConfig:
     # threshold as config (typically the percentile computed offline
     # on the archived corpus, refreshed per deployment).
     quality_min: float = 0.0
+    # Gopher repetition gate (operators/repetition.py) — row-local and
+    # stateless like the quality gate, so it is stream-safe with NO
+    # semantic gap vs batch: a doc's verdict never depends on other
+    # docs.  Runs before dedup so looped spam never occupies state.
+    repetition_gate: bool = False
 
     @property
     def exact_dir(self) -> str:
@@ -229,6 +234,21 @@ class StreamingCorpusPipeline:
             docs = docs.where(
                 quality_score(F.col("text")) >= self.cfg.quality_min
             )
+        if self.cfg.repetition_gate:
+            from prod2vec_spark.operators import repetition as RP
+            from prod2vec_spark.operators.text import tokens
+
+            staged = (
+                docs.withColumn("_toks", tokens(F.col("text")))
+                .withColumn("_g2", RP.word_ngrams(F.col("_toks"), 2))
+                .withColumn("_g3", RP.word_ngrams(F.col("_toks"), 3))
+            )
+            docs = staged.where(
+                RP.repetition_gate(
+                    RP.top_gram_fraction(F.col("_g2")),
+                    RP.dup_gram_fraction(F.col("_g3")),
+                )
+            ).drop("_toks", "_g2", "_g3")
         deduped = docs.withColumn(
             "text_hash", text_digest(docs["text"])
         ).dropDuplicates(["text_hash"])

@@ -286,3 +286,37 @@ def test_weighted_sample_excludes_nonpositive_weights(spark):
         r["id"] for r in weighted_sample_aes(df, "w", 5, ["id"], seed="z").collect()
     )
     assert got == [2, 3, 4]
+
+
+def test_gram_run_stats_equals_reference_counts(spark):
+    """The O(n log n) sorted-run fold must agree with the O(d·n)
+    filter-count reference on arbitrary gram multisets — including
+    all-same, all-distinct, and empty arrays."""
+    import random
+
+    rng = random.Random(13)
+    vocab = ["a b", "b c", "c d", "d e", "e f"]
+    cases = [[], ["a b"], ["a b"] * 7, vocab[:]]
+    for _ in range(20):
+        cases.append([rng.choice(vocab) for _ in range(rng.randint(1, 30))])
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], ["i", "grams"]
+    )
+    counts = RP.occurrence_counts(F.col("grams"))
+    rows = df.select(
+        "i",
+        RP.gram_run_stats(F.col("grams")).alias("st"),
+        F.coalesce(F.array_max(counts), F.lit(0)).cast("long").alias("ref_max"),
+        F.coalesce(
+            F.aggregate(
+                counts,
+                F.lit(0).cast("long"),
+                lambda a, c: a
+                + F.when(c >= 2, c.cast("long")).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0),
+        ).alias("ref_dup"),
+    ).collect()
+    for r in rows:
+        assert r["st"]["max_count"] == r["ref_max"], (r["i"], cases[r["i"]])
+        assert r["st"]["dup_occurrences"] == r["ref_dup"], (r["i"], cases[r["i"]])

@@ -143,3 +143,77 @@ def test_streaming_quality_gate_matches_batch_filter(spark, tmp_path):
         .count()
     )
     assert len(got_ids) == n_digests
+
+
+def test_streaming_repetition_gate_matches_batch_gate(spark, tmp_path):
+    """With repetition_gate on, the streaming stage admits EXACTLY the
+    docs the batch Gopher gate admits (row-local and deterministic —
+    no batch/stream semantic gap), looped spam dropped before it can
+    occupy dedup state."""
+    import shutil
+
+    from prod2vec_spark.operators import repetition as RP
+    from prod2vec_spark.operators.text import tokens
+
+    base = (
+        read_table(spark, SF_SMOKE, "documents")
+        .limit(100)
+        .select("doc_id", "text", "lang")
+    )
+    spam = spark.createDataFrame(
+        [(900000 + i, "spam ham " * 30, "en") for i in range(5)],
+        ["doc_id", "text", "lang"],
+    )
+    docs = base.unionByName(spam).localCheckpoint()
+
+    staged = (
+        docs.withColumn("_toks", tokens(F.col("text")))
+        .withColumn("_g2", RP.word_ngrams(F.col("_toks"), 2))
+        .withColumn("_g3", RP.word_ngrams(F.col("_toks"), 3))
+    )
+    want_ids = {
+        r["doc_id"]
+        for r in staged.where(
+            RP.repetition_gate(
+                RP.top_gram_fraction(F.col("_g2")),
+                RP.dup_gram_fraction(F.col("_g3")),
+            )
+        )
+        .select("doc_id")
+        .collect()
+    }
+    assert 0 < len(want_ids) < docs.count()
+    assert not any(i >= 900000 for i in want_ids)  # spam gated out
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    docs.coalesce(1).write.parquet(str(tmp_path / "stage"))
+    shutil.copy(
+        sorted((tmp_path / "stage").glob("*.parquet"))[0],
+        landing / "a.parquet",
+    )
+    cfg = StreamCorpusConfig(
+        landing_dir=str(landing),
+        work_dir=str(tmp_path / "work"),
+        repetition_gate=True,
+    )
+    StreamingCorpusPipeline(spark, cfg).exact_stage()
+    got_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(cfg.exact_dir).select("doc_id").collect()
+    }
+    # exact dedup may collapse duplicate texts among admitted docs
+    # (the 5 spam docs share one digest but are gated earlier anyway)
+    assert got_ids <= want_ids
+    n_digests = (
+        staged.where(
+            RP.repetition_gate(
+                RP.top_gram_fraction(F.col("_g2")),
+                RP.dup_gram_fraction(F.col("_g3")),
+            )
+        )
+        .select(text_digest(F.col("text")).alias("h"))
+        .distinct()
+        .count()
+    )
+    assert len(got_ids) == n_digests
