@@ -235,4 +235,6 @@ COVERAGE: dict[str, dict] = {
               "tests": [("tests.test_llm_ops_r6b", "test_pii_scrub_plants_and_redacts_exactly")]},
     "L-CHUNK": {"status": "implemented", "entries": ["doc_chunks"],
                 "tests": [("tests.test_llm_ops_r6b", "test_doc_chunks_cover_every_token_with_overlap")]},
+    "E-A14": {"status": "implemented", "entries": ["quantile_sketch"],
+              "tests": [("tests.test_llm_ops_r6b", "test_bottomk_sketch_merge_equals_sketch_of_union")]},
 }

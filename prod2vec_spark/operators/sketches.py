@@ -206,3 +206,62 @@ def read_cms(spark, out_dir: str, depth: int = CMS_DEPTH) -> DataFrame:
         .groupBy("depth", "bucket")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+BOTTOMK_K = 256
+
+
+def bottomk_sketch(
+    df: DataFrame,
+    value_col: str,
+    key_cols: list[str],
+    k: int = BOTTOMK_K,
+    seed: str = "bk",
+) -> DataFrame:
+    """(hkey, v): the classic bottom-k sketch — the k rows whose
+    md5-uniform hash of ``key_cols`` is smallest, carrying the value
+    column.  Because the hash order is GLOBAL, the sketch is a true
+    uniform row sample with the mergeability the sketch plane needs:
+    bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪ bottom-k(B)) — union two
+    sketches and re-take (``bottomk_merge``).  md5 keying makes it
+    oracle-replayable row-for-row, unlike rand()-based sampling.
+
+    Plans as TakeOrderedAndProject (per-partition k-heaps, k rows to
+    the driver side of the exchange — never a full sort), so building
+    it on 100 TB moves k rows.  ``key_cols`` must uniquely identify a
+    row: hashing the VALUE would collapse duplicates and bias the
+    sample toward the distinct-value distribution."""
+    hkey = F.md5(
+        F.concat_ws(
+            "|", F.lit(seed), *[F.col(c).cast("string") for c in key_cols]
+        )
+    )
+    return (
+        df.select(hkey.alias("hkey"), F.col(value_col).alias("v"))
+        .orderBy("hkey", "v")
+        .limit(k)
+    )
+
+
+def bottomk_merge(a: DataFrame, b: DataFrame, k: int = BOTTOMK_K) -> DataFrame:
+    """Merge two bottom-k sketches built with the SAME seed/k: union +
+    re-take.  Exactly the sketch of the unioned inputs."""
+    return a.unionByName(b).orderBy("hkey", "v").limit(k)
+
+
+def bottomk_quantiles(sketch: DataFrame, ps: list[float]) -> DataFrame:
+    """(p, est_q): linear-interpolation quantile estimates from the
+    sketch sample (Spark ``percentile`` == DuckDB ``quantile_cont``).
+    By DKW, the sample's empirical CDF is within
+    sqrt(ln(2/δ)/(2k)) of the true CDF everywhere w.p. ≥ 1−δ — the
+    ``quantile_sketch`` catalog entry checks that bound as a number."""
+    arr = sketch.agg(
+        F.percentile("v", F.array(*[F.lit(p) for p in ps])).alias("qs")
+    )
+    pslit = F.array(*[F.lit(p) for p in ps])
+    return arr.select(
+        F.posexplode("qs").alias("pos", "est_q")
+    ).select(
+        F.element_at(pslit, F.col("pos") + 1).alias("p"),
+        F.round(F.col("est_q"), 2).alias("est_q"),
+    )

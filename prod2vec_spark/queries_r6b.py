@@ -350,6 +350,78 @@ WHERE len(ctoks) >= {_CHUNK_MIN}
 """
 
 
+# ----------------------------------------------------- quantile sketch
+_BK_K = 256
+_BK_PS = [0.25, 0.5, 0.75, 0.9]
+# DKW: sup|F_k − F| ≤ sqrt(ln(2/δ)/(2k)) w.p. ≥ 1−δ; δ=0.01, k=256
+# → 0.1018, plus 1/k interpolation slack.
+_BK_BOUND = 0.1018 + 1.0 / _BK_K
+
+
+def q_quantile_sketch(spark, sf_dir):
+    """Bottom-k sketch quantile audit (E-A14): a 256-row md5-order
+    uniform sample of orders (TakeOrdered — k rows move, never a full
+    sort), linear-interpolation quantile estimates from the sample,
+    and the CHECKED DKW bound: the exact CDF of each estimate must sit
+    within sqrt(ln(2/δ)/(2k)) + 1/k of its target p.  Deterministic
+    end-to-end, so the oracle hash-matches the estimates themselves,
+    not just the bound verdicts (operators/sketches.py
+    bottomk_sketch/bottomk_quantiles)."""
+    from prod2vec_spark.operators.sketches import (
+        bottomk_quantiles,
+        bottomk_sketch,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    sk = bottomk_sketch(orders, "o_totalprice", ["o_orderkey"], k=_BK_K)
+    est = bottomk_quantiles(sk, _BK_PS)
+    # one corpus pass computes the exact CDF at all 4 estimates: the
+    # 4-row estimate table broadcasts into the scan
+    cdf = (
+        orders.crossJoin(F.broadcast(est))
+        .groupBy("p", "est_q")
+        .agg(
+            F.round(
+                F.sum((F.col("o_totalprice") <= F.col("est_q")).cast("long"))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("cdf_at_est")
+        )
+    )
+    return cdf.select(
+        "p",
+        "est_q",
+        "cdf_at_est",
+        F.round(F.abs(F.col("cdf_at_est") - F.col("p")), 4).alias("abs_err"),
+        (F.abs(F.col("cdf_at_est") - F.col("p")) <= F.lit(_BK_BOUND))
+        .cast("long")
+        .alias("within_dkw_bound"),
+    )
+
+
+def _sql_quantile_sketch() -> str:
+    return f"""
+WITH sk AS (SELECT o_totalprice AS v FROM orders
+            ORDER BY md5('bk|' || o_orderkey), o_totalprice LIMIT {_BK_K}),
+est AS (SELECT 0.25 AS p, round(quantile_cont(v, 0.25), 2) AS est_q FROM sk
+        UNION ALL
+        SELECT 0.5, round(quantile_cont(v, 0.5), 2) FROM sk
+        UNION ALL
+        SELECT 0.75, round(quantile_cont(v, 0.75), 2) FROM sk
+        UNION ALL
+        SELECT 0.9, round(quantile_cont(v, 0.9), 2) FROM sk),
+cdf AS (SELECT p, est_q,
+          round(CAST(sum(CASE WHEN o_totalprice <= est_q THEN 1 ELSE 0 END)
+                     AS DOUBLE) / count(*), 4) AS cdf_at_est
+        FROM orders CROSS JOIN est
+        GROUP BY p, est_q)
+SELECT p, est_q, cdf_at_est,
+       round(abs(cdf_at_est - p), 4) AS abs_err,
+       CAST(abs(cdf_at_est - p) <= {_BK_BOUND} AS BIGINT) AS within_dkw_bound
+FROM cdf
+"""
+
+
 R6B_QUERIES = {
     "doc_repetition": q_doc_repetition,
     "decontaminate": q_decontaminate,
@@ -357,6 +429,7 @@ R6B_QUERIES = {
     "semdedup_audit": q_semdedup_audit,
     "pii_scrub": q_pii_scrub,
     "doc_chunks": q_doc_chunks,
+    "quantile_sketch": q_quantile_sketch,
 }
 
 R6B_ORACLES = {
@@ -366,4 +439,5 @@ R6B_ORACLES = {
     "semdedup_audit": _sql_semdedup_audit(),
     "pii_scrub": _sql_pii_scrub(),
     "doc_chunks": _sql_doc_chunks(),
+    "quantile_sketch": _sql_quantile_sketch(),
 }

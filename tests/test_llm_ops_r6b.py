@@ -320,3 +320,28 @@ def test_gram_run_stats_equals_reference_counts(spark):
     for r in rows:
         assert r["st"]["max_count"] == r["ref_max"], (r["i"], cases[r["i"]])
         assert r["st"]["dup_occurrences"] == r["ref_dup"], (r["i"], cases[r["i"]])
+
+
+def test_bottomk_sketch_merge_equals_sketch_of_union(spark):
+    """The defining bottom-k property: merging two partial sketches
+    (union + re-take) yields EXACTLY the sketch of the unioned input,
+    row for row — what makes the sketch build distributable and
+    incrementally maintainable."""
+    from prod2vec_spark.operators.sketches import bottomk_merge, bottomk_sketch
+    from prod2vec_spark.sources.io import read_table
+    from tests.conftest import SF_SMOKE
+
+    orders = read_table(spark, SF_SMOKE, "orders")
+    a = orders.where(F.col("o_orderkey") % 2 == 0)
+    b = orders.where(F.col("o_orderkey") % 2 == 1)
+    k = 64
+    merged = bottomk_merge(
+        bottomk_sketch(a, "o_totalprice", ["o_orderkey"], k=k),
+        bottomk_sketch(b, "o_totalprice", ["o_orderkey"], k=k),
+        k=k,
+    ).collect()
+    whole = bottomk_sketch(orders, "o_totalprice", ["o_orderkey"], k=k).collect()
+    assert [(r["hkey"], r["v"]) for r in merged] == [
+        (r["hkey"], r["v"]) for r in whole
+    ]
+    assert len(whole) == k
