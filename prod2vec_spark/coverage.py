@@ -237,4 +237,6 @@ COVERAGE: dict[str, dict] = {
                 "tests": [("tests.test_llm_ops_r6b", "test_doc_chunks_cover_every_token_with_overlap")]},
     "E-A14": {"status": "implemented", "entries": ["quantile_sketch"],
               "tests": [("tests.test_llm_ops_r6b", "test_bottomk_sketch_merge_equals_sketch_of_union")]},
+    "L-WINNOW": {"status": "implemented", "entries": ["verbatim_span_pairs"],
+                 "tests": [("tests.test_llm_ops_r6b", "test_winnowing_guarantees_long_span_detection")]},
 }

@@ -272,3 +272,101 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_inter", "jaccard")
     )
+
+
+# ---------------------------------------------------------- winnowing
+def winnow_fingerprints(
+    toks: Column, k: int = 8, w: int = 8
+) -> Column:
+    """Winnowing document fingerprints (Schleimer et al. 2003, the
+    MOSS algorithm): hash every k-token gram, then keep the MINIMUM
+    hash in each window of w consecutive gram hashes.  Guarantee: two
+    documents sharing ANY verbatim token span of length ≥ w + k − 1
+    share at least one selected fingerprint — the exact-substring
+    dedup primitive (Lee et al. 2022 scale-dedup shape) that MinHash,
+    which sketches WHOLE-document similarity, cannot provide: a long
+    quote inside two otherwise-different documents is invisible to
+    MinHash but guaranteed-visible to winnowing.
+
+    Row-local: one transform for the gram hashes, one slice-window
+    min, one array_distinct — zero shuffles here; callers group by
+    fingerprint to find candidates.  Selected-fingerprint density is
+    ~2/(w+1) of the grams, so the downstream explode carries a
+    fraction of the token count.  ``toks`` must be a staged column
+    (HOF-CSE rule, operators/repetition.py).
+
+    Oracle: identical formula over list_transform / list_slice /
+    list_min (md5-prefix hashes, functions/hashing.py policy).
+    """
+    from prod2vec_spark.functions.hashing import hex_prefix_long
+
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(k - 1)),
+            lambda i: hex_prefix_long(F.concat_ws(" ", F.slice(toks, i, k)), 8),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    # stage the gram-hash array through a named lambda variable: the
+    # window slice below references it w times per position, and
+    # interpreted HOFs have no CSE (text.py simhash precedent) — the
+    # zip_with trick is unavailable here, so wrap in a single-element
+    # transform to bind the array once
+    return F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.array(grams),
+                lambda g: F.when(
+                    F.size(g) >= w,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(g) - F.lit(w - 1)),
+                        lambda i: F.array_min(F.slice(g, i, w)),
+                    ),
+                ).otherwise(g),
+            )
+        )
+    )
+
+
+def winnow_candidate_pairs(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 8,
+    max_group: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_a, doc_b, n_shared_fps): document pairs sharing winnowing
+    fingerprints, with how many they share — every pair with a
+    verbatim common span of ≥ w+k−1 tokens appears (the winnowing
+    guarantee); n_shared_fps grows with the amount of shared text.
+
+    Same scale shape as LSH banding: explode the (sparse) selected
+    fingerprints, groupBy fingerprint collecting the (typically tiny)
+    id list, expand i<j pairs INSIDE the array (functions/arrays.
+    pair_expand — the corpus pipeline is evaluated once, the shuffle
+    carries fingerprint + id-list rows), then count pairs.
+    ``max_group`` caps a degenerate fingerprint (boilerplate shared by
+    thousands of docs) exactly like lsh_candidate_pairs' cap."""
+    from prod2vec_spark.functions.arrays import pair_expand
+    from prod2vec_spark.operators.text import tokens
+
+    fps = (
+        docs.withColumn("_toks", tokens(F.col(text_col)))
+        .withColumn("_fps", winnow_fingerprints(F.col("_toks"), k=k, w=w))
+        .select(id_col, F.explode(F.col("_fps")).alias("fp"))
+    )
+    grouped = (
+        fps.groupBy("fp")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    if max_group is not None:
+        grouped = grouped.filter(F.size("ids") <= max_group)
+    return (
+        grouped.select(F.explode(pair_expand(F.col("ids"))).alias("p"))
+        .groupBy(
+            F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+    )

@@ -422,6 +422,57 @@ FROM cdf
 """
 
 
+# ------------------------------------------------- verbatim span pairs
+_WN_K = 8
+_WN_W = 8
+_WN_MAX_GROUP = 64
+
+
+def q_verbatim_span_pairs(spark, sf_dir):
+    """Winnowing exact-substring dedup candidates: doc pairs sharing
+    selected k-gram fingerprints, guaranteed to include every pair
+    with a verbatim common span ≥ w+k−1 = 15 tokens — the long-quote
+    dedup case whole-document MinHash can't see.  Same banded scale
+    shape as LSH (explode sparse fingerprints, group, in-array pair
+    expand, hot-group cap at 64) (operators/dedup.py
+    winnow_fingerprints/winnow_candidate_pairs)."""
+    from prod2vec_spark.operators.dedup import winnow_candidate_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    return winnow_candidate_pairs(
+        docs, k=_WN_K, w=_WN_W, max_group=_WN_MAX_GROUP
+    )
+
+
+def _sql_verbatim_span_pairs() -> str:
+    from prod2vec_spark.queries_ext import _TOKS
+
+    k, w, mg = _WN_K, _WN_W, _WN_MAX_GROUP
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (SELECT doc_id,
+  CASE WHEN len(toks) >= {k} THEN
+    list_transform(generate_series(1, len(toks) - {k - 1}),
+      i -> ('0x' || substr(md5(array_to_string(list_slice(toks, i, i + {k - 1}), ' ')), 1, 8))::BIGINT)
+  ELSE CAST([] AS BIGINT[]) END AS gh
+ FROM t),
+f AS (SELECT doc_id, list_distinct(
+        CASE WHEN len(gh) >= {w} THEN
+          list_transform(generate_series(1, len(gh) - {w - 1}),
+                         i -> list_min(list_slice(gh, i, i + {w - 1})))
+        ELSE gh END) AS fps
+      FROM g),
+e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+sz AS (SELECT fp, count(*) AS n FROM e GROUP BY fp),
+e2 AS (SELECT e.doc_id, e.fp FROM e JOIN sz USING (fp)
+       WHERE n BETWEEN 2 AND {mg})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       count(*) AS n_shared_fps
+FROM e2 a JOIN e2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
 R6B_QUERIES = {
     "doc_repetition": q_doc_repetition,
     "decontaminate": q_decontaminate,
@@ -430,6 +481,7 @@ R6B_QUERIES = {
     "pii_scrub": q_pii_scrub,
     "doc_chunks": q_doc_chunks,
     "quantile_sketch": q_quantile_sketch,
+    "verbatim_span_pairs": q_verbatim_span_pairs,
 }
 
 R6B_ORACLES = {
@@ -440,4 +492,5 @@ R6B_ORACLES = {
     "pii_scrub": _sql_pii_scrub(),
     "doc_chunks": _sql_doc_chunks(),
     "quantile_sketch": _sql_quantile_sketch(),
+    "verbatim_span_pairs": _sql_verbatim_span_pairs(),
 }

@@ -345,3 +345,34 @@ def test_bottomk_sketch_merge_equals_sketch_of_union(spark):
         (r["hkey"], r["v"]) for r in whole
     ]
     assert len(whole) == k
+
+
+def test_winnowing_guarantees_long_span_detection(spark):
+    """The winnowing contract (k=8, w=8): ANY verbatim common span of
+    ≥ w+k−1 = 15 tokens must produce a shared fingerprint — and docs
+    with no shared 8-gram must produce none."""
+    from prod2vec_spark.operators.dedup import winnow_candidate_pairs
+
+    quote = " ".join(f"q{i}" for i in range(15))  # exactly w+k-1 tokens
+    a = "alpha beta gamma " + quote + " delta epsilon"
+    b = "zeta eta " + quote + " theta iota kappa lam"
+    c = "completely different words with no shared gram at all today ok"
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], ["doc_id", "text"]
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["n_shared_fps"]
+        for r in winnow_candidate_pairs(df, k=8, w=8).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert all(p == (1, 2) for p in pairs), pairs  # c pairs with nobody
+
+    # below the guarantee threshold nothing is promised, but a doc
+    # with NO shared 8-gram can never collide: shift the quote out
+    short = " ".join(f"q{i}" for i in range(7))  # 7 < k tokens shared
+    df2 = spark.createDataFrame(
+        [(1, "x1 x2 x3 " + short + " y1 y2 y3 y4 y5 y6 y7 y8"),
+         (2, "z1 z2 z3 " + short + " w1 w2 w3 w4 w5 w6 w7 w8")],
+        ["doc_id", "text"],
+    )
+    assert winnow_candidate_pairs(df2, k=8, w=8).count() == 0
