@@ -564,6 +564,12 @@ ALL_ORACLES["dq_suite"] = _sql_dq_suite()  # composed after SQL_DQ_* exist
 # oracle-certified by the pytest gate; catalog entry would double-run
 # a ~30 s macro inside the per-query bench loop.
 CATALOG: list[str] = [
+    # round-6 new (wave 3: sketch + substring-dedup planes; retired
+    # ngram_jaccard → minhash_jaccard_audit computes the exact n-gram
+    # Jaccard internally + verbatim_span_pairs keeps the n-gram plane;
+    # ann_topk → the exact brute force still executes inside
+    # ann_recall's ground-truth side every round)
+    "quantile_sketch", "verbatim_span_pairs",
     # round-6 new (wave 2: LLM depth tranche)
     "doc_repetition", "decontaminate", "weighted_sample",
     "semdedup_audit", "pii_scrub", "doc_chunks",
@@ -585,9 +591,9 @@ CATALOG: list[str] = [
     "skipgram_subsampled", "validation_sample",
     "string_agg_names",
     # LLM pipeline: dedup / text / similarity
-    "dedup_exact", "lsh_candidates", "ngram_jaccard",
+    "dedup_exact", "lsh_candidates",
     "dedup_clusters", "tfidf_terms", "quality_filter", "embedding_neardup",
-    "ann_topk", "ann_ivf_topk",
+    "ann_ivf_topk",
     # events
     "events_json", "sessionize",
 ]

@@ -57,6 +57,8 @@ def test_rows_only_queries_nonempty(spark, name):
         "weighted_sample",          # ln(md5-uniform)/weight keys
         "semdedup_audit",           # unit-scale folds + argmax struct
         "doc_chunks",               # stride sequence + modular rolling hash
+        "quantile_sketch",          # interpolated quantiles + DKW arithmetic
+        "verbatim_span_pairs",      # conv() gram hashes + window min folds
     ],
 )
 def test_catalog_survives_ansi_mode(spark, name):
