@@ -230,7 +230,8 @@ COVERAGE: dict[str, dict] = {
               "tests": [("tests.test_llm_ops_r6b", "test_weighted_sample_tracks_weights_and_is_deterministic"),
                         ("tests.test_llm_ops_r6b", "test_weighted_sample_equal_weights_reduces_to_hash_order")]},
     "L-SEMDEDUP": {"status": "implemented", "entries": ["semdedup_audit"],
-                   "tests": [("tests.test_llm_ops_r6b", "test_semdedup_invariants_and_planted_duplicates")]},
+                   "tests": [("tests.test_llm_ops_r6b", "test_semdedup_invariants_and_planted_duplicates"),
+                             ("tests.test_llm_ops_r6b", "test_kmeans_semdedup_recovers_planted_duplicates")]},
     "L-PII": {"status": "implemented", "entries": ["pii_scrub"],
               "tests": [("tests.test_llm_ops_r6b", "test_pii_scrub_plants_and_redacts_exactly")]},
     "L-CHUNK": {"status": "implemented", "entries": ["doc_chunks"],

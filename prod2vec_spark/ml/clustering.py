@@ -109,3 +109,44 @@ def cluster_profile(assigned: DataFrame, vec_col: str = "embedding") -> DataFram
             F.round(F.avg("_nrm"), 4).alias("avg_norm"),
         )
     )
+
+
+def kmeans_semdedup(
+    corpus,
+    dims: int,
+    n_clusters: int = 8,
+    threshold: float = 0.4,
+    seed: int = 42,
+    max_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """SemDeDup with Lloyd-refined cells — the paper's actual shape
+    (Abbas et al. 2023 cluster with k-means): fit MLlib KMeans, hand
+    the centers to simsearch.semdedup's supplied-centroids path (same
+    zero-norm guard as kmeans_ivf_topk).  Refined cells track the
+    data, so near-duplicates co-cluster more reliably than with
+    seeded-sample cells.  No oracle — the fit is iterative ML; the
+    seeded-centroid `semdedup_audit` remains the hash-matched catalog
+    entry, and the pytest asserts the refined variant drops at least
+    every pair the seeded variant drops on planted duplicates."""
+    from prod2vec_spark.operators.simsearch import semdedup
+
+    model, _ = kmeans_fit(
+        corpus, vec_col=vec_col, k=n_clusters, seed=seed, max_iter=max_iter
+    )
+    centers = [list(map(float, c)) for c in model.clusterCenters()]
+    centers = [c for c in centers if any(x != 0.0 for x in c)]
+    if not centers:
+        raise ValueError(
+            "kmeans_semdedup: every fitted center is zero — degenerate corpus"
+        )
+    return semdedup(
+        corpus,
+        dims=dims,
+        n_clusters=len(centers),
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        centroids=centers,
+    )

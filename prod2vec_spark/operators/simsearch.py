@@ -474,6 +474,7 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: str = "sem",
+    centroids: list[list[float]] | None = None,
     min_parallelism: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
@@ -515,18 +516,33 @@ def semdedup(
         and corpus.rdd.getNumPartitions() < min_parallelism
     ):
         corpus = corpus.repartition(min_parallelism)
-    raw_rows = (
-        corpus.select(id_col, vec_col)
-        .where(l2_norm(F.col(vec_col)) > 0)
-        .orderBy(F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col))), F.col(id_col))
-        .limit(n_clusters)
-        .collect()
-    )
-    if not raw_rows:
-        raise ValueError("semdedup: corpus has no non-zero-norm vectors")
+    if centroids is not None:
+        # kmeans-refined (or caller-chosen) cells — ivf_topk's
+        # supplied-centroids contract, including its zero-norm guard:
+        # a zero vector cannot be unit-scaled, drop it rather than
+        # divide by zero at plan-build time
+        raw_vecs = [
+            [float(x) for x in v]
+            for v in centroids
+            if any(float(x) != 0.0 for x in v)
+        ]
+        if not raw_vecs:
+            raise ValueError(
+                "semdedup: every supplied centroid has zero norm"
+            )
+    else:
+        raw_rows = (
+            corpus.select(id_col, vec_col)
+            .where(l2_norm(F.col(vec_col)) > 0)
+            .orderBy(F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col))), F.col(id_col))
+            .limit(n_clusters)
+            .collect()
+        )
+        if not raw_rows:
+            raise ValueError("semdedup: corpus has no non-zero-norm vectors")
+        raw_vecs = [[float(x) for x in r[vec_col]] for r in raw_rows]
     cents = []
-    for r in raw_rows:
-        v = [float(x) for x in r[vec_col]]
+    for v in raw_vecs:
         acc = 0.0
         for x in v:
             acc = acc + x * x
