@@ -239,5 +239,6 @@ COVERAGE: dict[str, dict] = {
     "E-A14": {"status": "implemented", "entries": ["quantile_sketch"],
               "tests": [("tests.test_llm_ops_r6b", "test_bottomk_sketch_merge_equals_sketch_of_union")]},
     "L-WINNOW": {"status": "implemented", "entries": ["verbatim_span_pairs"],
-                 "tests": [("tests.test_llm_ops_r6b", "test_winnowing_guarantees_long_span_detection")]},
+                 "tests": [("tests.test_llm_ops_r6b", "test_winnowing_guarantees_long_span_detection"),
+                           ("tests.test_llm_ops_r6b", "test_winnowing_detects_random_planted_spans_property")]},
 }

