@@ -59,6 +59,7 @@ import time
 
 FLAGSHIP = "__flagship__"
 CURATION10X = "__curation10x__"
+CURATION_FULL = "__curation_full__"
 BASELINE_SF = 0.1  # scale factor the BASELINE.json timings were recorded at
 
 
@@ -111,6 +112,30 @@ def _curation10x(spark, sf_dir):
     return curation_stress(spark, sf_dir, factor=10)
 
 
+def _curation_full(spark, sf_dir):
+    """The FULL production-shape curation DAG (pipeline_llm.run:
+    gates → PII scrub → exact dedup → quality+repetition filter →
+    LSH+CC near dedup → decontaminate → chunk → stats) timed
+    end-to-end at the bench scale factor into a throwaway work dir —
+    the composed pipeline's wall clock is a recorded number, not the
+    sum of its stages' micro-times.  Macro entry: runs once per bench
+    (checkpoint writes dominate; one run is representative)."""
+    import shutil
+    import tempfile
+
+    from prod2vec_spark.pipeline_llm import CorpusConfig, CorpusCurationPipeline
+
+    work = tempfile.mkdtemp(prefix="bench_curation_full_")
+    try:
+        # run() executes every stage (writes + counts); the returned
+        # report is driver-local rows, safe to hand back after cleanup
+        return CorpusCurationPipeline(
+            spark, CorpusConfig(sf_dir=sf_dir, work_dir=work)
+        ).run()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def run_chunk(names: list[str], sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
     """Child entry: time the named queries in THIS process's fresh JVM."""
     from prod2vec_spark.queries import QUERIES
@@ -127,7 +152,11 @@ def run_chunk(names: list[str], sf_dir: str) -> tuple[dict[str, float], dict[str
     runs = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
-    special = {FLAGSHIP: _flagship, CURATION10X: _curation10x}
+    special = {
+        FLAGSHIP: _flagship,
+        CURATION10X: _curation10x,
+        CURATION_FULL: _curation_full,
+    }
     # macro entries run once in the main pass (the CC loop's eager
     # checkpoints dominate; one run is representative) — but an
     # adjudication re-run restores the best-of-N protocol by setting
@@ -135,7 +164,7 @@ def run_chunk(names: list[str], sf_dir: str) -> tuple[dict[str, float], dict[str
     macro_runs = int(os.environ.get("SPARK_GRAFT_MACRO_RUNS", "1"))
     for name in names:
         fn = special.get(name) or QUERIES[name]
-        n_runs = macro_runs if name == CURATION10X else runs
+        n_runs = macro_runs if name in (CURATION10X, CURATION_FULL) else runs
         times = []
         for _ in range(n_runs):
             t0 = time.perf_counter()
@@ -162,7 +191,7 @@ def main() -> None:
     # timed too, appended last so their heavy driver-side work never
     # precedes (and so ages the JVM of) the catalog queries sharing
     # their chunk
-    names = list(QUERIES) + [FLAGSHIP, CURATION10X]
+    names = list(QUERIES) + [FLAGSHIP, CURATION10X, CURATION_FULL]
     chunk_size = int(os.environ.get("SPARK_GRAFT_BENCH_CHUNK", "6"))
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
