@@ -237,7 +237,8 @@ COVERAGE: dict[str, dict] = {
     "L-CHUNK": {"status": "implemented", "entries": ["doc_chunks"],
                 "tests": [("tests.test_llm_ops_r6b", "test_doc_chunks_cover_every_token_with_overlap")]},
     "E-A14": {"status": "implemented", "entries": ["quantile_sketch"],
-              "tests": [("tests.test_llm_ops_r6b", "test_bottomk_sketch_merge_equals_sketch_of_union")]},
+              "tests": [("tests.test_llm_ops_r6b", "test_bottomk_sketch_merge_equals_sketch_of_union"),
+                        ("tests.test_streaming_neardup", "test_streaming_bottomk_equals_batch_sketch")]},
     "L-WINNOW": {"status": "implemented", "entries": ["verbatim_span_pairs"],
                  "tests": [("tests.test_llm_ops_r6b", "test_winnowing_guarantees_long_span_detection"),
                            ("tests.test_llm_ops_r6b", "test_winnowing_detects_random_planted_spans_property")]},

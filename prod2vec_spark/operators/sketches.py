@@ -265,3 +265,55 @@ def bottomk_quantiles(sketch: DataFrame, ps: list[float]) -> DataFrame:
         F.element_at(pslit, F.col("pos") + 1).alias("p"),
         F.round(F.col("est_q"), 2).alias("est_q"),
     )
+
+
+def start_bottomk_stream(
+    rows: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+    value_col: str,
+    key_cols: list[str],
+    k: int = BOTTOMK_K,
+    seed: str = "bk",
+):
+    """Maintain the bottom-k sketch INCREMENTALLY over a stream — the
+    same idempotent foreachBatch recipe as start_cms_stream: each
+    micro-batch's bottom-k partial lands at ``out_dir/batch_id=N``
+    (overwrite — a replayed batch rewrites its own partition), and
+    because bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪ bottom-k(B))
+    (the merge law the unit test proves EXACT), the current sketch on
+    read is just the bottom-k of the committed partials.  No master
+    copy, no stateful operator, ≤ k rows written per batch.  Returns
+    the started query (availableNow drain)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        bottomk_sketch(
+            batch_df, value_col, key_cols, k=k, seed=seed
+        ).write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    return (
+        rows.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_bottomk(spark, out_dir: str, k: int = BOTTOMK_K) -> DataFrame:
+    """Merge committed per-batch partials into the current sketch
+    (union + re-take, the exact merge law).  Empty before the first
+    commit, not an error."""
+    import glob
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    if not glob.glob(os.path.join(out_dir, "batch_id=*", "*.parquet")):
+        return spark.createDataFrame([], "hkey string, v double")
+    return (
+        spark.read.option("basePath", out_dir)
+        .parquet(out_dir)
+        .select("hkey", "v")
+        .orderBy("hkey", "v")
+        .limit(k)
+    )

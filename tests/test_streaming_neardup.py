@@ -200,3 +200,70 @@ def test_streaming_cms_equals_batch_sketch(spark, tmp_path):
     assert merged.exceptAll(want).count() == 0
     assert want.exceptAll(merged).count() == 0
     assert merged.count() > 0
+
+
+def test_streaming_bottomk_equals_batch_sketch(spark, tmp_path):
+    """The incrementally-maintained bottom-k sketch (per-batch
+    partials re-taken on read) must equal the one-shot batch sketch of
+    all data EXACTLY — row for row — across two drains and a no-input
+    restart, by the merge law."""
+    import shutil
+
+    from prod2vec_spark.operators.sketches import (
+        bottomk_sketch,
+        read_bottomk,
+        start_bottomk_stream,
+    )
+
+    docs = (
+        read_table(spark, SF_SMOKE, "documents")
+        .limit(200)
+        .select("doc_id", F.col("n_chars").cast("double").alias("n_chars"))
+        .localCheckpoint()
+    )
+    K = 64
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out, ckpt = str(tmp_path / "bk"), str(tmp_path / "bk_ckpt")
+
+    for name, half in [
+        ("a", docs.where(F.col("doc_id") % 2 == 0)),
+        ("b", docs.where(F.col("doc_id") % 2 == 1)),
+    ]:
+        half.coalesce(1).write.parquet(str(tmp_path / f"bst_{name}"))
+
+    def drain():
+        stream = spark.readStream.schema("doc_id long, n_chars double").parquet(
+            str(landing)
+        )
+        q = start_bottomk_stream(
+            stream, out, ckpt, value_col="n_chars", key_cols=["doc_id"], k=K
+        )
+        q.awaitTermination()
+
+    def current():
+        return [
+            (r["hkey"], r["v"]) for r in read_bottomk(spark, out, k=K).collect()
+        ]
+
+    assert current() == []  # empty before the first commit
+    for f in (tmp_path / "bst_a").glob("*.parquet"):
+        shutil.copy(f, landing / "a.parquet")
+    drain()
+    half_expect = [
+        (r["hkey"], r["v"])
+        for r in bottomk_sketch(
+            docs.where(F.col("doc_id") % 2 == 0), "n_chars", ["doc_id"], k=K
+        ).collect()
+    ]
+    assert current() == half_expect
+    for f in (tmp_path / "bst_b").glob("*.parquet"):
+        shutil.copy(f, landing / "b.parquet")
+    drain()
+    drain()  # no new input: partials unchanged
+    full_expect = [
+        (r["hkey"], r["v"])
+        for r in bottomk_sketch(docs, "n_chars", ["doc_id"], k=K).collect()
+    ]
+    assert current() == full_expect and len(full_expect) == K
