@@ -57,15 +57,26 @@ def contamination_report(
     contaminated_min_frac: float = 0.2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tagged: DataFrame | None = None,
 ) -> DataFrame:
     """Per TRAINING document: total distinct n-grams, how many collide
     with the benchmark gram set, the collision fraction, and the
     contaminated verdict (frac ≥ threshold — catches near-verbatim
     eval leakage while ignoring formulaic shared phrases).
 
+    Documents with fewer than ``n`` tokens have no n-grams and are
+    absent from the report (nothing to collide).  Callers that also
+    need the split (pipeline_llm.decontaminate) pass their own
+    ``tagged`` frame (with_bench_split output) so report and train
+    filter agree on the split BY CONSTRUCTION instead of by matching
+    seed/frac arguments across two calls.
+
     Output: (doc_id, n_grams, n_hit, hit_frac, contaminated).
     """
-    tagged = with_bench_split(docs, bench_frac=bench_frac, seed=seed, id_col=id_col)
+    if tagged is None:
+        tagged = with_bench_split(
+            docs, bench_frac=bench_frac, seed=seed, id_col=id_col
+        )
     bench_grams = (
         doc_distinct_ngrams(
             tagged.where(F.col("is_bench")), n, id_col=id_col, text_col=text_col

@@ -153,10 +153,24 @@ def dup_token_fraction(toks: Column) -> Column:
 # non-trivially.  The oracle evaluates the identical constants.
 TOP_BIGRAM_MAX = 0.08
 DUP_TRIGRAM_MAX = 0.20
+# A fully-diverse doc of n tokens has top_bigram_frac ≥ 1/(n−1), so a
+# fixed cut would auto-reject EVERY short doc however clean (1/12 >
+# 0.08 at 13 tokens) while 0/1-token docs sail through — non-monotone.
+# Below this many bigram occurrences the top-bigram criterion is
+# waived (Gopher likewise applies repetition cuts only past a minimum
+# document length); the dup-trigram criterion has no such floor
+# artifact (diverse docs score exactly 0) and always applies.
+MIN_GATE_BIGRAMS = 25
 
 
-def repetition_gate(top_bigram_frac: Column, dup_trigram_frac: Column) -> Column:
-    """True ⇔ the document passes the repetition filter."""
-    return (top_bigram_frac <= TOP_BIGRAM_MAX) & (
-        dup_trigram_frac <= DUP_TRIGRAM_MAX
-    )
+def repetition_gate(
+    top_bigram_frac: Column,
+    dup_trigram_frac: Column,
+    n_bigrams: Column,
+) -> Column:
+    """True ⇔ the document passes the repetition filter.  The
+    top-bigram criterion engages only for docs with ≥ MIN_GATE_BIGRAMS
+    bigram occurrences (see the floor-artifact note above)."""
+    return (
+        (n_bigrams < MIN_GATE_BIGRAMS) | (top_bigram_frac <= TOP_BIGRAM_MAX)
+    ) & (dup_trigram_frac <= DUP_TRIGRAM_MAX)

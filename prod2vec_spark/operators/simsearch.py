@@ -541,6 +541,14 @@ def semdedup(
         if not raw_rows:
             raise ValueError("semdedup: corpus has no non-zero-norm vectors")
         raw_vecs = [[float(x) for x in r[vec_col]] for r in raw_rows]
+    # dims is a real contract, not decoration: the oracle dots exactly
+    # `dims` components, so a width mismatch would silently break
+    # Spark/oracle parity — fail loudly at plan-build time instead
+    bad_dims = {len(v) for v in raw_vecs} - {dims}
+    if bad_dims:
+        raise ValueError(
+            f"semdedup: centroid width(s) {sorted(bad_dims)} != dims={dims}"
+        )
     cents = []
     for v in raw_vecs:
         acc = 0.0

@@ -128,6 +128,7 @@ class CorpusCurationPipeline:
                 RP.repetition_gate(
                     RP.top_gram_fraction(F.col("_g2")),
                     RP.dup_gram_fraction(F.col("_g3")),
+                    F.size(F.col("_g2")),
                 )
             ).drop("_toks", "_g2", "_g3")
         scored = docs.withColumn("q", TX.quality_score(F.col("text")))
@@ -164,24 +165,28 @@ class CorpusCurationPipeline:
 
     # -- stage 4: benchmark decontamination ----------------------------
     def decontaminate(self, docs: DataFrame) -> DataFrame:
-        from prod2vec_spark.operators.decontam import contamination_report
+        from prod2vec_spark.operators.decontam import (
+            contamination_report,
+            with_bench_split,
+        )
 
+        # tag the split ONCE and derive both the report's inputs and
+        # the train side from it — a second with_bench_split call
+        # would duplicate the md5 pass and could silently disagree on
+        # seed/frac if the two calls ever drifted apart
+        tagged = with_bench_split(docs, bench_frac=self.cfg.decon_bench_frac)
+        train = tagged.where(~F.col("is_bench")).drop("is_bench")
         rep = contamination_report(
             docs,
             n=self.cfg.decon_n,
-            bench_frac=self.cfg.decon_bench_frac,
             contaminated_min_frac=self.cfg.decon_min_frac,
+            tagged=tagged,
         )
         # contaminated ids are a small set — broadcast anti join, the
         # corpus never shuffles (same shape as the near-dedup drop).
         # NOTE: the held-out split itself also leaves the training
         # corpus here — eval documents are not training data.
         bad = rep.where(F.col("contaminated")).select("doc_id")
-        from prod2vec_spark.operators.decontam import with_bench_split
-
-        train = with_bench_split(
-            docs, bench_frac=self.cfg.decon_bench_frac
-        ).where(~F.col("is_bench")).drop("is_bench")
         out = train.join(F.broadcast(bad), "doc_id", "left_anti")
         write_parquet(out, f"{self.cfg.work_dir}/decontaminated",
                       partition_by=["lang"])
@@ -200,7 +205,7 @@ class CorpusCurationPipeline:
         write_parquet(chunks, f"{self.cfg.work_dir}/chunks")
         return self.spark.read.parquet(f"{self.cfg.work_dir}/chunks")
 
-    # -- stage 4: stats report -----------------------------------------
+    # -- stage 6: stats report -----------------------------------------
     def stats(
         self,
         n_input: int,

@@ -1,17 +1,25 @@
-"""Round-6 depth tranche: four more LLM-training-data operator
-families, each with a full DuckDB oracle (superset entries — the
-driver catalog is capped at 50, so these certify through the pytest
-oracle-parity gate until a future rotation).
+"""Round-6 depth tranche: eight more LLM-training-data operator
+families, each with a full DuckDB oracle.  All eight were rotated
+into the 50-entry driver catalog this round (queries.py waves 2-3),
+with family siblings retiring to the pytest superset gate.
 
-* ``doc_repetition``     — Gopher-style intra-document repetition
+* ``doc_repetition``      — Gopher-style intra-document repetition
   features (dup-token / top-bigram / dup-trigram fractions) + gate.
-* ``decontaminate``      — benchmark n-gram decontamination (GPT-3
+* ``decontaminate``       — benchmark n-gram decontamination (GPT-3
   appendix-C shape): training docs sharing word 5-grams with a
   held-out split are flagged.
-* ``weighted_sample``    — Efraimidis–Spirakis A-ES weighted sample
+* ``weighted_sample``     — Efraimidis–Spirakis A-ES weighted sample
   without replacement (md5-derived draws, TakeOrdered plan).
-* ``semdedup_audit``     — SemDeDup (Abbas et al. 2023): cluster-then-
-  near-dup semantic dedup over embeddings, per-cluster audit row.
+* ``semdedup_audit``      — SemDeDup (Abbas et al. 2023): cluster-
+  then-near-dup semantic dedup over embeddings, per-cluster audit.
+* ``pii_scrub``           — email/phone redaction with portable
+  regexes; scrubbed byte stream certified via per-doc md5.
+* ``doc_chunks``          — fixed-window training-sequence chunking
+  with per-chunk rolling fingerprints.
+* ``quantile_sketch``     — mergeable bottom-k uniform-sample sketch
+  with a checked DKW quantile bound.
+* ``verbatim_span_pairs`` — winnowing (MOSS) exact-substring dedup
+  candidates with guaranteed long-span detection.
 
 Catalog conventions (queries.py header) apply: every aggregate/derived
 column aliased identically in Spark and SQL; booleans surfaced as
@@ -45,19 +53,23 @@ def q_doc_repetition(spark, sf_dir):
         RP.dup_token_fraction(F.col("_toks")).alias("dup_token_frac"),
         RP.top_gram_fraction(F.col("_g2")).alias("top_bigram_frac"),
         RP.dup_gram_fraction(F.col("_g3")).alias("dup_trigram_frac"),
+        F.size(F.col("_g2")).alias("n_bigrams"),
     )
     return out.withColumn(
         "repetition_ok",
         RP.repetition_gate(
-            F.col("top_bigram_frac"), F.col("dup_trigram_frac")
+            F.col("top_bigram_frac"),
+            F.col("dup_trigram_frac"),
+            F.col("n_bigrams"),
         ).cast("long"),
-    )
+    ).drop("n_bigrams")
 
 
 def _sql_doc_repetition() -> str:
     from prod2vec_spark.queries_ext import _TOKS
 
     tb_max, dt_max = RP.TOP_BIGRAM_MAX, RP.DUP_TRIGRAM_MAX
+    min_bg = RP.MIN_GATE_BIGRAMS
     return f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 g AS (SELECT doc_id, toks,
@@ -81,9 +93,11 @@ f AS (SELECT doc_id,
        THEN round(CAST(list_sum(list_transform(c3, c -> CASE WHEN c >= 2 THEN c ELSE 0 END)) AS DOUBLE)
                   / CAST(len(g3) AS DOUBLE), 4)
        ELSE 0.0 END AS dup_trigram_frac
+       ,CAST(len(g2) AS INT) AS n_bigrams
  FROM c)
 SELECT doc_id, dup_token_frac, top_bigram_frac, dup_trigram_frac,
-       CAST(top_bigram_frac <= {tb_max} AND dup_trigram_frac <= {dt_max}
+       CAST((n_bigrams < {min_bg} OR top_bigram_frac <= {tb_max})
+            AND dup_trigram_frac <= {dt_max}
             AS BIGINT) AS repetition_ok
 FROM f
 """
@@ -301,7 +315,9 @@ WITH p AS (SELECT doc_id,
  FROM documents)
 SELECT doc_id,
   CAST(len(regexp_extract_all(pt, '{EMAIL_PATTERN}')) AS INT) AS n_emails,
-  CAST(len(regexp_extract_all(pt, '{PHONE_PATTERN}')) AS INT) AS n_phones,
+  CAST(len(regexp_extract_all(
+         regexp_replace(pt, '{EMAIL_PATTERN}', '{EMAIL_TOKEN}', 'g'),
+         '{PHONE_PATTERN}')) AS INT) AS n_phones,
   md5(regexp_replace(regexp_replace(pt, '{EMAIL_PATTERN}', '{EMAIL_TOKEN}', 'g'),
                      '{PHONE_PATTERN}', '{PHONE_TOKEN}', 'g')) AS scrub_md5
 FROM p

@@ -247,6 +247,7 @@ class StreamingCorpusPipeline:
                 RP.repetition_gate(
                     RP.top_gram_fraction(F.col("_g2")),
                     RP.dup_gram_fraction(F.col("_g3")),
+                    F.size(F.col("_g2")),
                 )
             ).drop("_toks", "_g2", "_g3")
         deduped = docs.withColumn(

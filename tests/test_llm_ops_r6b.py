@@ -44,9 +44,18 @@ def test_repetition_discriminates_looped_text(spark):
     # the 10 distinct diverse bigrams each occur once → top frac 1/9
     assert f[0]["tb"] == pytest.approx(1 / 9, abs=1e-4)
     assert f[1]["dt"] > 0.9 and f[1]["d3"] == 1.0 and f[1]["tb"] > 0.4
-    assert not (
-        f[1]["tb"] <= RP.TOP_BIGRAM_MAX and f[1]["d3"] <= RP.DUP_TRIGRAM_MAX
-    ), "looped text must fail the gate"
+
+    def gate(r, n_toks):
+        n_bg = max(0, n_toks - 1)
+        return (
+            n_bg < RP.MIN_GATE_BIGRAMS or r["tb"] <= RP.TOP_BIGRAM_MAX
+        ) and r["d3"] <= RP.DUP_TRIGRAM_MAX
+
+    # the looped doc fails on dup-trigram regardless of length; the
+    # short DIVERSE doc passes despite its 1/(n-1) top-bigram floor —
+    # the short-doc waiver (MIN_GATE_BIGRAMS) is load-bearing here
+    assert not gate(f[1], 40), "looped text must fail the gate"
+    assert gate(f[0], 10), "short diverse text must pass the gate"
     # sub-window docs produce empty gram arrays, not errors
     assert f[2]["d3"] == 0.0 and f[2]["tb"] > 0.0
 
@@ -243,6 +252,26 @@ def test_pii_scrub_plants_and_redacts_exactly(spark):
     assert rows[0]["s"] == "reach <EMAIL> and <PHONE> now"
     assert rows[1]["ne"] == 0 and rows[1]["np"] == 0
     assert rows[1]["s"] == "no pii here at all"
+
+
+def test_pii_counts_match_the_certified_stream(spark):
+    """A digit run inside an email's local part is swallowed by the
+    <EMAIL> token — it must NOT be reported as a phone redaction:
+    counts reconcile exactly with the tokens present in the scrubbed
+    output."""
+    from prod2vec_spark.operators.pii import redaction_report, scrub
+
+    df = spark.createDataFrame(
+        [(0, "reach 555-123-4567@example.com ok")], ["doc_id", "text"]
+    )
+    rep = redaction_report(F.col("text"))
+    r = df.select(
+        rep["n_emails"].alias("ne"),
+        rep["n_phones"].alias("np"),
+        scrub(F.col("text")).alias("s"),
+    ).collect()[0]
+    assert r["s"] == "reach <EMAIL> ok"
+    assert r["ne"] == 1 and r["np"] == 0  # no phantom phone
 
 
 def test_doc_chunks_cover_every_token_with_overlap(spark):
@@ -443,12 +472,25 @@ def test_winnowing_detects_random_planted_spans_property(spark):
             [(1, " ".join(ta)), (2, " ".join(tb))], ["doc_id", "text"]
         )
         pairs = {
-            (r["doc_a"], r["doc_b"])
+            (r["doc_a"], r["doc_b"]): r["n_shared_fps"]
             for r in winnow_candidate_pairs(df, k=K, w=W).collect()
         }
         assert (1, 2) in pairs, (ta, tb)
-        # expected shared-fingerprint count from the Python reference
+        # the Spark HOF implementation must agree with the Python
+        # reference EXACTLY: same shared-fingerprint count
         shared = ref_fps(ta) & ref_fps(tb)
         assert len(shared) >= 1
+        assert pairs[(1, 2)] == len(shared), (ta, tb, pairs, shared)
 
     check()
+
+
+def test_semdedup_rejects_dims_mismatch(spark):
+    """dims is a parity contract (the oracle dots exactly dims
+    components) — a centroid width mismatch must fail loudly at
+    plan-build time, not silently diverge from the oracle."""
+    from prod2vec_spark.operators.simsearch import semdedup
+
+    df = _planted_embeddings(spark)  # 64-dim vectors
+    with pytest.raises(ValueError, match="dims=32"):
+        semdedup(df, dims=32, n_clusters=2)

@@ -54,6 +54,7 @@ def test_rows_only_queries_nonempty(spark, name):
         "heavy_hitters",            # CMS conv() buckets + bound ratio
         "corpus_mix_sample",        # md5-uniform division threshold
         "doc_repetition",           # HOF count folds + ratio division
+        "decontaminate",            # md5-uniform split + hit-ratio division
         "weighted_sample",          # ln(md5-uniform)/weight keys
         "semdedup_audit",           # unit-scale folds + argmax struct
         "doc_chunks",               # stride sequence + modular rolling hash

@@ -55,9 +55,7 @@ def test_vocab_probe_is_broadcast_join(spark):
 
 
 def test_region_star_join_broadcasts_dims(spark):
-    from prod2vec_spark.queries import ALL_QUERIES
-
-    df = ALL_QUERIES["region_revenue"](spark, SF_SMOKE)
+    df = QUERIES["region_revenue"](spark, SF_SMOKE)
     assert has_broadcast_join(df)
 
 
@@ -310,18 +308,17 @@ def test_r6b_llm_entries_plan_shapes(spark):
     would shuffle the corpus against a few-MB eval suite)."""
     from prod2vec_spark.plans import count_exchanges
     from prod2vec_spark.plans.inspect import explain_str
-    from prod2vec_spark.queries import ALL_QUERIES
 
     for name in ("doc_repetition", "doc_chunks", "pii_scrub"):
-        df = ALL_QUERIES[name](spark, SF_SMOKE)
+        df = QUERIES[name](spark, SF_SMOKE)
         assert count_exchanges(df) == 0, name
 
-    ws = ALL_QUERIES["weighted_sample"](spark, SF_SMOKE)
+    ws = QUERIES["weighted_sample"](spark, SF_SMOKE)
     plan = explain_str(ws)
     assert count_exchanges(ws) == 0
     assert "TakeOrderedAndProject" in plan and "Sort " not in plan
 
-    dc = ALL_QUERIES["decontaminate"](spark, SF_SMOKE)
+    dc = QUERIES["decontaminate"](spark, SF_SMOKE)
     plan = explain_str(dc)
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" in plan
     assert count_exchanges(dc) <= 2

@@ -177,6 +177,7 @@ def test_streaming_repetition_gate_matches_batch_gate(spark, tmp_path):
             RP.repetition_gate(
                 RP.top_gram_fraction(F.col("_g2")),
                 RP.dup_gram_fraction(F.col("_g3")),
+                F.size(F.col("_g2")),
             )
         )
         .select("doc_id")
@@ -210,6 +211,7 @@ def test_streaming_repetition_gate_matches_batch_gate(spark, tmp_path):
             RP.repetition_gate(
                 RP.top_gram_fraction(F.col("_g2")),
                 RP.dup_gram_fraction(F.col("_g3")),
+                F.size(F.col("_g2")),
             )
         )
         .select(text_digest(F.col("text")).alias("h"))
