@@ -242,4 +242,6 @@ COVERAGE: dict[str, dict] = {
     "L-WINNOW": {"status": "implemented", "entries": ["verbatim_span_pairs"],
                  "tests": [("tests.test_llm_ops_r6b", "test_winnowing_guarantees_long_span_detection"),
                            ("tests.test_llm_ops_r6b", "test_winnowing_detects_random_planted_spans_property")]},
+    "L-PACK": {"status": "implemented", "entries": ["pack_audit"],
+               "tests": [("tests.test_llm_ops_r6b", "test_pack_sequences_invariants")]},
 }

@@ -70,3 +70,58 @@ def doc_chunks(
         F.size(F.col("_c.ctoks")).alias("n_tokens"),
         rolling_fingerprint(F.col("_c.ctoks")).alias("chunk_fp"),
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 512,
+    n_shards: int = 1,
+    part_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy contiguous sequence packing: lay documents end-to-end in
+    a deterministic md5 order and assign each to the bin its starting
+    token offset falls in — the prep step between chunking and the
+    data loader that turns ragged documents into ~budget-token
+    training examples (short docs share a bin instead of wasting pad).
+    A doc straddling a boundary belongs to its STARTING bin, so bins
+    can overflow by at most one document — the standard contiguous-
+    packing tradeoff (no doc splitting here; chain with doc_chunks to
+    split first when hard caps are needed).
+
+    Scale shape: ONE window cumulative sum partitioned by
+    (part_col, shard) where shard = md5-uniform(id) % n_shards — no
+    global single-partition window ever.  n_shards=1 packs each
+    language as one sequence-stream (fine to ~10⁸ docs/partition);
+    at 100 TB raise n_shards so each shard's window sort fits an
+    executor — packing quality is unaffected (each shard packs
+    contiguously) and the md5 shard assignment keeps the oracle
+    replay exact.
+
+    Output: (id, part, shard, n_tokens, bin) — one row per doc.
+    """
+    from prod2vec_spark.functions.hashing import hex_prefix_long
+    from pyspark.sql import Window
+
+    if budget <= 0 or n_shards <= 0:
+        raise ValueError(f"need budget > 0 and n_shards > 0, got {budget}/{n_shards}")
+    shard = hex_prefix_long(
+        F.concat_ws("|", F.lit("shard"), F.col(id_col)), 8
+    ) % F.lit(n_shards)
+    staged = docs.select(
+        F.col(id_col),
+        F.col(part_col).alias("part"),
+        shard.alias("shard"),
+        F.size(tokens(F.col(text_col))).alias("n_tokens"),
+        F.md5(F.concat_ws("|", F.lit("pack"), F.col(id_col))).alias("_ord"),
+    )
+    w = (
+        Window.partitionBy("part", "shard")
+        .orderBy("_ord", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return staged.withColumn(
+        "bin", F.floor((cum - F.col("n_tokens")) / F.lit(budget)).cast("int")
+    ).drop("_ord")

@@ -489,6 +489,60 @@ GROUP BY 1, 2
 """
 
 
+# ------------------------------------------------------ pack audit
+_PACK_BUDGET = 512
+_PACK_SHARDS = 4
+
+
+def q_pack_audit(spark, sf_dir):
+    """Sequence-packing audit: documents packed greedily into
+    512-token bins per (lang, shard) — per-bin doc count, token sum,
+    and fill ratio, plus the bin's min doc_id as the identity
+    checksum so the hash match certifies WHICH docs landed where
+    (operators/chunking.pack_sequences)."""
+    from prod2vec_spark.operators.chunking import pack_sequences
+
+    docs = read_table(spark, sf_dir, "documents")
+    packed = pack_sequences(
+        docs, budget=_PACK_BUDGET, n_shards=_PACK_SHARDS
+    )
+    return packed.groupBy("part", "shard", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.round(
+            F.sum("n_tokens") / F.lit(float(_PACK_BUDGET)), 4
+        ).alias("fill_ratio"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+def _sql_pack_audit() -> str:
+    from prod2vec_spark.queries_ext import _TOKS
+
+    b, ns = _PACK_BUDGET, _PACK_SHARDS
+    return f"""
+WITH t AS (SELECT doc_id, lang AS part,
+             ('0x' || substr(md5('shard|' || doc_id), 1, 8))::BIGINT % {ns}
+               AS shard,
+             len({_TOKS}) AS n_tokens,
+             md5('pack|' || doc_id) AS ord_key
+           FROM documents),
+p AS (SELECT doc_id, part, shard, n_tokens,
+        CAST(floor(CAST(sum(n_tokens) OVER (PARTITION BY part, shard
+                                            ORDER BY ord_key, doc_id
+                                            ROWS UNBOUNDED PRECEDING)
+                        - n_tokens AS DOUBLE) / {b}) AS INT) AS bin
+      FROM t)
+SELECT part, shard, bin,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       round(CAST(sum(n_tokens) AS DOUBLE) / {b}.0, 4) AS fill_ratio,
+       min(doc_id) AS min_doc_id
+FROM p
+GROUP BY part, shard, bin
+"""
+
+
 R6B_QUERIES = {
     "doc_repetition": q_doc_repetition,
     "decontaminate": q_decontaminate,
@@ -498,6 +552,7 @@ R6B_QUERIES = {
     "doc_chunks": q_doc_chunks,
     "quantile_sketch": q_quantile_sketch,
     "verbatim_span_pairs": q_verbatim_span_pairs,
+    "pack_audit": q_pack_audit,
 }
 
 R6B_ORACLES = {
@@ -509,4 +564,5 @@ R6B_ORACLES = {
     "doc_chunks": _sql_doc_chunks(),
     "quantile_sketch": _sql_quantile_sketch(),
     "verbatim_span_pairs": _sql_verbatim_span_pairs(),
+    "pack_audit": _sql_pack_audit(),
 }

@@ -494,3 +494,43 @@ def test_semdedup_rejects_dims_mismatch(spark):
     df = _planted_embeddings(spark)  # 64-dim vectors
     with pytest.raises(ValueError, match="dims=32"):
         semdedup(df, dims=32, n_clusters=2)
+
+
+def test_pack_sequences_invariants(spark):
+    """Contiguous packing contract: every doc lands in exactly one
+    bin; token totals are preserved; bins are numbered contiguously
+    from 0 per (part, shard); and every non-final bin holds at least
+    budget − max_doc_tokens tokens (a new bin only opens once the
+    running offset crosses the boundary — no sparse bins)."""
+    from collections import defaultdict
+
+    from prod2vec_spark.operators.chunking import pack_sequences
+    from prod2vec_spark.operators.text import tokens as tok
+    from prod2vec_spark.sources.io import read_table
+    from tests.conftest import SF_SMOKE
+
+    budget = 256
+    docs = read_table(spark, SF_SMOKE, "documents")
+    packed = pack_sequences(docs, budget=budget, n_shards=2).collect()
+    assert len(packed) == docs.count()
+    assert len({r["doc_id"] for r in packed}) == len(packed)
+    total = docs.select(F.sum(F.size(tok(F.col("text"))))).collect()[0][0]
+    assert sum(r["n_tokens"] for r in packed) == total
+
+    groups = defaultdict(list)
+    for r in packed:
+        groups[(r["part"], r["shard"])].append(r)
+    for (part, shard), rows in groups.items():
+        bins = defaultdict(int)
+        for r in rows:
+            bins[r["bin"]] += r["n_tokens"]
+        assert sorted(bins) == list(range(len(bins))), (part, shard)
+        max_doc = max(r["n_tokens"] for r in rows)
+        for b, tokens_in_bin in bins.items():
+            if b != max(bins):
+                assert tokens_in_bin >= budget - max_doc, (part, shard, b)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="budget"):
+        pack_sequences(docs, budget=0)
