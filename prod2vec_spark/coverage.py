@@ -231,7 +231,8 @@ COVERAGE: dict[str, dict] = {
                         ("tests.test_llm_ops_r6b", "test_weighted_sample_equal_weights_reduces_to_hash_order")]},
     "L-SEMDEDUP": {"status": "implemented", "entries": ["semdedup_audit"],
                    "tests": [("tests.test_llm_ops_r6b", "test_semdedup_invariants_and_planted_duplicates"),
-                             ("tests.test_llm_ops_r6b", "test_kmeans_semdedup_recovers_planted_duplicates")]},
+                             ("tests.test_llm_ops_r6b", "test_kmeans_semdedup_recovers_planted_duplicates"),
+                             ("tests.test_pipeline", "test_corpus_pipeline_semantic_dedup_stage")]},
     "L-PII": {"status": "implemented", "entries": ["pii_scrub"],
               "tests": [("tests.test_llm_ops_r6b", "test_pii_scrub_plants_and_redacts_exactly")]},
     "L-CHUNK": {"status": "implemented", "entries": ["doc_chunks"],

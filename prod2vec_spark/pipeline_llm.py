@@ -7,7 +7,8 @@ Stage graph (the canonical web-corpus curation shape, round-6
 extension adds the four starred stages):
 
     gates → pii_scrub* → exact_dedup → quality_filter(+repetition*)
-          → near_dedup → decontaminate* → chunk* → stats
+          → near_dedup [→ semantic_dedup*] → decontaminate* → chunk*
+          → stats
 
 Every stage hand-off is a parquet checkpoint under ``work_dir`` so a
 failed 100 TB run resumes at the last stage, and each stage reuses the
@@ -75,6 +76,14 @@ class CorpusConfig:
     chunk_len: int = 32
     chunk_stride: int = 24
     chunk_min: int = 8
+    # optional semantic dedup (SemDeDup) between near-dedup and
+    # decontamination: drops docs whose embedding is a within-cluster
+    # cosine near-duplicate of a smaller-id doc.  Off by default —
+    # it requires the embeddings table (vec_id == doc_id) to cover
+    # the corpus; docs without an embedding are kept unconditionally.
+    semantic_dedup: bool = False
+    semantic_clusters: int = 8
+    semantic_threshold: float = 0.4
 
 
 class CorpusCurationPipeline:
@@ -163,6 +172,27 @@ class CorpusCurationPipeline:
         write_parquet(out, f"{self.cfg.work_dir}/curated", partition_by=["lang"])
         return self.spark.read.parquet(f"{self.cfg.work_dir}/curated")
 
+    # -- stage 3.5: semantic dedup (optional) --------------------------
+    def semantic_dedup(self, docs: DataFrame) -> DataFrame:
+        from prod2vec_spark.operators.simsearch import semdedup
+
+        emb = read_table(self.spark, self.cfg.sf_dir, "embeddings")
+        flags = semdedup(
+            emb,
+            dims=64,
+            n_clusters=self.cfg.semantic_clusters,
+            threshold=self.cfg.semantic_threshold,
+        )
+        # the drop set (semantic near-dups) is a small fraction —
+        # broadcast anti join on doc_id, the corpus never shuffles
+        # (the same subtraction shape as near_dedup/decontaminate)
+        drop = flags.where(~F.col("kept")).select(
+            F.col("id").alias("doc_id")
+        )
+        out = docs.join(F.broadcast(drop), "doc_id", "left_anti")
+        write_parquet(out, f"{self.cfg.work_dir}/semantic_deduped")
+        return self.spark.read.parquet(f"{self.cfg.work_dir}/semantic_deduped")
+
     # -- stage 4: benchmark decontamination ----------------------------
     def decontaminate(self, docs: DataFrame) -> DataFrame:
         from prod2vec_spark.operators.decontam import (
@@ -249,6 +279,8 @@ class CorpusCurationPipeline:
         quality = self.quality_filter(exact)
         n_quality = quality.count()
         deduped = self.near_dedup(quality)
+        if self.cfg.semantic_dedup:
+            deduped = self.semantic_dedup(deduped)
         n_neardedup = deduped.count()
         final = self.decontaminate(deduped)
         chunks = self.chunk(final)

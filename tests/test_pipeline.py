@@ -351,3 +351,40 @@ def test_corpus_curation_pipeline_end_to_end(spark, tmp_path):
     # the checkpointed report round-trips
     persisted = spark.read.parquet(f"{cfg.work_dir}/curation_report")
     assert {r["stage"] for r in persisted.collect()} == set(by_stage)
+
+
+def test_corpus_pipeline_semantic_dedup_stage(spark, tmp_path):
+    """With semantic_dedup on, no surviving doc is a within-cluster
+    cosine near-duplicate of a smaller-id survivor (per the semdedup
+    flags over the embeddings table), and the stage composes with the
+    rest of the DAG (counts stay monotone)."""
+    from pyspark.sql import functions as F
+
+    from prod2vec_spark.operators.simsearch import semdedup
+    from prod2vec_spark.pipeline_llm import CorpusConfig, CorpusCurationPipeline
+    from prod2vec_spark.sources.io import read_table
+    from tests.conftest import SF_SMOKE
+
+    cfg = CorpusConfig(
+        sf_dir=SF_SMOKE,
+        work_dir=str(tmp_path / "corpus_sem"),
+        semantic_dedup=True,
+    )
+    report = CorpusCurationPipeline(spark, cfg).run()
+    by_stage = {r["stage"]: r["n"] for r in report.collect()}
+    assert by_stage["after_near_dedup"] <= by_stage["after_quality_filter"]
+    assert by_stage["final"] > 0
+
+    emb = read_table(spark, SF_SMOKE, "embeddings")
+    dropped_ids = {
+        r["id"]
+        for r in semdedup(emb, dims=64).where(~F.col("kept")).collect()
+    }
+    survivors = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{cfg.work_dir}/semantic_deduped")
+        .select("doc_id")
+        .collect()
+    }
+    assert not (survivors & dropped_ids)
+    assert len(survivors) > 0
