@@ -245,4 +245,5 @@ COVERAGE: dict[str, dict] = {
                            ("tests.test_llm_ops_r6b", "test_winnowing_detects_random_planted_spans_property")]},
     "L-PACK": {"status": "implemented", "entries": ["pack_audit"],
                "tests": [("tests.test_llm_ops_r6b", "test_pack_sequences_invariants")]},
+    "L-SOURCE-PROFILE": {"status": "implemented", "entries": ["source_profile"]},
 }

@@ -543,6 +543,64 @@ GROUP BY part, shard, bin
 """
 
 
+
+
+# ----------------------------------------------------- source profile
+def q_source_profile(spark, sf_dir):
+    """Per-source corpus dashboard (the C4/RefinedWeb per-domain view
+    that drives source-level keep/drop decisions): doc and token
+    counts, mean quality score, and the verbatim-duplicate share
+    (1 − distinct digests / docs).  Mean quality goes through the
+    integer-staging trick (score is already rounded to 4 decimals, so
+    ×10⁴ is exact) — partition-order float drift can't surface.  One
+    scan + one bounded groupBy on the low-cardinality source key."""
+    docs = read_table(spark, sf_dir, "documents")
+    from prod2vec_spark.operators.dedup import text_digest
+
+    staged = docs.select(
+        "source",
+        F.size(TX.tokens(F.col("text"))).alias("_nt"),
+        (TX.quality_score(F.col("text")) * 10000).cast("long").alias("_q4"),
+        text_digest(F.col("text")).alias("_h"),
+    )
+    return staged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_nt").alias("n_tokens"),
+        F.round(F.sum("_q4") / (F.lit(10000.0) * F.count(F.lit(1))), 4).alias(
+            "mean_quality"
+        ),
+        F.countDistinct("_h").alias("n_distinct_docs"),
+        F.round(
+            F.lit(1.0) - F.countDistinct("_h") / F.count(F.lit(1)), 4
+        ).alias("dup_frac"),
+    )
+
+
+def _sql_source_profile() -> str:
+    from prod2vec_spark.queries_ext import _TOKS
+
+    # quality_score formula inlined from _sql_text_profile's convention
+    q = """round((least(1.0, CAST(len(toks) AS DOUBLE) / 20.0)
+         + greatest(0.0, 1.0 - 4.0 * round(CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / length(text), 4))
+         + round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4)) / 3.0, 4)"""
+    return f"""
+WITH t AS (SELECT source, text, {_TOKS} AS toks FROM documents),
+s AS (SELECT source,
+        CAST(len(toks) AS INT) AS nt,
+        CAST({q} * 10000 AS BIGINT) AS q4,
+        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+      FROM t)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS n_tokens,
+       round(CAST(sum(q4) AS DOUBLE) / (10000.0 * count(*)), 4) AS mean_quality,
+       CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_docs,
+       round(1.0 - CAST(count(DISTINCT h) AS DOUBLE) / count(*), 4) AS dup_frac
+FROM s
+GROUP BY source
+"""
+
+
 R6B_QUERIES = {
     "doc_repetition": q_doc_repetition,
     "decontaminate": q_decontaminate,
@@ -553,6 +611,7 @@ R6B_QUERIES = {
     "quantile_sketch": q_quantile_sketch,
     "verbatim_span_pairs": q_verbatim_span_pairs,
     "pack_audit": q_pack_audit,
+    "source_profile": q_source_profile,
 }
 
 R6B_ORACLES = {
@@ -565,4 +624,5 @@ R6B_ORACLES = {
     "quantile_sketch": _sql_quantile_sketch(),
     "verbatim_span_pairs": _sql_verbatim_span_pairs(),
     "pack_audit": _sql_pack_audit(),
+    "source_profile": _sql_source_profile(),
 }
