@@ -259,3 +259,44 @@ def dedup_clusters(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -> Data
         F.col("comp").alias("cluster_id"),
         (F.col("node") == F.col("comp")).cast("int").alias("is_canonical"),
     )
+
+
+def canonical_by_quality(
+    clusters: DataFrame, scored: DataFrame, q_col: str = "q"
+) -> DataFrame:
+    """Quality-aware survivor selection: instead of dedup_clusters'
+    min-id canonical, keep the HIGHEST-quality member of each near-dup
+    cluster (ties broken by doc_id — deterministic, oracle-replayed).
+    This is the selection policy real curation pipelines want: when
+    near-dups differ (truncation, boilerplate variants), the kept copy
+    should be the best one, not the numerically-first one.
+
+    ``clusters`` is dedup_clusters output (doc_id, cluster_id);
+    ``scored`` carries (doc_id, q_col).  Output one row per cluster:
+    (cluster_id, n_members, keep_doc_id, keep_q).
+
+    Scale shape: clusters cover only documents that appeared in a
+    candidate pair — a small fraction of the corpus — so the quality
+    join is keyed by doc_id on that fraction, and the per-cluster
+    argmax is one max_by hash-agg on cluster_id (no window, no sort).
+    """
+    joined = clusters.join(
+        scored.select(F.col("doc_id"), F.col(q_col).alias("_q")), "doc_id"
+    )
+    # max_by with a struct key: (q, -doc_id) lexicographic max = best
+    # quality, lowest doc_id on ties
+    return (
+        joined.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(
+                F.struct(F.col("_q"), (-F.col("doc_id")).alias("_nid"))
+            ).alias("_best"),
+        )
+        .select(
+            "cluster_id",
+            "n_members",
+            (-F.col("_best._nid")).alias("keep_doc_id"),
+            F.col("_best._q").alias("keep_q"),
+        )
+    )

@@ -1,0 +1,131 @@
+"""Cross-document segment-level dedup (CCNet-style line dedup,
+Wenzek et al. 2020 §3.1) — remove boilerplate spans that repeat
+across many documents while keeping each document's unique content
+(ENGINE scope; reference anchor: the corpus-prep role of
+utils/prep_utils.py, which has no cross-document text hygiene).
+
+Real web corpora segment on newlines; the synthetic documents table
+has none, so the segment unit here is a fixed-width NON-OVERLAPPING
+token window (``width`` tokens, last window ragged).  The dataflow is
+the CCNet shape regardless of the segmenter:
+
+1. explode each document into (doc_id, pos, segment-hash) — hashes
+   (md5, 32 bytes) travel through the shuffle, never the raw span;
+2. one hash-agg shuffle counts DISTINCT documents per segment hash;
+3. segments present in ``min_docs``-or-more documents form the
+   boilerplate set, anti-joined against the exploded table;
+4. one reassembly shuffle per doc_id rebuilds the surviving text in
+   position order (sort_array over collected (pos, seg) structs —
+   deterministic, no depends-on-collection-order aggregate).
+
+Scale shape at 100 TB: the two shuffles move (doc_id, pos, 32-byte
+hash [+ segment text only on the reassembly path]) — the count
+shuffle is pure hashes.  The boilerplate set is the ≥min_docs tail of
+the segment-frequency distribution, typically orders of magnitude
+smaller than the distinct-segment universe, so the anti join is
+broadcastable in practice; ``broadcast_boiler`` hints it (default
+True).  Set False for corpora where the repeated-segment set itself
+is huge (then Spark plans a shuffle hash join on the same 32-byte
+key).  Documents whose every segment is boilerplate survive with
+empty text (left join back to the corpus) — dropping them outright is
+the caller's policy, not the operator's.
+
+DuckDB oracle (queries_r7.py): identical windows via list_slice over
+range(), count(DISTINCT doc_id), string_agg(... ORDER BY pos).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from prod2vec_spark.operators.text import tokens
+
+
+def token_segments(toks: Column, width: int) -> Column:
+    """Array of space-joined non-overlapping ``width``-token windows;
+    the final window keeps the ragged tail.  Empty array for an empty
+    token array (guarded: sequence(0, -1) would count DOWN).
+
+    Oracle: list_transform(range(0, ceil(len(toks)/width)),
+    i -> array_to_string(list_slice(toks, i*width+1, i*width+width), ' ')).
+    """
+    if width < 1:
+        raise ValueError(f"token_segments: width must be >= 1, got {width}")
+    n_wins = F.ceil(F.size(toks) / F.lit(float(width))).cast("int")
+    return F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_wins - F.lit(1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * width + 1, width)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def exploded_segments(
+    docs: DataFrame, width: int, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, pos, seg, seg_h): one row per segment window.  The
+    token array is staged as a real column before the HOF consumes it
+    (HOF-CSE rule, operators/repetition.py docstring)."""
+    return (
+        docs.withColumn("_toks", tokens(F.col(text_col)))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(token_segments(F.col("_toks"), width)).alias("pos", "seg"),
+        )
+        .withColumn("seg_h", F.md5(F.col("seg")))
+    )
+
+
+def boilerplate_segments(segs: DataFrame, min_docs: int) -> DataFrame:
+    """Segment hashes appearing in >= min_docs DISTINCT documents.
+    One hash-agg shuffle on the 32-byte hash; raw text never moves."""
+    return (
+        segs.groupBy("seg_h")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("seg_h", "n_docs")
+    )
+
+
+def segment_dedup(
+    docs: DataFrame,
+    width: int = 10,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_boiler: bool = True,
+) -> DataFrame:
+    """CCNet segment dedup: per-document survival report
+    (doc_id, n_segs, n_dropped, kept_text).  kept_text is the
+    position-ordered join of surviving segments ('' when every
+    segment was boilerplate — the doc row survives via the left join
+    back to the corpus, policy stays with the caller)."""
+    segs = exploded_segments(docs, width, text_col=text_col, id_col=id_col)
+    boiler = boilerplate_segments(segs, min_docs).select("seg_h")
+    if broadcast_boiler:
+        boiler = F.broadcast(boiler)
+    kept = segs.join(boiler, "seg_h", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda s: s.seg,
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+    totals = segs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_segs"))
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_segs",
+            (F.col("n_segs") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+                "n_dropped"
+            ),
+            F.coalesce(F.col("kept_text"), F.lit("")).alias("kept_text"),
+        )
+    )

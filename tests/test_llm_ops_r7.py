@@ -1,0 +1,242 @@
+"""Behavioral tests for the round-7 operator families (segment dedup,
+bigram-LM perplexity, BM25 retrieval, quality-canonical survivor) —
+the oracle-parity gate (test_oracle_parity.py) covers value equality;
+these assert the operator SEMANTICS on constructed inputs."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+# ------------------------------------------------------ segment dedup
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_segments_windows(spark):
+    from prod2vec_spark.operators.linedup import token_segments
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x"), (3, "")], "id long, text string"
+    )
+    out = df.select(
+        token_segments(F.split(F.trim("text"), r"\s+"), 2).alias("segs")
+    ).collect()
+    assert out[0]["segs"] == ["a b", "c d", "e"]  # ragged tail kept
+    assert out[1]["segs"] == ["x"]
+    # split('') yields [''] — one empty token, one window; the operator
+    # guards only the genuinely-empty array case
+    assert out[2]["segs"] == [""]
+
+
+def test_token_segments_rejects_bad_width():
+    from prod2vec_spark.operators.linedup import token_segments
+
+    with pytest.raises(ValueError):
+        token_segments(F.col("x"), 0)
+
+
+def test_segment_dedup_drops_shared_keeps_unique(spark):
+    from prod2vec_spark.operators.linedup import segment_dedup
+
+    boiler = "p q r"  # 3-token window shared by all docs
+    docs = _docs(
+        spark,
+        [
+            (1, f"{boiler} a b c"),
+            (2, f"{boiler} d e f"),
+            (3, f"{boiler} g h i"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in segment_dedup(docs, width=3, min_docs=2).collect()
+    }
+    for d in (1, 2, 3):
+        assert out[d]["n_segs"] == 2
+        assert out[d]["n_dropped"] == 1
+    assert out[1]["kept_text"] == "a b c"
+    assert out[2]["kept_text"] == "d e f"
+
+
+def test_segment_dedup_fully_boilerplate_doc_survives_empty(spark):
+    from prod2vec_spark.operators.linedup import segment_dedup
+
+    docs = _docs(spark, [(1, "p q r"), (2, "p q r"), (3, "u v w")])
+    out = {
+        r["doc_id"]: r
+        for r in segment_dedup(docs, width=3, min_docs=2).collect()
+    }
+    # docs 1/2 are 100% boilerplate: present, empty text — the drop
+    # decision stays with the caller
+    assert out[1]["kept_text"] == "" and out[1]["n_dropped"] == 1
+    assert out[3]["kept_text"] == "u v w" and out[3]["n_dropped"] == 0
+
+
+def test_segment_dedup_order_preserved(spark):
+    from prod2vec_spark.operators.linedup import segment_dedup
+
+    # two shared windows interleaved with unique ones: reassembly must
+    # keep original position order, not collection order
+    docs = _docs(
+        spark,
+        [
+            (1, "s1 s1 a a s2 s2 b b"),
+            (2, "s1 s1 c c s2 s2 d d"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r["kept_text"]
+        for r in segment_dedup(docs, width=2, min_docs=2).collect()
+    }
+    assert out[1] == "a a b b"
+    assert out[2] == "c c d d"
+
+
+# --------------------------------------------------- LM perplexity
+def test_lm_corpus_scoring_finite_and_split_real(spark):
+    from prod2vec_spark.operators.lm import lm_perplexity
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    rows = lm_perplexity(docs).collect()
+    held = [r for r in rows if r["is_train"] == 0]
+    assert held, "split should leave held-out docs at sf0.001"
+    # NOTE: the ~40-word synthetic vocab means every bigram is seen in
+    # train, so n_backoff is 0 corpus-wide here; the backoff leg is
+    # exercised by the constructed-membership test below
+    for r in rows:
+        assert r["n_pairs"] >= 1
+        assert r["ppl"] >= 1.0  # exp of a mean of -ln(p<=1) >= 1
+        assert r["avg_nll"] is not None and math.isfinite(r["avg_nll"])
+        assert r["n_backoff"] <= r["n_pairs"]
+
+
+def test_lm_backoff_leg_exact_floor(spark):
+    from prod2vec_spark.operators.lm import lm_perplexity
+
+    tagged = spark.createDataFrame(
+        [(1, "a b a b", True), (2, "b b zz", False)],
+        "doc_id long, text string, is_train boolean",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in lm_perplexity(tagged, tagged=tagged).collect()
+    }
+    # train: c2(a,b)=2, c2(b,a)=1; c1(a)=2, c1(b)=2; T=4, V=2
+    # doc 2 pairs (b,b) and (b,zz) are both unseen → pure backoff:
+    #   p(b)  = 0.4 * (2+1)/(4+2) = 0.2      (seen unigram)
+    #   p(zz) = 0.4 * (0+1)/(4+2) = 0.0667   (unseen unigram floor)
+    r2 = out[2]
+    assert r2["is_train"] == 0
+    assert r2["n_backoff"] == r2["n_pairs"] == 2
+    expect = round(-(math.log(0.2) + math.log(0.4 / 6)) / 2, 4)
+    assert r2["avg_nll"] == expect
+    assert out[1]["n_backoff"] == 0
+
+
+def test_lm_known_tiny_model(spark):
+    from prod2vec_spark.operators.lm import lm_perplexity
+
+    # force both docs into train via train_frac=1.0: model is exact
+    docs = _docs(spark, [(1, "a b a b"), (2, "a b")])
+    out = {
+        r["doc_id"]: r
+        for r in lm_perplexity(docs, train_frac=1.0).collect()
+    }
+    # train counts: c2(a,b)=3, c2(b,a)=1, c1(a)=3, c1(b)=3
+    # doc 2: single pair (a,b): p = 3/3 = 1 → nll 0, ppl 1
+    assert out[2]["avg_nll"] == 0.0 and out[2]["ppl"] == 1.0
+    # doc 1: pairs (a,b),(b,a),(a,b): nll = -(ln1+ln(1/3)+ln1)/3
+    expect = round(-(math.log(1.0) + math.log(1 / 3) + math.log(1.0)) / 3, 4)
+    assert out[1]["avg_nll"] == expect
+    assert out[1]["n_backoff"] == 0
+
+
+def test_lm_unseen_unigram_floor_positive(spark):
+    from prod2vec_spark.operators.lm import lm_perplexity
+
+    # doc 20 is scored against a model trained only on doc-split
+    # members; with train_frac tuned so doc 20 is held out and its
+    # tokens never seen, every pair takes the smoothed backoff floor
+    docs = _docs(spark, [(1, "a b a b a b"), (20, "zz yy zz yy")])
+    # hash_unit('lm|20') happens < 0.8? — pin the split by seed choice:
+    # use a seed that puts 20 held out; assert on whichever doc is held
+    for seed in ("lm", "lm2", "s3"):
+        rows = lm_perplexity(docs, train_frac=0.5, seed=seed).collect()
+        held = [r for r in rows if r["is_train"] == 0]
+        if held:
+            for r in held:
+                assert r["avg_nll"] > 0  # floor never yields log(0)
+            return
+    pytest.skip("no held-out doc under any tried seed (unlikely)")
+
+
+# ------------------------------------------------------------- BM25
+def test_bm25_hand_computed_score(spark):
+    from prod2vec_spark.operators.bm25 import bm25_topk
+
+    docs = _docs(spark, [(1, "x x y"), (2, "y z"), (3, "z z z")])
+    out = bm25_topk(docs, [("q1", ["x"])], k=5).collect()
+    # only doc 1 contains x: N=3, df=1, tf=2, dl=3, avgdl=8/3
+    idf = math.log(1 + (3 - 1 + 0.5) / (1 + 0.5))
+    s = idf * 2 * 2.2 / (2 + 1.2 * (1 - 0.75 + 0.75 * 3 / (8 / 3)))
+    assert len(out) == 1
+    assert out[0]["doc_id"] == 1 and out[0]["rank"] == 1
+    assert out[0]["score"] == round(s, 4)
+
+
+def test_bm25_rank_deterministic_and_capped(spark):
+    from prod2vec_spark.operators.bm25 import bm25_topk
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    out = bm25_topk(
+        docs, [("q1", ["table", "spark"]), ("q2", ["scan"])], k=3
+    ).collect()
+    by_q: dict[str, list] = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= 3
+        scores = [r["score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_multi_term_sums_per_doc(spark):
+    from prod2vec_spark.operators.bm25 import bm25_topk
+
+    docs = _docs(spark, [(1, "x y"), (2, "x q"), (3, "y q")])
+    both = {r["doc_id"]: r["score"] for r in bm25_topk(docs, [("q", ["x", "y"])], k=5).collect()}
+    only_x = {r["doc_id"]: r["score"] for r in bm25_topk(docs, [("q", ["x"])], k=5).collect()}
+    only_y = {r["doc_id"]: r["score"] for r in bm25_topk(docs, [("q", ["y"])], k=5).collect()}
+    # doc 1 matches both terms: its two-term score is the sum (mod
+    # rounding) of the single-term scores
+    assert abs(both[1] - (only_x[1] + only_y[1])) <= 2e-4
+    # docs 2/3 match one term each — identical to the single-term runs
+    assert both[2] == only_x[2]
+    assert both[3] == only_y[3]
+
+
+# --------------------------------------- quality-canonical survivor
+def test_canonical_by_quality_picks_max_quality(spark):
+    from prod2vec_spark.operators.graph import canonical_by_quality
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (9, 7)],
+        "doc_id long, cluster_id long",
+    )
+    scored = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.5), (7, 0.4), (9, 0.4)],
+        "doc_id long, q double",
+    )
+    out = {r["cluster_id"]: r for r in canonical_by_quality(clusters, scored).collect()}
+    assert out[1]["keep_doc_id"] == 2 and out[1]["keep_q"] == 0.9
+    assert out[1]["n_members"] == 3
+    # tie on q → lowest doc_id wins (deterministic)
+    assert out[7]["keep_doc_id"] == 7
