@@ -4,20 +4,25 @@ embedding ANN plane (operators/simsearch.py): decontamination
 triage, corpus exploration, targeted subset pulls (ENGINE scope; the
 reference has no retrieval surface).
 
-Index build = one explode + one hash-agg shuffle producing the
-classic postings table (term, doc_id, tf); document length and the
-(N, avgdl) scalar derive from the SAME postings frame (dl = sum of a
-doc's tfs), so the corpus text is scanned exactly once.
+Two execution paths, both one-corpus-scan:
 
-Query = the inverted-index probe, never a corpus scan: the query-term
-frame is tiny and BROADCAST-semi-joined into the postings, so only
-postings of matching terms leave the scan.  df for those terms is
-computed on the pruned postings (small → broadcast back), dl joins on
-doc_id for candidate docs only, (N, avgdl) rides a 1-row broadcast
-cross join, and the final per-(query, doc) score is one hash-agg on
-candidates + a per-query top-k window.  At 100 TB the only large
-shuffle is the index build itself; a persisted index (bucketed by
-term, sources/io.py write_bucketed) amortizes it across queries.
+* **Ad-hoc** (no prebuilt index): the exploded (doc_id, term) stream
+  is filtered by the BROADCAST query-term set BEFORE any aggregation,
+  so the only postings that ever reach a shuffle are the matching
+  ones — the corpus-wide (term, doc_id) hash-agg never happens.
+  Document length is row-local (size of the token array — no
+  sum-of-tf reconstruction), and (N, avgdl) is a 1-row aggregate
+  over that slim projection.
+* **Indexed** (``post`` passed): a persisted postings table (bucketed
+  by term, sources/io.py write_bucketed) is probed with the same
+  broadcast join and dl derives from the index (sum of a doc's tfs)
+  — zero corpus scans per query, the standard search-engine shape.
+
+Either way: df for the probed terms comes from a count window OVER
+the pruned hits (rows are (query, term, doc)-unique, so the partition
+count IS the document frequency — no second pass over the hits
+subtree), dl joins candidates on doc_id, and the final per-(query,
+doc) score is one hash-agg + per-query top-k window.
 
 Scoring (Lucene-shaped, idf always positive):
 
@@ -72,22 +77,43 @@ def bm25_topk(
     the retrieval request, not data.  Pass a cached/persisted
     ``post`` postings frame to amortize the index build."""
     spark = SparkSession.getActiveSession() or docs.sparkSession
-    if post is None:
-        post = postings(docs, id_col=id_col, text_col=text_col)
-    dl = doc_lengths(post)
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
     qterms = spark.createDataFrame(
         [(qid, t) for qid, terms in queries for t in set(terms)],
         "query_id string, term string",
     )
-    hits = post.join(F.broadcast(qterms), "term")
-    # df over the PRUNED postings: tiny (≤ #query terms rows) → broadcast
-    df_t = hits.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    if post is not None:
+        dl = doc_lengths(post)
+        hits = post.join(F.broadcast(qterms), "term")
+    else:
+        # dl is row-local (token-array size == sum of tfs) — no
+        # postings reconstruction, one slim scan
+        dl = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(tokens(F.col(text_col))).alias("dl"),
+        ).where(F.col("dl") > 0)
+        # broadcast-filter the exploded term stream BEFORE any
+        # aggregation: only query-term occurrences reach the tf agg
+        hits = (
+            docs.withColumn("_toks", tokens(F.col(text_col)))
+            .select(
+                F.col(id_col).alias("doc_id"), F.explode("_toks").alias("term")
+            )
+            .join(F.broadcast(qterms), "term")
+            .groupBy("query_id", "term", "doc_id")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    # df over the PRUNED hits: rows are (query, term, doc)-unique, so
+    # a per-(query, term) count window IS the document frequency —
+    # hits is computed once, not re-derived for a separate df agg
+    hits = hits.withColumn(
+        "df",
+        F.count(F.lit(1)).over(Window.partitionBy("query_id", "term")),
+    )
     scored = (
-        hits.join(F.broadcast(df_t), "term")
-        .join(dl, "doc_id")
+        hits.join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select(
             "query_id",

@@ -117,7 +117,14 @@ def segment_dedup(
             " ",
         ).alias("kept_text"),
     )
-    totals = segs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_segs"))
+    # per-doc window total is row-local arithmetic (ceil(n_toks/width))
+    # — one slim scan, not a third explode + shuffle
+    totals = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.ceil(F.size(tokens(F.col(text_col))) / F.lit(float(width)))
+        .cast("long")
+        .alias("n_segs"),
+    ).where(F.col("n_segs") > 0)
     return (
         totals.join(rebuilt, "doc_id", "left")
         .select(

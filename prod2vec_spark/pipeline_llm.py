@@ -6,9 +6,15 @@ counterpart of the Prod2VecPipeline DAG (pipeline.py).
 Stage graph (the canonical web-corpus curation shape, round-6
 extension adds the four starred stages):
 
-    gates → pii_scrub* → exact_dedup → quality_filter(+repetition*)
+    gates → pii_scrub* → exact_dedup [→ segment_dedup°]
+          → quality_filter(+repetition*) [→ lm_gate°]
           → near_dedup [→ semantic_dedup*] → decontaminate* → chunk*
           → stats
+
+(° = optional round-7 stages: CCNet segment dedup before quality
+scoring so quality judges boilerplate-free text; bigram-LM perplexity
+gate after it; plus the canonical_policy="quality" near-dup survivor
+option — keep each cluster's best-quality member.)
 
 Every stage hand-off is a parquet checkpoint under ``work_dir`` so a
 failed 100 TB run resumes at the last stage, and each stage reuses the
@@ -84,6 +90,23 @@ class CorpusConfig:
     semantic_dedup: bool = False
     semantic_clusters: int = 8
     semantic_threshold: float = 0.4
+    # optional round-7 stages, all off by default:
+    # segment (line) dedup between exact dedup and quality scoring —
+    # CCNet order: quality is judged on boilerplate-free text.  Docs
+    # that lose more than seg_max_dropped_frac of their windows drop
+    # entirely (mostly-boilerplate pages).
+    segment_dedup: bool = False
+    seg_width: int = 10
+    seg_min_docs: int = 2
+    seg_max_dropped_frac: float = 0.5
+    # bigram-LM perplexity gate after the quality filter: drop the
+    # highest-ppl tail (lm_drop_pct) — the KenLM-style fluency screen.
+    lm_gate: bool = False
+    lm_drop_pct: float = 0.1
+    lm_train_frac: float = 0.8
+    # near-dup survivor policy: "min_id" (dedup_clusters default) or
+    # "quality" (keep each cluster's best-quality member)
+    canonical_policy: str = "min_id"
 
 
 class CorpusCurationPipeline:
@@ -122,6 +145,28 @@ class CorpusCurationPipeline:
         write_parquet(out, f"{self.cfg.work_dir}/exact_deduped")
         return self.spark.read.parquet(f"{self.cfg.work_dir}/exact_deduped")
 
+    # -- stage 1.5: segment (line) dedup (optional) --------------------
+    def segment_dedup(self, docs: DataFrame) -> DataFrame:
+        """CCNet-style boilerplate removal: windows repeated across
+        >= seg_min_docs documents are cut from every doc; docs that
+        were mostly boilerplate (> seg_max_dropped_frac of windows
+        dropped) leave the corpus.  Surviving docs carry the cleaned
+        text forward so quality/LM scoring judges real content."""
+        from prod2vec_spark.operators.linedup import segment_dedup
+
+        rep = segment_dedup(
+            docs, width=self.cfg.seg_width, min_docs=self.cfg.seg_min_docs
+        )
+        kept = rep.where(
+            (F.col("n_dropped") / F.col("n_segs"))
+            <= F.lit(self.cfg.seg_max_dropped_frac)
+        ).select("doc_id", F.col("kept_text").alias("text"))
+        # re-attach metadata columns by doc_id; text is replaced by
+        # the reassembled segment-deduped version
+        out = docs.drop("text").join(kept, "doc_id")
+        write_parquet(out, f"{self.cfg.work_dir}/segment_deduped")
+        return self.spark.read.parquet(f"{self.cfg.work_dir}/segment_deduped")
+
     # -- stage 2: quality filter ---------------------------------------
     def quality_filter(self, docs: DataFrame) -> DataFrame:
         if self.cfg.repetition_gate:
@@ -152,16 +197,61 @@ class CorpusCurationPipeline:
         write_parquet(kept, f"{self.cfg.work_dir}/quality_kept")
         return self.spark.read.parquet(f"{self.cfg.work_dir}/quality_kept")
 
+    # -- stage 2.5: LM perplexity gate (optional) ----------------------
+    def lm_gate(self, docs: DataFrame) -> DataFrame:
+        """Drop the highest-perplexity tail under a self-trained
+        bigram LM (operators/lm.py) — the KenLM-style fluency screen.
+        The cut threshold is the (1 - lm_drop_pct) ppl percentile, a
+        1-row aggregate broadcast back (same shape as the quality
+        percentile — never a corpus-wide window)."""
+        from prod2vec_spark.operators.lm import lm_perplexity
+
+        rep = lm_perplexity(docs, train_frac=self.cfg.lm_train_frac)
+        thr = rep.agg(
+            F.percentile("ppl", F.lit(1.0 - self.cfg.lm_drop_pct)).alias(
+                "ppl_thr"
+            )
+        )
+        keep = (
+            rep.crossJoin(F.broadcast(thr))
+            .where(F.col("ppl") <= F.col("ppl_thr"))
+            .select("doc_id")
+        )
+        out = docs.join(keep, "doc_id", "left_semi")
+        write_parquet(out, f"{self.cfg.work_dir}/lm_kept")
+        return self.spark.read.parquet(f"{self.cfg.work_dir}/lm_kept")
+
     # -- stage 3: near dedup -------------------------------------------
     def near_dedup(self, docs: DataFrame) -> DataFrame:
-        from prod2vec_spark.operators.graph import dedup_clusters
+        from prod2vec_spark.operators.graph import (
+            canonical_by_quality,
+            dedup_clusters,
+        )
 
         pairs = DD.lsh_candidate_pairs(
             DD.minhash_bands(docs, shingle_k=self.cfg.shingle_k),
             max_group=self.cfg.lsh_max_group,
         )
         clusters = dedup_clusters(pairs)
-        drop = clusters.where(F.col("is_canonical") == 0).select("doc_id")
+        if self.cfg.canonical_policy == "quality":
+            # survivor = each cluster's best-quality member, not its
+            # min id: join the winners back and drop everyone else
+            scored = docs.select(
+                "doc_id", TX.quality_score(F.col("text")).alias("q")
+            )
+            winners = canonical_by_quality(clusters, scored).select(
+                F.col("keep_doc_id").alias("doc_id")
+            )
+            drop = clusters.select("doc_id").join(
+                F.broadcast(winners), "doc_id", "left_anti"
+            )
+        elif self.cfg.canonical_policy == "min_id":
+            drop = clusters.where(F.col("is_canonical") == 0).select("doc_id")
+        else:
+            raise ValueError(
+                f"canonical_policy must be 'min_id' or 'quality', "
+                f"got {self.cfg.canonical_policy!r}"
+            )
         # the drop set is the non-canonical fraction — broadcast it so
         # the corpus-side anti join never shuffles
         out = docs.join(F.broadcast(drop), "doc_id", "left_anti")
@@ -276,7 +366,11 @@ class CorpusCurationPipeline:
         n_input = docs.count()
         exact = self.exact_dedup()
         n_exact = exact.count()
+        if self.cfg.segment_dedup:
+            exact = self.segment_dedup(exact)
         quality = self.quality_filter(exact)
+        if self.cfg.lm_gate:
+            quality = self.lm_gate(quality)
         n_quality = quality.count()
         deduped = self.near_dedup(quality)
         if self.cfg.semantic_dedup:

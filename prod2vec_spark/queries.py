@@ -565,6 +565,17 @@ ALL_ORACLES["dq_suite"] = _sql_dq_suite()  # composed after SQL_DQ_* exist
 # oracle-certified by the pytest gate; catalog entry would double-run
 # a ~30 s macro inside the per-query bench loop.
 CATALOG: list[str] = [
+    # round-7 new (corpus-hygiene + retrieval planes); four entries
+    # whose operator family keeps a catalog sibling retire to the
+    # pytest superset gate with no loss of oracle coverage:
+    #   running_revenue → window_rank/events_windows (window plane),
+    #   semi_parts → revenue_topk/asof_latest_event/range_join_bands
+    #     (join plane) + setops_parts (set semantics),
+    #   tfidf_terms → bm25_topk (computes df + idf + tf scoring — the
+    #     strict superset of the TF-IDF table),
+    #   validation_sample → weighted_sample/skipgram_subsampled
+    #     (seeded-sampling plane).
+    "segment_dedup_stats", "lm_perplexity", "bm25_topk", "canonical_pick",
     # round-6 new (wave 3: sketch + substring-dedup planes; retired
     # ngram_jaccard → minhash_jaccard_audit computes the exact n-gram
     # Jaccard internally + verbatim_span_pairs keeps the n-gram plane;
@@ -584,16 +595,16 @@ CATALOG: list[str] = [
     # relational / grouping-sets / window plane
     "pricing_summary", "baskets", "vocab", "index_items", "oov_miss_count",
     "skipgram_stats", "negative_sampling_stats", "window_rank",
-    "pivot_status", "cube_pricing", "order_percentiles", "running_revenue",
+    "pivot_status", "cube_pricing", "order_percentiles",
     # joins
-    "semi_parts", "revenue_topk",
+    "revenue_topk",
     "asof_latest_event", "range_join_bands",
     # seeded randomness / sampling
-    "skipgram_subsampled", "validation_sample",
+    "skipgram_subsampled",
     "string_agg_names",
     # LLM pipeline: dedup / text / similarity
     "dedup_exact", "lsh_candidates",
-    "dedup_clusters", "tfidf_terms", "quality_filter", "embedding_neardup",
+    "dedup_clusters", "quality_filter", "embedding_neardup",
     "ann_ivf_topk",
     # events
     "events_json", "sessionize",

@@ -240,3 +240,34 @@ def test_canonical_by_quality_picks_max_quality(spark):
     assert out[1]["n_members"] == 3
     # tie on q → lowest doc_id wins (deterministic)
     assert out[7]["keep_doc_id"] == 7
+
+
+def test_bm25_indexed_path_matches_adhoc(spark):
+    """The persisted-index path (postings bucketed by term,
+    sources/io.write_bucketed) returns exactly the ad-hoc one-scan
+    path's results — the amortized 100 TB query shape is
+    value-identical, not just approximately right."""
+    from prod2vec_spark.operators.bm25 import bm25_topk, postings
+    from prod2vec_spark.sources.io import write_bucketed
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    queries = [("q1", ["table", "spark"]), ("q2", ["scan", "slow"])]
+    adhoc = sorted(
+        map(tuple, bm25_topk(docs, queries, k=7).collect())
+    )
+    write_bucketed(
+        postings(docs), "bm25_postings_t", "term", n_buckets=4,
+        sort_col="term",
+    )
+    try:
+        indexed = sorted(
+            map(
+                tuple,
+                bm25_topk(
+                    docs, queries, k=7, post=spark.table("bm25_postings_t")
+                ).collect(),
+            )
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bm25_postings_t")
+    assert adhoc == indexed

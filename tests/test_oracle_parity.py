@@ -60,6 +60,9 @@ def test_rows_only_queries_nonempty(spark, name):
         "doc_chunks",               # stride sequence + modular rolling hash
         "quantile_sketch",          # interpolated quantiles + DKW arithmetic
         "verbatim_span_pairs",      # conv() gram hashes + window min folds
+        "segment_dedup_stats",      # ceil-division windowing + md5 digests
+        "lm_perplexity",            # md5-uniform split + ln/exp + divisions
+        "bm25_topk",                # ln idf + saturation-division scoring
     ],
 )
 def test_catalog_survives_ansi_mode(spark, name):

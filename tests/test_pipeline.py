@@ -388,3 +388,122 @@ def test_corpus_pipeline_semantic_dedup_stage(spark, tmp_path):
     }
     assert not (survivors & dropped_ids)
     assert len(survivors) > 0
+
+
+def test_corpus_pipeline_segment_and_lm_stages(spark, tmp_path):
+    """segment_dedup + lm_gate composed into the DAG: counts stay
+    monotone; no surviving doc keeps a boilerplate window; the ppl
+    gate's threshold really cut the tail.  (canonical_policy is
+    exercised separately: segment dedup removes exactly the shared
+    spans that make LSH clusters, so these stages are disjoint.)"""
+    from pyspark.sql import functions as F
+
+    from prod2vec_spark.operators.linedup import exploded_segments
+    from prod2vec_spark.pipeline_llm import CorpusConfig, CorpusCurationPipeline
+    from tests.conftest import SF_SMOKE
+
+    cfg = CorpusConfig(
+        sf_dir=SF_SMOKE,
+        work_dir=str(tmp_path / "corpus_r7"),
+        segment_dedup=True,
+        lm_gate=True,
+    )
+    report = CorpusCurationPipeline(spark, cfg).run()
+    by_stage = {r["stage"]: r["n"] for r in report.collect()}
+    assert (
+        by_stage["input"]
+        >= by_stage["after_exact_dedup"]
+        >= by_stage["after_quality_filter"]
+        >= by_stage["after_near_dedup"]
+        >= by_stage["final"]
+        > 0
+    )
+
+    # segment stage: its output carries no window that the stage's own
+    # input repeated across >= seg_min_docs docs (recompute over the
+    # stage input, assert none survive in the stage output)
+    seg_in = spark.read.parquet(f"{cfg.work_dir}/exact_deduped")
+    seg_out = spark.read.parquet(f"{cfg.work_dir}/segment_deduped")
+    boiler = {
+        r["seg"]
+        for r in exploded_segments(seg_in, cfg.seg_width)
+        .groupBy("seg")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= cfg.seg_min_docs)
+        .collect()
+    }
+    out_segs = {
+        r["seg"] for r in exploded_segments(seg_out, cfg.seg_width).collect()
+    }
+    leaked = boiler & out_segs
+    assert not leaked, f"boilerplate windows survived: {sorted(leaked)[:3]}"
+
+    # lm gate: kept docs all scored at/below the recorded threshold
+    from prod2vec_spark.operators.lm import lm_perplexity
+
+    quality_kept = spark.read.parquet(f"{cfg.work_dir}/quality_kept")
+    rep = lm_perplexity(quality_kept, train_frac=cfg.lm_train_frac)
+    thr = rep.agg(
+        F.percentile("ppl", F.lit(1.0 - cfg.lm_drop_pct))
+    ).first()[0]
+    lm_kept = spark.read.parquet(f"{cfg.work_dir}/lm_kept")
+    over = (
+        rep.join(lm_kept.select("doc_id"), "doc_id", "left_semi")
+        .where(F.col("ppl") > thr)
+        .count()
+    )
+    assert over == 0
+    assert lm_kept.count() < quality_kept.count()  # the tail really cut
+
+
+def test_corpus_pipeline_quality_canonical_policy(spark, tmp_path):
+    """canonical_policy='quality': every near-dup cluster's surviving
+    member is its max-quality one (ties -> min doc_id), verified
+    against the pipeline's own cluster checkpoint."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from prod2vec_spark.operators import text as TX
+    from prod2vec_spark.pipeline_llm import CorpusConfig, CorpusCurationPipeline
+    from tests.conftest import SF_SMOKE
+
+    cfg = CorpusConfig(
+        sf_dir=SF_SMOKE,
+        work_dir=str(tmp_path / "corpus_cq"),
+        canonical_policy="quality",
+    )
+    report = CorpusCurationPipeline(spark, cfg).run()
+    by_stage = {r["stage"]: r["n"] for r in report.collect()}
+    assert by_stage["final"] > 0
+
+    clusters = spark.read.parquet(f"{cfg.work_dir}/near_dup_clusters")
+    quality_kept = spark.read.parquet(f"{cfg.work_dir}/quality_kept")
+    scored = quality_kept.select(
+        "doc_id", TX.quality_score(F.col("text")).alias("q")
+    )
+    curated_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{cfg.work_dir}/curated")
+        .select("doc_id")
+        .collect()
+    }
+    rows = clusters.join(scored, "doc_id").collect()
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    checked = 0
+    for cid, members in by_cluster.items():
+        best = sorted(members, key=lambda r: (-r["q"], r["doc_id"]))[0]
+        survivors = [r["doc_id"] for r in members if r["doc_id"] in curated_ids]
+        assert survivors == [best["doc_id"]], f"cluster {cid}"
+        checked += 1
+    assert checked > 0, "no cluster reached the survivor check"
+
+    # invalid policy fails loudly, not silently as min_id
+    bad = CorpusConfig(
+        sf_dir=SF_SMOKE,
+        work_dir=str(tmp_path / "corpus_bad"),
+        canonical_policy="best",
+    )
+    with pytest.raises(ValueError, match="canonical_policy"):
+        CorpusCurationPipeline(spark, bad).near_dedup(quality_kept)

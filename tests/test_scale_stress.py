@@ -129,3 +129,59 @@ def test_curation_stress_stats_frame(spark):
     assert row["n_clusters"] > 0
     assert row["cc_rounds"] <= 4
     assert row["n_clustered_docs"] >= row["n_clusters"]
+
+
+def test_segment_dedup_holds_on_10x_corpus(spark, amplified):
+    """CCNet segment dedup at 10x amplification: after the pass, NO
+    boilerplate window survives — checked against ground truth by
+    re-exploding the OUTPUT.  (Every window except the ragged tail is
+    exactly ``width`` tokens, so dropping any subset and concatenating
+    keeps the survivors aligned at width boundaries: the output
+    explode reproduces exactly the surviving input windows.)"""
+    from prod2vec_spark.operators.linedup import (
+        exploded_segments,
+        segment_dedup,
+    )
+
+    width, min_docs = 10, 2
+    out = segment_dedup(amplified, width=width, min_docs=min_docs)
+    # ground truth: input windows and their doc counts
+    in_segs = exploded_segments(amplified, width)
+    boiler = (
+        in_segs.groupBy("seg_h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+    )
+    out_segs = exploded_segments(
+        out.where(F.col("kept_text") != ""), width, text_col="kept_text"
+    )
+    leaked = out_segs.join(boiler.select("seg_h"), "seg_h").count()
+    assert leaked == 0, f"{leaked} boilerplate windows survived at 10x"
+    # replicas exist at 10x → a substantial drop really happened
+    agg = out.agg(
+        F.sum("n_dropped").alias("d"), F.sum("n_segs").alias("t")
+    ).first()
+    assert agg["d"] > 0 and agg["d"] < agg["t"]
+
+
+def test_lm_scoring_holds_on_10x_corpus(spark, amplified):
+    """Bigram-LM scoring at 10x: every doc scores finite, the train
+    split is non-degenerate, and replicas of the same text get the
+    SAME score when they land on the same side of the split (the
+    model is content-deterministic, not row-deterministic)."""
+    from prod2vec_spark.operators.lm import lm_perplexity
+
+    rep = lm_perplexity(amplified).localCheckpoint()
+    n = rep.count()
+    assert n > 0
+    assert rep.where(F.col("ppl").isNull() | F.isnan("ppl")).count() == 0
+    n_train = rep.where(F.col("is_train") == 1).count()
+    assert 0 < n_train < n
+    # same text + same split side => same (n_pairs, avg_nll)
+    joined = (
+        amplified.select("doc_id", F.md5("text").alias("h"))
+        .join(rep, "doc_id")
+        .groupBy("h", "is_train")
+        .agg(F.count_distinct("avg_nll").alias("k"))
+    )
+    assert joined.where(F.col("k") > 1).count() == 0
