@@ -271,3 +271,193 @@ def test_bm25_indexed_path_matches_adhoc(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS bm25_postings_t")
     assert adhoc == indexed
+
+
+# ------------------------------------------- property tests (hypothesis)
+def test_segment_dedup_matches_python_reference_property(spark):
+    """Property: on random corpora over a tiny vocab (forcing window
+    collisions), segment_dedup agrees EXACTLY with a pure-Python
+    reference of the same spec — windows, distinct-doc counts,
+    drops, and ordered reassembly."""
+    from hypothesis import given, settings, strategies as st
+
+    from prod2vec_spark.operators.linedup import segment_dedup
+
+    W, M = 3, 2
+    word = st.integers(min_value=0, max_value=5).map(lambda i: f"w{i}")
+
+    def ref(docs):
+        wins = {
+            d: [
+                " ".join(toks[i : i + W])
+                for i in range(0, len(toks), W)
+            ]
+            for d, toks in docs.items()
+        }
+        from collections import defaultdict
+
+        docs_per = defaultdict(set)
+        for d, ws in wins.items():
+            for s in ws:
+                docs_per[s].add(d)
+        boiler = {s for s, ds in docs_per.items() if len(ds) >= M}
+        out = {}
+        for d, ws in wins.items():
+            kept = [s for s in ws if s not in boiler]
+            out[d] = (len(ws), len(ws) - len(kept), " ".join(kept))
+        return out
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        toklists=st.lists(
+            st.lists(word, min_size=1, max_size=14), min_size=1, max_size=6
+        )
+    )
+    def check(toklists):
+        docs = {i + 1: t for i, t in enumerate(toklists)}
+        df = spark.createDataFrame(
+            [(d, " ".join(t)) for d, t in docs.items()],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: (r["n_segs"], r["n_dropped"], r["kept_text"])
+            for r in segment_dedup(df, width=W, min_docs=M).collect()
+        }
+        assert got == ref(docs)
+
+    check()
+
+
+def test_lm_perplexity_matches_python_reference_property(spark):
+    """Property: on random corpora with explicit train membership,
+    lm_perplexity agrees with a pure-Python Stupid-Backoff reference
+    (same counts, same smoothed backoff, same 4-digit rounding)."""
+    import math as m
+
+    from hypothesis import given, settings, strategies as st
+
+    from prod2vec_spark.operators.lm import lm_perplexity
+
+    ALPHA = 0.4
+    word = st.integers(min_value=0, max_value=4).map(lambda i: f"w{i}")
+
+    def ref(docs, train_ids):
+        from collections import Counter
+
+        c1, c2 = Counter(), Counter()
+        for d, toks in docs.items():
+            if d in train_ids:
+                c1.update(toks)
+                c2.update(zip(toks, toks[1:]))
+        T, V = sum(c1.values()), len(c1)
+        out = {}
+        for d, toks in docs.items():
+            pairs = list(zip(toks, toks[1:]))
+            if not pairs:
+                continue
+            nlls, nb = [], 0
+            for w1, w2 in pairs:
+                if (w1, w2) in c2:
+                    p = c2[(w1, w2)] / c1[w1]
+                else:
+                    nb += 1
+                    p = ALPHA * (c1.get(w2, 0) + 1) / (T + V)
+                nlls.append(-m.log(p))
+            avg = sum(nlls) / len(nlls)
+            out[d] = (
+                1 if d in train_ids else 0,
+                len(pairs),
+                nb,
+                round(avg, 4),
+                round(m.exp(avg), 4),
+            )
+        return out
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        toklists=st.lists(
+            st.lists(word, min_size=2, max_size=10), min_size=2, max_size=5
+        ),
+        mask=st.lists(st.booleans(), min_size=5, max_size=5),
+    )
+    def check(toklists, mask):
+        docs = {i + 1: t for i, t in enumerate(toklists)}
+        train_ids = {d for d in docs if mask[(d - 1) % len(mask)]}
+        if not train_ids:
+            train_ids = {1}
+        tagged = spark.createDataFrame(
+            [(d, " ".join(t), d in train_ids) for d, t in docs.items()],
+            "doc_id long, text string, is_train boolean",
+        )
+        got = {
+            r["doc_id"]: (
+                r["is_train"], r["n_pairs"], r["n_backoff"],
+                r["avg_nll"], r["ppl"],
+            )
+            for r in lm_perplexity(tagged, tagged=tagged).collect()
+        }
+        assert got == ref(docs, train_ids)
+
+    check()
+
+
+def test_bm25_matches_python_reference_property(spark):
+    """Property: on random corpora and query term sets, bm25_topk's
+    rounded scores and tie-broken ranking agree with a pure-Python
+    BM25 reference."""
+    import math as m
+
+    from hypothesis import given, settings, strategies as st
+
+    from prod2vec_spark.operators.bm25 import B, K1, bm25_topk
+
+    word = st.integers(min_value=0, max_value=6).map(lambda i: f"w{i}")
+
+    def ref(docs, terms, k):
+        from collections import Counter
+
+        dls = {d: len(t) for d, t in docs.items()}
+        n = len(dls)
+        avgdl = sum(dls.values()) / n
+        tfs = {d: Counter(t) for d, t in docs.items()}
+        scores = {}
+        for d, tf in tfs.items():
+            s = 0.0
+            hit = False
+            for t in set(terms):
+                if tf[t] == 0:
+                    continue
+                hit = True
+                df = sum(1 for x in tfs.values() if x[t] > 0)
+                idf = m.log(1 + (n - df + 0.5) / (df + 0.5))
+                s += (
+                    idf * tf[t] * (K1 + 1)
+                    / (tf[t] + K1 * (1 - B + B * dls[d] / avgdl))
+                )
+            if hit:
+                scores[d] = round(s, 4)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        return [
+            (i + 1, d, s) for i, (d, s) in enumerate(ranked)
+        ]
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        toklists=st.lists(
+            st.lists(word, min_size=1, max_size=12), min_size=1, max_size=6
+        ),
+        terms=st.lists(word, min_size=1, max_size=3),
+    )
+    def check(toklists, terms):
+        docs = {i + 1: t for i, t in enumerate(toklists)}
+        df = spark.createDataFrame(
+            [(d, " ".join(t)) for d, t in docs.items()],
+            "doc_id long, text string",
+        )
+        got = sorted(
+            (r["rank"], r["doc_id"], r["score"])
+            for r in bm25_topk(df, [("q", terms)], k=4).collect()
+        )
+        assert got == sorted(ref(docs, terms, 4))
+
+    check()
