@@ -136,3 +136,27 @@ def segment_dedup(
             F.coalesce(F.col("kept_text"), F.lit("")).alias("kept_text"),
         )
     )
+
+
+def doc_distinct_segment_hashes(
+    docs: DataFrame, width: int, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, seg_h): each document's DISTINCT window hashes — the
+    row-local projection the STREAMING boilerplate plane counts with
+    (array_distinct before the explode, so a doc that repeats its own
+    window contributes 1 to the cross-document count, matching the
+    batch operator's count-DISTINCT-docs semantics)."""
+    return (
+        docs.withColumn("_toks", tokens(F.col(text_col)))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        token_segments(F.col("_toks"), width),
+                        lambda s: F.md5(s),
+                    )
+                )
+            ).alias("seg_h"),
+        )
+    )

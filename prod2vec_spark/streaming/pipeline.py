@@ -180,6 +180,21 @@ class StreamCorpusConfig:
     # semantic gap vs batch: a doc's verdict never depends on other
     # docs.  Runs before dedup so looped spam never occupies state.
     repetition_gate: bool = False
+    # streaming boilerplate gate (round-7 twin of the batch segment
+    # dedup): a count-min sketch over per-doc DISTINCT window hashes
+    # is maintained incrementally (operators/sketches.start_cms_stream
+    # — idempotent batch_id partials) over the exact-dedup output, so
+    # each distinct content counts once; at curated() time, docs whose
+    # fraction of ≥seg_min_docs-estimated windows exceeds
+    # seg_max_frac are dropped.  CMS only OVERestimates, so the gate
+    # errs toward dropping (one-sided, like every sketch gate here).
+    # A stream cannot re-edit already-committed text, so the streaming
+    # semantic is drop-the-doc, not rewrite-the-doc (the batch
+    # operator's reassembly remains the lossless variant).
+    segment_gate: bool = False
+    seg_width: int = 10
+    seg_min_docs: int = 2
+    seg_max_frac: float = 0.5
 
     @property
     def exact_dir(self) -> str:
@@ -188,6 +203,10 @@ class StreamCorpusConfig:
     @property
     def decisions_dir(self) -> str:
         return f"{self.work_dir}/neardup_decisions"
+
+    @property
+    def segcms_dir(self) -> str:
+        return f"{self.work_dir}/segment_cms"
 
 
 class StreamingCorpusPipeline:
@@ -281,12 +300,73 @@ class StreamingCorpusPipeline:
         )
         q.awaitTermination()
 
+    def segment_cms_stage(self) -> None:
+        """Maintain the boilerplate-window CMS over the exact-dedup
+        output (so each distinct content contributes once): stream the
+        committed stage-1 parquet, project per-doc DISTINCT window
+        hashes row-locally, land idempotent per-batch sketch partials
+        (operators/sketches.start_cms_stream)."""
+        from prod2vec_spark.operators.linedup import (
+            doc_distinct_segment_hashes,
+        )
+        from prod2vec_spark.operators.sketches import start_cms_stream
+
+        docs = self.spark.readStream.schema(_EXACT_SCHEMA).parquet(
+            self.cfg.exact_dir
+        )
+        segs = doc_distinct_segment_hashes(docs, self.cfg.seg_width)
+        q = start_cms_stream(
+            segs,
+            self.cfg.segcms_dir,
+            f"{self.cfg.work_dir}/ckpt_segcms",
+            col="seg_h",
+        )
+        q.awaitTermination()
+
+    def _segment_gate_drop(self, docs: DataFrame) -> DataFrame:
+        """doc_ids whose fraction of boilerplate-estimated windows
+        exceeds seg_max_frac under the CURRENT committed sketch.  The
+        probe set is the distinct window universe of the gated docs;
+        estimates come from one broadcast join against the bounded
+        (≤ depth × width rows) sketch."""
+        from pyspark.sql import functions as F
+
+        from prod2vec_spark.operators.linedup import (
+            doc_distinct_segment_hashes,
+        )
+        from prod2vec_spark.operators.sketches import cms_estimate, read_cms
+
+        sketch = read_cms(self.spark, self.cfg.segcms_dir)
+        segs = doc_distinct_segment_hashes(docs, self.cfg.seg_width)
+        boiler = (
+            cms_estimate(sketch, segs.select("seg_h").distinct(), col="seg_h")
+            .where(F.col("cms_est") >= self.cfg.seg_min_docs)
+            .select("seg_h")
+        )
+        frac = (
+            segs.join(F.broadcast(boiler).withColumn("_b", F.lit(1)),
+                      "seg_h", "left")
+            .groupBy("doc_id")
+            .agg(
+                (
+                    F.sum(F.coalesce(F.col("_b"), F.lit(0)))
+                    / F.count(F.lit(1))
+                ).alias("boiler_frac")
+            )
+        )
+        return frac.where(
+            F.col("boiler_frac") > F.lit(self.cfg.seg_max_frac)
+        ).select("doc_id")
+
     def curated(self) -> DataFrame:
         from pyspark.sql import functions as F
 
         from prod2vec_spark.streaming.neardup import read_decisions
 
         exact = _read_output(self.spark, self.cfg.exact_dir, _EXACT_SCHEMA)
+        if self.cfg.segment_gate:
+            seg_drop = self._segment_gate_drop(exact)
+            exact = exact.join(F.broadcast(seg_drop), "doc_id", "left_anti")
         # subtract only the DROP set — the near-dup fraction, usually
         # small relative to the corpus — broadcast into a left-anti
         # join so the corpus side never shuffles (same shape as
@@ -301,5 +381,7 @@ class StreamingCorpusPipeline:
 
     def run(self) -> DataFrame:
         self.exact_stage()
+        if self.cfg.segment_gate:
+            self.segment_cms_stage()
         self.neardup_stage()
         return self.curated()

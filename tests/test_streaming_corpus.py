@@ -219,3 +219,93 @@ def test_streaming_repetition_gate_matches_batch_gate(spark, tmp_path):
         .count()
     )
     assert len(got_ids) == n_digests
+
+
+def test_streaming_segment_gate_one_sided_vs_batch(spark, tmp_path):
+    """Streaming boilerplate gate (segment-window CMS over the
+    exact-dedup output): (a) the maintained sketch equals the one-shot
+    batch sketch over the same docs — so the gate's estimates are the
+    deterministic CMS values, and (b) the streamed gate's drop set is
+    a SUPERSET of the exact-count gate's (CMS only overestimates) and
+    drops every doc the exact gate drops."""
+    import shutil
+
+    from prod2vec_spark.operators.linedup import (
+        doc_distinct_segment_hashes,
+        exploded_segments,
+    )
+    from prod2vec_spark.operators.sketches import cms_sketch, read_cms
+
+    docs = (
+        amplify_documents(
+            read_table(spark, SF_SMOKE, "documents").limit(60),
+            factor=3,
+            exact_replicas=2,
+        )
+        .select("doc_id", "text", "lang")
+        .localCheckpoint()
+    )
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    docs.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage"))
+    src = sorted((tmp_path / "stage").glob("*.parquet"))[0]
+    shutil.copy(src, landing / "batch_a.parquet")
+
+    cfg = StreamCorpusConfig(
+        landing_dir=str(landing),
+        work_dir=str(tmp_path / "work"),
+        segment_gate=True,
+        seg_max_frac=0.5,
+    )
+    pipe = StreamingCorpusPipeline(spark, cfg)
+    curated = pipe.run().localCheckpoint()
+    exact = spark.read.parquet(cfg.exact_dir).localCheckpoint()
+
+    # (a) incremental sketch == one-shot batch sketch, row for row
+    stream_sketch = {
+        (r["depth"], r["bucket"]): r["cnt"]
+        for r in read_cms(spark, cfg.segcms_dir).collect()
+    }
+    batch_sketch = {
+        (r["depth"], r["bucket"]): r["cnt"]
+        for r in cms_sketch(
+            doc_distinct_segment_hashes(exact, cfg.seg_width), col="seg_h"
+        ).collect()
+    }
+    assert stream_sketch == batch_sketch
+
+    # (b) exact-count gate (ground truth, count-distinct docs)
+    segs = exploded_segments(exact, cfg.seg_width)
+    exact_boiler = (
+        segs.groupBy("seg_h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= cfg.seg_min_docs)
+        .select("seg_h")
+    )
+    dsegs = doc_distinct_segment_hashes(exact, cfg.seg_width)
+    exact_frac = (
+        dsegs.join(
+            exact_boiler.withColumn("_b", F.lit(1)), "seg_h", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            (F.sum(F.coalesce(F.col("_b"), F.lit(0))) / F.count(F.lit(1))).alias(
+                "f"
+            )
+        )
+    )
+    exact_drop = {
+        r["doc_id"]
+        for r in exact_frac.where(F.col("f") > cfg.seg_max_frac).collect()
+    }
+    curated_ids = {r["doc_id"] for r in curated.select("doc_id").collect()}
+    # every exact-gate drop is really gone from the curated corpus
+    assert not (exact_drop & curated_ids)
+    # the amplified corpus (verbatim replicas collapse in stage 1, but
+    # salted variants share most windows) must exercise the gate
+    assert exact_drop, "fixture produced no boilerplate-heavy docs"
+    # stream-gate drop set ⊇ exact drop set (CMS never underestimates)
+    stream_drop = {
+        r["doc_id"] for r in pipe._segment_gate_drop(exact).collect()
+    }
+    assert exact_drop <= stream_drop
