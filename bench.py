@@ -60,6 +60,7 @@ import time
 FLAGSHIP = "__flagship__"
 CURATION10X = "__curation10x__"
 CURATION_FULL = "__curation_full__"
+CURATION_R7 = "__curation_r7__"
 BASELINE_SF = 0.1  # scale factor the BASELINE.json timings were recorded at
 
 
@@ -136,6 +137,35 @@ def _curation_full(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _curation_r7(spark, sf_dir):
+    """The curation DAG with the round-7 stages ON (CCNet segment
+    dedup between exact dedup and quality scoring, bigram-LM
+    perplexity gate after it, quality-based near-dup survivor) —
+    timed separately from __curation_full__ so the new stages' cost
+    at the bench scale factor is a recorded number next to the
+    default DAG's, not folded into it (the default macro keeps its
+    baseline comparable across rounds)."""
+    import shutil
+    import tempfile
+
+    from prod2vec_spark.pipeline_llm import CorpusConfig, CorpusCurationPipeline
+
+    work = tempfile.mkdtemp(prefix="bench_curation_r7_")
+    try:
+        return CorpusCurationPipeline(
+            spark,
+            CorpusConfig(
+                sf_dir=sf_dir,
+                work_dir=work,
+                segment_dedup=True,
+                lm_gate=True,
+                canonical_policy="quality",
+            ),
+        ).run()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def run_chunk(names: list[str], sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
     """Child entry: time the named queries in THIS process's fresh JVM."""
     from prod2vec_spark.queries import QUERIES
@@ -156,6 +186,7 @@ def run_chunk(names: list[str], sf_dir: str) -> tuple[dict[str, float], dict[str
         FLAGSHIP: _flagship,
         CURATION10X: _curation10x,
         CURATION_FULL: _curation_full,
+        CURATION_R7: _curation_r7,
     }
     # macro entries run once in the main pass (the CC loop's eager
     # checkpoints dominate; one run is representative) — but an
@@ -164,7 +195,7 @@ def run_chunk(names: list[str], sf_dir: str) -> tuple[dict[str, float], dict[str
     macro_runs = int(os.environ.get("SPARK_GRAFT_MACRO_RUNS", "1"))
     for name in names:
         fn = special.get(name) or QUERIES[name]
-        n_runs = macro_runs if name in (CURATION10X, CURATION_FULL) else runs
+        n_runs = macro_runs if name in (CURATION10X, CURATION_FULL, CURATION_R7) else runs
         times = []
         for _ in range(n_runs):
             t0 = time.perf_counter()
@@ -191,7 +222,7 @@ def main() -> None:
     # timed too, appended last so their heavy driver-side work never
     # precedes (and so ages the JVM of) the catalog queries sharing
     # their chunk
-    names = list(QUERIES) + [FLAGSHIP, CURATION10X, CURATION_FULL]
+    names = list(QUERIES) + [FLAGSHIP, CURATION10X, CURATION_FULL, CURATION_R7]
     chunk_size = int(os.environ.get("SPARK_GRAFT_BENCH_CHUNK", "6"))
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}

@@ -602,3 +602,47 @@ def semdedup(
             F.col("_drop").isNull().alias("kept"),
         )
     )
+
+
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive-training hard-negative mining: for each query, the
+    top-k most-similar corpus vectors with a DIFFERENT label — the
+    near-misses a contrastive loss learns most from (the retrieval-
+    training counterpart of brute_force_topk; same scale shape:
+    broadcast queries, one corpus pass, per-query rank window over
+    label-mismatched candidates only)."""
+    c = _with_unit(corpus, vec_col, "nvec")
+    q = F.broadcast(
+        _with_unit(queries, vec_col, "qn").select(
+            F.col(id_col).alias("query_id"),
+            F.col(label_col).alias("query_label"),
+            "qn",
+        )
+    )
+    sim = vec_dot(F.col("qn"), F.col("nvec"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        c.crossJoin(q)
+        .filter(
+            (F.col(id_col) != F.col("query_id"))
+            & (F.col(label_col) != F.col("query_label"))
+        )
+        .withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "query_label",
+            F.col(id_col).alias("neighbor_id"),
+            F.col(label_col).alias("neighbor_label"),
+            F.round("sim", 5).alias("cosine_sim"),
+            "rank",
+        )
+    )

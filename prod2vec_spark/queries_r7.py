@@ -261,3 +261,41 @@ R7_ORACLES = {
     "bm25_topk": _sql_bm25_topk(),
     "canonical_pick": _sql_canonical_pick(),
 }
+
+
+# ---------------------------------------------- hard-negative mining
+def q_hard_negatives(spark, sf_dir):
+    """Contrastive hard negatives: per query vector (vec_id < 20) the
+    top-5 most-similar embeddings with a DIFFERENT label — broadcast
+    queries, one corpus pass, per-query rank window
+    (operators/simsearch.hard_negative_topk)."""
+    from prod2vec_spark.operators.simsearch import hard_negative_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return hard_negative_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+
+
+def _sql_hard_negatives() -> str:
+    from prod2vec_spark.queries_ext import _NSIM, _UNIT
+
+    return f"""
+WITH n AS (SELECT vec_id, label, {_UNIT.format(a='embedding')} AS nvec
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS query_label, nvec AS qn
+      FROM n WHERE vec_id < 20),
+p AS (SELECT query_id, query_label, vec_id, label, {_NSIM} AS sim
+      FROM n CROSS JOIN q
+      WHERE vec_id != query_id AND label != query_label)
+SELECT query_id, query_label, vec_id AS neighbor_id,
+       label AS neighbor_label, round(sim, 5) AS cosine_sim,
+       CAST(rank AS INT) AS rank
+FROM (SELECT query_id, query_label, vec_id, label, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, vec_id) AS rank
+      FROM p)
+WHERE rank <= 5
+"""
+
+
+R7_QUERIES["hard_negatives"] = q_hard_negatives
+R7_ORACLES["hard_negatives"] = _sql_hard_negatives()

@@ -461,3 +461,33 @@ def test_bm25_matches_python_reference_property(spark):
         assert got == sorted(ref(docs, terms, 4))
 
     check()
+
+
+# ---------------------------------------------- hard-negative mining
+def test_hard_negatives_exclude_query_label(spark):
+    from prod2vec_spark.operators.simsearch import (
+        brute_force_topk,
+        hard_negative_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    out = hard_negative_topk(emb, q, k=5).collect()
+    assert out
+    by_q: dict[int, list] = {}
+    for r in out:
+        assert r["neighbor_label"] != r["query_label"]
+        assert r["neighbor_id"] != r["query_id"]
+        by_q.setdefault(r["query_id"], []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r["rank"])
+        sims = [r["cosine_sim"] for r in rows]
+        assert sims == sorted(sims, reverse=True)
+    # consistency with the plain top-k: every hard negative's sim is
+    # <= the best unrestricted neighbor's sim for that query
+    best = {
+        r["query_id"]: r["cosine_sim"]
+        for r in brute_force_topk(emb, q, k=1).collect()
+    }
+    for qid, rows in by_q.items():
+        assert rows[0]["cosine_sim"] <= best[qid] + 1e-9
