@@ -84,50 +84,83 @@ def doc_pairs(
     )
 
 
-def lm_perplexity(
-    docs: DataFrame,
-    train_frac: float = 0.8,
-    alpha: float = DEFAULT_ALPHA,
-    seed: str = "lm",
+class BigramLM:
+    """A fitted Stupid-Backoff bigram model: three small DataFrames
+    (pair counts, unigram counts, (T, V) scalar) — the train-once /
+    score-many handle the production shape wants (fit on the vetted
+    archive, score every new crawl batch / stream micro-batch).  The
+    count tables are plain DataFrames, so the model persists as
+    parquet and reloads on any cluster."""
+
+    def __init__(self, c2: DataFrame, c1: DataFrame, totals: DataFrame):
+        self.c2 = c2
+        self.c1 = c1
+        self.totals = totals
+
+    def save(self, dir_path: str) -> None:
+        self.c2.write.mode("overwrite").parquet(f"{dir_path}/c2")
+        self.c1.write.mode("overwrite").parquet(f"{dir_path}/c1")
+        self.totals.write.mode("overwrite").parquet(f"{dir_path}/totals")
+
+    @staticmethod
+    def load(spark, dir_path: str) -> "BigramLM":
+        return BigramLM(
+            spark.read.parquet(f"{dir_path}/c2"),
+            spark.read.parquet(f"{dir_path}/c1"),
+            spark.read.parquet(f"{dir_path}/totals"),
+        )
+
+
+def fit_lm(
+    train_docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    broadcast_unigrams: bool = True,
-    tagged: DataFrame | None = None,
-) -> DataFrame:
-    """Per-document LM report: (doc_id, is_train 0/1, n_pairs,
-    n_backoff, avg_nll, ppl).  Documents with < 2 tokens have no
-    pairs and are absent (nothing to score).  Callers that need a
-    custom train membership (e.g. train on a vetted corpus snapshot,
-    score a new crawl) pass their own ``tagged`` frame carrying an
-    is_train boolean; default is the md5-uniform split."""
-    if tagged is None:
-        tagged = with_train_split(docs, train_frac, seed=seed, id_col=id_col)
-    pairs = doc_pairs(tagged, id_col=id_col, text_col=text_col)
-    train_pairs = pairs.where(F.col("is_train"))
-    c2 = train_pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    # unigram counts over the SAME pair stream would drop each train
-    # doc's final token — count from the token stream instead
-    train_toks = (
-        tagged.where(F.col("is_train"))
-        .withColumn("_toks", tokens(F.col(text_col)))
-        .select(F.explode("_toks").alias("w"))
+) -> BigramLM:
+    """Estimate the model from a training corpus: two hash-agg
+    shuffles (pair key, token key) + a 1-row totals aggregate."""
+    pairs = doc_pairs(train_docs, id_col=id_col, text_col=text_col)
+    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    # unigram counts over the pair stream would drop each doc's final
+    # token — count from the token stream instead
+    toks = train_docs.withColumn("_toks", tokens(F.col(text_col))).select(
+        F.explode("_toks").alias("w")
     )
-    c1 = train_toks.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    c1 = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
     totals = c1.agg(
         F.sum("c1").alias("t_tokens"), F.count(F.lit(1)).alias("v_vocab")
     )
-    c1a = c1.select(F.col("w").alias("w1"), F.col("c1").alias("c1w1"))
-    c1b = c1.select(F.col("w").alias("w2"), F.col("c1").alias("c1w2"))
+    return BigramLM(c2, c1, totals)
+
+
+def score_docs(
+    docs: DataFrame,
+    model: BigramLM,
+    alpha: float = DEFAULT_ALPHA,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_unigrams: bool = True,
+) -> DataFrame:
+    """Per-document score against a FITTED model: (doc_id [, is_train
+    0/1 when the input carries the split tag], n_pairs, n_backoff,
+    avg_nll, ppl).  One shuffle join on the pair key (the bigram table
+    is corpus-sized — honestly not broadcast) + broadcast unigram and
+    scalar probes.  Documents with < 2 tokens have no pairs and are
+    absent (nothing to score)."""
+    has_tag = "is_train" in docs.columns
+    pairs = doc_pairs(docs, id_col=id_col, text_col=text_col)
+    c1a = model.c1.select(F.col("w").alias("w1"), F.col("c1").alias("c1w1"))
+    c1b = model.c1.select(F.col("w").alias("w2"), F.col("c1").alias("c1w2"))
     if broadcast_unigrams:
         c1a, c1b = F.broadcast(c1a), F.broadcast(c1b)
+    carry = ["is_train"] if has_tag else []
     scored = (
-        pairs.join(c2, ["w1", "w2"], "left")
+        pairs.join(model.c2, ["w1", "w2"], "left")
         .join(c1a, "w1", "left")
         .join(c1b, "w2", "left")
-        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(model.totals))
         .select(
             id_col,
-            "is_train",
+            *carry,
             F.when(
                 F.col("c2").isNotNull(),
                 F.col("c2").cast("double") / F.col("c1w1"),
@@ -143,13 +176,103 @@ def lm_perplexity(
             ),
         )
     )
+    tag_aggs = (
+        [F.max(F.col("is_train").cast("long")).alias("is_train")]
+        if has_tag
+        else []
+    )
     return (
         scored.groupBy(id_col)
         .agg(
-            F.max(F.col("is_train").cast("long")).alias("is_train"),
+            *tag_aggs,
             F.count(F.lit(1)).alias("n_pairs"),
             F.sum("backoff").alias("n_backoff"),
             F.round(F.avg(-F.log("prob")), 4).alias("avg_nll"),
             F.round(F.exp(F.avg(-F.log("prob"))), 4).alias("ppl"),
         )
+    )
+
+
+def lm_perplexity(
+    docs: DataFrame,
+    train_frac: float = 0.8,
+    alpha: float = DEFAULT_ALPHA,
+    seed: str = "lm",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_unigrams: bool = True,
+    tagged: DataFrame | None = None,
+) -> DataFrame:
+    """Self-trained report (fit_lm on the md5-uniform split +
+    score_docs on everything): (doc_id, is_train 0/1, n_pairs,
+    n_backoff, avg_nll, ppl).  Callers that need a custom train
+    membership (train on a vetted snapshot, score a new crawl) pass
+    their own ``tagged`` frame carrying an is_train boolean — or use
+    fit_lm/score_docs directly for the train-once/score-many shape."""
+    if tagged is None:
+        tagged = with_train_split(docs, train_frac, seed=seed, id_col=id_col)
+    model = fit_lm(
+        tagged.where(F.col("is_train")), id_col=id_col, text_col=text_col
+    )
+    out = score_docs(
+        tagged,
+        model,
+        alpha=alpha,
+        id_col=id_col,
+        text_col=text_col,
+        broadcast_unigrams=broadcast_unigrams,
+    )
+    # column order of the original single-pass implementation
+    return out.select(
+        id_col, "is_train", "n_pairs", "n_backoff", "avg_nll", "ppl"
+    )
+
+
+def start_lm_score_stream(
+    docs_stream: DataFrame,
+    model: BigramLM,
+    out_dir: str,
+    checkpoint: str,
+    alpha: float = DEFAULT_ALPHA,
+):
+    """Score a DOCUMENT STREAM against a fitted (static) model — the
+    production fluency screen for incoming crawls: per micro-batch,
+    score_docs runs batch-side in foreachBatch (the model's count
+    tables are static DataFrames, so each batch is an ordinary
+    stream-static scoring join) and the scored rows land idempotently
+    at ``out_dir/batch_id=N`` (a replayed batch overwrites its own
+    partition — the same exactly-once recipe as the sketch streams).
+    Returns the started availableNow query."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        score_docs(batch_df, model, alpha=alpha).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/batch_id={batch_id}")
+
+    return (
+        docs_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_lm_scores(spark, out_dir: str) -> DataFrame:
+    """All committed per-batch score partitions as one frame.  Before
+    the first commit: empty, not an error."""
+    import glob
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    if not glob.glob(os.path.join(out_dir, "batch_id=*", "*.parquet")):
+        return spark.createDataFrame(
+            [],
+            "doc_id long, n_pairs long, n_backoff long, "
+            "avg_nll double, ppl double",
+        )
+    return (
+        spark.read.option("basePath", out_dir)
+        .parquet(out_dir)
+        .drop("batch_id")
     )

@@ -309,3 +309,70 @@ def test_streaming_segment_gate_one_sided_vs_batch(spark, tmp_path):
         r["doc_id"] for r in pipe._segment_gate_drop(exact).collect()
     }
     assert exact_drop <= stream_drop
+
+
+def test_streaming_lm_scoring_matches_batch(spark, tmp_path):
+    """start_lm_score_stream over a doc landing dir scores exactly as
+    batch score_docs with the same fitted model, stays exactly-once
+    across a no-new-input restart, and extends (not rewrites) on a
+    second landing batch."""
+    import shutil
+
+    from prod2vec_spark.operators.lm import (
+        BigramLM,
+        fit_lm,
+        read_lm_scores,
+        score_docs,
+        start_lm_score_stream,
+    )
+
+    docs = read_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    model = fit_lm(train)
+    # model persists as parquet and reloads (train-once/score-many)
+    model.save(str(tmp_path / "lm_model"))
+    model = BigramLM.load(spark, str(tmp_path / "lm_model"))
+
+    half_a = docs.where(F.col("doc_id") < 25)
+    half_b = docs.where((F.col("doc_id") >= 25) & (F.col("doc_id") < 50))
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    half_a.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "sa"))
+    half_b.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "sb"))
+    shutil.copy(
+        sorted((tmp_path / "sa").glob("*.parquet"))[0], landing / "a.parquet"
+    )
+
+    out = str(tmp_path / "scores")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(
+            str(landing)
+        )
+        start_lm_score_stream(stream, model, out, ckpt).awaitTermination()
+
+    def scores():
+        return {
+            r["doc_id"]: (r["n_pairs"], r["n_backoff"], r["avg_nll"], r["ppl"])
+            for r in read_lm_scores(spark, out).collect()
+        }
+
+    def batch_scores(df):
+        return {
+            r["doc_id"]: (r["n_pairs"], r["n_backoff"], r["avg_nll"], r["ppl"])
+            for r in score_docs(df, model).collect()
+        }
+
+    drain()
+    got_a = scores()
+    assert got_a == batch_scores(half_a)
+    # no-new-input restart: nothing double-scored
+    drain()
+    assert scores() == got_a
+    # second landing batch extends the scored set exactly
+    shutil.copy(
+        sorted((tmp_path / "sb").glob("*.parquet"))[0], landing / "b.parquet"
+    )
+    drain()
+    assert scores() == {**got_a, **batch_scores(half_b)}
