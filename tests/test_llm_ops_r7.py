@@ -491,3 +491,68 @@ def test_hard_negatives_exclude_query_label(spark):
     }
     for qid, rows in by_q.items():
         assert rows[0]["cosine_sim"] <= best[qid] + 1e-9
+
+
+# ------------------------------------------- learned quality classifier
+def test_quality_classifier_separates_planted_spam(spark, tmp_path):
+    """The L-QUALITY checked number: LR on the heuristic feature
+    vector must separate planted spam (looped text / symbol soup)
+    from fixture prose with held-out AUC >= 0.9, and the model
+    round-trips through MLlib save/load."""
+    from pyspark.ml.classification import LogisticRegressionModel
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+
+    from prod2vec_spark.ml.quality_clf import (
+        assemble_vec,
+        doc_features,
+        fit_quality_classifier,
+        score_quality,
+    )
+
+    clean = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+        .withColumn("label", F.lit(1))
+    )
+    n_clean = clean.count()
+    # planted spam: looped phrases and symbol soup, ids disjoint
+    spam_rows = []
+    for i in range(n_clean // 2):
+        if i % 2 == 0:
+            spam_rows.append((100000 + i, "buy now " * 25))
+        else:
+            spam_rows.append((100000 + i, ("#$%@! " * 10 + f"x{i} ") * 3))
+    spam = spark.createDataFrame(
+        spam_rows, "doc_id long, text string"
+    ).withColumn("label", F.lit(0))
+    corpus = clean.unionByName(spam)
+    train = corpus.where(F.col("doc_id") % 3 != 0)
+    held = corpus.where(F.col("doc_id") % 3 == 0)
+    assert held.where(F.col("label") == 0).count() > 0
+    assert held.where(F.col("label") == 1).count() > 0
+
+    model = fit_quality_classifier(train)
+    path = str(tmp_path / "quality_lr")
+    model.save(path)
+    model = LogisticRegressionModel.load(path)
+
+    scored = assemble_vec(doc_features(held)).join(
+        held.select("doc_id", "label"), "doc_id"
+    )
+    auc = BinaryClassificationEvaluator(
+        labelCol="label", metricName="areaUnderROC"
+    ).evaluate(model.transform(scored))
+    assert auc >= 0.9, f"held-out AUC {auc}"
+
+    # scoring surface: every doc gets a probability in [0, 1], and
+    # the spam mean sits below the clean mean
+    probs = score_quality(held, model).join(
+        held.select("doc_id", "label"), "doc_id"
+    )
+    agg = {
+        r["label"]: r["m"]
+        for r in probs.groupBy("label")
+        .agg(F.avg("quality_prob").alias("m"))
+        .collect()
+    }
+    assert 0.0 <= agg[0] < agg[1] <= 1.0
