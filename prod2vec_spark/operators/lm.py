@@ -129,6 +129,12 @@ def fit_lm(
     totals = c1.agg(
         F.sum("c1").alias("t_tokens"), F.count(F.lit(1)).alias("v_vocab")
     )
+    # an empty training corpus yields t_tokens = NULL and every score
+    # downstream silently nulls out — fail at fit time with the cause
+    if totals.first()["t_tokens"] is None:
+        raise ValueError(
+            "fit_lm: training corpus has no tokens — cannot estimate a model"
+        )
     return BigramLM(c2, c1, totals)
 
 

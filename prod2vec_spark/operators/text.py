@@ -150,3 +150,21 @@ def simhash32(text: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+
+
+def normalize_text(text: Column, lowercase: bool = True) -> Column:
+    """Canonical text normalization applied BEFORE hashing/dedup
+    (the CCNet §3.1 pre-dedup cleanup, minus unicode folding — Spark
+    has no NFC builtin and a Python UDF would put a per-row
+    interpreter hop in the hottest scan; documented gap, the regex
+    class below is engine-portable): strip control characters,
+    collapse all whitespace runs to single spaces, trim, optional
+    casefold.  Row-local, zero shuffle.
+
+    Oracle: regexp_replace(...,'g') with the identical patterns +
+    lower()/trim (queries_r7.py text_normalize)."""
+    out = F.regexp_replace(text, r"[\x00-\x1F\x7F]", " ")
+    out = F.trim(F.regexp_replace(out, r"\s+", " "))
+    if lowercase:
+        out = F.lower(out)
+    return out

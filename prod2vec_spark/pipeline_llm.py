@@ -91,6 +91,11 @@ class CorpusConfig:
     semantic_clusters: int = 8
     semantic_threshold: float = 0.4
     # optional round-7 stages, all off by default:
+    # canonical text normalization fused into the input scan (like
+    # PII scrub — row-local, no shuffle boundary, no checkpoint):
+    # control chars stripped, whitespace collapsed, casefolded, so
+    # exact dedup collapses whitespace/case variants of one document.
+    normalize: bool = False
     # segment (line) dedup between exact dedup and quality scoring —
     # CCNet order: quality is judged on boilerplate-free text.  Docs
     # that lose more than seg_max_dropped_frac of their windows drop
@@ -129,6 +134,12 @@ class CorpusCurationPipeline:
     # -- stage 0.5: PII scrub (row-local, fused — no checkpoint) -------
     def scrubbed_input(self) -> DataFrame:
         docs = read_table(self.spark, self.cfg.sf_dir, "documents")
+        if self.cfg.normalize:
+            from prod2vec_spark.operators.text import normalize_text
+
+            # BEFORE the PII scrub: the scrub's patterns then see
+            # canonical whitespace/case
+            docs = docs.withColumn("text", normalize_text(F.col("text")))
         if not self.cfg.scrub_pii:
             return docs
         from prod2vec_spark.operators.pii import scrub

@@ -299,3 +299,40 @@ WHERE rank <= 5
 
 R7_QUERIES["hard_negatives"] = q_hard_negatives
 R7_ORACLES["hard_negatives"] = _sql_hard_negatives()
+
+
+# ------------------------------------------------ text normalization
+def q_text_normalize(spark, sf_dir):
+    """Canonical normalization audit: per-doc normalized-text digest +
+    whether normalization changed the bytes (0/1) + length delta —
+    the pre-dedup cleanup stage as an oracle-checked surface
+    (operators/text.normalize_text).  One row-local scan."""
+    from prod2vec_spark.operators.text import normalize_text
+
+    docs = read_table(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("norm_md5"),
+        (norm != F.col("text")).cast("long").alias("changed"),
+        (F.length("text") - F.length(norm)).alias("len_delta"),
+    )
+
+
+def _sql_text_normalize() -> str:
+    return r"""
+WITH n AS (
+  SELECT doc_id, text,
+    lower(trim(regexp_replace(
+      regexp_replace(text, '[\x00-\x1F\x7F]', ' ', 'g'),
+      '\s+', ' ', 'g'))) AS norm
+  FROM documents)
+SELECT doc_id, md5(norm) AS norm_md5,
+       CAST(norm != text AS BIGINT) AS changed,
+       length(text) - length(norm) AS len_delta
+FROM n
+"""
+
+
+R7_QUERIES["text_normalize"] = q_text_normalize
+R7_ORACLES["text_normalize"] = _sql_text_normalize()

@@ -556,3 +556,48 @@ def test_quality_classifier_separates_planted_spam(spark, tmp_path):
         .collect()
     }
     assert 0.0 <= agg[0] < agg[1] <= 1.0
+
+
+# --------------------------------------------------- text normalize
+def test_normalize_text_golden(spark):
+    from prod2vec_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "  Hello\tWorld \x01 again  "),
+            (2, "already clean"),
+            (3, "MIXED Case\n\nlines"),
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r["n"] for r in df.select("id", normalize_text(F.col("text")).alias("n")).collect()}
+    assert out[1] == "hello world again"
+    assert out[2] == "already clean"
+    assert out[3] == "mixed case lines"
+    # case-preserving variant
+    keep = {r["id"]: r["n"] for r in df.select("id", normalize_text(F.col("text"), lowercase=False).alias("n")).collect()}
+    assert keep[3] == "MIXED Case lines"
+
+
+def test_pipeline_normalize_collapses_whitespace_variants(spark, tmp_path):
+    """With normalize on, two docs differing only in whitespace/case
+    collapse in the exact-dedup stage (digest over canonical bytes)."""
+    from prod2vec_spark.operators.dedup import exact_dup_groups
+    from prod2vec_spark.operators.text import normalize_text
+
+    docs = spark.createDataFrame(
+        [(1, "The  quick fox"), (2, "the quick\tfox"), (3, "other doc")],
+        "doc_id long, text string",
+    ).withColumn("text", normalize_text(F.col("text")))
+    keep = exact_dup_groups(docs)
+    assert keep.count() == 2  # 1/2 collapsed, 3 alone
+
+
+def test_fit_lm_rejects_empty_train(spark):
+    import pytest as _pytest
+
+    from prod2vec_spark.operators.lm import fit_lm
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="no tokens"):
+        fit_lm(empty)
