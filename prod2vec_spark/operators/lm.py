@@ -282,3 +282,157 @@ def read_lm_scores(spark, out_dir: str) -> DataFrame:
         .parquet(out_dir)
         .drop("batch_id")
     )
+
+
+def token_triples(toks: Column) -> Column:
+    """Array of struct(w1, w2, w3) adjacent triples; empty below 3
+    tokens (guarded — sequence would count DOWN)."""
+    return F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(2)),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+                F.element_at(toks, i + 2).alias("w3"),
+            ),
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<w1:string,w2:string,w3:string>>")
+    )
+
+
+def trigram_perplexity(
+    docs: DataFrame,
+    train_frac: float = 0.8,
+    alpha: float = DEFAULT_ALPHA,
+    seed: str = "lm",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tagged: DataFrame | None = None,
+) -> DataFrame:
+    """Trigram Stupid Backoff (Brants et al. 2007 §4 at order 3):
+
+        P(w3 | w1 w2) = c3/c2(w1,w2)                   trigram seen
+                      = alpha   * c2(w2,w3)/c1(w2)      else, bigram seen
+                      = alpha^2 * (c1(w3)+1)/(T+V)      else (smoothed)
+
+    Per doc: (doc_id, is_train 0/1, n_triples, n_bo1 [trigram-missed],
+    n_bo2 [bigram-missed too], avg_nll, ppl).  Docs under 3 tokens are
+    absent.  Scale: the trigram AND bigram count tables are corpus-
+    sized — both probes are honest shuffle joins on narrow keys; only
+    the unigram probe and (T, V) scalar broadcast.  A production run
+    prunes c3/c2 with a count floor (Brants' entropy pruning
+    equivalent) — at these fixture scales the full tables are kept so
+    the oracle replays every count exactly.  ``tagged`` overrides the
+    split like lm_perplexity's."""
+    if tagged is None:
+        tagged = with_train_split(docs, train_frac, seed=seed, id_col=id_col)
+    staged = tagged.withColumn("_toks", tokens(F.col(text_col)))
+    trips = staged.select(
+        id_col,
+        "is_train",
+        F.explode(token_triples(F.col("_toks"))).alias("_t"),
+    ).select(
+        id_col, "is_train",
+        F.col("_t.w1").alias("w1"),
+        F.col("_t.w2").alias("w2"),
+        F.col("_t.w3").alias("w3"),
+    )
+    train = staged.where(F.col("is_train"))
+    t_trips = train.select(F.explode(token_triples(F.col("_toks"))).alias("_t"))
+    c3 = t_trips.groupBy(
+        F.col("_t.w1").alias("w1"),
+        F.col("_t.w2").alias("w2"),
+        F.col("_t.w3").alias("w3"),
+    ).agg(F.count(F.lit(1)).alias("c3"))
+    t_pairs = train.select(F.explode(token_pairs(F.col("_toks"))).alias("_p"))
+    c2 = t_pairs.groupBy(
+        F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2")
+    ).agg(F.count(F.lit(1)).alias("c2"))
+    t_toks = train.select(F.explode("_toks").alias("w"))
+    c1 = t_toks.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    totals = c1.agg(
+        F.sum("c1").alias("t_tokens"), F.count(F.lit(1)).alias("v_vocab")
+    )
+    # context-count probes under DISJOINT key names: every probe
+    # table derives from the same tagged lineage as the scoring
+    # stream, and same-name USING joins on shared-lineage attributes
+    # can resolve both sides to ONE attribute (a trivially-true
+    # equality that matches arbitrary rows) — renamed keys + explicit
+    # conditions make the join unambiguous
+    c3k = c3.select(
+        F.col("w1").alias("t1"), F.col("w2").alias("t2"),
+        F.col("w3").alias("t3"), F.col("c3"),
+    )
+    c2_ctx = c2.select(
+        F.col("w1").alias("x1"), F.col("w2").alias("x2"),
+        F.col("c2").alias("c2_ctx"),
+    )  # c2(w1,w2): trigram denominator
+    c2_bo = c2.select(
+        F.col("w1").alias("b2"), F.col("w2").alias("b3"),
+        F.col("c2").alias("c2_bo"),
+    )  # c2(w2,w3): backoff numerator
+    c1_bo = F.broadcast(
+        c1.select(F.col("w").alias("u2"), F.col("c1").alias("c1_bo"))
+    )  # c1(w2): backoff denominator
+    c1_fl = F.broadcast(
+        c1.select(F.col("w").alias("u3"), F.col("c1").alias("c1_fl"))
+    )  # c1(w3): floor numerator
+    scored = (
+        trips.join(
+            c3k,
+            (F.col("w1") == F.col("t1"))
+            & (F.col("w2") == F.col("t2"))
+            & (F.col("w3") == F.col("t3")),
+            "left",
+        )
+        .join(
+            c2_ctx,
+            (F.col("w1") == F.col("x1")) & (F.col("w2") == F.col("x2")),
+            "left",
+        )
+        .join(
+            c2_bo,
+            (F.col("w2") == F.col("b2")) & (F.col("w3") == F.col("b3")),
+            "left",
+        )
+        .join(c1_bo, F.col("w2") == F.col("u2"), "left")
+        .join(c1_fl, F.col("w3") == F.col("u3"), "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            "is_train",
+            F.when(
+                F.col("c3").isNotNull(),
+                F.col("c3").cast("double") / F.col("c2_ctx"),
+            )
+            .when(
+                F.col("c2_bo").isNotNull(),
+                F.lit(alpha) * F.col("c2_bo") / F.col("c1_bo"),
+            )
+            .otherwise(
+                F.lit(alpha * alpha)
+                * (F.coalesce(F.col("c1_fl"), F.lit(0)) + F.lit(1))
+                / (F.col("t_tokens") + F.col("v_vocab"))
+            )
+            .alias("prob"),
+            F.when(F.col("c3").isNull(), F.lit(1)).otherwise(F.lit(0)).alias(
+                "bo1"
+            ),
+            F.when(
+                F.col("c3").isNull() & F.col("c2_bo").isNull(), F.lit(1)
+            ).otherwise(F.lit(0)).alias("bo2"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.max(F.col("is_train").cast("long")).alias("is_train"),
+            F.count(F.lit(1)).alias("n_triples"),
+            F.sum("bo1").alias("n_bo1"),
+            F.sum("bo2").alias("n_bo2"),
+            F.round(F.avg(-F.log("prob")), 4).alias("avg_nll"),
+            F.round(F.exp(F.avg(-F.log("prob"))), 4).alias("ppl"),
+        )
+    )

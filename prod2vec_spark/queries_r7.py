@@ -336,3 +336,72 @@ FROM n
 
 R7_QUERIES["text_normalize"] = q_text_normalize
 R7_ORACLES["text_normalize"] = _sql_text_normalize()
+
+
+# ----------------------------------------------- trigram perplexity
+def q_trigram_perplexity(spark, sf_dir):
+    """Per-document trigram Stupid-Backoff score: the order-3 upgrade
+    of lm_perplexity (trigram → bigram → smoothed-unigram backoff
+    chain, backoff-level counts surfaced).  Both high-order count
+    tables probe via honest shuffle joins (operators/lm.py
+    trigram_perplexity scale notes)."""
+    from prod2vec_spark.operators.lm import trigram_perplexity
+
+    docs = read_table(spark, sf_dir, "documents")
+    return trigram_perplexity(
+        docs, train_frac=LM_TRAIN_FRAC, alpha=LM_ALPHA, seed="lm"
+    )
+
+
+def _sql_trigram_perplexity() -> str:
+    from prod2vec_spark.queries_ext import _TOKS
+
+    a = LM_ALPHA
+    return f"""
+WITH sp AS (SELECT doc_id, text,
+    (('0x' || substr(md5('lm|' || doc_id), 1, 8))::BIGINT / 4294967296.0)
+      < {LM_TRAIN_FRAC} AS is_train
+  FROM documents),
+t AS (SELECT doc_id, is_train, {_TOKS} AS toks FROM sp),
+tr AS (SELECT doc_id, is_train,
+        toks[CAST(i AS INT)] AS w1, toks[CAST(i AS INT) + 1] AS w2,
+        toks[CAST(i AS INT) + 2] AS w3
+      FROM t, unnest(range(1, len(toks) - 1)) AS u(i)),
+c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM tr WHERE is_train
+       GROUP BY 1, 2, 3),
+p2 AS (SELECT doc_id, is_train,
+        toks[CAST(i AS INT)] AS w1, toks[CAST(i AS INT) + 1] AS w2
+      FROM t, unnest(range(1, len(toks))) AS u(i)),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM p2 WHERE is_train GROUP BY 1, 2),
+c1 AS (SELECT w, count(*) AS c1
+       FROM (SELECT unnest(toks) AS w FROM t WHERE is_train) GROUP BY 1),
+tot AS (SELECT CAST(sum(c1) AS BIGINT) AS t_tokens,
+               count(*) AS v_vocab FROM c1),
+sc AS (SELECT tr.doc_id, tr.is_train,
+    CASE WHEN c3.c3 IS NOT NULL
+           THEN CAST(c3.c3 AS DOUBLE) / cx.c2
+         WHEN cb.c2 IS NOT NULL
+           THEN {a} * cb.c2 / cu.c1
+         ELSE {a * a} * (COALESCE(cf.c1, 0) + 1)
+              / (tot.t_tokens + tot.v_vocab) END AS prob,
+    CASE WHEN c3.c3 IS NULL THEN 1 ELSE 0 END AS bo1,
+    CASE WHEN c3.c3 IS NULL AND cb.c2 IS NULL THEN 1 ELSE 0 END AS bo2
+  FROM tr
+  LEFT JOIN c3 ON tr.w1 = c3.w1 AND tr.w2 = c3.w2 AND tr.w3 = c3.w3
+  LEFT JOIN c2 cx ON tr.w1 = cx.w1 AND tr.w2 = cx.w2
+  LEFT JOIN c2 cb ON tr.w2 = cb.w1 AND tr.w3 = cb.w2
+  LEFT JOIN c1 cu ON tr.w2 = cu.w
+  LEFT JOIN c1 cf ON tr.w3 = cf.w
+  CROSS JOIN tot)
+SELECT doc_id, max(CAST(is_train AS BIGINT)) AS is_train,
+       count(*) AS n_triples,
+       CAST(sum(bo1) AS BIGINT) AS n_bo1,
+       CAST(sum(bo2) AS BIGINT) AS n_bo2,
+       round(avg(-ln(prob)), 4) AS avg_nll,
+       round(exp(avg(-ln(prob))), 4) AS ppl
+FROM sc GROUP BY doc_id
+"""
+
+
+R7_QUERIES["trigram_perplexity"] = q_trigram_perplexity
+R7_ORACLES["trigram_perplexity"] = _sql_trigram_perplexity()

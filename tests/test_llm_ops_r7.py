@@ -601,3 +601,34 @@ def test_fit_lm_rejects_empty_train(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     with _pytest.raises(ValueError, match="no tokens"):
         fit_lm(empty)
+
+
+# ------------------------------------------------ trigram LM backoff
+def test_trigram_backoff_chain_exact(spark):
+    """Hand-computed chain: trigram hit, trigram→bigram backoff, and
+    the double-backoff smoothed floor, each with exact values."""
+    from prod2vec_spark.operators.lm import trigram_perplexity
+
+    tagged = spark.createDataFrame(
+        [
+            (1, "a b c a b c", True),   # train
+            (2, "a b c", False),        # trigram hit: p = 2/2 = 1
+            (3, "x b c", False),        # bigram backoff: 0.4*2/2 = 0.4
+            (4, "b c zz", False),       # floor: 0.16*(0+1)/(6+3)
+        ],
+        "doc_id long, text string, is_train boolean",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in trigram_perplexity(tagged, tagged=tagged).collect()
+    }
+    assert out[2]["avg_nll"] == 0.0 and out[2]["ppl"] == 1.0
+    assert (out[2]["n_bo1"], out[2]["n_bo2"]) == (0, 0)
+    assert out[3]["avg_nll"] == round(-math.log(0.4), 4)
+    assert (out[3]["n_bo1"], out[3]["n_bo2"]) == (1, 0)
+    assert out[4]["avg_nll"] == round(-math.log(0.16 / 9), 4)
+    assert (out[4]["n_bo1"], out[4]["n_bo2"]) == (1, 1)
+    # train doc scores its own triples: (a,b,c)=2/2, (b,c,a)=1/2,
+    # (c,a,b)=1/1, (a,b,c)=2/2
+    expect = round(-(math.log(1) + math.log(0.5) + math.log(1) + math.log(1)) / 4, 4)
+    assert out[1]["avg_nll"] == expect

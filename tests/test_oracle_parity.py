@@ -62,6 +62,7 @@ def test_rows_only_queries_nonempty(spark, name):
         "verbatim_span_pairs",      # conv() gram hashes + window min folds
         "segment_dedup_stats",      # ceil-division windowing + md5 digests
         "lm_perplexity",            # md5-uniform split + ln/exp + divisions
+        "trigram_perplexity",       # 3-level backoff chain arithmetic
         "bm25_topk",                # ln idf + saturation-division scoring
     ],
 )
