@@ -436,3 +436,122 @@ def trigram_perplexity(
             F.round(F.exp(F.avg(-F.log("prob"))), 4).alias("ppl"),
         )
     )
+
+
+def lm_perplexity_by_lang(
+    docs: DataFrame,
+    train_frac: float = 0.8,
+    alpha: float = DEFAULT_ALPHA,
+    seed: str = "lm",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet's actual deployment shape (Wenzek et al. 2020 §3.2): ONE
+    LM per language, estimated and scored in a single grouped
+    computation — the language column simply joins every count key
+    (c2 keyed (lang, w1, w2), c1 keyed (lang, w), totals per lang),
+    so 100 languages cost the same two hash-agg shuffles as one.
+    Scoring joins carry lang in the key; the per-language (T, V)
+    table is languages-sized → broadcast.  Documents of a language
+    with NO training docs are absent from the report (inner totals
+    join — there is no model to score them against; both engines
+    agree).  Output: (doc_id, lang, is_train 0/1, n_pairs,
+    n_backoff, avg_nll, ppl)."""
+    tagged = with_train_split(docs, train_frac, seed=seed, id_col=id_col)
+    staged = tagged.withColumn("_toks", tokens(F.col(text_col)))
+    pairs = staged.select(
+        id_col,
+        F.col(lang_col).alias("lang"),
+        "is_train",
+        F.explode(token_pairs(F.col("_toks"))).alias("_p"),
+    ).select(
+        id_col, "lang", "is_train",
+        F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"),
+    )
+    train = staged.where(F.col("is_train"))
+    t_pairs = train.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(token_pairs(F.col("_toks"))).alias("_p"),
+    ).select("lang", F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+    c2 = t_pairs.groupBy("lang", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("c2")
+    )
+    t_toks = train.select(
+        F.col(lang_col).alias("lang"), F.explode("_toks").alias("w")
+    )
+    c1 = t_toks.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c1"))
+    totals = c1.groupBy("lang").agg(
+        F.sum("c1").alias("t_tokens"), F.count(F.lit(1)).alias("v_vocab")
+    )
+    # disjoint key names (shared-lineage USING-join hazard — see
+    # trigram_perplexity)
+    c2k = c2.select(
+        F.col("lang").alias("k0"), F.col("w1").alias("k1"),
+        F.col("w2").alias("k2"), F.col("c2"),
+    )
+    c1a = F.broadcast(
+        c1.select(
+            F.col("lang").alias("a0"), F.col("w").alias("a1"),
+            F.col("c1").alias("c1w1"),
+        )
+    )
+    c1b = F.broadcast(
+        c1.select(
+            F.col("lang").alias("b0"), F.col("w").alias("b1"),
+            F.col("c1").alias("c1w2"),
+        )
+    )
+    tot = F.broadcast(
+        totals.select(
+            F.col("lang").alias("t0"), "t_tokens", "v_vocab"
+        )
+    )
+    scored = (
+        pairs.join(
+            c2k,
+            (F.col("lang") == F.col("k0"))
+            & (F.col("w1") == F.col("k1"))
+            & (F.col("w2") == F.col("k2")),
+            "left",
+        )
+        .join(
+            c1a,
+            (F.col("lang") == F.col("a0")) & (F.col("w1") == F.col("a1")),
+            "left",
+        )
+        .join(
+            c1b,
+            (F.col("lang") == F.col("b0")) & (F.col("w2") == F.col("b1")),
+            "left",
+        )
+        .join(tot, F.col("lang") == F.col("t0"), "inner")
+        .select(
+            id_col,
+            "lang",
+            "is_train",
+            F.when(
+                F.col("c2").isNotNull(),
+                F.col("c2").cast("double") / F.col("c1w1"),
+            )
+            .otherwise(
+                F.lit(alpha)
+                * (F.coalesce(F.col("c1w2"), F.lit(0)) + F.lit(1))
+                / (F.col("t_tokens") + F.col("v_vocab"))
+            )
+            .alias("prob"),
+            F.when(F.col("c2").isNull(), F.lit(1)).otherwise(F.lit(0)).alias(
+                "backoff"
+            ),
+        )
+    )
+    return (
+        scored.groupBy(id_col, "lang")
+        .agg(
+            F.max(F.col("is_train").cast("long")).alias("is_train"),
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("backoff").alias("n_backoff"),
+            F.round(F.avg(-F.log("prob")), 4).alias("avg_nll"),
+            F.round(F.exp(F.avg(-F.log("prob"))), 4).alias("ppl"),
+        )
+    )

@@ -405,3 +405,59 @@ FROM sc GROUP BY doc_id
 
 R7_QUERIES["trigram_perplexity"] = q_trigram_perplexity
 R7_ORACLES["trigram_perplexity"] = _sql_trigram_perplexity()
+
+
+# ------------------------------------------ per-language perplexity
+def q_lm_by_lang(spark, sf_dir):
+    """CCNet-shape per-language LM scoring: one bigram model per
+    language estimated in a single grouped computation (lang joins
+    every count key), per-doc scores against the doc's own language
+    model (operators/lm.py lm_perplexity_by_lang)."""
+    from prod2vec_spark.operators.lm import lm_perplexity_by_lang
+
+    docs = read_table(spark, sf_dir, "documents")
+    return lm_perplexity_by_lang(
+        docs, train_frac=LM_TRAIN_FRAC, alpha=LM_ALPHA, seed="lm"
+    )
+
+
+def _sql_lm_by_lang() -> str:
+    from prod2vec_spark.queries_ext import _TOKS
+
+    return f"""
+WITH sp AS (SELECT doc_id, lang, text,
+    (('0x' || substr(md5('lm|' || doc_id), 1, 8))::BIGINT / 4294967296.0)
+      < {LM_TRAIN_FRAC} AS is_train
+  FROM documents),
+t AS (SELECT doc_id, lang, is_train, {_TOKS} AS toks FROM sp),
+p AS (SELECT doc_id, lang, is_train,
+        toks[CAST(i AS INT)] AS w1, toks[CAST(i AS INT) + 1] AS w2
+      FROM t, unnest(range(1, len(toks))) AS u(i)),
+c2 AS (SELECT lang, w1, w2, count(*) AS c2 FROM p WHERE is_train
+       GROUP BY 1, 2, 3),
+c1 AS (SELECT lang, w, count(*) AS c1
+       FROM (SELECT lang, unnest(toks) AS w FROM t WHERE is_train)
+       GROUP BY 1, 2),
+tot AS (SELECT lang, CAST(sum(c1) AS BIGINT) AS t_tokens,
+               count(*) AS v_vocab FROM c1 GROUP BY 1),
+sc AS (SELECT p.doc_id, p.lang, p.is_train,
+    CASE WHEN c2.c2 IS NOT NULL THEN CAST(c2.c2 AS DOUBLE) / ca.c1
+         ELSE {LM_ALPHA} * (COALESCE(cb.c1, 0) + 1)
+              / (tot.t_tokens + tot.v_vocab) END AS prob,
+    CASE WHEN c2.c2 IS NULL THEN 1 ELSE 0 END AS backoff
+  FROM p
+  LEFT JOIN c2 ON p.lang = c2.lang AND p.w1 = c2.w1 AND p.w2 = c2.w2
+  LEFT JOIN c1 ca ON p.lang = ca.lang AND p.w1 = ca.w
+  LEFT JOIN c1 cb ON p.lang = cb.lang AND p.w2 = cb.w
+  JOIN tot ON p.lang = tot.lang)
+SELECT doc_id, lang, max(CAST(is_train AS BIGINT)) AS is_train,
+       count(*) AS n_pairs,
+       CAST(sum(backoff) AS BIGINT) AS n_backoff,
+       round(avg(-ln(prob)), 4) AS avg_nll,
+       round(exp(avg(-ln(prob))), 4) AS ppl
+FROM sc GROUP BY doc_id, lang
+"""
+
+
+R7_QUERIES["lm_by_lang"] = q_lm_by_lang
+R7_ORACLES["lm_by_lang"] = _sql_lm_by_lang()

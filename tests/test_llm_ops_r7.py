@@ -632,3 +632,55 @@ def test_trigram_backoff_chain_exact(spark):
     # (c,a,b)=1/1, (a,b,c)=2/2
     expect = round(-(math.log(1) + math.log(0.5) + math.log(1) + math.log(1)) / 4, 4)
     assert out[1]["avg_nll"] == expect
+
+
+def test_bm25_ranks_planted_relevant_doc_first(spark):
+    """Relevance sanity: a doc stuffed with the query terms must
+    outrank fixture docs that mention them incidentally."""
+    from prod2vec_spark.operators.bm25 import bm25_topk
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    planted = spark.createDataFrame(
+        [(999999, "needlex haystacky needlex haystacky needlex")],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(
+        docs.unionByName(planted),
+        [("q", ["needlex", "haystacky"])],
+        k=3,
+    ).collect()
+    assert out and out[0]["doc_id"] == 999999 and out[0]["rank"] == 1
+    # fixture docs never contain the planted terms -> only one hit
+    assert len(out) == 1
+
+
+def test_lm_by_lang_models_are_independent(spark):
+    """Per-language models: adding documents in language B must not
+    change language A's scores (the models share nothing)."""
+    from prod2vec_spark.operators.lm import lm_perplexity_by_lang
+
+    base = spark.createDataFrame(
+        [(1, "a b a b a b", "en"), (2, "a b a", "en")],
+        "doc_id long, text string, lang string",
+    )
+    extra = spark.createDataFrame(
+        [(100, "a b zz a b zz", "de"), (101, "zz a zz", "de")],
+        "doc_id long, text string, lang string",
+    )
+    only_en = {
+        r["doc_id"]: (r["n_pairs"], r["n_backoff"], r["avg_nll"])
+        for r in lm_perplexity_by_lang(base, train_frac=1.0).collect()
+    }
+    both = {
+        r["doc_id"]: (r["n_pairs"], r["n_backoff"], r["avg_nll"])
+        for r in lm_perplexity_by_lang(
+            base.unionByName(extra), train_frac=1.0
+        ).collect()
+    }
+    for d in (1, 2):
+        assert both[d] == only_en[d]
+    # the de docs scored against the de model only: 'a b' in de train
+    # has different counts than in en
+    assert 100 in both and 101 in both

@@ -507,3 +507,49 @@ def test_corpus_pipeline_quality_canonical_policy(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="canonical_policy"):
         CorpusCurationPipeline(spark, bad).near_dedup(quality_kept)
+
+
+def test_corpus_pipeline_every_optional_stage_on(spark, tmp_path):
+    """The production-config smoke: normalize + PII + segment dedup +
+    repetition + LM gate + SemDeDup + quality-canonical survivor +
+    decontaminate + chunk all compose in one run — monotone counts,
+    nonempty output, chunk contract, bench split absent."""
+    from pyspark.sql import functions as F
+
+    from prod2vec_spark.operators.decontam import with_bench_split
+    from prod2vec_spark.pipeline_llm import CorpusConfig, CorpusCurationPipeline
+    from tests.conftest import SF_SMOKE
+
+    cfg = CorpusConfig(
+        sf_dir=SF_SMOKE,
+        work_dir=str(tmp_path / "corpus_all"),
+        normalize=True,
+        scrub_pii=True,
+        repetition_gate=True,
+        segment_dedup=True,
+        lm_gate=True,
+        semantic_dedup=True,
+        canonical_policy="quality",
+    )
+    report = CorpusCurationPipeline(spark, cfg).run()
+    by_stage = {r["stage"]: r["n"] for r in report.collect()}
+    assert (
+        by_stage["input"]
+        >= by_stage["after_exact_dedup"]
+        >= by_stage["after_quality_filter"]
+        >= by_stage["after_near_dedup"]
+        >= by_stage["final"]
+        > 0
+    )
+    assert by_stage["final_chunks"] > 0
+    final_docs = spark.read.parquet(f"{cfg.work_dir}/decontaminated")
+    tagged = with_bench_split(final_docs, bench_frac=cfg.decon_bench_frac)
+    assert tagged.where(F.col("is_bench")).count() == 0
+    chunks = spark.read.parquet(f"{cfg.work_dir}/chunks")
+    assert (
+        chunks.where(
+            (F.col("n_tokens") > cfg.chunk_len)
+            | (F.col("n_tokens") < cfg.chunk_min)
+        ).count()
+        == 0
+    )
