@@ -461,3 +461,55 @@ FROM sc GROUP BY doc_id, lang
 
 R7_QUERIES["lm_by_lang"] = q_lm_by_lang
 R7_ORACLES["lm_by_lang"] = _sql_lm_by_lang()
+
+
+# ------------------------------------------------ curriculum buckets
+def q_curriculum_buckets(spark, sf_dir):
+    """Curriculum-ordering assignment: each doc's LM perplexity mapped
+    to a difficulty quartile (0 = most fluent … 3 = hardest) — the
+    easy-to-hard data-ordering signal curriculum training consumes.
+    Thresholds are ONE 3-value percentile aggregate broadcast back
+    (the quality_filter shape — never a corpus-wide sort/window)."""
+    from prod2vec_spark.operators.lm import lm_perplexity
+
+    docs = read_table(spark, sf_dir, "documents")
+    rep = lm_perplexity(
+        docs, train_frac=LM_TRAIN_FRAC, alpha=LM_ALPHA, seed="lm"
+    ).select("doc_id", "ppl")
+    thr = rep.agg(
+        F.percentile(
+            "ppl", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+        ).alias("t")
+    )
+    return (
+        rep.crossJoin(F.broadcast(thr))
+        .select(
+            "doc_id",
+            "ppl",
+            F.when(F.col("ppl") <= F.col("t")[0], F.lit(0))
+            .when(F.col("ppl") <= F.col("t")[1], F.lit(1))
+            .when(F.col("ppl") <= F.col("t")[2], F.lit(2))
+            .otherwise(F.lit(3))
+            .cast("long")
+            .alias("bucket"),
+        )
+    )
+
+
+def _sql_curriculum_buckets() -> str:
+    return f"""
+WITH rep AS (
+  SELECT doc_id, ppl FROM ({_sql_lm_perplexity()})
+),
+thr AS (SELECT quantile_cont(ppl, [0.25, 0.5, 0.75]) AS t FROM rep)
+SELECT doc_id, ppl,
+  CAST(CASE WHEN ppl <= t[1] THEN 0
+            WHEN ppl <= t[2] THEN 1
+            WHEN ppl <= t[3] THEN 2
+            ELSE 3 END AS BIGINT) AS bucket
+FROM rep, thr
+"""
+
+
+R7_QUERIES["curriculum_buckets"] = q_curriculum_buckets
+R7_ORACLES["curriculum_buckets"] = _sql_curriculum_buckets()

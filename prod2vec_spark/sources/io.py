@@ -266,3 +266,90 @@ def register_query_views(
         ALL_QUERIES[name](spark, sf_dir).createOrReplaceTempView(f"q_{name}")
         out.append(f"q_{name}")
     return out
+
+
+def file_audit(
+    spark: SparkSession, path: str, small_bytes: int = 32 * 1024 * 1024
+) -> DataFrame:
+    """Small-files / layout audit for a parquet dataset — the ops
+    check that decides when a 100 TB table needs compaction (many
+    small files tank scan throughput: per-file open cost, starved
+    vectorized readers, metadata pressure).  One metadata-only pass:
+    row counts come from ``input_file_name()`` grouped per file (scan
+    of the count-pushdown columns only), byte sizes from the Hadoop
+    FileSystem listing (driver-side, no data read).
+
+    Returns one row per file: (file, rows, bytes, is_small 0/1), plus
+    the dataset-level verdict is a trivial agg for the caller.
+    ENGINE scope — the reference has no storage-ops surface."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        spark.read.parquet(path)
+        .select(F.input_file_name().alias("file"))
+        .groupBy("file")
+        .agg(F.count(F.lit(1)).alias("rows"))
+    )
+    # driver-side listing via the JVM Hadoop FS (works for file://,
+    # hdfs://, s3a:// alike); parquet data files only
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    conf = jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    sizes = []
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        st = it.next()
+        f = st.getPath().toString()
+        if f.endswith(".parquet"):
+            sizes.append((f, int(st.getLen())))
+    sizes_df = spark.createDataFrame(sizes, "file string, bytes long")
+    # input_file_name() URIs ("file:///x") and Hadoop Path.toString
+    # ("file:/x") differ in slash count — normalize both to a bare
+    # path before joining
+    norm = lambda c: F.regexp_replace(c, "^[a-z0-9.+-]+:/+", "/")  # noqa: E731
+    rows = rows.withColumn("file", norm(F.col("file")))
+    sizes_df = sizes_df.withColumn("file", norm(F.col("file")))
+    return (
+        rows.join(F.broadcast(sizes_df), "file")
+        .select(
+            "file",
+            "rows",
+            "bytes",
+            (F.col("bytes") < small_bytes).cast("long").alias("is_small"),
+        )
+    )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Compaction companion to ``file_audit``: rewrite a fragmented
+    parquet dataset into ~target-sized files.  File count derives
+    from the CURRENT total byte size (driver-side listing — no data
+    read for the estimate), then one shuffle-free coalesce() when
+    shrinking.  Writes to ``out_path`` (never in place — the caller
+    swaps directories after validating, the same
+    write-then-commit discipline as the streaming sinks).  Returns
+    the target file count."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    total = 0
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        st = it.next()
+        if st.getPath().toString().endswith(".parquet"):
+            total += int(st.getLen())
+    n_files = max(1, round(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    # coalesce, not repartition: compaction must not pay a shuffle —
+    # it only narrows the file count (if n_files exceeds the current
+    # partitioning, coalesce is a no-op and the write keeps them)
+    df.coalesce(n_files).write.mode("overwrite").parquet(out_path)
+    return n_files

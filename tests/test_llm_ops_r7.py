@@ -684,3 +684,27 @@ def test_lm_by_lang_models_are_independent(spark):
     # the de docs scored against the de model only: 'a b' in de train
     # has different counts than in en
     assert 100 in both and 101 in both
+
+
+def test_curriculum_buckets_are_balanced_quartiles(spark):
+    from prod2vec_spark.queries_r7 import q_curriculum_buckets
+
+    rows = q_curriculum_buckets(spark, SF_SMOKE).collect()
+    n = len(rows)
+    assert n > 0
+    by_b: dict[int, int] = {}
+    for r in rows:
+        assert 0 <= r["bucket"] <= 3
+        by_b[r["bucket"]] = by_b.get(r["bucket"], 0) + 1
+    # quartile thresholds: every bucket populated and roughly balanced
+    assert set(by_b) == {0, 1, 2, 3}
+    for c in by_b.values():
+        assert c >= n // 8
+    # monotone: max ppl in bucket k <= min ppl in bucket k+1
+    import collections
+
+    ppls = collections.defaultdict(list)
+    for r in rows:
+        ppls[r["bucket"]].append(r["ppl"])
+    for k in range(3):
+        assert max(ppls[k]) <= min(ppls[k + 1])

@@ -214,3 +214,34 @@ def test_register_query_views_sql_surface(spark):
         spark.sql("SELECT * FROM q_revenue_topk WHERE revenue > 0").count()
         > 0
     )
+
+
+def test_file_audit_and_compaction(spark, tmp_path):
+    """file_audit reports per-file rows/bytes + the small flag over a
+    deliberately fragmented dataset; compact_parquet rewrites it into
+    one right-sized file with identical content and no shuffle."""
+    from pyspark.sql import functions as F
+
+    from prod2vec_spark.sources.io import compact_parquet, file_audit, read_table
+    from tests.conftest import SF_SMOKE
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    frag = str(tmp_path / "frag")
+    docs.repartition(16).write.mode("overwrite").parquet(frag)
+
+    audit = file_audit(spark, frag, small_bytes=32 * 1024 * 1024).collect()
+    assert len(audit) == 16
+    assert sum(r["rows"] for r in audit) == docs.count()
+    assert all(r["bytes"] > 0 for r in audit)
+    # 50 docs over 16 files: every file is far below 32MB
+    assert all(r["is_small"] == 1 for r in audit)
+
+    out = str(tmp_path / "compacted")
+    n = compact_parquet(spark, frag, out, target_file_bytes=32 * 1024 * 1024)
+    assert n == 1
+    after = file_audit(spark, out).collect()
+    assert len(after) == 1
+    # content identical (order-insensitive)
+    a = sorted(map(tuple, spark.read.parquet(out).collect()))
+    b = sorted(map(tuple, docs.collect()))
+    assert a == b
