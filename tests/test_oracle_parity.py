@@ -64,6 +64,11 @@ def test_rows_only_queries_nonempty(spark, name):
         "lm_perplexity",            # md5-uniform split + ln/exp + divisions
         "trigram_perplexity",       # 3-level backoff chain arithmetic
         "bm25_topk",                # ln idf + saturation-division scoring
+        "canonical_pick",           # CC decimal checksum + quality formula
+        "lm_by_lang",               # per-lang grouped count arithmetic
+        "curriculum_buckets",       # percentile thresholds + comparisons
+        "hard_negatives",           # unit-scale folds + cosine ranking
+        "text_normalize",           # regex classes + length arithmetic
     ],
 )
 def test_catalog_survives_ansi_mode(spark, name):
