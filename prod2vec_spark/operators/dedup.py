@@ -370,3 +370,36 @@ def winnow_candidate_pairs(
         )
         .agg(F.count(F.lit(1)).alias("n_shared_fps"))
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-version diff — the ingestion-ops surface that answers
+    "what changed between crawl N and crawl N+1" before reprocessing
+    100 TB: per-doc status ('added' | 'removed' | 'changed' |
+    'unchanged') from a full outer join on the id with content
+    digests compared (text_digest — 32-byte md5, so the join carries
+    hashes, never documents).  Downstream incremental runs reprocess
+    only added+changed (typically a small fraction); the engine's
+    dedup state (digest tables, Bloom bits, MinHash bands) updates
+    from the same frame.  One shuffle per side on the id key."""
+    o = old.select(
+        F.col(id_col).alias("doc_id"),
+        text_digest(F.col(text_col)).alias("_ho"),
+    )
+    n = new.select(
+        F.col(id_col).alias("doc_id"),
+        text_digest(F.col(text_col)).alias("_hn"),
+    )
+    return o.join(n, "doc_id", "full_outer").select(
+        "doc_id",
+        F.when(F.col("_ho").isNull(), F.lit("added"))
+        .when(F.col("_hn").isNull(), F.lit("removed"))
+        .when(F.col("_ho") != F.col("_hn"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )

@@ -513,3 +513,54 @@ FROM rep, thr
 
 R7_QUERIES["curriculum_buckets"] = q_curriculum_buckets
 R7_ORACLES["curriculum_buckets"] = _sql_curriculum_buckets()
+
+
+# --------------------------------------------- corpus snapshot diff
+def q_snapshot_diff(spark, sf_dir):
+    """Corpus-version diff against a deterministically-derived "next
+    crawl" of the same table (docs with id%13==0 dropped, id%7==0
+    text-modified, 10 fresh ids appended): per-doc added / removed /
+    changed / unchanged status — the incremental-ingestion surface
+    (operators/dedup.snapshot_diff; hashes join, documents don't)."""
+    from prod2vec_spark.operators.dedup import snapshot_diff
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    survived = docs.where(F.col("doc_id") % 13 != 0)
+    v2 = survived.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    ).unionByName(
+        docs.where(F.col("doc_id") < 10).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.col("text"),
+        )
+    )
+    return snapshot_diff(docs, v2)
+
+
+def _sql_snapshot_diff() -> str:
+    dig = r"md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))"
+    return f"""
+WITH o AS (SELECT doc_id, {dig} AS ho FROM documents),
+v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 13 != 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 10),
+n AS (SELECT doc_id, {dig} AS hn FROM v2)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.ho IS NULL THEN 'added'
+            WHEN n.hn IS NULL THEN 'removed'
+            WHEN o.ho != n.hn THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+"""
+
+
+R7_QUERIES["snapshot_diff"] = q_snapshot_diff
+R7_ORACLES["snapshot_diff"] = _sql_snapshot_diff()

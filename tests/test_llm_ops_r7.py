@@ -708,3 +708,27 @@ def test_curriculum_buckets_are_balanced_quartiles(spark):
         ppls[r["bucket"]].append(r["ppl"])
     for k in range(3):
         assert max(ppls[k]) <= min(ppls[k + 1])
+
+
+# ------------------------------------------------ corpus snapshot diff
+def test_snapshot_diff_classifies_every_transition(spark):
+    from prod2vec_spark.operators.dedup import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "will be removed")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed now"), (4, "brand new")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+    # digest is whitespace/case-canonical: formatting-only edits are
+    # 'unchanged' (matches the exact-dedup digest semantics)
+    new2 = spark.createDataFrame(
+        [(1, "  SAME "), (2, "will change"), (3, "will be removed")],
+        "doc_id long, text string",
+    )
+    out2 = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new2).collect()}
+    assert out2 == {1: "unchanged", 2: "unchanged", 3: "unchanged"}
