@@ -1,0 +1,136 @@
+"""BPE tokenizer training on the corpus (Sennrich et al. 2016) — the
+last tokenizer gap: token-BUDGET estimation uses the BPE-ish lexer
+(operators/text.bpe_ish_token_count), but a training-data platform
+also trains the real merge table on its own corpus (ENGINE scope; the
+reference has no tokenizer surface).
+
+Scale split, the standard one (GPT-2/SentencePiece train on a corpus
+SAMPLE for the same reason):
+
+* The corpus-sized part is ONE scan + ONE hash-agg shuffle: the word
+  frequency table.  BPE statistics are a function of (word, count)
+  pairs only — never of document structure.
+* The iterative merge loop runs on the TOP ``max_vocab_words`` rows
+  by count (TakeOrdered — k rows move), a driver-side bounded edge
+  exactly like the IVF centroid literal: at web scale the tail of the
+  word distribution contributes negligible pair mass, and the cap is
+  the knob that keeps the loop driver-safe.  Determinism: ties break
+  by (count desc, word asc) for the vocab cut and by
+  (pair-count desc, pair asc) for each merge.
+
+* ENCODING is row-local Column arithmetic: each word becomes a
+  space-joined symbol string, each learned merge is one literal
+  ``replace`` (leftmost non-overlapping, applied in merge order —
+  the documented convention here; GPT-2's rank-greedy application
+  can differ on exotic overlaps), token count = surviving symbol
+  count.  No UDF, no shuffle — a linear 100 TB scan.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from prod2vec_spark.operators.text import tokens
+
+END = "▁"  # end-of-word marker (SentencePiece's block char)
+
+
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, n): the corpus-sized half of BPE training — one explode
+    + one hash-agg shuffle."""
+    return (
+        docs.withColumn("_toks", tokens(F.col(text_col)))
+        .select(F.explode("_toks").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def train_bpe_from_counts(
+    wc: list[tuple[str, int]], n_merges: int
+) -> list[tuple[str, str]]:
+    """Reference merge-learning loop over a (word, count) list —
+    driver-side by design (the input is the bounded top-K vocab).
+    Returns merges in learned order."""
+    symbols = {w: list(w) + [END] for w, _ in wc}
+    counts = dict(wc)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_counts: Counter = Counter()
+        for w, syms in symbols.items():
+            n = counts[w]
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] += n
+        if not pair_counts:
+            break
+        # deterministic argmax: count desc, pair lexicographic asc
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        ab = a + b
+        for w, syms in symbols.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            symbols[w] = out
+    return merges
+
+
+def train_bpe(
+    docs: DataFrame,
+    n_merges: int = 50,
+    max_vocab_words: int = 50_000,
+    text_col: str = "text",
+) -> list[tuple[str, str]]:
+    """Corpus scan + capped-vocab merge loop (module docstring)."""
+    top = (
+        word_counts(docs, text_col=text_col)
+        .orderBy(F.col("n").desc(), F.col("word"))
+        .limit(max_vocab_words)
+        .collect()
+    )
+    return train_bpe_from_counts([(r["word"], r["n"]) for r in top], n_merges)
+
+
+def _sym_string(word: Column) -> Column:
+    """'hello' -> 'h e l l o ▁' — the space-joined symbol form."""
+    return F.concat(
+        F.trim(F.regexp_replace(word, "(.)", "$1 ")), F.lit(" " + END)
+    )
+
+
+def apply_merges(sym: Column, merges: list[tuple[str, str]]) -> Column:
+    """Apply learned merges in order as literal replaces (leftmost
+    non-overlapping — the convention train_bpe_from_counts' encoder
+    side mirrors in encode_word)."""
+    out = sym
+    for a, b in merges:
+        out = F.replace(out, F.lit(f"{a} {b}"), F.lit(a + b))
+    return out
+
+
+def bpe_token_count(text: Column, merges: list[tuple[str, str]]) -> Column:
+    """Per-document BPE token count under a learned merge table —
+    row-local Column chain (one replace per merge), zero shuffle."""
+    toks = tokens(text)
+    per_word = F.transform(
+        toks, lambda w: F.size(F.split(apply_merges(_sym_string(w), merges), " "))
+    )
+    return F.aggregate(per_word, F.lit(0), lambda acc, x: acc + x)
+
+
+def encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Python reference encoder with the IDENTICAL replace semantics
+    as apply_merges (leftmost non-overlapping, merge order)."""
+    s = " ".join(list(word) + [END])
+    for a, b in merges:
+        s = s.replace(f"{a} {b}", a + b)
+    return s.split(" ")

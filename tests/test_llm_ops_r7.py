@@ -732,3 +732,121 @@ def test_snapshot_diff_classifies_every_transition(spark):
     )
     out2 = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new2).collect()}
     assert out2 == {1: "unchanged", 2: "unchanged", 3: "unchanged"}
+
+
+def test_incremental_exact_dedup_equals_full_rerun(spark):
+    """The snapshot-diff incremental contract, proven where it is
+    exact: with min-id canonicals and monotonically-growing ids,
+    incremental exact dedup (prior survivors + unseen-digest new
+    docs) equals a full re-run over crawl N+1."""
+    from prod2vec_spark.operators.dedup import (
+        exact_dup_groups,
+        snapshot_diff,
+        text_digest,
+    )
+
+    v1 = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # crawl N+1: everything survives, plus new higher-id docs — some
+    # verbatim copies of v1 content (must dedup away), some fresh
+    copies = v1.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    fresh = v1.where(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" fresh content")).alias("text"),
+    )
+    v2 = v1.unionByName(copies).unionByName(fresh)
+
+    full = {
+        r["keep_doc_id"] for r in exact_dup_groups(v2).collect()
+    }
+
+    # incremental: survivors of v1 + added docs whose digest is unseen
+    prior = exact_dup_groups(v1).select(
+        F.col("keep_doc_id").alias("doc_id"), "text_hash"
+    )
+    added_ids = snapshot_diff(v1, v2).where(F.col("status") == "added")
+    added = v2.join(added_ids.select("doc_id"), "doc_id", "left_semi")
+    unseen = (
+        added.withColumn("text_hash", text_digest(F.col("text")))
+        .join(prior.select("text_hash"), "text_hash", "left_anti")
+    )
+    # among the added-and-unseen, digests can still collide with each
+    # other: keep min id per digest (the same canonical rule)
+    inc_new = {
+        r["keep_doc_id"] for r in exact_dup_groups(unseen).collect()
+    }
+    incremental = {r["doc_id"] for r in prior.collect()} | inc_new
+    assert incremental == full
+
+
+# ----------------------------------------------------- BPE training
+def test_bpe_learns_expected_merges_on_tiny_corpus(spark):
+    """Hand-checkable corpus: 'low' x5 + 'lower' x2 — the classic
+    Sennrich example shape.  First merges must assemble the shared
+    'low' stem deterministically."""
+    from prod2vec_spark.operators.bpe import train_bpe
+
+    docs = spark.createDataFrame(
+        [(1, "low low low low low"), (2, "lower lower")],
+        "doc_id long, text string",
+    )
+    merges = train_bpe(docs, n_merges=3)
+    # pair counts round 1: (l,o)=7, (o,w)=7, (w,▁)=5, (w,e)=2 ... ->
+    # tie (l,o)/(o,w) breaks lexicographic: ('l','o') first
+    assert merges[0] == ("l", "o")
+    assert merges[1] == ("lo", "w")  # 'low' assembled
+    assert merges[2] == ("low", "▁")  # whole-word 'low' (count 5)
+
+
+def test_bpe_column_encoder_matches_python_reference(spark):
+    """The Column replace-chain encoder and the Python reference
+    tokenize identically (same merges, same leftmost semantics) on
+    the fixture corpus."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from prod2vec_spark.operators.bpe import (
+        bpe_token_count,
+        encode_word,
+        train_bpe,
+    )
+    from prod2vec_spark.operators.text import tokens as tk
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    merges = train_bpe(docs, n_merges=30)
+    assert len(merges) == 30
+    got = {
+        r["doc_id"]: r["n_bpe"]
+        for r in docs.select(
+            "doc_id", bpe_token_count(F.col("text"), merges).alias("n_bpe")
+        ).collect()
+    }
+    rows = docs.select("doc_id", tk(F.col("text")).alias("t")).collect()
+    for r in rows:
+        expect = sum(len(encode_word(w, merges)) for w in r["t"])
+        assert got[r["doc_id"]] == expect, r["doc_id"]
+
+
+def test_bpe_merges_compress_token_stream(spark):
+    """More merges => fewer tokens, bounded below by word count and
+    above by char count."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from prod2vec_spark.operators.bpe import bpe_token_count, train_bpe
+    from prod2vec_spark.operators.text import tokens as tk
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    m30 = train_bpe(docs, n_merges=30)
+    agg = docs.agg(
+        F.sum(bpe_token_count(F.col("text"), [])).alias("n0"),
+        F.sum(bpe_token_count(F.col("text"), m30[:10])).alias("n10"),
+        F.sum(bpe_token_count(F.col("text"), m30)).alias("n30"),
+        F.sum(F.size(tk(F.col("text")))).alias("nw"),
+    ).first()
+    assert agg["n0"] > agg["n10"] > agg["n30"] >= agg["nw"]
