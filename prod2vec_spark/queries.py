@@ -575,7 +575,14 @@ CATALOG: list[str] = [
     #     strict superset of the TF-IDF table),
     #   validation_sample → weighted_sample/skipgram_subsampled
     #     (seeded-sampling plane).
-    "segment_dedup_stats", "lm_perplexity", "bm25_topk", "canonical_pick",
+    "segment_dedup_stats", "bm25_topk", "canonical_pick",
+    # wave 2: two strictly-coverage-increasing swaps — lm_perplexity →
+    # lm_by_lang (the identical Stupid-Backoff formula evaluated per
+    # language, CCNet's deployment shape; the single-model entry stays
+    # superset-oracled) and dedup_exact → snapshot_diff (the same
+    # content digest exercised inside the version-diff semantics;
+    # exact-dedup survivors stay superset-oracled)
+    "lm_by_lang", "snapshot_diff",
     # round-6 new (wave 3: sketch + substring-dedup planes; retired
     # ngram_jaccard → minhash_jaccard_audit computes the exact n-gram
     # Jaccard internally + verbatim_span_pairs keeps the n-gram plane;
@@ -603,7 +610,7 @@ CATALOG: list[str] = [
     "skipgram_subsampled",
     "string_agg_names",
     # LLM pipeline: dedup / text / similarity
-    "dedup_exact", "lsh_candidates",
+    "lsh_candidates",
     "dedup_clusters", "quality_filter", "embedding_neardup",
     "ann_ivf_topk",
     # events
