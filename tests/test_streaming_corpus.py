@@ -376,3 +376,59 @@ def test_streaming_lm_scoring_matches_batch(spark, tmp_path):
     )
     drain()
     assert scores() == {**got_a, **batch_scores(half_b)}
+
+
+def test_streaming_quality_classifier_matches_batch(spark, tmp_path):
+    """start_quality_score_stream scores exactly as batch
+    score_quality with the same fitted model, exactly-once across a
+    no-input restart."""
+    import shutil
+
+    from prod2vec_spark.ml.quality_clf import (
+        fit_quality_classifier,
+        read_quality_scores,
+        score_quality,
+        start_quality_score_stream,
+    )
+
+    clean = (
+        read_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "text")
+        .withColumn("label", F.lit(1))
+    )
+    spam = spark.createDataFrame(
+        [(100000 + i, "buy now " * 20) for i in range(20)],
+        "doc_id long, text string",
+    ).withColumn("label", F.lit(0))
+    model = fit_quality_classifier(clean.unionByName(spam))
+
+    score_me = clean.select("doc_id", "text").where(F.col("doc_id") < 30)
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    score_me.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "s"))
+    shutil.copy(
+        sorted((tmp_path / "s").glob("*.parquet"))[0], landing / "a.parquet"
+    )
+    out, ckpt = str(tmp_path / "scores"), str(tmp_path / "ckpt")
+
+    def drain():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(
+            str(landing)
+        )
+        start_quality_score_stream(stream, model, out, ckpt).awaitTermination()
+
+    drain()
+    got = {
+        r["doc_id"]: r["quality_prob"]
+        for r in read_quality_scores(spark, out).collect()
+    }
+    want = {
+        r["doc_id"]: r["quality_prob"]
+        for r in score_quality(score_me, model).collect()
+    }
+    assert got == want and got
+    drain()  # no-input restart: unchanged
+    assert {
+        r["doc_id"]: r["quality_prob"]
+        for r in read_quality_scores(spark, out).collect()
+    } == got
