@@ -147,3 +147,89 @@ def bm25_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+def ql_topk(
+    docs: DataFrame,
+    queries: list[tuple[str, list[str]]],
+    k: int = 10,
+    mu: float = 300.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dirichlet-smoothed query likelihood (Zhai & Lafferty 2001) —
+    the language-modeling ranker next to BM25 (the two classic
+    lexical retrieval models):
+
+        score(q, d) = Σ_t log( (tf(t,d) + mu * p(t|C)) / (dl + mu) )
+
+    summed over ALL query terms (absent terms contribute the smoothed
+    background mass — unlike BM25 every (query, candidate) pair needs
+    every term's score, so the candidate set is docs matching >= 1
+    term and missing terms are filled from the background model).
+
+    Same one-scan shape as bm25_topk: broadcast term filter before
+    any aggregation, row-local dl, corpus term counts for the probed
+    terms only (tiny → broadcast).  Ranking over round(score, 4) with
+    doc_id tiebreak, oracle-replayed."""
+    spark = SparkSession.getActiveSession() or docs.sparkSession
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, terms in queries for t in set(terms)],
+        "query_id string, term string",
+    )
+    dl = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(F.col(text_col))).alias("dl"),
+    ).where(F.col("dl") > 0)
+    total = dl.agg(F.sum("dl").alias("c_tokens"))
+    exploded = docs.withColumn("_toks", tokens(F.col(text_col))).select(
+        F.col(id_col).alias("doc_id"), F.explode("_toks").alias("term")
+    )
+    hits = (
+        exploded.join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # corpus frequency of the probed terms (for p(t|C)): the exploded
+    # stream broadcast-pruned to the distinct query terms, one bounded
+    # hash-agg (<= |query terms| rows)
+    cf = (
+        exploded.join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cf"))
+    )
+    # candidates: docs matching >= 1 term; each candidate needs a row
+    # per QUERY term (missing terms -> tf 0) — right join the query's
+    # term list against the candidate's hits
+    cand = hits.select("query_id", "doc_id").distinct()
+    full = cand.join(F.broadcast(qterms), "query_id").join(
+        hits, ["query_id", "term", "doc_id"], "left"
+    )
+    scored = (
+        full.join(F.broadcast(cf), "term", "left")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "query_id",
+            "doc_id",
+            F.log(
+                (
+                    F.coalesce(F.col("tf"), F.lit(0))
+                    + F.lit(mu)
+                    * F.coalesce(F.col("cf"), F.lit(0)).cast("double")
+                    / F.col("c_tokens")
+                )
+                / (F.col("dl") + F.lit(mu))
+            ).alias("s"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("s"), 4).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )

@@ -564,3 +564,62 @@ FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
 
 R7_QUERIES["snapshot_diff"] = q_snapshot_diff
 R7_ORACLES["snapshot_diff"] = _sql_snapshot_diff()
+
+
+# ------------------------------------------ query-likelihood ranker
+QL_MU = 300.0
+
+
+def q_ql_topk(spark, sf_dir):
+    """Dirichlet-smoothed query-likelihood top-10 per keyword query —
+    the language-modeling ranker next to BM25, same one-scan probe
+    shape (operators/bm25.ql_topk)."""
+    from prod2vec_spark.operators.bm25 import ql_topk
+
+    docs = read_table(spark, sf_dir, "documents")
+    return ql_topk(docs, BM25_QUERIES, k=BM25_K, mu=QL_MU)
+
+
+def _sql_ql_topk() -> str:
+    from prod2vec_spark.queries_ext import _TOKS
+
+    mu = QL_MU
+    values = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, terms in BM25_QUERIES
+        for t in sorted(set(terms))
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, CAST(len(toks) AS INT) AS dl FROM t WHERE len(toks) > 0),
+tot AS (SELECT CAST(sum(dl) AS BIGINT) AS c_tokens FROM dl),
+q(query_id, term) AS (VALUES {values}),
+ex AS (SELECT doc_id, unnest(toks) AS term FROM t),
+hits AS (SELECT q.query_id, ex.term, ex.doc_id, count(*) AS tf
+         FROM ex JOIN q ON ex.term = q.term GROUP BY 1, 2, 3),
+cf AS (SELECT term, count(*) AS cf FROM ex
+       WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1),
+cand AS (SELECT DISTINCT query_id, doc_id FROM hits),
+f AS (SELECT c.query_id, c.doc_id, q.term
+      FROM cand c JOIN q ON c.query_id = q.query_id),
+sc AS (SELECT f.query_id, f.doc_id,
+    round(sum(ln(
+      (COALESCE(h.tf, 0) + {mu} * CAST(COALESCE(cf.cf, 0) AS DOUBLE) / tot.c_tokens)
+      / (dl.dl + {mu}))), 4) AS score
+  FROM f
+  LEFT JOIN hits h ON f.query_id = h.query_id AND f.term = h.term
+                  AND f.doc_id = h.doc_id
+  LEFT JOIN cf ON f.term = cf.term
+  JOIN dl ON f.doc_id = dl.doc_id
+  CROSS JOIN tot
+  GROUP BY 1, 2),
+r AS (SELECT query_id, doc_id, score,
+        CAST(row_number() OVER (
+          PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank
+      FROM sc)
+SELECT query_id, rank, doc_id, score FROM r WHERE rank <= {BM25_K}
+"""
+
+
+R7_QUERIES["ql_topk"] = q_ql_topk
+R7_ORACLES["ql_topk"] = _sql_ql_topk()

@@ -850,3 +850,36 @@ def test_bpe_merges_compress_token_stream(spark):
         F.sum(F.size(tk(F.col("text")))).alias("nw"),
     ).first()
     assert agg["n0"] > agg["n10"] > agg["n30"] >= agg["nw"]
+
+
+def test_ql_ranker_scores_all_query_terms_per_candidate(spark):
+    """Dirichlet QL: the planted stuffed doc ranks first; a candidate
+    matching only ONE query term still gets a (background-smoothed)
+    contribution for the missing term — hand-computed."""
+    from prod2vec_spark.operators.bm25 import ql_topk
+
+    docs = _docs(
+        spark,
+        [(1, "x x y"), (2, "x q"), (3, "q q q")],
+    )
+    out = {
+        (r["query_id"], r["doc_id"]): (r["rank"], r["score"])
+        for r in ql_topk(docs, [("q", ["x", "y"])], k=5, mu=10.0).collect()
+    }
+    # candidates: docs 1 and 2 (doc 3 matches nothing)
+    assert set(out) == {("q", 1), ("q", 2)}
+    # hand-compute: C=8 tokens, cf(x)=3, cf(y)=1
+    import math as m
+
+    def score(tfs, dl):
+        return round(
+            sum(
+                m.log((tf + 10.0 * cf / 8) / (dl + 10.0))
+                for tf, cf in tfs
+            ),
+            4,
+        )
+
+    assert out[("q", 1)][1] == score([(2, 3), (1, 1)], 3)
+    assert out[("q", 2)][1] == score([(1, 3), (0, 1)], 2)
+    assert out[("q", 1)][0] == 1  # doc 1 matches both terms → ranks first
