@@ -110,6 +110,19 @@ class BigramLM:
             spark.read.parquet(f"{dir_path}/totals"),
         )
 
+    def pruned(self, min_count: int = 2) -> "BigramLM":
+        """Count-floor pruning (the practical stand-in for Brants'
+        entropy pruning): drop bigram rows with c2 < min_count.  At
+        web scale the singleton tail IS most of the bigram table, so
+        this is the knob that turns the scoring join's build side
+        from corpus-sized to vocab²-bounded.  Pruned pairs fall
+        through to the smoothed backoff leg — scores stay finite and
+        well-defined (totals/unigrams unchanged: the model still
+        normalizes over the full training mass)."""
+        return BigramLM(
+            self.c2.where(F.col("c2") >= min_count), self.c1, self.totals
+        )
+
 
 def fit_lm(
     train_docs: DataFrame,

@@ -883,3 +883,25 @@ def test_ql_ranker_scores_all_query_terms_per_candidate(spark):
     assert out[("q", 1)][1] == score([(2, 3), (1, 1)], 3)
     assert out[("q", 2)][1] == score([(1, 3), (0, 1)], 2)
     assert out[("q", 1)][0] == 1  # doc 1 matches both terms → ranks first
+
+
+def test_lm_pruning_falls_back_to_backoff(spark):
+    """BigramLM.pruned drops the sub-floor bigram tail; scoring stays
+    finite, pruned pairs take the backoff leg, and pairs above the
+    floor score identically to the unpruned model."""
+    from prod2vec_spark.operators.lm import fit_lm, score_docs
+
+    train = _docs(spark, [(1, "a b a b a b c d")])  # c2(a,b)=3, others 1
+    model = fit_lm(train)
+    pruned = model.pruned(min_count=2)
+    assert pruned.c2.count() < model.c2.count()
+    probe = _docs(spark, [(10, "a b a b"), (11, "c d")])
+    full = {r["doc_id"]: r for r in score_docs(probe, model).collect()}
+    cut = {r["doc_id"]: r for r in score_docs(probe, pruned).collect()}
+    # (a,b) survives the floor: identical score, no backoff
+    assert cut[10]["avg_nll"] == full[10]["avg_nll"]
+    assert cut[10]["n_backoff"] == 0
+    # (c,d) was pruned: now scores via backoff, finite, worse
+    assert full[11]["n_backoff"] == 0 and cut[11]["n_backoff"] == 1
+    assert cut[11]["avg_nll"] > full[11]["avg_nll"]
+    assert math.isfinite(cut[11]["avg_nll"])
