@@ -403,3 +403,66 @@ def snapshot_diff(
         .otherwise(F.lit("unchanged"))
         .alias("status"),
     )
+
+
+def editdist_confirm(
+    pairs: DataFrame,
+    docs: DataFrame,
+    prefix_len: int = 256,
+    max_dist: int = 51,
+    sim_threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Edit-distance confirmation stage for near-dup CANDIDATE pairs —
+    the character-level verifier that sits between LSH candidate
+    generation and cluster formation (the alternative to the
+    shingle-Jaccard verify of :func:`jaccard_pairs`; ENGINE scope, the
+    reference has no dedup plane).
+
+    For each (doc_a, doc_b) pair: Levenshtein distance over the first
+    ``prefix_len`` characters, with TWO scale guards that make this
+    viable at 100 TB candidate volumes:
+
+    * the prefix cap bounds the DP cost per pair at prefix_len² cells
+      (full documents would be quadratic in document length);
+    * ``max_dist`` drives Spark's banded early-abandon (the three-arg
+      ``levenshtein(l, r, threshold)`` computes only a 2·t+1-wide DP
+      band and returns -1 once the distance provably exceeds t) — the
+      dominant case for false-positive candidates.
+
+    Output per pair: prefix lengths, ``dist`` (-1 = early-abandoned,
+    definitely unconfirmable), ``edit_sim`` = 1 - dist/max(len) (-1.0
+    sentinel when abandoned), ``confirmed`` 0/1 at ``sim_threshold``.
+    Two equi-joins on the id key fetch the prefixes; the pair set is
+    the (already capped) LSH candidate output, so the quadratic blowup
+    was contained upstream.
+    """
+    pref = docs.select(
+        F.col(id_col).alias("_id"),
+        F.substring(F.col(text_col), 1, prefix_len).alias("_pref"),
+    )
+    a = pref.select(F.col("_id").alias("doc_a"), F.col("_pref").alias("_pa"))
+    b = pref.select(F.col("_id").alias("doc_b"), F.col("_pref").alias("_pb"))
+    la = F.length("_pa")
+    lb = F.length("_pb")
+    d = F.levenshtein(F.col("_pa"), F.col("_pb"), max_dist)
+    sim = F.round(
+        F.lit(1.0) - d.cast("double") / F.greatest(la, lb, F.lit(1)).cast("double"), 4
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            la.cast("long").alias("len_a"),
+            lb.cast("long").alias("len_b"),
+            d.cast("long").alias("dist"),
+            F.when(d >= 0, sim).otherwise(F.lit(-1.0)).alias("edit_sim"),
+            F.when((d >= 0) & (sim >= F.lit(sim_threshold)), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("confirmed"),
+        )
+    )

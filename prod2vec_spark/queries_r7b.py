@@ -1,0 +1,198 @@
+"""Round-7 wave-B tranche: three more LLM-training-data operator
+families, each with a full DuckDB oracle (ENGINE scope; reference
+anchor: utils/prep_utils.py's driver-side np.random.choice validation
+split is the nearest ancestor of the hash split).
+
+* ``stratified_split``   — deterministic md5-hash train/val/test
+  partition with a per-(lang, split) audit (operators/splits.py).
+* ``temperature_mix``    — exponentiated-sampling source recipe
+  p_i ∝ n_i^alpha computed from corpus stats (operators/mixing.py).
+* ``neardup_editdist``   — Levenshtein confirmation of LSH candidate
+  pairs, banded early-abandon + prefix cap (operators/dedup.py).
+
+Catalog conventions (queries.py header) apply: every aggregate/derived
+column aliased identically in Spark and SQL; booleans surfaced as
+BIGINT 0/1; md5 as the portable hash; floats rounded (4-6 digits).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from prod2vec_spark.operators import dedup as DD
+from prod2vec_spark.operators.mixing import temperature_mix
+from prod2vec_spark.operators.splits import DEFAULT_FRACTIONS, assign_split
+from prod2vec_spark.queries_ext import (
+    _SQL_MINHASH,
+    _SQL_SHINGLES3,
+    _TOKS,
+    LSH_MAX_GROUP,
+)
+from prod2vec_spark.sources.io import read_table
+
+# ------------------------------------------------- stratified split
+SPLIT_SEED = 42
+
+
+def q_stratified_split(spark, sf_dir):
+    """Per-(lang, split) audit of the deterministic hash partition:
+    doc/token counts + each split's share of its language.  The
+    assignment itself is row-local (no shuffle); the audit is one
+    bounded groupBy + a per-lang total join over the tiny aggregate
+    (operators/splits.py)."""
+    docs = read_table(spark, sf_dir, "documents")
+    from prod2vec_spark.operators import text as TX
+
+    s = assign_split(docs, key_col="doc_id", seed=SPLIT_SEED).select(
+        "lang", "split", F.size(TX.tokens(F.col("text"))).cast("long").alias("_nt")
+    )
+    g = s.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_nt").cast("long").alias("n_tokens"),
+    )
+    per_lang = g.groupBy("lang").agg(F.sum("n_docs").alias("_lang_docs"))
+    return (
+        g.join(F.broadcast(per_lang), "lang")
+        .select(
+            "lang",
+            "split",
+            "n_docs",
+            "n_tokens",
+            F.round(
+                F.col("n_docs").cast("double") / F.col("_lang_docs").cast("double"), 4
+            ).alias("frac_of_lang"),
+        )
+    )
+
+
+def _sql_stratified_split() -> str:
+    # thresholds MUST be the identical Python-accumulated floats the
+    # Spark expression uses (0.9 + 0.05 != 0.95 exactly in binary)
+    cases = []
+    cum = 0.0
+    for name, frac in DEFAULT_FRACTIONS[:-1]:
+        cum += frac
+        cases.append(f"WHEN u < {cum!r} THEN '{name}'")
+    case_sql = " ".join(cases)
+    last = DEFAULT_FRACTIONS[-1][0]
+    return f"""
+WITH r AS (
+  SELECT lang,
+         ('0x' || substr(md5('{SPLIT_SEED}|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           / 4294967296.0 AS u,
+         len({_TOKS}) AS nt
+  FROM documents),
+s AS (SELECT lang, CASE {case_sql} ELSE '{last}' END AS split, nt FROM r),
+g AS (SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(nt) AS BIGINT) AS n_tokens
+      FROM s GROUP BY 1, 2)
+SELECT lang, split, n_docs, n_tokens,
+       round(CAST(n_docs AS DOUBLE)
+             / CAST(sum(n_docs) OVER (PARTITION BY lang) AS DOUBLE), 4)
+         AS frac_of_lang
+FROM g
+"""
+
+
+# ------------------------------------------------- temperature mix
+MIX_ALPHA = 0.7
+MIX_BUDGET = 1_000_000
+
+
+def q_temperature_mix(spark, sf_dir):
+    """Exponentiated-sampling source recipe (p ∝ tokens^0.7): one
+    scan, one bounded per-source aggregate, a 1-row total broadcast
+    back (operators/mixing.py)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return temperature_mix(docs, alpha=MIX_ALPHA, budget_tokens=MIX_BUDGET)
+
+
+def _sql_temperature_mix() -> str:
+    p = f"pow(CAST(n_tokens AS DOUBLE), {MIX_ALPHA!r})"
+    return f"""
+WITH t AS (SELECT source, len({_TOKS}) AS nt FROM documents),
+g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(nt) AS BIGINT) AS n_tokens
+      FROM t GROUP BY 1),
+tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot_tokens,
+               sum({p}) AS tot_pow
+        FROM g)
+SELECT source, n_docs, n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / tot_tokens, 6) AS p_raw,
+       round({p} / tot_pow, 6) AS p_temp,
+       CAST(floor({float(MIX_BUDGET)!r} * ({p} / tot_pow)) AS BIGINT)
+         AS target_tokens,
+       round(({p} / tot_pow) / (CAST(n_tokens AS DOUBLE) / tot_tokens), 4)
+         AS boost
+FROM g CROSS JOIN tot
+"""
+
+
+# --------------------------------------------- edit-dist confirm
+ED_PREFIX = 256
+ED_MAX_DIST = 51  # floor(0.2 * 256): beyond this no pair can clear 0.8
+ED_SIM = 0.8
+
+
+def q_neardup_editdist(spark, sf_dir):
+    """Levenshtein confirmation of the LSH candidate pairs: banded
+    early-abandon (threshold arg → -1 sentinel) over 256-char
+    prefixes, per-pair edit similarity + confirmed gate
+    (operators/dedup.py editdist_confirm)."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = DD.lsh_candidate_pairs(DD.minhash_bands(docs), max_group=LSH_MAX_GROUP)
+    return DD.editdist_confirm(
+        pairs, docs, prefix_len=ED_PREFIX, max_dist=ED_MAX_DIST, sim_threshold=ED_SIM
+    )
+
+
+def _sql_neardup_editdist() -> str:
+    return f"""
+WITH {_SQL_SHINGLES3},
+{_SQL_MINHASH},
+eligible AS (
+  SELECT band_id, band_sig FROM bands
+  GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND {LSH_MAX_GROUP}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN eligible e ON a.band_id = e.band_id AND a.band_sig = e.band_sig
+  JOIN bands b
+    ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+   AND a.doc_id < b.doc_id),
+p AS (SELECT doc_id, substr(text, 1, {ED_PREFIX}) AS pref FROM documents),
+j AS (SELECT c.doc_a, c.doc_b,
+             pa.pref AS pa, pb.pref AS pb,
+             length(pa.pref) AS len_a, length(pb.pref) AS len_b
+      FROM cand c
+      JOIN p pa ON pa.doc_id = c.doc_a
+      JOIN p pb ON pb.doc_id = c.doc_b),
+d AS (SELECT doc_a, doc_b, len_a, len_b,
+             CASE WHEN levenshtein(pa, pb) > {ED_MAX_DIST} THEN -1
+                  ELSE levenshtein(pa, pb) END AS dist
+      FROM j),
+sc AS (SELECT doc_a, doc_b, len_a, len_b, dist,
+              round(1.0 - CAST(dist AS DOUBLE)
+                    / CAST(greatest(len_a, len_b, 1) AS DOUBLE), 4) AS sim
+       FROM d)
+SELECT doc_a, doc_b,
+       CAST(len_a AS BIGINT) AS len_a,
+       CAST(len_b AS BIGINT) AS len_b,
+       CAST(dist AS BIGINT) AS dist,
+       CASE WHEN dist >= 0 THEN sim ELSE -1.0 END AS edit_sim,
+       CAST(CASE WHEN dist >= 0 AND sim >= {ED_SIM!r} THEN 1 ELSE 0 END AS BIGINT)
+         AS confirmed
+FROM sc
+"""
+
+
+R7B_QUERIES = {
+    "stratified_split": q_stratified_split,
+    "temperature_mix": q_temperature_mix,
+    "neardup_editdist": q_neardup_editdist,
+}
+R7B_ORACLES = {
+    "stratified_split": _sql_stratified_split(),
+    "temperature_mix": _sql_temperature_mix(),
+    "neardup_editdist": _sql_neardup_editdist(),
+}

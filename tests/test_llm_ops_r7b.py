@@ -1,0 +1,201 @@
+"""Behavioral tests for the round-7 wave-B operator families
+(deterministic hash split, temperature source mixing, edit-distance
+near-dup confirmation) — oracle parity is covered by
+test_oracle_parity.py; these assert the SEMANTICS on constructed
+inputs and the scale-relevant invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+# ------------------------------------------------------- hash split
+def test_assign_split_is_a_partition(spark):
+    from prod2vec_spark.operators.splits import assign_split
+    from prod2vec_spark.sources.io import read_table
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    s = assign_split(docs, key_col="doc_id", seed=42)
+    # exactly one split per row, only the three labels
+    assert s.count() == docs.count()
+    labels = {r["split"] for r in s.select("split").distinct().collect()}
+    assert labels <= {"train", "val", "test"}
+    # deterministic: a second evaluation assigns identically
+    a = {r["doc_id"]: r["split"] for r in s.select("doc_id", "split").collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in assign_split(docs, key_col="doc_id", seed=42)
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert a == b
+
+
+def test_assign_split_stable_under_ingestion(spark):
+    """The property that matters at 100 TB: adding/removing OTHER rows
+    never moves an existing row between splits (pure function of
+    (seed, key))."""
+    from prod2vec_spark.operators.splits import assign_split
+    from prod2vec_spark.sources.io import read_table
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    full = {
+        r["doc_id"]: r["split"]
+        for r in assign_split(docs, seed=42).select("doc_id", "split").collect()
+    }
+    half = {
+        r["doc_id"]: r["split"]
+        for r in assign_split(docs.filter(F.col("doc_id") % 2 == 0), seed=42)
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert all(full[k] == v for k, v in half.items())
+
+
+def test_assign_split_fractions_and_seed_sensitivity(spark):
+    from prod2vec_spark.operators.splits import assign_split
+    from prod2vec_spark.sources.io import read_table
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    n = docs.count()
+    counts = {
+        r["split"]: r["n"]
+        for r in assign_split(docs, seed=42)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # loose tolerance at the smoke SF — the md5 uniform is unbiased
+    assert abs(counts.get("train", 0) / n - 0.90) < 0.06
+    # a different seed produces a different assignment somewhere
+    other = assign_split(docs, seed=7).select("doc_id", F.col("split").alias("s2"))
+    moved = (
+        assign_split(docs, seed=42)
+        .select("doc_id", "split")
+        .join(other, "doc_id")
+        .filter(F.col("split") != F.col("s2"))
+        .count()
+    )
+    assert moved > 0
+
+
+def test_split_assignment_rejects_bad_fractions():
+    from prod2vec_spark.operators.splits import split_assignment
+
+    with pytest.raises(ValueError):
+        split_assignment(F.col("x"), 42, (("a", 0.5), ("b", 0.4)))
+
+
+# -------------------------------------------------- temperature mix
+def test_temperature_mix_flattens(spark):
+    """alpha < 1 upsamples low-resource sources: boost is
+    anti-monotone in token mass, p_temp still sums to 1."""
+    from prod2vec_spark.operators.mixing import temperature_mix
+    from prod2vec_spark.sources.io import read_table
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    rows = temperature_mix(docs, alpha=0.5).collect()
+    assert abs(sum(r["p_temp"] for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r["p_raw"] for r in rows) - 1.0) < 1e-3
+    by_mass = sorted(rows, key=lambda r: r["n_tokens"])
+    boosts = [r["boost"] for r in by_mass]
+    assert boosts == sorted(boosts, reverse=True)  # smaller source, bigger boost
+    # budget is conserved up to per-source floor loss
+    total = sum(r["target_tokens"] for r in rows)
+    assert 1_000_000 - len(rows) <= total <= 1_000_000
+
+
+def test_temperature_mix_alpha_one_is_natural(spark):
+    from prod2vec_spark.operators.mixing import temperature_mix
+    from prod2vec_spark.sources.io import read_table
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    rows = temperature_mix(docs, alpha=1.0).collect()
+    for r in rows:
+        assert abs(r["p_temp"] - r["p_raw"]) < 2e-6  # both rounded at 6
+        assert abs(r["boost"] - 1.0) < 1e-3
+
+
+def test_temperature_mix_rejects_bad_alpha(spark):
+    from prod2vec_spark.operators.mixing import temperature_mix
+    from prod2vec_spark.sources.io import read_table
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    with pytest.raises(ValueError):
+        temperature_mix(docs, alpha=0.0)
+    with pytest.raises(ValueError):
+        temperature_mix(docs, alpha=1.5)
+
+
+# --------------------------------------------- edit-dist confirm
+def _pairs_and_docs(spark, docs_rows, pair_rows):
+    docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    pairs = spark.createDataFrame(pair_rows, "doc_a long, doc_b long")
+    return pairs, docs
+
+
+def _py_lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[len(b)]
+
+
+def test_editdist_confirm_matches_python_reference(spark):
+    from prod2vec_spark.operators.dedup import editdist_confirm
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "the quick brown fox jumped over the lazy dog",
+        3: "completely unrelated content with other words entirely",
+        4: "",
+    }
+    pairs, docs = _pairs_and_docs(
+        spark, list(texts.items()), [(1, 2), (1, 3), (1, 4)]
+    )
+    out = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in editdist_confirm(pairs, docs, prefix_len=256, max_dist=51).collect()
+    }
+    r12 = out[(1, 2)]
+    assert r12["dist"] == _py_lev(texts[1], texts[2]) == 2
+    assert r12["confirmed"] == 1 and r12["edit_sim"] > 0.9
+    r13 = out[(1, 3)]
+    exact = _py_lev(texts[1], texts[3])
+    assert r13["dist"] == (exact if exact <= 51 else -1)
+    assert r13["confirmed"] == 0
+    # empty side: dist = len(other) within threshold, sim 0, unconfirmed
+    r14 = out[(1, 4)]
+    assert r14["dist"] == len(texts[1]) and r14["confirmed"] == 0
+    assert r14["edit_sim"] == 0.0
+
+
+def test_editdist_confirm_early_abandon_sentinel(spark):
+    from prod2vec_spark.operators.dedup import editdist_confirm
+
+    a = "a" * 200
+    b = "b" * 200
+    pairs, docs = _pairs_and_docs(spark, [(1, a), (2, b)], [(1, 2)])
+    [r] = editdist_confirm(pairs, docs, prefix_len=256, max_dist=51).collect()
+    assert r["dist"] == -1 and r["edit_sim"] == -1.0 and r["confirmed"] == 0
+
+
+def test_editdist_confirm_prefix_cap(spark):
+    """Documents differing only beyond the prefix confirm as dups —
+    the documented (and audited) cost/recall trade of the cap."""
+    from prod2vec_spark.operators.dedup import editdist_confirm
+
+    base = "x " * 200  # 400 chars
+    pairs, docs = _pairs_and_docs(
+        spark, [(1, base + "tail one"), (2, base + "completely different tail")],
+        [(1, 2)],
+    )
+    [r] = editdist_confirm(pairs, docs, prefix_len=64, max_dist=51).collect()
+    assert r["dist"] == 0 and r["confirmed"] == 1
+    assert r["len_a"] == 64 and r["len_b"] == 64

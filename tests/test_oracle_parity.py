@@ -69,6 +69,9 @@ def test_rows_only_queries_nonempty(spark, name):
         "curriculum_buckets",       # percentile thresholds + comparisons
         "hard_negatives",           # unit-scale folds + cosine ranking
         "text_normalize",           # regex classes + length arithmetic
+        "stratified_split",         # md5-uniform thresholds + frac division
+        "temperature_mix",          # pow() shares + floor budget cast
+        "neardup_editdist",         # banded levenshtein + sim division
     ],
 )
 def test_catalog_survives_ansi_mode(spark, name):
