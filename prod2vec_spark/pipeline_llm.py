@@ -14,7 +14,12 @@ extension adds the four starred stages):
 (° = optional round-7 stages: CCNet segment dedup before quality
 scoring so quality judges boilerplate-free text; bigram-LM perplexity
 gate after it; plus the canonical_policy="quality" near-dup survivor
-option — keep each cluster's best-quality member.)
+option — keep each cluster's best-quality member.  Round-7 wave B
+adds three more optional stages: edit-distance verification of LSH
+candidate pairs before cluster formation (editdist_verify), a
+deterministic train/val/test hash split of the final corpus with
+chunking restricted to the train side (holdout_split), and a
+temperature-scaled per-source mixing recipe report (mix_report).)
 
 Every stage hand-off is a parquet checkpoint under ``work_dir`` so a
 failed 100 TB run resumes at the last stage, and each stage reuses the
@@ -112,6 +117,26 @@ class CorpusConfig:
     # near-dup survivor policy: "min_id" (dedup_clusters default) or
     # "quality" (keep each cluster's best-quality member)
     canonical_policy: str = "min_id"
+    # round-7 wave-B options, all off by default:
+    # edit-distance confirmation of LSH candidate pairs BEFORE cluster
+    # formation — only character-level-confirmed pairs join clusters,
+    # so a single chance band collision can no longer merge two
+    # genuinely different documents into one cluster (the precision
+    # screen; operators/dedup.editdist_confirm).
+    editdist_verify: bool = False
+    ed_prefix: int = 256
+    ed_max_dist: int = 51
+    ed_sim: float = 0.8
+    # deterministic train/val/test hash split of the curated corpus
+    # (operators/splits.py); chunking then runs on the TRAIN side only
+    # — eval text never leaks into training sequences.
+    holdout_split: bool = False
+    split_seed: int = 42
+    # temperature-scaled source recipe report over the final corpus
+    # (operators/mixing.py) written as a work_dir artifact.
+    mix_report: bool = False
+    mix_alpha: float = 0.7
+    mix_budget: int = 1_000_000
 
 
 class CorpusCurationPipeline:
@@ -243,6 +268,22 @@ class CorpusCurationPipeline:
             DD.minhash_bands(docs, shingle_k=self.cfg.shingle_k),
             max_group=self.cfg.lsh_max_group,
         )
+        if self.cfg.editdist_verify:
+            # precision screen: only character-level-confirmed pairs
+            # form clusters (prefix-capped banded Levenshtein — the
+            # per-pair cost is bounded, and the pair set was already
+            # capped upstream by the LSH group guard)
+            pairs = (
+                DD.editdist_confirm(
+                    pairs,
+                    docs,
+                    prefix_len=self.cfg.ed_prefix,
+                    max_dist=self.cfg.ed_max_dist,
+                    sim_threshold=self.cfg.ed_sim,
+                )
+                .where(F.col("confirmed") == 1)
+                .select("doc_a", "doc_b")
+            )
         clusters = dedup_clusters(pairs)
         if self.cfg.canonical_policy == "quality":
             # survivor = each cluster's best-quality member, not its
@@ -366,6 +407,13 @@ class CorpusCurationPipeline:
             ("final_chunks", cagg["n_chunks"]),
             ("final_chunk_tokens", cagg["n_chunk_tokens"]),
         ]
+        if "split" in final.columns:  # holdout_split on: per-split sizes
+            rows += sorted(
+                (f"final_{r['split']}", r["n"])
+                for r in final.groupBy("split")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
         report = self.spark.createDataFrame(rows, "stage string, n long")
         write_parquet(report, f"{self.cfg.work_dir}/curation_report")
         return report
@@ -388,7 +436,39 @@ class CorpusCurationPipeline:
             deduped = self.semantic_dedup(deduped)
         n_neardedup = deduped.count()
         final = self.decontaminate(deduped)
-        chunks = self.chunk(final)
+        if self.cfg.holdout_split:
+            final = self.split_holdout(final)
+            train = final.where(F.col("split") == "train").drop("split")
+        else:
+            train = final
+        if self.cfg.mix_report:
+            self.write_mix_report(final)
+        chunks = self.chunk(train)
         return self.stats(
             n_input, n_exact, n_quality, n_neardedup, final, chunks
         )
+
+    # -- stage 5.5: held-out split (optional) --------------------------
+    def split_holdout(self, docs: DataFrame) -> DataFrame:
+        """Deterministic hash split of the curated corpus; the
+        checkpoint is hive-partitioned by split so the train reader
+        prunes the eval directories (and vice versa).  Row-local — no
+        shuffle beyond the partitioned write."""
+        from prod2vec_spark.operators.splits import assign_split
+
+        out = assign_split(docs, key_col="doc_id", seed=self.cfg.split_seed)
+        write_parquet(out, f"{self.cfg.work_dir}/final_split",
+                      partition_by=["split"])
+        return self.spark.read.parquet(f"{self.cfg.work_dir}/final_split")
+
+    # -- mixing-recipe report (optional) -------------------------------
+    def write_mix_report(self, docs: DataFrame) -> DataFrame:
+        """Per-source temperature recipe over the final corpus — the
+        bounded per-source table the training loader samples from."""
+        from prod2vec_spark.operators.mixing import temperature_mix
+
+        rep = temperature_mix(
+            docs, alpha=self.cfg.mix_alpha, budget_tokens=self.cfg.mix_budget
+        )
+        write_parquet(rep, f"{self.cfg.work_dir}/mix_report")
+        return rep

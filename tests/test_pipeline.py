@@ -553,3 +553,69 @@ def test_corpus_pipeline_every_optional_stage_on(spark, tmp_path):
         ).count()
         == 0
     )
+
+
+def test_corpus_pipeline_split_mix_and_editdist_stages(spark, tmp_path):
+    """Round-7 wave-B options composed into the DAG: edit-distance
+    pair verification tightens (never widens) the near-dup drop set;
+    the held-out split partitions the final corpus and chunking sees
+    ONLY the train side; the mix report is a bounded per-source table
+    whose shares sum to 1."""
+    from pyspark.sql import functions as F
+
+    from prod2vec_spark.pipeline_llm import CorpusConfig, CorpusCurationPipeline
+    from tests.conftest import SF_SMOKE
+
+    cfg = CorpusConfig(
+        sf_dir=SF_SMOKE,
+        work_dir=str(tmp_path / "corpus_r7b"),
+        editdist_verify=True,
+        holdout_split=True,
+        mix_report=True,
+    )
+    report = CorpusCurationPipeline(spark, cfg).run()
+    by_stage = {r["stage"]: r["n"] for r in report.collect()}
+    assert by_stage["final"] > 0
+
+    # verified pairs are a subset of raw LSH pairs → clusters can only
+    # shrink: the verified run keeps at least as many docs as a
+    # baseline run without the screen
+    base = CorpusConfig(sf_dir=SF_SMOKE, work_dir=str(tmp_path / "corpus_base"))
+    base_stage = {
+        r["stage"]: r["n"]
+        for r in CorpusCurationPipeline(spark, base).run().collect()
+    }
+    assert by_stage["after_near_dedup"] >= base_stage["after_near_dedup"]
+
+    # split: partition of the final corpus, hive-partitioned on disk
+    final = spark.read.parquet(f"{cfg.work_dir}/final_split")
+    assert "split" in final.columns
+    split_counts = {
+        r["split"]: r["n"]
+        for r in final.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert sum(split_counts.values()) == by_stage["final"]
+    assert set(split_counts) <= {"train", "val", "test"}
+    # stats surfaced the same numbers
+    for s, n in split_counts.items():
+        assert by_stage[f"final_{s}"] == n
+
+    # chunking saw only the train side: every chunk doc_id is train
+    chunks = spark.read.parquet(f"{cfg.work_dir}/chunks")
+    train_ids = {
+        r["doc_id"]
+        for r in final.where(F.col("split") == "train").select("doc_id").collect()
+    }
+    chunk_ids = {r["doc_id"] for r in chunks.select("doc_id").distinct().collect()}
+    assert chunk_ids <= train_ids
+
+    # mix report: bounded per-source recipe, shares sum to 1
+    mix = spark.read.parquet(f"{cfg.work_dir}/mix_report").collect()
+    n_sources = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("source")
+        .distinct()
+        .count()
+    )
+    assert 0 < len(mix) <= n_sources
+    assert abs(sum(r["p_temp"] for r in mix) - 1.0) < 1e-3
