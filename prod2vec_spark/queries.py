@@ -576,6 +576,18 @@ CATALOG: list[str] = [
     #     strict superset of the TF-IDF table),
     #   validation_sample → weighted_sample/skipgram_subsampled
     #     (seeded-sampling plane).
+    # wave B: three strictly-coverage-conscious swaps — lsh_candidates
+    # → neardup_editdist (band signatures + eligible groups + pair
+    # expansion all execute INSIDE the edit-distance confirm, plus the
+    # Levenshtein screen: a strict superset), corpus_mix_sample →
+    # temperature_mix (the recipe is now COMPUTED from corpus stats,
+    # not hand-specified; the md5-uniform keep/drop machinery keeps
+    # catalog siblings in decontaminate and weighted_sample), and
+    # window_rank → stratified_split (the per-key row_number shape
+    # keeps catalog siblings inside bm25_topk and ann_ivf_topk; the
+    # hash-partition split is a new operator family).  All three
+    # retirees stay superset-oracled in the pytest gate.
+    "stratified_split", "temperature_mix", "neardup_editdist",
     "segment_dedup_stats", "bm25_topk", "canonical_pick",
     # wave 2: two strictly-coverage-increasing swaps — lm_perplexity →
     # lm_by_lang (the identical Stupid-Backoff formula evaluated per
@@ -594,7 +606,7 @@ CATALOG: list[str] = [
     "doc_repetition", "decontaminate", "weighted_sample",
     "semdedup_audit", "pii_scrub", "doc_chunks",
     # round-6 new (wave 1)
-    "word2vec_stability", "heavy_hitters", "corpus_mix_sample",
+    "word2vec_stability", "heavy_hitters",
     "bloom_blocklist",
     # round-5 new / reshaped
     "minhash_jaccard_audit", "word2vec_neighbors", "kmeans_audit",
@@ -602,7 +614,7 @@ CATALOG: list[str] = [
     "dq_suite", "distinct_parts", "ann_recall",
     # relational / grouping-sets / window plane
     "pricing_summary", "baskets", "vocab", "index_items", "oov_miss_count",
-    "skipgram_stats", "negative_sampling_stats", "window_rank",
+    "skipgram_stats", "negative_sampling_stats",
     "pivot_status", "cube_pricing", "order_percentiles",
     # joins
     "revenue_topk",
@@ -611,7 +623,6 @@ CATALOG: list[str] = [
     "skipgram_subsampled",
     "string_agg_names",
     # LLM pipeline: dedup / text / similarity
-    "lsh_candidates",
     "dedup_clusters", "quality_filter", "embedding_neardup",
     "ann_ivf_topk",
     # events
