@@ -466,3 +466,73 @@ def editdist_confirm(
             .alias("confirmed"),
         )
     )
+
+
+def incremental_lsh_candidates(
+    old_bands: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 4,
+    max_group: int | None = None,
+) -> DataFrame:
+    """Near-dup candidate pairs INVOLVING at least one new document,
+    probed against a prior snapshot's persisted band table — the
+    incremental twin of :func:`lsh_candidate_pairs` (and the near-dup
+    leg of the snapshot-diff plane: ``snapshot_diff`` tells you which
+    docs are added/changed; this tells you who they collide with).
+
+    At 100 TB the point is what does NOT happen: the old corpus is
+    never re-shingled, re-hashed, or re-banded — only its (doc_id,
+    band_id, band_sig) table (32-byte keys) is read back, and only the
+    typically-small new fraction runs the signature pipeline.  Old×old
+    pairs are already known from the previous run and are NOT
+    re-emitted; the output is exactly the delta pair set.
+
+    Semantics (pytest-locked): with no group cap,
+        lsh_candidate_pairs(old ∪ new)
+          == lsh_candidate_pairs(old) ∪ incremental_lsh_candidates(...)
+    for id-disjoint snapshots.  For re-ingested (changed) docs the new
+    signature wins: any old band row for an id present in ``new_docs``
+    is dropped before grouping.  ``max_group`` caps the UNION group
+    size, mirroring the batch cap's degenerate-band guard.
+    """
+    nb = minhash_bands(
+        new_docs,
+        text_col=text_col,
+        shingle_k=shingle_k,
+        num_hashes=num_hashes,
+        band_size=band_size,
+    )
+    new_ids = new_docs.select(F.col("doc_id")).distinct()
+    # changed docs: the re-ingested signature supersedes the stored one
+    ob = old_bands.join(F.broadcast(new_ids), "doc_id", "left_anti")
+    allb = ob.select("doc_id", "band_id", "band_sig", F.lit(0).alias("is_new")).unionByName(
+        nb.select("doc_id", "band_id", "band_sig", F.lit(1).alias("is_new"))
+    )
+    from prod2vec_spark.functions.arrays import pair_expand
+
+    grouped = (
+        allb.groupBy("band_id", "band_sig")
+        .agg(
+            F.sort_array(F.collect_list("doc_id")).alias("ids"),
+            F.sort_array(F.collect_list(F.when(F.col("is_new") == 1, F.col("doc_id")))).alias(
+                "new_ids"
+            ),
+        )
+        .filter((F.size("ids") > 1) & (F.size("new_ids") > 0))
+    )
+    if max_group is not None:
+        grouped = grouped.filter(F.size("ids") <= max_group)
+    return (
+        grouped.select(
+            F.explode(pair_expand(F.col("ids"))).alias("p"), F.col("new_ids")
+        )
+        .where(
+            F.array_contains(F.col("new_ids"), F.col("p.a"))
+            | F.array_contains(F.col("new_ids"), F.col("p.b"))
+        )
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .distinct()
+    )

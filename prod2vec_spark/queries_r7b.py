@@ -9,6 +9,8 @@ split is the nearest ancestor of the hash split).
   p_i ∝ n_i^alpha computed from corpus stats (operators/mixing.py).
 * ``neardup_editdist``   — Levenshtein confirmation of LSH candidate
   pairs, banded early-abandon + prefix cap (operators/dedup.py).
+* ``lsh_incremental``    — delta near-dup candidates against a prior
+  snapshot's persisted band table (operators/dedup.py).
 
 Catalog conventions (queries.py header) apply: every aggregate/derived
 column aliased identically in Spark and SQL; booleans surfaced as
@@ -196,3 +198,70 @@ R7B_ORACLES = {
     "temperature_mix": _sql_temperature_mix(),
     "neardup_editdist": _sql_neardup_editdist(),
 }
+
+
+# --------------------------------------------- incremental LSH
+INC_SEED = 7
+INC_FRAC = 0.8  # md5-uniform "prior snapshot" fraction
+
+
+def q_lsh_incremental(spark, sf_dir):
+    """Delta near-dup candidates for an incremental ingest: the corpus
+    splits deterministically into a 'prior snapshot' (80%, whose band
+    table is the only thing read back) and 'new' docs; only pairs
+    involving >= 1 new doc are emitted (operators/dedup.py
+    incremental_lsh_candidates).  both_new flags pairs internal to the
+    ingest batch — derived row-locally from the same md5 formula, so
+    the oracle replays it."""
+    from prod2vec_spark.functions.hashing import hash_unit
+
+    docs = read_table(spark, sf_dir, "documents")
+    u = hash_unit(F.concat_ws("|", F.lit(str(INC_SEED)), F.col("doc_id")))
+    old = docs.where(u < INC_FRAC)
+    new = docs.where(~(u < INC_FRAC))
+    pairs = DD.incremental_lsh_candidates(
+        DD.minhash_bands(old), new, max_group=LSH_MAX_GROUP
+    )
+    ua = hash_unit(F.concat_ws("|", F.lit(str(INC_SEED)), F.col("doc_a")))
+    ub = hash_unit(F.concat_ws("|", F.lit(str(INC_SEED)), F.col("doc_b")))
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        ((ua >= INC_FRAC) & (ub >= INC_FRAC)).cast("long").alias("both_new"),
+    )
+
+
+def _sql_lsh_incremental() -> str:
+    unit = (
+        "('0x' || substr(md5('" + str(INC_SEED) + "|' || CAST({id} AS VARCHAR)), 1, 8))::BIGINT"
+        " / 4294967296.0"
+    )
+    return f"""
+WITH {_SQL_SHINGLES3},
+{_SQL_MINHASH},
+flag AS (SELECT doc_id,
+                CASE WHEN {unit.format(id='doc_id')} < {INC_FRAC!r} THEN 0 ELSE 1 END
+                  AS is_new
+         FROM documents),
+b AS (SELECT bands.doc_id, band_id, band_sig, is_new
+      FROM bands JOIN flag ON bands.doc_id = flag.doc_id),
+eligible AS (
+  SELECT band_id, band_sig FROM b
+  GROUP BY 1, 2
+  HAVING count(*) BETWEEN 2 AND {LSH_MAX_GROUP} AND max(is_new) = 1),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         a.is_new AS na, b2.is_new AS nb
+  FROM b a
+  JOIN eligible e ON a.band_id = e.band_id AND a.band_sig = e.band_sig
+  JOIN b b2 ON a.band_id = b2.band_id AND a.band_sig = b2.band_sig
+          AND a.doc_id < b2.doc_id
+  WHERE a.is_new = 1 OR b2.is_new = 1)
+SELECT doc_a, doc_b,
+       CAST(CASE WHEN na = 1 AND nb = 1 THEN 1 ELSE 0 END AS BIGINT) AS both_new
+FROM pairs
+"""
+
+
+R7B_QUERIES["lsh_incremental"] = q_lsh_incremental
+R7B_ORACLES["lsh_incremental"] = _sql_lsh_incremental()

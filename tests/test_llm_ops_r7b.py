@@ -199,3 +199,66 @@ def test_editdist_confirm_prefix_cap(spark):
     [r] = editdist_confirm(pairs, docs, prefix_len=64, max_dist=51).collect()
     assert r["dist"] == 0 and r["confirmed"] == 1
     assert r["len_a"] == 64 and r["len_b"] == 64
+
+
+# ------------------------------------------- incremental LSH
+def test_incremental_lsh_equals_full_rerun(spark):
+    """The incremental contract: full-corpus candidates == prior-run
+    candidates ∪ delta candidates, for id-disjoint snapshots with no
+    group cap (the cap is a policy knob tested separately)."""
+    from prod2vec_spark.operators.dedup import (
+        incremental_lsh_candidates,
+        lsh_candidate_pairs,
+        minhash_bands,
+    )
+    from prod2vec_spark.sources.io import read_table
+    from tests.conftest import SF_SMOKE
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    old = docs.where(F.col("doc_id") % 5 != 0)
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(minhash_bands(docs)).collect()
+    }
+    prior = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(minhash_bands(old)).collect()
+    }
+    delta = {
+        (r["doc_a"], r["doc_b"])
+        for r in incremental_lsh_candidates(minhash_bands(old), new).collect()
+    }
+    assert prior | delta == full
+    # the delta never re-emits a known old×old pair
+    assert not (delta & prior)
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    assert all(a in new_ids or b in new_ids for a, b in delta)
+
+
+def test_incremental_lsh_changed_doc_supersedes_stored_bands(spark):
+    """Re-ingested ids drop their stored band rows: a doc whose text
+    CHANGED pairs according to its new signature, and its stale
+    signature produces no pair."""
+    from prod2vec_spark.operators.dedup import (
+        incremental_lsh_candidates,
+        minhash_bands,
+    )
+
+    text_x = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    text_y = "one two three four five six seven eight nine ten eleven"
+    v1 = spark.createDataFrame(
+        [(1, text_x), (2, text_x), (3, text_y)], "doc_id long, text string"
+    )
+    # doc 2's text changes to match doc 3; doc 4 arrives matching doc 1
+    v2_changed = spark.createDataFrame(
+        [(2, text_y), (4, text_x)], "doc_id long, text string"
+    )
+    delta = {
+        (r["doc_a"], r["doc_b"])
+        for r in incremental_lsh_candidates(minhash_bands(v1), v2_changed).collect()
+    }
+    assert (2, 3) in delta        # new signature pairs with doc 3
+    assert (1, 4) in delta        # pure addition pairs with stored doc 1
+    assert (1, 2) not in delta    # stale signature is gone
+    assert (2, 4) not in delta
