@@ -77,6 +77,7 @@ class CorpusConfig:
     sf_dir: str
     work_dir: str
     quality_pct: float = 0.25  # drop the worst quartile
+    quality_scope: str = "global"  # or "per_source": percentile within source
     lsh_max_group: int = 64  # degenerate-band cap (queries_ext.py)
     shingle_k: int = 3
     scrub_pii: bool = True
@@ -222,14 +223,35 @@ class CorpusCurationPipeline:
                 )
             ).drop("_toks", "_g2", "_g3")
         scored = docs.withColumn("q", TX.quality_score(F.col("text")))
-        thr = scored.agg(
-            F.percentile("q", F.lit(self.cfg.quality_pct)).alias("q_thr")
-        )
-        kept = (
-            scored.crossJoin(F.broadcast(thr))
-            .where(F.col("q") >= F.col("q_thr"))
-            .drop("q_thr")
-        )
+        if self.cfg.quality_scope == "per_source":
+            # fairness variant: the percentile is computed WITHIN each
+            # source, so a source whose style scores systematically
+            # lower is trimmed by the same fraction instead of being
+            # wiped out by a corpus-global threshold.  The threshold
+            # table is bounded by the source count — broadcast join,
+            # same scalar shape as the global path.
+            thr = scored.groupBy("source").agg(
+                F.percentile("q", F.lit(self.cfg.quality_pct)).alias("q_thr")
+            )
+            kept = (
+                scored.join(F.broadcast(thr), "source")
+                .where(F.col("q") >= F.col("q_thr"))
+                .drop("q_thr")
+            )
+        elif self.cfg.quality_scope == "global":
+            thr = scored.agg(
+                F.percentile("q", F.lit(self.cfg.quality_pct)).alias("q_thr")
+            )
+            kept = (
+                scored.crossJoin(F.broadcast(thr))
+                .where(F.col("q") >= F.col("q_thr"))
+                .drop("q_thr")
+            )
+        else:
+            raise ValueError(
+                f"quality_scope must be 'global' or 'per_source', "
+                f"got {self.cfg.quality_scope!r}"
+            )
         write_parquet(kept, f"{self.cfg.work_dir}/quality_kept")
         return self.spark.read.parquet(f"{self.cfg.work_dir}/quality_kept")
 

@@ -265,3 +265,62 @@ FROM pairs
 
 R7B_QUERIES["lsh_incremental"] = q_lsh_incremental
 R7B_ORACLES["lsh_incremental"] = _sql_lsh_incremental()
+
+
+# ------------------------------------- per-source quality gate
+PSQ_PCT = 0.25
+
+
+def q_quality_by_source(spark, sf_dir):
+    """Per-source percentile quality gate (the fairness variant of
+    quality_filter: every source trimmed by the same fraction, no
+    source wiped out by a corpus-global threshold).  Thresholds are a
+    bounded per-source aggregate broadcast back; the report is one
+    grouped pass: pre/kept counts, keep fraction, the threshold."""
+    from prod2vec_spark.operators import text as TX
+
+    docs = read_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", TX.quality_score(F.col("text")).alias("q")
+    )
+    thr = scored.groupBy("source").agg(
+        F.percentile("q", F.lit(PSQ_PCT)).alias("q_thr")
+    )
+    return (
+        scored.join(F.broadcast(thr), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pre"),
+            F.sum((F.col("q") >= F.col("q_thr")).cast("long")).alias("n_kept"),
+            F.round(
+                F.sum((F.col("q") >= F.col("q_thr")).cast("long"))
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("keep_frac"),
+            F.round(F.first("q_thr"), 4).alias("q_thr"),
+        )
+    )
+
+
+def _sql_quality_by_source() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, source,
+    round((least(1.0, CAST(len(toks) AS DOUBLE) / 20.0)
+           + greatest(0.0, 1.0 - 4.0 * round(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text), 4))
+           + round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4)) / 3.0, 4) AS q
+  FROM (SELECT doc_id, source, text, {_TOKS} AS toks FROM documents)),
+thr AS (SELECT source, quantile_cont(q, {PSQ_PCT}) AS q_thr FROM t GROUP BY 1)
+SELECT t.source,
+       CAST(count(*) AS BIGINT) AS n_pre,
+       CAST(sum(CASE WHEN q >= q_thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(sum(CASE WHEN q >= q_thr THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 4) AS keep_frac,
+       round(any_value(q_thr), 4) AS q_thr
+FROM t JOIN thr ON t.source = thr.source
+GROUP BY 1
+"""
+
+
+R7B_QUERIES["quality_by_source"] = q_quality_by_source
+R7B_ORACLES["quality_by_source"] = _sql_quality_by_source()

@@ -619,3 +619,59 @@ def test_corpus_pipeline_split_mix_and_editdist_stages(spark, tmp_path):
     )
     assert 0 < len(mix) <= n_sources
     assert abs(sum(r["p_temp"] for r in mix) - 1.0) < 1e-3
+
+
+def test_corpus_pipeline_per_source_quality_scope(spark, tmp_path):
+    """quality_scope='per_source': every source is trimmed by (at
+    most) the configured fraction — no source is wiped out by a
+    corpus-global threshold — and each survivor clears its OWN
+    source's recorded threshold."""
+    from pyspark.sql import functions as F
+
+    from prod2vec_spark.operators.text import quality_score
+    from prod2vec_spark.pipeline_llm import CorpusConfig, CorpusCurationPipeline
+    from tests.conftest import SF_SMOKE
+
+    cfg = CorpusConfig(
+        sf_dir=SF_SMOKE,
+        work_dir=str(tmp_path / "corpus_psq"),
+        quality_scope="per_source",
+        repetition_gate=False,  # isolate the percentile gate
+    )
+    p = CorpusCurationPipeline(spark, cfg)
+    p.gates()
+    exact = p.exact_dedup()
+    kept = p.quality_filter(exact)
+
+    # per-source keep fraction is ~ (1 - quality_pct) and never 0
+    pre = {r["source"]: r["n"] for r in exact.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    post = {r["source"]: r["n"] for r in kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert set(post) == set(pre)  # no source wiped out
+    for s, n_pre in pre.items():
+        frac = post[s] / n_pre
+        # percentile keeps >= 1 - pct (ties keep more); small sources loose
+        assert frac >= 1 - cfg.quality_pct - 0.05, (s, frac)
+
+    # every survivor clears its own source's threshold (recompute)
+    scored = exact.withColumn("q", quality_score(F.col("text")))
+    thr = {
+        r["source"]: r["t"]
+        for r in scored.groupBy("source")
+        .agg(F.percentile("q", F.lit(cfg.quality_pct)).alias("t"))
+        .collect()
+    }
+    for r in kept.withColumn("q", quality_score(F.col("text"))).select(
+        "source", "q"
+    ).collect():
+        assert r["q"] >= thr[r["source"]] - 1e-9
+
+    # bad scope rejected
+    import pytest as _pytest
+
+    bad = CorpusConfig(
+        sf_dir=SF_SMOKE, work_dir=str(tmp_path / "x"), quality_scope="nope"
+    )
+    with _pytest.raises(ValueError):
+        CorpusCurationPipeline(spark, bad).quality_filter(exact)
