@@ -84,3 +84,61 @@ def temperature_mix(
             F.round(p_temp / p_raw, 4).alias("boost"),
         )
     )
+
+
+def materialize_mix(
+    docs: DataFrame,
+    alpha: float = DEFAULT_ALPHA,
+    budget_tokens: int = 1_000_000,
+    seed: int = 42,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """APPLY the temperature recipe: ``docs`` + an ``n_copies`` column
+    — how many times each document appears in the training stream so
+    each source's realized token mass matches its temperature share.
+
+    Deterministic stochastic rounding of the per-source scale
+    s = target_tokens / n_tokens (how many times the source must be
+    repeated to fill its temperature share of the BUDGET):
+        n_copies = floor(s) + [hash_unit(seed | doc_id) < frac(s)]
+    so s = 2.3 repeats every doc twice and a deterministic md5-chosen
+    30% of docs a third time, while s = 0.4 keeps a 40% subset once
+    (downsampling and upsampling fall out of the same formula).
+    E[realized tokens] = s · n_tokens = the recipe's target; the draw
+    is a pure function of (seed, doc_id), so the stream is stable
+    under incremental ingestion like every other sampler in the
+    engine.
+
+    One bounded recipe aggregate broadcast back onto a row-local map
+    pass — the corpus never shuffles.  Explode downstream with
+    ``F.explode(F.sequence(F.lit(1), F.col("n_copies")))`` when the
+    physical repetition is wanted (sequence of 1..0 is empty, so
+    n_copies = 0 rows vanish in the same expression).
+    """
+    from prod2vec_spark.functions.hashing import hash_unit
+
+    recipe = temperature_mix(
+        docs,
+        alpha=alpha,
+        budget_tokens=budget_tokens,
+        source_col=source_col,
+        text_col=text_col,
+    ).select(
+        F.col("source").alias("_mix_src"),
+        F.round(
+            F.col("target_tokens").cast("double") / F.col("n_tokens").cast("double"),
+            4,
+        ).alias("_scale"),
+    )
+    # disjoint key names: recipe shares docs' lineage, so an equi-name
+    # join condition would be ambiguous (the trigram-LM probe-join
+    # regression class — see operators/lm.py)
+    u = hash_unit(F.concat_ws("|", F.lit(str(seed)), F.col("doc_id")))
+    base = F.floor(F.col("_scale")).cast("long")
+    frac = F.col("_scale") - F.floor(F.col("_scale"))
+    return (
+        docs.join(F.broadcast(recipe), F.col(source_col) == F.col("_mix_src"))
+        .withColumn("n_copies", base + (u < frac).cast("long"))
+        .drop("_mix_src", "_scale")
+    )

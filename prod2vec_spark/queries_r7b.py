@@ -324,3 +324,86 @@ GROUP BY 1
 
 R7B_QUERIES["quality_by_source"] = q_quality_by_source
 R7B_ORACLES["quality_by_source"] = _sql_quality_by_source()
+
+
+# ------------------------------------- materialized mix audit
+MAT_SEED = 42
+
+
+def q_mix_materialized(spark, sf_dir):
+    """The recipe APPLIED: per-source realized doc/token mass of the
+    deterministic stochastic-rounding resample vs the recipe target.
+    Row-local copy assignment (broadcast recipe scalar per source);
+    the audit is one grouped pass (operators/mixing.py
+    materialize_mix)."""
+    from prod2vec_spark.operators import text as TX
+    from prod2vec_spark.operators.mixing import materialize_mix, temperature_mix
+
+    docs = read_table(spark, sf_dir, "documents")
+    mat = materialize_mix(
+        docs, alpha=MIX_ALPHA, budget_tokens=MIX_BUDGET, seed=MAT_SEED
+    ).withColumn("_nt", F.size(TX.tokens(F.col("text"))).cast("long"))
+    targets = temperature_mix(docs, alpha=MIX_ALPHA, budget_tokens=MIX_BUDGET).select(
+        "source", "target_tokens"
+    )
+    g = mat.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_copies").cast("long").alias("realized_docs"),
+        F.sum(F.col("n_copies") * F.col("_nt")).cast("long").alias("realized_tokens"),
+    )
+    return g.join(F.broadcast(targets), "source").select(
+        "source",
+        "n_docs",
+        "realized_docs",
+        "realized_tokens",
+        "target_tokens",
+        F.round(
+            F.col("realized_tokens").cast("double")
+            / F.col("target_tokens").cast("double")
+            - F.lit(1.0),
+            4,
+        ).alias("rel_err"),
+    )
+
+
+def _sql_mix_materialized() -> str:
+    p = f"pow(CAST(n_tokens AS DOUBLE), {MIX_ALPHA!r})"
+    unit = (
+        "('0x' || substr(md5('" + str(MAT_SEED) + "|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+        " / 4294967296.0"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, source, len({_TOKS}) AS nt FROM documents),
+g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(nt) AS BIGINT) AS n_tokens
+      FROM t GROUP BY 1),
+tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot_tokens,
+               sum({p}) AS tot_pow
+        FROM g),
+recipe AS (
+  SELECT source,
+         CAST(floor({float(MIX_BUDGET)!r} * ({p} / tot_pow)) AS BIGINT)
+           AS target_tokens,
+         round(CAST(floor({float(MIX_BUDGET)!r} * ({p} / tot_pow)) AS DOUBLE)
+               / CAST(n_tokens AS DOUBLE), 4) AS scale
+  FROM g CROSS JOIN tot),
+m AS (
+  SELECT t.source, t.nt,
+         CAST(floor(scale) AS BIGINT)
+           + CASE WHEN {unit} < scale - floor(scale) THEN 1 ELSE 0 END
+           AS n_copies,
+         target_tokens
+  FROM t JOIN recipe ON t.source = recipe.source)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_copies) AS BIGINT) AS realized_docs,
+       CAST(sum(n_copies * nt) AS BIGINT) AS realized_tokens,
+       any_value(target_tokens) AS target_tokens,
+       round(CAST(sum(n_copies * nt) AS DOUBLE)
+             / CAST(any_value(target_tokens) AS DOUBLE) - 1.0, 4) AS rel_err
+FROM m GROUP BY 1
+"""
+
+
+R7B_QUERIES["mix_materialized"] = q_mix_materialized
+R7B_ORACLES["mix_materialized"] = _sql_mix_materialized()

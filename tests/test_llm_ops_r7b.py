@@ -262,3 +262,46 @@ def test_incremental_lsh_changed_doc_supersedes_stored_bands(spark):
     assert (1, 4) in delta        # pure addition pairs with stored doc 1
     assert (1, 2) not in delta    # stale signature is gone
     assert (2, 4) not in delta
+
+
+# ------------------------------------------- materialized mix
+def test_materialize_mix_hits_targets(spark):
+    """Realized token mass per source lands near the recipe target
+    (stochastic rounding is unbiased), the draw is deterministic, and
+    the exploded stream has exactly sum(n_copies) rows."""
+    from prod2vec_spark.operators import text as TX
+    from prod2vec_spark.operators.mixing import materialize_mix, temperature_mix
+    from prod2vec_spark.sources.io import read_table
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    mat = materialize_mix(docs, alpha=0.5, seed=42).withColumn(
+        "_nt", F.size(TX.tokens(F.col("text"))).cast("long")
+    )
+    realized = {
+        r["source"]: r["rt"]
+        for r in mat.groupBy("source")
+        .agg(F.sum(F.col("n_copies") * F.col("_nt")).alias("rt"))
+        .collect()
+    }
+    targets = {
+        r["source"]: r["target_tokens"]
+        for r in temperature_mix(docs, alpha=0.5).collect()
+    }
+    for s, t in targets.items():
+        assert abs(realized[s] / t - 1.0) < 0.25, (s, realized[s], t)
+
+    # determinism
+    again = {
+        (r["doc_id"], r["n_copies"])
+        for r in materialize_mix(docs, alpha=0.5, seed=42)
+        .select("doc_id", "n_copies")
+        .collect()
+    }
+    assert {(r["doc_id"], r["n_copies"]) for r in mat.select("doc_id", "n_copies").collect()} == again
+
+    # explode contract: sequence(1, n_copies) yields sum(n_copies) rows
+    n_exploded = (
+        mat.select(F.explode(F.sequence(F.lit(1), F.col("n_copies"))))
+        .count()
+    )
+    assert n_exploded == mat.agg(F.sum("n_copies")).first()[0]
