@@ -407,3 +407,86 @@ FROM m GROUP BY 1
 
 R7B_QUERIES["mix_materialized"] = q_mix_materialized
 R7B_ORACLES["mix_materialized"] = _sql_mix_materialized()
+
+
+# ------------------------------- quality vs perplexity agreement
+QPC_FRAC = 0.5  # md5-uniform audit sample — see scale note below
+QPC_SEED = "qc"
+
+
+def q_quality_ppl_spearman(spark, sf_dir):
+    """Cross-plane agreement audit: Spearman rank correlation between
+    the heuristic quality score and the bigram-LM mean NLL, per
+    language (negative = the cheap heuristic and the LM fluency signal
+    agree: higher quality <=> lower NLL).  Rank correlation keeps the
+    arithmetic EXACT — integer rank differences; Pearson's co-moment
+    sums would drift between engines.  Ties in the rounded scores
+    break by doc_id, so the rank assignment is deterministic and
+    engine-portable.
+
+    Scale note: the audit runs on a seeded md5-uniform sample —
+    correlation estimates converge at thousands of rows, so the
+    fraction is tuned DOWN as the corpus grows (a fixed-size audit
+    regardless of scale); the per-lang window then sorts a bounded
+    sample, never the corpus, and sum(d^2) <= n^3 stays far inside
+    int64 for any sane audit size (cap ~1e6 rows/lang)."""
+    from prod2vec_spark.functions.hashing import hash_unit
+    from prod2vec_spark.operators import text as TX
+    from prod2vec_spark.operators.lm import lm_perplexity
+    from prod2vec_spark.queries_r7 import LM_ALPHA, LM_TRAIN_FRAC
+
+    docs = read_table(spark, sf_dir, "documents")
+    u = hash_unit(F.concat_ws("|", F.lit(QPC_SEED), F.col("doc_id")))
+    sample = docs.where(u < QPC_FRAC)
+    nll = lm_perplexity(
+        sample, train_frac=LM_TRAIN_FRAC, alpha=LM_ALPHA, seed="lm"
+    ).select("doc_id", "avg_nll")
+    q = sample.select(
+        "doc_id", "lang", TX.quality_score(F.col("text")).alias("q")
+    )
+    j = q.join(nll, "doc_id")
+    from prod2vec_spark.functions.stats import spearman_by_group
+
+    return spearman_by_group(
+        j, group_col="lang", x_col="q", y_col="avg_nll", id_col="doc_id"
+    ).withColumnRenamed("group", "lang")
+
+
+def _sql_quality_ppl_spearman() -> str:
+    from prod2vec_spark.queries_r7 import _sql_lm_perplexity
+
+    # the shared LM oracle reads `documents`; retarget it at the
+    # sampled CTE (outer-CTE references are legal in a subquery)
+    lm_on_sample = _sql_lm_perplexity().replace("FROM documents", "FROM documents_s")
+    return f"""
+WITH samp AS (
+  SELECT doc_id, lang, text FROM documents
+  WHERE ('0x' || substr(md5('{QPC_SEED}|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        / 4294967296.0 < {QPC_FRAC!r}),
+documents_s AS (SELECT * FROM samp),
+qs AS (
+  SELECT doc_id, lang,
+    round((least(1.0, CAST(len(toks) AS DOUBLE) / 20.0)
+           + greatest(0.0, 1.0 - 4.0 * round(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text), 4))
+           + round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4)) / 3.0, 4) AS q
+  FROM (SELECT doc_id, lang, text, {_TOKS} AS toks FROM samp)),
+nll AS (SELECT doc_id, avg_nll FROM ({lm_on_sample})),
+j AS (SELECT qs.doc_id, qs.lang, qs.q, nll.avg_nll
+      FROM qs JOIN nll ON qs.doc_id = nll.doc_id),
+r AS (SELECT lang,
+        row_number() OVER (PARTITION BY lang ORDER BY q, doc_id) AS rq,
+        row_number() OVER (PARTITION BY lang ORDER BY avg_nll, doc_id) AS rn
+      FROM j),
+g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum((rq - rn) * (rq - rn)) AS BIGINT) AS sum_d2
+      FROM r GROUP BY 1)
+SELECT lang, n, sum_d2,
+       round(1.0 - 6.0 * CAST(sum_d2 AS DOUBLE)
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0)), 4)
+         AS spearman
+FROM g WHERE n >= 2
+"""
+
+
+R7B_QUERIES["quality_ppl_spearman"] = q_quality_ppl_spearman
+R7B_ORACLES["quality_ppl_spearman"] = _sql_quality_ppl_spearman()

@@ -305,3 +305,48 @@ def test_materialize_mix_hits_targets(spark):
         .count()
     )
     assert n_exploded == mat.agg(F.sum("n_copies")).first()[0]
+
+
+# ------------------------------------------- spearman helper
+def test_spearman_by_group_known_values(spark):
+    """Exact rank arithmetic on constructed data: perfect concordance
+    -> 1.0, perfect discordance -> -1.0, and a hand-computed mixed
+    case; groups below min_n are dropped."""
+    from prod2vec_spark.functions.stats import spearman_by_group
+
+    rows = []
+    # g=conc: y = 2x (monotone increasing)
+    for i in range(10):
+        rows.append(("conc", i, float(i), float(2 * i)))
+    # g=disc: y decreasing in x
+    for i in range(10):
+        rows.append(("disc", i, float(i), float(-i)))
+    # g=mixed: x = 1,2,3,4 ; y = 2,1,4,3 -> d = (1,-1,1,-1), sum_d2=4
+    # spearman = 1 - 24/(4*15) = 0.6
+    for i, (x, y) in enumerate([(1, 2), (2, 1), (3, 4), (4, 3)]):
+        rows.append(("mixed", i, float(x), float(y)))
+    # g=tiny: single row, dropped by min_n
+    rows.append(("tiny", 0, 1.0, 1.0))
+    df = spark.createDataFrame(rows, "g string, id long, x double, y double")
+    out = {
+        r["group"]: r
+        for r in spearman_by_group(df, "g", "x", "y", "id").collect()
+    }
+    assert out["conc"]["spearman"] == 1.0 and out["conc"]["sum_d2"] == 0
+    assert out["disc"]["spearman"] == -1.0
+    assert out["mixed"]["spearman"] == 0.6 and out["mixed"]["sum_d2"] == 4
+    assert "tiny" not in out
+
+
+def test_spearman_tiebreak_is_deterministic(spark):
+    """All-equal x: ranks fall back to the id order on BOTH axes when
+    y is also id-ordered, so the statistic is exactly 1.0 — the
+    deterministic-tiebreak contract (not NaN, not engine-dependent)."""
+    from prod2vec_spark.functions.stats import spearman_by_group
+
+    df = spark.createDataFrame(
+        [("g", i, 5.0, float(i)) for i in range(8)],
+        "g string, id long, x double, y double",
+    )
+    [r] = spearman_by_group(df, "g", "x", "y", "id").collect()
+    assert r["spearman"] == 1.0
