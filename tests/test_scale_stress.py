@@ -185,3 +185,34 @@ def test_lm_scoring_holds_on_10x_corpus(spark, amplified):
         .agg(F.count_distinct("avg_nll").alias("k"))
     )
     assert joined.where(F.col("k") > 1).count() == 0
+
+
+def test_incremental_lsh_holds_on_10x_corpus(spark, amplified):
+    """The incremental contract at 10x: treating 90% of the amplified
+    corpus as the prior snapshot (band table precomputed and
+    checkpointed — the 100 TB read-back shape) and 10% as the ingest
+    batch, prior ∪ delta must equal the full-corpus rerun exactly, and
+    the delta pass must touch only new-side signatures (asserted
+    structurally: every delta pair involves a new id)."""
+    from prod2vec_spark.operators.dedup import incremental_lsh_candidates
+
+    old = amplified.where(F.col("doc_id") % 10 != 0)
+    new = amplified.where(F.col("doc_id") % 10 == 0)
+    old_bands = minhash_bands(old).localCheckpoint()  # "persisted" table
+
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(minhash_bands(amplified)).collect()
+    }
+    prior = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(old_bands).collect()
+    }
+    delta = {
+        (r["doc_a"], r["doc_b"])
+        for r in incremental_lsh_candidates(old_bands, new).collect()
+    }
+    assert prior | delta == full
+    assert not (delta & prior)
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    assert delta and all(a in new_ids or b in new_ids for a, b in delta)

@@ -267,3 +267,78 @@ def test_streaming_bottomk_equals_batch_sketch(spark, tmp_path):
         for r in bottomk_sketch(docs, "n_chars", ["doc_id"], k=K).collect()
     ]
     assert current() == full_expect and len(full_expect) == K
+
+
+def test_streaming_incremental_lsh_matches_batch(spark, tmp_path):
+    """start_incremental_lsh_stream: the union of committed per-batch
+    delta pair sets equals the batch pipeline's full pair set; a
+    no-new-input restart adds nothing; the band store holds every
+    doc's signatures exactly once."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from prod2vec_spark.operators.dedup import lsh_candidate_pairs, minhash_bands
+    from prod2vec_spark.sources.io import read_table
+    from prod2vec_spark.streaming.neardup import (
+        read_committed_bands,
+        read_delta_pairs,
+        start_incremental_lsh_stream,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = read_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    half_a = docs.where(F.col("doc_id") % 2 == 0)
+    half_b = docs.where(F.col("doc_id") % 2 == 1)
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    for name, df in [("a", half_a), ("b", half_b)]:
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"s{name}"))
+    shutil.copy(
+        sorted((tmp_path / "sa").glob("*.parquet"))[0], landing / "a.parquet"
+    )
+
+    bands_dir = str(tmp_path / "bands")
+    pairs_dir = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(
+            str(landing)
+        )
+        start_incremental_lsh_stream(
+            stream, bands_dir, pairs_dir, ckpt
+        ).awaitTermination()
+
+    def pairs():
+        return {
+            (r["doc_a"], r["doc_b"])
+            for r in read_delta_pairs(spark, pairs_dir).collect()
+        }
+
+    drain()
+    got_a = pairs()
+    batch_a = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(minhash_bands(half_a)).collect()
+    }
+    assert got_a == batch_a
+    # restart with nothing new: no re-emission, band store unchanged
+    n_bands = read_committed_bands(spark, bands_dir).count()
+    drain()
+    assert pairs() == got_a
+    assert read_committed_bands(spark, bands_dir).count() == n_bands
+    # second landing: union now equals the full-corpus batch run
+    shutil.copy(
+        sorted((tmp_path / "sb").glob("*.parquet"))[0], landing / "b.parquet"
+    )
+    drain()
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(minhash_bands(docs)).collect()
+    }
+    assert pairs() == full
+    # the store holds each doc's bands exactly once
+    bands = read_committed_bands(spark, bands_dir)
+    assert bands.count() == minhash_bands(docs).count()
+    assert bands.select("doc_id", "band_id").distinct().count() == bands.count()
