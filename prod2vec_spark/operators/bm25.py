@@ -233,3 +233,90 @@ def ql_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+def rm3_terms(
+    docs: DataFrame,
+    queries: list[tuple[str, list[str]]],
+    k: int = 10,
+    m: int = 10,
+    lam: float = 0.5,
+    mu: float = 300.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RM3 pseudo-relevance feedback (Lavrenko & Croft's relevance
+    model, interpolated): expansion terms for each query from its own
+    top-k Dirichlet-QL results —
+
+        p(w|RM1) = Σ_{d ∈ top-k}  softmax_d(score) · tf(w,d)/dl(d)
+        p(w|RM3) = (1-λ) · p(w|q)  +  λ · p(w|RM1)
+
+    with p(w|q) uniform over the query's distinct terms.  Output: the
+    top-m expansion terms per query by the interpolated weight
+    (desc, term tiebreak) — feed them back into ql_topk/bm25_topk for
+    the second-pass retrieval.
+
+    Scale shape: the first pass is ql_topk (broadcast-pruned, one
+    corpus scan); everything after operates on the top-k·|queries|
+    candidate set — the doc language models come from ONE pass over
+    the (broadcast-semi-joined) candidate docs, and every aggregate
+    after that is bounded by k·(distinct terms of the candidates).
+    The softmax subtracts the per-query max score first (exact max,
+    stable exp), and all float outputs are rounded for engine parity.
+    """
+    top = ql_topk(docs, queries, k=k, mu=mu, id_col=id_col, text_col=text_col)
+    smax = top.groupBy("query_id").agg(F.max("score").alias("smax"))
+    wts = (
+        top.join(F.broadcast(smax), "query_id")
+        .withColumn("wexp", F.exp(F.col("score") - F.col("smax")))
+    )
+    wz = wts.groupBy("query_id").agg(F.sum("wexp").alias("wz"))
+    wts = wts.join(F.broadcast(wz), "query_id").select(
+        "query_id", "doc_id", (F.col("wexp") / F.col("wz")).alias("wd")
+    )
+    cand_ids = top.select(F.col("doc_id")).distinct()
+    cdocs = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
+    ).join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    tf = (
+        cdocs.select("doc_id", F.explode("_toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = cdocs.select("doc_id", F.size("_toks").alias("dl")).where(F.col("dl") > 0)
+    p_wd = tf.join(dl, "doc_id").select(
+        "doc_id", "term", (F.col("tf").cast("double") / F.col("dl")).alias("p_wd")
+    )
+    rm1 = (
+        wts.join(p_wd, "doc_id")
+        .groupBy("query_id", "term")
+        .agg(F.sum(F.col("wd") * F.col("p_wd")).alias("p_rm1"))
+    )
+    spark = SparkSession.getActiveSession() or docs.sparkSession
+    orig = spark.createDataFrame(
+        [
+            (qid, t, 1.0 / len(set(terms)))
+            for qid, terms in queries
+            for t in set(terms)
+        ],
+        "query_id string, term string, p_q double",
+    )
+    rm3 = (
+        rm1.join(orig, ["query_id", "term"], "full_outer")
+        .select(
+            "query_id",
+            "term",
+            (
+                F.lit(1.0 - lam) * F.coalesce(F.col("p_q"), F.lit(0.0))
+                + F.lit(lam) * F.coalesce(F.col("p_rm1"), F.lit(0.0))
+            ).alias("p"),
+        )
+        .withColumn("weight", F.round(F.col("p"), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("weight").desc(), F.col("term"))
+    return (
+        rm3.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= m)
+        .select("query_id", "rank", "term", "weight")
+    )

@@ -490,3 +490,69 @@ FROM g WHERE n >= 2
 
 R7B_QUERIES["quality_ppl_spearman"] = q_quality_ppl_spearman
 R7B_ORACLES["quality_ppl_spearman"] = _sql_quality_ppl_spearman()
+
+
+# --------------------------------------------- RM3 expansion
+RM3_M = 10
+RM3_LAM = 0.5
+
+
+def q_rm3_expansion(spark, sf_dir):
+    """RM3 pseudo-relevance feedback: top-10 expansion terms per
+    query, interpolated from the query's own Dirichlet-QL top-k
+    results (operators/bm25.py rm3_terms) — the feedback leg of the
+    retrieval triad (BM25 / QL / RM3)."""
+    from prod2vec_spark.operators.bm25 import rm3_terms
+    from prod2vec_spark.queries_r7 import BM25_K, BM25_QUERIES, QL_MU
+
+    docs = read_table(spark, sf_dir, "documents")
+    return rm3_terms(
+        docs, BM25_QUERIES, k=BM25_K, m=RM3_M, lam=RM3_LAM, mu=QL_MU
+    )
+
+
+def _sql_rm3_expansion() -> str:
+    from prod2vec_spark.queries_r7 import BM25_QUERIES, _sql_ql_topk
+
+    orig_values = ", ".join(
+        f"('{qid}', '{t}', {1.0 / len(set(terms))!r})"
+        for qid, terms in BM25_QUERIES
+        for t in sorted(set(terms))
+    )
+    ql = _sql_ql_topk()
+    return f"""
+WITH topk AS (SELECT query_id, doc_id, score FROM ({ql})),
+smax AS (SELECT query_id, max(score) AS smax FROM topk GROUP BY 1),
+wts AS (SELECT t.query_id, t.doc_id, exp(t.score - s.smax) AS wexp
+        FROM topk t JOIN smax s ON t.query_id = s.query_id),
+wz AS (SELECT query_id, sum(wexp) AS wz FROM wts GROUP BY 1),
+wd AS (SELECT w.query_id, w.doc_id, w.wexp / z.wz AS wd
+       FROM wts w JOIN wz z ON w.query_id = z.query_id),
+cids AS (SELECT DISTINCT doc_id FROM topk),
+ct AS (SELECT d.doc_id, regexp_split_to_array(trim(d.text), '\\s+') AS toks
+       FROM documents d JOIN cids ON d.doc_id = cids.doc_id),
+cdl AS (SELECT doc_id, len(toks) AS dl FROM ct WHERE len(toks) > 0),
+ctf AS (SELECT doc_id, term, count(*) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS term FROM ct) GROUP BY 1, 2),
+pwd AS (SELECT ctf.doc_id, term, CAST(tf AS DOUBLE) / cdl.dl AS p_wd
+        FROM ctf JOIN cdl ON ctf.doc_id = cdl.doc_id),
+rm1 AS (SELECT wd.query_id, pwd.term, sum(wd.wd * pwd.p_wd) AS p_rm1
+        FROM wd JOIN pwd ON wd.doc_id = pwd.doc_id GROUP BY 1, 2),
+orig(query_id, term, p_q) AS (VALUES {orig_values}),
+rm3 AS (
+  SELECT COALESCE(rm1.query_id, orig.query_id) AS query_id,
+         COALESCE(rm1.term, orig.term) AS term,
+         round({1.0 - RM3_LAM!r} * COALESCE(orig.p_q, 0.0)
+               + {RM3_LAM!r} * COALESCE(rm1.p_rm1, 0.0), 4) AS weight
+  FROM rm1 FULL OUTER JOIN orig
+    ON rm1.query_id = orig.query_id AND rm1.term = orig.term),
+r AS (SELECT query_id, term, weight,
+        CAST(row_number() OVER (
+          PARTITION BY query_id ORDER BY weight DESC, term) AS INT) AS rank
+      FROM rm3)
+SELECT query_id, rank, term, weight FROM r WHERE rank <= {RM3_M}
+"""
+
+
+R7B_QUERIES["rm3_expansion"] = q_rm3_expansion
+R7B_ORACLES["rm3_expansion"] = _sql_rm3_expansion()

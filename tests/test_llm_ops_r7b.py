@@ -350,3 +350,75 @@ def test_spearman_tiebreak_is_deterministic(spark):
     )
     [r] = spearman_by_group(df, "g", "x", "y", "id").collect()
     assert r["spearman"] == 1.0
+
+
+# ------------------------------------------- RM3 expansion
+def test_rm3_matches_python_reference(spark):
+    """RM3 weights recomputed in pure Python from the (already
+    hand-tested) QL top-k output and the raw texts: softmax doc
+    weights, RM1 mixture, interpolation — the Spark result must agree
+    to rounding; non-candidate vocabulary must not leak in."""
+    import math
+
+    from prod2vec_spark.operators.bm25 import ql_topk, rm3_terms
+
+    texts = {
+        1: "apple apple banana",
+        2: "apple cherry cherry kiwi",
+        3: "durian durian durian",
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    queries = [("q0", ["apple"])]
+    k, m, lam, mu = 2, 100, 0.5, 300.0
+
+    top = ql_topk(docs, queries, k=k, mu=mu).collect()
+    assert {r["doc_id"] for r in top} == {1, 2}
+
+    smax = max(r["score"] for r in top)
+    wexp = {r["doc_id"]: math.exp(r["score"] - smax) for r in top}
+    z = sum(wexp.values())
+    wd = {d: w / z for d, w in wexp.items()}
+    rm1 = {}
+    for d, w in wd.items():
+        toks = texts[d].split()
+        for t in set(toks):
+            rm1[t] = rm1.get(t, 0.0) + w * toks.count(t) / len(toks)
+    expected = {
+        t: round((1 - lam) * (1.0 if t == "apple" else 0.0) + lam * p, 4)
+        for t, p in rm1.items()
+    }
+
+    got = {
+        r["term"]: r["weight"]
+        for r in rm3_terms(docs, queries, k=k, m=m, lam=lam, mu=mu).collect()
+    }
+    assert got == expected
+    assert "durian" not in got  # non-candidate doc's vocabulary
+    # a (near-)proper distribution: candidate LMs and weights sum to 1
+    assert abs(sum(got.values()) - 1.0) < 0.01
+    # the original query term dominates at lam=0.5
+    assert max(got, key=got.get) == "apple" and got["apple"] >= 0.5
+
+
+def test_rm3_lambda_extremes(spark):
+    """lam=0 returns exactly the uniform original-query distribution;
+    lam=1 drops the original terms unless they occur in the feedback
+    docs."""
+    from prod2vec_spark.operators.bm25 import rm3_terms
+
+    docs = spark.createDataFrame(
+        [(1, "x y z"), (2, "x w w")], "doc_id long, text string"
+    )
+    q = [("q0", ["x", "missing"])]
+    lam0 = {
+        r["term"]: r["weight"]
+        for r in rm3_terms(docs, q, k=2, m=100, lam=0.0).collect()
+        if r["weight"] > 0
+    }
+    assert lam0 == {"x": 0.5, "missing": 0.5}
+    lam1 = {
+        r["term"]: r["weight"]
+        for r in rm3_terms(docs, q, k=2, m=100, lam=1.0).collect()
+        if r["weight"] > 0
+    }
+    assert "missing" not in lam1 and "x" in lam1 and "w" in lam1
