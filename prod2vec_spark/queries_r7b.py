@@ -556,3 +556,44 @@ SELECT query_id, rank, term, weight FROM r WHERE rank <= {RM3_M}
 
 R7B_QUERIES["rm3_expansion"] = q_rm3_expansion
 R7B_ORACLES["rm3_expansion"] = _sql_rm3_expansion()
+
+
+# --------------------------------------------- epoch shuffle audit
+EPOCH = 3
+N_SHARDS = 8
+
+
+def q_epoch_shuffle_audit(spark, sf_dir):
+    """Per-shard audit of the deterministic epoch shuffle: shard
+    sizes + the order-sensitive checksum of each shard's permutation
+    (operators/shards.py).  The rank window partitions by shard —
+    exactly the per-shard sort the shard writer executes physically."""
+    from prod2vec_spark.operators.shards import (
+        epoch_assignments,
+        epoch_order_checksum,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    return epoch_order_checksum(epoch_assignments(docs, EPOCH, N_SHARDS))
+
+
+def _sql_epoch_shuffle_audit() -> str:
+    h = (
+        f"('0x' || substr(md5('epoch{EPOCH}|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+    )
+    return f"""
+WITH a AS (
+  SELECT doc_id, CAST({h} % {N_SHARDS} AS INT) AS shard, {h} AS pos
+  FROM documents),
+r AS (SELECT shard, doc_id,
+        row_number() OVER (PARTITION BY shard ORDER BY pos, doc_id) AS rk
+      FROM a)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CAST(rk AS HUGEINT) * (doc_id % 1000003)) % 2147483647 AS BIGINT)
+         AS order_ck
+FROM r GROUP BY 1
+"""
+
+
+R7B_QUERIES["epoch_shuffle_audit"] = q_epoch_shuffle_audit
+R7B_ORACLES["epoch_shuffle_audit"] = _sql_epoch_shuffle_audit()

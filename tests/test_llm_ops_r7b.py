@@ -422,3 +422,66 @@ def test_rm3_lambda_extremes(spark):
         if r["weight"] > 0
     }
     assert "missing" not in lam1 and "x" in lam1 and "w" in lam1
+
+
+# ------------------------------------------- epoch shards
+def test_epoch_shards_on_disk_order_is_the_permutation(spark, tmp_path):
+    """write_epoch_shards: every doc lands in exactly one shard; the
+    on-disk row order within each shard file equals the (pos, id)
+    permutation; a rewrite of the same epoch is byte-order identical;
+    a different epoch produces a different permutation."""
+    from prod2vec_spark.operators.shards import (
+        epoch_assignments,
+        epoch_order_checksum,
+        write_epoch_shards,
+    )
+    from prod2vec_spark.sources.io import read_table
+
+    docs = read_table(spark, SF_SMOKE, "documents").select("doc_id")
+    n = docs.count()
+    path = str(tmp_path / "epoch3")
+    write_epoch_shards(docs, path, epoch=3, n_shards=4)
+    back = spark.read.parquet(path)
+    assert back.count() == n
+    assert back.select("doc_id").distinct().count() == n
+
+    # on-disk order per shard == the declared permutation (parquet
+    # preserves row order; read per shard dir and compare sequences)
+    expected = {}
+    for r in (
+        epoch_assignments(docs, 3, 4)
+        .select("shard", "pos", "doc_id")
+        .collect()
+    ):
+        expected.setdefault(r["shard"], []).append((r["pos"], r["doc_id"]))
+    for s, lst in expected.items():
+        lst.sort()
+        # toPandas preserves file order for a single-file partition
+        got = spark.read.parquet(f"{path}/shard={s}").toPandas()["doc_id"].tolist()
+        assert got == [d for _, d in lst], f"shard {s} order mismatch"
+
+    # determinism + epoch sensitivity via the order checksum
+    ck3a = {r["shard"]: r["order_ck"] for r in
+            epoch_order_checksum(epoch_assignments(docs, 3, 4)).collect()}
+    ck3b = {r["shard"]: r["order_ck"] for r in
+            epoch_order_checksum(epoch_assignments(docs, 3, 4)).collect()}
+    ck4 = {r["shard"]: r["order_ck"] for r in
+           epoch_order_checksum(epoch_assignments(docs, 4, 4)).collect()}
+    assert ck3a == ck3b
+    assert ck3a != ck4
+
+    # shard balance: md5 uniformity keeps the spread tight
+    sizes = [len(v) for v in expected.values()]
+    assert len(sizes) == 4 and min(sizes) > 0
+    assert max(sizes) / min(sizes) < 2.0
+
+
+def test_epoch_assignments_rejects_bad_shards(spark):
+    from prod2vec_spark.operators.shards import epoch_assignments
+    from prod2vec_spark.sources.io import read_table
+
+    import pytest as _pytest
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    with _pytest.raises(ValueError):
+        epoch_assignments(docs, 1, 0)
