@@ -19,7 +19,8 @@ adds three more optional stages: edit-distance verification of LSH
 candidate pairs before cluster formation (editdist_verify), a
 deterministic train/val/test hash split of the final corpus with
 chunking restricted to the train side (holdout_split), and a
-temperature-scaled per-source mixing recipe report (mix_report).)
+temperature-scaled per-source mixing recipe report (mix_report), and
+epoch-0 shuffle shards of the training chunks (epoch_shards > 0).)
 
 Every stage hand-off is a parquet checkpoint under ``work_dir`` so a
 failed 100 TB run resumes at the last stage, and each stage reuses the
@@ -138,6 +139,10 @@ class CorpusConfig:
     mix_report: bool = False
     mix_alpha: float = 0.7
     mix_budget: int = 1_000_000
+    # write the training chunks as epoch-0 shuffle shards (> 0 turns
+    # the stage on and sets the shard count; operators/shards.py —
+    # the on-disk row order is the epoch permutation)
+    epoch_shards: int = 0
 
 
 class CorpusCurationPipeline:
@@ -466,6 +471,19 @@ class CorpusCurationPipeline:
         if self.cfg.mix_report:
             self.write_mix_report(final)
         chunks = self.chunk(train)
+        if self.cfg.epoch_shards > 0:
+            from prod2vec_spark.operators.shards import write_epoch_shards
+
+            write_epoch_shards(
+                chunks.withColumn(
+                    "chunk_key",
+                    F.col("doc_id") * F.lit(100000) + F.col("chunk_idx"),
+                ),
+                f"{self.cfg.work_dir}/epoch0",
+                epoch=0,
+                n_shards=self.cfg.epoch_shards,
+                id_col="chunk_key",
+            )
         return self.stats(
             n_input, n_exact, n_quality, n_neardedup, final, chunks
         )

@@ -675,3 +675,34 @@ def test_corpus_pipeline_per_source_quality_scope(spark, tmp_path):
     )
     with _pytest.raises(ValueError):
         CorpusCurationPipeline(spark, bad).quality_filter(exact)
+
+
+def test_corpus_pipeline_epoch_shard_stage(spark, tmp_path):
+    """epoch_shards > 0: the chunk table lands a second time as
+    epoch-0 shuffle shards — same chunk multiset, every chunk in
+    exactly one shard."""
+    from pyspark.sql import functions as F
+
+    from prod2vec_spark.pipeline_llm import CorpusConfig, CorpusCurationPipeline
+    from tests.conftest import SF_SMOKE
+
+    cfg = CorpusConfig(
+        sf_dir=SF_SMOKE,
+        work_dir=str(tmp_path / "corpus_es"),
+        epoch_shards=4,
+    )
+    CorpusCurationPipeline(spark, cfg).run()
+    chunks = spark.read.parquet(f"{cfg.work_dir}/chunks")
+    shards = spark.read.parquet(f"{cfg.work_dir}/epoch0")
+    assert shards.count() == chunks.count()
+    assert shards.select("shard").distinct().count() <= 4
+    key = lambda df: {  # noqa: E731
+        (r["doc_id"], r["chunk_idx"]) for r in df.select("doc_id", "chunk_idx").collect()
+    }
+    assert key(shards) == key(chunks)
+    # permutation property: within a shard, pos strictly increases on disk
+    for s in [r["shard"] for r in shards.select("shard").distinct().collect()]:
+        pos = spark.read.parquet(
+            f"{cfg.work_dir}/epoch0/shard={s}"
+        ).toPandas()["pos"].tolist()
+        assert pos == sorted(pos)
