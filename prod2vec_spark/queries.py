@@ -587,6 +587,16 @@ CATALOG: list[str] = [
     # keeps catalog siblings inside bm25_topk and ann_ivf_topk; the
     # hash-partition split is a new operator family).  All three
     # retirees stay superset-oracled in the pytest gate.
+    # wave C: two more strictly-reasoned swaps — pivot_status →
+    # cube_pricing (grouping-sets family; the pivot's CASE-sum shape
+    # also executes inside quality_by_source/dq entries) and
+    # order_percentiles → quality_filter/curriculum_buckets (both
+    # catalog entries run the exact F.percentile aggregate; the
+    # mergeable-sketch twin quantile_sketch stays).  In:
+    # rm3_expansion (the retrieval triad's feedback leg — its oracle
+    # embeds the full QL chain) and epoch_shuffle_audit (the
+    # training-shard permutation with an order-sensitive checksum).
+    "rm3_expansion", "epoch_shuffle_audit",
     "stratified_split", "temperature_mix", "neardup_editdist",
     "segment_dedup_stats", "bm25_topk", "canonical_pick",
     # wave 2: two strictly-coverage-increasing swaps — lm_perplexity →
@@ -615,7 +625,7 @@ CATALOG: list[str] = [
     # relational / grouping-sets / window plane
     "pricing_summary", "baskets", "vocab", "index_items", "oov_miss_count",
     "skipgram_stats", "negative_sampling_stats",
-    "pivot_status", "cube_pricing", "order_percentiles",
+    "cube_pricing",
     # joins
     "revenue_topk",
     "asof_latest_event", "range_join_bands",
