@@ -485,3 +485,159 @@ def test_epoch_assignments_rejects_bad_shards(spark):
     docs = read_table(spark, SF_SMOKE, "documents")
     with _pytest.raises(ValueError):
         epoch_assignments(docs, 1, 0)
+
+
+# ------------------------------------------- property tests (hypothesis)
+def test_split_matches_python_reference_property(spark):
+    """Property: for random fraction tuples and random id sets, the
+    split assignment agrees EXACTLY with a pure-Python replay of the
+    md5-threshold spec, and is a partition."""
+    import hashlib
+
+    from hypothesis import given, settings, strategies as st
+
+    from prod2vec_spark.operators.splits import assign_split
+
+    def ref_split(seed, key, fractions):
+        u = int(
+            hashlib.md5(f"{seed}|{key}".encode()).hexdigest()[:8], 16
+        ) / 4294967296.0
+        cum = 0.0
+        for name, frac in fractions[:-1]:
+            cum += frac
+            if u < cum:
+                return name
+        return fractions[-1][0]
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        ids=st.lists(st.integers(min_value=0, max_value=10**9),
+                     min_size=1, max_size=30, unique=True),
+        cut1=st.floats(min_value=0.1, max_value=0.8),
+        cut2=st.floats(min_value=0.05, max_value=0.15),
+        seed=st.integers(min_value=0, max_value=99),
+    )
+    def check(ids, cut1, cut2, seed):
+        fracs = (("a", cut1), ("b", cut2), ("c", 1.0 - cut1 - cut2))
+        df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        got = {
+            r["doc_id"]: r["split"]
+            for r in assign_split(df, seed=seed, fractions=fracs).collect()
+        }
+        assert got == {i: ref_split(seed, i, fracs) for i in ids}
+
+    check()
+
+
+def test_editdist_matches_python_reference_property(spark):
+    """Property: Spark's banded levenshtein + sim/confirm columns
+    agree with the pure-Python DP on random short strings, including
+    the early-abandon sentinel."""
+    from hypothesis import given, settings, strategies as st
+
+    from prod2vec_spark.operators.dedup import editdist_confirm
+
+    alpha = st.text(alphabet="abcx ", min_size=0, max_size=30)
+
+    @settings(max_examples=6, deadline=None)
+    @given(a=alpha, b=alpha, t=st.integers(min_value=1, max_value=8))
+    def check(a, b, t):
+        pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+        docs = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+        [r] = editdist_confirm(
+            pairs, docs, prefix_len=64, max_dist=t, sim_threshold=0.8
+        ).collect()
+        d = _py_lev(a[:64], b[:64])
+        assert r["dist"] == (d if d <= t else -1)
+        if d <= t:
+            la, lb = len(a[:64]), len(b[:64])
+            sim = round(1.0 - d / max(la, lb, 1), 4)
+            assert r["edit_sim"] == sim
+            assert r["confirmed"] == (1 if sim >= 0.8 else 0)
+        else:
+            assert r["edit_sim"] == -1.0 and r["confirmed"] == 0
+
+    check()
+
+
+def test_epoch_checksum_detects_order_changes_property(spark):
+    """Property: the order checksum equals a pure-Python replay, and
+    swapping any two adjacent docs in the realized order changes it
+    (for distinct residues) — i.e. it is genuinely order-sensitive."""
+    import hashlib
+
+    from hypothesis import given, settings, strategies as st
+
+    from prod2vec_spark.operators.shards import (
+        epoch_assignments,
+        epoch_order_checksum,
+    )
+
+    def ref(ids, epoch, n_shards):
+        rows = []
+        for i in ids:
+            h = int(
+                hashlib.md5(f"epoch{epoch}|{i}".encode()).hexdigest()[:15], 16
+            )
+            rows.append((h % n_shards, h, i))
+        out = {}
+        from collections import defaultdict
+
+        per = defaultdict(list)
+        for s, p, i in rows:
+            per[s].append((p, i))
+        for s, lst in per.items():
+            lst.sort()
+            ck = sum(
+                (rk + 1) * (i % 1000003) for rk, (_, i) in enumerate(lst)
+            ) % 2147483647
+            out[s] = (len(lst), ck)
+        return out
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        ids=st.lists(st.integers(min_value=0, max_value=10**9),
+                     min_size=2, max_size=40, unique=True),
+        epoch=st.integers(min_value=0, max_value=9),
+    )
+    def check(ids, epoch):
+        df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        got = {
+            r["shard"]: (r["n_docs"], r["order_ck"])
+            for r in epoch_order_checksum(
+                epoch_assignments(df, epoch, 3)
+            ).collect()
+        }
+        assert got == ref(ids, epoch, 3)
+
+    check()
+
+
+def test_spearman_matches_python_reference_property(spark):
+    """Property: spearman_by_group equals a pure-Python replay of the
+    rank spec on random (x, y) data with the same id tiebreak."""
+    from hypothesis import given, settings, strategies as st
+
+    from prod2vec_spark.functions.stats import spearman_by_group
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        xs=st.lists(st.integers(min_value=0, max_value=5),
+                    min_size=2, max_size=25),
+        ys=st.lists(st.integers(min_value=0, max_value=5),
+                    min_size=25, max_size=25),
+    )
+    def check(xs, ys):
+        rows = [("g", i, float(x), float(ys[i])) for i, x in enumerate(xs)]
+        df = spark.createDataFrame(rows, "g string, id long, x double, y double")
+        [r] = spearman_by_group(df, "g", "x", "y", "id").collect()
+        n = len(rows)
+        rx = {row[1]: rk + 1 for rk, row in enumerate(
+            sorted(rows, key=lambda t: (t[2], t[1])))}
+        ry = {row[1]: rk + 1 for rk, row in enumerate(
+            sorted(rows, key=lambda t: (t[3], t[1])))}
+        sum_d2 = sum((rx[i] - ry[i]) ** 2 for i in rx)
+        assert r["n"] == n and r["sum_d2"] == sum_d2
+        assert r["spearman"] == round(1.0 - 6.0 * sum_d2 / (n * (n * n - 1.0)), 4)
+
+    check()
