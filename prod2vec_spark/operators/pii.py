@@ -53,3 +53,57 @@ def redaction_report(text: Column) -> dict[str, Column]:
             F.regexp_replace(email_scrubbed, PHONE_PATTERN, PHONE_TOKEN)
         ),
     }
+
+
+# --- checksum-verified credit-card detection ------------------------
+# candidate shape: 13-19 digits, optionally space/dash separated in
+# groups (portable regex: no backreferences/lookarounds).  Detection
+# is then CHECKSUM-exact: a candidate only counts as a card number if
+# its digit string passes the Luhn check — the standard trick for
+# keeping card-redaction recall high without nuking every long number
+# (order ids, timestamps) in the corpus.
+CC_PATTERN = r"[0-9](?:[ -]?[0-9]){12,18}"
+
+
+def _digits(text: Column) -> Column:
+    """The candidate's digit array (separators stripped), as ints."""
+    return F.transform(
+        F.split(F.regexp_replace(text, "[ -]", ""), ""),
+        lambda c: c.cast("int"),
+    )
+
+
+def luhn_valid(candidate: Column) -> Column:
+    """Luhn checksum over a candidate string — a pure Column fold
+    (aggregate over the reversed digit array: odd positions kept,
+    even positions doubled with 9 subtracted past 9), no UDF.
+
+    DuckDB oracle twin: list_reduce over the same reversed list with
+    the identical per-position expression."""
+    ds = F.reverse(_digits(candidate))
+    total = F.aggregate(
+        F.zip_with(
+            ds,
+            F.sequence(F.lit(0), F.size(ds) - 1),
+            lambda d, i: F.when(
+                i % 2 == 0, d
+            ).otherwise(F.when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    n = F.size(ds)
+    return (n >= 13) & (n <= 19) & (total % 10 == 0)
+
+
+def cc_report(text: Column) -> dict[str, Column]:
+    """Per-row candidate extraction + Luhn validation counts: the
+    audit distinguishes digit runs that merely LOOK like cards from
+    checksum-valid ones.  Row-local (regexp_extract_all + a bounded
+    fold per candidate)."""
+    cands = F.regexp_extract_all(text, F.lit(CC_PATTERN), 0)
+    valid = F.filter(cands, luhn_valid)
+    return {
+        "n_cc_candidates": F.size(cands),
+        "n_cc_valid": F.size(valid),
+    }

@@ -597,3 +597,76 @@ FROM r GROUP BY 1
 
 R7B_QUERIES["epoch_shuffle_audit"] = q_epoch_shuffle_audit
 R7B_ORACLES["epoch_shuffle_audit"] = _sql_epoch_shuffle_audit()
+
+
+# --------------------------------------------- Luhn CC audit
+# planted candidates (negative ids — disjoint from the corpus): the
+# fixture corpus contains no card-shaped digit runs, so the audit
+# unions a deterministic planted set into BOTH engines — the Luhn
+# fold is exercised by the oracle, not just by pytest.
+CC_PLANTED: list[tuple[int, str]] = [
+    (-1, "pay 4111 1111 1111 1111 now"),       # valid (Visa test)
+    (-2, "order 4111111111111112 today"),      # fails the checksum
+    (-3, "cards 5500-0000-0000-0004 and 4111 1111 1111 1111"),  # 2 valid
+    (-4, "timestamp 12345678901234567890123"),  # 19-digit prefix, invalid
+    (-5, "short 4111 1111 1111"),              # 12 digits: no candidate
+]
+
+
+def q_pii_cc_audit(spark, sf_dir):
+    """Checksum-verified credit-card audit over corpus ∪ planted rows:
+    per doc with >= 1 candidate, the candidate count and how many pass
+    Luhn (operators/pii.py cc_report — candidate regex + a bounded
+    pure-Column fold per candidate, row-local)."""
+    from prod2vec_spark.operators.pii import cc_report
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = spark.createDataFrame(CC_PLANTED, "doc_id long, text string")
+    r = cc_report(F.col("text"))
+    return (
+        docs.unionByName(planted)
+        .select(
+            "doc_id",
+            r["n_cc_candidates"].cast("long").alias("n_cc_candidates"),
+            r["n_cc_valid"].cast("long").alias("n_cc_valid"),
+        )
+        .where(F.col("n_cc_candidates") > 0)
+    )
+
+
+def _sql_pii_cc_audit() -> str:
+    from prod2vec_spark.operators.pii import CC_PATTERN
+
+    planted_values = ", ".join(
+        f"({i}, '{t}')" for i, t in CC_PLANTED
+    )
+    digit = "CAST(substr(ds, len(ds) - i + 1, 1) AS INT)"
+    term = (
+        f"CASE WHEN (i - 1) % 2 = 0 THEN {digit} "
+        f"ELSE CASE WHEN {digit} * 2 > 9 THEN {digit} * 2 - 9 "
+        f"ELSE {digit} * 2 END END"
+    )
+    return f"""
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES {planted_values}) AS p(doc_id, text)),
+c AS (SELECT doc_id, unnest(regexp_extract_all(text, '{CC_PATTERN}')) AS cand
+      FROM u),
+d AS (SELECT doc_id, regexp_replace(cand, '[ -]', '', 'g') AS ds FROM c),
+v AS (SELECT doc_id, len(ds) AS n,
+        list_reduce(list_prepend(0,
+          list_transform(generate_series(1, len(ds)), i -> {term})),
+          (a, b) -> a + b) AS total
+      FROM d),
+g AS (SELECT doc_id,
+        CAST(count(*) AS BIGINT) AS n_cc_candidates,
+        CAST(sum(CASE WHEN n BETWEEN 13 AND 19 AND total % 10 = 0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_cc_valid
+      FROM v GROUP BY 1)
+SELECT doc_id, n_cc_candidates, n_cc_valid FROM g
+"""
+
+
+R7B_QUERIES["pii_cc_audit"] = q_pii_cc_audit
+R7B_ORACLES["pii_cc_audit"] = _sql_pii_cc_audit()

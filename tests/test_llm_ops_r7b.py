@@ -641,3 +641,60 @@ def test_spearman_matches_python_reference_property(spark):
         assert r["spearman"] == round(1.0 - 6.0 * sum_d2 / (n * (n * n - 1.0)), 4)
 
     check()
+
+
+# ------------------------------------------- Luhn CC detection
+def test_luhn_matches_python_reference_property(spark):
+    """Property: the pure-Column Luhn fold agrees with a Python
+    reference on random digit strings (with random separators), both
+    the checksum and the 13-19 length gate."""
+    from hypothesis import given, settings, strategies as st
+
+    from prod2vec_spark.operators.pii import luhn_valid
+
+    def py_luhn(digits: str) -> bool:
+        if not (13 <= len(digits) <= 19):
+            return False
+        total = 0
+        for i, ch in enumerate(reversed(digits)):
+            d = int(ch)
+            total += d if i % 2 == 0 else (d * 2 - 9 if d * 2 > 9 else d * 2)
+        return total % 10 == 0
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        digit_lists=st.lists(
+            st.lists(st.integers(0, 9), min_size=10, max_size=21),
+            min_size=1, max_size=6,
+        ),
+        sep=st.sampled_from(["", " ", "-"]),
+    )
+    def check(digit_lists, sep):
+        cands = [sep.join(str(d) for d in ds) if sep else "".join(
+            str(d) for d in ds) for ds in digit_lists]
+        df = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cands)], "i long, cand string"
+        )
+        got = {
+            r["i"]: r["ok"]
+            for r in df.select("i", luhn_valid(F.col("cand")).alias("ok")).collect()
+        }
+        for i, ds in enumerate(digit_lists):
+            assert got[i] == py_luhn("".join(str(d) for d in ds)), (i, cands[i])
+
+    check()
+
+
+def test_cc_report_counts_planted_cards(spark):
+    from prod2vec_spark.operators.pii import cc_report
+    from prod2vec_spark.queries_r7b import CC_PLANTED
+
+    df = spark.createDataFrame(CC_PLANTED, "doc_id long, text string")
+    r = cc_report(F.col("text"))
+    got = {
+        row["doc_id"]: (row["c"], row["v"])
+        for row in df.select(
+            "doc_id", r["n_cc_candidates"].alias("c"), r["n_cc_valid"].alias("v")
+        ).collect()
+    }
+    assert got == {-1: (1, 1), -2: (1, 0), -3: (2, 2), -4: (1, 0), -5: (0, 0)}
