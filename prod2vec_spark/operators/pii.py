@@ -107,3 +107,26 @@ def cc_report(text: Column) -> dict[str, Column]:
         "n_cc_candidates": F.size(cands),
         "n_cc_valid": F.size(valid),
     }
+
+
+CC_TOKEN = "<CC>"
+
+
+def scrub_cc(text: Column) -> Column:
+    """Redact ONLY checksum-valid card candidates: regexp_replace
+    can't consult the Luhn check, so the scrub is a bounded fold over
+    the validated candidate list — acc = replace(acc, cand, <CC>) —
+    which replaces every occurrence of each valid candidate string
+    (validity is a function of the string, so duplicates agree).
+    Invalid look-alikes (order ids, timestamps) are left untouched —
+    the precision property the checksum buys.
+
+    DuckDB twin: list_reduce over the same filtered list with
+    replace().  Row-local; candidate lists are tiny."""
+    cands = F.filter(
+        F.array_distinct(F.regexp_extract_all(text, F.lit(CC_PATTERN), 0)),
+        luhn_valid,
+    )
+    return F.aggregate(
+        cands, text, lambda acc, c: F.replace(acc, c, F.lit(CC_TOKEN))
+    )

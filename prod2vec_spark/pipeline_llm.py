@@ -82,6 +82,7 @@ class CorpusConfig:
     lsh_max_group: int = 64  # degenerate-band cap (queries_ext.py)
     shingle_k: int = 3
     scrub_pii: bool = True
+    scrub_cc: bool = False  # + Luhn-verified card redaction (pii.scrub_cc)
     repetition_gate: bool = True
     decon_n: int = 5  # decontamination word-n-gram order
     decon_bench_frac: float = 0.1  # held-out split fraction
@@ -173,9 +174,14 @@ class CorpusCurationPipeline:
             docs = docs.withColumn("text", normalize_text(F.col("text")))
         if not self.cfg.scrub_pii:
             return docs
-        from prod2vec_spark.operators.pii import scrub
+        from prod2vec_spark.operators.pii import scrub, scrub_cc
 
-        return docs.withColumn("text", scrub(F.col("text")))
+        out = docs.withColumn("text", scrub(F.col("text")))
+        if self.cfg.scrub_cc:
+            # after the email/phone scrub (their tokens contain no
+            # digits, so order is immaterial for the card regex)
+            out = out.withColumn("text", scrub_cc(F.col("text")))
+        return out
 
     # -- stage 1: exact dedup ------------------------------------------
     def exact_dedup(self) -> DataFrame:

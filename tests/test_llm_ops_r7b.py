@@ -698,3 +698,44 @@ def test_cc_report_counts_planted_cards(spark):
         ).collect()
     }
     assert got == {-1: (1, 1), -2: (1, 0), -3: (2, 2), -4: (1, 0), -5: (0, 0)}
+
+
+def test_scrub_cc_redacts_only_valid_cards(spark):
+    """scrub_cc replaces checksum-valid candidates with <CC> and
+    leaves Luhn-failing look-alikes byte-identical."""
+    from prod2vec_spark.operators.pii import scrub_cc
+
+    df = spark.createDataFrame(
+        [
+            (1, "pay 4111 1111 1111 1111 now"),
+            (2, "order 4111111111111112 today"),
+            (3, "two: 4111 1111 1111 1111 and 5500-0000-0000-0004"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["t"]
+        for r in df.select("doc_id", scrub_cc(F.col("text")).alias("t")).collect()
+    }
+    assert got[1] == "pay <CC> now"
+    assert got[2] == "order 4111111111111112 today"
+    assert got[3] == "two: <CC> and <CC>"
+
+
+def test_pipeline_scrub_cc_flag(spark, tmp_path):
+    """scrub_cc=True in the DAG: the exact-dedup checkpoint carries no
+    checksum-valid card string (planted via a work-dir side table is
+    overkill — assert on the operator wiring through scrubbed_input)."""
+    from prod2vec_spark.pipeline_llm import CorpusConfig, CorpusCurationPipeline
+
+    cfg = CorpusConfig(
+        sf_dir=SF_SMOKE, work_dir=str(tmp_path / "w"), scrub_cc=True
+    )
+    p = CorpusCurationPipeline(spark, cfg)
+    out = p.scrubbed_input()
+    from prod2vec_spark.operators.pii import cc_report
+
+    r = cc_report(F.col("text"))
+    assert (
+        out.select(r["n_cc_valid"].alias("v")).agg(F.sum("v")).first()[0] or 0
+    ) == 0
