@@ -72,6 +72,13 @@ def test_rows_only_queries_nonempty(spark, name):
         "stratified_split",         # md5-uniform thresholds + frac division
         "temperature_mix",          # pow() shares + floor budget cast
         "neardup_editdist",         # banded levenshtein + sim division
+        "lsh_incremental",          # md5-uniform split + band grouping
+        "quality_by_source",        # per-source percentile + ratio division
+        "mix_materialized",         # floor/frac stochastic rounding casts
+        "quality_ppl_spearman",     # rank deltas + n(n^2-1) arithmetic
+        "rm3_expansion",            # softmax exp + mixture divisions
+        "epoch_shuffle_audit",      # hex conv + decimal checksum mod
+        "pii_cc_audit",             # digit casts + Luhn fold arithmetic
     ],
 )
 def test_catalog_survives_ansi_mode(spark, name):
