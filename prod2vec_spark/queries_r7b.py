@@ -670,3 +670,29 @@ SELECT doc_id, n_cc_candidates, n_cc_valid FROM g
 
 R7B_QUERIES["pii_cc_audit"] = q_pii_cc_audit
 R7B_ORACLES["pii_cc_audit"] = _sql_pii_cc_audit()
+
+
+# --------------------------------------------- compression profile
+COMP_LOW = 0.35  # below this, text is suspiciously repetitive
+
+
+def q_compression_profile(spark, sf_dir):
+    """Per-document zlib compression ratio + low-entropy flag — the
+    codec-backed quality signal (functions/compress.py).  Rows-only
+    entry: no SQL engine ships zlib, so the oracle class is the same
+    as the trained-model listings; semantics are pinned against the
+    stdlib reference in pytest instead."""
+    from prod2vec_spark.functions.compress import compression_ratio
+
+    docs = read_table(spark, sf_dir, "documents")
+    r = F.round(compression_ratio(F.col("text")), 4)
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        r.alias("comp_ratio"),
+        (r < F.lit(COMP_LOW)).cast("long").alias("low_entropy"),
+    )
+
+
+R7B_QUERIES["compression_profile"] = q_compression_profile
+# rows-only: no oracle registered (codec boundary — documented)

@@ -739,3 +739,47 @@ def test_pipeline_scrub_cc_flag(spark, tmp_path):
     assert (
         out.select(r["n_cc_valid"].alias("v")).agg(F.sum("v")).first()[0] or 0
     ) == 0
+
+
+# ------------------------------------------- compression signal
+def test_compression_ratio_matches_stdlib_and_separates(spark):
+    """The Arrow-batched ratio equals the stdlib zlib reference per
+    row, and separates repetitive from natural text (the signal's
+    reason to exist)."""
+    import zlib
+
+    from prod2vec_spark.functions.compress import ZLIB_LEVEL, compression_ratio
+
+    texts = {
+        1: "the sky darkened as distant thunder rolled over the hills",
+        2: "spam spam spam spam spam spam spam spam spam spam spam spam",
+        3: "",
+        4: "a",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["cr"]
+        for r in df.select(
+            "doc_id", compression_ratio(F.col("text")).alias("cr")
+        ).collect()
+    }
+
+    def ref(t):
+        raw = t.encode("utf-8")
+        return len(zlib.compress(raw, ZLIB_LEVEL)) / len(raw) if raw else 1.0
+
+    for d, t in texts.items():
+        assert abs(got[d] - ref(t)) < 1e-12, (d, got[d], ref(t))
+    assert got[2] < got[1]  # repetitive text compresses much further
+    assert got[3] == 1.0
+
+
+def test_compression_profile_rows_only_contract(spark):
+    from prod2vec_spark.queries_r7b import q_compression_profile
+    from tests.conftest import SF_SMOKE
+
+    out = q_compression_profile(spark, SF_SMOKE)
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(0.0 < r["comp_ratio"] <= 1.2 for r in rows)
+    assert all(r["low_entropy"] in (0, 1) for r in rows)
