@@ -168,3 +168,27 @@ def normalize_text(text: Column, lowercase: bool = True) -> Column:
     if lowercase:
         out = F.lower(out)
     return out
+
+
+# --- script-mix profile ---------------------------------------------
+# Unicode ranges as LITERAL character ranges so the identical pattern
+# string compiles under Java regex and RE2 (named script classes
+# spell differently per engine: \p{IsHan} vs \p{Han}).
+SCRIPT_RANGES: dict[str, str] = {
+    "latin": "A-Za-z",
+    "han": "\u4e00-\u9fff",
+    "cyrillic": "\u0400-\u04ff",
+    "arabic": "\u0600-\u06ff",
+}
+
+
+def script_counts(text):
+    """Per-script character counts — size(regexp_extract_all) so the
+    DuckDB twin (len(regexp_extract_all)) uses the IDENTICAL pattern
+    string."""
+    from pyspark.sql import functions as F
+
+    return {
+        name: F.size(F.regexp_extract_all(text, F.lit(f"[{rng}]"), 0))
+        for name, rng in SCRIPT_RANGES.items()
+    }

@@ -144,6 +144,11 @@ class CorpusConfig:
     # the stage on and sets the shard count; operators/shards.py —
     # the on-disk row order is the epoch permutation)
     epoch_shards: int = 0
+    # zlib compression-ratio gate fused into the quality stage: drop
+    # docs compressing below the floor (template/machine text the
+    # token-level repetition signals miss; functions/compress.py).
+    compression_gate: bool = False
+    compression_floor: float = 0.35
 
 
 class CorpusCurationPipeline:
@@ -233,6 +238,16 @@ class CorpusCurationPipeline:
                     F.size(F.col("_g2")),
                 )
             ).drop("_toks", "_g2", "_g3")
+        if self.cfg.compression_gate:
+            from prod2vec_spark.functions.compress import compression_ratio
+
+            # fused into the same scan (row-local Arrow batch), before
+            # percentile scoring so the threshold is computed over the
+            # entropy-sane population
+            docs = docs.where(
+                compression_ratio(F.col("text"))
+                >= F.lit(self.cfg.compression_floor)
+            )
         scored = docs.withColumn("q", TX.quality_score(F.col("text")))
         if self.cfg.quality_scope == "per_source":
             # fairness variant: the percentile is computed WITHIN each

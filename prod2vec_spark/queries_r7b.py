@@ -696,3 +696,86 @@ def q_compression_profile(spark, sf_dir):
 
 R7B_QUERIES["compression_profile"] = q_compression_profile
 # rows-only: no oracle registered (codec boundary — documented)
+
+
+# --------------------------------------------- script-mix profile
+def q_script_profile(spark, sf_dir):
+    """Per-document script mix: per-script character counts (literal
+    Unicode-range classes — the identical pattern string compiles
+    under Java regex and RE2), dominant script with a fixed precedence
+    tiebreak, and a mixed-script flag (>= 2 scripts above 10% of
+    scripted chars — the encoding-garbage / homoglyph signal).
+    Row-local single scan (operators/text.py script_counts)."""
+    from prod2vec_spark.operators.text import SCRIPT_RANGES, script_counts
+
+    docs = read_table(spark, sf_dir, "documents")
+    cs = script_counts(F.col("text"))
+    names = list(SCRIPT_RANGES)
+    total = None
+    for n in names:
+        total = cs[n] if total is None else total + cs[n]
+    staged = docs.select(
+        "doc_id",
+        total.cast("long").alias("n_scripted"),
+        *[cs[n].cast("long").alias(f"n_{n}") for n in names],
+    )
+    # precedence-aware argmax: walk in declaration order, keep the
+    # FIRST script whose count equals the row max (ties break by the
+    # SCRIPT_RANGES declaration order — the oracle CASE walks the
+    # same order)
+    row_max = F.greatest(*[F.col(f"n_{n}") for n in names])
+    dom_expr = F.lit("none")
+    for n in reversed(names):
+        dom_expr = F.when(
+            (F.col(f"n_{n}") == row_max) & (row_max > 0), F.lit(n)
+        ).otherwise(dom_expr)
+    n_major = None
+    for n in names:
+        maj = (
+            (F.col(f"n_{n}").cast("double")
+             / F.greatest(F.col("n_scripted"), F.lit(1)).cast("double"))
+            > 0.10
+        ).cast("int")
+        n_major = maj if n_major is None else n_major + maj
+    return staged.select(
+        "doc_id",
+        "n_scripted",
+        *[f"n_{n}" for n in names],
+        dom_expr.alias("dominant"),
+        (n_major >= 2).cast("long").alias("mixed_script"),
+    )
+
+
+def _sql_script_profile() -> str:
+    from prod2vec_spark.operators.text import SCRIPT_RANGES
+
+    names = list(SCRIPT_RANGES)
+    cnt = {
+        n: f"len(regexp_extract_all(text, '[{r}]'))" for n, r in SCRIPT_RANGES.items()
+    }
+    total = " + ".join(cnt.values())
+    # precedence-aware argmax: CASE walks declaration order
+    row_max = f"greatest({', '.join('n_' + n for n in names)})"
+    dom = "CASE " + " ".join(
+        f"WHEN n_{n} = {row_max} AND {row_max} > 0 THEN '{n}'" for n in names
+    ) + " ELSE 'none' END"
+    majors = " + ".join(
+        f"CASE WHEN CAST(n_{n} AS DOUBLE) / greatest(n_scripted, 1) > 0.10 "
+        f"THEN 1 ELSE 0 END"
+        for n in names
+    )
+    cols = ", ".join(f"CAST({cnt[n]} AS BIGINT) AS n_{n}" for n in names)
+    return f"""
+WITH s AS (
+  SELECT doc_id, CAST({total} AS BIGINT) AS n_scripted, {cols}
+  FROM documents)
+SELECT doc_id, n_scripted, {', '.join('n_' + n for n in names)},
+       {dom} AS dominant,
+       CAST(CASE WHEN ({majors}) >= 2 THEN 1 ELSE 0 END AS BIGINT)
+         AS mixed_script
+FROM s
+"""
+
+
+R7B_QUERIES["script_profile"] = q_script_profile
+R7B_ORACLES["script_profile"] = _sql_script_profile()

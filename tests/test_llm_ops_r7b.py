@@ -783,3 +783,39 @@ def test_compression_profile_rows_only_contract(spark):
     assert len(rows) > 0
     assert all(0.0 < r["comp_ratio"] <= 1.2 for r in rows)
     assert all(r["low_entropy"] in (0, 1) for r in rows)
+
+
+# ------------------------------------------- script profile
+def test_script_profile_golden_cases(spark, tmp_path):
+    """Constructed docs: pure Latin, pure Han, mixed Latin+Cyrillic
+    and symbol-only — dominant + mixed flags; a single homoglyph
+    char stays under the 10% majority bar but is visible in the
+    per-script counts."""
+    import os
+
+    from prod2vec_spark.queries_r7b import q_script_profile
+
+    rows = [
+        (1, "plain english text here"),
+        (2, "中文文本内容"),
+        (3, "paуpal dot com login"),   # Cyrillic u0443 inside Latin
+        (4, "12345 !!! ???"),
+        (5, "word слово word слово"),
+    ]
+    d = str(tmp_path / "sd")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{d}/documents.parquet")
+    got = {
+        r["doc_id"]: r for r in q_script_profile(spark, d).collect()
+    }
+    assert got[1]["dominant"] == "latin" and got[1]["mixed_script"] == 0
+    assert got[2]["dominant"] == "han" and got[2]["n_han"] == 6
+    # one homoglyph char is ~6% of scripted chars — below the 10%
+    # majority bar, so the MIX flag stays 0 (the per-script counts
+    # still expose it: n_cyrillic == 1)
+    assert got[3]["dominant"] == "latin" and got[3]["mixed_script"] == 0
+    assert got[3]["n_cyrillic"] == 1
+    assert got[4]["dominant"] == "none" and got[4]["n_scripted"] == 0
+    assert got[5]["mixed_script"] == 1  # both scripts ~50%

@@ -706,3 +706,43 @@ def test_corpus_pipeline_epoch_shard_stage(spark, tmp_path):
             f"{cfg.work_dir}/epoch0/shard={s}"
         ).toPandas()["pos"].tolist()
         assert pos == sorted(pos)
+
+
+def test_corpus_pipeline_compression_gate(spark, tmp_path):
+    """compression_gate: a planted low-entropy doc would be dropped by
+    the gate while prose survives — asserted at the operator seam the
+    stage uses (the fixture corpus itself contains no sub-floor docs,
+    which the test also verifies end-to-end)."""
+    from pyspark.sql import functions as F
+
+    from prod2vec_spark.functions.compress import compression_ratio
+    from prod2vec_spark.pipeline_llm import CorpusConfig, CorpusCurationPipeline
+    from tests.conftest import SF_SMOKE
+
+    cfg = CorpusConfig(
+        sf_dir=SF_SMOKE,
+        work_dir=str(tmp_path / "cg"),
+        compression_gate=True,
+        repetition_gate=False,
+    )
+    p = CorpusCurationPipeline(spark, cfg)
+    p.gates()
+    exact = p.exact_dedup()
+    kept = p.quality_filter(exact)
+    # the gate's predicate holds on every survivor
+    viol = kept.where(
+        compression_ratio(F.col("text")) < F.lit(cfg.compression_floor)
+    ).count()
+    assert viol == 0
+    # and the gate genuinely discriminates on planted spam
+    spam = spark.createDataFrame(
+        [(1, "spam " * 200), (2, "the river bent east past the old mill town")],
+        "doc_id long, text string",
+    )
+    flags = {
+        r["doc_id"]: r["cr"]
+        for r in spam.select(
+            "doc_id", compression_ratio(F.col("text")).alias("cr")
+        ).collect()
+    }
+    assert flags[1] < cfg.compression_floor <= flags[2]
