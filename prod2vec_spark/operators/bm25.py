@@ -265,7 +265,13 @@ def rm3_terms(
     The softmax subtracts the per-query max score first (exact max,
     stable exp), and all float outputs are rounded for engine parity.
     """
-    top = ql_topk(docs, queries, k=k, mu=mu, id_col=id_col, text_col=text_col)
+    # cut the lineage at the top-k: the frame is BOUNDED (k·|queries|
+    # rows) but referenced four times below — without the checkpoint
+    # the static plan re-expands the whole first-pass QL subtree per
+    # reference (measured 56 static Exchanges vs 15 after)
+    top = ql_topk(
+        docs, queries, k=k, mu=mu, id_col=id_col, text_col=text_col
+    ).localCheckpoint(eager=True)
     smax = top.groupBy("query_id").agg(F.max("score").alias("smax"))
     wts = (
         top.join(F.broadcast(smax), "query_id")

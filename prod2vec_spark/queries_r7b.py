@@ -1,16 +1,32 @@
-"""Round-7 wave-B tranche: three more LLM-training-data operator
-families, each with a full DuckDB oracle (ENGINE scope; reference
-anchor: utils/prep_utils.py's driver-side np.random.choice validation
-split is the nearest ancestor of the hash split).
+"""Round-7 wave-B/C tranche: eleven more LLM-training-data operator
+families (ENGINE scope; reference anchor: utils/prep_utils.py's
+driver-side np.random.choice validation split is the nearest ancestor
+of the hash split).
 
-* ``stratified_split``   — deterministic md5-hash train/val/test
+* ``stratified_split``    — deterministic md5-hash train/val/test
   partition with a per-(lang, split) audit (operators/splits.py).
-* ``temperature_mix``    — exponentiated-sampling source recipe
+* ``temperature_mix``     — exponentiated-sampling source recipe
   p_i ∝ n_i^alpha computed from corpus stats (operators/mixing.py).
-* ``neardup_editdist``   — Levenshtein confirmation of LSH candidate
+* ``mix_materialized``    — the recipe APPLIED: stochastic-rounding
+  resample audit, realized vs target mass (operators/mixing.py).
+* ``neardup_editdist``    — Levenshtein confirmation of LSH candidate
   pairs, banded early-abandon + prefix cap (operators/dedup.py).
-* ``lsh_incremental``    — delta near-dup candidates against a prior
+* ``lsh_incremental``     — delta near-dup candidates against a prior
   snapshot's persisted band table (operators/dedup.py).
+* ``quality_by_source``   — per-source percentile quality gate, the
+  fairness variant (pipeline_llm.py quality_scope).
+* ``quality_ppl_spearman``— exact-rank Spearman agreement between the
+  quality heuristic and LM NLL (functions/stats.py).
+* ``rm3_expansion``       — RM3 pseudo-relevance feedback, the
+  retrieval triad's feedback leg (operators/bm25.py).
+* ``epoch_shuffle_audit`` — deterministic epoch permutation + order
+  checksum for the shard writer (operators/shards.py).
+* ``pii_cc_audit``        — Luhn-checksum card detection over corpus
+  ∪ planted fixtures (operators/pii.py).
+* ``script_profile``      — Unicode script-mix composition with
+  engine-portable literal ranges (operators/text.py).
+* ``compression_profile`` — zlib entropy proxy (rows-only: codec
+  boundary, no SQL twin; functions/compress.py).
 
 Catalog conventions (queries.py header) apply: every aggregate/derived
 column aliased identically in Spark and SQL; booleans surfaced as
