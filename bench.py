@@ -61,6 +61,7 @@ FLAGSHIP = "__flagship__"
 CURATION10X = "__curation10x__"
 CURATION_FULL = "__curation_full__"
 CURATION_R7 = "__curation_r7__"
+CURATION_R7B = "__curation_r7b__"
 BASELINE_SF = 0.1  # scale factor the BASELINE.json timings were recorded at
 
 
@@ -166,6 +167,37 @@ def _curation_r7(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _curation_r7b(spark, sf_dir):
+    """The curation DAG with the round-7 WAVE-B stages ON (Luhn card
+    scrub in the PII pass, zlib compression gate fused into quality,
+    edit-distance pair verification before clustering, train/val/test
+    hash split with train-only chunking, temperature mix report,
+    epoch-0 shuffle shards of the chunks) — the wave-B composition's
+    wall clock recorded next to the default and r7 DAG macros."""
+    import shutil
+    import tempfile
+
+    from prod2vec_spark.pipeline_llm import CorpusConfig, CorpusCurationPipeline
+
+    work = tempfile.mkdtemp(prefix="bench_curation_r7b_")
+    try:
+        return CorpusCurationPipeline(
+            spark,
+            CorpusConfig(
+                sf_dir=sf_dir,
+                work_dir=work,
+                scrub_cc=True,
+                compression_gate=True,
+                editdist_verify=True,
+                holdout_split=True,
+                mix_report=True,
+                epoch_shards=8,
+            ),
+        ).run()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def run_chunk(names: list[str], sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
     """Child entry: time the named queries in THIS process's fresh JVM."""
     from prod2vec_spark.queries import QUERIES
@@ -187,6 +219,7 @@ def run_chunk(names: list[str], sf_dir: str) -> tuple[dict[str, float], dict[str
         CURATION10X: _curation10x,
         CURATION_FULL: _curation_full,
         CURATION_R7: _curation_r7,
+        CURATION_R7B: _curation_r7b,
     }
     # macro entries run once in the main pass (the CC loop's eager
     # checkpoints dominate; one run is representative) — but an
@@ -195,7 +228,7 @@ def run_chunk(names: list[str], sf_dir: str) -> tuple[dict[str, float], dict[str
     macro_runs = int(os.environ.get("SPARK_GRAFT_MACRO_RUNS", "1"))
     for name in names:
         fn = special.get(name) or QUERIES[name]
-        n_runs = macro_runs if name in (CURATION10X, CURATION_FULL, CURATION_R7) else runs
+        n_runs = macro_runs if name in (CURATION10X, CURATION_FULL, CURATION_R7, CURATION_R7B) else runs
         times = []
         for _ in range(n_runs):
             t0 = time.perf_counter()
@@ -222,7 +255,7 @@ def main() -> None:
     # timed too, appended last so their heavy driver-side work never
     # precedes (and so ages the JVM of) the catalog queries sharing
     # their chunk
-    names = list(QUERIES) + [FLAGSHIP, CURATION10X, CURATION_FULL, CURATION_R7]
+    names = list(QUERIES) + [FLAGSHIP, CURATION10X, CURATION_FULL, CURATION_R7, CURATION_R7B]
     chunk_size = int(os.environ.get("SPARK_GRAFT_BENCH_CHUNK", "6"))
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
