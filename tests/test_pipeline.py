@@ -746,3 +746,42 @@ def test_corpus_pipeline_compression_gate(spark, tmp_path):
         ).collect()
     }
     assert flags[1] < cfg.compression_floor <= flags[2]
+
+
+def test_corpus_pipeline_degenerate_corpus(spark, tmp_path):
+    """Robustness: a corpus that collapses to almost nothing (3
+    verbatim replicas + 1 sub-window doc) runs the FULL DAG without
+    error and reports every stage — monotone counts down to a
+    possibly-empty chunk table, never a crash."""
+    import os
+
+    sd = str(tmp_path / "tiny_sf")
+    os.makedirs(sd, exist_ok=True)
+    spark.createDataFrame(
+        [
+            (1, "same text here for everyone", "en", "s1", 27),
+            (2, "same text here for everyone", "en", "s1", 27),
+            (3, "same text here for everyone", "en", "s1", 27),
+            (4, "tiny", "en", "s2", 4),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{sd}/documents.parquet")
+
+    from prod2vec_spark.pipeline_llm import CorpusConfig, CorpusCurationPipeline
+
+    cfg = CorpusConfig(sf_dir=sd, work_dir=str(tmp_path / "w"))
+    by_stage = {
+        r["stage"]: r["n"]
+        for r in CorpusCurationPipeline(spark, cfg).run().collect()
+    }
+    assert by_stage["input"] == 4
+    assert by_stage["after_exact_dedup"] == 2  # replicas collapse
+    assert (
+        by_stage["after_exact_dedup"]
+        >= by_stage["after_quality_filter"]
+        >= by_stage["after_near_dedup"]
+        >= by_stage["final"]
+        >= 0
+    )
+    # chunk stage tolerates a sub-min-length survivor set
+    assert by_stage["final_chunks"] >= 0
