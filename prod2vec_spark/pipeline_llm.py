@@ -170,7 +170,10 @@ class CorpusCurationPipeline:
 
     # -- stage 0.5: PII scrub (row-local, fused — no checkpoint) -------
     def scrubbed_input(self) -> DataFrame:
-        docs = read_table(self.spark, self.cfg.sf_dir, "documents")
+        return self._scrubbed(self.cfg.sf_dir)
+
+    def _scrubbed(self, sf_dir: str) -> DataFrame:
+        docs = read_table(self.spark, sf_dir, "documents")
         if self.cfg.normalize:
             from prod2vec_spark.operators.text import normalize_text
 
@@ -249,6 +252,7 @@ class CorpusCurationPipeline:
                 >= F.lit(self.cfg.compression_floor)
             )
         scored = docs.withColumn("q", TX.quality_score(F.col("text")))
+        thr_path = f"{self.cfg.work_dir}/quality_thr"
         if self.cfg.quality_scope == "per_source":
             # fairness variant: the percentile is computed WITHIN each
             # source, so a source whose style scores systematically
@@ -259,6 +263,7 @@ class CorpusCurationPipeline:
             thr = scored.groupBy("source").agg(
                 F.percentile("q", F.lit(self.cfg.quality_pct)).alias("q_thr")
             )
+            write_parquet(thr, thr_path)  # frozen until the next rebuild
             kept = (
                 scored.join(F.broadcast(thr), "source")
                 .where(F.col("q") >= F.col("q_thr"))
@@ -268,6 +273,7 @@ class CorpusCurationPipeline:
             thr = scored.agg(
                 F.percentile("q", F.lit(self.cfg.quality_pct)).alias("q_thr")
             )
+            write_parquet(thr, thr_path)  # frozen until the next rebuild
             kept = (
                 scored.crossJoin(F.broadcast(thr))
                 .where(F.col("q") >= F.col("q_thr"))
@@ -312,8 +318,13 @@ class CorpusCurationPipeline:
             dedup_clusters,
         )
 
+        bands = DD.minhash_bands(docs, shingle_k=self.cfg.shingle_k)
+        # persist the 32-byte band table: the incremental path probes
+        # it so crawl N+1 never re-shingles the archived corpus
+        write_parquet(bands, f"{self.cfg.work_dir}/bands")
+        bands = self.spark.read.parquet(f"{self.cfg.work_dir}/bands")
         pairs = DD.lsh_candidate_pairs(
-            DD.minhash_bands(docs, shingle_k=self.cfg.shingle_k),
+            bands,
             max_group=self.cfg.lsh_max_group,
         )
         if self.cfg.editdist_verify:
@@ -533,3 +544,152 @@ class CorpusCurationPipeline:
         )
         write_parquet(rep, f"{self.cfg.work_dir}/mix_report")
         return rep
+
+    # -- incremental crawl update ---------------------------------------
+    def incremental_update(self, new_sf_dir: str) -> DataFrame:
+        """Process crawl N+1 against crawl N's committed ``work_dir``:
+        only added/changed documents run the expensive per-document
+        machinery (digesting, shingling, minhashing); the archive
+        contributes its PERSISTED artifacts — the exact-dedup survivor
+        store, the frozen quality threshold, the 32-byte band table,
+        and the near-dup cluster spanning edges.  Updated stage
+        checkpoints land under ``work_dir/incr``; returns the updated
+        curated corpus.
+
+        Contract (pytest-locked): for append-style ingestion
+        (monotonically-growing ids, no removals) with the group cap
+        disabled, the updated curated set EQUALS a from-scratch run
+        over crawl N+1 under the same frozen threshold.  Documented
+        approximations outside that envelope, standard for
+        incremental dedup systems:
+
+        * thresholds are FROZEN between full rebuilds (recomputing
+          them would re-gate the whole archive every crawl);
+        * a removed/changed doc's exact-dup group members are not
+          resurrected, and removing a near-dup cluster's bridge node
+          does not split the cluster — departures accumulate until
+          the periodic full rebuild (run() on the new snapshot);
+        * the LSH group cap applies per-ingest (a group crossing the
+          cap threshold mid-stream keeps its pre-cap pairs).
+
+        Row-local scans of the prior stores (digest, quality score)
+        do run — those are cheap; what never re-runs is the
+        shingle/minhash/pair machinery for unchanged documents.
+        """
+        cfg = self.cfg
+        unsupported = [
+            name
+            for name, on in [
+                ("canonical_policy!=min_id", cfg.canonical_policy != "min_id"),
+                ("quality_scope!=global", cfg.quality_scope != "global"),
+                ("segment_dedup", cfg.segment_dedup),
+                ("lm_gate", cfg.lm_gate),
+                ("semantic_dedup", cfg.semantic_dedup),
+                ("editdist_verify", cfg.editdist_verify),
+                ("compression_gate", cfg.compression_gate),
+            ]
+            if on
+        ]
+        if unsupported:
+            raise ValueError(
+                "incremental_update supports the default stage set; "
+                f"unsupported options active: {unsupported}"
+            )
+        from prod2vec_spark.operators.graph import dedup_clusters
+
+        spark = self.spark
+        incr = f"{cfg.work_dir}/incr"
+        old = self._scrubbed(cfg.sf_dir)
+        new = self._scrubbed(new_sf_dir)
+        diff = DD.snapshot_diff(old, new)
+        delta_ids = diff.where(
+            F.col("status").isin("added", "changed")
+        ).select("doc_id")
+        gone_ids = diff.where(
+            F.col("status").isin("removed", "changed")
+        ).select("doc_id")
+
+        # exact plane: prior survivors minus departures, plus the
+        # delta's min-id-per-digest survivors whose digest is unseen
+        prior_exact = spark.read.parquet(f"{cfg.work_dir}/exact_deduped")
+        kept_prior = prior_exact.join(F.broadcast(gone_ids), "doc_id", "left_anti")
+        delta = new.join(F.broadcast(delta_ids), "doc_id", "left_semi")
+        dsurv = delta.join(
+            DD.exact_dup_groups(delta).select(
+                F.col("keep_doc_id").alias("doc_id")
+            ),
+            "doc_id",
+            "left_semi",
+        )
+        prior_digests = kept_prior.select(
+            DD.text_digest(F.col("text")).alias("_h")
+        ).distinct()
+        dsurv = (
+            dsurv.withColumn("_h", DD.text_digest(F.col("text")))
+            .join(prior_digests, "_h", "left_anti")
+            .drop("_h")
+        )
+        if cfg.repetition_gate:
+            # row-local and parameter-frozen, so the gate is exactly
+            # incremental: prior survivors already passed it in the
+            # batch run (their texts are unchanged); only the delta
+            # needs the predicate
+            from prod2vec_spark.operators import repetition as RP
+            from prod2vec_spark.operators.text import tokens as _tokens
+
+            staged = (
+                dsurv.withColumn("_toks", _tokens(F.col("text")))
+                .withColumn("_g2", RP.word_ngrams(F.col("_toks"), 2))
+                .withColumn("_g3", RP.word_ngrams(F.col("_toks"), 3))
+            )
+            dsurv = staged.where(
+                RP.repetition_gate(
+                    RP.top_gram_fraction(F.col("_g2")),
+                    RP.dup_gram_fraction(F.col("_g3")),
+                    F.size(F.col("_g2")),
+                )
+            ).drop("_toks", "_g2", "_g3")
+        write_parquet(kept_prior.unionByName(dsurv), f"{incr}/exact_deduped")
+        exact2 = spark.read.parquet(f"{incr}/exact_deduped")
+
+        # quality plane: the FROZEN batch threshold, applied row-locally
+        thr = spark.read.parquet(f"{cfg.work_dir}/quality_thr")
+        kept2 = (
+            exact2.withColumn("q", TX.quality_score(F.col("text")))
+            .crossJoin(F.broadcast(thr))
+            .where(F.col("q") >= F.col("q_thr"))
+            .drop("q_thr", "q")
+        )
+        write_parquet(kept2, f"{incr}/quality_kept")
+        kept2 = spark.read.parquet(f"{incr}/quality_kept")
+
+        # near-dup plane: stored bands for the surviving archive, the
+        # delta banded fresh inside incremental_lsh_candidates; prior
+        # connectivity re-enters as cluster spanning edges
+        prior_bands = spark.read.parquet(f"{cfg.work_dir}/bands").join(
+            F.broadcast(gone_ids), "doc_id", "left_anti"
+        )
+        delta_nd = kept2.join(F.broadcast(delta_ids), "doc_id", "left_semi")
+        pairs_delta = DD.incremental_lsh_candidates(
+            prior_bands,
+            delta_nd,
+            shingle_k=cfg.shingle_k,
+            max_group=cfg.lsh_max_group,
+        )
+        prior_edges = (
+            spark.read.parquet(f"{cfg.work_dir}/near_dup_clusters")
+            .where(F.col("doc_id") != F.col("cluster_id"))
+            .select(F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("doc_b"))
+        )
+        gone_a = gone_ids.select(F.col("doc_id").alias("doc_a"))
+        gone_b = gone_ids.select(F.col("doc_id").alias("doc_b"))
+        prior_edges = prior_edges.join(F.broadcast(gone_a), "doc_a", "left_anti").join(
+            F.broadcast(gone_b), "doc_b", "left_anti"
+        )
+        edges = prior_edges.unionByName(pairs_delta)
+        clusters = dedup_clusters(edges)
+        write_parquet(clusters, f"{incr}/near_dup_clusters")
+        drop = clusters.where(F.col("is_canonical") == 0).select("doc_id")
+        curated2 = kept2.join(F.broadcast(drop), "doc_id", "left_anti")
+        write_parquet(curated2, f"{incr}/curated", partition_by=["lang"])
+        return spark.read.parquet(f"{incr}/curated")

@@ -785,3 +785,104 @@ def test_corpus_pipeline_degenerate_corpus(spark, tmp_path):
     )
     # chunk stage tolerates a sub-min-length survivor set
     assert by_stage["final_chunks"] >= 0
+
+
+def test_incremental_update_equals_scratch_rebuild(spark, tmp_path):
+    """The incremental contract, end-to-end: crawl N+1 = crawl N plus
+    verbatim copies (must exact-dedup away), fresh docs, and near-dup
+    variants (must LSH-cluster against archived docs) — all with
+    higher ids and no removals.  incremental_update's curated set must
+    EQUAL a from-scratch stage replay over crawl N+1 under the frozen
+    v1 threshold, with the group cap disabled."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from prod2vec_spark.operators.dedup import (
+        exact_dup_groups,
+        lsh_candidate_pairs,
+        minhash_bands,
+    )
+    from prod2vec_spark.operators.graph import dedup_clusters
+    from prod2vec_spark.operators import repetition as RP
+    from prod2vec_spark.operators.text import quality_score, tokens
+    from prod2vec_spark.pipeline_llm import CorpusConfig, CorpusCurationPipeline
+    from tests.conftest import SF_SMOKE
+
+    v1 = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    copies = v1.where(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    fresh = v1.where(F.col("doc_id") % 11 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 2000000
+    ).withColumn("text", F.concat(F.col("text"), F.lit(" entirely new tail")))
+    neardup = v1.where(F.col("doc_id") % 13 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 3000000
+    ).withColumn("text", F.concat(F.col("text"), F.lit(" x")))
+    v2 = v1.unionByName(copies).unionByName(fresh).unionByName(neardup)
+    v2_dir = str(tmp_path / "v2")
+    os.makedirs(v2_dir, exist_ok=True)
+    v2.write.mode("overwrite").parquet(f"{v2_dir}/documents.parquet")
+
+    cfg = CorpusConfig(
+        sf_dir=SF_SMOKE, work_dir=str(tmp_path / "w"), lsh_max_group=None
+    )
+    p = CorpusCurationPipeline(spark, cfg)
+    p.run()
+
+    got = {
+        r["doc_id"]
+        for r in p.incremental_update(v2_dir).select("doc_id").collect()
+    }
+
+    # from-scratch replay over v2 with the SAME frozen threshold
+    scratch_cfg = CorpusConfig(
+        sf_dir=v2_dir, work_dir=str(tmp_path / "scratch"), lsh_max_group=None
+    )
+    docs2 = CorpusCurationPipeline(spark, scratch_cfg)._scrubbed(v2_dir)
+    exact = docs2.join(
+        exact_dup_groups(docs2).select(F.col("keep_doc_id").alias("doc_id")),
+        "doc_id",
+        "left_semi",
+    )
+    staged = (
+        exact.withColumn("_toks", tokens(F.col("text")))
+        .withColumn("_g2", RP.word_ngrams(F.col("_toks"), 2))
+        .withColumn("_g3", RP.word_ngrams(F.col("_toks"), 3))
+    )
+    gated = staged.where(
+        RP.repetition_gate(
+            RP.top_gram_fraction(F.col("_g2")),
+            RP.dup_gram_fraction(F.col("_g3")),
+            F.size(F.col("_g2")),
+        )
+    ).drop("_toks", "_g2", "_g3")
+    thr = spark.read.parquet(f"{cfg.work_dir}/quality_thr").first()["q_thr"]
+    kept = gated.where(quality_score(F.col("text")) >= F.lit(thr))
+    clusters = dedup_clusters(
+        lsh_candidate_pairs(minhash_bands(kept, shingle_k=cfg.shingle_k))
+    )
+    drop = clusters.where(F.col("is_canonical") == 0).select("doc_id")
+    expect = {
+        r["doc_id"]
+        for r in kept.join(F.broadcast(drop), "doc_id", "left_anti")
+        .select("doc_id")
+        .collect()
+    }
+    assert got == expect
+    # the update genuinely both added and deduped
+    assert any(d >= 2000000 for d in got)          # fresh docs present
+    assert not any(1000000 <= d < 2000000 for d in got)  # copies gone
+
+
+def test_incremental_update_rejects_unsupported_options(spark, tmp_path):
+    from prod2vec_spark.pipeline_llm import CorpusConfig, CorpusCurationPipeline
+    from tests.conftest import SF_SMOKE
+
+    import pytest as _pytest
+
+    cfg = CorpusConfig(
+        sf_dir=SF_SMOKE, work_dir=str(tmp_path / "w"), lm_gate=True
+    )
+    with _pytest.raises(ValueError, match="lm_gate"):
+        CorpusCurationPipeline(spark, cfg).incremental_update(SF_SMOKE)
