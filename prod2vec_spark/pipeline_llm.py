@@ -263,7 +263,11 @@ class CorpusCurationPipeline:
             thr = scored.groupBy("source").agg(
                 F.percentile("q", F.lit(self.cfg.quality_pct)).alias("q_thr")
             )
+            # write THEN read back: reusing the lineage would
+            # re-evaluate the percentile pass (the expensive
+            # repetition-staged scan) a second time inside `kept`
             write_parquet(thr, thr_path)  # frozen until the next rebuild
+            thr = self.spark.read.parquet(thr_path)
             kept = (
                 scored.join(F.broadcast(thr), "source")
                 .where(F.col("q") >= F.col("q_thr"))
@@ -273,7 +277,9 @@ class CorpusCurationPipeline:
             thr = scored.agg(
                 F.percentile("q", F.lit(self.cfg.quality_pct)).alias("q_thr")
             )
+            # write THEN read back (see per_source branch note)
             write_parquet(thr, thr_path)  # frozen until the next rebuild
+            thr = self.spark.read.parquet(thr_path)
             kept = (
                 scored.crossJoin(F.broadcast(thr))
                 .where(F.col("q") >= F.col("q_thr"))
