@@ -525,6 +525,7 @@ from prod2vec_spark.queries_r6 import R6_ORACLES, R6_QUERIES  # noqa: E402
 from prod2vec_spark.queries_r6b import R6B_ORACLES, R6B_QUERIES  # noqa: E402
 from prod2vec_spark.queries_r7 import R7_ORACLES, R7_QUERIES  # noqa: E402
 from prod2vec_spark.queries_r7b import R7B_ORACLES, R7B_QUERIES  # noqa: E402
+from prod2vec_spark.queries_r7c import R7C_ORACLES, R7C_QUERIES  # noqa: E402
 
 # Superset registry: EVERY implemented query, including the ones the
 # driver-facing catalog consolidated away (they keep full pytest
@@ -532,10 +533,12 @@ from prod2vec_spark.queries_r7b import R7B_ORACLES, R7B_QUERIES  # noqa: E402
 ALL_QUERIES: dict[str, QueryFn] = {
     **_QUERIES_CORE, **EXT_QUERIES, **MORE_QUERIES, **R3_QUERIES, **R4_QUERIES,
     **R5_QUERIES, **R6_QUERIES, **R6B_QUERIES, **R7_QUERIES, **R7B_QUERIES,
+    **R7C_QUERIES,
 }
 ALL_ORACLES: dict[str, str] = {
     **_ORACLES_CORE, **EXT_ORACLES, **MORE_ORACLES, **R3_ORACLES, **R4_ORACLES,
     **R5_ORACLES, **R6_ORACLES, **R6B_ORACLES, **R7_ORACLES, **R7B_ORACLES,
+    **R7C_ORACLES,
 }
 ALL_ORACLES["dq_suite"] = _sql_dq_suite()  # composed after SQL_DQ_* exist
 
@@ -596,6 +599,14 @@ CATALOG: list[str] = [
     # rm3_expansion (the retrieval triad's feedback leg — its oracle
     # embeds the full QL chain) and epoch_shuffle_audit (the
     # training-shard permutation with an order-sensitive checksum).
+    # wave D: dsir_select in (the data-selection plane: hashed-n-gram
+    # importance scoring + seeded Gumbel-top-k resample — a new
+    # operator family), weighted_sample out (its seeded
+    # weighted-draw shape executes inside dsir_select's Gumbel key
+    # and the A-ES variant stays superset-oracled in the pytest
+    # gate; md5-uniform machinery keeps catalog siblings in
+    # decontaminate/skipgram_subsampled).
+    "dsir_select",
     "rm3_expansion", "epoch_shuffle_audit",
     "stratified_split", "temperature_mix", "neardup_editdist",
     "segment_dedup_stats", "bm25_topk", "canonical_pick",
@@ -613,7 +624,7 @@ CATALOG: list[str] = [
     # ann_recall's ground-truth side every round)
     "quantile_sketch", "verbatim_span_pairs",
     # round-6 new (wave 2: LLM depth tranche)
-    "doc_repetition", "decontaminate", "weighted_sample",
+    "doc_repetition", "decontaminate",
     "semdedup_audit", "pii_scrub", "doc_chunks",
     # round-6 new (wave 1)
     "word2vec_stability", "heavy_hitters",

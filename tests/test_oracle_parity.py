@@ -79,6 +79,8 @@ def test_rows_only_queries_nonempty(spark, name):
         "rm3_expansion",            # softmax exp + mixture divisions
         "epoch_shuffle_audit",      # hex conv + decimal checksum mod
         "pii_cc_audit",             # digit casts + Luhn fold arithmetic
+        "dsir_scores",              # hex conv buckets + smoothed ln ratios
+        "dsir_select",              # ln(-ln(md5-uniform)) Gumbel keys
     ],
 )
 def test_catalog_survives_ansi_mode(spark, name):
