@@ -149,13 +149,41 @@ def _png_unfilter(raw: bytes, stride: int, height: int, bpp: int) -> bytes:
     return bytes(out)
 
 
-def decode_png(blob: bytes) -> dict:
-    """Real stdlib-only PNG decode: chunk walk → IHDR metadata, IDAT
-    concat → ``zlib`` inflate → scanline unfilter → digest + mean of
-    the reconstructed raw pixel bytes (palette indices for color type
-    3).  Non-interlaced images only (Adam7 is rejected explicitly, not
-    silently mis-decoded); every bit depth and color type in the spec
-    is handled because PNG filtering is byte-wise."""
+def encode_png_gray8(pixels: bytes, width: int, height: int) -> bytes:
+    """Minimal stdlib PNG ENCODER: 8-bit grayscale, filter-0 scanlines,
+    one IDAT.  The write half of the codec boundary — lets pipelines
+    materialize deterministic image fixtures/thumbnails without any
+    imaging dependency, and round-trips exactly through decode_png /
+    png_pixels."""
+    if len(pixels) != width * height:
+        raise ValueError("pixel buffer does not match width*height")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)  # filter type None
+        raw += pixels[y * width : (y + 1) * width]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_pixels(blob: bytes) -> tuple[bytes, dict]:
+    """Chunk walk → IDAT inflate → scanline unfilter: the reconstructed
+    raw pixel bytes plus the IHDR metadata.  The shared decode core for
+    ``decode_png`` (digest/mean features) and ``operators/phash.py``
+    (perceptual hashing, which needs the actual pixels)."""
     hdr = png_header(blob)
     if hdr["interlace"] != 0:
         raise ValueError("interlaced (Adam7) PNG not supported")
@@ -175,7 +203,17 @@ def decode_png(blob: bytes) -> dict:
     bpp = max(1, bits_per_pixel // 8)
     if len(raw) != (stride + 1) * hdr["height"]:
         raise ValueError("PNG pixel payload size mismatch")
-    pixels = _png_unfilter(raw, stride, hdr["height"], bpp)
+    return _png_unfilter(raw, stride, hdr["height"], bpp), hdr
+
+
+def decode_png(blob: bytes) -> dict:
+    """Real stdlib-only PNG decode: chunk walk → IHDR metadata, IDAT
+    concat → ``zlib`` inflate → scanline unfilter → digest + mean of
+    the reconstructed raw pixel bytes (palette indices for color type
+    3).  Non-interlaced images only (Adam7 is rejected explicitly, not
+    silently mis-decoded); every bit depth and color type in the spec
+    is handled because PNG filtering is byte-wise."""
+    pixels, hdr = png_pixels(blob)
     return {
         "format": "png",
         "width": hdr["width"],

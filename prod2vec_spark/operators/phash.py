@@ -1,0 +1,186 @@
+"""Perceptual-hash near-dup detection for image blobs (ENGINE scope —
+the multimodal × dedup cross-plane: the reference has no media
+surface; this is the standard dHash + banded-Hamming recipe web-scale
+image pipelines use for near-duplicate collapse).
+
+Three stages, each with the engine's 100 TB shape:
+
+1. **dHash** (``phash_images``) — Arrow-batched ``mapInPandas``:
+   stdlib PNG decode (multimodal.png_pixels) → grayscale → 9×8
+   area-average downsample → 64 horizontal-gradient bits.  Row-local,
+   no shuffle; the blob never leaves the executor.  Non-PNG /
+   undecodable blobs yield a NULL hash (auditable, not dropped
+   silently).
+2. **Banded candidate generation** (``hamming_candidates``) — the
+   64-bit hash splits into ``bands`` disjoint slices; by pigeonhole,
+   two hashes within Hamming distance d share at least one intact
+   slice whenever d < bands, so 4 bands give RECALL = 1 for d ≤ 3
+   (the usual near-dup threshold).  Pure Column pipeline reusing the
+   LSH group-expand shape: explode band structs → groupBy (band,
+   slice) collect sorted id lists → in-array i<j pair expansion —
+   the shuffle carries 2-long keys + id lists, never pixels.
+3. **Exact verify** — candidates (distinct) broadcast back against
+   the (id, hash) table twice; Hamming = bit_count(XOR) ≤ d filter.
+   Two map-side joins; the hash table streams.
+
+Palette-type PNGs (color type 3) hash their palette indices — fine
+for near-identical detection (same palette ⇒ same indices) but two
+renderings of one image with permuted palettes won't match; bit
+depths < 8 are rejected rather than mis-averaged.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from prod2vec_spark.operators.multimodal import PNG_SIG, png_pixels
+
+HASH_BITS = 64
+_GRID_H, _GRID_W = 8, 9  # 8 rows x 9 cols -> 8x8 horizontal gradients
+
+
+def _gray(pixels: bytes, width: int, height: int, channels: int) -> np.ndarray:
+    """(height, width) float64 luminance from raw 8-bit pixel bytes
+    (channel-mean; alpha participates like any channel — identical
+    images keep identical grays, which is all dHash needs)."""
+    a = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, channels)
+    return a.mean(axis=2, dtype=np.float64)
+
+
+def _area_resize(g: np.ndarray, th: int, tw: int) -> np.ndarray:
+    """Deterministic area-average downsample to (th, tw): cell (i, j)
+    averages source rows floor(i·h/th)..floor((i+1)·h/th)−1 (≥1 row by
+    construction when h ≥ th; smaller images repeat edge cells)."""
+    h, w = g.shape
+    rb = [(i * h) // th for i in range(th + 1)]
+    cb = [(j * w) // tw for j in range(tw + 1)]
+    out = np.empty((th, tw), dtype=np.float64)
+    for i in range(th):
+        r0, r1 = rb[i], max(rb[i + 1], rb[i] + 1)
+        for j in range(tw):
+            c0, c1 = cb[j], max(cb[j + 1], cb[j] + 1)
+            out[i, j] = g[r0:r1, c0:c1].mean()
+    return out
+
+
+def dhash64(g: np.ndarray) -> int:
+    """64-bit horizontal-gradient hash of a grayscale matrix: resize to
+    8×9, bit (i·8 + j) set iff cell[i, j+1] > cell[i, j].  Returned as
+    a SIGNED 64-bit int (Spark LongType bit pattern)."""
+    small = _area_resize(g, _GRID_H, _GRID_W)
+    bits = small[:, 1:] > small[:, :-1]  # (8, 8)
+    v = 0
+    for i in range(_GRID_H):
+        for j in range(_GRID_W - 1):
+            if bits[i, j]:
+                v |= 1 << (i * 8 + j)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def dhash_png(blob: bytes) -> int | None:
+    """dHash of a PNG blob, or None when the blob is not a decodable
+    non-interlaced 8-bit PNG (the auditable-miss contract)."""
+    if not isinstance(blob, (bytes, bytearray)) or not bytes(blob).startswith(PNG_SIG):
+        return None
+    try:
+        pixels, hdr = png_pixels(bytes(blob))
+    except Exception:
+        return None
+    if hdr["bit_depth"] != 8:
+        return None  # packed sub-byte rows would be mis-averaged
+    g = _gray(pixels, hdr["width"], hdr["height"], hdr["channels"])
+    return dhash64(g)
+
+
+def phash_images(
+    media: DataFrame, id_col: str = "media_id", blob_col: str = "blob"
+) -> DataFrame:
+    """(id, dhash) for every input row — dhash NULL where the blob
+    isn't a decodable PNG.  Arrow-batched mapInPandas; only the two
+    needed columns cross into Python (project before calling for the
+    column-pruning win to reach the scan)."""
+    src = media.select(id_col, blob_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = [dhash_png(b) for b in pdf[blob_col]]
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "dhash": pd.array(hashes, dtype="Int64")}
+            )
+
+    return src.mapInPandas(run, schema=f"{id_col} long, dhash long")
+
+
+def hamming_candidates(
+    hashes: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "dhash",
+    bands: int = 4,
+    max_group: int | None = None,
+) -> DataFrame:
+    """Distinct candidate id pairs (id_a < id_b) sharing at least one
+    of ``bands`` disjoint hash slices.  64 must divide evenly into
+    ``bands``; recall is exact for Hamming distance < bands."""
+    if HASH_BITS % bands:
+        raise ValueError(f"bands={bands} must divide {HASH_BITS}")
+    width = HASH_BITS // bands
+    mask = (1 << width) - 1
+    h = F.col(hash_col)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(h, b * width).bitwiseAND(F.lit(mask)).alias("slice"),
+        )
+        for b in range(bands)
+    ]
+    from prod2vec_spark.functions.arrays import pair_expand
+
+    sigs = (
+        hashes.where(h.isNotNull())
+        .select(id_col, F.explode(F.array(*band_cols)).alias("bs"))
+        .select(id_col, F.col("bs.band").alias("band"), F.col("bs.slice").alias("slice"))
+    )
+    grouped = (
+        sigs.groupBy("band", "slice")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    if max_group is not None:
+        grouped = grouped.filter(F.size("ids") <= max_group)
+    return (
+        grouped.select(F.explode(pair_expand(F.col("ids"))).alias("p"))
+        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+        .distinct()
+    )
+
+
+def phash_neardup(
+    hashes: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "dhash",
+    max_distance: int = 3,
+    bands: int = 4,
+    max_group: int | None = None,
+) -> DataFrame:
+    """Verified near-dup pairs: (id_a, id_b, hamming ≤ max_distance).
+    Exact (recall 1) when max_distance < bands — pigeonhole guarantees
+    every qualifying pair surfaces as a candidate."""
+    cand = hamming_candidates(
+        hashes, id_col=id_col, hash_col=hash_col, bands=bands, max_group=max_group
+    )
+    ha = hashes.select(F.col(id_col).alias("id_a"), F.col(hash_col).alias("_ha"))
+    hb = hashes.select(F.col(id_col).alias("id_b"), F.col(hash_col).alias("_hb"))
+    return (
+        hb.join(F.broadcast(ha.join(F.broadcast(cand), "id_a")), "id_b")
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_distance)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -119,9 +119,63 @@ JOIN documents d USING (doc_id)
 """
 
 
+def q_phash_neardup(spark, sf_dir):
+    """Image perceptual-hash near-dup over deterministically RENDERED
+    PNGs (rows-only: the decode/hash stage is the Python codec
+    boundary, no SQL twin — same contract as compression_profile).
+
+    Every document renders a 16×16 grayscale PNG whose pixels are
+    md5-expanded from its family id (doc_id % 40) plus a one-pixel
+    per-member variant, so the corpus contains 40 planted families of
+    near-identical images.  The pipeline is the real one end-to-end:
+    mapInPandas render → mapInPandas dHash (stdlib PNG decode) →
+    banded-Hamming candidate join → bit_count verify
+    (operators/phash.py).  ``same_family`` makes the entry
+    self-auditing: pytest asserts it is 1 on every pair and that all
+    within-family pairs surface (pigeonhole recall)."""
+    import hashlib
+    from typing import Iterator
+
+    import pandas as pd
+
+    from prod2vec_spark.operators import phash as PH
+    from prod2vec_spark.operators.multimodal import encode_png_gray8
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                fam = int(doc_id) % 40
+                member = int(doc_id) // 40
+                raw = b"".join(
+                    hashlib.md5(f"img{fam}|{k}".encode()).digest() for k in range(16)
+                )
+                mat = bytearray(raw)
+                if member:
+                    pos = (member * 37) % 256
+                    mat[pos] = (mat[pos] + 1) % 256
+                blobs.append(encode_png_gray8(bytes(mat), 16, 16))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "blob": blobs})
+
+    media = docs.mapInPandas(render, schema="media_id long, blob binary")
+    hashes = PH.phash_images(media)
+    pairs = PH.phash_neardup(hashes, max_distance=3)
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "hamming",
+        ((F.col("id_a") % 40) == (F.col("id_b") % 40)).cast("bigint").alias(
+            "same_family"
+        ),
+    )
+
+
 R7C_QUERIES = {
     "dsir_scores": q_dsir_scores,
     "dsir_select": q_dsir_select,
+    "phash_neardup": q_phash_neardup,
 }
 R7C_ORACLES = {
     "dsir_scores": _sql_dsir_scores(),
