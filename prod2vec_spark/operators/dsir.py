@@ -73,13 +73,47 @@ def fit_bucket_counts(
 ) -> DataFrame:
     """Hashed-n-gram bucket counts for a corpus: (bucket, cnt), only
     buckets that occur.  ≤ n_buckets output rows regardless of corpus
-    size; partial aggregation does the heavy lifting map-side."""
+    size; partial aggregation does the heavy lifting map-side.
+
+    The token array is materialized as a concrete column BEFORE the
+    n-gram HOFs — interpreted HOF lambdas have no CSE, so an inline
+    split() would re-tokenize the full text once per element_at
+    (measured 13.6s → 2.8s for dsir_select at sf0.1)."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     return (
-        docs.select(F.explode(ngram_buckets(toks, n_buckets)).alias("bucket"))
+        docs.select(toks.alias("_toks"))
+        .select(F.explode(ngram_buckets(F.col("_toks"), n_buckets)).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
+
+
+def fit_bucket_counts_pair(
+    docs: DataFrame,
+    target_cond,
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> tuple[DataFrame, DataFrame]:
+    """Target AND raw bucket counts in ONE corpus pass, for the common
+    case where the target is a predicate over the raw corpus (DSIR's
+    deployment shape: raw = crawl, target = its high-quality slice).
+    Returns (target_counts, raw_counts) sharing a single exploded
+    aggregation: the conditional sum replaces a second full scan."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    both = (
+        docs.select(target_cond.alias("_is_t"), toks.alias("_toks"))
+        .select("_is_t", F.explode(ngram_buckets(F.col("_toks"), n_buckets)).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("_is_t"), 1).otherwise(0)).cast("long").alias("t_cnt"),
+            F.count(F.lit(1)).cast("long").alias("r_cnt"),
+        )
+    )
+    target = both.where(F.col("t_cnt") > 0).select(
+        "bucket", F.col("t_cnt").alias("cnt")
+    )
+    raw = both.select("bucket", F.col("r_cnt").alias("cnt"))
+    return target, raw
 
 
 def bucket_logratio(
@@ -141,8 +175,10 @@ def dsir_scores(
         F.col("logratio").alias("_default_lr")
     )
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    exploded = docs.select(
-        F.col(id_col), F.explode(ngram_buckets(toks, n_buckets)).alias("bucket")
+    # materialize the token array before the HOFs (no CSE in
+    # interpreted lambdas — see fit_bucket_counts)
+    exploded = docs.select(F.col(id_col), toks.alias("_toks")).select(
+        id_col, F.explode(ngram_buckets(F.col("_toks"), n_buckets)).alias("bucket")
     )
     return (
         exploded.join(F.broadcast(ratio.where(F.col("bucket") >= 0)), "bucket", "left")

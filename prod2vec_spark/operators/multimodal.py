@@ -226,10 +226,10 @@ def decode_png(blob: bytes) -> dict:
     }
 
 
-def decode_wav(blob: bytes) -> dict:
-    """Real stdlib-only WAV decode via ``wave``: sample rate, channel
-    count, bit depth, duration, and RMS amplitude (in raw sample
-    units) computed from the PCM frames with ``struct``."""
+def wav_samples(blob: bytes) -> tuple[tuple, dict]:
+    """PCM sample decode shared by ``decode_wav`` (RMS features) and
+    ``operators/phash.py`` (audio fingerprinting): interleaved signed
+    samples plus the stream metadata."""
     with wave.open(io.BytesIO(blob), "rb") as w:
         n_channels = w.getnchannels()
         sampwidth = w.getsampwidth()
@@ -238,13 +238,43 @@ def decode_wav(blob: bytes) -> dict:
         frames = w.readframes(n_frames)
     n = len(frames) // sampwidth
     if sampwidth == 1:  # unsigned 8-bit, centered at 128
-        samples = [b - 128 for b in frames[:n]]
+        samples = tuple(b - 128 for b in frames[:n])
     elif sampwidth == 2:
         samples = struct.unpack(f"<{n}h", frames[: n * 2])
     elif sampwidth == 4:
         samples = struct.unpack(f"<{n}i", frames[: n * 4])
     else:
         raise ValueError(f"unsupported WAV sample width {sampwidth}")
+    meta = {
+        "n_channels": n_channels,
+        "sampwidth": sampwidth,
+        "framerate": framerate,
+        "n_frames": n_frames,
+    }
+    return samples, meta
+
+
+def encode_wav_pcm16(samples, sample_rate: int = 8000, n_channels: int = 1) -> bytes:
+    """Minimal stdlib WAV ENCODER (PCM 16-bit LE): the write half of
+    the audio codec boundary — deterministic fixtures/sinks with no
+    audio dependency, exact roundtrip through ``wav_samples``."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def decode_wav(blob: bytes) -> dict:
+    """Real stdlib-only WAV decode via ``wave``: sample rate, channel
+    count, bit depth, duration, and RMS amplitude (in raw sample
+    units) computed from the PCM frames with ``struct``."""
+    samples, m = wav_samples(blob)
+    n_channels, sampwidth = m["n_channels"], m["sampwidth"]
+    framerate, n_frames = m["framerate"], m["n_frames"]
+    n = len(samples)
     rms = math.sqrt(sum(s * s for s in samples) / n) if n else 0.0
     return {
         "format": "wav",

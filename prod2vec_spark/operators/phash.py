@@ -1,7 +1,8 @@
-"""Perceptual-hash near-dup detection for image blobs (ENGINE scope —
-the multimodal × dedup cross-plane: the reference has no media
-surface; this is the standard dHash + banded-Hamming recipe web-scale
-image pipelines use for near-duplicate collapse).
+"""Perceptual-hash near-dup detection for image AND audio blobs
+(ENGINE scope — the multimodal × dedup cross-plane: the reference has
+no media surface; this is the standard dHash + banded-Hamming recipe
+web-scale media pipelines use for near-duplicate collapse, plus a
+gain-invariant energy-gradient fingerprint for audio).
 
 Three stages, each with the engine's 100 TB shape:
 
@@ -95,6 +96,63 @@ def dhash_png(blob: bytes) -> int | None:
         return None  # packed sub-byte rows would be mis-averaged
     g = _gray(pixels, hdr["width"], hdr["height"], hdr["channels"])
     return dhash64(g)
+
+
+def ahash64(samples: np.ndarray) -> int | None:
+    """64-bit audio fingerprint: temporal energy-gradient hash.  The
+    mono signal splits into 65 equal windows; bit i is set iff
+    window i+1 has higher mean-square energy than window i.  Gradient
+    comparisons are invariant to uniform gain (energy scales by g²
+    on both sides) — the property the tests lock.  None when the
+    clip is shorter than 65 samples (no meaningful windows)."""
+    n = samples.shape[0]
+    if n < _GRID_H * _GRID_W + 1:  # need >=1 sample per window
+        return None
+    bounds = [(k * n) // 65 for k in range(66)]
+    e = np.array(
+        [float(np.mean(np.square(samples[bounds[k] : bounds[k + 1]]))) for k in range(65)]
+    )
+    v = 0
+    for i in range(64):
+        if e[i + 1] > e[i]:
+            v |= 1 << i
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def ahash_wav(blob: bytes) -> int | None:
+    """Audio fingerprint of a WAV blob (None when not decodable PCM):
+    channel-mean mono mix, then the energy-gradient hash."""
+    from prod2vec_spark.operators.multimodal import wav_samples
+
+    if not isinstance(blob, (bytes, bytearray)) or bytes(blob)[:4] != b"RIFF":
+        return None
+    try:
+        samples, m = wav_samples(bytes(blob))
+    except Exception:
+        return None
+    a = np.asarray(samples, dtype=np.float64)
+    nch = m["n_channels"]
+    if nch > 1:
+        a = a[: (len(a) // nch) * nch].reshape(-1, nch).mean(axis=1)
+    return ahash64(a)
+
+
+def phash_audio(
+    media: DataFrame, id_col: str = "media_id", blob_col: str = "blob"
+) -> DataFrame:
+    """(id, ahash) for every row — NULL where the blob isn't decodable
+    PCM WAV.  Same Arrow-batched shape as ``phash_images``; feed the
+    result to ``phash_neardup(hashes, hash_col='ahash')``."""
+    src = media.select(id_col, blob_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = [ahash_wav(b) for b in pdf[blob_col]]
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "ahash": pd.array(hashes, dtype="Int64")}
+            )
+
+    return src.mapInPandas(run, schema=f"{id_col} long, ahash long")
 
 
 def phash_images(

@@ -67,8 +67,10 @@ sc AS (
 
 def _dsir_scored(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents")
-    tgt = DS.fit_bucket_counts(docs.where(F.col("lang") == "en"), n_buckets=DSIR_BUCKETS)
-    raw = DS.fit_bucket_counts(docs, n_buckets=DSIR_BUCKETS)
+    # fused fit: target (lang='en') and raw counts from ONE corpus pass
+    tgt, raw = DS.fit_bucket_counts_pair(
+        docs, F.col("lang") == "en", n_buckets=DSIR_BUCKETS
+    )
     ratio = DS.bucket_logratio(tgt, raw, n_buckets=DSIR_BUCKETS)
     return docs, DS.dsir_scores(docs, ratio, n_buckets=DSIR_BUCKETS)
 
@@ -172,10 +174,60 @@ def q_phash_neardup(spark, sf_dir):
     )
 
 
+def q_audio_neardup(spark, sf_dir):
+    """Audio-fingerprint near-dup over deterministically SYNTHESIZED
+    WAVs (rows-only: codec boundary, no SQL twin — the audio twin of
+    phash_neardup).  Every document synthesizes a 1040-sample PCM16
+    clip md5-expanded from its family id (doc_id % 40) with a
+    one-sample per-member glitch; the gain-invariant energy-gradient
+    fingerprint + banded-Hamming join recovers the families
+    (operators/phash.py)."""
+    import hashlib
+    import struct as _struct
+    from typing import Iterator
+
+    import pandas as pd
+
+    from prod2vec_spark.operators import phash as PH
+    from prod2vec_spark.operators.multimodal import encode_wav_pcm16
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                fam = int(doc_id) % 40
+                member = int(doc_id) // 40
+                raw = b"".join(
+                    hashlib.md5(f"wav{fam}|{k}".encode()).digest() for k in range(130)
+                )  # 2080 bytes -> 1040 int16 samples
+                samples = list(_struct.unpack("<1040h", raw))
+                samples = [s // 8 for s in samples]  # headroom for the glitch
+                if member:
+                    pos = (member * 97) % 1040
+                    samples[pos] += 200
+                blobs.append(encode_wav_pcm16(samples))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "blob": blobs})
+
+    media = docs.mapInPandas(render, schema="media_id long, blob binary")
+    hashes = PH.phash_audio(media)
+    pairs = PH.phash_neardup(hashes, hash_col="ahash", max_distance=3)
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "hamming",
+        ((F.col("id_a") % 40) == (F.col("id_b") % 40)).cast("bigint").alias(
+            "same_family"
+        ),
+    )
+
+
 R7C_QUERIES = {
     "dsir_scores": q_dsir_scores,
     "dsir_select": q_dsir_select,
     "phash_neardup": q_phash_neardup,
+    "audio_neardup": q_audio_neardup,
 }
 R7C_ORACLES = {
     "dsir_scores": _sql_dsir_scores(),

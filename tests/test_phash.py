@@ -159,3 +159,79 @@ def test_phash_neardup_query_recovers_planted_families(spark):
     fams = collections.Counter(d % 40 for d in doc_ids)
     expect_pairs = sum(c * (c - 1) // 2 for c in fams.values())
     assert len(rows) == expect_pairs
+
+
+# ------------------------------------------------------------- audio
+def _rand_pcm(seed: int, n: int = 4000) -> np.ndarray:
+    return np.random.default_rng(seed).integers(-3000, 3000, size=n).astype(np.int64)
+
+
+def test_ahash_gain_invariance_and_perturbation():
+    s = _rand_pcm(11)
+    h0 = PH.ahash64(s.astype(np.float64))
+    # uniform gain: energy scales by g^2 on both sides of every
+    # comparison -> identical fingerprint
+    assert PH.ahash64((s * 7).astype(np.float64)) == h0
+    assert PH.ahash64((s * 0.25).astype(np.float64)) == h0
+    # one-sample glitch flips at most the 2 windows it touches
+    t = s.copy(); t[123] += 50
+    assert _hamming(h0, PH.ahash64(t.astype(np.float64))) <= 2
+    # independent clip is far
+    assert _hamming(h0, PH.ahash64(_rand_pcm(12).astype(np.float64))) > 10
+
+
+def test_ahash_wav_decodes_and_rejects():
+    from prod2vec_spark.operators.multimodal import encode_wav_pcm16
+
+    s = _rand_pcm(13)
+    blob = encode_wav_pcm16([int(x) for x in s])
+    assert PH.ahash_wav(blob) == PH.ahash64(s.astype(np.float64))
+    assert PH.ahash_wav(b"not riff") is None
+    assert PH.ahash_wav(None) is None
+    # too-short clip: no windows
+    assert PH.ahash_wav(encode_wav_pcm16([1, 2, 3])) is None
+
+
+def test_wav_encoder_roundtrip_and_stereo_mix():
+    from prod2vec_spark.operators.multimodal import encode_wav_pcm16, wav_samples
+
+    samples = [100, -200, 300, -400]
+    blob = encode_wav_pcm16(samples, sample_rate=4000)
+    got, m = wav_samples(blob)
+    assert list(got) == samples and m["framerate"] == 4000
+    # stereo: channel-mean mix is what ahash_wav hashes
+    stereo = encode_wav_pcm16([10, 30, 20, 40, 30, 50] * 200, n_channels=2)
+    mono = encode_wav_pcm16([20, 30, 40] * 200)
+    assert PH.ahash_wav(stereo) == PH.ahash_wav(mono)
+
+
+def test_phash_audio_neardup_planted_families(spark):
+    from prod2vec_spark.operators.multimodal import encode_wav_pcm16
+
+    imgs: dict[int, bytes] = {}
+    fam = {}
+    mid = 0
+    for f in range(3):
+        base = _rand_pcm(20 + f)
+        for v in range(3):
+            s = base.copy()
+            if v:
+                s[v * 7] += 40  # one-sample glitch
+            imgs[mid] = encode_wav_pcm16([int(x) for x in s])
+            fam[mid] = f
+            mid += 1
+    hashes = PH.phash_audio(_media_df(spark, imgs))
+    pairs = PH.phash_neardup(hashes, hash_col="ahash", max_distance=3).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    within = {(a, b) for a in fam for b in fam if a < b and fam[a] == fam[b]}
+    assert within <= got
+    assert all(fam[a] == fam[b] for a, b in got)
+
+
+def test_audio_neardup_query_recovers_planted_families(spark):
+    from prod2vec_spark.queries_r7c import q_audio_neardup
+    from tests.conftest import SF_SMOKE
+
+    rows = q_audio_neardup(spark, SF_SMOKE).collect()
+    assert rows, "no audio near-dup pairs found"
+    assert all(r["same_family"] == 1 for r in rows)
