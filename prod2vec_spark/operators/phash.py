@@ -242,3 +242,57 @@ def phash_neardup(
         .filter(F.col("hamming") <= max_distance)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def media_dedup(
+    hashes: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "dhash",
+    max_distance: int = 3,
+    bands: int = 4,
+    max_group: int | None = None,
+) -> DataFrame:
+    """Near-dup COLLAPSE for a media corpus — the media twin of the
+    text chain minhash→LSH→dedup_clusters (operators/graph.py):
+    verified fingerprint pairs → connected components → canonical pick
+    (min id per cluster).
+
+    Returns (id_col, cluster_id, is_canonical) covering EVERY input
+    row, not just the paired ones: unpaired hashed rows are singleton
+    canonicals of their own cluster, and UNDECODABLE rows (NULL hash)
+    are singleton canonicals too — the conservative web-pipeline
+    default (never drop what you couldn't read), and auditable because
+    their fingerprint is NULL upstream.
+
+    100 TB shape: the pair set is the near-dup fraction (small), so
+    the component computation runs on a graph orders of magnitude
+    smaller than the corpus, and the clustered-node table broadcasts
+    into the singleton anti-join — the corpus-sized hash table never
+    shuffles here."""
+    from prod2vec_spark.operators.graph import dedup_clusters
+
+    pairs = phash_neardup(
+        hashes,
+        id_col=id_col,
+        hash_col=hash_col,
+        max_distance=max_distance,
+        bands=bands,
+        max_group=max_group,
+    )
+    clustered = dedup_clusters(
+        pairs.select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    ).select(
+        F.col("doc_id").alias(id_col),
+        F.col("cluster_id"),
+        F.col("is_canonical"),
+    )
+    singles = hashes.select(id_col).join(
+        F.broadcast(clustered.select(id_col)), id_col, "left_anti"
+    )
+    return clustered.unionByName(
+        singles.select(
+            F.col(id_col),
+            F.col(id_col).alias("cluster_id"),
+            F.lit(1).alias("is_canonical"),
+        )
+    )
