@@ -19,11 +19,16 @@ SAMPLE for the same reason):
   (pair-count desc, pair asc) for each merge.
 
 * ENCODING is row-local Column arithmetic: each word becomes a
-  space-joined symbol string, each learned merge is one literal
-  ``replace`` (leftmost non-overlapping, applied in merge order —
-  the documented convention here; GPT-2's rank-greedy application
-  can differ on exotic overlaps), token count = surviving symbol
-  count.  No UDF, no shuffle — a linear 100 TB scan.
+  sentinel-wrapped symbol string (every symbol is ``\x01sym\x02``),
+  each learned merge is one literal ``replace`` of the wrapped
+  adjacent pair (leftmost non-overlapping, applied in merge order —
+  identical to the symbol-list semantics of train_bpe_from_counts:
+  the sentinels anchor matches on full-symbol boundaries, so a merge
+  ``(a, b)`` can never fire across the tail of a multi-char symbol).
+  Token count = surviving symbol count.  No UDF, no shuffle — a
+  linear 100 TB scan.  Constraint: words must not contain the
+  ``\x01``/``\x02`` control bytes (text normalization strips
+  control chars upstream).
 """
 
 from __future__ import annotations
@@ -100,37 +105,55 @@ def train_bpe(
     return train_bpe_from_counts([(r["word"], r["n"]) for r in top], n_merges)
 
 
+_L = "\x01"  # symbol-open sentinel
+_R = "\x02"  # symbol-close sentinel
+
+
+def _wrap(sym: str) -> str:
+    return _L + sym + _R
+
+
 def _sym_string(word: Column) -> Column:
-    """'hello' -> 'h e l l o ▁' — the space-joined symbol form."""
+    """'hello' -> '\x01h\x02\x01e\x02...\x01▁\x02' — every symbol
+    wrapped in sentinels so merges anchor on full-symbol boundaries."""
     return F.concat(
-        F.trim(F.regexp_replace(word, "(.)", "$1 ")), F.lit(" " + END)
+        F.regexp_replace(word, "(.)", _L + "$1" + _R), F.lit(_wrap(END))
     )
 
 
 def apply_merges(sym: Column, merges: list[tuple[str, str]]) -> Column:
-    """Apply learned merges in order as literal replaces (leftmost
-    non-overlapping — the convention train_bpe_from_counts' encoder
-    side mirrors in encode_word)."""
+    """Apply learned merges in order as literal replaces of the
+    wrapped adjacent pair (leftmost non-overlapping).  Because each
+    occurrence consumes two whole wrapped symbols, matches can never
+    cross a symbol boundary nor overlap — exactly the symbol-list
+    semantics of train_bpe_from_counts."""
     out = sym
     for a, b in merges:
-        out = F.replace(out, F.lit(f"{a} {b}"), F.lit(a + b))
+        out = F.replace(out, F.lit(_wrap(a) + _wrap(b)), F.lit(_wrap(a + b)))
     return out
 
 
 def bpe_token_count(text: Column, merges: list[tuple[str, str]]) -> Column:
     """Per-document BPE token count under a learned merge table —
-    row-local Column chain (one replace per merge), zero shuffle."""
+    row-local Column chain (one replace per merge), zero shuffle.
+    Token count = number of close-sentinels surviving the merges."""
     toks = tokens(text)
     per_word = F.transform(
-        toks, lambda w: F.size(F.split(apply_merges(_sym_string(w), merges), " "))
+        toks,
+        lambda w: (
+            lambda s: F.length(s) - F.length(F.replace(s, F.lit(_R), F.lit("")))
+        )(apply_merges(_sym_string(w), merges)),
     )
     return F.aggregate(per_word, F.lit(0), lambda acc, x: acc + x)
 
 
 def encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
     """Python reference encoder with the IDENTICAL replace semantics
-    as apply_merges (leftmost non-overlapping, merge order)."""
-    s = " ".join(list(word) + [END])
+    as apply_merges (sentinel-wrapped symbols, leftmost
+    non-overlapping, merge order) — and, by the boundary anchoring,
+    identical to applying train_bpe_from_counts' symbol-list merge
+    loop to a single word."""
+    s = "".join(_wrap(c) for c in word) + _wrap(END)
     for a, b in merges:
-        s = s.replace(f"{a} {b}", a + b)
-    return s.split(" ")
+        s = s.replace(_wrap(a) + _wrap(b), _wrap(a + b))
+    return [t[:-1] for t in s.split(_L) if t]

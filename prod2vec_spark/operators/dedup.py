@@ -386,19 +386,27 @@ def snapshot_diff(
     hashes, never documents).  Downstream incremental runs reprocess
     only added+changed (typically a small fraction); the engine's
     dedup state (digest tables, Bloom bits, MinHash bands) updates
-    from the same frame.  One shuffle per side on the id key."""
+    from the same frame.  One shuffle per side on the id key.
+
+    NULL text is digested as the empty string (coalesce-to-sentinel),
+    and presence is tracked by explicit per-side flags — so a doc
+    present in both snapshots with NULL text is 'unchanged', and a
+    NULL→text transition is 'changed', never misread as 'added' via a
+    NULL digest."""
     o = old.select(
         F.col(id_col).alias("doc_id"),
-        text_digest(F.col(text_col)).alias("_ho"),
+        text_digest(F.coalesce(F.col(text_col), F.lit(""))).alias("_ho"),
+        F.lit(True).alias("_in_old"),
     )
     n = new.select(
         F.col(id_col).alias("doc_id"),
-        text_digest(F.col(text_col)).alias("_hn"),
+        text_digest(F.coalesce(F.col(text_col), F.lit(""))).alias("_hn"),
+        F.lit(True).alias("_in_new"),
     )
     return o.join(n, "doc_id", "full_outer").select(
         "doc_id",
-        F.when(F.col("_ho").isNull(), F.lit("added"))
-        .when(F.col("_hn").isNull(), F.lit("removed"))
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
         .when(F.col("_ho") != F.col("_hn"), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
         .alias("status"),

@@ -43,9 +43,14 @@ def split_assignment(
     remainder (guards float-sum-≠-1 edge exactly like the oracle's
     CASE ... ELSE arm).
     """
+    if not fractions:
+        raise ValueError("split fractions must be non-empty")
     total = sum(f for _, f in fractions)
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split fractions must sum to 1, got {total}")
+    if len(fractions) == 1:
+        # degenerate single split: every row gets the one label
+        return F.lit(fractions[0][0])
     u = hash_unit(F.concat_ws("|", F.lit(str(seed)), key))
     expr = None
     cum = 0.0

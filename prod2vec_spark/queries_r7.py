@@ -543,7 +543,9 @@ def q_snapshot_diff(spark, sf_dir):
 
 
 def _sql_snapshot_diff() -> str:
-    dig = r"md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))"
+    # NULL text digests as '' (matches snapshot_diff's coalesce-to-
+    # sentinel); presence is judged by id-join nullness, not digest
+    dig = r"md5(regexp_replace(lower(trim(coalesce(text, ''))), '\s+', ' ', 'g'))"
     return f"""
 WITH o AS (SELECT doc_id, {dig} AS ho FROM documents),
 v2 AS (
