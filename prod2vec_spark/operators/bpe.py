@@ -26,9 +26,9 @@ SAMPLE for the same reason):
   the sentinels anchor matches on full-symbol boundaries, so a merge
   ``(a, b)`` can never fire across the tail of a multi-char symbol).
   Token count = surviving symbol count.  No UDF, no shuffle — a
-  linear 100 TB scan.  Constraint: words must not contain the
-  ``\x01``/``\x02`` control bytes (text normalization strips
-  control chars upstream).
+  linear 100 TB scan.  The sentinel bytes themselves are stripped
+  from input words inside the encoder (and the Python twins), so
+  un-normalized corpora cannot forge symbol boundaries.
 """
 
 from __future__ import annotations
@@ -59,8 +59,12 @@ def train_bpe_from_counts(
 ) -> list[tuple[str, str]]:
     """Reference merge-learning loop over a (word, count) list —
     driver-side by design (the input is the bounded top-K vocab).
-    Returns merges in learned order."""
-    symbols = {w: list(w) + [END] for w, _ in wc}
+    Returns merges in learned order.  Sentinel bytes (\\x01/\\x02)
+    are stripped from words first — same defensive normalization as
+    the Column encoder's _sym_string."""
+    symbols = {
+        w: [c for c in w if c not in (_L, _R)] + [END] for w, _ in wc
+    }
     counts = dict(wc)
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
@@ -115,9 +119,20 @@ def _wrap(sym: str) -> str:
 
 def _sym_string(word: Column) -> Column:
     """'hello' -> '\x01h\x02\x01e\x02...\x01▁\x02' — every symbol
-    wrapped in sentinels so merges anchor on full-symbol boundaries."""
+    wrapped in sentinels so merges anchor on full-symbol boundaries.
+
+    Defensive in-place normalization: the sentinel bytes themselves
+    are stripped from the input word (they are C0 control chars no
+    real tokenizer emits), so a hostile/unnormalized corpus cannot
+    forge symbol boundaries or inflate the close-sentinel token count.
+    The pattern carries ``(?s)`` so '.' also matches line terminators
+    (\\u0085, \\u2028, \\u2029) — Java regex '.' excludes them by
+    default, which would leave such chars unwrapped and diverge from
+    the every-code-point-is-a-symbol semantics of encode_word /
+    train_bpe_from_counts."""
+    clean = F.regexp_replace(word, "[\x01\x02]", "")
     return F.concat(
-        F.regexp_replace(word, "(.)", _L + "$1" + _R), F.lit(_wrap(END))
+        F.regexp_replace(clean, "(?s)(.)", _L + "$1" + _R), F.lit(_wrap(END))
     )
 
 
@@ -153,7 +168,7 @@ def encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
     non-overlapping, merge order) — and, by the boundary anchoring,
     identical to applying train_bpe_from_counts' symbol-list merge
     loop to a single word."""
-    s = "".join(_wrap(c) for c in word) + _wrap(END)
+    s = "".join(_wrap(c) for c in word if c not in (_L, _R)) + _wrap(END)
     for a, b in merges:
         s = s.replace(_wrap(a) + _wrap(b), _wrap(a + b))
     return [t[:-1] for t in s.split(_L) if t]

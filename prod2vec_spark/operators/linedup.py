@@ -119,12 +119,18 @@ def segment_dedup(
     )
     # per-doc window total is row-local arithmetic (ceil(n_toks/width))
     # — one slim scan, not a third explode + shuffle
+    # every input doc gets a report row — NULL-text docs surface as
+    # n_segs=0, n_dropped=0, kept_text='' (drop policy stays with the
+    # caller; the report never silently loses rows)
     totals = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.ceil(F.size(tokens(F.col(text_col))) / F.lit(float(width)))
-        .cast("long")
-        .alias("n_segs"),
-    ).where(F.col("n_segs") > 0)
+        F.coalesce(
+            F.ceil(F.size(tokens(F.col(text_col))) / F.lit(float(width))).cast(
+                "long"
+            ),
+            F.lit(0).cast("long"),
+        ).alias("n_segs"),
+    )
     return (
         totals.join(rebuilt, "doc_id", "left")
         .select(

@@ -43,6 +43,7 @@ from prod2vec_spark.operators.multimodal import PNG_SIG, png_pixels
 
 HASH_BITS = 64
 _GRID_H, _GRID_W = 8, 9  # 8 rows x 9 cols -> 8x8 horizontal gradients
+_N_WINDOWS = 65  # audio energy windows -> 64 gradient bits
 
 
 def _gray(pixels: bytes, width: int, height: int, channels: int) -> np.ndarray:
@@ -106,11 +107,14 @@ def ahash64(samples: np.ndarray) -> int | None:
     on both sides) — the property the tests lock.  None when the
     clip is shorter than 65 samples (no meaningful windows)."""
     n = samples.shape[0]
-    if n < _GRID_H * _GRID_W + 1:  # need >=1 sample per window
+    if n < _N_WINDOWS:  # need >=1 sample per window
         return None
-    bounds = [(k * n) // 65 for k in range(66)]
+    bounds = [(k * n) // _N_WINDOWS for k in range(_N_WINDOWS + 1)]
     e = np.array(
-        [float(np.mean(np.square(samples[bounds[k] : bounds[k + 1]]))) for k in range(65)]
+        [
+            float(np.mean(np.square(samples[bounds[k] : bounds[k + 1]])))
+            for k in range(_N_WINDOWS)
+        ]
     )
     v = 0
     for i in range(64):

@@ -64,7 +64,9 @@ kept AS (SELECT s.doc_id, s.pos, s.seg
 r AS (SELECT doc_id, count(*) AS n_kept,
              string_agg(seg, ' ' ORDER BY pos) AS kept_text
       FROM kept GROUP BY doc_id),
-tot AS (SELECT doc_id, count(*) AS n_segs FROM s GROUP BY doc_id)
+tot AS (SELECT doc_id,
+          COALESCE(CAST(ceil(len(toks) / {w}.0) AS BIGINT), 0) AS n_segs
+        FROM t)
 SELECT tot.doc_id, n_segs,
        n_segs - COALESCE(n_kept, 0) AS n_dropped,
        md5(COALESCE(kept_text, '')) AS kept_md5
