@@ -2,13 +2,15 @@
 opaque ``binary`` columns with a typed metadata struct, processed by
 Arrow-batched ``mapInPandas`` stages.
 
-Image and audio decode is REAL, stdlib-only (round-6): a pure-Python
+Image, audio AND video decode are REAL, stdlib-only: a pure-Python
 PNG decoder (``zlib`` inflate + per-scanline unfilter → width/height/
-bit-depth/color-type + a digest of the reconstructed pixel bytes) and
-a WAV decoder (``wave`` + ``struct`` → sample rate, duration, RMS).
-Only VIDEO decode remains stubbed (``_decode_stub`` — no container
-codec exists for it); unknown formats take the same deterministic
-byte-stats path.  The Spark-side contract is real throughout: the
+bit-depth/color-type + a digest of the reconstructed pixel bytes), a
+WAV decoder (``wave`` + ``struct`` → sample rate, duration, RMS), and
+an AVI decoder (round-9: RIFF walk → uncompressed BGR24 DIB frames →
+grayscale frame buffers + fps/duration — compressed fourccs are
+rejected explicitly, not mis-decoded).  Unknown formats take a
+deterministic byte-stats path (``_decode_stub``), the only remaining
+fallback.  The Spark-side contract is real throughout: the
 schema, the Pandas-UDF batch shape (iterator of DataFrames),
 partition sizing, and the metadata pushdown-friendly layout (metadata
 columns live OUTSIDE the blob so filters prune without touching
@@ -286,12 +288,181 @@ def decode_wav(blob: bytes) -> dict:
     }
 
 
+def encode_avi_gray8(
+    frames: list[bytes], width: int, height: int, fps: int = 10
+) -> bytes:
+    """Minimal stdlib AVI ENCODER: RIFF/AVI container with uncompressed
+    24-bit BGR DIB frames ('00db' chunks, bottom-up rows, 4-byte-padded
+    stride — the BI_RGB layout every AVI reader accepts), written from
+    8-bit grayscale top-down frame buffers (B=G=R).  The write half of
+    the video codec boundary: deterministic fixtures with no video
+    dependency, exact grayscale roundtrip through ``avi_frames``."""
+    if fps <= 0:
+        raise ValueError("fps must be positive")
+    for f in frames:
+        if len(f) != width * height:
+            raise ValueError("frame buffer does not match width*height")
+    stride = (width * 3 + 3) & ~3
+    pad = b"\x00" * (stride - width * 3)
+
+    def dib(frame: bytes) -> bytes:
+        rows = []
+        for y in range(height - 1, -1, -1):  # bottom-up
+            row = frame[y * width : (y + 1) * width]
+            rows.append(bytes(v for px in row for v in (px, px, px)) + pad)
+        return b"".join(rows)
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        out = fourcc + struct.pack("<I", len(data)) + data
+        return out + (b"\x00" if len(data) % 2 else b"")
+
+    frame_size = stride * height
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps,          # dwMicroSecPerFrame
+        frame_size * fps,          # dwMaxBytesPerSec
+        0,                         # dwPaddingGranularity
+        0,                         # dwFlags
+        len(frames),               # dwTotalFrames
+        0,                         # dwInitialFrames
+        1,                         # dwStreams
+        frame_size,                # dwSuggestedBufferSize
+        width,
+        height,
+        0, 0, 0, 0,                # dwReserved
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIi4H",
+        b"vids", b"DIB ",
+        0, 0, 0, 0,                # flags, priority, language, initial
+        1, fps,                    # dwScale, dwRate -> fps frames/sec
+        0, len(frames),            # dwStart, dwLength (frames)
+        frame_size, 0, -1,         # bufsize, quality, sample size
+        0, 0, width & 0xFFFF, height & 0xFFFF,  # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, height, 1, 24, 0,  # BITMAPINFOHEADER, BI_RGB
+        frame_size, 0, 0, 0, 0,
+    )
+
+    def lst(listtype: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", listtype + payload)
+
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00db", dib(f)) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _riff_chunks(data: bytes, pos: int, end: int):
+    """Walk sibling RIFF chunks in data[pos:end] — yields
+    (fourcc, payload_start, payload_len)."""
+    while pos + 8 <= end:
+        fourcc = data[pos : pos + 4]
+        (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        yield fourcc, pos + 8, length
+        pos += 8 + length + (length & 1)  # chunks are even-aligned
+
+
+def avi_frames(blob: bytes) -> tuple[list[bytes], dict]:
+    """Real stdlib-only AVI decode: RIFF walk → avih/strh/strf headers
+    → '00db'/'00dc' frame chunks in the 'movi' list (including nested
+    'rec ' groups) → bottom-up padded BGR24 rows → top-down 8-bit
+    grayscale frame buffers (integer BT.601 luma: exact identity on
+    gray-encoded B=G=R frames).  Returns (frames, meta).  Only
+    uncompressed 24-bit BI_RGB video is accepted — compressed fourccs
+    raise rather than mis-decode (same contract as interlaced PNG)."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    avih = strh = strf = None
+    frame_chunks: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal avih, strh, strf
+        for fourcc, p, ln in _riff_chunks(blob, pos, end):
+            if p + ln > len(blob):
+                raise ValueError("truncated AVI chunk")
+            if fourcc == b"LIST":
+                walk(p + 4, p + ln)  # skip the list-type fourcc
+            elif fourcc == b"avih":
+                avih = blob[p : p + ln]
+            elif fourcc == b"strh" and strh is None:
+                strh = blob[p : p + ln]
+            elif fourcc == b"strf" and strf is None:
+                strf = blob[p : p + ln]
+            elif fourcc[2:] in (b"db", b"dc") and fourcc[:2].isdigit():
+                frame_chunks.append(blob[p : p + ln])
+
+    walk(12, 8 + struct.unpack("<I", blob[4:8])[0])
+    if avih is None or len(avih) < 40 or strf is None or len(strf) < 20:
+        raise ValueError("missing AVI headers")
+    width, height = struct.unpack("<II", avih[32:40])
+    bit_count, compression = struct.unpack("<HI", strf[14:20])
+    if compression != 0 or bit_count != 24:
+        raise ValueError(
+            f"unsupported AVI codec (biBitCount={bit_count}, "
+            f"biCompression={compression}); only uncompressed BGR24"
+        )
+    scale, rate = (1, 0)
+    if strh is not None and len(strh) >= 28 and strh[:4] == b"vids":
+        scale, rate = struct.unpack("<II", strh[20:28])
+    fps = (rate / scale) if scale and rate else 0.0
+    stride = (width * 3 + 3) & ~3
+    frames = []
+    for data in frame_chunks:
+        if len(data) != stride * height:
+            raise ValueError("AVI frame payload size mismatch")
+        rows = []
+        for y in range(height - 1, -1, -1):  # bottom-up -> top-down
+            row = data[y * stride : y * stride + width * 3]
+            rows.append(
+                bytes(
+                    (299 * row[3 * x + 2] + 587 * row[3 * x + 1] + 114 * row[3 * x])
+                    // 1000
+                    for x in range(width)
+                )
+            )
+        frames.append(b"".join(rows))
+    meta = {
+        "width": int(width),
+        "height": int(height),
+        "n_frames": len(frames),
+        "fps": fps,
+        "bit_count": int(bit_count),
+    }
+    return frames, meta
+
+
+def decode_avi(blob: bytes) -> dict:
+    """Real stdlib-only AVI decode feature row: dimensions, frame
+    count, fps, duration, and a digest + mean of the reconstructed
+    grayscale frame bytes (the video twin of decode_png's
+    pixel_digest — golden tests pin it)."""
+    frames, m = avi_frames(blob)
+    allpx = b"".join(frames)
+    return {
+        "format": "avi",
+        "width": m["width"],
+        "height": m["height"],
+        "bit_depth": m["bit_count"],
+        "n_frames": m["n_frames"],
+        "fps": m["fps"],
+        "duration_ms": (m["n_frames"] / m["fps"] * 1000.0) if m["fps"] else 0.0,
+        "pixel_digest": hashlib.md5(allpx).hexdigest(),
+        "mean_pixel_byte": (sum(allpx) / len(allpx)) if allpx else 0.0,
+    }
+
+
 def decode_media(media_type: str, blob: bytes) -> dict:
     """Sniff the container by magic bytes and run the REAL decoder
-    (PNG / WAV); everything else — video (no codec in the container)
-    and unknown formats — falls through to the deterministic
-    byte-stats stub with ``format='raw'``.  A corrupt PNG/WAV is
-    reported as ``format='corrupt'`` rather than mis-decoded."""
+    (PNG / WAV / uncompressed AVI); unknown formats fall through to
+    the deterministic byte-stats path with ``format='raw'``.  A
+    corrupt PNG/WAV/AVI is reported as ``format='corrupt'`` rather
+    than mis-decoded."""
     fmt = "raw"
     if blob[:8] == PNG_SIG:
         try:
@@ -303,14 +474,20 @@ def decode_media(media_type: str, blob: bytes) -> dict:
             return decode_wav(blob)
         except Exception:
             fmt = "corrupt"
+    elif blob[:4] == b"RIFF" and blob[8:12] == b"AVI ":
+        try:
+            return decode_avi(blob)
+        except Exception:
+            fmt = "corrupt"
     return {"format": fmt}
 
 
 def _decode_stub(media_type: str, blob: bytes) -> list[float]:
-    """Byte-stats fallback features for formats with no container
-    codec (video) and unknown blobs — the only remaining stub (PNG and
-    WAV decode are real above).  Deterministic: 4 features from blob
-    length and simple byte stats, so tests have stable expectations."""
+    """Byte-stats fallback features for UNKNOWN formats (PNG, WAV and
+    uncompressed-AVI decode are all real above) — also the generic
+    per-row feature vector every format gets.  Deterministic: 4
+    features from blob length and simple byte stats, so tests have
+    stable expectations."""
     n = len(blob)
     if n == 0:
         return [0.0, 0.0, 0.0, 0.0]
@@ -401,9 +578,10 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one output row per sampled frame
-    timestamp (the decode of the actual frame is the stubbed step).
-    Pure expression — the frame plan explodes server-side, and only
-    the planned (media_id, frame_ts) pairs reach the decode stage."""
+    timestamp.  Pure expression — the frame plan explodes server-side,
+    and only the planned (media_id, frame_ts) pairs reach the decode
+    stage (``avi_frames`` / ``operators/phash.vhash_avi`` for
+    uncompressed AVI blobs)."""
     return (
         media.filter(F.col("media_type") == "video")
         .select(

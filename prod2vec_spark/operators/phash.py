@@ -1,8 +1,9 @@
-"""Perceptual-hash near-dup detection for image AND audio blobs
-(ENGINE scope — the multimodal × dedup cross-plane: the reference has
-no media surface; this is the standard dHash + banded-Hamming recipe
-web-scale media pipelines use for near-duplicate collapse, plus a
-gain-invariant energy-gradient fingerprint for audio).
+"""Perceptual-hash near-dup detection for image, audio AND video
+blobs (ENGINE scope — the multimodal × dedup cross-plane: the
+reference has no media surface; this is the standard dHash +
+banded-Hamming recipe web-scale media pipelines use for
+near-duplicate collapse, plus a gain-invariant energy-gradient
+fingerprint for audio and a keyframe-mean dHash for video).
 
 Three stages, each with the engine's 100 TB shape:
 
@@ -139,6 +140,70 @@ def ahash_wav(blob: bytes) -> int | None:
     if nch > 1:
         a = a[: (len(a) // nch) * nch].reshape(-1, nch).mean(axis=1)
     return ahash64(a)
+
+
+_VHASH_FRAMES = 8  # keyframes sampled per clip
+
+
+def vhash64(frames: list[bytes], width: int, height: int) -> int | None:
+    """64-bit video fingerprint: up to ``_VHASH_FRAMES`` evenly-spaced
+    keyframes (always including first and last), per-pixel temporal
+    mean → dHash of the mean frame.  Inherits dHash's gradient
+    invariances (uniform brightness/contrast shifts), and the temporal
+    mean makes single-frame edits perturb only a few bits — the same
+    near-identical contract as the image plane.  None for empty
+    clips."""
+    n = len(frames)
+    if n == 0:
+        return None
+    k = min(_VHASH_FRAMES, n)
+    idxs = sorted({(i * (n - 1)) // (k - 1) if k > 1 else 0 for i in range(k)})
+    stack = np.stack(
+        [
+            np.frombuffer(frames[i], dtype=np.uint8)
+            .reshape(height, width)
+            .astype(np.float64)
+            for i in idxs
+        ]
+    )
+    return dhash64(stack.mean(axis=0))
+
+
+def vhash_avi(blob: bytes) -> int | None:
+    """Video fingerprint of an uncompressed AVI blob, or None when the
+    blob is not decodable (the auditable-miss contract shared with
+    dhash_png / ahash_wav)."""
+    from prod2vec_spark.operators.multimodal import avi_frames
+
+    b = bytes(blob) if isinstance(blob, (bytes, bytearray)) else None
+    if b is None or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+    try:
+        frames, m = avi_frames(b)
+    except Exception:
+        return None
+    return vhash64(frames, m["width"], m["height"])
+
+
+def phash_videos(
+    media: DataFrame, id_col: str = "media_id", blob_col: str = "blob"
+) -> DataFrame:
+    """(id, vhash) for every row — NULL where the blob isn't a
+    decodable uncompressed AVI.  Same Arrow-batched shape as
+    ``phash_images``; feed the result to
+    ``phash_neardup(hashes, hash_col='vhash')`` — the banded-Hamming
+    plane is hash-agnostic, so video near-dup rides the identical
+    candidate-join + bit_count-verify machinery at 100 TB."""
+    src = media.select(id_col, blob_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = [vhash_avi(b) for b in pdf[blob_col]]
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "vhash": pd.array(hashes, dtype="Int64")}
+            )
+
+    return src.mapInPandas(run, schema=f"{id_col} long, vhash long")
 
 
 def phash_audio(
