@@ -78,7 +78,77 @@ def q_video_neardup(spark, sf_dir):
     )
 
 
+_LID_VOCAB = {
+    "en": ("the cat sat on a mat and that dog is in his house of king "
+           "with this from they were not what when there which").split(),
+    "de": ("der hund ist nicht und das haus die katze war schön über "
+           "auch ein eine wird nach bei durch für müssen zwischen").split(),
+    "es": ("el perro la casa de que y es en los niños una para con "
+           "por como está pero más sobre años también").split(),
+    "fr": ("le chien la maison les et est une dans pour avec des pas "
+           "sur qui plus sont leurs cette très après").split(),
+    "zh": list("我是中国人他们的学生在大学里学习中文和数学这个时候没有什么问题可以知道"),
+}
+
+
+def _lid_text(lang: str, key: str) -> str:
+    """Deterministic planted sentence: md5-expanded draws from the
+    language's vocabulary (unsegmented for zh — the realistic case)."""
+    import hashlib
+
+    vocab = _LID_VOCAB[lang]
+    digest = hashlib.md5(f"lid|{lang}|{key}".encode()).digest()
+    n = 8 + digest[0] % 8
+    words = []
+    for k in range(n):
+        b = hashlib.md5(f"lid|{lang}|{key}|{k}".encode()).digest()
+        words.append(vocab[int.from_bytes(b[:4], "big") % len(vocab)])
+    return ("" if lang == "zh" else " ").join(words)
+
+
+def q_lang_id_learned(spark, sf_dir):
+    """Learned char-n-gram language-ID (ml/langid_clf.py — CCNet's
+    fastText shape; rows-only: iterative L-BFGS fit, no SQL twin; the
+    marker heuristic ``lang_id`` stays the oracled fallback).
+
+    Self-auditing per-language accuracy report: a deterministic
+    planted 5-language corpus (md5-expanded sentences, CJK
+    unsegmented) splits by doc_id parity into train/held-out; the
+    classifier fits on train and the entry returns
+    (lang, n_docs, n_correct) on held-out.  pytest asserts total
+    accuracy ≥ 0.9 — the L-LANGID analog of ann_recall's checked
+    number."""
+    from prod2vec_spark.ml.langid_clf import fit_lang_classifier, score_lang
+
+    langs = sorted(_LID_VOCAB)
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    # cap the planted corpus: enough to fit/score, bounded driver work
+    ids = [r["doc_id"] for r in docs.orderBy("doc_id").limit(400).collect()]
+    rows = [
+        (int(d), _lid_text(langs[int(d) % 5], str(int(d))), langs[int(d) % 5])
+        for d in ids
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    train = corpus.where((F.col("doc_id") / 5).cast("long") % 2 == 0)
+    heldout = corpus.where((F.col("doc_id") / 5).cast("long") % 2 == 1)
+    model = fit_lang_classifier(train, max_iter=30)
+    scored = score_lang(heldout, model).join(
+        heldout.select("doc_id", "lang"), "doc_id"
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((F.col("lang_pred") == F.col("lang")).cast("bigint"))
+            .cast("bigint")
+            .alias("n_correct"),
+        )
+        .orderBy("lang")
+    )
+
+
 R9_QUERIES = {
     "video_neardup": q_video_neardup,
+    "lang_id_learned": q_lang_id_learned,
 }
 R9_ORACLES: dict[str, str] = {}
