@@ -162,6 +162,20 @@ def bpe_token_count(text: Column, merges: list[tuple[str, str]]) -> Column:
     return F.aggregate(per_word, F.lit(0), lambda acc, x: acc + x)
 
 
+def bpe_counter(merges: list[tuple[str, str]]):
+    """text-Column → BPE-token-count closure: the plug-in tokenizer
+    for the budget-bearing operators (chunking.doc_chunks /
+    pack_sequences, mixing.temperature_mix take a ``count_fn``), so
+    token budgets mean MODEL tokens instead of whitespace words.
+    Still a pure row-local Column chain — one replace per merge,
+    zero shuffle, safe in a 100 TB scan."""
+
+    def count(text: Column) -> Column:
+        return bpe_token_count(text, merges)
+
+    return count
+
+
 def encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
     """Python reference encoder with the IDENTICAL replace semantics
     as apply_merges (sentinel-wrapped symbols, leftmost

@@ -34,12 +34,19 @@ def doc_chunks(
     min_len: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    count_fn=None,
 ) -> DataFrame:
     """One row per training chunk: (doc_id, chunk_idx, n_tokens,
     chunk_fp).  Tail windows shorter than ``min_len`` tokens are
     dropped (they duplicate the previous window's suffix).  stride <
     seq_len gives overlapping context windows; stride = seq_len packs
     disjointly.
+
+    ``count_fn`` (text Column → token-count Column, e.g.
+    ``bpe.bpe_counter(merges)``) adds an ``n_budget_tokens`` column —
+    the chunk's size in MODEL tokens (counted over the reassembled
+    chunk text) — so downstream budget accounting speaks the
+    tokenizer's unit while the slicing unit stays whitespace words.
 
     Token arrays are staged as columns (HOF-CSE rule,
     operators/repetition.py) and the chunk structs are built inside
@@ -62,13 +69,19 @@ def doc_chunks(
         ),
         lambda c: F.size(c["ctoks"]) >= min_len,
     )
-    return staged.select(
-        id_col, F.explode(chunks).alias("_c")
-    ).select(
-        id_col,
+    out_cols = [
         F.col("_c.idx").alias("chunk_idx"),
         F.size(F.col("_c.ctoks")).alias("n_tokens"),
         rolling_fingerprint(F.col("_c.ctoks")).alias("chunk_fp"),
+    ]
+    if count_fn is not None:
+        out_cols.append(
+            count_fn(F.array_join(F.col("_c.ctoks"), " ")).alias(
+                "n_budget_tokens"
+            )
+        )
+    return staged.select(id_col, F.explode(chunks).alias("_c")).select(
+        id_col, *out_cols
     )
 
 
@@ -79,6 +92,7 @@ def pack_sequences(
     part_col: str = "lang",
     id_col: str = "doc_id",
     text_col: str = "text",
+    count_fn=None,
 ) -> DataFrame:
     """Greedy contiguous sequence packing: lay documents end-to-end in
     a deterministic md5 order and assign each to the bin its starting
@@ -100,12 +114,19 @@ def pack_sequences(
     replay exact.
 
     Output: (id, part, shard, n_tokens, bin) — one row per doc.
+
+    ``count_fn`` (text Column → token-count Column) swaps the token
+    accounting unit; default whitespace words, pass
+    ``bpe.bpe_counter(merges)`` so the budget means MODEL tokens.
+    Any counter stays row-local, so the packing shape is unchanged.
     """
     from prod2vec_spark.functions.hashing import hex_prefix_long
     from pyspark.sql import Window
 
     if budget <= 0 or n_shards <= 0:
         raise ValueError(f"need budget > 0 and n_shards > 0, got {budget}/{n_shards}")
+    if count_fn is None:
+        count_fn = lambda c: F.size(tokens(c))  # noqa: E731
     shard = hex_prefix_long(
         F.concat_ws("|", F.lit("shard"), F.col(id_col)), 8
     ) % F.lit(n_shards)
@@ -113,7 +134,7 @@ def pack_sequences(
         F.col(id_col),
         F.col(part_col).alias("part"),
         shard.alias("shard"),
-        F.size(tokens(F.col(text_col))).alias("n_tokens"),
+        count_fn(F.col(text_col)).alias("n_tokens"),
         F.md5(F.concat_ws("|", F.lit("pack"), F.col(id_col))).alias("_ord"),
     )
     w = (

@@ -32,9 +32,13 @@ def temperature_mix(
     budget_tokens: int = 1_000_000,
     source_col: str = "source",
     text_col: str = "text",
+    count_fn=None,
 ) -> DataFrame:
     """Per-source mixing recipe: (source, n_docs, n_tokens, p_raw,
-    p_temp, target_tokens, boost).
+    p_temp, target_tokens, boost).  ``count_fn`` (text Column →
+    token-count Column, e.g. ``bpe.bpe_counter(merges)``) swaps the
+    token accounting unit so the budget means MODEL tokens; default
+    whitespace words.
 
     * ``p_raw``  — natural token share n_i / N
     * ``p_temp`` — temperature share n_i^alpha / sum_j n_j^alpha
@@ -49,10 +53,12 @@ def temperature_mix(
     """
     if not (0.0 < alpha <= 1.0):
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if count_fn is None:
+        count_fn = lambda c: F.size(TX.tokens(c))  # noqa: E731
     per_src = (
         docs.select(
             F.col(source_col).alias("source"),
-            F.size(TX.tokens(F.col(text_col))).cast("long").alias("_nt"),
+            count_fn(F.col(text_col)).cast("long").alias("_nt"),
         )
         .groupBy("source")
         .agg(

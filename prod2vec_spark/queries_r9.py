@@ -147,8 +147,94 @@ def q_lang_id_learned(spark, sf_dir):
     )
 
 
+# ------------------------------------------- BPE-budget chunk contract
+# Fixed literal merge table: the contract under test is the ENCODER
+# (train_bpe is pytest-certified separately) — a static table is what
+# lets DuckDB replay the identical replace chain.
+BPE_FIXED_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("th", "e"), ("e", "r"), ("i", "n"),
+    ("a", "n"), ("an", "d"), ("o", "n"), ("the", "▁"),
+]
+_B_LEN, _B_STRIDE, _B_MIN = 24, 16, 6
+
+
+def q_bpe_chunk_budget(spark, sf_dir):
+    """Training chunks with BPE-token accounting: the whitespace-token
+    slicing contract of ``doc_chunks`` plus ``n_budget_tokens`` — the
+    chunk's size in MODEL tokens under a fixed merge table
+    (operators/bpe.bpe_counter plugged into the chunker's
+    ``count_fn``), so sequence budgets downstream speak tokenizer
+    units.  Fully oracled: DuckDB replays the sentinel-wrapped
+    replace chain merge-for-merge."""
+    from prod2vec_spark.operators.bpe import bpe_counter
+    from prod2vec_spark.operators.chunking import doc_chunks
+
+    docs = read_table(spark, sf_dir, "documents")
+    return doc_chunks(
+        docs,
+        seq_len=_B_LEN,
+        stride=_B_STRIDE,
+        min_len=_B_MIN,
+        count_fn=bpe_counter(BPE_FIXED_MERGES),
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        "n_tokens",
+        "chunk_fp",
+        F.col("n_budget_tokens").cast("int").alias("n_budget_tokens"),
+    )
+
+
+def _sql_bpe_word_count(var: str) -> str:
+    """DuckDB expression: BPE token count of one word under
+    BPE_FIXED_MERGES — the identical sentinel-wrapped replace chain as
+    operators/bpe.apply_merges (strip sentinels, wrap every char, one
+    replace per merge in order, count surviving close-sentinels)."""
+
+    def w(sym: str) -> str:
+        return f"chr(1)||'{sym}'||chr(2)"
+
+    s = (
+        "array_to_string(list_transform(str_split("
+        f"replace(replace({var}, chr(1), ''), chr(2), ''), ''), "
+        "c -> chr(1)||c||chr(2)), '') || " + w("▁")
+    )
+    for a, b in BPE_FIXED_MERGES:
+        s = f"replace({s}, {w(a)}||{w(b)}, {w(a + b)})"
+    return f"(length({s}) - length(replace({s}, chr(2), '')))"
+
+
+def _sql_bpe_chunk_budget() -> str:
+    from prod2vec_spark.queries_ext import _TOKS
+
+    cnt = _sql_bpe_word_count("w")
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, toks,
+        unnest(generate_series(1, len(toks), {_B_STRIDE})) AS st
+      FROM t),
+c AS (SELECT doc_id,
+        CAST((st - 1) / {_B_STRIDE} AS INT) AS chunk_idx,
+        list_slice(toks, st, st + {_B_LEN - 1}) AS ctoks
+      FROM s)
+SELECT doc_id, chunk_idx,
+       CAST(len(ctoks) AS INT) AS n_tokens,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(ctoks, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT % 2147483647)),
+         (a, b) -> (a * 131 + b) % 2147483647) AS chunk_fp,
+       CAST(list_sum(list_transform(ctoks, w -> {cnt})) AS INT)
+         AS n_budget_tokens
+FROM c
+WHERE len(ctoks) >= {_B_MIN}
+"""
+
+
 R9_QUERIES = {
     "video_neardup": q_video_neardup,
     "lang_id_learned": q_lang_id_learned,
+    "bpe_chunk_budget": q_bpe_chunk_budget,
 }
-R9_ORACLES: dict[str, str] = {}
+R9_ORACLES: dict[str, str] = {
+    "bpe_chunk_budget": _sql_bpe_chunk_budget(),
+}

@@ -1,0 +1,116 @@
+"""BPE-consistent token accounting (round 9): the budget-bearing
+operators (pack_sequences / temperature_mix / doc_chunks) accept a
+``count_fn`` tokenizer, so budgets mean MODEL tokens — verified
+token-for-token against the Python reference encoder
+(operators/bpe.encode_word)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from prod2vec_spark.operators.bpe import bpe_counter, encode_word
+
+MERGES = [("t", "h"), ("th", "e"), ("a", "n"), ("an", "d"), ("the", "▁")]
+
+_DOCS = [
+    (1, "the cat and the hat", "en"),
+    (2, "thread the needle and then another thread", "en"),
+    (3, "band and hand stand on sand", "en"),
+    (4, "der hund und der andere hund", "de"),
+    (5, "the the the the the the the the", "de"),
+    (6, "th an d", "de"),
+]
+
+
+def _bpe_count(text: str) -> int:
+    return sum(len(encode_word(w, MERGES)) for w in text.split())
+
+
+def _frame(spark):
+    return spark.createDataFrame(_DOCS, "doc_id long, text string, lang string")
+
+
+def test_pack_sequences_bpe_budget_matches_python_encoder(spark):
+    """Pack bins computed under the BPE counter agree bin-for-bin and
+    token-for-token with a pure-Python replay using encode_word."""
+    from prod2vec_spark.operators.chunking import pack_sequences
+
+    budget = 12
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["bin"])
+        for r in pack_sequences(
+            _frame(spark), budget=budget, n_shards=1,
+            count_fn=bpe_counter(MERGES),
+        ).collect()
+    }
+    # python replay: md5 pack order within each (lang, shard=0) stream
+    expect = {}
+    for lang in ("en", "de"):
+        stream = [
+            (hashlib.md5(f"pack|{d}".encode()).hexdigest(), d, _bpe_count(t))
+            for d, t, lg in _DOCS
+            if lg == lang
+        ]
+        cum = 0
+        for _, d, n in sorted(stream):
+            expect[d] = (n, cum // budget)
+            cum += n
+    assert got == expect
+    # and the counts genuinely differ from whitespace words (the test
+    # would be vacuous if the merge table never fired)
+    assert any(
+        _bpe_count(t) != len(t.split()) for _, t, _ in _DOCS
+    )
+
+
+def test_temperature_mix_bpe_token_sums(spark):
+    """The mixer's n_tokens under the BPE counter equals the Python
+    encoder's per-source sums (so p_temp/target_tokens are computed
+    over model tokens)."""
+    from prod2vec_spark.operators.mixing import temperature_mix
+
+    mix = {
+        r["source"]: r["n_tokens"]
+        for r in temperature_mix(
+            _frame(spark).withColumnRenamed("lang", "source"),
+            alpha=0.5,
+            count_fn=bpe_counter(MERGES),
+        ).collect()
+    }
+    expect = {}
+    for _, t, lg in _DOCS:
+        expect[lg] = expect.get(lg, 0) + _bpe_count(t)
+    assert mix == expect
+
+
+def test_doc_chunks_budget_column_matches_encoder(spark):
+    """Each chunk's n_budget_tokens equals the Python encoder's count
+    over exactly that chunk's tokens; whitespace slicing columns are
+    unchanged."""
+    from prod2vec_spark.operators.chunking import doc_chunks
+
+    out = doc_chunks(
+        _frame(spark), seq_len=4, stride=3, min_len=2,
+        count_fn=bpe_counter(MERGES),
+    ).collect()
+    assert out, "no chunks produced"
+    texts = {d: t for d, t, _ in _DOCS}
+    for r in out:
+        toks = texts[r["doc_id"]].split()
+        start = r["chunk_idx"] * 3
+        ctoks = toks[start : start + 4]
+        assert r["n_tokens"] == len(ctoks)
+        assert r["n_budget_tokens"] == sum(
+            len(encode_word(w, MERGES)) for w in ctoks
+        ), (r["doc_id"], r["chunk_idx"])
+
+
+def test_doc_chunks_without_count_fn_schema_unchanged(spark):
+    """Backward compatibility: no count_fn -> no n_budget_tokens
+    column (the oracled doc_chunks catalog entry keeps its schema)."""
+    from prod2vec_spark.operators.chunking import doc_chunks
+
+    cols = doc_chunks(_frame(spark)).columns
+    assert cols == ["doc_id", "chunk_idx", "n_tokens", "chunk_fp"]
