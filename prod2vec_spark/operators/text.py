@@ -152,17 +152,44 @@ def simhash32(text: Column) -> Column:
     )
 
 
-def normalize_text(text: Column, lowercase: bool = True) -> Column:
+def nfc_normalize(text: Column) -> Column:
+    """Unicode NFC canonical composition — the codec-boundary step of
+    CCNet §3.1's cleanup (composed 'é' and decomposed 'e'+U+0301 must
+    exact-dedup together).  Spark has no NFC builtin, so this is the
+    one sanctioned Python hop: an Arrow-batched pandas_udf (the
+    functions/compress.py zlib precedent — scalar, vectorized per
+    batch, deterministic, stdlib ``unicodedata``).  No DuckDB twin
+    (no NFC in SQL), so columns derived from it are rows-only in the
+    catalog — the honest class for codec-backed ops."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s):
+        import unicodedata
+
+        return s.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        )
+
+    return _nfc(text)
+
+
+def normalize_text(text: Column, lowercase: bool = True, nfc: bool = False) -> Column:
     """Canonical text normalization applied BEFORE hashing/dedup
-    (the CCNet §3.1 pre-dedup cleanup, minus unicode folding — Spark
-    has no NFC builtin and a Python UDF would put a per-row
-    interpreter hop in the hottest scan; documented gap, the regex
-    class below is engine-portable): strip control characters,
+    (the CCNet §3.1 pre-dedup cleanup): strip control characters,
     collapse all whitespace runs to single spaces, trim, optional
     casefold.  Row-local, zero shuffle.
 
-    Oracle: regexp_replace(...,'g') with the identical patterns +
-    lower()/trim (queries_r7.py text_normalize)."""
+    ``nfc=True`` prepends Unicode NFC composition (``nfc_normalize``,
+    the Arrow codec-boundary hop) so composed/decomposed variants of
+    one document collapse to one digest; the default stays the pure
+    Column chain — and oracled (the NFC leg is rows-only by the
+    codec-boundary policy).
+
+    Oracle (nfc=False): regexp_replace(...,'g') with the identical
+    patterns + lower()/trim (queries_r7.py text_normalize)."""
+    if nfc:
+        text = nfc_normalize(text)
     out = F.regexp_replace(text, r"[\x00-\x1F\x7F]", " ")
     out = F.trim(F.regexp_replace(out, r"\s+", " "))
     if lowercase:

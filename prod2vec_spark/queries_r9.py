@@ -230,10 +230,28 @@ WHERE len(ctoks) >= {_B_MIN}
 """
 
 
+def q_text_normalize_nfc(spark, sf_dir):
+    """NFC-complete normalization digests (rows-only: Unicode NFC is
+    the Arrow codec boundary, no SQL twin — ``text_normalize`` stays
+    the oracled portable subset).  (doc_id, norm_md5): the digest of
+    normalize_text(text, nfc=True), the key the exact-dedup plane
+    uses when composed/decomposed variants must collapse
+    (operators/text.nfc_normalize)."""
+    from prod2vec_spark.operators.text import normalize_text
+
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.coalesce(normalize_text(F.col("text"), nfc=True), F.lit("")))
+        .alias("norm_md5"),
+    )
+
+
 R9_QUERIES = {
     "video_neardup": q_video_neardup,
     "lang_id_learned": q_lang_id_learned,
     "bpe_chunk_budget": q_bpe_chunk_budget,
+    "text_normalize_nfc": q_text_normalize_nfc,
 }
 R9_ORACLES: dict[str, str] = {
     "bpe_chunk_budget": _sql_bpe_chunk_budget(),
