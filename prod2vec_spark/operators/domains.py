@@ -1,0 +1,184 @@
+"""URL/domain curation plane (ENGINE scope) — the standard
+C4/RefinedWeb web-corpus input signals the engine was missing: host
+extraction, per-domain profiling, domain blocklisting, and per-domain
+document caps (Raffel et al. 2020 §2.2 C4 filters; Penedo et al. 2023
+RefinedWeb §3.1 URL filtering + §3.4 per-domain dedup pressure).
+Reference anchor: none — the reference (utils/prep_utils.py) has no
+web surface; this is the curation plane's ingestion edge.
+
+Scale shapes:
+
+* **Host extraction is a JVM builtin** (``parse_url(url, 'HOST')``) —
+  row-local, whole-stage codegen, no Python.  The naive registered-
+  domain fold (last two labels) is a Column expression; a real eTLD
+  (public-suffix list) table would broadcast-join the same way the
+  UNK-default vocab probe does (operators/baskets.py) — documented,
+  not shipped, because the PSL is an external artifact.
+* **domain_profile** is one hash-agg on the host key with map-side
+  partial aggregation — the ``source_profile`` shape keyed by domain;
+  at 100 TB hosts are ~10⁷-cardinality, far under shuffle pressure.
+* **domain_cap** is ONE rank window per domain ordered by a seeded
+  md5 draw (deterministic, oracle-replayable) — the skew caveat is
+  real (a mega-domain's partition is its doc count), which is exactly
+  why the cap exists: it is the operator that REMOVES the skew for
+  every stage downstream.
+* **Blocklists**: exact path is a broadcast anti-join on host
+  (blocklists are small dimensions); the sketch path reuses the Bloom
+  plane (operators/sketches.bloom_bits) when the blocklist itself is
+  too hot to ship — FP-auditable, same contract as bloom_blocklist.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from prod2vec_spark.operators.text import tokens
+
+
+def attach_urls(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Testdata adapter (the multimodal.attach_blobs precedent):
+    manufacture a deterministic, SKEWED url column from the doc id so
+    the domain plane is exercised end-to-end without a url column in
+    the testdata — and so the DuckDB oracle replays the same corpus.
+
+    d = md5-draw in [0,100); site = floor(d²/400) (quadratic skew:
+    site 0 alone gets ~20% of docs — the mega-domain the cap exists
+    for); tld cycles com/org/net; every 7th doc carries an explicit
+    port so host extraction is exercised beyond the clean case."""
+    from prod2vec_spark.functions.hashing import hex_prefix_long
+
+    d = hex_prefix_long(
+        F.concat_ws("|", F.lit("url"), F.col(id_col)), 8
+    ) % F.lit(100)
+    site = F.floor((d * d) / F.lit(400.0)).cast("long")
+    tld = F.element_at(
+        F.array(F.lit("com"), F.lit("org"), F.lit("net")), (d % 3 + 1).cast("int")
+    )
+    port = F.when(F.col(id_col) % 7 == 0, F.lit(":8080")).otherwise(F.lit(""))
+    return docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://www.site"), site, F.lit("."), tld, port,
+            F.lit("/doc/"), F.col(id_col),
+        ),
+    )
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host of a URL (port stripped, NULL for unparseable
+    input — the auditable-miss contract)."""
+    return F.lower(F.parse_url(url, F.lit("HOST")))
+
+
+def registered_domain(host: Column) -> Column:
+    """Naive registered domain: the last two dot-labels
+    ('www.a.example.com' → 'example.com').  Correct for generic TLDs;
+    two-level public suffixes ('co.uk') need a PSL broadcast join
+    (module docstring) — the knob every engine exposes the same way."""
+    parts = F.split(host, r"\.")
+    return F.when(
+        F.size(parts) <= 2, host
+    ).otherwise(F.concat_ws(".", F.slice(parts, -2, 2)))
+
+
+def with_domain(
+    docs: DataFrame, url_col: str = "url", out_col: str = "domain"
+) -> DataFrame:
+    """docs + host + registered domain columns — one row-local
+    projection."""
+    return docs.withColumn("host", url_host(F.col(url_col))).withColumn(
+        out_col, registered_domain(F.col("host"))
+    )
+
+
+def domain_profile(
+    docs: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-domain corpus dashboard — the source_profile shape keyed by
+    registered domain: (domain, n_hosts, n_docs, n_tokens, dup_share)
+    where dup_share = 1 − distinct text digests / docs (the verbatim-
+    duplicate pressure that drives per-domain caps).  One hash-agg
+    shuffle on the domain key; unparseable URLs group under NULL
+    domain so nothing silently drops."""
+    staged = with_domain(docs, url_col).select(
+        "domain",
+        "host",
+        F.size(tokens(F.col(text_col))).cast("long").alias("_nt"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_dig"),
+    )
+    return staged.groupBy("domain").agg(
+        F.countDistinct("host").cast("bigint").alias("n_hosts"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("_nt").cast("bigint").alias("n_tokens"),
+        F.round(
+            1.0 - F.countDistinct("_dig") / F.count(F.lit(1)), 4
+        ).alias("dup_share"),
+    )
+
+
+def domain_cap(
+    docs: DataFrame,
+    max_per_domain: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    seed: str = "domcap",
+) -> DataFrame:
+    """Per-domain document cap: keep at most ``max_per_domain`` docs
+    per registered domain, chosen by a seeded md5 draw (deterministic
+    and insertion-order-free, so incremental crawls keep a stable
+    sample).  Returns docs + (host, domain, domain_rk) with only kept
+    rows — ONE rank window on the domain key.  NULL-domain rows
+    (unparseable URLs) are all kept: the cap is a web-pressure valve,
+    not a validity filter (chain a blocklist/DQ gate for drops)."""
+    from pyspark.sql import Window
+
+    if max_per_domain <= 0:
+        raise ValueError(f"max_per_domain must be positive, got {max_per_domain}")
+    staged = with_domain(docs, url_col).withColumn(
+        "_draw", F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col)))
+    )
+    w = Window.partitionBy("domain").orderBy("_draw", id_col)
+    ranked = staged.withColumn(
+        "domain_rk", F.row_number().over(w).cast("int")
+    )
+    return ranked.where(
+        F.col("domain").isNull() | (F.col("domain_rk") <= max_per_domain)
+    ).drop("_draw")
+
+
+def filter_blocked_domains(
+    docs: DataFrame,
+    blocked: DataFrame,
+    url_col: str = "url",
+    use_bloom: bool = False,
+) -> DataFrame:
+    """Drop documents whose registered domain is on the blocklist.
+    ``blocked`` is a 1-column DataFrame of domains (small dimension →
+    broadcast anti-join, the exact path).  ``use_bloom=True``
+    prefilters through the Bloom plane first (bloom_bits broadcast as
+    a bitset literal): docs whose domain the filter rules OUT skip
+    the join entirely — the shape for blocklists too large to
+    broadcast raw, with the anti-join verifying the maybe-hits so
+    false positives never drop documents."""
+    staged = with_domain(docs, url_col)
+    bl = blocked.select(F.col(blocked.columns[0]).alias("domain"))
+    if use_bloom:
+        from prod2vec_spark.operators.sketches import (
+            bloom_bits,
+            bloom_maybe_contains,
+        )
+
+        bits = bloom_bits(bl, col="domain")
+        maybe = bloom_maybe_contains(
+            bits,
+            staged.select("domain").where(F.col("domain").isNotNull()).distinct(),
+            col="domain",
+        )
+        hits = maybe.where(F.col("maybe") == 1).select("domain")
+        # verify maybe-hits exactly (Bloom FPs must not drop docs)
+        confirmed = hits.join(F.broadcast(bl), "domain", "left_semi")
+        return staged.join(F.broadcast(confirmed), "domain", "left_anti")
+    return staged.join(F.broadcast(bl), "domain", "left_anti")

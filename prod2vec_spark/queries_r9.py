@@ -247,12 +247,101 @@ def q_text_normalize_nfc(spark, sf_dir):
     )
 
 
+# -------------------------------------------- URL/domain curation plane
+_DOMCAP_K = 20
+
+_SQL_URL_STAGE = """
+u AS (SELECT doc_id, text,
+        ('0x' || substr(md5('url|' || doc_id), 1, 8))::BIGINT % 100 AS d
+      FROM documents),
+uu AS (SELECT doc_id, text,
+         'https://www.site' || CAST(floor(d * d / 400.0) AS BIGINT)
+           || '.' || (['com','org','net'])[CAST(d % 3 AS INT) + 1]
+           || CASE WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END
+           || '/doc/' || doc_id AS url
+       FROM u),
+h AS (SELECT doc_id, text, url,
+        lower(nullif(regexp_extract(url, '^[A-Za-z]+://([^/:?#]+)', 1), ''))
+          AS host
+      FROM uu),
+dom AS (SELECT doc_id, text, url, host,
+          CASE WHEN len(str_split(host, '.')) <= 2 THEN host
+               ELSE str_split(host, '.')[-2] || '.' || str_split(host, '.')[-1]
+          END AS domain
+        FROM h)
+"""
+
+
+def q_domain_profile(spark, sf_dir):
+    """Per-domain corpus dashboard (C4/RefinedWeb's URL-level input
+    signal): registered-domain keyed doc/host/token counts + verbatim
+    dup share, over deterministically attached skewed urls
+    (operators/domains.py — host extraction is the parse_url JVM
+    builtin; the oracle replays the identical synthesis + a regexp
+    host twin)."""
+    from prod2vec_spark.operators.domains import attach_urls, domain_profile
+
+    docs = read_table(spark, sf_dir, "documents")
+    prof = domain_profile(attach_urls(docs))
+    return prof.select(
+        "domain", "n_hosts", "n_docs", "n_tokens", "dup_share"
+    )
+
+
+def _sql_domain_profile() -> str:
+    from prod2vec_spark.queries_ext import _TOKS
+
+    toks = _TOKS.replace("text", "dom.text")
+    return f"""
+WITH {_SQL_URL_STAGE}
+SELECT domain,
+       CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len({toks})) AS BIGINT) AS n_tokens,
+       round(1.0 - CAST(count(DISTINCT md5(coalesce(dom.text, ''))) AS DOUBLE)
+                   / count(*), 4) AS dup_share
+FROM dom
+GROUP BY domain
+"""
+
+
+def q_domain_cap(spark, sf_dir):
+    """Per-domain document cap: at most {_DOMCAP_K} docs kept per
+    registered domain, chosen by a seeded md5 draw — ONE rank window
+    on the domain key; the operator that removes mega-domain skew for
+    every downstream stage.  Hash-matching kept ids certifies WHICH
+    docs survive (operators/domains.domain_cap)."""
+    from prod2vec_spark.operators.domains import attach_urls, domain_cap
+
+    docs = read_table(spark, sf_dir, "documents")
+    kept = domain_cap(attach_urls(docs), max_per_domain=_DOMCAP_K)
+    return kept.select("doc_id", "domain", "domain_rk")
+
+
+def _sql_domain_cap() -> str:
+    return f"""
+WITH {_SQL_URL_STAGE},
+r AS (SELECT doc_id, domain,
+        CAST(row_number() OVER (
+          PARTITION BY domain
+          ORDER BY md5('domcap|' || doc_id), doc_id) AS INT) AS domain_rk
+      FROM dom)
+SELECT doc_id, domain, domain_rk
+FROM r
+WHERE domain IS NULL OR domain_rk <= {_DOMCAP_K}
+"""
+
+
 R9_QUERIES = {
     "video_neardup": q_video_neardup,
     "lang_id_learned": q_lang_id_learned,
     "bpe_chunk_budget": q_bpe_chunk_budget,
     "text_normalize_nfc": q_text_normalize_nfc,
+    "domain_profile": q_domain_profile,
+    "domain_cap": q_domain_cap,
 }
 R9_ORACLES: dict[str, str] = {
     "bpe_chunk_budget": _sql_bpe_chunk_budget(),
+    "domain_profile": _sql_domain_profile(),
+    "domain_cap": _sql_domain_cap(),
 }

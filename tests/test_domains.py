@@ -1,0 +1,141 @@
+"""URL/domain curation plane (operators/domains.py): host/registered-
+domain extraction edges, per-domain cap invariants, and the
+blocklist's exact-vs-Bloom agreement (FPs must never drop docs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from prod2vec_spark.operators.domains import (
+    attach_urls,
+    domain_cap,
+    domain_profile,
+    filter_blocked_domains,
+    registered_domain,
+    url_host,
+    with_domain,
+)
+
+
+def test_url_host_and_registered_domain_edges(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://www.A.Example.COM:8443/p?q=1"),
+            (2, "http://example.org/x"),
+            (3, "https://a.b.co.uk/"),     # naive fold: co.uk (documented)
+            (4, "not a url"),
+            (5, None),
+            (6, "ftp://files.site9.net/f"),
+        ],
+        "doc_id long, url string",
+    )
+    out = {
+        r["doc_id"]: (r["host"], r["domain"])
+        for r in with_domain(df).collect()
+    }
+    assert out[1] == ("www.a.example.com", "example.com")  # lowered, port stripped
+    assert out[2] == ("example.org", "example.org")        # <=2 labels kept whole
+    assert out[3] == ("a.b.co.uk", "co.uk")                # naive eTLD fold
+    assert out[4] == (None, None)                          # auditable miss
+    assert out[5] == (None, None)
+    assert out[6] == ("files.site9.net", "site9.net")
+
+
+def test_attach_urls_deterministic_and_skewed(spark):
+    docs = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+    dom = with_domain(attach_urls(docs))
+    counts = {
+        r["domain"]: r["n"]
+        for r in dom.groupBy("domain").agg(F.count("*").alias("n")).collect()
+    }
+    assert all(d is not None for d in counts)
+    # quadratic skew: the heaviest domain holds a mega share
+    assert max(counts.values()) > 3 * (sum(counts.values()) / len(counts))
+    # deterministic: same ids -> same urls
+    a = sorted(r["url"] for r in attach_urls(docs).collect())
+    b = sorted(r["url"] for r in attach_urls(docs).collect())
+    assert a == b
+
+
+def test_domain_cap_invariants(spark):
+    docs = attach_urls(
+        spark.range(0, 400).select(F.col("id").alias("doc_id"))
+    )
+    k = 5
+    kept = domain_cap(docs, max_per_domain=k)
+    per_dom = kept.groupBy("domain").agg(F.count("*").alias("n")).collect()
+    assert all(r["n"] <= k for r in per_dom if r["domain"] is not None)
+    # rank column is 1..n and dense within each domain
+    assert kept.where(F.col("domain_rk") > k).where(
+        F.col("domain").isNotNull()
+    ).count() == 0
+    # deterministic selection
+    a = sorted(r["doc_id"] for r in kept.collect())
+    b = sorted(r["doc_id"] for r in domain_cap(docs, max_per_domain=k).collect())
+    assert a == b
+    # domains smaller than the cap keep everything
+    sizes = {
+        r["domain"]: r["n"]
+        for r in with_domain(docs).groupBy("domain").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    kept_sizes = {r["domain"]: r["n"] for r in per_dom}
+    for d, n in sizes.items():
+        assert kept_sizes.get(d, 0) == min(n, k), d
+
+
+def test_domain_cap_keeps_null_domain_rows(spark):
+    docs = spark.createDataFrame(
+        [(1, "https://a.example.com/x"), (2, "junk"), (3, None)],
+        "doc_id long, url string",
+    )
+    kept = domain_cap(docs, max_per_domain=1)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [1, 2, 3]  # cap never drops unparseable rows
+
+
+def test_filter_blocked_domains_exact_and_bloom_agree(spark):
+    docs = attach_urls(
+        spark.range(0, 300).select(F.col("id").alias("doc_id"))
+    )
+    blocked = spark.createDataFrame(
+        [("site0.com",), ("site3.org",), ("nosuch.net",)], ["domain"]
+    )
+    exact = sorted(
+        r["doc_id"] for r in filter_blocked_domains(docs, blocked).collect()
+    )
+    bloom = sorted(
+        r["doc_id"]
+        for r in filter_blocked_domains(docs, blocked, use_bloom=True).collect()
+    )
+    assert exact == bloom  # bloom path verifies maybe-hits exactly
+    # and the blocked domains are actually gone
+    left = {
+        r["domain"]
+        for r in filter_blocked_domains(docs, blocked)
+        .select("domain")
+        .distinct()
+        .collect()
+    }
+    assert "site0.com" not in left and "site3.org" not in left
+    assert left  # something survives
+
+
+def test_domain_profile_shape(spark):
+    docs = attach_urls(
+        spark.range(0, 200).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("tok "), (F.col("id") % 7).cast("string")).alias(
+                "text"
+            ),
+        )
+    )
+    prof = domain_profile(docs).collect()
+    assert prof
+    total = sum(r["n_docs"] for r in prof)
+    assert total == 200  # every doc lands in exactly one domain row
+    for r in prof:
+        assert r["n_hosts"] >= 1
+        assert 0.0 <= r["dup_share"] <= 1.0
+        assert r["n_tokens"] >= r["n_docs"]  # every text has >= 1 token
