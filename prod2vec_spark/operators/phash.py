@@ -313,6 +313,78 @@ def phash_neardup(
     )
 
 
+def media_hashes(
+    media: DataFrame, id_col: str = "media_id", blob_col: str = "blob"
+) -> DataFrame:
+    """(id, modality, mhash) for a MIXED-modality blob column: sniff
+    container magic → dHash (PNG) / energy-gradient (WAV) /
+    keyframe-mean dHash (AVI); (NULL, NULL) where the blob is
+    undecodable — the auditable-miss contract.  One Arrow-batched
+    pass; the blob never leaves the executor."""
+    src = media.select(id_col, blob_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from prod2vec_spark.operators.multimodal import PNG_SIG as _SIG
+
+        for pdf in batches:
+            mods, hashes = [], []
+            for b in pdf[blob_col]:
+                bb = bytes(b) if isinstance(b, (bytes, bytearray)) else b""
+                if bb.startswith(_SIG):
+                    mods.append("image")
+                    hashes.append(dhash_png(bb))
+                elif bb[:4] == b"RIFF" and bb[8:12] == b"WAVE":
+                    mods.append("audio")
+                    hashes.append(ahash_wav(bb))
+                elif bb[:4] == b"RIFF" and bb[8:12] == b"AVI ":
+                    mods.append("video")
+                    hashes.append(vhash_avi(bb))
+                else:
+                    mods.append(None)
+                    hashes.append(None)
+            # a decodable container that still failed its codec keeps
+            # modality but a NULL hash — distinguishable from unknown
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "modality": mods,
+                    "mhash": pd.array(hashes, dtype="Int64"),
+                }
+            )
+
+    return src.mapInPandas(run, schema=f"{id_col} long, modality string, mhash long")
+
+
+MODALITIES = ("image", "audio", "video")
+
+
+def media_neardup_pairs(
+    hashes: DataFrame,
+    id_col: str = "media_id",
+    max_distance: int = 3,
+    bands: int = 4,
+    max_group: int | None = None,
+) -> DataFrame:
+    """Verified near-dup pairs over a mixed-modality hash table —
+    the per-modality union of the banded-Hamming plane, so an image
+    hash can never band-collide with an audio hash (modality
+    partitions the candidate space; each subset filter pushes into
+    the shared scan).  Output: (id_a, id_b, hamming, modality)."""
+    out = None
+    for m in MODALITIES:
+        sub = hashes.where(F.col("modality") == m).select(id_col, "mhash")
+        p = phash_neardup(
+            sub,
+            id_col=id_col,
+            hash_col="mhash",
+            max_distance=max_distance,
+            bands=bands,
+            max_group=max_group,
+        ).withColumn("modality", F.lit(m))
+        out = p if out is None else out.unionByName(p)
+    return out
+
+
 def media_dedup(
     hashes: DataFrame,
     id_col: str = "media_id",

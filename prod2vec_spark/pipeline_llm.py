@@ -8,8 +8,13 @@ extension adds the four starred stages):
 
     gates → pii_scrub* → exact_dedup [→ segment_dedup°]
           → quality_filter(+repetition*) [→ lm_gate°]
-          → near_dedup [→ semantic_dedup*] → decontaminate* → chunk*
-          → stats
+          → near_dedup [→ semantic_dedup*] [→ media_dedup⁹]
+          → decontaminate* → chunk* → stats
+
+(⁹ = optional round-9 stage: perceptual near-dup over per-document
+media attachments — mixed PNG/WAV/AVI blobs hashed per modality and
+collapsed through the same banded-Hamming + connected-components
+machinery as the text LSH plane; enabled by ``media_path``.)
 
 (° = optional round-7 stages: CCNet segment dedup before quality
 scoring so quality judges boilerplate-free text; bigram-LM perplexity
@@ -149,6 +154,16 @@ class CorpusConfig:
     # token-level repetition signals miss; functions/compress.py).
     compression_gate: bool = False
     compression_floor: float = 0.35
+    # round-9: media near-dup stage — path to a (doc_id, blob) parquet
+    # of per-document media attachments (PNG/WAV/AVI, mixed).  When
+    # set, docs whose attached media is a perceptual near-dup of a
+    # kept doc's media drop after text near-dedup, with the same
+    # drop-set subtraction shape as the LSH/SemDeDup stages
+    # (operators/phash.py media_hashes/media_neardup_pairs).  Docs
+    # with no attachment or undecodable media are kept.
+    media_path: str | None = None
+    media_max_distance: int = 3
+    media_bands: int = 4
 
 
 class CorpusCurationPipeline:
@@ -400,6 +415,40 @@ class CorpusCurationPipeline:
         write_parquet(out, f"{self.cfg.work_dir}/semantic_deduped")
         return self.spark.read.parquet(f"{self.cfg.work_dir}/semantic_deduped")
 
+    # -- stage 3.7: media near-dup (optional, round 9) -----------------
+    def media_dedup(self, docs: DataFrame) -> DataFrame:
+        """Drop documents whose ATTACHED media (media_path parquet:
+        doc_id, blob — mixed PNG/WAV/AVI) is a perceptual near-dup of
+        a kept document's media: sniff+hash per modality → banded-
+        Hamming verified pairs (modality partitions the candidate
+        space) → connected components → keep each cluster's min id.
+        The same broadcast drop-set subtraction as near_dedup /
+        semantic_dedup; docs without an attachment, or whose media no
+        codec could read (NULL hash upstream — auditable), are kept
+        unconditionally."""
+        from prod2vec_spark.operators import phash as PH
+        from prod2vec_spark.operators.graph import dedup_clusters
+
+        media = self.spark.read.parquet(self.cfg.media_path)
+        hashes = PH.media_hashes(media, id_col="doc_id", blob_col="blob")
+        pairs = PH.media_neardup_pairs(
+            hashes,
+            id_col="doc_id",
+            max_distance=self.cfg.media_max_distance,
+            bands=self.cfg.media_bands,
+            max_group=self.cfg.lsh_max_group,
+        )
+        clusters = dedup_clusters(
+            pairs.select(
+                F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+            )
+        )
+        drop = clusters.where(F.col("is_canonical") == 0).select("doc_id")
+        out = docs.join(F.broadcast(drop), "doc_id", "left_anti")
+        write_parquet(out, f"{self.cfg.work_dir}/media_deduped")
+        write_parquet(clusters, f"{self.cfg.work_dir}/media_dup_clusters")
+        return self.spark.read.parquet(f"{self.cfg.work_dir}/media_deduped")
+
     # -- stage 4: benchmark decontamination ----------------------------
     def decontaminate(self, docs: DataFrame) -> DataFrame:
         from prod2vec_spark.operators.decontam import (
@@ -499,6 +548,8 @@ class CorpusCurationPipeline:
         deduped = self.near_dedup(quality)
         if self.cfg.semantic_dedup:
             deduped = self.semantic_dedup(deduped)
+        if self.cfg.media_path is not None:
+            deduped = self.media_dedup(deduped)
         n_neardedup = deduped.count()
         final = self.decontaminate(deduped)
         if self.cfg.holdout_split:
