@@ -628,7 +628,14 @@ CATALOG: list[str] = [
     "doc_repetition", "decontaminate",
     "semdedup_audit", "pii_scrub", "doc_chunks",
     # round-6 new (wave 1)
-    "word2vec_stability", "heavy_hitters",
+    # round-9 rotation: video_neardup in (the media perceptual-hash
+    # plane gets a per-round driver verdict; rows-only by the codec-
+    # boundary contract, like the driver's other non-SQL entries) —
+    # word2vec_stability out: its M1 family keeps word2vec_neighbors
+    # in the catalog and the stability audit stays superset-oracled
+    # in the pytest gate.
+    "video_neardup",
+    "heavy_hitters",
     "bloom_blocklist",
     # round-5 new / reshaped
     "minhash_jaccard_audit", "word2vec_neighbors", "kmeans_audit",
