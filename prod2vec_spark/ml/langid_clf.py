@@ -121,3 +121,50 @@ def score_lang(
         ),
         F.round(F.array_max(probs), 6).alias("lang_prob"),
     )
+
+
+def start_lang_score_stream(
+    docs_stream: DataFrame,
+    model,
+    out_dir: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+):
+    """Language-ID over a document stream against a FITTED model —
+    the CCNet ingestion shape (label every incoming crawl batch): per
+    micro-batch, score_lang runs batch-side in foreachBatch
+    (coefficients broadcast, zero shuffles) and labeled rows land
+    idempotently at ``out_dir/batch_id=N`` (replayed batches
+    overwrite their own partition — the quality_clf/sketch stream
+    exactly-once recipe).  Returns the started availableNow query."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        score_lang(batch_df, model, id_col=id_col).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/batch_id={batch_id}")
+
+    return (
+        docs_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_lang_scores(spark, out_dir: str) -> DataFrame:
+    """All committed per-batch label partitions; empty before the
+    first commit, not an error."""
+    import glob
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    if not glob.glob(os.path.join(out_dir, "batch_id=*", "*.parquet")):
+        return spark.createDataFrame(
+            [], "doc_id long, lang_pred string, lang_prob double"
+        )
+    return (
+        spark.read.option("basePath", out_dir)
+        .parquet(out_dir)
+        .drop("batch_id")
+    )

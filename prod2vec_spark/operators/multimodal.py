@@ -576,6 +576,63 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def decode_frames(
+    media: DataFrame,
+    every_ms: int = 1000,
+    id_col: str = "media_id",
+    blob_col: str = "blob",
+) -> DataFrame:
+    """The decode stage behind ``frame_sample_plan``: sample one frame
+    per ``every_ms`` of real clip time from uncompressed-AVI blobs and
+    emit (media_id, frame_ts_ms, frame_idx, frame_digest, mean_pixel)
+    per sampled frame — each clip decoded ONCE per task, frames picked
+    by timestamp→index arithmetic (floor(ts·fps/1000), clamped).
+    Arrow-batched mapInPandas; rows whose blob isn't decodable AVI
+    emit no frames (the miss is auditable upstream via
+    extract_features' format column)."""
+    if every_ms <= 0:
+        raise ValueError(f"every_ms must be positive, got {every_ms}")
+    src = media.select(id_col, blob_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                id_col: [], "frame_ts_ms": [], "frame_idx": [],
+                "frame_digest": [], "mean_pixel": [],
+            }
+            for mid, b in zip(pdf[id_col], pdf[blob_col]):
+                bb = bytes(b) if isinstance(b, (bytes, bytearray)) else b""
+                if bb[:4] != b"RIFF" or bb[8:12] != b"AVI ":
+                    continue
+                try:
+                    frames, m = avi_frames(bb)
+                except Exception:
+                    continue
+                fps = m["fps"]
+                if not frames or not fps:
+                    continue
+                duration_ms = len(frames) / fps * 1000.0
+                ts = 0
+                while ts < duration_ms:
+                    idx = min(len(frames) - 1, int(ts * fps / 1000.0))
+                    f = frames[idx]
+                    out[id_col].append(mid)
+                    out["frame_ts_ms"].append(ts)
+                    out["frame_idx"].append(idx)
+                    out["frame_digest"].append(hashlib.md5(f).hexdigest())
+                    out["mean_pixel"].append(sum(f) / len(f) if f else 0.0)
+                    ts += every_ms
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        run,
+        schema=(
+            f"{id_col} long, frame_ts_ms long, frame_idx int, "
+            "frame_digest string, mean_pixel double"
+        ),
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one output row per sampled frame
     timestamp.  Pure expression — the frame plan explodes server-side,

@@ -644,6 +644,7 @@ class CorpusCurationPipeline:
                 ("semantic_dedup", cfg.semantic_dedup),
                 ("editdist_verify", cfg.editdist_verify),
                 ("compression_gate", cfg.compression_gate),
+                ("media_path", cfg.media_path is not None),
             ]
             if on
         ]

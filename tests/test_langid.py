@@ -149,3 +149,49 @@ def test_lang_id_learned_query_accuracy_bound(spark):
     correct = sum(r["n_correct"] for r in rows)
     assert total > 0
     assert correct / total >= 0.9, f"accuracy {correct / total}"
+
+
+def test_langid_stream_matches_batch_scoring(spark, tmp_path):
+    """start_lang_score_stream labels exactly as batch score_lang with
+    the same fitted model, exactly-once across a no-input restart
+    (the quality_clf stream contract, language edition)."""
+    import shutil
+
+    from prod2vec_spark.ml.langid_clf import (
+        read_lang_scores,
+        start_lang_score_stream,
+    )
+
+    model = fit_lang_classifier(_frame(spark, _corpus(seed=20, n_per_lang=30)))
+    probe = _frame(spark, _corpus(seed=21, n_per_lang=6)).select(
+        "doc_id", "text"
+    )
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    probe.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "s"))
+    shutil.copy(
+        sorted((tmp_path / "s").glob("*.parquet"))[0], landing / "a.parquet"
+    )
+    out, ckpt = str(tmp_path / "labels"), str(tmp_path / "ckpt")
+
+    def drain():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(
+            str(landing)
+        )
+        start_lang_score_stream(stream, model, out, ckpt).awaitTermination()
+
+    drain()
+    got = {
+        r["doc_id"]: (r["lang_pred"], r["lang_prob"])
+        for r in read_lang_scores(spark, out).collect()
+    }
+    want = {
+        r["doc_id"]: (r["lang_pred"], r["lang_prob"])
+        for r in score_lang(probe, model).collect()
+    }
+    assert got == want and got
+    drain()  # no-input restart: unchanged
+    assert {
+        r["doc_id"]: (r["lang_pred"], r["lang_prob"])
+        for r in read_lang_scores(spark, out).collect()
+    } == got

@@ -192,3 +192,28 @@ def test_video_neardup_query_recovers_planted_families(spark):
     fams = collections.Counter(d % 40 for d in doc_ids)
     expect_pairs = sum(c * (c - 1) // 2 for c in fams.values())
     assert len(rows) == expect_pairs
+
+
+def test_decode_frames_samples_planned_timestamps(spark):
+    """decode_frames is the real decode stage behind
+    frame_sample_plan: one row per every_ms of clip time, frame
+    indexes clamped to the clip, digests matching the encoded frames;
+    undecodable blobs emit nothing (auditable upstream)."""
+    import hashlib as _hl
+
+    from prod2vec_spark.operators.multimodal import decode_frames
+
+    frames = _clip(11, n_frames=10)          # 10 frames at 5 fps = 2 s
+    blob = encode_avi_gray8(frames, 16, 16, fps=5)
+    media = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, bytearray(b"junk"))],
+        "media_id long, blob binary",
+    )
+    rows = decode_frames(media, every_ms=500).collect()
+    by_ts = {r["frame_ts_ms"]: r for r in rows}
+    assert {r["media_id"] for r in rows} == {1}  # junk emits nothing
+    assert sorted(by_ts) == [0, 500, 1000, 1500]  # 2 s clip @ 500 ms
+    for ts, r in by_ts.items():
+        idx = min(9, int(ts * 5 / 1000))
+        assert r["frame_idx"] == idx
+        assert r["frame_digest"] == _hl.md5(frames[idx]).hexdigest()
