@@ -22,12 +22,21 @@ def test_every_oracle_has_query():
     assert set(ORACLES) <= set(QUERIES)
 
 
+# Catalog entries whose compute is a Python codec boundary (no SQL
+# twin exists) — the driver records its weaker rows-only check for
+# exactly these, and this list is the machine-checked record of which
+# (VERDICT r8 stretch #9: the media plane rotates into the catalog).
+CATALOG_ROWS_ONLY = {"video_neardup"}
+
+
 def test_driver_catalog_fits_cap_and_is_fully_oracled():
     """VERDICT r4 ask #1: one artifact certifies everything — the
-    driver catalog is exactly 50 entries and every one has an oracle."""
+    driver catalog is exactly 50 entries and every one has an oracle,
+    except the explicitly pinned codec-boundary rows-only set."""
     assert len(CATALOG) == 50
     assert set(QUERIES) == set(CATALOG)
-    assert set(ORACLES) == set(CATALOG)
+    assert set(ORACLES) == set(CATALOG) - CATALOG_ROWS_ONLY
+    assert CATALOG_ROWS_ONLY <= set(CATALOG)
 
 
 @pytest.mark.parametrize("name", sorted(set(ALL_QUERIES) - set(ALL_ORACLES)))
