@@ -62,6 +62,7 @@ CURATION10X = "__curation10x__"
 CURATION_FULL = "__curation_full__"
 CURATION_R7 = "__curation_r7__"
 CURATION_R7B = "__curation_r7b__"
+CURATION_R9 = "__curation_r9__"
 BASELINE_SF = 0.1  # scale factor the BASELINE.json timings were recorded at
 
 
@@ -198,6 +199,91 @@ def _curation_r7b(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _curation_r9(spark, sf_dir):
+    """The curation DAG with the round-9 media-dedup stage ON: mixed
+    PNG/WAV/AVI attachments synthesized per document (planted
+    duplicate families — the multimodal testdata adapter, itself a
+    mapInPandas render with the same shape as a real blob scan, so
+    its cost is included), hashed per modality and collapsed through
+    the banded-Hamming + connected-components drop-set subtraction —
+    the media stage's wall clock recorded next to the other DAG
+    macros."""
+    import hashlib
+    import shutil
+    import struct as _struct
+    import tempfile
+    from typing import Iterator
+
+    import pandas as pd
+
+    from prod2vec_spark.operators.multimodal import (
+        encode_avi_gray8,
+        encode_png_gray8,
+        encode_wav_pcm16,
+    )
+    from prod2vec_spark.pipeline_llm import CorpusConfig, CorpusCurationPipeline
+    from prod2vec_spark.sources.io import read_table
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                fam, member, modality = d % 50, d // 50, d % 3
+                if modality == 0:  # image
+                    raw = bytearray(
+                        b"".join(
+                            hashlib.md5(f"bimg{fam}|{k}".encode()).digest()
+                            for k in range(16)
+                        )
+                    )
+                    if member:
+                        raw[(member * 37) % 256] = (raw[(member * 37) % 256] + 1) % 256
+                    blobs.append(encode_png_gray8(bytes(raw), 16, 16))
+                elif modality == 1:  # audio
+                    raw = b"".join(
+                        hashlib.md5(f"bwav{fam}|{k}".encode()).digest()
+                        for k in range(130)
+                    )
+                    samples = [s // 8 for s in _struct.unpack("<1040h", raw)]
+                    if member:
+                        samples[(member * 97) % 1040] += 200
+                    blobs.append(encode_wav_pcm16(samples))
+                else:  # video
+                    frames = [
+                        bytearray(
+                            b"".join(
+                                hashlib.md5(f"bvid{fam}|{t}|{k}".encode()).digest()
+                                for k in range(16)
+                            )
+                        )
+                        for t in range(4)
+                    ]
+                    if member:
+                        f = frames[member % 4]
+                        f[(member * 41) % 256] = (f[(member * 41) % 256] + 1) % 256
+                    blobs.append(
+                        encode_avi_gray8([bytes(f) for f in frames], 16, 16)
+                    )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    work = tempfile.mkdtemp(prefix="bench_curation_r9_")
+    try:
+        media_path = f"{work}/media"
+        (
+            read_table(spark, sf_dir, "documents")
+            .select("doc_id")
+            .mapInPandas(render, schema="doc_id long, blob binary")
+            .write.parquet(media_path)
+        )
+        return CorpusCurationPipeline(
+            spark,
+            CorpusConfig(sf_dir=sf_dir, work_dir=work, media_path=media_path),
+        ).run()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def run_chunk(names: list[str], sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
     """Child entry: time the named queries in THIS process's fresh JVM."""
     from prod2vec_spark.queries import QUERIES
@@ -220,6 +306,7 @@ def run_chunk(names: list[str], sf_dir: str) -> tuple[dict[str, float], dict[str
         CURATION_FULL: _curation_full,
         CURATION_R7: _curation_r7,
         CURATION_R7B: _curation_r7b,
+        CURATION_R9: _curation_r9,
     }
     # macro entries run once in the main pass (the CC loop's eager
     # checkpoints dominate; one run is representative) — but an
@@ -228,7 +315,7 @@ def run_chunk(names: list[str], sf_dir: str) -> tuple[dict[str, float], dict[str
     macro_runs = int(os.environ.get("SPARK_GRAFT_MACRO_RUNS", "1"))
     for name in names:
         fn = special.get(name) or QUERIES[name]
-        n_runs = macro_runs if name in (CURATION10X, CURATION_FULL, CURATION_R7, CURATION_R7B) else runs
+        n_runs = macro_runs if name in (CURATION10X, CURATION_FULL, CURATION_R7, CURATION_R7B, CURATION_R9) else runs
         times = []
         for _ in range(n_runs):
             t0 = time.perf_counter()
@@ -255,7 +342,7 @@ def main() -> None:
     # timed too, appended last so their heavy driver-side work never
     # precedes (and so ages the JVM of) the catalog queries sharing
     # their chunk
-    names = list(QUERIES) + [FLAGSHIP, CURATION10X, CURATION_FULL, CURATION_R7, CURATION_R7B]
+    names = list(QUERIES) + [FLAGSHIP, CURATION10X, CURATION_FULL, CURATION_R7, CURATION_R7B, CURATION_R9]
     chunk_size = int(os.environ.get("SPARK_GRAFT_BENCH_CHUNK", "6"))
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
