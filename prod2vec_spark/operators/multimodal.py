@@ -39,6 +39,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+try:  # numpy accelerates the AVI pixel paths (byte-identical results);
+    # every decoder stays correct without it — stdlib remains the
+    # only hard dependency of this module
+    import numpy as _np
+except Exception:  # pragma: no cover
+    _np = None
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -306,6 +313,14 @@ def encode_avi_gray8(
     pad = b"\x00" * (stride - width * 3)
 
     def dib(frame: bytes) -> bytes:
+        if _np is not None:  # vectorized fast path, byte-identical
+            a = _np.frombuffer(frame, dtype=_np.uint8).reshape(height, width)
+            bgr = _np.repeat(a[::-1], 3, axis=1)  # bottom-up; B=G=R=gray
+            if stride > width * 3:
+                padded = _np.zeros((height, stride), dtype=_np.uint8)
+                padded[:, : width * 3] = bgr
+                return padded.tobytes()
+            return bgr.tobytes()
         rows = []
         for y in range(height - 1, -1, -1):  # bottom-up
             row = frame[y * width : (y + 1) * width]
@@ -416,6 +431,18 @@ def avi_frames(blob: bytes) -> tuple[list[bytes], dict]:
     for data in frame_chunks:
         if len(data) != stride * height:
             raise ValueError("AVI frame payload size mismatch")
+        if _np is not None:  # vectorized fast path, byte-identical
+            a = (
+                _np.frombuffer(data, dtype=_np.uint8)
+                .reshape(height, stride)[:, : width * 3]
+                .astype(_np.int32)
+                .reshape(height, width, 3)
+            )
+            g = (
+                (299 * a[:, :, 2] + 587 * a[:, :, 1] + 114 * a[:, :, 0]) // 1000
+            ).astype(_np.uint8)
+            frames.append(g[::-1].tobytes())  # bottom-up -> top-down
+            continue
         rows = []
         for y in range(height - 1, -1, -1):  # bottom-up -> top-down
             row = data[y * stride : y * stride + width * 3]

@@ -21,9 +21,11 @@ Three stages, each with the engine's 100 TB shape:
    LSH group-expand shape: explode band structs → groupBy (band,
    slice) collect sorted id lists → in-array i<j pair expansion —
    the shuffle carries 2-long keys + id lists, never pixels.
-3. **Exact verify** — candidates (distinct) broadcast back against
-   the (id, hash) table twice; Hamming = bit_count(XOR) ≤ d filter.
-   Two map-side joins; the hash table streams.
+3. **Exact verify** — the hash value rides through the band groups
+   next to the id, so every candidate pair row already carries both
+   hashes: Hamming = bit_count(XOR) ≤ d is a row-local filter, no
+   join back, and the (Python-codec) hash lineage evaluates exactly
+   once (round-9 fix: the old join-back shape re-ran it 3×).
 
 Palette-type PNGs (color type 3) hash their palette indices — fine
 for near-identical detection (same palette ⇒ same indices) but two
@@ -293,23 +295,91 @@ def phash_neardup(
     max_distance: int = 3,
     bands: int = 4,
     max_group: int | None = None,
+    extra_key: str | None = None,
 ) -> DataFrame:
     """Verified near-dup pairs: (id_a, id_b, hamming ≤ max_distance).
     Exact (recall 1) when max_distance < bands — pigeonhole guarantees
-    every qualifying pair surfaces as a candidate."""
-    cand = hamming_candidates(
-        hashes, id_col=id_col, hash_col=hash_col, bands=bands, max_group=max_group
+    every qualifying pair surfaces as a candidate.
+
+    The hash VALUE rides through the band groups next to the id
+    (struct collect → in-array pair expansion → bit_count verify on
+    the pair row), so the upstream hash lineage — a Python codec
+    chain for every media modality — is evaluated EXACTLY ONCE and
+    never joined back (the functions/arrays.pair_expand rule; the
+    round-9 fix: the previous join-back shape re-ran the decode 3×).
+    The shuffle carries (band, slice) keys + (id, hash) lists —
+    16 bytes per member, never pixels.
+
+    ``extra_key``: optional partitioning column folded into the band
+    group key (and carried into the output) — rows with different
+    values can never pair, in the SAME single scan (the mixed-
+    modality case)."""
+    if HASH_BITS % bands:
+        raise ValueError(f"bands={bands} must divide {HASH_BITS}")
+    return _banded_verified_pairs(
+        hashes, id_col, hash_col, max_distance, bands, max_group, extra_key
     )
-    ha = hashes.select(F.col(id_col).alias("id_a"), F.col(hash_col).alias("_ha"))
-    hb = hashes.select(F.col(id_col).alias("id_b"), F.col(hash_col).alias("_hb"))
-    return (
-        hb.join(F.broadcast(ha.join(F.broadcast(cand), "id_a")), "id_b")
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).cast("int"),
+
+
+def _banded_verified_pairs(
+    hashes: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_distance: int,
+    bands: int,
+    max_group: int | None,
+    extra_key: str | None,
+) -> DataFrame:
+    width = HASH_BITS // bands
+    mask = (1 << width) - 1
+    h = F.col(hash_col)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(h, b * width).bitwiseAND(F.lit(mask)).alias("slice"),
         )
+        for b in range(bands)
+    ]
+    from prod2vec_spark.functions.arrays import pair_expand
+
+    keys = ["band", "slice"] + ([extra_key] if extra_key else [])
+    sel = [
+        F.col(id_col).alias("_id"),
+        h.alias("_h"),
+        F.explode(F.array(*band_cols)).alias("bs"),
+    ] + ([F.col(extra_key)] if extra_key else [])
+    sigs = (
+        hashes.where(h.isNotNull())
+        .select(*sel)
+        .withColumn("band", F.col("bs.band"))
+        .withColumn("slice", F.col("bs.slice"))
+    )
+    grouped = (
+        sigs.groupBy(*keys)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("_id").alias("id"), F.col("_h").alias("h")))
+            ).alias("items")
+        )
+        .filter(F.size("items") > 1)
+    )
+    if max_group is not None:
+        grouped = grouped.filter(F.size("items") <= max_group)
+    out_cols = [
+        F.col("p.a.id").alias("id_a"),
+        F.col("p.b.id").alias("id_b"),
+        F.bit_count(F.col("p.a.h").bitwiseXOR(F.col("p.b.h"))).cast("int").alias(
+            "hamming"
+        ),
+    ] + ([F.col(extra_key)] if extra_key else [])
+    return (
+        grouped.select(
+            *([F.col(extra_key)] if extra_key else []),
+            F.explode(pair_expand(F.col("items"))).alias("p"),
+        )
+        .select(*out_cols)
         .filter(F.col("hamming") <= max_distance)
-        .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 
@@ -366,23 +436,21 @@ def media_neardup_pairs(
     max_group: int | None = None,
 ) -> DataFrame:
     """Verified near-dup pairs over a mixed-modality hash table —
-    the per-modality union of the banded-Hamming plane, so an image
-    hash can never band-collide with an audio hash (modality
-    partitions the candidate space; each subset filter pushes into
-    the shared scan).  Output: (id_a, id_b, hamming, modality)."""
-    out = None
-    for m in MODALITIES:
-        sub = hashes.where(F.col("modality") == m).select(id_col, "mhash")
-        p = phash_neardup(
-            sub,
-            id_col=id_col,
-            hash_col="mhash",
-            max_distance=max_distance,
-            bands=bands,
-            max_group=max_group,
-        ).withColumn("modality", F.lit(m))
-        out = p if out is None else out.unionByName(p)
-    return out
+    ONE banded-Hamming pass with modality folded into the band group
+    key, so an image hash can never band-collide with an audio hash
+    AND the (Python codec) hash lineage is scanned exactly once for
+    all modalities together (the round-9 single-scan rule; the first
+    cut unioned three per-modality passes = three decodes).
+    Output: (id_a, id_b, hamming, modality)."""
+    return phash_neardup(
+        hashes,
+        id_col=id_col,
+        hash_col="mhash",
+        max_distance=max_distance,
+        bands=bands,
+        max_group=max_group,
+        extra_key="modality",
+    )
 
 
 def media_dedup(
