@@ -71,15 +71,44 @@ def url_host(url: Column) -> Column:
     return F.lower(F.parse_url(url, F.lit("HOST")))
 
 
-def registered_domain(host: Column) -> Column:
-    """Naive registered domain: the last two dot-labels
-    ('www.a.example.com' → 'example.com').  Correct for generic TLDs;
-    two-level public suffixes ('co.uk') need a PSL broadcast join
-    (module docstring) — the knob every engine exposes the same way."""
+# Common two-level public suffixes (a well-known subset of the public
+# suffix list — the full PSL is an external artifact; this literal set
+# covers the major ccTLD second-level registries so 'a.b.co.uk' folds
+# to 'b.co.uk', not 'co.uk').  Extend via the ``two_level_suffixes``
+# parameter, or broadcast-join a full PSL table for exactness.
+TWO_LEVEL_SUFFIXES: tuple[str, ...] = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.br", "org.br", "gov.br",
+    "co.in", "net.in", "org.in",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "co.kr", "or.kr", "co.nz", "org.nz",
+    "com.mx", "org.mx", "com.sg", "com.tr", "com.tw",
+    "co.za", "org.za",
+)
+
+
+def registered_domain(
+    host: Column, two_level_suffixes: tuple[str, ...] = TWO_LEVEL_SUFFIXES
+) -> Column:
+    """Registered domain: the last two dot-labels
+    ('www.a.example.com' → 'example.com') — except when they form a
+    known two-level public suffix ('a.b.co.uk' → 'b.co.uk'), checked
+    against the built-in ``TWO_LEVEL_SUFFIXES`` subset as a pure
+    Column `isin` (the bounded literal set compiles into the scan; a
+    FULL public-suffix list would broadcast-join the same way the
+    UNK-default vocab probe does).  Pass ``two_level_suffixes=()``
+    for the strict last-two-labels fold."""
     parts = F.split(host, r"\.")
-    return F.when(
-        F.size(parts) <= 2, host
-    ).otherwise(F.concat_ws(".", F.slice(parts, -2, 2)))
+    last2 = F.concat_ws(".", F.slice(parts, -2, 2))
+    last3 = F.concat_ws(".", F.slice(parts, -3, 3))
+    out = F.when(F.size(parts) <= 2, host)
+    if two_level_suffixes:
+        out = out.when(
+            last2.isin(*two_level_suffixes) & (F.size(parts) >= 3), last3
+        )
+    return out.otherwise(last2)
 
 
 def with_domain(

@@ -22,7 +22,7 @@ def test_url_host_and_registered_domain_edges(spark):
         [
             (1, "https://www.A.Example.COM:8443/p?q=1"),
             (2, "http://example.org/x"),
-            (3, "https://a.b.co.uk/"),     # naive fold: co.uk (documented)
+            (3, "https://a.b.co.uk/"),     # two-level public suffix
             (4, "not a url"),
             (5, None),
             (6, "ftp://files.site9.net/f"),
@@ -35,10 +35,38 @@ def test_url_host_and_registered_domain_edges(spark):
     }
     assert out[1] == ("www.a.example.com", "example.com")  # lowered, port stripped
     assert out[2] == ("example.org", "example.org")        # <=2 labels kept whole
-    assert out[3] == ("a.b.co.uk", "co.uk")                # naive eTLD fold
+    assert out[3] == ("a.b.co.uk", "b.co.uk")              # PSL-aware fold
     assert out[4] == (None, None)                          # auditable miss
     assert out[5] == (None, None)
     assert out[6] == ("files.site9.net", "site9.net")
+
+
+def test_registered_domain_suffix_modes(spark):
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from prod2vec_spark.operators.domains import registered_domain
+
+    df = spark.createDataFrame(
+        [("a.b.co.uk",), ("co.uk",), ("shop.example.com.au",), ("x.example.com",)],
+        ["h"],
+    )
+    psl = {
+        r["h"]: r["d"]
+        for r in df.select("h", registered_domain(F.col("h")).alias("d")).collect()
+    }
+    assert psl == {
+        "a.b.co.uk": "b.co.uk",          # suffix-aware: registrant level kept
+        "co.uk": "co.uk",                # the bare suffix stays itself
+        "shop.example.com.au": "example.com.au",
+        "x.example.com": "example.com",
+    }
+    strict = {
+        r["h"]: r["d"]
+        for r in df.select(
+            "h", registered_domain(F.col("h"), two_level_suffixes=()).alias("d")
+        ).collect()
+    }
+    assert strict["a.b.co.uk"] == "co.uk"  # strict last-two fold on request
 
 
 def test_attach_urls_deterministic_and_skewed(spark):

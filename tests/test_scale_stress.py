@@ -216,3 +216,37 @@ def test_incremental_lsh_holds_on_10x_corpus(spark, amplified):
     assert not (delta & prior)
     new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
     assert delta and all(a in new_ids or b in new_ids for a, b in delta)
+
+
+def test_domain_cap_removes_skew_on_10x_corpus(spark, amplified):
+    """Round-9 domain plane at 10x: the per-domain cap holds exactly
+    (<= K kept per domain), the mega-domain's group shrinks from its
+    amplified size to K, and the selection is deterministic — the
+    operator that REMOVES mega-domain skew keeps doing so as the
+    corpus grows."""
+    from prod2vec_spark.operators.domains import attach_urls, domain_cap, with_domain
+
+    docs = attach_urls(amplified.select("doc_id"))
+    k = 25
+    sizes = {
+        r["domain"]: r["n"]
+        for r in with_domain(docs)
+        .groupBy("domain")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert max(sizes.values()) > 3 * k  # the skew is real pre-cap
+    kept = domain_cap(docs, max_per_domain=k)
+    kept_sizes = {
+        r["domain"]: r["n"]
+        for r in kept.groupBy("domain").agg(F.count("*").alias("n")).collect()
+    }
+    for d, n in sizes.items():
+        assert kept_sizes.get(d, 0) == min(n, k), d
+    # deterministic under re-evaluation
+    a = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    b = sorted(
+        r["doc_id"]
+        for r in domain_cap(docs, max_per_domain=k).select("doc_id").collect()
+    )
+    assert a == b
