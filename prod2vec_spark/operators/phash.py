@@ -208,6 +208,120 @@ def phash_videos(
     return src.mapInPandas(run, schema=f"{id_col} long, vhash long")
 
 
+_FRAME_ID_BASE = 1_000_000  # composite frame id = clip_id * BASE + frame_idx
+
+
+def frame_hashes(
+    media: DataFrame,
+    every_ms: int = 1000,
+    id_col: str = "media_id",
+    blob_col: str = "blob",
+) -> DataFrame:
+    """(id, frame_ts_ms, frame_idx, fhash): dHash per SAMPLED frame of
+    an uncompressed-AVI clip (one decode per clip, ts→index
+    arithmetic — the multimodal.decode_frames shape with a
+    fingerprint instead of a digest).  Undecodable blobs emit no
+    rows (auditable upstream via extract_features)."""
+    from prod2vec_spark.operators.multimodal import avi_frames
+
+    if every_ms <= 0:
+        raise ValueError(f"every_ms must be positive, got {every_ms}")
+    src = media.select(id_col, blob_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {id_col: [], "frame_ts_ms": [], "frame_idx": [], "fhash": []}
+            for mid, b in zip(pdf[id_col], pdf[blob_col]):
+                bb = bytes(b) if isinstance(b, (bytes, bytearray)) else b""
+                if bb[:4] != b"RIFF" or bb[8:12] != b"AVI ":
+                    continue
+                try:
+                    frames, m = avi_frames(bb)
+                except Exception:
+                    continue
+                fps = m["fps"]
+                if not frames or not fps:
+                    continue
+                duration_ms = len(frames) / fps * 1000.0
+                seen = set()
+                ts = 0
+                while ts < duration_ms:
+                    idx = min(len(frames) - 1, int(ts * fps / 1000.0))
+                    if idx not in seen:  # one hash per distinct frame
+                        seen.add(idx)
+                        g = np.frombuffer(frames[idx], dtype=np.uint8).reshape(
+                            m["height"], m["width"]
+                        )
+                        out[id_col].append(mid)
+                        out["frame_ts_ms"].append(ts)
+                        out["frame_idx"].append(idx)
+                        out["fhash"].append(dhash64(g.astype(np.float64)))
+                    ts += every_ms
+            yield pd.DataFrame(
+                {
+                    id_col: out[id_col],
+                    "frame_ts_ms": out["frame_ts_ms"],
+                    "frame_idx": out["frame_idx"],
+                    "fhash": pd.array(out["fhash"], dtype="Int64"),
+                }
+            )
+
+    return src.mapInPandas(
+        run,
+        schema=f"{id_col} long, frame_ts_ms long, frame_idx int, fhash long",
+    )
+
+
+def video_span_pairs(
+    media: DataFrame,
+    every_ms: int = 1000,
+    max_distance: int = 3,
+    bands: int = 4,
+    min_shared: int = 2,
+    max_group: int | None = None,
+    id_col: str = "media_id",
+    blob_col: str = "blob",
+) -> DataFrame:
+    """Shared-scene detection — the winnowing/verbatim-span analog for
+    video: clip pairs sharing ≥ ``min_shared`` near-identical SAMPLED
+    frames (a clip embedded in a longer video matches here even when
+    the whole-clip keyframe-mean hash diverges).
+
+    Shape: per-frame dHash (one decode per clip) → the SAME fused
+    banded-Hamming plane over composite frame ids (clip·10⁶ + idx —
+    frames of one clip can never collide with ids of another clip's
+    frames) → same-clip pairs dropped → one hash-agg counting matched
+    frame pairs per clip pair.  The shuffle carries 16-byte frame
+    signatures, never pixels.  Output: (id_a, id_b,
+    n_shared_frames ≥ min_shared)."""
+    fh = frame_hashes(media, every_ms=every_ms, id_col=id_col, blob_col=blob_col)
+    composite = fh.select(
+        (F.col(id_col) * F.lit(_FRAME_ID_BASE) + F.col("frame_idx")).alias("fid"),
+        "fhash",
+    )
+    pairs = phash_neardup(
+        composite,
+        id_col="fid",
+        hash_col="fhash",
+        max_distance=max_distance,
+        bands=bands,
+        max_group=max_group,
+    )
+    clip_a = F.floor(F.col("id_a") / F.lit(_FRAME_ID_BASE)).cast("long")
+    clip_b = F.floor(F.col("id_b") / F.lit(_FRAME_ID_BASE)).cast("long")
+    return (
+        pairs.select(clip_a.alias("ca"), clip_b.alias("cb"))
+        .where(F.col("ca") != F.col("cb"))
+        .select(
+            F.least("ca", "cb").alias("id_a"),
+            F.greatest("ca", "cb").alias("id_b"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_shared_frames"))
+        .where(F.col("n_shared_frames") >= min_shared)
+    )
+
+
 def phash_audio(
     media: DataFrame, id_col: str = "media_id", blob_col: str = "blob"
 ) -> DataFrame:

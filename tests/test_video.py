@@ -217,3 +217,55 @@ def test_decode_frames_samples_planned_timestamps(spark):
         idx = min(9, int(ts * 5 / 1000))
         assert r["frame_idx"] == idx
         assert r["frame_digest"] == _hl.md5(frames[idx]).hexdigest()
+
+
+def test_frame_hashes_one_per_distinct_sampled_frame(spark):
+    from prod2vec_spark.operators.phash import frame_hashes
+
+    frames = _clip(30, n_frames=4)  # 4 frames at default 10 fps = 400 ms
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_avi_gray8(frames, 16, 16, fps=10)))],
+        "media_id long, blob binary",
+    )
+    # 100 ms sampling on a 400 ms clip: ts 0..300 -> frames 0..3
+    rows = frame_hashes(media, every_ms=100).collect()
+    assert sorted(r["frame_idx"] for r in rows) == [0, 1, 2, 3]
+    # 50 ms sampling hits each frame twice but emits each ONCE
+    rows = frame_hashes(media, every_ms=50).collect()
+    assert sorted(r["frame_idx"] for r in rows) == [0, 1, 2, 3]
+
+
+def test_video_span_pairs_finds_embedded_scene(spark):
+    """A short clip embedded (with pixel noise) inside a longer,
+    otherwise-unrelated video is recovered by the shared-frame plane
+    even though the whole-clip fingerprints diverge."""
+    from prod2vec_spark.operators.phash import video_span_pairs
+
+    rng_frames = _clip(31, n_frames=8, h=24, w=36)     # clip X: 8 frames
+    long_frames = _clip(32, n_frames=12, h=24, w=36)   # clip Y: 12 frames
+    # embed X's frames 2..4 into Y at positions 5..7, one-pixel noise
+    for k in range(3):
+        f = bytearray(rng_frames[2 + k])
+        f[50] = (f[50] + 1) % 256
+        long_frames[5 + k] = bytes(f)
+    unrelated = _clip(33, n_frames=8, h=24, w=36)      # clip Z
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(encode_avi_gray8(rng_frames, 36, 24, fps=1))),
+            (2, bytearray(encode_avi_gray8(long_frames, 36, 24, fps=1))),
+            (3, bytearray(encode_avi_gray8(unrelated, 36, 24, fps=1))),
+        ],
+        "media_id long, blob binary",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["n_shared_frames"]
+        for r in video_span_pairs(media, every_ms=1000, min_shared=2).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] >= 3  # the embedded scene
+    assert (1, 3) not in got and (2, 3) not in got
+    # whole-clip fingerprints DO diverge — the span plane is needed
+    from prod2vec_spark.operators.phash import vhash_avi
+
+    h1 = vhash_avi(encode_avi_gray8(rng_frames, 36, 24, fps=1))
+    h2 = vhash_avi(encode_avi_gray8(long_frames, 36, 24, fps=1))
+    assert _hamming(h1, h2) > 3
