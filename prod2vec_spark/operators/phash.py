@@ -39,7 +39,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from prod2vec_spark.operators.multimodal import PNG_SIG, png_pixels
@@ -435,6 +435,23 @@ def phash_neardup(
     )
 
 
+def band_structs(h: Column, bands: int) -> list[Column]:
+    """The ``bands`` disjoint (band, slice) structs of a 64-bit hash —
+    the shared banding expression of the batch pair plane and the
+    streaming first-presenter gate."""
+    if HASH_BITS % bands:
+        raise ValueError(f"bands={bands} must divide {HASH_BITS}")
+    width = HASH_BITS // bands
+    mask = (1 << width) - 1
+    return [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(h, b * width).bitwiseAND(F.lit(mask)).alias("slice"),
+        )
+        for b in range(bands)
+    ]
+
+
 def _banded_verified_pairs(
     hashes: DataFrame,
     id_col: str,
@@ -444,16 +461,8 @@ def _banded_verified_pairs(
     max_group: int | None,
     extra_key: str | None,
 ) -> DataFrame:
-    width = HASH_BITS // bands
-    mask = (1 << width) - 1
     h = F.col(hash_col)
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.shiftrightunsigned(h, b * width).bitwiseAND(F.lit(mask)).alias("slice"),
-        )
-        for b in range(bands)
-    ]
+    band_cols = band_structs(h, bands)
     from prod2vec_spark.functions.arrays import pair_expand
 
     keys = ["band", "slice"] + ([extra_key] if extra_key else [])
