@@ -332,6 +332,119 @@ WHERE domain IS NULL OR domain_rk <= {_DOMCAP_K}
 """
 
 
+# ----------------------------------------------- corpus drift audit
+_DRIFT_TOPK = 50
+
+
+def _v2_docs(spark, sf_dir):
+    """The deterministically-derived "next crawl" shared with
+    snapshot_diff (queries_r7): id%13 dropped, id%7 text-modified,
+    10 fresh ids appended."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    survived = docs.where(F.col("doc_id") % 13 != 0)
+    return survived.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    ).unionByName(
+        docs.where(F.col("doc_id") < 10).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), F.col("text")
+        )
+    )
+
+
+_SQL_V2 = """
+v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 13 != 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 10)
+"""
+
+
+def q_token_drift(spark, sf_dir):
+    """Per-token distribution drift between crawl N and the derived
+    crawl N+1 (the language-shift monitor next to the row-level
+    snapshot diff): top-50 tokens by combined count with smoothed
+    frequencies and log-ratio (operators/drift.token_drift — one
+    word-count shuffle per side, full outer join on the token key,
+    1-row totals broadcast)."""
+    from prod2vec_spark.operators.drift import token_drift
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return token_drift(docs, _v2_docs(spark, sf_dir), top_k=_DRIFT_TOPK)
+
+
+def _sql_token_drift() -> str:
+    from prod2vec_spark.queries_ext import _TOKS
+
+    return f"""
+WITH {_SQL_V2},
+co AS (SELECT token, CAST(count(*) AS BIGINT) AS n_old
+       FROM (SELECT unnest({_TOKS}) AS token FROM documents) GROUP BY 1),
+cn AS (SELECT token, CAST(count(*) AS BIGINT) AS n_new
+       FROM (SELECT unnest({_TOKS}) AS token FROM v2) GROUP BY 1),
+j AS (SELECT COALESCE(co.token, cn.token) AS token,
+        COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new
+      FROM co FULL JOIN cn ON co.token = cn.token),
+t AS (SELECT CAST(sum(n_old) AS DOUBLE) AS t_old,
+             CAST(sum(n_new) AS DOUBLE) AS t_new,
+             CAST(count(*) AS DOUBLE) AS v FROM j),
+top AS (SELECT * FROM j ORDER BY n_old + n_new DESC, token LIMIT {_DRIFT_TOPK})
+SELECT token, n_old, n_new,
+       round((n_old + 1) / (t.t_old + t.v), 8) AS p_old,
+       round((n_new + 1) / (t.t_new + t.v), 8) AS p_new,
+       round(log10(((n_new + 1) / (t.t_new + t.v))
+                   / ((n_old + 1) / (t.t_old + t.v))), 4) AS log10_ratio
+FROM top, t
+"""
+
+
+def q_corpus_drift(spark, sf_dir):
+    """One-row corpus-level drift summary over the FULL vocabulary:
+    token/vocab sizes, shared-vocab count, and the smoothed
+    Jensen-Shannon divergence (0 = identical corpora, ln 2 = fully
+    disjoint) between crawl N and the derived N+1
+    (operators/drift.distribution_drift)."""
+    from prod2vec_spark.operators.drift import distribution_drift
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return distribution_drift(docs, _v2_docs(spark, sf_dir))
+
+
+def _sql_corpus_drift() -> str:
+    from prod2vec_spark.queries_ext import _TOKS
+
+    return f"""
+WITH {_SQL_V2},
+co AS (SELECT token, CAST(count(*) AS BIGINT) AS n_old
+       FROM (SELECT unnest({_TOKS}) AS token FROM documents) GROUP BY 1),
+cn AS (SELECT token, CAST(count(*) AS BIGINT) AS n_new
+       FROM (SELECT unnest({_TOKS}) AS token FROM v2) GROUP BY 1),
+j AS (SELECT COALESCE(co.token, cn.token) AS token,
+        COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new
+      FROM co FULL JOIN cn ON co.token = cn.token),
+t AS (SELECT CAST(sum(n_old) AS DOUBLE) AS t_old,
+             CAST(sum(n_new) AS DOUBLE) AS t_new,
+             CAST(count(*) AS DOUBLE) AS v FROM j),
+s AS (SELECT n_old, n_new,
+        (n_old + 1) / (t.t_old + t.v) AS p,
+        (n_new + 1) / (t.t_new + t.v) AS q
+      FROM j, t)
+SELECT CAST(sum(n_old) AS BIGINT) AS n_tokens_old,
+       CAST(sum(n_new) AS BIGINT) AS n_tokens_new,
+       CAST(sum(CASE WHEN n_old > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_old,
+       CAST(sum(CASE WHEN n_new > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_new,
+       CAST(sum(CASE WHEN n_old > 0 AND n_new > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS vocab_shared,
+       round(sum((p * ln(p / ((p + q) / 2)) + q * ln(q / ((p + q) / 2))) / 2), 6)
+         AS js_divergence
+FROM s
+"""
+
+
 R9_QUERIES = {
     "video_neardup": q_video_neardup,
     "lang_id_learned": q_lang_id_learned,
@@ -339,9 +452,13 @@ R9_QUERIES = {
     "text_normalize_nfc": q_text_normalize_nfc,
     "domain_profile": q_domain_profile,
     "domain_cap": q_domain_cap,
+    "token_drift": q_token_drift,
+    "corpus_drift": q_corpus_drift,
 }
 R9_ORACLES: dict[str, str] = {
     "bpe_chunk_budget": _sql_bpe_chunk_budget(),
     "domain_profile": _sql_domain_profile(),
     "domain_cap": _sql_domain_cap(),
+    "token_drift": _sql_token_drift(),
+    "corpus_drift": _sql_corpus_drift(),
 }
