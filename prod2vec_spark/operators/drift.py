@@ -9,7 +9,11 @@ the data-shift test monitoring systems run on text features.
 
 Scale shape: one word-count hash-agg per snapshot (the bpe.word_counts
 shuffle — map-side combined, 8-byte counts), a full outer join on the
-token key, and a 1-row totals broadcast.  The per-token report is
+token key, and a 1-row totals broadcast.  The totals branch and the
+report branch both read the joined vocabulary, but the word-count and
+join exchanges are shared between them at runtime via AQE stage reuse
+(verified: ReusedQueryStage nodes in the final plan) — the corpus is
+scanned once per snapshot.  The per-token report is
 capped to the top-K tokens by combined count (TakeOrdered — k rows
 move); the divergence summary aggregates over ALL tokens, not just
 the reported ones.  Everything is exact integer counts + rounded
