@@ -576,6 +576,114 @@ def media_neardup_pairs(
     )
 
 
+def media_band_table(
+    media: DataFrame,
+    id_col: str = "media_id",
+    blob_col: str = "blob",
+    bands: int = 4,
+) -> DataFrame:
+    """(id, modality, band, slice, mhash): the PERSISTABLE band table
+    of a media corpus — the archive the incremental path probes (the
+    text plane's minhash_bands store, media edition).  One decode per
+    blob; each row is a 3-key band signature + the 8-byte hash (the
+    hash rides along so the incremental verify never re-decodes the
+    archive).  Undecodable blobs emit no rows (auditable upstream)."""
+    hashes = media_hashes(media, id_col=id_col, blob_col=blob_col)
+    return (
+        hashes.where(F.col("mhash").isNotNull())
+        .select(
+            id_col,
+            "modality",
+            "mhash",
+            F.explode(F.array(*band_structs(F.col("mhash"), bands))).alias("bs"),
+        )
+        .select(
+            id_col,
+            "modality",
+            F.col("bs.band").alias("band"),
+            F.col("bs.slice").alias("slice"),
+            "mhash",
+        )
+    )
+
+
+def incremental_media_pairs(
+    old_bands: DataFrame,
+    new_media: DataFrame,
+    id_col: str = "media_id",
+    blob_col: str = "blob",
+    max_distance: int = 3,
+    bands: int = 4,
+    max_group: int | None = None,
+) -> DataFrame:
+    """Verified media near-dup pairs INVOLVING at least one new blob,
+    probed against a prior snapshot's persisted band table — the
+    incremental twin of :func:`media_neardup_pairs` (and the media leg
+    of the snapshot-diff plane), completing the media triad next to
+    the batch stage (pipeline_llm.media_dedup) and the streaming gate
+    (streaming/media.py).
+
+    At 100 TB the point is what does NOT happen: the archived corpus
+    is never re-decoded or re-hashed — only its (id, modality, band,
+    slice, mhash) table is read back, and only the typically-small
+    new fraction runs the codec pass.  Old×old pairs are already
+    known and are NOT re-emitted; the output is exactly the delta
+    pair set, exact-verified (bit_count ≤ max_distance) from the
+    hashes riding in the band rows.  Re-ingested ids supersede their
+    stored signatures.  Semantics (pytest-locked, no cap):
+        media_neardup_pairs(old ∪ new)
+          == media_neardup_pairs(old) ∪ incremental_media_pairs(...)
+    for id-disjoint snapshots."""
+    from prod2vec_spark.functions.arrays import pair_expand
+
+    nb = media_band_table(new_media, id_col=id_col, blob_col=blob_col, bands=bands)
+    new_ids = new_media.select(F.col(id_col)).distinct()
+    ob = old_bands.join(F.broadcast(new_ids), id_col, "left_anti")
+    allb = ob.select(
+        id_col, "modality", "band", "slice", "mhash", F.lit(0).alias("is_new")
+    ).unionByName(
+        nb.select(
+            id_col, "modality", "band", "slice", "mhash", F.lit(1).alias("is_new")
+        )
+    )
+    grouped = (
+        allb.groupBy("modality", "band", "slice")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col(id_col).alias("id"),
+                        F.col("mhash").alias("h"),
+                        F.col("is_new").alias("is_new"),
+                    )
+                )
+            ).alias("items")
+        )
+        .filter(
+            (F.size("items") > 1)
+            & (F.size(F.filter("items", lambda s: s.is_new == 1)) > 0)
+        )
+    )
+    if max_group is not None:
+        grouped = grouped.filter(F.size("items") <= max_group)
+    return (
+        grouped.select(
+            F.col("modality"), F.explode(pair_expand(F.col("items"))).alias("p")
+        )
+        .where((F.col("p.a.is_new") == 1) | (F.col("p.b.is_new") == 1))
+        .select(
+            F.col("p.a.id").alias("id_a"),
+            F.col("p.b.id").alias("id_b"),
+            F.bit_count(F.col("p.a.h").bitwiseXOR(F.col("p.b.h"))).cast("int").alias(
+                "hamming"
+            ),
+            "modality",
+        )
+        .filter(F.col("hamming") <= max_distance)
+        .distinct()
+    )
+
+
 def media_dedup(
     hashes: DataFrame,
     id_col: str = "media_id",

@@ -168,3 +168,63 @@ def test_media_gate_cross_batch_ownership(spark, tmp_path):
     }
     assert by_id[0] == 1   # committed first presenter stays kept
     assert by_id[1] == 0 and by_id[2] == 0  # later near-dups drop
+
+
+def test_incremental_media_pairs_equal_full_rebuild(spark, tmp_path):
+    """The media incremental contract: full == prior ∪ delta for
+    id-disjoint snapshots, with the archive contributing only its
+    PERSISTED band table (never re-decoded); re-ingested ids
+    supersede their stored signatures."""
+    from prod2vec_spark.operators.phash import (
+        incremental_media_pairs,
+        media_band_table,
+        media_hashes,
+        media_neardup_pairs,
+    )
+
+    rows = _media_rows()
+    old_rows = [r for r in rows if r[0] % 2 == 0]
+    new_rows = [r for r in rows if r[0] % 2 == 1]
+    old = spark.createDataFrame(old_rows, "media_id long, blob binary")
+    new = spark.createDataFrame(new_rows, "media_id long, blob binary")
+    both = spark.createDataFrame(rows, "media_id long, blob binary")
+
+    # persist the archive's band table (the incremental store)
+    store = str(tmp_path / "media_bands")
+    media_band_table(old).write.parquet(store)
+    old_bands = spark.read.parquet(store)
+
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in media_neardup_pairs(media_hashes(both)).collect()
+    }
+    prior = {
+        (r["id_a"], r["id_b"])
+        for r in media_neardup_pairs(media_hashes(old)).collect()
+    }
+    delta = {
+        (r["id_a"], r["id_b"])
+        for r in incremental_media_pairs(old_bands, new).collect()
+    }
+    assert full == prior | delta
+    assert delta  # the planted families straddle the id split
+    # every delta pair involves a new id
+    new_ids = {r[0] for r in new_rows}
+    assert all(a in new_ids or b in new_ids for a, b in delta)
+
+    # re-ingestion: a changed blob under an ARCHIVED id supersedes —
+    # id 0 (image family 0's canonical, present in old_bands) re-
+    # ingested as an unrelated image must stop pairing with member 2
+    # (its stored band rows are dropped before grouping)
+    rng = np.random.default_rng(77)
+    unrelated = bytearray(
+        encode_png_gray8(bytes(rng.integers(0, 256, 256, dtype=np.uint8)), 16, 16)
+    )
+    reingest = spark.createDataFrame(
+        [(0, unrelated)], "media_id long, blob binary"
+    )
+    delta2 = {
+        (r["id_a"], r["id_b"])
+        for r in incremental_media_pairs(old_bands, reingest).collect()
+    }
+    assert not any(0 in pair for pair in delta2), delta2
