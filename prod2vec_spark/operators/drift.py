@@ -120,3 +120,56 @@ def distribution_drift(
         ),
         F.round(F.sum(term), 6).alias("js_divergence"),
     )
+
+
+def distribution_drift_by_lang(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet-deployment edition of :func:`distribution_drift` — ONE
+    drift summary row per language, in a single grouped computation
+    (the lm_perplexity_by_lang rule: the language column simply joins
+    every count key, so 100 languages cost the same two hash-agg
+    shuffles as one).  Per-language totals are a languages-sized
+    table → broadcast back.  A language present in only one snapshot
+    still reports (its other side is all-smoothing)."""
+
+    def counts(docs, alias):
+        return (
+            docs.withColumn("_toks", tokens(F.col(text_col)))
+            .select(F.col(lang_col).alias("lang"), F.explode("_toks").alias("token"))
+            .groupBy("lang", "token")
+            .agg(F.count(F.lit(1)).cast("long").alias(alias))
+        )
+
+    joined = (
+        counts(old, "n_old")
+        .join(counts(new, "n_new"), ["lang", "token"], "full")
+        .select(
+            "lang",
+            F.coalesce("n_old", F.lit(0)).alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+    )
+    totals = joined.groupBy("lang").agg(
+        F.sum("n_old").cast("double").alias("_to"),
+        F.sum("n_new").cast("double").alias("_tn"),
+        F.count(F.lit(1)).cast("double").alias("_v"),
+    )
+    staged = joined.join(F.broadcast(totals), "lang")
+    p = (F.col("n_old") + 1) / (F.col("_to") + F.col("_v"))
+    q = (F.col("n_new") + 1) / (F.col("_tn") + F.col("_v"))
+    m = (p + q) / 2
+    term = (p * F.log(p / m) + q * F.log(q / m)) / 2
+    return staged.groupBy("lang").agg(
+        F.sum("n_old").cast("bigint").alias("n_tokens_old"),
+        F.sum("n_new").cast("bigint").alias("n_tokens_new"),
+        F.sum((F.col("n_old") > 0).cast("bigint")).alias("vocab_old"),
+        F.sum((F.col("n_new") > 0).cast("bigint")).alias("vocab_new"),
+        F.sum(((F.col("n_old") > 0) & (F.col("n_new") > 0)).cast("bigint")).alias(
+            "vocab_shared"
+        ),
+        F.round(F.sum(term), 6).alias("js_divergence"),
+    )

@@ -445,6 +445,77 @@ FROM s
 """
 
 
+def q_drift_by_lang(spark, sf_dir):
+    """Per-language drift summary in ONE grouped computation (the
+    lm_by_lang rule: lang joins every count key) between crawl N and
+    the derived N+1 — the CCNet ops view of distribution shift
+    (operators/drift.distribution_drift_by_lang)."""
+    from prod2vec_spark.operators.drift import distribution_drift_by_lang
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    v2 = _v2_docs_lang(spark, sf_dir)
+    return distribution_drift_by_lang(docs, v2)
+
+
+def _v2_docs_lang(spark, sf_dir):
+    """The derived next crawl carrying the lang column (the
+    snapshot_diff derivation, lang preserved)."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    survived = docs.where(F.col("doc_id") % 13 != 0)
+    return survived.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "lang",
+    ).unionByName(
+        docs.where(F.col("doc_id") < 10).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), F.col("text"), "lang"
+        )
+    )
+
+
+def _sql_drift_by_lang() -> str:
+    from prod2vec_spark.queries_ext import _TOKS
+
+    return f"""
+WITH v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text,
+         lang
+  FROM documents WHERE doc_id % 13 != 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, lang FROM documents WHERE doc_id < 10),
+co AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS n_old
+       FROM (SELECT lang, unnest({_TOKS}) AS token FROM documents) GROUP BY 1, 2),
+cn AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS n_new
+       FROM (SELECT lang, unnest({_TOKS}) AS token FROM v2) GROUP BY 1, 2),
+j AS (SELECT COALESCE(co.lang, cn.lang) AS lang,
+        COALESCE(co.token, cn.token) AS token,
+        COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new
+      FROM co FULL JOIN cn ON co.lang = cn.lang AND co.token = cn.token),
+t AS (SELECT lang, CAST(sum(n_old) AS DOUBLE) AS t_old,
+             CAST(sum(n_new) AS DOUBLE) AS t_new,
+             CAST(count(*) AS DOUBLE) AS v
+      FROM j GROUP BY lang),
+s AS (SELECT j.lang, n_old, n_new,
+        (n_old + 1) / (t.t_old + t.v) AS p,
+        (n_new + 1) / (t.t_new + t.v) AS q
+      FROM j JOIN t ON j.lang = t.lang)
+SELECT lang,
+       CAST(sum(n_old) AS BIGINT) AS n_tokens_old,
+       CAST(sum(n_new) AS BIGINT) AS n_tokens_new,
+       CAST(sum(CASE WHEN n_old > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_old,
+       CAST(sum(CASE WHEN n_new > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_new,
+       CAST(sum(CASE WHEN n_old > 0 AND n_new > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS vocab_shared,
+       round(sum((p * ln(p / ((p + q) / 2)) + q * ln(q / ((p + q) / 2))) / 2), 6)
+         AS js_divergence
+FROM s
+GROUP BY lang
+"""
+
+
 R9_QUERIES = {
     "video_neardup": q_video_neardup,
     "lang_id_learned": q_lang_id_learned,
@@ -454,6 +525,7 @@ R9_QUERIES = {
     "domain_cap": q_domain_cap,
     "token_drift": q_token_drift,
     "corpus_drift": q_corpus_drift,
+    "drift_by_lang": q_drift_by_lang,
 }
 R9_ORACLES: dict[str, str] = {
     "bpe_chunk_budget": _sql_bpe_chunk_budget(),
@@ -461,4 +533,5 @@ R9_ORACLES: dict[str, str] = {
     "domain_cap": _sql_domain_cap(),
     "token_drift": _sql_token_drift(),
     "corpus_drift": _sql_corpus_drift(),
+    "drift_by_lang": _sql_drift_by_lang(),
 }

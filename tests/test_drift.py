@@ -62,3 +62,45 @@ def test_token_counts_shape(spark):
     docs = _docs(spark, ["x y x", "y"])
     got = {r["token"]: r["n"] for r in token_counts(docs).collect()}
     assert got == {"x": 2, "y": 2}
+
+
+def test_drift_by_lang_independence(spark):
+    """The grouped-computation contract (the lm_by_lang rule): adding
+    lang-B docs never moves lang-A's drift numbers, and each
+    language's row equals the single-corpus operator run on that
+    language alone."""
+    from prod2vec_spark.operators.drift import distribution_drift_by_lang
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, t, lg) for i, (t, lg) in enumerate(rows)],
+            "doc_id long, text string, lang string",
+        )
+
+    a_old = [("alpha beta beta", "en")] * 3
+    a_new = [("alpha alpha beta", "en")] * 3
+    b_old = [("uno dos", "es")] * 2
+    b_new = [("dos tres tres", "es")] * 2
+
+    solo = {
+        r["lang"]: r
+        for r in distribution_drift_by_lang(mk(a_old), mk(a_new)).collect()
+    }
+    both = {
+        r["lang"]: r
+        for r in distribution_drift_by_lang(
+            mk(a_old + b_old), mk(a_new + b_new)
+        ).collect()
+    }
+    assert set(both) == {"en", "es"}
+    for col in ["n_tokens_old", "n_tokens_new", "vocab_old", "vocab_new",
+                "vocab_shared", "js_divergence"]:
+        assert both["en"][col] == solo["en"][col], col
+    # per-lang equals the ungrouped operator on that language alone
+    from prod2vec_spark.operators.drift import distribution_drift
+
+    es_solo = distribution_drift(
+        mk(b_old).drop("lang"), mk(b_new).drop("lang")
+    ).collect()[0]
+    assert both["es"]["js_divergence"] == es_solo["js_divergence"]
+    assert both["es"]["vocab_shared"] == es_solo["vocab_shared"]
