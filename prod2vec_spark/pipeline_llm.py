@@ -164,6 +164,16 @@ class CorpusConfig:
     media_path: str | None = None
     media_max_distance: int = 3
     media_bands: int = 4
+    # round-9: URL curation stage (the C4/RefinedWeb ingestion
+    # filters) — active only when the corpus carries ``url_col``.
+    # domain_blocklist drops whole registered domains (broadcast
+    # anti-join); domain_cap_k > 0 keeps at most K docs per domain
+    # (seeded md5 rank window — the mega-domain skew valve).  Runs
+    # BEFORE exact dedup: the cheapest filters go first, and per-
+    # domain pressure is an ingestion property, not a content one.
+    url_col: str = "url"
+    domain_blocklist: tuple[str, ...] = ()
+    domain_cap_k: int = 0
 
 
 class CorpusCurationPipeline:
@@ -206,9 +216,46 @@ class CorpusCurationPipeline:
             out = out.withColumn("text", scrub_cc(F.col("text")))
         return out
 
+    # -- stage 0.75: URL curation (optional, round 9) ------------------
+    def url_curation(self, docs: DataFrame) -> DataFrame:
+        """C4/RefinedWeb ingestion filters, active only when the
+        corpus carries ``url_col``: registered-domain blocklist
+        (broadcast anti-join) then the per-domain doc cap (ONE rank
+        window).  NULL-domain rows (unparseable urls) pass both —
+        validity is the DQ gate's job, not this stage's.  Raises if
+        the options are set but the column is absent (silent no-op
+        would read as coverage)."""
+        from prod2vec_spark.operators.domains import (
+            domain_cap,
+            filter_blocked_domains,
+        )
+
+        wanted = bool(self.cfg.domain_blocklist) or self.cfg.domain_cap_k > 0
+        if not wanted:
+            return docs
+        if self.cfg.url_col not in docs.columns:
+            raise ValueError(
+                f"url curation configured but column {self.cfg.url_col!r} "
+                f"is absent from the corpus"
+            )
+        out = docs
+        if self.cfg.domain_blocklist:
+            bl = self.spark.createDataFrame(
+                [(d,) for d in self.cfg.domain_blocklist], ["domain"]
+            )
+            out = filter_blocked_domains(out, bl, url_col=self.cfg.url_col).drop(
+                "host", "domain"
+            )
+        if self.cfg.domain_cap_k > 0:
+            out = domain_cap(
+                out, self.cfg.domain_cap_k, url_col=self.cfg.url_col
+            ).drop("host", "domain", "domain_rk")
+        write_parquet(out, f"{self.cfg.work_dir}/url_curated")
+        return self.spark.read.parquet(f"{self.cfg.work_dir}/url_curated")
+
     # -- stage 1: exact dedup ------------------------------------------
     def exact_dedup(self) -> DataFrame:
-        docs = self.scrubbed_input()
+        docs = self.url_curation(self.scrubbed_input())
         keep = DD.exact_dup_groups(docs).select(
             F.col("keep_doc_id").alias("doc_id")
         )
@@ -645,6 +692,8 @@ class CorpusCurationPipeline:
                 ("editdist_verify", cfg.editdist_verify),
                 ("compression_gate", cfg.compression_gate),
                 ("media_path", cfg.media_path is not None),
+                ("domain_blocklist", bool(cfg.domain_blocklist)),
+                ("domain_cap_k", cfg.domain_cap_k > 0),
             ]
             if on
         ]

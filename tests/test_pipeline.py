@@ -984,3 +984,59 @@ def test_corpus_pipeline_media_dedup_stage(spark, tmp_path):
     # clusters checkpoint covers exactly the paired members it saw
     clusters = spark.read.parquet(f"{cfg.work_dir}/media_dup_clusters")
     assert {r["doc_id"] for r in clusters.collect()} <= {0, 1, 2, 3, 4, 5}
+
+
+def test_corpus_pipeline_url_curation_stage(spark, tmp_path):
+    """Round-9 URL curation stage: over a corpus carrying urls, the
+    blocklist drops whole registered domains, the per-domain cap
+    bounds every surviving domain at K, unparseable-url docs pass
+    both, stage counts stay monotone — and configuring the stage on a
+    url-less corpus raises instead of silently no-opping."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from prod2vec_spark.operators.domains import attach_urls, with_domain
+    from prod2vec_spark.pipeline_llm import CorpusConfig, CorpusCurationPipeline
+    from prod2vec_spark.sources.io import read_table
+    from tests.conftest import SF_SMOKE
+
+    # corpus = sf0.001 documents + deterministic skewed urls, one doc
+    # with an unparseable url
+    sf_dir = str(tmp_path / "sf")
+    docs = attach_urls(read_table(spark, SF_SMOKE, "documents"))
+    docs = docs.withColumn(
+        "url",
+        F.when(F.col("doc_id") == 3, F.lit("junk-url")).otherwise(F.col("url")),
+    )
+    docs.write.parquet(f"{sf_dir}/documents.parquet")
+
+    k = 4
+    cfg = CorpusConfig(
+        sf_dir=sf_dir,
+        work_dir=str(tmp_path / "corpus"),
+        domain_blocklist=("site0.com", "site0.org"),
+        domain_cap_k=k,
+    )
+    report = CorpusCurationPipeline(spark, cfg).run()
+    by_stage = {r["stage"]: r["n"] for r in report.collect()}
+    assert by_stage["input"] >= by_stage["after_exact_dedup"] > 0
+
+    curated = spark.read.parquet(f"{cfg.work_dir}/url_curated")
+    doms = with_domain(curated)
+    left = {r["domain"] for r in doms.select("domain").distinct().collect()}
+    assert "site0.com" not in left and "site0.org" not in left
+    per_dom = doms.where(F.col("domain").isNotNull()).groupBy("domain").count()
+    assert per_dom.where(F.col("count") > k).count() == 0
+    # the junk-url doc passed both filters
+    assert curated.where(F.col("doc_id") == 3).count() == 1
+
+    # url-less corpus + configured stage must raise, not no-op
+    bare = str(tmp_path / "sf_bare")
+    read_table(spark, SF_SMOKE, "documents").write.parquet(
+        f"{bare}/documents.parquet"
+    )
+    cfg2 = CorpusConfig(
+        sf_dir=bare, work_dir=str(tmp_path / "c2"), domain_cap_k=2
+    )
+    with pytest.raises(ValueError, match="url curation configured"):
+        CorpusCurationPipeline(spark, cfg2).run()
