@@ -6,15 +6,19 @@ counterpart of the Prod2VecPipeline DAG (pipeline.py).
 Stage graph (the canonical web-corpus curation shape, round-6
 extension adds the four starred stages):
 
-    gates → pii_scrub* → exact_dedup [→ segment_dedup°]
-          → quality_filter(+repetition*) [→ lm_gate°]
-          → near_dedup [→ semantic_dedup*] [→ media_dedup⁹]
-          → decontaminate* → chunk* → stats
+    gates → pii_scrub* [→ url_curation⁹] → exact_dedup
+          [→ segment_dedup°] → quality_filter(+repetition*)
+          [→ lm_gate°] → near_dedup [→ semantic_dedup*]
+          [→ media_dedup⁹] → decontaminate* → chunk* → stats
 
-(⁹ = optional round-9 stage: perceptual near-dup over per-document
-media attachments — mixed PNG/WAV/AVI blobs hashed per modality and
-collapsed through the same banded-Hamming + connected-components
-machinery as the text LSH plane; enabled by ``media_path``.)
+(⁹ = optional round-9 stages: url_curation applies the C4/RefinedWeb
+ingestion filters — registered-domain blocklist + per-domain doc cap
+— before exact dedup when the corpus carries a url column
+(``domain_blocklist`` / ``domain_cap_k``); media_dedup runs
+perceptual near-dup over per-document media attachments — mixed
+PNG/WAV/AVI blobs hashed per modality and collapsed through the same
+banded-Hamming + connected-components machinery as the text LSH
+plane; enabled by ``media_path``.)
 
 (° = optional round-7 stages: CCNet segment dedup before quality
 scoring so quality judges boilerplate-free text; bigram-LM perplexity
