@@ -99,6 +99,7 @@ def materialize_mix(
     seed: int = 42,
     source_col: str = "source",
     text_col: str = "text",
+    count_fn=None,
 ) -> DataFrame:
     """APPLY the temperature recipe: ``docs`` + an ``n_copies`` column
     — how many times each document appears in the training stream so
@@ -116,6 +117,11 @@ def materialize_mix(
     under incremental ingestion like every other sampler in the
     engine.
 
+    ``count_fn`` (text Column → token count; the bpe.bpe_counter
+    hook) flows into the recipe so scales are computed in the SAME
+    token unit the recipe budgets — mixing the units would silently
+    mis-scale every source.
+
     One bounded recipe aggregate broadcast back onto a row-local map
     pass — the corpus never shuffles.  Explode downstream with
     ``F.explode(F.sequence(F.lit(1), F.col("n_copies")))`` when the
@@ -130,6 +136,7 @@ def materialize_mix(
         budget_tokens=budget_tokens,
         source_col=source_col,
         text_col=text_col,
+        count_fn=count_fn,
     ).select(
         F.col("source").alias("_mix_src"),
         F.round(

@@ -7,6 +7,7 @@ token-for-token against the Python reference encoder
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import functions as F
 
@@ -114,3 +115,35 @@ def test_doc_chunks_without_count_fn_schema_unchanged(spark):
 
     cols = doc_chunks(_frame(spark)).columns
     assert cols == ["doc_id", "chunk_idx", "n_tokens", "chunk_fp"]
+
+
+def test_materialize_mix_bpe_scale_matches_python(spark):
+    """materialize_mix(count_fn=bpe) computes per-source scales in
+    BPE tokens: n_copies replayed exactly in Python from the encoder
+    counts (floor(s) + md5-draw < frac(s))."""
+    from prod2vec_spark.operators.mixing import materialize_mix
+
+    budget, alpha, seed = 200, 0.5, 42
+    got = {
+        r["doc_id"]: r["n_copies"]
+        for r in materialize_mix(
+            _frame(spark).withColumnRenamed("lang", "source"),
+            alpha=alpha,
+            budget_tokens=budget,
+            seed=seed,
+            count_fn=bpe_counter(MERGES),
+        ).collect()
+    }
+    # python replay
+    n_tok = {}
+    for _, t, lg in _DOCS:
+        n_tok[lg] = n_tok.get(lg, 0) + _bpe_count(t)
+    tot_pow = sum(v**alpha for v in n_tok.values())
+    expect = {}
+    for d, t, lg in _DOCS:
+        p_temp = round(n_tok[lg] ** alpha / tot_pow, 6)
+        target = math.floor(budget * p_temp)
+        s = round(target / n_tok[lg], 4)
+        u = int(hashlib.md5(f"{seed}|{d}".encode()).hexdigest()[:8], 16) / 2**32
+        expect[d] = math.floor(s) + (1 if u < s - math.floor(s) else 0)
+    assert got == expect
