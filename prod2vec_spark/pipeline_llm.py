@@ -178,6 +178,14 @@ class CorpusConfig:
     url_col: str = "url"
     domain_blocklist: tuple[str, ...] = ()
     domain_cap_k: int = 0
+    # round-9: train a BPE merge table on the CURATED corpus and
+    # report the final token budget in MODEL tokens next to the
+    # whitespace/lexer counts (> 0 turns the stage on and sets the
+    # merge count).  Train = one word-count shuffle + a bounded
+    # driver merge loop (operators/bpe.py); counting = the row-local
+    # Column replace chain via bpe_counter.
+    bpe_merges: int = 0
+    bpe_vocab_words: int = 5000
 
 
 class CorpusCurationPipeline:
@@ -572,6 +580,27 @@ class CorpusCurationPipeline:
             ("final_chunks", cagg["n_chunks"]),
             ("final_chunk_tokens", cagg["n_chunk_tokens"]),
         ]
+        if self.cfg.bpe_merges > 0:
+            # the corpus's OWN trained tokenizer: the final budget in
+            # model tokens (merge table persisted for downstream use)
+            from prod2vec_spark.operators.bpe import bpe_counter, train_bpe
+
+            merges = train_bpe(
+                final,
+                n_merges=self.cfg.bpe_merges,
+                max_vocab_words=self.cfg.bpe_vocab_words,
+            )
+            mt = self.spark.createDataFrame(
+                [(i, a, b) for i, (a, b) in enumerate(merges)],
+                "merge_rank int, left string, right string",
+            )
+            write_parquet(mt, f"{self.cfg.work_dir}/bpe_merges")
+            n_model = final.agg(
+                F.coalesce(
+                    F.sum(bpe_counter(merges)(F.col("text"))), F.lit(0)
+                ).alias("n")
+            ).first()["n"]
+            rows.append(("final_model_tokens", int(n_model)))
         if "split" in final.columns:  # holdout_split on: per-split sizes
             rows += sorted(
                 (f"final_{r['split']}", r["n"])

@@ -1040,3 +1040,35 @@ def test_corpus_pipeline_url_curation_stage(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="url curation configured"):
         CorpusCurationPipeline(spark, cfg2).run()
+
+
+def test_corpus_pipeline_trained_bpe_budget(spark, tmp_path):
+    """Round-9 model-token budget: with bpe_merges on, the DAG trains
+    a merge table on its own curated corpus, persists it, and the
+    report carries final_model_tokens — consistent with applying the
+    persisted merges through the Column encoder."""
+    from pyspark.sql import functions as F
+
+    from prod2vec_spark.operators.bpe import bpe_counter
+    from prod2vec_spark.pipeline_llm import CorpusConfig, CorpusCurationPipeline
+    from tests.conftest import SF_SMOKE
+
+    cfg = CorpusConfig(
+        sf_dir=SF_SMOKE, work_dir=str(tmp_path / "corpus"), bpe_merges=12
+    )
+    report = CorpusCurationPipeline(spark, cfg).run()
+    by_stage = {r["stage"]: r["n"] for r in report.collect()}
+    assert by_stage.get("final_model_tokens", 0) > 0
+    # model tokens exceed whitespace words (every word is >= 1 symbol
+    # + the end marker; 12 merges can't collapse them all)
+    assert by_stage["final_model_tokens"] > by_stage["final_ws_tokens"]
+
+    # the persisted merge table replays to the same count
+    mt = spark.read.parquet(f"{cfg.work_dir}/bpe_merges").orderBy("merge_rank")
+    merges = [(r["left"], r["right"]) for r in mt.collect()]
+    assert len(merges) == 12
+    final = spark.read.parquet(f"{cfg.work_dir}/decontaminated")
+    recount = final.agg(
+        F.sum(bpe_counter(merges)(F.col("text"))).alias("n")
+    ).first()["n"]
+    assert recount == by_stage["final_model_tokens"]
