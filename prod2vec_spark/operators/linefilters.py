@@ -1,0 +1,164 @@
+"""C4-style rule-based line filtering (Raffel et al. 2020 §2.2 —
+the "keep lines that end in terminal punctuation / have ≥ N words /
+contain no blocklisted phrase or code brace" cleanup every web-corpus
+pipeline runs BEFORE dedup), as pure row-local array expressions.
+
+ENGINE scope — reference anchor: none; the reference
+(utils/prep_utils.py) starts from structured CSVs and has no raw-text
+cleanup surface.  This is the *within-document* rule plane; the
+*cross-document* line/segment dedup lives in operators/linedup.py and
+the *document-level* gates in operators/quality.py / repetition.py.
+
+Scale shape: the whole filter is ONE projection — ``split`` →
+higher-order ``filter`` → ``array_join`` — zero shuffles, zero UDFs,
+whole-stage codegen end to end.  Per-row cost is linear in document
+length; corpus size never enters.  That is C4's own shape (their
+filters are a per-document map over lines) expressed as Catalyst
+expressions instead of a Python loop.
+
+HOF-CSE rule (operators/repetition.py header): interpreted
+higher-order functions re-evaluate outer expressions referenced
+inside a lambda, so ``line_filter`` stages the line array as a real
+column before applying the per-rule counts.
+
+DuckDB oracle equivalents evaluate the identical rules with
+list_filter / list_transform over the same line segmentation
+(queries_r9b.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# C4's own blocklist is page-level ("lorem ipsum", the word
+# "javascript", source-code braces); kept here as the line-level
+# default, overridable per call.
+DEFAULT_BLOCKLIST: tuple[str, ...] = ("lorem ipsum", "javascript")
+
+# Line terminators C4 accepts as "ends in terminal punctuation".
+TERMINAL_PUNCT: tuple[str, ...] = (".", "!", "?", '"')
+
+
+def newline_lines(text: Column) -> Column:
+    """Non-blank lines of a real (newline-delimited) document, order
+    preserved, surrounding whitespace trimmed."""
+    return F.filter(
+        F.transform(F.split(text, "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+
+
+def window_lines(text: Column, width: int) -> Column:
+    """Pseudo-lines for newline-free corpora (the synthetic documents
+    table): consecutive ``width``-token windows, space-joined — the
+    same segmentation operators/linedup.py uses, so both planes see
+    identical "lines".  Empty/blank text → empty array (guarded;
+    ``sequence(0, -1)`` would count DOWN)."""
+    toks = F.split(F.trim(text), r"\s+")
+    n_win = F.ceil(F.size(toks) / F.lit(float(width))).cast("int")
+    return F.when(
+        F.trim(text) == "", F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_win - 1),
+            lambda i: F.array_join(F.slice(toks, i * width + 1, width), " "),
+        )
+    )
+
+
+def _word_count(line: Column) -> Column:
+    return F.size(F.split(F.trim(line), r"\s+"))
+
+
+def _too_short(line: Column, min_words: int) -> Column:
+    return _word_count(line) < min_words
+
+
+def _blocked(line: Column, blocklist: tuple[str, ...]) -> Column:
+    """True when the line contains any blocklisted phrase
+    (case-insensitive substring, C4's rule)."""
+    lw = F.lower(line)
+    hit = F.lit(False)
+    for phrase in blocklist:
+        hit = hit | lw.contains(phrase.lower())
+    return hit
+
+
+def _no_terminal_punct(line: Column) -> Column:
+    return ~F.substring(F.rtrim(line), -1, 1).isin(*TERMINAL_PUNCT)
+
+
+def _has_brace(line: Column) -> Column:
+    return line.contains("{") | line.contains("}")
+
+
+def line_filter(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    mode: str = "window",
+    width: int = 10,
+    min_words: int = 3,
+    blocklist: tuple[str, ...] = DEFAULT_BLOCKLIST,
+    require_terminal_punct: bool = False,
+    drop_brace_lines: bool = False,
+) -> DataFrame:
+    """Per-document line-filter report: every input column plus
+
+    * ``n_lines``   — lines after segmentation,
+    * ``n_short``   — lines under ``min_words`` words,
+    * ``n_blocked`` — lines containing a blocklisted phrase,
+    * ``n_nopunct`` — lines missing terminal punctuation (0 when the
+      rule is off), ``n_brace`` likewise for the code-brace rule,
+    * ``n_kept``    — lines passing EVERY enabled rule,
+    * ``kept_text`` — the surviving lines re-joined in order ('' when
+      nothing survives — the empty document is REPORTED, never
+      silently dropped: drop policy stays with the caller, the
+      segment_dedup contract).
+
+    ``mode='newline'`` splits real documents on newlines;
+    ``mode='window'`` segments newline-free corpora into
+    ``width``-token pseudo-lines (the linedup.py precedent).  Rule
+    counts are independent (a line may violate several); ``n_kept``
+    is the conjunction.
+    """
+    # NULL text reads as the empty document (n_lines=0, kept_text='')
+    # — reported, never dropped or NULL-poisoned (size(NULL) is -1).
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    if mode == "newline":
+        lines = newline_lines(text)
+        joiner = "\n"
+    elif mode == "window":
+        lines = window_lines(text, width)
+        joiner = " "
+    else:
+        raise ValueError(f"unknown line mode: {mode!r}")
+
+    def keep(l: Column) -> Column:
+        k = ~_too_short(l, min_words) & ~_blocked(l, blocklist)
+        if require_terminal_punct:
+            k = k & ~_no_terminal_punct(l)
+        if drop_brace_lines:
+            k = k & ~_has_brace(l)
+        return k
+
+    # stage the array once (HOF-CSE rule) before the per-rule counts
+    staged = docs.withColumn("_lines", lines)
+    n_if = lambda pred: F.size(F.filter(F.col("_lines"), pred)).cast("long")  # noqa: E731
+    return (
+        staged.withColumn("n_lines", F.size("_lines").cast("long"))
+        .withColumn("n_short", n_if(lambda l: _too_short(l, min_words)))
+        .withColumn("n_blocked", n_if(lambda l: _blocked(l, blocklist)))
+        .withColumn(
+            "n_nopunct",
+            n_if(_no_terminal_punct) if require_terminal_punct else F.lit(0).cast("long"),
+        )
+        .withColumn(
+            "n_brace",
+            n_if(_has_brace) if drop_brace_lines else F.lit(0).cast("long"),
+        )
+        .withColumn("n_kept", n_if(keep))
+        .withColumn("kept_text", F.array_join(F.filter(F.col("_lines"), keep), joiner))
+        .drop("_lines")
+    )

@@ -174,3 +174,50 @@ def repetition_gate(
     return (
         (n_bigrams < MIN_GATE_BIGRAMS) | (top_bigram_frac <= TOP_BIGRAM_MAX)
     ) & (dup_trigram_frac <= DUP_TRIGRAM_MAX)
+
+
+def corpus_ngram_hotspots(
+    docs,
+    *,
+    n: int = 3,
+    min_count: int = 2,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """CORPUS-level duplicated-n-gram mining — "which exact phrases
+    repeat across the corpus?", the boilerplate-discovery report that
+    drives blocklists and explains dedup pressure (the aggregate twin
+    of the per-document fractions above; Lee et al. 2022 §4 measure
+    corpora exactly this way).
+
+    Top-``k`` n-grams by total occurrence count (ties broken by gram
+    text, so the listing is deterministic), with the distinct-document
+    count alongside — a gram with n_occurrences ≫ n_docs is an
+    intra-document stutter, n_occurrences ≈ n_docs ≫ 1 is shared
+    boilerplate.
+
+    Scale shape: one explode + ONE hash-agg on the gram key (map-side
+    partial aggregation collapses repeats before the shuffle; the
+    shuffle carries (gram, partial count, partial doc-set) — at
+    100 TB, pre-filter with the count-min plane
+    (operators/sketches.py) to explode only candidate grams), then
+    ``orderBy().limit(k)`` which Spark executes as TakeOrderedAndProject
+    — per-partition top-k, NEVER a global sort.
+    """
+    from pyspark.sql import functions as F
+
+    staged = docs.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks")
+    ).withColumn("_grams", word_ngrams(F.col("_toks"), n))
+    return (
+        staged.select(F.col(id_col), F.explode("_grams").alias("gram"))
+        .groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.countDistinct(id_col).cast("long").alias("n_docs"),
+        )
+        .where(F.col("n_occurrences") >= min_count)
+        .orderBy(F.col("n_occurrences").desc(), F.col("gram"))
+        .limit(k)
+    )

@@ -71,3 +71,38 @@ def assign_split(
     """``df`` + a ``split`` column.  Row-local (no shuffle); each row
     lands in exactly one split by construction."""
     return df.withColumn(out_col, split_assignment(F.col(key_col), seed, fractions))
+
+
+def group_split(
+    df: DataFrame,
+    group_col: str,
+    *,
+    row_key: str = "doc_id",
+    seed: int = 42,
+    fractions: tuple[tuple[str, float], ...] = DEFAULT_FRACTIONS,
+    out_col: str = "split",
+) -> DataFrame:
+    """LEAKAGE-SAFE split: the label is a pure function of the GROUP
+    key, so every member of a group (a dedup cluster, a registered
+    domain, an author) lands in the SAME split — near-duplicates can
+    never straddle train/test, the contamination mode a per-row split
+    cannot prevent (Lee et al. 2022 §6.1: train/test leakage via
+    duplicated documents).
+
+    Still row-local — no join against a group table, no shuffle: the
+    group key is already ON the row (produced upstream by
+    ``with_domain`` or a cluster-assignment join), and md5(seed|group)
+    is computed per row with identical results across the group.
+
+    NULL group keys get an INDEPENDENT per-row assignment derived
+    from ``row_key`` (prefixed so a literal group named like a row
+    key can't collide): ungrouped rows are split like ``assign_split``
+    would, documented rather than silently lumping every NULL into
+    one mega-group — the same NULL-stays-auditable contract as
+    ``domain_cap``.
+    """
+    key = F.coalesce(
+        F.col(group_col).cast("string"),
+        F.concat(F.lit("#null#|"), F.col(row_key).cast("string")),
+    )
+    return df.withColumn(out_col, split_assignment(key, seed, fractions))

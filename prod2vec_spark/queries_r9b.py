@@ -1,0 +1,203 @@
+"""Round-9 wave B: within-document C4 line filtering, leakage-safe
+group splitting, and corpus-level duplicated-n-gram mining — three
+curation-plane gaps between the existing planes (ENGINE scope;
+reference anchor: utils/prep_utils.py has no raw-text or web surface).
+
+* ``line_quality_filter`` — C4's rule-based line cleanup (Raffel et
+  al. 2020 §2.2) as one row-local projection (operators/linefilters).
+* ``leakage_safe_split``  — train/val/test where the label is a pure
+  function of the registered DOMAIN, so near-duplicate pages from one
+  site can never straddle train/test (operators/splits.group_split);
+  the audit proves zero leaked groups.
+* ``ngram_hotspots``      — top-K exactly-repeated trigrams across
+  the corpus with occurrence/document counts — the boilerplate-
+  discovery report behind blocklists (operators/repetition).
+
+Catalog conventions (queries.py header) apply; all three are FULLY
+ORACLED.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from prod2vec_spark.sources.io import read_table
+
+# ------------------------------------------------ C4 line filtering
+_LF_WIDTH = 10
+_LF_MIN_WORDS = 3
+_LF_BLOCKLIST = ("slow", "lorem ipsum")
+
+
+def q_line_filter(spark, sf_dir):
+    """Per-document C4-style line-filter report over width-10 token
+    pseudo-lines (the linedup.py segmentation): per-rule violation
+    counts, surviving-line count, md5 of the reassembled text.  ONE
+    row-local projection — split → HOF filters → array_join; zero
+    shuffles (operators/linefilters.line_filter)."""
+    from prod2vec_spark.operators.linefilters import line_filter
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = line_filter(
+        docs,
+        mode="window",
+        width=_LF_WIDTH,
+        min_words=_LF_MIN_WORDS,
+        blocklist=_LF_BLOCKLIST,
+    )
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_short",
+        "n_blocked",
+        "n_kept",
+        F.md5("kept_text").alias("kept_md5"),
+    )
+
+
+def _sql_line_filter() -> str:
+    from prod2vec_spark.queries_ext import _TOKS
+
+    w, m = _LF_WIDTH, _LF_MIN_WORDS
+    blocked = " OR ".join(
+        f"contains(lower(l), '{p}')" for p in _LF_BLOCKLIST
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+L AS (SELECT doc_id,
+        CASE WHEN coalesce(trim(text), '') = '' THEN []
+             ELSE list_transform(
+               generate_series(0, CAST(ceil(len(toks) / {w}.0) AS BIGINT) - 1),
+               i -> array_to_string(
+                      list_slice(toks, CAST(i * {w} + 1 AS INT),
+                                       CAST(i * {w} + {w} AS INT)), ' '))
+        END AS lines
+      FROM t JOIN documents USING (doc_id))
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(list_filter(lines,
+              l -> len(string_split(l, ' ')) < {m})) AS BIGINT) AS n_short,
+       CAST(len(list_filter(lines, l -> {blocked})) AS BIGINT) AS n_blocked,
+       CAST(len(list_filter(lines,
+              l -> len(string_split(l, ' ')) >= {m}
+                   AND NOT ({blocked}))) AS BIGINT) AS n_kept,
+       md5(coalesce(array_to_string(list_filter(lines,
+              l -> len(string_split(l, ' ')) >= {m}
+                   AND NOT ({blocked})), ' '), '')) AS kept_md5
+FROM L
+"""
+
+
+# -------------------------------------------- leakage-safe splitting
+_GS_SEED = 77
+
+
+def q_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe domain-grouped split audit: assignment is a pure
+    function of the registered domain (operators/splits.group_split),
+    so a domain's pages can never straddle splits.  Per-split doc and
+    domain counts + the global count of domains seen in >1 split —
+    the leak counter the entry exists to prove is ZERO.  Assignment
+    is row-local; the audit is one bounded hash-agg + a 1-row scalar
+    cross-join (the established scalar-attach shape)."""
+    from prod2vec_spark.operators.domains import attach_urls, with_domain
+    from prod2vec_spark.operators.splits import group_split
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    d = with_domain(attach_urls(docs)).select("doc_id", "domain")
+    s = group_split(d, "domain", seed=_GS_SEED)
+    per = s.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("domain").cast("long").alias("n_domains"),
+    )
+    leaks = (
+        s.groupBy("domain")
+        .agg(F.countDistinct("split").alias("_ns"))
+        .where(F.col("_ns") > 1)
+        .agg(F.count(F.lit(1)).cast("long").alias("leaked_domains"))
+    )
+    return per.crossJoin(F.broadcast(leaks))
+
+
+def _sql_leakage_safe_split() -> str:
+    from prod2vec_spark.operators.splits import DEFAULT_FRACTIONS
+    from prod2vec_spark.queries_r9 import _SQL_URL_STAGE
+
+    # thresholds MUST be the identical Python-accumulated floats the
+    # Spark expression uses (queries_r7b.py precedent)
+    cases = []
+    cum = 0.0
+    for name, frac in DEFAULT_FRACTIONS[:-1]:
+        cum += frac
+        cases.append(f"WHEN u < {cum!r} THEN '{name}'")
+    case_sql = " ".join(cases)
+    last = DEFAULT_FRACTIONS[-1][0]
+    return f"""
+WITH {_SQL_URL_STAGE},
+r AS (SELECT doc_id, domain,
+        ('0x' || substr(md5('{_GS_SEED}|' ||
+           coalesce(domain, '#null#|' || CAST(doc_id AS VARCHAR))), 1, 8))::BIGINT
+          / 4294967296.0 AS u
+      FROM dom),
+s AS (SELECT doc_id, domain, CASE {case_sql} ELSE '{last}' END AS split FROM r),
+per AS (SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT domain) AS BIGINT) AS n_domains
+        FROM s GROUP BY 1),
+lk AS (SELECT CAST(count(*) AS BIGINT) AS leaked_domains FROM (
+         SELECT domain FROM s GROUP BY domain
+         HAVING count(DISTINCT split) > 1))
+SELECT per.split, per.n_docs, per.n_domains, lk.leaked_domains
+FROM per CROSS JOIN lk
+"""
+
+
+# --------------------------------------------- corpus n-gram mining
+_NG_N = 3
+_NG_MIN = 2
+_NG_K = 20
+
+
+def q_ngram_hotspots(spark, sf_dir):
+    """Top-20 exactly-repeated trigrams corpus-wide, with total
+    occurrences and distinct-document counts (ties broken by gram
+    text → deterministic listing).  One explode + one hash-agg with
+    map-side partials, then TakeOrderedAndProject — never a global
+    sort (operators/repetition.corpus_ngram_hotspots)."""
+    from prod2vec_spark.operators.repetition import corpus_ngram_hotspots
+
+    docs = read_table(spark, sf_dir, "documents")
+    return corpus_ngram_hotspots(docs, n=_NG_N, min_count=_NG_MIN, k=_NG_K)
+
+
+def _sql_ngram_hotspots() -> str:
+    from prod2vec_spark.queries_ext import _TOKS
+
+    n, m, k = _NG_N, _NG_MIN, _NG_K
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (SELECT doc_id,
+        unnest(list_transform(
+          generate_series(1, len(toks) - {n - 1}),
+          i -> array_to_string(
+                 list_slice(toks, CAST(i AS INT), CAST(i AS INT) + {n - 1}),
+                 ' '))) AS gram
+      FROM t WHERE len(toks) >= {n}),
+c AS (SELECT gram, CAST(count(*) AS BIGINT) AS n_occurrences,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM g GROUP BY 1 HAVING count(*) >= {m})
+SELECT gram, n_occurrences, n_docs
+FROM c ORDER BY n_occurrences DESC, gram LIMIT {k}
+"""
+
+
+R9B_QUERIES = {
+    "line_quality_filter": q_line_filter,
+    "leakage_safe_split": q_leakage_safe_split,
+    "ngram_hotspots": q_ngram_hotspots,
+}
+
+R9B_ORACLES: dict[str, str] = {
+    "line_quality_filter": _sql_line_filter(),
+    "leakage_safe_split": _sql_leakage_safe_split(),
+    "ngram_hotspots": _sql_ngram_hotspots(),
+}

@@ -1,0 +1,154 @@
+"""Property tests for the round-9b curation wave: C4-style line
+filtering (operators/linefilters.py), leakage-safe group splitting
+(operators/splits.group_split), and corpus n-gram hotspot mining
+(operators/repetition.corpus_ngram_hotspots).  The sf0.01 oracle
+parity for all three lives in test_oracle_parity.py; these pin the
+rule semantics the synthetic corpus can't exercise (newline mode,
+terminal punctuation, braces, NULL text/groups, cluster leakage).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from prod2vec_spark.operators.linefilters import line_filter
+from prod2vec_spark.operators.splits import DEFAULT_FRACTIONS, group_split
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ------------------------------------------------- line_filter rules
+def test_newline_mode_c4_rules(spark):
+    """The canonical C4 rule set over a real newline document: keep
+    lines ending in terminal punctuation with >= 3 words, no
+    blocklisted phrase, no code brace."""
+    text = "\n".join(
+        [
+            "This sentence is long enough and ends well.",   # kept
+            "Too short.",                                    # short (2 words)
+            "No terminal punctuation on this line",          # no punct
+            "Enable javascript to view this page.",          # blocklisted
+            "function f() { return 1; }",                    # brace + no punct
+            "  ",                                            # blank → not a line
+            'He said "quoted endings count."',               # kept (quote)
+        ]
+    )
+    out = line_filter(
+        _docs(spark, [(1, text)]),
+        mode="newline",
+        min_words=3,
+        require_terminal_punct=True,
+        drop_brace_lines=True,
+    ).collect()[0]
+    assert out.n_lines == 6  # blank line never counts
+    assert out.n_short == 1
+    assert out.n_blocked == 1
+    assert out.n_nopunct == 2  # the bare line + the brace line
+    assert out.n_brace == 1
+    assert out.n_kept == 2
+    assert out.kept_text == (
+        "This sentence is long enough and ends well."
+        '\nHe said "quoted endings count."'
+    )
+
+
+def test_line_filter_null_and_empty_text_reported(spark):
+    """NULL/blank docs are REPORTED (n_lines=0, kept_text=''), never
+    dropped or NULL-poisoned — drop policy stays with the caller."""
+    rows = [(1, None), (2, ""), (3, "   ")]
+    out = {
+        r.doc_id: r
+        for r in line_filter(_docs(spark, rows), mode="window").collect()
+    }
+    assert set(out) == {1, 2, 3}
+    for r in out.values():
+        assert (r.n_lines, r.n_kept, r.kept_text) == (0, 0, "")
+
+
+def test_window_mode_counts_are_consistent(spark):
+    """n_kept + violations cover every line (rules counted
+    independently, so kept + union-of-violations >= n_lines)."""
+    rows = [(i, " ".join(f"w{j}" for j in range(i))) for i in range(1, 30)]
+    out = line_filter(
+        _docs(spark, rows), mode="window", width=5, min_words=3,
+        blocklist=("w7",),
+    )
+    bad = out.where(
+        (F.col("n_kept") + F.col("n_short") + F.col("n_blocked"))
+        < F.col("n_lines")
+    ).count()
+    assert bad == 0
+    # a doc of 12 tokens in width-5 windows: lines of 5,5,2 → tail short
+    r = out.where(F.col("doc_id") == 12).collect()[0]
+    assert r.n_lines == 3 and r.n_short == 1
+
+
+def test_line_filter_rejects_unknown_mode(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown line mode"):
+        line_filter(_docs(spark, [(1, "x")]), mode="sentences")
+
+
+# ------------------------------------------------------- group_split
+def test_group_split_is_leakage_safe_on_clusters(spark):
+    """Every member of a group lands in the SAME split — the property
+    that makes near-dup clusters safe — and the fallback path gives
+    NULL-group rows independent per-row assignments."""
+    rows = [(i, f"cluster{i % 7}" if i % 11 else None) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    s = group_split(df, "grp", row_key="doc_id", seed=5)
+    leaks = (
+        s.where(F.col("grp").isNotNull())
+        .groupBy("grp")
+        .agg(F.countDistinct("split").alias("ns"))
+        .where(F.col("ns") > 1)
+        .count()
+    )
+    assert leaks == 0
+    # NULL-group rows split independently: with 37 rows and a 90/5/5
+    # assignment, all landing in one split would mean the fallback
+    # collapsed them into a single group
+    null_splits = (
+        s.where(F.col("grp").isNull()).select("split").distinct().count()
+    )
+    assert null_splits > 1
+
+
+def test_group_split_matches_assign_split_on_the_group_key(spark):
+    """group_split(group) ≡ assign_split(key=group): the label is the
+    same pure function of (seed, key), so cluster- and row-splitting
+    share one replayable formula."""
+    from prod2vec_spark.operators.splits import split_assignment
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 5}") for i in range(100)], "doc_id long, grp string"
+    )
+    got = group_split(df, "grp", seed=9).select("doc_id", "split")
+    want = df.select(
+        "doc_id", split_assignment(F.col("grp"), 9, DEFAULT_FRACTIONS).alias("split")
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+# --------------------------------------------- corpus n-gram mining
+def test_ngram_hotspots_finds_planted_boilerplate(spark):
+    """A phrase planted across many docs tops the listing with the
+    right occurrence/document counts; ties order by gram text."""
+    from prod2vec_spark.operators.repetition import corpus_ngram_hotspots
+
+    boiler = "all rights reserved"
+    rows = [(i, f"doc {i} body text {boiler}") for i in range(20)]
+    rows += [(100, f"{boiler} {boiler} intra doc stutter")]
+    rows += [(200, "unique words only here today")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    top = corpus_ngram_hotspots(docs, n=3, min_count=2, k=5).collect()
+    assert top[0].gram == boiler
+    assert top[0].n_occurrences == 22  # 20 docs + 2 in the stutter doc
+    assert top[0].n_docs == 21
+    # every listed gram respects the floor and the ordering contract
+    counts = [r.n_occurrences for r in top]
+    assert counts == sorted(counts, reverse=True)
+    assert all(c >= 2 for c in counts)
