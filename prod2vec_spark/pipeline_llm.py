@@ -6,10 +6,15 @@ counterpart of the Prod2VecPipeline DAG (pipeline.py).
 Stage graph (the canonical web-corpus curation shape, round-6
 extension adds the four starred stages):
 
-    gates → pii_scrub* [→ url_curation⁹] → exact_dedup
+    gates → [line_filter⁹ᵇ →] pii_scrub* [→ url_curation⁹] → exact_dedup
           [→ segment_dedup°] → quality_filter(+repetition*)
           [→ lm_gate°] → near_dedup [→ semantic_dedup*]
           [→ media_dedup⁹] → decontaminate* → chunk* → stats
+
+(⁹ᵇ = optional round-9b stage: C4 rule-based line filtering
+(operators/linefilters.py) fused into the input scan — row-local
+like the PII scrub, per-row deterministic so incremental_update
+supports it unchanged; all-junk pages drop, empty docs pass.)
 
 (⁹ = optional round-9 stages: url_curation applies the C4/RefinedWeb
 ingestion filters — registered-domain blocklist + per-domain doc cap
@@ -186,6 +191,23 @@ class CorpusConfig:
     # Column replace chain via bpe_counter.
     bpe_merges: int = 0
     bpe_vocab_words: int = 5000
+    # round-9b: C4 rule-based line filtering (Raffel et al. 2020
+    # §2.2) fused into the input scan after normalization and before
+    # the PII scrub — row-local, no shuffle boundary, no checkpoint,
+    # and per-row deterministic so incremental_update supports it
+    # unchanged.  Lines violating the rules are cut from each doc;
+    # docs that lose EVERY line (all-junk pages), or more than
+    # lf_max_dropped_frac of their lines, leave the corpus.  Docs
+    # with no lines at all (empty/NULL text) pass through — the DQ
+    # gates and exact dedup own that class.
+    line_filter: bool = False
+    lf_mode: str = "window"  # "newline" for real web documents
+    lf_width: int = 10
+    lf_min_words: int = 3
+    lf_blocklist: tuple[str, ...] = ("lorem ipsum", "javascript")
+    lf_require_punct: bool = False
+    lf_drop_braces: bool = False
+    lf_max_dropped_frac: float = 1.0  # 1.0 = only all-junk docs drop
 
 
 class CorpusCurationPipeline:
@@ -217,6 +239,46 @@ class CorpusCurationPipeline:
             # BEFORE the PII scrub: the scrub's patterns then see
             # canonical whitespace/case
             docs = docs.withColumn("text", normalize_text(F.col("text")))
+        if self.cfg.line_filter:
+            # AFTER normalize (rules see canonical whitespace/case),
+            # BEFORE the PII scrub (the scrub then rewrites only
+            # surviving lines).  Keep rule: docs with no lines pass;
+            # docs keeping >= 1 line within the dropped-fraction
+            # bound carry the filtered text forward.
+            from prod2vec_spark.operators.linefilters import line_filter
+
+            rep = line_filter(
+                docs,
+                mode=self.cfg.lf_mode,
+                width=self.cfg.lf_width,
+                min_words=self.cfg.lf_min_words,
+                blocklist=self.cfg.lf_blocklist,
+                require_terminal_punct=self.cfg.lf_require_punct,
+                drop_brace_lines=self.cfg.lf_drop_braces,
+            )
+            docs = (
+                rep.where(
+                    (F.col("n_lines") == 0)
+                    | (
+                        (F.col("n_kept") > 0)
+                        & (
+                            (F.col("n_lines") - F.col("n_kept"))
+                            / F.col("n_lines")
+                            <= F.lit(self.cfg.lf_max_dropped_frac)
+                        )
+                    )
+                )
+                .withColumn(
+                    "text",
+                    F.when(F.col("n_lines") == 0, F.col("text")).otherwise(
+                        F.col("kept_text")
+                    ),
+                )
+                .drop(
+                    "n_lines", "n_short", "n_blocked", "n_nopunct",
+                    "n_brace", "n_kept", "kept_text",
+                )
+            )
         if not self.cfg.scrub_pii:
             return docs
         from prod2vec_spark.operators.pii import scrub, scrub_cc

@@ -610,7 +610,12 @@ CATALOG: list[str] = [
     # decontaminate/skipgram_subsampled).
     "dsir_select",
     "rm3_expansion", "epoch_shuffle_audit",
-    "stratified_split", "temperature_mix", "neardup_editdist",
+    # round-9b rotation: stratified_split → leakage_safe_split (same
+    # splits family, strictly richer surface: the identical md5 hash
+    # assignment PLUS the group-key leakage guarantee over the domain
+    # fold, with the zero-leaked-domains counter in the oracle;
+    # stratified_split stays superset-oracled in the pytest gate)
+    "leakage_safe_split", "temperature_mix", "neardup_editdist",
     "segment_dedup_stats", "bm25_topk", "canonical_pick",
     # wave 2: two strictly-coverage-increasing swaps — lm_perplexity →
     # lm_by_lang (the identical Stupid-Backoff formula evaluated per

@@ -79,6 +79,7 @@ def test_rows_only_queries_nonempty(spark, name):
         "hard_negatives",           # unit-scale folds + cosine ranking
         "text_normalize",           # regex classes + length arithmetic
         "stratified_split",         # md5-uniform thresholds + frac division
+        "leakage_safe_split",       # md5-uniform thresholds on the group key
         "temperature_mix",          # pow() shares + floor budget cast
         "neardup_editdist",         # banded levenshtein + sim division
         "lsh_incremental",          # md5-uniform split + band grouping

@@ -1072,3 +1072,102 @@ def test_corpus_pipeline_trained_bpe_budget(spark, tmp_path):
         F.sum(bpe_counter(merges)(F.col("text"))).alias("n")
     ).first()["n"]
     assert recount == by_stage["final_model_tokens"]
+
+
+def test_corpus_pipeline_line_filter_stage(spark, tmp_path):
+    """Round-9b C4 line-filter stage (fused into the input scan):
+    all-junk pages drop, partially-junk pages carry the filtered text
+    into exact dedup, empty docs pass through, stage counts stay
+    monotone."""
+    from pyspark.sql import functions as F
+
+    from prod2vec_spark.pipeline_llm import CorpusConfig, CorpusCurationPipeline
+    from prod2vec_spark.sources.io import read_table
+    from tests.conftest import SF_SMOKE
+
+    clean = " ".join(f"tok{i}" for i in range(10))
+    junk = " ".join(["javascript"] * 10)
+    sf_dir = str(tmp_path / "sf")
+    docs = read_table(spark, SF_SMOKE, "documents").withColumn(
+        "text",
+        F.when(F.col("doc_id") == 1, F.lit(f"{junk} {junk}"))       # all junk
+        .when(F.col("doc_id") == 2, F.lit(f"{clean} {junk}"))       # half junk
+        .when(F.col("doc_id") == 3, F.lit(""))                      # empty
+        .otherwise(F.col("text")),
+    )
+    docs.write.parquet(f"{sf_dir}/documents.parquet")
+
+    cfg = CorpusConfig(
+        sf_dir=sf_dir,
+        work_dir=str(tmp_path / "corpus"),
+        line_filter=True,
+        lf_width=10,
+        lf_blocklist=("javascript",),
+    )
+    report = CorpusCurationPipeline(spark, cfg).run()
+    by_stage = {r["stage"]: r["n"] for r in report.collect()}
+    assert (
+        by_stage["input"]
+        >= by_stage["after_exact_dedup"]
+        >= by_stage["after_quality_filter"]
+        >= by_stage["after_near_dedup"]
+        >= by_stage["final"]
+        > 0
+    )
+
+    after = spark.read.parquet(f"{cfg.work_dir}/exact_deduped")
+    got = {r["doc_id"]: r["text"] for r in after.where(
+        F.col("doc_id").isin(1, 2, 3)).collect()}
+    assert 1 not in got                 # all-junk page left the corpus
+    assert got[2] == clean              # junk window cut, clean half kept
+    assert got[3] == ""                 # empty doc passed through
+
+
+def test_incremental_update_supports_line_filter(spark, tmp_path):
+    """line_filter is per-row deterministic, so incremental_update
+    supports it unchanged (unlike the shuffle-bearing optional
+    stages): the update runs, and the all-junk page is absent from
+    both the archive and the updated corpus."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from prod2vec_spark.pipeline_llm import CorpusConfig, CorpusCurationPipeline
+    from prod2vec_spark.sources.io import read_table
+    from tests.conftest import SF_SMOKE
+
+    junk = " ".join(["javascript"] * 10)
+    v1_dir = str(tmp_path / "v1")
+    v1 = read_table(spark, SF_SMOKE, "documents").withColumn(
+        "text",
+        F.when(F.col("doc_id") == 1, F.lit(junk)).otherwise(F.col("text")),
+    )
+    v1.write.parquet(f"{v1_dir}/documents.parquet")
+
+    # crawl N+1 appends one clean doc and one junk doc
+    v2_dir = str(tmp_path / "v2")
+    os.makedirs(v2_dir, exist_ok=True)
+    extra = spark.createDataFrame(
+        [(1000001, "a perfectly ordinary fresh document body here"),
+         (1000002, junk)],
+        "doc_id long, text string",
+    )
+    cols = [c for c in v1.columns if c not in ("doc_id", "text")]
+    for c in cols:
+        extra = extra.withColumn(c, F.lit(None).cast(v1.schema[c].dataType))
+    v1.unionByName(extra.select(v1.columns)).write.parquet(
+        f"{v2_dir}/documents.parquet"
+    )
+
+    cfg = CorpusConfig(
+        sf_dir=v1_dir,
+        work_dir=str(tmp_path / "w"),
+        line_filter=True,
+        lf_width=10,
+        lf_blocklist=("javascript",),
+    )
+    p = CorpusCurationPipeline(spark, cfg)
+    p.run()
+    got = {r["doc_id"] for r in p.incremental_update(v2_dir).select("doc_id").collect()}
+    assert 1000001 in got           # fresh clean doc ingested
+    assert 1 not in got and 1000002 not in got  # junk pages never enter
