@@ -149,6 +149,13 @@ class CorpusConfig:
     # — eval text never leaks into training sequences.
     holdout_split: bool = False
     split_seed: int = 42
+    # round-9b: leakage-safe holdout — when set, the split label is a
+    # pure function of THIS column (e.g. a domain or source key
+    # carried on the row) instead of doc_id, so every member of a
+    # group lands in one split and near-duplicate pages from one
+    # site can never straddle train/eval (operators/splits.
+    # group_split; NULL groups fall back to per-row assignment).
+    split_group_col: str | None = None
     # temperature-scaled source recipe report over the final corpus
     # (operators/mixing.py) written as a work_dir artifact.
     mix_report: bool = False
@@ -674,6 +681,83 @@ class CorpusCurationPipeline:
         write_parquet(report, f"{self.cfg.work_dir}/curation_report")
         return report
 
+    # -- drop ledger (post-hoc provenance audit) ------------------------
+    def drop_ledger(self) -> DataFrame:
+        """Per-document provenance over the LAST ``run()``: one row
+        ``(doc_id, dropped_at)`` for every input document that did not
+        reach the final corpus, naming the stage that removed it —
+        "why did my document disappear?" answered from the existing
+        stage checkpoints, with ZERO changes to the hot path.
+
+        Partition contract (pytest-locked): input ids = final ids ∪
+        ledger ids, disjoint — every drop is attributed to exactly one
+        stage.  Disjointness is by construction: the stage chain is
+        monotone (a doc absent from checkpoint k is absent from all
+        later ones), so each doc falls out of exactly one interval.
+
+        Scale shape: one id-only left-anti join per stage boundary
+        (the probe side shrinks monotonically; shuffles carry a single
+        long column) + a union of the per-stage drop sets.  The fused
+        line-filter stage has no checkpoint — its survivors are
+        recomputed via the deterministic row-local ``_scrubbed`` scan,
+        the same replay ``incremental_update`` relies on.
+        """
+        cfg = self.cfg
+        chain: list[tuple[str, DataFrame]] = []
+        if cfg.line_filter:
+            chain.append(("line_filter", self._scrubbed(cfg.sf_dir)))
+        if bool(cfg.domain_blocklist) or cfg.domain_cap_k > 0:
+            chain.append(
+                ("url_curation",
+                 self.spark.read.parquet(f"{cfg.work_dir}/url_curated"))
+            )
+        chain.append(
+            ("exact_dedup",
+             self.spark.read.parquet(f"{cfg.work_dir}/exact_deduped"))
+        )
+        if cfg.segment_dedup:
+            chain.append(
+                ("segment_dedup",
+                 self.spark.read.parquet(f"{cfg.work_dir}/segment_deduped"))
+            )
+        chain.append(
+            ("quality_filter",
+             self.spark.read.parquet(f"{cfg.work_dir}/quality_kept"))
+        )
+        if cfg.lm_gate:
+            chain.append(
+                ("lm_gate", self.spark.read.parquet(f"{cfg.work_dir}/lm_kept"))
+            )
+        chain.append(
+            ("near_dedup", self.spark.read.parquet(f"{cfg.work_dir}/curated"))
+        )
+        if cfg.semantic_dedup:
+            chain.append(
+                ("semantic_dedup",
+                 self.spark.read.parquet(f"{cfg.work_dir}/semantic_deduped"))
+            )
+        if cfg.media_path is not None:
+            chain.append(
+                ("media_dedup",
+                 self.spark.read.parquet(f"{cfg.work_dir}/media_deduped"))
+            )
+        chain.append(
+            ("decontaminate",
+             self.spark.read.parquet(f"{cfg.work_dir}/decontaminated"))
+        )
+
+        prev = read_table(self.spark, cfg.sf_dir, "documents").select("doc_id")
+        ledger = None
+        for stage, df in chain:
+            cur = df.select("doc_id")
+            dropped = prev.join(cur, "doc_id", "left_anti").withColumn(
+                "dropped_at", F.lit(stage)
+            )
+            ledger = dropped if ledger is None else ledger.unionByName(dropped)
+            prev = cur
+        write_parquet(ledger, f"{cfg.work_dir}/drop_ledger")
+        return self.spark.read.parquet(f"{cfg.work_dir}/drop_ledger")
+
     # -- full run -------------------------------------------------------
     def run(self) -> DataFrame:
         self.gates()
@@ -725,9 +809,19 @@ class CorpusCurationPipeline:
         checkpoint is hive-partitioned by split so the train reader
         prunes the eval directories (and vice versa).  Row-local — no
         shuffle beyond the partitioned write."""
-        from prod2vec_spark.operators.splits import assign_split
+        from prod2vec_spark.operators.splits import assign_split, group_split
 
-        out = assign_split(docs, key_col="doc_id", seed=self.cfg.split_seed)
+        if self.cfg.split_group_col is not None:
+            if self.cfg.split_group_col not in docs.columns:
+                raise ValueError(
+                    f"split_group_col {self.cfg.split_group_col!r} is "
+                    f"absent from the corpus"
+                )
+            out = group_split(
+                docs, self.cfg.split_group_col, seed=self.cfg.split_seed
+            )
+        else:
+            out = assign_split(docs, key_col="doc_id", seed=self.cfg.split_seed)
         write_parquet(out, f"{self.cfg.work_dir}/final_split",
                       partition_by=["split"])
         return self.spark.read.parquet(f"{self.cfg.work_dir}/final_split")

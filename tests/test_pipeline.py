@@ -1171,3 +1171,100 @@ def test_incremental_update_supports_line_filter(spark, tmp_path):
     got = {r["doc_id"] for r in p.incremental_update(v2_dir).select("doc_id").collect()}
     assert 1000001 in got           # fresh clean doc ingested
     assert 1 not in got and 1000002 not in got  # junk pages never enter
+
+
+def test_corpus_pipeline_grouped_holdout_split(spark, tmp_path):
+    """Round-9b leakage-safe holdout: with split_group_col set, every
+    member of a group lands in one split (zero leaked groups in the
+    final partitioned checkpoint); a missing group column raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from prod2vec_spark.pipeline_llm import CorpusConfig, CorpusCurationPipeline
+    from prod2vec_spark.sources.io import read_table
+    from tests.conftest import SF_SMOKE
+
+    sf_dir = str(tmp_path / "sf")
+    docs = read_table(spark, SF_SMOKE, "documents").withColumn(
+        "site", F.concat(F.lit("site"), (F.col("doc_id") % 9).cast("string"))
+    )
+    docs.write.parquet(f"{sf_dir}/documents.parquet")
+
+    cfg = CorpusConfig(
+        sf_dir=sf_dir,
+        work_dir=str(tmp_path / "corpus"),
+        holdout_split=True,
+        split_group_col="site",
+    )
+    CorpusCurationPipeline(spark, cfg).run()
+    final = spark.read.parquet(f"{cfg.work_dir}/final_split")
+    leaks = (
+        final.groupBy("site")
+        .agg(F.countDistinct("split").alias("ns"))
+        .where(F.col("ns") > 1)
+        .count()
+    )
+    assert leaks == 0
+    assert final.select("split").distinct().count() > 1
+
+    cfg2 = CorpusConfig(
+        sf_dir=SF_SMOKE,
+        work_dir=str(tmp_path / "c2"),
+        holdout_split=True,
+        split_group_col="site",
+    )
+    with pytest.raises(ValueError, match="split_group_col"):
+        CorpusCurationPipeline(spark, cfg2).run()
+
+
+def test_drop_ledger_partitions_the_input(spark, tmp_path):
+    """Round-9b drop ledger: after a run with the fused line filter
+    and several drop-bearing stages on, every input doc is EITHER in
+    the final corpus OR in the ledger exactly once, and each ledger
+    row names a configured stage; the planted all-junk page is
+    attributed to line_filter."""
+    from pyspark.sql import functions as F
+
+    from prod2vec_spark.pipeline_llm import CorpusConfig, CorpusCurationPipeline
+    from prod2vec_spark.sources.io import read_table
+    from tests.conftest import SF_SMOKE
+
+    junk = " ".join(["javascript"] * 10)
+    sf_dir = str(tmp_path / "sf")
+    docs = read_table(spark, SF_SMOKE, "documents").withColumn(
+        "text",
+        F.when(F.col("doc_id") == 1, F.lit(junk)).otherwise(F.col("text")),
+    )
+    docs.write.parquet(f"{sf_dir}/documents.parquet")
+
+    cfg = CorpusConfig(
+        sf_dir=sf_dir,
+        work_dir=str(tmp_path / "corpus"),
+        line_filter=True,
+        lf_width=10,
+        lf_blocklist=("javascript",),
+        segment_dedup=True,
+    )
+    p = CorpusCurationPipeline(spark, cfg)
+    p.run()
+    ledger = p.drop_ledger()
+
+    input_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    final_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{cfg.work_dir}/decontaminated")
+        .select("doc_id").collect()
+    }
+    rows = ledger.collect()
+    led_ids = [r["doc_id"] for r in rows]
+    # exactly-once attribution + exact partition of the input
+    assert len(led_ids) == len(set(led_ids))
+    assert set(led_ids) | final_ids == input_ids
+    assert set(led_ids) & final_ids == set()
+    stages = {r["dropped_at"] for r in rows}
+    assert stages <= {
+        "line_filter", "exact_dedup", "segment_dedup",
+        "quality_filter", "near_dedup", "decontaminate",
+    }
+    by_id = {r["doc_id"]: r["dropped_at"] for r in rows}
+    assert by_id[1] == "line_filter"
