@@ -162,3 +162,60 @@ def line_filter(
         .withColumn("kept_text", F.array_join(F.filter(F.col("_lines"), keep), joiner))
         .drop("_lines")
     )
+
+
+def adaptive_boilerplate_filter(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_n: int = 3,
+    top_k: int = 1,
+    min_count: int = 2,
+    mode: str = "window",
+    width: int = 10,
+) -> DataFrame:
+    """CORPUS-ADAPTIVE line cleanup: mine the ``top_k`` most-repeated
+    ``gram_n``-grams (operators/repetition.corpus_ngram_hotspots) and
+    cut every line containing one — the blocklist DISCOVERED from the
+    corpus instead of hand-written, the composition boilerplate
+    pipelines actually run (mine → block).
+
+    Fully declarative — the hotspot listing aggregates to ONE row
+    (a sorted gram array) that broadcast-cross-joins onto the corpus;
+    no driver round-trip, so the plan stays a single lazy dataflow:
+    hotspot hash-agg + TakeOrdered, then a row-local HOF filter.
+
+    Returns per-doc: ``hot_grams`` (the discovered blocklist, same on
+    every row), ``n_lines``, ``n_kept``, ``kept_text``.
+    """
+    from prod2vec_spark.operators.repetition import corpus_ngram_hotspots
+
+    hot = corpus_ngram_hotspots(
+        docs, n=gram_n, min_count=min_count, k=top_k,
+        text_col=text_col, id_col=id_col,
+    )
+    # ≤ top_k rows → one row holding the sorted gram array (sort_array
+    # for a deterministic broadcast value independent of agg order)
+    grams = hot.agg(
+        F.sort_array(F.collect_list("gram")).alias("hot_grams")
+    )
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    if mode == "newline":
+        lines, joiner = newline_lines(text), "\n"
+    elif mode == "window":
+        lines, joiner = window_lines(text, width), " "
+    else:
+        raise ValueError(f"unknown line mode: {mode!r}")
+
+    staged = docs.crossJoin(F.broadcast(grams)).withColumn("_lines", lines)
+    blocked = lambda l: F.exists(  # noqa: E731
+        F.col("hot_grams"), lambda g: l.contains(g)
+    )
+    kept = F.filter(F.col("_lines"), lambda l: ~blocked(l))
+    return (
+        staged.withColumn("n_lines", F.size("_lines").cast("long"))
+        .withColumn("n_kept", F.size(kept).cast("long"))
+        .withColumn("kept_text", F.array_join(kept, joiner))
+        .drop("_lines")
+    )

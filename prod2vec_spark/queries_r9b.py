@@ -190,13 +190,81 @@ FROM c ORDER BY n_occurrences DESC, gram LIMIT {k}
 """
 
 
+# ------------------------------------- adaptive boilerplate filter
+_ABF_N = 3
+_ABF_MIN = 3
+
+
+def q_adaptive_line_filter(spark, sf_dir):
+    """Corpus-adaptive line cleanup: the single most-repeated trigram
+    is MINED from the corpus and every width-10 pseudo-line containing
+    it is cut — the discovered-blocklist composition (mine → block),
+    fully declarative: the 1-row hot-gram aggregate broadcast-joins
+    onto the corpus, no driver round-trip
+    (operators/linefilters.adaptive_boilerplate_filter)."""
+    from prod2vec_spark.operators.linefilters import (
+        adaptive_boilerplate_filter,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = adaptive_boilerplate_filter(
+        docs, gram_n=_ABF_N, top_k=1, min_count=_ABF_MIN,
+        mode="window", width=_LF_WIDTH,
+    )
+    return out.select(
+        "doc_id",
+        F.element_at("hot_grams", 1).alias("hot_gram"),
+        "n_lines",
+        "n_kept",
+        F.md5("kept_text").alias("kept_md5"),
+    )
+
+
+def _sql_adaptive_line_filter() -> str:
+    from prod2vec_spark.queries_ext import _TOKS
+
+    n, m, w = _ABF_N, _ABF_MIN, _LF_WIDTH
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (SELECT doc_id,
+        unnest(list_transform(
+          generate_series(1, len(toks) - {n - 1}),
+          i -> array_to_string(
+                 list_slice(toks, CAST(i AS INT), CAST(i AS INT) + {n - 1}),
+                 ' '))) AS gram
+      FROM t WHERE len(toks) >= {n}),
+c AS (SELECT gram, count(*) AS n_occ FROM g GROUP BY 1
+      HAVING count(*) >= {m}),
+hg AS (SELECT gram AS hot_gram FROM c
+       ORDER BY n_occ DESC, gram LIMIT 1),
+L AS (SELECT doc_id,
+        CASE WHEN coalesce(trim(text), '') = '' THEN []
+             ELSE list_transform(
+               generate_series(0, CAST(ceil(len(toks) / {w}.0) AS BIGINT) - 1),
+               i -> array_to_string(
+                      list_slice(toks, CAST(i * {w} + 1 AS INT),
+                                       CAST(i * {w} + {w} AS INT)), ' '))
+        END AS lines
+      FROM t JOIN documents USING (doc_id))
+SELECT doc_id, hot_gram,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(list_filter(lines,
+              l -> NOT contains(l, hot_gram))) AS BIGINT) AS n_kept,
+       md5(coalesce(array_to_string(list_filter(lines,
+              l -> NOT contains(l, hot_gram)), ' '), '')) AS kept_md5
+FROM L CROSS JOIN hg
+"""
+
+
 R9B_QUERIES = {
     "line_quality_filter": q_line_filter,
     "leakage_safe_split": q_leakage_safe_split,
     "ngram_hotspots": q_ngram_hotspots,
+    "adaptive_line_filter": q_adaptive_line_filter,
 }
 
 R9B_ORACLES: dict[str, str] = {
+    "adaptive_line_filter": _sql_adaptive_line_filter(),
     "line_quality_filter": _sql_line_filter(),
     "leakage_safe_split": _sql_leakage_safe_split(),
     "ngram_hotspots": _sql_ngram_hotspots(),

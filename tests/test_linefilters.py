@@ -152,3 +152,25 @@ def test_ngram_hotspots_finds_planted_boilerplate(spark):
     counts = [r.n_occurrences for r in top]
     assert counts == sorted(counts, reverse=True)
     assert all(c >= 2 for c in counts)
+
+
+def test_adaptive_boilerplate_filter_discovers_and_cuts(spark):
+    """The mined top gram is the planted boilerplate and every line
+    containing it is cut; docs without it are untouched."""
+    from prod2vec_spark.operators.linefilters import adaptive_boilerplate_filter
+
+    boiler = "all rights reserved"
+    rows = [(i, f"unique{i} words here {boiler}") for i in range(10)]
+    rows += [(99, "completely clean document body text")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in adaptive_boilerplate_filter(
+            docs, gram_n=3, top_k=1, min_count=2, mode="newline"
+        ).collect()
+    }
+    assert out[0].hot_grams == [boiler]
+    for i in range(10):
+        assert out[i].n_kept == 0        # the one line contains the gram
+    assert out[99].n_kept == 1
+    assert out[99].kept_text == "completely clean document body text"
