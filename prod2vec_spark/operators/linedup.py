@@ -96,17 +96,51 @@ def segment_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     broadcast_boiler: bool = True,
+    policy: str = "drop_all",
 ) -> DataFrame:
     """CCNet segment dedup: per-document survival report
     (doc_id, n_segs, n_dropped, kept_text).  kept_text is the
     position-ordered join of surviving segments ('' when every
     segment was boilerplate — the doc row survives via the left join
-    back to the corpus, policy stays with the caller)."""
+    back to the corpus, policy stays with the caller).
+
+    ``policy`` picks what happens to a repeated segment:
+
+    * ``"drop_all"`` (CCNet, Wenzek et al. 2020 §3.1) — the segment
+      is cut from EVERY document; shared content vanishes entirely
+      (the known CCNet criticism).
+    * ``"keep_first"`` (the ExactSubstr choice, Lee et al. 2022 §3)
+      — the minimum-id document CONTAINING the segment keeps its
+      occurrences; every other document cuts it, so exactly one copy
+      of the shared content survives in the corpus.  Same single
+      hash-agg shuffle (min(doc_id) rides next to the distinct-doc
+      count); the join side carries (hash, owner id).
+    """
+    if policy not in ("drop_all", "keep_first"):
+        raise ValueError(f"unknown segment policy: {policy!r}")
     segs = exploded_segments(docs, width, text_col=text_col, id_col=id_col)
-    boiler = boilerplate_segments(segs, min_docs).select("seg_h")
-    if broadcast_boiler:
-        boiler = F.broadcast(boiler)
-    kept = segs.join(boiler, "seg_h", "left_anti")
+    if policy == "drop_all":
+        boiler = boilerplate_segments(segs, min_docs).select("seg_h")
+        if broadcast_boiler:
+            boiler = F.broadcast(boiler)
+        kept = segs.join(boiler, "seg_h", "left_anti")
+    else:
+        owners = (
+            segs.groupBy("seg_h")
+            .agg(
+                F.count_distinct("doc_id").alias("n_docs"),
+                F.min("doc_id").alias("owner"),
+            )
+            .where(F.col("n_docs") >= min_docs)
+            .select("seg_h", "owner")
+        )
+        if broadcast_boiler:
+            owners = F.broadcast(owners)
+        kept = (
+            segs.join(owners, "seg_h", "left")
+            .where(F.col("owner").isNull() | (F.col("doc_id") == F.col("owner")))
+            .drop("owner")
+        )
     rebuilt = kept.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.array_join(

@@ -190,6 +190,59 @@ FROM c ORDER BY n_occurrences DESC, gram LIMIT {k}
 """
 
 
+# --------------------------------- keep-first segment dedup policy
+_SDK_WIDTH = 10
+_SDK_MIN = 2
+
+
+def q_segment_dedup_keepfirst(spark, sf_dir):
+    """Segment dedup under the ExactSubstr keep-first policy (Lee et
+    al. 2022 §3): the minimum-id document containing a repeated
+    window keeps it, every other document cuts it — exactly one copy
+    of shared content survives, unlike CCNet's delete-everywhere.
+    Same shuffle shape as segment_dedup_stats: one hash-agg carrying
+    min(doc_id) beside the distinct-doc count
+    (operators/linedup.segment_dedup policy='keep_first')."""
+    from prod2vec_spark.operators.linedup import segment_dedup
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = segment_dedup(
+        docs, width=_SDK_WIDTH, min_docs=_SDK_MIN, policy="keep_first"
+    )
+    return out.select(
+        "doc_id", "n_segs", "n_dropped", F.md5("kept_text").alias("kept_md5")
+    )
+
+
+def _sql_segment_dedup_keepfirst() -> str:
+    from prod2vec_spark.queries_ext import _TOKS
+
+    w, m = _SDK_WIDTH, _SDK_MIN
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        array_to_string(list_slice(toks, CAST(i AS INT) * {w} + 1,
+                                         CAST(i AS INT) * {w} + {w}), ' ') AS seg
+      FROM t, unnest(range(0, CAST(ceil(len(toks) / {w}.0) AS BIGINT))) AS u(i)
+      WHERE len(toks) > 0),
+own AS (SELECT md5(seg) AS seg_h, min(doc_id) AS owner FROM s
+        GROUP BY 1 HAVING count(DISTINCT doc_id) >= {m}),
+kept AS (SELECT s.doc_id, s.pos, s.seg
+         FROM s LEFT JOIN own ON md5(s.seg) = own.seg_h
+         WHERE own.seg_h IS NULL OR s.doc_id = own.owner),
+r AS (SELECT doc_id, count(*) AS n_kept,
+             string_agg(seg, ' ' ORDER BY pos) AS kept_text
+      FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id,
+          COALESCE(CAST(ceil(len(toks) / {w}.0) AS BIGINT), 0) AS n_segs
+        FROM t)
+SELECT tot.doc_id, n_segs,
+       n_segs - COALESCE(n_kept, 0) AS n_dropped,
+       md5(COALESCE(kept_text, '')) AS kept_md5
+FROM tot LEFT JOIN r ON tot.doc_id = r.doc_id
+"""
+
+
 # ------------------------------------- adaptive boilerplate filter
 _ABF_N = 3
 _ABF_MIN = 3
@@ -261,10 +314,12 @@ R9B_QUERIES = {
     "leakage_safe_split": q_leakage_safe_split,
     "ngram_hotspots": q_ngram_hotspots,
     "adaptive_line_filter": q_adaptive_line_filter,
+    "segment_dedup_keepfirst": q_segment_dedup_keepfirst,
 }
 
 R9B_ORACLES: dict[str, str] = {
     "adaptive_line_filter": _sql_adaptive_line_filter(),
+    "segment_dedup_keepfirst": _sql_segment_dedup_keepfirst(),
     "line_quality_filter": _sql_line_filter(),
     "leakage_safe_split": _sql_leakage_safe_split(),
     "ngram_hotspots": _sql_ngram_hotspots(),

@@ -174,3 +174,33 @@ def test_adaptive_boilerplate_filter_discovers_and_cuts(spark):
         assert out[i].n_kept == 0        # the one line contains the gram
     assert out[99].n_kept == 1
     assert out[99].kept_text == "completely clean document body text"
+
+
+def test_segment_dedup_keep_first_preserves_one_copy(spark):
+    """keep_first: the min-id doc containing a repeated window keeps
+    it, every other doc cuts it; unique windows never move; drop_all
+    on the same corpus removes the shared window everywhere."""
+    from prod2vec_spark.operators.linedup import segment_dedup
+
+    shared = " ".join(f"s{j}" for j in range(5))
+    rows = [
+        (1, f"{shared} " + " ".join(f"a{j}" for j in range(5))),
+        (2, f"{shared} " + " ".join(f"b{j}" for j in range(5))),
+        (3, " ".join(f"c{j}" for j in range(5))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    kf = {r.doc_id: r for r in segment_dedup(
+        docs, width=5, min_docs=2, policy="keep_first").collect()}
+    assert kf[1].n_dropped == 0 and kf[1].kept_text.startswith(shared)
+    assert kf[2].n_dropped == 1 and shared not in kf[2].kept_text
+    assert kf[3].n_dropped == 0
+
+    da = {r.doc_id: r for r in segment_dedup(
+        docs, width=5, min_docs=2, policy="drop_all").collect()}
+    assert da[1].n_dropped == 1 and da[2].n_dropped == 1
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown segment policy"):
+        segment_dedup(docs, policy="keep_last")
