@@ -219,3 +219,60 @@ def adaptive_boilerplate_filter(
         .withColumn("kept_text", F.array_join(kept, joiner))
         .drop("_lines")
     )
+
+
+def apply_line_filter(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    mode: str = "window",
+    width: int = 10,
+    min_words: int = 3,
+    blocklist: tuple[str, ...] = DEFAULT_BLOCKLIST,
+    require_terminal_punct: bool = False,
+    drop_brace_lines: bool = False,
+    max_dropped_frac: float = 1.0,
+) -> DataFrame:
+    """``line_filter`` + the standard keep/rewrite policy, shared by
+    the batch curation DAG and the streaming corpus pipeline (one
+    code path ⇒ zero batch/stream semantic gap — every expression is
+    row-local and stateless, so it is stream-safe by construction):
+
+    * docs with no lines at all (empty/NULL text) pass through with
+      their text untouched;
+    * docs keeping ≥ 1 line within the dropped-fraction bound carry
+      the filtered text forward;
+    * all-junk pages (every line violates a rule) leave the corpus.
+
+    Returns the input columns with ``text`` rewritten.
+    """
+    rep = line_filter(
+        docs,
+        text_col=text_col,
+        mode=mode,
+        width=width,
+        min_words=min_words,
+        blocklist=blocklist,
+        require_terminal_punct=require_terminal_punct,
+        drop_brace_lines=drop_brace_lines,
+    )
+    return (
+        rep.where(
+            (F.col("n_lines") == 0)
+            | (
+                (F.col("n_kept") > 0)
+                & (
+                    (F.col("n_lines") - F.col("n_kept")) / F.col("n_lines")
+                    <= F.lit(max_dropped_frac)
+                )
+            )
+        )
+        .withColumn(
+            text_col,
+            F.when(F.col("n_lines") == 0, F.col(text_col)).otherwise(
+                F.col("kept_text")
+            ),
+        )
+        .drop("n_lines", "n_short", "n_blocked", "n_nopunct", "n_brace",
+              "n_kept", "kept_text")
+    )

@@ -249,12 +249,13 @@ class CorpusCurationPipeline:
         if self.cfg.line_filter:
             # AFTER normalize (rules see canonical whitespace/case),
             # BEFORE the PII scrub (the scrub then rewrites only
-            # surviving lines).  Keep rule: docs with no lines pass;
-            # docs keeping >= 1 line within the dropped-fraction
-            # bound carry the filtered text forward.
-            from prod2vec_spark.operators.linefilters import line_filter
+            # surviving lines).  The keep/rewrite policy lives in
+            # apply_line_filter — ONE code path shared with the
+            # streaming corpus pipeline, so batch and stream can
+            # never drift.
+            from prod2vec_spark.operators.linefilters import apply_line_filter
 
-            rep = line_filter(
+            docs = apply_line_filter(
                 docs,
                 mode=self.cfg.lf_mode,
                 width=self.cfg.lf_width,
@@ -262,29 +263,7 @@ class CorpusCurationPipeline:
                 blocklist=self.cfg.lf_blocklist,
                 require_terminal_punct=self.cfg.lf_require_punct,
                 drop_brace_lines=self.cfg.lf_drop_braces,
-            )
-            docs = (
-                rep.where(
-                    (F.col("n_lines") == 0)
-                    | (
-                        (F.col("n_kept") > 0)
-                        & (
-                            (F.col("n_lines") - F.col("n_kept"))
-                            / F.col("n_lines")
-                            <= F.lit(self.cfg.lf_max_dropped_frac)
-                        )
-                    )
-                )
-                .withColumn(
-                    "text",
-                    F.when(F.col("n_lines") == 0, F.col("text")).otherwise(
-                        F.col("kept_text")
-                    ),
-                )
-                .drop(
-                    "n_lines", "n_short", "n_blocked", "n_nopunct",
-                    "n_brace", "n_kept", "kept_text",
-                )
+                max_dropped_frac=self.cfg.lf_max_dropped_frac,
             )
         if not self.cfg.scrub_pii:
             return docs

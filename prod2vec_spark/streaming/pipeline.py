@@ -195,6 +195,16 @@ class StreamCorpusConfig:
     seg_width: int = 10
     seg_min_docs: int = 2
     seg_max_frac: float = 0.5
+    # round-9b: C4 line filter (operators/linefilters.py) — row-local
+    # and stateless like the quality gate, applied FIRST so junk
+    # lines never reach the digest (a doc whose only difference is
+    # cut boilerplate then exact-dedups against its clean twin).
+    # Shares apply_line_filter with the batch DAG: one code path,
+    # zero batch/stream semantic gap.
+    line_filter: bool = False
+    lf_width: int = 10
+    lf_min_words: int = 3
+    lf_blocklist: tuple[str, ...] = ("lorem ipsum", "javascript")
 
     @property
     def exact_dir(self) -> str:
@@ -247,6 +257,16 @@ class StreamingCorpusPipeline:
         docs = self.spark.readStream.schema(_DOCS_SCHEMA).parquet(
             self.cfg.landing_dir
         )
+        if self.cfg.line_filter:
+            from prod2vec_spark.operators.linefilters import apply_line_filter
+
+            docs = apply_line_filter(
+                docs,
+                mode="window",
+                width=self.cfg.lf_width,
+                min_words=self.cfg.lf_min_words,
+                blocklist=self.cfg.lf_blocklist,
+            )
         # quality gate first (row-local, stateless) so low-quality docs
         # never occupy digest state
         if self.cfg.quality_min > 0.0:

@@ -432,3 +432,57 @@ def test_streaming_quality_classifier_matches_batch(spark, tmp_path):
         r["doc_id"]: r["quality_prob"]
         for r in read_quality_scores(spark, out).collect()
     } == got
+
+
+def test_streaming_line_filter_matches_batch(spark, tmp_path):
+    """Round-9b: with line_filter on, the streaming exact stage must
+    surface EXACTLY the per-digest survivors the shared batch
+    apply_line_filter admits — same code path, so the surviving TEXTS
+    (not just ids) must agree, and the planted all-junk page never
+    reaches the stream's digest state."""
+    import shutil
+
+    from prod2vec_spark.operators.linefilters import apply_line_filter
+
+    junk = " ".join(["javascript"] * 10)
+    clean = " ".join(f"tok{i}" for i in range(10))
+    base = (
+        read_table(spark, SF_SMOKE, "documents")
+        .limit(100)
+        .select("doc_id", "text", "lang")
+    )
+    planted = spark.createDataFrame(
+        [(9001, junk, "en"), (9002, f"{clean} {junk}", "en")],
+        "doc_id long, text string, lang string",
+    )
+    docs = base.unionByName(planted).localCheckpoint()
+
+    want = apply_line_filter(
+        docs, mode="window", width=10, blocklist=("javascript",)
+    )
+    want_texts = {r["text"] for r in want.select("text").collect()}
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    docs.coalesce(1).write.parquet(str(tmp_path / "stage"))
+    shutil.copy(
+        sorted((tmp_path / "stage").glob("*.parquet"))[0],
+        landing / "a.parquet",
+    )
+    cfg = StreamCorpusConfig(
+        landing_dir=str(landing),
+        work_dir=str(tmp_path / "work"),
+        line_filter=True,
+        lf_width=10,
+        lf_blocklist=("javascript",),
+    )
+    StreamingCorpusPipeline(spark, cfg).exact_stage()
+    got = spark.read.parquet(cfg.exact_dir)
+    got_texts = {r["text"] for r in got.select("text").collect()}
+    assert got_texts <= want_texts          # per-digest survivors only
+    assert len(got_texts) == want.select("text").distinct().count()
+    ids = {r["doc_id"] for r in got.select("doc_id").collect()}
+    assert 9001 not in ids                  # all-junk page gated out
+    got_9002 = got.where(F.col("doc_id") == 9002).collect()
+    if got_9002:                            # junk half cut before digest
+        assert got_9002[0]["text"] == clean
