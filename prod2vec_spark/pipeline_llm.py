@@ -6,15 +6,20 @@ counterpart of the Prod2VecPipeline DAG (pipeline.py).
 Stage graph (the canonical web-corpus curation shape, round-6
 extension adds the four starred stages):
 
-    gates → [line_filter⁹ᵇ →] pii_scrub* [→ url_curation⁹] → exact_dedup
+    gates → [line_filter⁹ᵇ →] pii_scrub* [→ url_curation⁹]
+          [→ adaptive_block⁹ᵇ] → exact_dedup
           [→ segment_dedup°] → quality_filter(+repetition*)
           [→ lm_gate°] → near_dedup [→ semantic_dedup*]
           [→ media_dedup⁹] → decontaminate* → chunk* → stats
 
-(⁹ᵇ = optional round-9b stage: C4 rule-based line filtering
+(⁹ᵇ = optional round-9b stages: C4 rule-based line filtering
 (operators/linefilters.py) fused into the input scan — row-local
 like the PII scrub, per-row deterministic so incremental_update
-supports it unchanged; all-junk pages drop, empty docs pass.)
+supports it unchanged; all-junk pages drop, empty docs pass.
+adaptive_block mines the corpus's own top-K repeated n-grams and
+cuts matching lines (mine → block, checkpointed — a CORPUS-WIDE
+aggregate, so incremental_update rejects it; the mined blocklist
+persists as a work_dir artifact).)
 
 (⁹ = optional round-9 stages: url_curation applies the C4/RefinedWeb
 ingestion filters — registered-domain blocklist + per-domain doc cap
@@ -215,6 +220,18 @@ class CorpusConfig:
     lf_require_punct: bool = False
     lf_drop_braces: bool = False
     lf_max_dropped_frac: float = 1.0  # 1.0 = only all-junk docs drop
+    # round-9b: corpus-adaptive boilerplate stage (> 0 turns it on and
+    # sets how many mined grams to block) — the top-K most-repeated
+    # n-grams are MINED from the scrubbed corpus and every line
+    # containing one is cut (operators/linefilters.
+    # adaptive_boilerplate_filter).  Unlike the static line_filter
+    # this is a CORPUS-WIDE aggregate (the mined blocklist depends on
+    # every document), so it runs as a checkpointed stage before
+    # exact dedup and incremental_update REJECTS it loudly — crawl
+    # N+1 would mine a different blocklist than the archive saw.
+    adaptive_block_k: int = 0
+    adaptive_gram_n: int = 3
+    adaptive_min_count: int = 100
 
 
 class CorpusCurationPipeline:
@@ -313,9 +330,51 @@ class CorpusCurationPipeline:
         write_parquet(out, f"{self.cfg.work_dir}/url_curated")
         return self.spark.read.parquet(f"{self.cfg.work_dir}/url_curated")
 
+    # -- stage 0.8: adaptive boilerplate (optional, round 9b) ----------
+    def adaptive_block(self, docs: DataFrame) -> DataFrame:
+        """Mine the corpus's own top-K repeated n-grams and cut every
+        line containing one (mine → block); docs whose every line
+        carried mined boilerplate leave the corpus, the mined gram
+        table persists as a work_dir artifact for audit.  One hash-agg
+        + TakeOrdered for the mine, then the row-local cut."""
+        if self.cfg.adaptive_block_k <= 0:
+            return docs
+        from prod2vec_spark.operators.linefilters import (
+            adaptive_boilerplate_filter,
+        )
+        from prod2vec_spark.operators.repetition import corpus_ngram_hotspots
+
+        hot = corpus_ngram_hotspots(
+            docs,
+            n=self.cfg.adaptive_gram_n,
+            min_count=self.cfg.adaptive_min_count,
+            k=self.cfg.adaptive_block_k,
+        )
+        write_parquet(hot, f"{self.cfg.work_dir}/adaptive_blocklist")
+        rep = adaptive_boilerplate_filter(
+            docs,
+            gram_n=self.cfg.adaptive_gram_n,
+            top_k=self.cfg.adaptive_block_k,
+            min_count=self.cfg.adaptive_min_count,
+            mode=self.cfg.lf_mode,
+            width=self.cfg.lf_width,
+        )
+        out = (
+            rep.where((F.col("n_lines") == 0) | (F.col("n_kept") > 0))
+            .withColumn(
+                "text",
+                F.when(F.col("n_lines") == 0, F.col("text")).otherwise(
+                    F.col("kept_text")
+                ),
+            )
+            .drop("hot_grams", "n_lines", "n_kept", "kept_text")
+        )
+        write_parquet(out, f"{self.cfg.work_dir}/adaptive_blocked")
+        return self.spark.read.parquet(f"{self.cfg.work_dir}/adaptive_blocked")
+
     # -- stage 1: exact dedup ------------------------------------------
     def exact_dedup(self) -> DataFrame:
-        docs = self.url_curation(self.scrubbed_input())
+        docs = self.adaptive_block(self.url_curation(self.scrubbed_input()))
         keep = DD.exact_dup_groups(docs).select(
             F.col("keep_doc_id").alias("doc_id")
         )
@@ -690,6 +749,11 @@ class CorpusCurationPipeline:
                 ("url_curation",
                  self.spark.read.parquet(f"{cfg.work_dir}/url_curated"))
             )
+        if cfg.adaptive_block_k > 0:
+            chain.append(
+                ("adaptive_block",
+                 self.spark.read.parquet(f"{cfg.work_dir}/adaptive_blocked"))
+            )
         chain.append(
             ("exact_dedup",
              self.spark.read.parquet(f"{cfg.work_dir}/exact_deduped"))
@@ -862,6 +926,7 @@ class CorpusCurationPipeline:
                 ("media_path", cfg.media_path is not None),
                 ("domain_blocklist", bool(cfg.domain_blocklist)),
                 ("domain_cap_k", cfg.domain_cap_k > 0),
+                ("adaptive_block_k", cfg.adaptive_block_k > 0),
             ]
             if on
         ]

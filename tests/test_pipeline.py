@@ -1268,3 +1268,54 @@ def test_drop_ledger_partitions_the_input(spark, tmp_path):
     }
     by_id = {r["doc_id"]: r["dropped_at"] for r in rows}
     assert by_id[1] == "line_filter"
+
+
+def test_corpus_pipeline_adaptive_block_stage(spark, tmp_path):
+    """Round-9b adaptive boilerplate stage: the DAG mines its own
+    top gram, persists the blocklist artifact, cuts matching lines
+    before exact dedup, and the drop ledger attributes all-boiler
+    pages to the stage; incremental_update rejects the option."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from prod2vec_spark.pipeline_llm import CorpusConfig, CorpusCurationPipeline
+    from prod2vec_spark.sources.io import read_table
+    from tests.conftest import SF_SMOKE
+
+    boiler = "copyright footer reserved"
+    sf_dir = str(tmp_path / "sf")
+    docs = read_table(spark, SF_SMOKE, "documents").withColumn(
+        "text",
+        # plant the boiler phrase at the head of every 4th doc and as
+        # the ENTIRE text of doc 1 (an all-boiler page)
+        F.when(F.col("doc_id") == 1, F.lit(boiler))
+        .when(F.col("doc_id") % 4 == 0,
+              F.concat(F.lit(boiler + " "), F.col("text")))
+        .otherwise(F.col("text")),
+    )
+    docs.write.parquet(f"{sf_dir}/documents.parquet")
+
+    cfg = CorpusConfig(
+        sf_dir=sf_dir,
+        work_dir=str(tmp_path / "corpus"),
+        adaptive_block_k=1,
+        adaptive_gram_n=3,
+        adaptive_min_count=10,
+        lf_width=3,           # boiler phrase = exactly one width-3 line
+    )
+    p = CorpusCurationPipeline(spark, cfg)
+    p.run()
+
+    mined = spark.read.parquet(f"{cfg.work_dir}/adaptive_blocklist").collect()
+    assert mined[0]["gram"] == boiler
+
+    blocked = spark.read.parquet(f"{cfg.work_dir}/adaptive_blocked")
+    assert blocked.where(F.col("doc_id") == 1).count() == 0  # all-boiler page
+    # no surviving doc's text contains the mined gram as a whole line
+    assert blocked.where(F.col("text").contains(boiler)).count() == 0
+
+    ledger = {r["doc_id"]: r["dropped_at"] for r in p.drop_ledger().collect()}
+    assert ledger[1] == "adaptive_block"
+
+    with pytest.raises(ValueError, match="unsupported options"):
+        p.incremental_update(sf_dir)
