@@ -131,6 +131,10 @@ class CorpusConfig:
     seg_width: int = 10
     seg_min_docs: int = 2
     seg_max_dropped_frac: float = 0.5
+    # round-9b: repeated-segment survivor policy — "drop_all" (CCNet:
+    # shared windows vanish everywhere) or "keep_first" (ExactSubstr:
+    # the min-id doc containing a window keeps it, one copy survives)
+    seg_policy: str = "drop_all"
     # bigram-LM perplexity gate after the quality filter: drop the
     # highest-ppl tail (lm_drop_pct) — the KenLM-style fluency screen.
     lm_gate: bool = False
@@ -392,7 +396,10 @@ class CorpusCurationPipeline:
         from prod2vec_spark.operators.linedup import segment_dedup
 
         rep = segment_dedup(
-            docs, width=self.cfg.seg_width, min_docs=self.cfg.seg_min_docs
+            docs,
+            width=self.cfg.seg_width,
+            min_docs=self.cfg.seg_min_docs,
+            policy=self.cfg.seg_policy,
         )
         kept = rep.where(
             (F.col("n_dropped") / F.col("n_segs"))

@@ -1319,3 +1319,41 @@ def test_corpus_pipeline_adaptive_block_stage(spark, tmp_path):
 
     with pytest.raises(ValueError, match="unsupported options"):
         p.incremental_update(sf_dir)
+
+
+def test_corpus_pipeline_segment_keep_first_policy(spark, tmp_path):
+    """seg_policy='keep_first' through the DAG: the min-id doc keeps
+    the shared window in the checkpointed stage output, later docs
+    lose it (the copy survives exactly once in the corpus)."""
+    from pyspark.sql import functions as F
+
+    from prod2vec_spark.pipeline_llm import CorpusConfig, CorpusCurationPipeline
+    from prod2vec_spark.sources.io import read_table
+    from tests.conftest import SF_SMOKE
+
+    shared = " ".join(f"s{j}" for j in range(10))
+    sf_dir = str(tmp_path / "sf")
+    docs = read_table(spark, SF_SMOKE, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id").isin(10, 20, 30),
+            F.concat(F.lit(shared + " "), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    docs.write.parquet(f"{sf_dir}/documents.parquet")
+
+    cfg = CorpusConfig(
+        sf_dir=sf_dir,
+        work_dir=str(tmp_path / "corpus"),
+        segment_dedup=True,
+        seg_width=10,
+        seg_policy="keep_first",
+    )
+    CorpusCurationPipeline(spark, cfg).run()
+    seg = spark.read.parquet(f"{cfg.work_dir}/segment_deduped")
+    keepers = {
+        r["doc_id"]
+        for r in seg.where(F.col("text").startswith(shared)).collect()
+    }
+    assert keepers == {10}        # min-id doc owns the shared window
+    assert seg.where(F.col("doc_id").isin(20, 30)).count() == 2  # docs survive
