@@ -63,6 +63,7 @@ CURATION_FULL = "__curation_full__"
 CURATION_R7 = "__curation_r7__"
 CURATION_R7B = "__curation_r7b__"
 CURATION_R9 = "__curation_r9__"
+CURATION_R9B = "__curation_r9b__"
 BASELINE_SF = 0.1  # scale factor the BASELINE.json timings were recorded at
 
 
@@ -284,6 +285,38 @@ def _curation_r9(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _curation_r9b(spark, sf_dir):
+    """The curation DAG with the round-9b text-curation wave ON:
+    fused C4 line filter (window mode), mined adaptive blocklist
+    (corpus-wide hotspot agg + row-local cut), keep-first segment
+    dedup, and the leakage-safe source-grouped holdout — the new
+    stages' combined wall clock recorded next to the other DAG
+    macros."""
+    import shutil
+    import tempfile
+
+    from prod2vec_spark.pipeline_llm import CorpusConfig, CorpusCurationPipeline
+
+    work = tempfile.mkdtemp(prefix="bench_curation_r9b_")
+    try:
+        return CorpusCurationPipeline(
+            spark,
+            CorpusConfig(
+                sf_dir=sf_dir,
+                work_dir=work,
+                line_filter=True,
+                adaptive_block_k=1,
+                adaptive_min_count=100,
+                segment_dedup=True,
+                seg_policy="keep_first",
+                holdout_split=True,
+                split_group_col="source",
+            ),
+        ).run()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def run_chunk(names: list[str], sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
     """Child entry: time the named queries in THIS process's fresh JVM."""
     from prod2vec_spark.queries import QUERIES
@@ -307,6 +340,7 @@ def run_chunk(names: list[str], sf_dir: str) -> tuple[dict[str, float], dict[str
         CURATION_R7: _curation_r7,
         CURATION_R7B: _curation_r7b,
         CURATION_R9: _curation_r9,
+        CURATION_R9B: _curation_r9b,
     }
     # macro entries run once in the main pass (the CC loop's eager
     # checkpoints dominate; one run is representative) — but an
@@ -315,7 +349,7 @@ def run_chunk(names: list[str], sf_dir: str) -> tuple[dict[str, float], dict[str
     macro_runs = int(os.environ.get("SPARK_GRAFT_MACRO_RUNS", "1"))
     for name in names:
         fn = special.get(name) or QUERIES[name]
-        n_runs = macro_runs if name in (CURATION10X, CURATION_FULL, CURATION_R7, CURATION_R7B, CURATION_R9) else runs
+        n_runs = macro_runs if name in (CURATION10X, CURATION_FULL, CURATION_R7, CURATION_R7B, CURATION_R9, CURATION_R9B) else runs
         times = []
         for _ in range(n_runs):
             t0 = time.perf_counter()
@@ -342,7 +376,7 @@ def main() -> None:
     # timed too, appended last so their heavy driver-side work never
     # precedes (and so ages the JVM of) the catalog queries sharing
     # their chunk
-    names = list(QUERIES) + [FLAGSHIP, CURATION10X, CURATION_FULL, CURATION_R7, CURATION_R7B, CURATION_R9]
+    names = list(QUERIES) + [FLAGSHIP, CURATION10X, CURATION_FULL, CURATION_R7, CURATION_R7B, CURATION_R9, CURATION_R9B]
     chunk_size = int(os.environ.get("SPARK_GRAFT_BENCH_CHUNK", "6"))
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
