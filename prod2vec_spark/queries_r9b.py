@@ -254,7 +254,13 @@ def q_adaptive_line_filter(spark, sf_dir):
     it is cut — the discovered-blocklist composition (mine → block),
     fully declarative: the 1-row hot-gram aggregate broadcast-joins
     onto the corpus, no driver round-trip
-    (operators/linefilters.adaptive_boilerplate_filter)."""
+    (operators/linefilters.adaptive_boilerplate_filter).
+
+    Invariant: the oracle's CROSS JOIN (and this entry's row count)
+    assumes at least one gram clears min_count — true by a wide
+    margin at the correctness scale factor (2,289 qualifying trigrams
+    at sf0.01); the operator itself degrades gracefully (empty mined
+    list blocks nothing)."""
     from prod2vec_spark.operators.linefilters import (
         adaptive_boilerplate_filter,
     )
