@@ -221,3 +221,71 @@ def corpus_ngram_hotspots(
         .orderBy(F.col("n_occurrences").desc(), F.col("gram"))
         .limit(k)
     )
+
+
+def corpus_ngram_hotspots_sketched(
+    docs,
+    *,
+    n: int = 3,
+    min_count: int = 2,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """The 100 TB shape of ``corpus_ngram_hotspots``: a count-min
+    sketch pre-filter so the gram-key shuffle carries ONLY candidate
+    grams instead of the whole distinct-gram universe.
+
+    Two corpus passes (recomputing the explode is the cheap scan; the
+    expensive resource at scale is the shuffle):
+
+    1. sketch pass — ``cms_sketch`` over the exploded grams: map-side
+       partials collapse to ≤ depth × width rows per partition, so
+       the shuffle is the bounded sketch table, not the grams;
+    2. candidate pass — each gram row probes the BROADCAST sketch via
+       ``depth`` row-local broadcast-hash joins (one per depth row
+       subset), est = min over depths; rows with est < min_count drop
+       BEFORE the gram-key shuffle.  CMS only OVER-estimates, so no
+       qualifying gram is ever dropped — the output EQUALS the exact
+       variant's (pytest-locked), only the shuffle volume changes.
+
+    Final counts are exact (the >= min_count filter re-applies on the
+    true counts to discard CMS false positives).
+    """
+    from pyspark.sql import functions as F
+
+    from prod2vec_spark.operators.sketches import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        _bucket,
+        cms_sketch,
+    )
+
+    def grams_of(frame):
+        staged = frame.select(
+            F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks")
+        ).withColumn("_grams", word_ngrams(F.col("_toks"), n))
+        return staged.select(F.col(id_col), F.explode("_grams").alias("gram"))
+
+    sketch = cms_sketch(grams_of(docs).select(F.col("gram").alias("term")))
+
+    g = grams_of(docs)
+    for d in range(CMS_DEPTH):
+        sd = sketch.where(F.col("depth") == d).select(
+            F.col("bucket").alias(f"_b{d}"), F.col("cnt").alias(f"_c{d}")
+        )
+        g = g.withColumn(f"_b{d}", _bucket(F.col("gram"), d, CMS_WIDTH)).join(
+            F.broadcast(sd), f"_b{d}", "left"
+        )
+    est = F.least(*[F.coalesce(F.col(f"_c{d}"), F.lit(0)) for d in range(CMS_DEPTH)])
+    cand = g.where(est >= min_count).select(id_col, "gram")
+    return (
+        cand.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.countDistinct(id_col).cast("long").alias("n_docs"),
+        )
+        .where(F.col("n_occurrences") >= min_count)
+        .orderBy(F.col("n_occurrences").desc(), F.col("gram"))
+        .limit(k)
+    )

@@ -169,6 +169,23 @@ def q_ngram_hotspots(spark, sf_dir):
     return corpus_ngram_hotspots(docs, n=_NG_N, min_count=_NG_MIN, k=_NG_K)
 
 
+def q_ngram_hotspots_sketched(spark, sf_dir):
+    """The 100 TB shape of ngram_hotspots: a count-min pre-filter so
+    the gram-key shuffle carries only candidate grams; CMS only
+    over-estimates and the final counts re-check exactly, so the
+    listing EQUALS the exact variant's — certified here against the
+    SAME DuckDB oracle (operators/repetition.
+    corpus_ngram_hotspots_sketched)."""
+    from prod2vec_spark.operators.repetition import (
+        corpus_ngram_hotspots_sketched,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return corpus_ngram_hotspots_sketched(
+        docs, n=_NG_N, min_count=_NG_MIN, k=_NG_K
+    )
+
+
 def _sql_ngram_hotspots() -> str:
     from prod2vec_spark.queries_ext import _TOKS
 
@@ -319,6 +336,7 @@ R9B_QUERIES = {
     "line_quality_filter": q_line_filter,
     "leakage_safe_split": q_leakage_safe_split,
     "ngram_hotspots": q_ngram_hotspots,
+    "ngram_hotspots_sketched": q_ngram_hotspots_sketched,
     "adaptive_line_filter": q_adaptive_line_filter,
     "segment_dedup_keepfirst": q_segment_dedup_keepfirst,
 }
@@ -329,4 +347,5 @@ R9B_ORACLES: dict[str, str] = {
     "line_quality_filter": _sql_line_filter(),
     "leakage_safe_split": _sql_leakage_safe_split(),
     "ngram_hotspots": _sql_ngram_hotspots(),
+    "ngram_hotspots_sketched": _sql_ngram_hotspots(),
 }

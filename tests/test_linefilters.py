@@ -204,3 +204,29 @@ def test_segment_dedup_keep_first_preserves_one_copy(spark):
 
     with pytest.raises(ValueError, match="unknown segment policy"):
         segment_dedup(docs, policy="keep_last")
+
+
+def test_sketched_hotspots_equal_exact_variant(spark):
+    """The CMS-prefiltered listing EQUALS the exact one (over-estimate
+    only ⇒ no qualifying gram ever dropped; exact recount discards
+    the sketch's false positives) — on the sf0.001 corpus AND a
+    planted-boilerplate corpus."""
+    from prod2vec_spark.operators.repetition import (
+        corpus_ngram_hotspots,
+        corpus_ngram_hotspots_sketched,
+    )
+    from prod2vec_spark.sources.io import read_table
+    from tests.conftest import SF_SMOKE
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    exact = corpus_ngram_hotspots(docs, n=3, min_count=3, k=25).collect()
+    sk = corpus_ngram_hotspots_sketched(docs, n=3, min_count=3, k=25).collect()
+    assert [tuple(r) for r in sk] == [tuple(r) for r in exact]
+
+    boiler = "all rights reserved"
+    rows = [(i, f"unique{i} text {boiler}") for i in range(15)]
+    planted = spark.createDataFrame(rows, "doc_id long, text string")
+    e2 = corpus_ngram_hotspots(planted, n=3, min_count=2, k=5).collect()
+    s2 = corpus_ngram_hotspots_sketched(planted, n=3, min_count=2, k=5).collect()
+    assert [tuple(r) for r in s2] == [tuple(r) for r in e2]
+    assert s2[0].gram == boiler
