@@ -202,6 +202,7 @@ class StreamCorpusConfig:
     # Shares apply_line_filter with the batch DAG: one code path,
     # zero batch/stream semantic gap.
     line_filter: bool = False
+    lf_mode: str = "window"  # "newline" for real web documents
     lf_width: int = 10
     lf_min_words: int = 3
     lf_blocklist: tuple[str, ...] = ("lorem ipsum", "javascript")
@@ -262,7 +263,7 @@ class StreamingCorpusPipeline:
 
             docs = apply_line_filter(
                 docs,
-                mode="window",
+                mode=self.cfg.lf_mode,
                 width=self.cfg.lf_width,
                 min_words=self.cfg.lf_min_words,
                 blocklist=self.cfg.lf_blocklist,
