@@ -1,19 +1,26 @@
 """Round-9 wave B: within-document C4 line filtering, leakage-safe
-group splitting, and corpus-level duplicated-n-gram mining — three
+group splitting, and corpus-level duplicated-n-gram mining —
 curation-plane gaps between the existing planes (ENGINE scope;
 reference anchor: utils/prep_utils.py has no raw-text or web surface).
 
-* ``line_quality_filter`` — C4's rule-based line cleanup (Raffel et
+* ``line_quality_filter``  — C4's rule-based line cleanup (Raffel et
   al. 2020 §2.2) as one row-local projection (operators/linefilters).
-* ``leakage_safe_split``  — train/val/test where the label is a pure
+* ``leakage_safe_split``   — train/val/test where the label is a pure
   function of the registered DOMAIN, so near-duplicate pages from one
   site can never straddle train/test (operators/splits.group_split);
-  the audit proves zero leaked groups.
-* ``ngram_hotspots``      — top-K exactly-repeated trigrams across
-  the corpus with occurrence/document counts — the boilerplate-
-  discovery report behind blocklists (operators/repetition).
+  the audit proves zero leaked groups.  DRIVER CATALOG entry (rotated
+  in for stratified_split, its splits-family sibling).
+* ``ngram_hotspots`` (+ ``_sketched``) — top-K exactly-repeated
+  trigrams with occurrence/document counts — the boilerplate-
+  discovery report behind blocklists (operators/repetition); the
+  sketched twin is the CMS-prefiltered 100 TB shape certified against
+  the SAME oracle.
+* ``adaptive_line_filter`` — the mine → block composition: the mined
+  top gram cuts matching lines, fully declaratively.
+* ``segment_dedup_keepfirst`` — the ExactSubstr survivor policy
+  (one copy of shared content survives; Lee et al. 2022 §3).
 
-Catalog conventions (queries.py header) apply; all three are FULLY
+Catalog conventions (queries.py header) apply; all six are FULLY
 ORACLED.
 """
 
