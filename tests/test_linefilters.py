@@ -230,3 +230,17 @@ def test_sketched_hotspots_equal_exact_variant(spark):
     s2 = corpus_ngram_hotspots_sketched(planted, n=3, min_count=2, k=5).collect()
     assert [tuple(r) for r in s2] == [tuple(r) for r in e2]
     assert s2[0].gram == boiler
+
+
+def test_sketched_hotspots_plan_shape(spark):
+    """The sketched variant's plan carries the broadcast sketch
+    probes (depth broadcast-hash joins) — the structural evidence the
+    gram-key shuffle is candidate-only."""
+    from prod2vec_spark.operators.repetition import corpus_ngram_hotspots_sketched
+    from prod2vec_spark.plans.inspect import has_broadcast_join
+    from prod2vec_spark.sources.io import read_table
+    from tests.conftest import SF_SMOKE
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    df = corpus_ngram_hotspots_sketched(docs, n=3, min_count=3, k=10)
+    assert has_broadcast_join(df)
