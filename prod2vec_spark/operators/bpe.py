@@ -186,3 +186,34 @@ def encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
     for a, b in merges:
         s = s.replace(_wrap(a) + _wrap(b), _wrap(a + b))
     return [t[:-1] for t in s.split(_L) if t]
+
+
+def bpe_tokens(text: Column, merges: list[tuple[str, str]]) -> Column:
+    """Per-document BPE token SEQUENCE (array<string>) under a
+    learned merge table — the actual model-token stream, not just its
+    count (the column a vocabulary-id mapping or sequence packer by
+    token ids consumes).  Same row-local replace chain as
+    ``bpe_token_count``; the wrapped string then splits on the open
+    sentinel and sheds the close sentinel — zero shuffle, zero UDFs.
+    Parity with ``encode_word`` is pytest-locked token-for-token."""
+    toks = tokens(text)
+
+    def word_tokens(w: Column) -> Column:
+        s = apply_merges(_sym_string(w), merges)
+        parts = F.split(s, _L)
+        return F.filter(
+            F.transform(parts, lambda p: F.replace(p, F.lit(_R), F.lit(""))),
+            lambda p: p != "",
+        )
+
+    return F.flatten(F.transform(toks, word_tokens))
+
+
+def decode_tokens(token_seq: list[str]) -> str:
+    """Inverse of ``encode_word``: BPE merges only ever CONCATENATE
+    adjacent symbols, so decoding one word's token list is plain
+    concatenation with the end-of-word marker stripped — lossless
+    under ANY merge table (roundtrip identity pytest-locked,
+    including multi-byte and line-terminator code points)."""
+    joined = "".join(token_seq)
+    return joined[: -len(END)] if joined.endswith(END) else joined

@@ -147,3 +147,48 @@ def test_materialize_mix_bpe_scale_matches_python(spark):
         u = int(hashlib.md5(f"{seed}|{d}".encode()).hexdigest()[:8], 16) / 2**32
         expect[d] = math.floor(s) + (1 if u < s - math.floor(s) else 0)
     assert got == expect
+
+
+def test_bpe_tokens_sequence_matches_python_encoder(spark):
+    """bpe_tokens (Column array encoder) == encode_word word-by-word,
+    flattened — the token SEQUENCE, not just its count — including a
+    merged end-of-word token and a line-terminator code point."""
+    from pyspark.sql import functions as F
+
+    from prod2vec_spark.operators.bpe import bpe_tokens
+
+    texts = [
+        "hello world",
+        "low lower lowest",
+        "halo",                       # the r8 boundary-anchoring case
+        "a b split",             # line terminator inside a word
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i long, text string")
+    got = {
+        r["i"]: r["seq"]
+        for r in df.select(
+            "i", bpe_tokens(F.col("text"), MERGES).alias("seq")
+        ).collect()
+    }
+    import re
+
+    for i, t in enumerate(texts):
+        # replay with the ENGINE's word semantics: tokens() splits on
+        # Java \s, which (unlike Python str.split) does NOT split on
+        #   — the line separator stays INSIDE its word and is
+        # encoded as a symbol (the (?s) contract)
+        words = [w for w in re.split(r"[ \t\n\x0b\f\r]+", t.strip()) if w]
+        want = [tok for w in words for tok in encode_word(w, MERGES)]
+        assert got[i] == want, (t, got[i], want)
+
+
+def test_bpe_decode_roundtrip():
+    """decode(encode(w)) == w for any sentinel-free word, under any
+    merge table — BPE merges only concatenate, so decode is lossless."""
+    from prod2vec_spark.operators.bpe import decode_tokens
+
+    words = ["hello", "halo", "a", "漢字かな", "x y", "émigré"]
+    for w in words:
+        assert decode_tokens(encode_word(w, MERGES)) == w
+        assert decode_tokens(encode_word(w, [])) == w
