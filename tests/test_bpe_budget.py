@@ -192,3 +192,33 @@ def test_bpe_decode_roundtrip():
     for w in words:
         assert decode_tokens(encode_word(w, MERGES)) == w
         assert decode_tokens(encode_word(w, [])) == w
+
+
+def test_bpe_decode_roundtrip_property():
+    """Property form of the roundtrip: for arbitrary sentinel-free
+    words and arbitrary merge tables drawn from the word's own
+    substrings, decode(encode(w)) == w."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from prod2vec_spark.operators.bpe import decode_tokens
+
+    word = st.text(
+        alphabet=st.characters(blacklist_characters="\x01\x02",
+                               blacklist_categories=("Cs",)),
+        min_size=1, max_size=12,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(word, st.data())
+    def check(w, data):
+        chars = list(w) + ["▁"]
+        n = data.draw(st.integers(min_value=0, max_value=4))
+        merges = []
+        for _ in range(n):
+            a = data.draw(st.sampled_from(chars))
+            b = data.draw(st.sampled_from(chars))
+            merges.append((a, b))
+        assert decode_tokens(encode_word(w, merges)) == w
+
+    check()
