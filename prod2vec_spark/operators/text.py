@@ -219,3 +219,49 @@ def script_counts(text):
         name: F.size(F.regexp_extract_all(text, F.lit(f"[{rng}]"), 0))
         for name, rng in SCRIPT_RANGES.items()
     }
+
+
+# --- HTML extraction -------------------------------------------------
+# The bounded entity set handled as exact replaces (identical chains
+# in Spark and the DuckDB oracle); numeric entities are out of scope
+# for the portable chain (a real ingest would NFC + full-unescape at
+# the codec boundary, the nfc_normalize precedent).
+_HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"), ("&amp;", "&"),
+)
+
+
+def strip_html(html: Column) -> Column:
+    """Visible text of an HTML fragment — the web-ingestion edge every
+    crawl pipeline runs before ANY text operator (C4 extracts text
+    before its filters; Raffel et al. 2020 §2.2).  Row-local Column
+    chain, zero shuffle, oracle-replayable:
+
+    1. drop <script>/<style> ELEMENTS wholesale (their text is code,
+       not content; non-greedy across newlines via (?s));
+    2. drop comments ``<!-- ... -->``;
+    3. block-level closers/br become spaces so words from adjacent
+       paragraphs don't fuse, then every remaining tag is removed;
+    4. the bounded entity set unescapes (&amp; LAST so ``&amp;lt;``
+       correctly yields the literal ``&lt;``);
+    5. whitespace collapses and trims.
+
+    This is deliberately a REGEX extractor, not an HTML5 parser: at
+    100 TB the per-row cost must stay in whole-stage codegen, and
+    malformed markup degrades to extra whitespace, never to an error
+    (the auditable-miss contract).  NULL html → NULL out.
+    """
+    # two patterns, not one with a </\1> backreference: the DuckDB
+    # oracle's RE2 engine has no backreferences, and the portable
+    # chain must be the SAME regex text in both engines
+    out = F.regexp_replace(html, r"(?is)<script\b.*?</script\s*>", " ")
+    out = F.regexp_replace(out, r"(?is)<style\b.*?</style\s*>", " ")
+    out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
+    out = F.regexp_replace(out, r"(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|td|table|blockquote)\b[^>]*>", " ")
+    # tags must start with a letter, '/', or '!' — a stray '<' in
+    # prose ("1 < 2") is NOT markup and must survive
+    out = F.regexp_replace(out, r"(?s)<(/?[A-Za-z][^>]*|![^>]*)>", "")
+    for ent, rep in _HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))

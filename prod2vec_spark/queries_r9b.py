@@ -214,6 +214,91 @@ FROM c ORDER BY n_occurrences DESC, gram LIMIT {k}
 """
 
 
+# ------------------------------------------------ HTML extraction
+def _attach_html(docs):
+    """Testdata adapter (the attach_urls precedent): wrap each doc's
+    text in deterministic HTML with the edges strip_html must handle
+    — a <script> element (dropped wholesale), a comment, block tags,
+    an inline tag with attributes, and entity escapes — varied by
+    doc_id so every branch is exercised corpus-wide."""
+    t = F.coalesce(F.col("text"), F.lit(""))
+    scr = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.lit('<script type="text/javascript">var x = 1 < 2;</script>'),
+    ).otherwise(F.lit(""))
+    cmt = F.when(
+        F.col("doc_id") % 4 == 0, F.lit("<!-- hidden\nnote -->")
+    ).otherwise(F.lit(""))
+    ent = F.when(
+        F.col("doc_id") % 5 == 0, F.lit(" Q&amp;A &lt;tag&gt; &nbsp;edge")
+    ).otherwise(F.lit(""))
+    return docs.withColumn(
+        "html",
+        F.concat(
+            F.lit("<html><head><style>p{color:red}</style>"), scr,
+            F.lit('</head><body><h1 class="t">Doc '),
+            F.col("doc_id").cast("string"),
+            F.lit("</h1>"), cmt,
+            F.lit("<p>"), t, F.lit("</p><div><b>bold</b>"), ent,
+            F.lit("</div></body></html>"),
+        ),
+    )
+
+
+def q_html_extract(spark, sf_dir):
+    """Visible-text extraction over deterministically attached HTML
+    (scripts/styles dropped wholesale, comments cut, block closers →
+    spaces, tags removed, bounded entity unescape, whitespace
+    collapsed) — the web-ingestion edge before any text operator;
+    one row-local regex chain (operators/text.strip_html)."""
+    from prod2vec_spark.operators.text import strip_html
+
+    docs = _attach_html(read_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        F.md5(strip_html(F.col("html"))).alias("clean_md5"),
+        F.length(strip_html(F.col("html"))).cast("long").alias("n_chars"),
+    )
+
+
+def _sql_html_extract() -> str:
+    return r"""
+WITH h AS (SELECT doc_id,
+        '<html><head><style>p{color:red}</style>'
+        || CASE WHEN doc_id % 3 = 0
+                THEN '<script type="text/javascript">var x = 1 < 2;</script>'
+                ELSE '' END
+        || '</head><body><h1 class="t">Doc ' || CAST(doc_id AS VARCHAR)
+        || '</h1>'
+        || CASE WHEN doc_id % 4 = 0 THEN '<!-- hidden' || chr(10) || 'note -->'
+                ELSE '' END
+        || '<p>' || coalesce(text, '') || '</p><div><b>bold</b>'
+        || CASE WHEN doc_id % 5 = 0 THEN ' Q&amp;A &lt;tag&gt; &nbsp;edge'
+                ELSE '' END
+        || '</div></body></html>' AS html
+      FROM documents),
+s AS (SELECT doc_id,
+        trim(regexp_replace(
+          replace(replace(replace(replace(replace(replace(replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(html, '(?is)<script\b.*?</script\s*>', ' ', 'g'),
+                    '(?is)<style\b.*?</style\s*>', ' ', 'g'),
+                  '(?s)<!--.*?-->', ' ', 'g'),
+                '(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|td|table|blockquote)\b[^>]*>', ' ', 'g'),
+              '(?s)<(/?[A-Za-z][^>]*|![^>]*)>', '', 'g'),
+            '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+            '&quot;', '"'), '&#39;', ''''), '&apos;', ''''), '&amp;', '&'),
+          '\s+', ' ', 'g')) AS clean
+      FROM h)
+SELECT doc_id, md5(clean) AS clean_md5,
+       CAST(length(clean) AS BIGINT) AS n_chars
+FROM s
+"""
+
+
 # --------------------------------- keep-first segment dedup policy
 _SDK_WIDTH = 10
 _SDK_MIN = 2
@@ -346,11 +431,13 @@ R9B_QUERIES = {
     "ngram_hotspots_sketched": q_ngram_hotspots_sketched,
     "adaptive_line_filter": q_adaptive_line_filter,
     "segment_dedup_keepfirst": q_segment_dedup_keepfirst,
+    "html_extract": q_html_extract,
 }
 
 R9B_ORACLES: dict[str, str] = {
     "adaptive_line_filter": _sql_adaptive_line_filter(),
     "segment_dedup_keepfirst": _sql_segment_dedup_keepfirst(),
+    "html_extract": _sql_html_extract(),
     "line_quality_filter": _sql_line_filter(),
     "leakage_safe_split": _sql_leakage_safe_split(),
     "ngram_hotspots": _sql_ngram_hotspots(),

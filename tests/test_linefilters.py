@@ -244,3 +244,30 @@ def test_sketched_hotspots_plan_shape(spark):
     docs = read_table(spark, SF_SMOKE, "documents")
     df = corpus_ngram_hotspots_sketched(docs, n=3, min_count=3, k=10)
     assert has_broadcast_join(df)
+
+
+def test_strip_html_edges(spark):
+    """strip_html drops script/style ELEMENTS (not just their tags),
+    cuts comments, spaces block boundaries, unescapes the bounded
+    entity set with &amp; last, and degrades malformed markup to
+    whitespace; NULL stays NULL."""
+    from prod2vec_spark.operators.text import strip_html
+
+    cases = [
+        (1, "<p>Hello <b>world</b></p>", "Hello world"),
+        (2, "<script>var a = '<p>not text</p>';</script>after", "after"),
+        (3, "<style>p { color: red }</style>visible", "visible"),
+        (4, "a<!-- comment\nacross lines -->b", "a b"),
+        (5, "<p>one</p><p>two</p>", "one two"),
+        (6, "Q&amp;A &lt;tag&gt; &amp;lt;literal&gt;", 'Q&A <tag> &lt;literal>'),
+        (7, "broken < not a tag > stays", "broken < not a tag > stays"),
+        (8, None, None),
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i, h) for i, h, _ in cases],
+                               "i long, html string")
+    got = {r.i: r.clean for r in df.select(
+        "i", strip_html(F.col("html")).alias("clean")).collect()}
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
