@@ -217,3 +217,60 @@ def decode_tokens(token_seq: list[str]) -> str:
     including multi-byte and line-terminator code points)."""
     joined = "".join(token_seq)
     return joined[: -len(END)] if joined.endswith(END) else joined
+
+
+def token_vocab(
+    docs: DataFrame, merges: list[tuple[str, str]], text_col: str = "text"
+) -> DataFrame:
+    """(token, token_id, n): frequency-ranked vocabulary of the
+    ENCODED corpus — the id table the training loader ships with the
+    merge table.  Ids start at 1; id 0 is reserved for UNK (the
+    baskets.build_vocab convention, so a vocab built on corpus N
+    still maps corpus N+1's novel tokens).  One explode + hash-agg;
+    the rank window runs on the vocab-sized aggregate (bounded by
+    merges + charset, the W1 global-rank shape).  Deterministic:
+    ties break lexicographically."""
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select(F.explode(bpe_tokens(F.col(text_col), merges)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    return counts.select(
+        "token", F.row_number().over(w).cast("long").alias("token_id"), "n"
+    )
+
+
+def token_id_sequences(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_ids, n_unk, ids): each document's model-token ID
+    sequence — the actual LM training input.  posexplode the token
+    stream, broadcast-probe the vocab with UNK→0 default (the J2
+    OOV shape), reassemble in position order (the linedup
+    sort_array-over-structs shape — deterministic, never
+    collection-order dependent).  One reassembly shuffle on the doc
+    key; the vocab probe is a broadcast hash join."""
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(bpe_tokens(F.col(text_col), merges)).alias("pos", "token"),
+    )
+    mapped = toks.join(
+        F.broadcast(vocab.select("token", "token_id")), "token", "left"
+    ).select(
+        id_col, "pos", F.coalesce("token_id", F.lit(0)).cast("long").alias("tid")
+    )
+    return mapped.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_ids"),
+        F.sum((F.col("tid") == 0).cast("long")).alias("n_unk"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+            lambda s: s.tid,
+        ).alias("ids"),
+    )

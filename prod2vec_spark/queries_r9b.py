@@ -214,6 +214,76 @@ FROM c ORDER BY n_occurrences DESC, gram LIMIT {k}
 """
 
 
+# --------------------------------------------- token-id sequences
+def q_token_id_sequences(spark, sf_dir):
+    """Each document's model-token ID sequence under the fixed merge
+    table — the actual LM training input: encode (zero-shuffle
+    replace chain) → frequency-ranked vocab (ids from 1, UNK=0
+    reserved) → broadcast probe → position-ordered reassembly.
+    Output keeps the sequence comparable as scalars: (doc_id, n_ids,
+    n_unk, ids_md5) with ids_md5 = md5 of the comma-joined ids
+    (operators/bpe.token_vocab / token_id_sequences)."""
+    from prod2vec_spark.operators.bpe import token_id_sequences, token_vocab
+    from prod2vec_spark.queries_r9 import BPE_FIXED_MERGES
+
+    docs = read_table(spark, sf_dir, "documents")
+    vocab = token_vocab(docs, BPE_FIXED_MERGES)
+    seqs = token_id_sequences(docs, BPE_FIXED_MERGES, vocab)
+    return seqs.select(
+        "doc_id",
+        "n_ids",
+        "n_unk",
+        F.md5(F.concat_ws(",", F.transform("ids", lambda x: x.cast("string"))))
+        .alias("ids_md5"),
+    )
+
+
+def _sql_token_id_sequences() -> str:
+    from prod2vec_spark.queries_ext import _TOKS
+    from prod2vec_spark.queries_r9 import BPE_FIXED_MERGES
+
+    def w(sym: str) -> str:
+        return f"chr(1)||'{sym}'||chr(2)"
+
+    # encoded string of one word (the _sql_bpe_word_count chain,
+    # without the count wrapper)
+    s = (
+        "array_to_string(list_transform(str_split("
+        "replace(replace(word, chr(1), ''), chr(2), ''), ''), "
+        "c -> chr(1)||c||chr(2)), '') || " + w("▁")
+    )
+    for a, b in BPE_FIXED_MERGES:
+        s = f"replace({s}, {w(a)}||{w(b)}, {w(a + b)})"
+    toklist = (
+        f"list_filter(list_transform(str_split({s}, chr(1)), "
+        "p -> replace(p, chr(2), '')), p -> p <> '')"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+wd AS (SELECT doc_id, CAST(i AS BIGINT) AS wi,
+         toks[CAST(i AS INT)] AS word
+       FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+       WHERE len(toks) > 0),
+enc AS (SELECT doc_id, wi, {toklist} AS wtoks FROM wd),
+tok AS (SELECT doc_id, wi, CAST(j AS BIGINT) AS ti,
+          wtoks[CAST(j AS INT)] AS token
+        FROM enc, unnest(range(1, len(wtoks) + 1)) AS v(j)),
+vc AS (SELECT token, count(*) AS n FROM tok GROUP BY 1),
+vid AS (SELECT token,
+          CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT)
+            AS token_id
+        FROM vc),
+m AS (SELECT tok.doc_id, tok.wi, tok.ti, vid.token_id AS tid
+      FROM tok JOIN vid USING (token))
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_ids,
+       CAST(0 AS BIGINT) AS n_unk,
+       md5(string_agg(CAST(tid AS VARCHAR), ',' ORDER BY wi, ti))
+         AS ids_md5
+FROM m GROUP BY doc_id
+"""
+
+
 # ------------------------------------------------ HTML extraction
 def _attach_html(docs):
     """Testdata adapter (the attach_urls precedent): wrap each doc's
@@ -432,12 +502,14 @@ R9B_QUERIES = {
     "adaptive_line_filter": q_adaptive_line_filter,
     "segment_dedup_keepfirst": q_segment_dedup_keepfirst,
     "html_extract": q_html_extract,
+    "token_id_sequences": q_token_id_sequences,
 }
 
 R9B_ORACLES: dict[str, str] = {
     "adaptive_line_filter": _sql_adaptive_line_filter(),
     "segment_dedup_keepfirst": _sql_segment_dedup_keepfirst(),
     "html_extract": _sql_html_extract(),
+    "token_id_sequences": _sql_token_id_sequences(),
     "line_quality_filter": _sql_line_filter(),
     "leakage_safe_split": _sql_leakage_safe_split(),
     "ngram_hotspots": _sql_ngram_hotspots(),

@@ -222,3 +222,46 @@ def test_bpe_decode_roundtrip_property():
         assert decode_tokens(encode_word(w, merges)) == w
 
     check()
+
+
+def test_token_id_sequences_unk_and_roundtrip(spark):
+    """Vocab built on corpus N maps corpus N+1: known tokens get
+    their frequency-ranked ids, novel tokens get UNK=0; and the id
+    sequence decodes back to the original text through the vocab
+    inverse (ids ≠ 0)."""
+    from pyspark.sql import functions as F
+
+    from prod2vec_spark.operators.bpe import (
+        bpe_tokens,
+        decode_tokens,
+        token_id_sequences,
+        token_vocab,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "the cat and the hat"), (2, "the band and the sand")],
+        "doc_id long, text string",
+    )
+    vocab = token_vocab(train, MERGES)
+    vrows = {r["token"]: r["token_id"] for r in vocab.collect()}
+    assert min(vrows.values()) == 1  # id 0 reserved for UNK
+
+    new = spark.createDataFrame(
+        [(10, "the cat"), (11, "zzz unseen")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           token_id_sequences(new, MERGES, vocab).collect()}
+    # known doc: zero UNK, ids replay the Python encoder through vocab
+    toks10 = [t for w in "the cat".split() for t in encode_word(w, MERGES)]
+    assert out[10]["n_unk"] == 0
+    assert out[10]["ids"] == [vrows[t] for t in toks10]
+    # novel doc: the unseen word's symbols missing from vocab map to 0
+    assert out[11]["n_unk"] > 0 and 0 in out[11]["ids"]
+    # roundtrip via the vocab inverse (UNK-free doc)
+    inv = {v: k for k, v in vrows.items()}
+    words, cur = [], []
+    for tid in out[10]["ids"]:
+        cur.append(inv[tid])
+        if inv[tid].endswith("▁"):
+            words.append(decode_tokens(cur)); cur = []
+    assert " ".join(words) == "the cat"
