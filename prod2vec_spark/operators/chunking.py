@@ -146,3 +146,69 @@ def pack_sequences(
     return staged.withColumn(
         "bin", F.floor((cum - F.col("n_tokens")) / F.lit(budget)).cast("int")
     ).drop("_ord")
+
+
+def pack_token_ids(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    vocab: DataFrame,
+    budget: int = 512,
+    n_shards: int = 1,
+    part_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The packing plane's FINAL form: materialized training examples
+    — one row per (part, shard, bin) carrying the concatenated
+    model-token ID array (``input_ids``) plus the doc ids laid into
+    it, in pack order.  This is exactly what a data loader reads:
+    ``pack_sequences`` decides the bins (same md5 order, same
+    straddle-forward rule), ``bpe.token_id_sequences`` supplies each
+    doc's id sequence, and one grouped reassembly per bin emits the
+    payload (sort_array-over-structs — deterministic, never
+    collection-order dependent).
+
+    Scale shape: the bin assignment is pack_sequences' windowed
+    cumulative sum (sharded, never a global window); the payload step
+    is ONE groupBy on (part, shard, bin) whose rows carry id arrays
+    already produced by the token-id plane.  A bin's payload is
+    bounded by budget + one straddling doc, so collected arrays stay
+    executor-sized by construction.
+    """
+    from prod2vec_spark.operators.bpe import bpe_token_count, token_id_sequences
+
+    bins = pack_sequences(
+        docs,
+        budget=budget,
+        n_shards=n_shards,
+        part_col=part_col,
+        id_col=id_col,
+        text_col=text_col,
+        count_fn=lambda c: bpe_token_count(c, merges),
+    )
+    seqs = token_id_sequences(
+        docs, merges, vocab, id_col=id_col, text_col=text_col
+    ).select(id_col, "ids")
+    ordered = bins.withColumn(
+        "_ord", F.md5(F.concat_ws("|", F.lit("pack"), F.col(id_col)))
+    ).join(seqs, id_col)
+    return (
+        ordered.groupBy("part", "shard", "bin")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("_ord", F.col(id_col).alias("doc")))
+                ),
+                lambda s: s.doc,
+            ).alias("doc_ids"),
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_ord", F.col("ids").alias("seq")))
+                    ),
+                    lambda s: s.seq,
+                )
+            ).alias("input_ids"),
+        )
+        .withColumn("n_ids", F.size("input_ids").cast("long"))
+    )

@@ -265,3 +265,44 @@ def test_token_id_sequences_unk_and_roundtrip(spark):
         if inv[tid].endswith("▁"):
             words.append(decode_tokens(cur)); cur = []
     assert " ".join(words) == "the cat"
+
+
+def test_pack_token_ids_materializes_training_examples(spark):
+    """pack_token_ids bins agree with pack_sequences under the BPE
+    counter, and every bin's input_ids is EXACTLY the concatenation
+    of its docs' Python-encoder id sequences in md5 pack order."""
+    from prod2vec_spark.operators.bpe import token_vocab
+    from prod2vec_spark.operators.chunking import pack_token_ids
+
+    docs = _frame(spark)
+    vocab = token_vocab(docs, MERGES)
+    vrows = {r["token"]: r["token_id"] for r in vocab.collect()}
+    budget = 12
+    out = pack_token_ids(docs, MERGES, vocab, budget=budget, n_shards=1).collect()
+
+    # python replay of the pack order + payload
+    import hashlib
+
+    by_bin = {}
+    for lang in ("en", "de"):
+        stream = sorted(
+            (hashlib.md5(f"pack|{d}".encode()).hexdigest(), d, t)
+            for d, t, lg in _DOCS
+            if lg == lang
+        )
+        cum = 0
+        for _, d, t in stream:
+            ids = [vrows[tok] for w in t.split() for tok in encode_word(w, MERGES)]
+            b = (lang, 0, cum // budget)
+            by_bin.setdefault(b, ([], []))
+            by_bin[b][0].append(d)
+            by_bin[b][1].extend(ids)
+            cum += len(ids)
+    got = {(r["part"], r["shard"], r["bin"]): (r["doc_ids"], r["input_ids"])
+           for r in out}
+    assert {k: (v[0], v[1]) for k, v in by_bin.items()} == {
+        k: (list(v[0]), list(v[1])) for k, v in got.items()
+    }
+    # payloads bounded by budget + one straddling doc's length
+    for r in out:
+        assert r["n_ids"] == len(r["input_ids"])
