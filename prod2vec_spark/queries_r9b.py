@@ -284,6 +284,76 @@ FROM m GROUP BY doc_id
 """
 
 
+# --------------------------------------------- packed input_ids
+_PK_BUDGET = 64
+_PK_SHARDS = 2
+
+
+def q_packed_input_ids(spark, sf_dir):
+    """The packing plane's final form certified end-to-end: per
+    (lang, shard, bin) training example with the concatenated
+    input_ids payload — compared as scalars (sizes + md5 of the
+    comma-joined ids + md5 of the doc lineage in pack order)
+    (operators/chunking.pack_token_ids)."""
+    from prod2vec_spark.operators.bpe import token_vocab
+    from prod2vec_spark.operators.chunking import pack_token_ids
+    from prod2vec_spark.queries_r9 import BPE_FIXED_MERGES
+
+    docs = read_table(spark, sf_dir, "documents")
+    vocab = token_vocab(docs, BPE_FIXED_MERGES)
+    out = pack_token_ids(
+        docs, BPE_FIXED_MERGES, vocab,
+        budget=_PK_BUDGET, n_shards=_PK_SHARDS,
+    )
+    as_csv = lambda col: F.concat_ws(  # noqa: E731
+        ",", F.transform(col, lambda x: x.cast("string"))
+    )
+    return out.select(
+        F.col("part"),
+        F.col("shard").cast("long").alias("shard"),
+        F.col("bin").cast("long").alias("bin"),
+        "n_ids",
+        F.md5(as_csv(F.col("input_ids"))).alias("ids_md5"),
+        F.md5(as_csv(F.col("doc_ids"))).alias("docs_md5"),
+    )
+
+
+def _sql_packed_input_ids() -> str:
+    import re
+
+    base = _sql_token_id_sequences()
+    # reuse the token-id chain up to the per-token mapping CTE `m`,
+    # then add per-doc csv/count, the pack window, and the bin rollup
+    # the FINAL select of the base chain starts at the LAST
+    # "SELECT doc_id," (the t CTE also begins with that text)
+    prefix = base[: base.rindex("SELECT doc_id,")].rstrip()
+    return f"""{prefix},
+perdoc AS (SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_ids,
+         string_agg(CAST(tid AS VARCHAR), ',' ORDER BY wi, ti) AS ids_csv
+       FROM m GROUP BY doc_id),
+pk AS (SELECT d.doc_id, d.lang AS part,
+         ('0x' || substr(md5('shard|' || d.doc_id), 1, 8))::BIGINT
+           % {_PK_SHARDS} AS shard,
+         md5('pack|' || d.doc_id) AS ord_key,
+         p.n_ids, p.ids_csv
+       FROM documents d JOIN perdoc p USING (doc_id)),
+bins AS (SELECT *,
+           CAST(floor((sum(n_ids) OVER (
+                   PARTITION BY part, shard
+                   ORDER BY ord_key, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n_ids) / {_PK_BUDGET}.0) AS BIGINT) AS bin
+         FROM pk)
+SELECT part, shard, bin,
+       CAST(sum(n_ids) AS BIGINT) AS n_ids,
+       md5(string_agg(ids_csv, ',' ORDER BY ord_key, doc_id)) AS ids_md5,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY ord_key, doc_id))
+         AS docs_md5
+FROM bins GROUP BY 1, 2, 3
+"""
+
+
 # ------------------------------------------------ HTML extraction
 def _attach_html(docs):
     """Testdata adapter (the attach_urls precedent): wrap each doc's
@@ -503,6 +573,7 @@ R9B_QUERIES = {
     "segment_dedup_keepfirst": q_segment_dedup_keepfirst,
     "html_extract": q_html_extract,
     "token_id_sequences": q_token_id_sequences,
+    "packed_input_ids": q_packed_input_ids,
 }
 
 R9B_ORACLES: dict[str, str] = {
@@ -510,6 +581,7 @@ R9B_ORACLES: dict[str, str] = {
     "segment_dedup_keepfirst": _sql_segment_dedup_keepfirst(),
     "html_extract": _sql_html_extract(),
     "token_id_sequences": _sql_token_id_sequences(),
+    "packed_input_ids": _sql_packed_input_ids(),
     "line_quality_filter": _sql_line_filter(),
     "leakage_safe_split": _sql_leakage_safe_split(),
     "ngram_hotspots": _sql_ngram_hotspots(),
