@@ -80,6 +80,8 @@ def test_rows_only_queries_nonempty(spark, name):
         "text_normalize",           # regex classes + length arithmetic
         "stratified_split",         # md5-uniform thresholds + frac division
         "leakage_safe_split",       # md5-uniform thresholds on the group key
+        "token_id_sequences",       # replace-chain encode + rank ids
+        "packed_input_ids",         # md5 shard mod + pack window division
         "temperature_mix",          # pow() shares + floor budget cast
         "neardup_editdist",         # banded levenshtein + sim division
         "lsh_incremental",          # md5-uniform split + band grouping
