@@ -157,6 +157,7 @@ def pack_token_ids(
     part_col: str = "lang",
     id_col: str = "doc_id",
     text_col: str = "text",
+    eod_id: int | None = None,
 ) -> DataFrame:
     """The packing plane's FINAL form: materialized training examples
     — one row per (part, shard, bin) carrying the concatenated
@@ -174,9 +175,19 @@ def pack_token_ids(
     already produced by the token-id plane.  A bin's payload is
     bounded by budget + one straddling doc, so collected arrays stay
     executor-sized by construction.
+
+    ``doc_lens`` carries each packed doc's id-count in pack order —
+    the boundary metadata attention masking / sequence unpacking
+    needs (sum(doc_lens) == n_ids minus separators).  ``eod_id``
+    (when set) appends the end-of-document separator AFTER each
+    doc's ids — the GPT-style corpus delimiter — counted in n_ids
+    but never in doc_lens.
     """
     from prod2vec_spark.operators.bpe import bpe_token_count, token_id_sequences
 
+    # with an EOD separator, the budget counts ids as WRITTEN —
+    # each doc costs its token count plus one separator
+    sep = 1 if eod_id is not None else 0
     bins = pack_sequences(
         docs,
         budget=budget,
@@ -184,11 +195,15 @@ def pack_token_ids(
         part_col=part_col,
         id_col=id_col,
         text_col=text_col,
-        count_fn=lambda c: bpe_token_count(c, merges),
+        count_fn=lambda c: bpe_token_count(c, merges) + F.lit(sep),
     )
     seqs = token_id_sequences(
         docs, merges, vocab, id_col=id_col, text_col=text_col
     ).select(id_col, "ids")
+    if eod_id is not None:
+        seqs = seqs.withColumn(
+            "ids", F.concat("ids", F.array(F.lit(eod_id).cast("long")))
+        )
     ordered = bins.withColumn(
         "_ord", F.md5(F.concat_ws("|", F.lit("pack"), F.col(id_col)))
     ).join(seqs, id_col)
@@ -201,6 +216,14 @@ def pack_token_ids(
                 ),
                 lambda s: s.doc,
             ).alias("doc_ids"),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("_ord", (F.size("ids") - sep).alias("len"))
+                    )
+                ),
+                lambda s: s.len.cast("long"),
+            ).alias("doc_lens"),
             F.flatten(
                 F.transform(
                     F.array_sort(

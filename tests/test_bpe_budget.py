@@ -306,3 +306,34 @@ def test_pack_token_ids_materializes_training_examples(spark):
     # payloads bounded by budget + one straddling doc's length
     for r in out:
         assert r["n_ids"] == len(r["input_ids"])
+
+
+def test_pack_token_ids_doc_lens_and_eod(spark):
+    """doc_lens carries each packed doc's id-count in pack order
+    (sum == n_ids without a separator); with eod_id set, the
+    separator follows every doc, is counted in n_ids and the bin
+    budget, and never appears in doc_lens."""
+    from prod2vec_spark.operators.bpe import token_vocab
+    from prod2vec_spark.operators.chunking import pack_token_ids
+
+    docs = _frame(spark)
+    vocab = token_vocab(docs, MERGES)
+
+    plain = pack_token_ids(docs, MERGES, vocab, budget=12, n_shards=1).collect()
+    for r in plain:
+        assert sum(r["doc_lens"]) == r["n_ids"]
+        assert len(r["doc_lens"]) == len(r["doc_ids"])
+
+    EOD = 0  # UNK slot doubles as EOD in this fixture
+    eod = pack_token_ids(
+        docs, MERGES, vocab, budget=12, n_shards=1, eod_id=EOD
+    ).collect()
+    for r in eod:
+        n_docs = len(r["doc_ids"])
+        assert sum(r["doc_lens"]) + n_docs == r["n_ids"]
+        # separator closes every doc, at exactly the boundary offsets
+        off = 0
+        for ln in r["doc_lens"]:
+            off += ln
+            assert r["input_ids"][off] == EOD
+            off += 1
