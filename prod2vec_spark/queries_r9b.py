@@ -19,8 +19,13 @@ reference anchor: utils/prep_utils.py has no raw-text or web surface).
   top gram cuts matching lines, fully declaratively.
 * ``segment_dedup_keepfirst`` — the ExactSubstr survivor policy
   (one copy of shared content survives; Lee et al. 2022 §3).
+* ``html_extract``         — visible-text extraction from HTML (the
+  ingestion edge before any text operator; RE2-compatible patterns).
+* ``token_id_sequences`` / ``packed_input_ids`` — the tokenizer
+  contract's final forms: per-doc model-token ID sequences (vocab +
+  UNK probe) and materialized per-bin training examples.
 
-Catalog conventions (queries.py header) apply; all six are FULLY
+Catalog conventions (queries.py header) apply; all nine are FULLY
 ORACLED.
 """
 
