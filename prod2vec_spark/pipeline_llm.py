@@ -207,6 +207,16 @@ class CorpusConfig:
     # Column replace chain via bpe_counter.
     bpe_merges: int = 0
     bpe_vocab_words: int = 5000
+    # round-9b: materialize trainable shards — when > 0 (and
+    # bpe_merges > 0, which supplies the merge table), the TRAIN side
+    # of the curated corpus is packed into per-bin ``input_ids``
+    # training examples under the corpus's own tokenizer
+    # (operators/chunking.pack_token_ids: doc_lens boundary metadata
+    # + UNK=0-reserved vocab persisted alongside) and written to
+    # work_dir/input_ids — the DAG's output becomes what the training
+    # loader reads, not just cleaned text.
+    pack_budget: int = 0
+    pack_shards: int = 1
     # round-9b: C4 rule-based line filtering (Raffel et al. 2020
     # §2.2) fused into the input scan after normalization and before
     # the PII scrub — row-local, no shuffle boundary, no checkpoint,
@@ -242,6 +252,8 @@ class CorpusCurationPipeline:
     def __init__(self, spark: SparkSession, cfg: CorpusConfig):
         self.spark = spark
         self.cfg = cfg
+        self._merges = None  # run() stashes the trained table so the
+        # pack stage and the stats report share ONE training pass
 
     # -- stage 0: input gates -----------------------------------------
     def gates(self) -> None:
@@ -696,10 +708,11 @@ class CorpusCurationPipeline:
         ]
         if self.cfg.bpe_merges > 0:
             # the corpus's OWN trained tokenizer: the final budget in
-            # model tokens (merge table persisted for downstream use)
+            # model tokens (merge table persisted for downstream use);
+            # run() may hand the table in so pack + stats train once
             from prod2vec_spark.operators.bpe import bpe_counter, train_bpe
 
-            merges = train_bpe(
+            merges = self._merges if self._merges is not None else train_bpe(
                 final,
                 n_merges=self.cfg.bpe_merges,
                 max_vocab_words=self.cfg.bpe_vocab_words,
@@ -836,6 +849,33 @@ class CorpusCurationPipeline:
         if self.cfg.mix_report:
             self.write_mix_report(final)
         chunks = self.chunk(train)
+        if self.cfg.pack_budget > 0:
+            # trainable shards: pack the TRAIN side into per-bin
+            # input_ids under the corpus's own tokenizer
+            if self.cfg.bpe_merges <= 0:
+                raise ValueError(
+                    "pack_budget requires bpe_merges > 0 (the packed ids "
+                    "need the corpus-trained merge table)"
+                )
+            from prod2vec_spark.operators.bpe import token_vocab, train_bpe
+            from prod2vec_spark.operators.chunking import pack_token_ids
+
+            self._merges = train_bpe(
+                final,
+                n_merges=self.cfg.bpe_merges,
+                max_vocab_words=self.cfg.bpe_vocab_words,
+            )
+            vocab = token_vocab(train, self._merges)
+            write_parquet(vocab, f"{self.cfg.work_dir}/token_vocab")
+            vocab = self.spark.read.parquet(f"{self.cfg.work_dir}/token_vocab")
+            packed = pack_token_ids(
+                train,
+                self._merges,
+                vocab,
+                budget=self.cfg.pack_budget,
+                n_shards=self.cfg.pack_shards,
+            )
+            write_parquet(packed, f"{self.cfg.work_dir}/input_ids")
         if self.cfg.epoch_shards > 0:
             from prod2vec_spark.operators.shards import write_epoch_shards
 
@@ -934,6 +974,7 @@ class CorpusCurationPipeline:
                 ("domain_blocklist", bool(cfg.domain_blocklist)),
                 ("domain_cap_k", cfg.domain_cap_k > 0),
                 ("adaptive_block_k", cfg.adaptive_block_k > 0),
+                ("pack_budget", cfg.pack_budget > 0),
             ]
             if on
         ]

@@ -1357,3 +1357,46 @@ def test_corpus_pipeline_segment_keep_first_policy(spark, tmp_path):
     }
     assert keepers == {10}        # min-id doc owns the shared window
     assert seg.where(F.col("doc_id").isin(20, 30)).count() == 2  # docs survive
+
+
+def test_corpus_pipeline_packed_input_ids_output(spark, tmp_path):
+    """Round-9b trainable-shards output: with pack_budget set the DAG
+    writes per-bin input_ids examples plus the UNK=0-reserved vocab;
+    payload totals cross-check the report's final_model_tokens
+    (train == final here, no separator), and pack_budget without a
+    tokenizer raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from prod2vec_spark.pipeline_llm import CorpusConfig, CorpusCurationPipeline
+    from tests.conftest import SF_SMOKE
+
+    cfg = CorpusConfig(
+        sf_dir=SF_SMOKE,
+        work_dir=str(tmp_path / "corpus"),
+        bpe_merges=8,
+        pack_budget=64,
+        pack_shards=2,
+    )
+    report = CorpusCurationPipeline(spark, cfg).run()
+    by_stage = {r["stage"]: r["n"] for r in report.collect()}
+
+    packed = spark.read.parquet(f"{cfg.work_dir}/input_ids")
+    rows = packed.collect()
+    assert rows
+    for r in rows:
+        assert r["n_ids"] == len(r["input_ids"])
+        assert sum(r["doc_lens"]) == r["n_ids"]
+        assert len(r["doc_lens"]) == len(r["doc_ids"])
+    total_ids = sum(r["n_ids"] for r in rows)
+    assert total_ids == by_stage["final_model_tokens"]
+
+    vocab = spark.read.parquet(f"{cfg.work_dir}/token_vocab")
+    assert vocab.where(F.col("token_id") == 0).count() == 0  # UNK reserved
+
+    with pytest.raises(ValueError, match="pack_budget requires"):
+        CorpusCurationPipeline(
+            spark,
+            CorpusConfig(sf_dir=SF_SMOKE, work_dir=str(tmp_path / "c2"),
+                         pack_budget=64),
+        ).run()
