@@ -10,7 +10,8 @@ extension adds the four starred stages):
           [→ adaptive_block⁹ᵇ] → exact_dedup
           [→ segment_dedup°] → quality_filter(+repetition*)
           [→ lm_gate°] → near_dedup [→ semantic_dedup*]
-          [→ media_dedup⁹] → decontaminate* → chunk* → stats
+          [→ media_dedup⁹] → decontaminate* → chunk*
+          [→ pack_input_ids⁹ᵇ] → stats
 
 (⁹ᵇ = optional round-9b stages: C4 rule-based line filtering
 (operators/linefilters.py) fused into the input scan — row-local
