@@ -271,3 +271,16 @@ def test_strip_html_edges(spark):
         "i", strip_html(F.col("html")).alias("clean")).collect()}
     for i, _, want in cases:
         assert got[i] == want, (i, got[i], want)
+
+
+def test_line_filter_plan_is_shuffle_free(spark):
+    """Structural lock: the whole line-filter report is ONE projection
+    — zero exchanges (the 100 TB claim, held by the plan itself)."""
+    from prod2vec_spark.operators.linefilters import line_filter
+    from prod2vec_spark.plans.inspect import count_exchanges
+    from prod2vec_spark.sources.io import read_table
+    from tests.conftest import SF_SMOKE
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    out = line_filter(docs, mode="window")
+    assert count_exchanges(out) == 0
