@@ -17,11 +17,14 @@ Scale shapes:
 * **domain_profile** is one hash-agg on the host key with map-side
   partial aggregation — the ``source_profile`` shape keyed by domain;
   at 100 TB hosts are ~10⁷-cardinality, far under shuffle pressure.
-* **domain_cap** is ONE rank window per domain ordered by a seeded
-  md5 draw (deterministic, oracle-replayable) — the skew caveat is
-  real (a mega-domain's partition is its doc count), which is exactly
-  why the cap exists: it is the operator that REMOVES the skew for
-  every stage downstream.
+* **domain_cap** ranks each domain by a seeded md5 draw
+  (deterministic, oracle-replayable) — but the exact rank window
+  runs on a BOUNDED survivor set: broadcast mega-domain counts feed
+  a row-local draw-fraction prefilter (keep ≈ K·safety + slack rows
+  per domain, a deterministic prefix of the draw order) with a
+  rescue branch that restores any under-covered domain, so no task
+  ever sorts a mega-domain's full row set and the output is exactly
+  the naive window's.
 * **Blocklists**: exact path is a broadcast anti-join on host
   (blocklists are small dimensions); the sketch path reuses the Bloom
   plane (operators/sketches.bloom_bits) when the blocklist itself is
@@ -148,29 +151,124 @@ def domain_profile(
     )
 
 
+def _domain_cap_prerank(
+    docs: DataFrame,
+    max_per_domain: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    seed: str = "domcap",
+    prefilter_safety: float = 4.0,
+    prefilter_slack: int = 64,
+) -> DataFrame:
+    """The skew-safe pre-rank stage of ``domain_cap`` — exposed so the
+    scale-stress tests can assert the per-domain row count that feeds
+    the rank window is BOUNDED (≈ K·safety + slack, not the domain's
+    raw doc count).
+
+    Three steps, all shuffle-shapes that survive a mega-domain:
+
+    1. **broadcast per-domain counts**, restricted to domains large
+       enough to need a prefilter (``n > K·safety + slack``) — only
+       the mega-domains ship, so the broadcast stays tiny even at
+       10⁷-domain corpora;
+    2. **row-local draw-fraction prefilter**: the rank draw is the
+       md5 hex ``_draw``; its first 8 hex chars read as a uniform
+       fraction u ∈ [0,1) that is MONOTONE in the string order the
+       rank window uses, so keeping ``u ≤ (K·safety + slack) / n``
+       keeps a deterministic PREFIX of each mega-domain's draw order
+       — expected ≈ K·safety + slack rows — and the true top-K by
+       draw are inside it whenever ≥ K rows survive (Chernoff lower
+       tail: P[< K survivors] ≤ exp(−(K·(safety−1)+slack)²
+       / (2·(K·safety+slack))) — ~e⁻³³ even at K = 1);
+    3. **deterministic rescue**: a per-domain count over the
+       survivors finds any prefiltered domain that (against those
+       odds) kept < K rows and pulls ALL its rows back, so the final
+       output is EXACTLY the naive window's — the prefilter is a
+       pure physical optimisation, never a semantic one.
+
+    No single task ever sorts a mega-domain's full row set: the only
+    full-data shuffles are map-side-combining counts (one row per
+    (task, domain)), and the rank window runs on the bounded
+    survivor set.  NULL-domain rows bypass the prefilter (they are
+    all kept; unparseable URLs are assumed a bounded sliver — chain
+    a DQ gate upstream if they are not)."""
+    if max_per_domain <= 0:
+        raise ValueError(f"max_per_domain must be positive, got {max_per_domain}")
+    staged = with_domain(docs, url_col).withColumn(
+        "_draw", F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col)))
+    )
+    keep_target = float(max_per_domain) * prefilter_safety + float(prefilter_slack)
+    mega = (
+        staged.where(F.col("domain").isNotNull())
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > F.lit(keep_target))
+    )
+    u = F.conv(F.substring(F.col("_draw"), 1, 8), 16, 10).cast("double") / F.lit(
+        4294967296.0
+    )
+    surv = staged.join(F.broadcast(mega), "domain", "left").where(
+        F.col("_n").isNull() | (u <= F.lit(keep_target) / F.col("_n"))
+    )
+    # LEFT join from mega so a domain with ZERO survivors (absent from
+    # the survivor agg entirely) is still rescued
+    surv_counts = (
+        surv.where(F.col("_n").isNotNull())
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("_sn"))
+    )
+    short = (
+        mega.join(surv_counts, "domain", "left")
+        .where(F.coalesce(F.col("_sn"), F.lit(0)) < F.lit(max_per_domain))
+        .select("domain")
+    )
+    rescued = staged.join(F.broadcast(short), "domain", "leftsemi")
+    return (
+        surv.drop("_n")
+        .join(F.broadcast(short), "domain", "left_anti")
+        .select(*staged.columns)
+        .unionByName(rescued)
+    )
+
+
 def domain_cap(
     docs: DataFrame,
     max_per_domain: int,
     url_col: str = "url",
     id_col: str = "doc_id",
     seed: str = "domcap",
+    prefilter_safety: float = 4.0,
+    prefilter_slack: int = 64,
 ) -> DataFrame:
     """Per-domain document cap: keep at most ``max_per_domain`` docs
     per registered domain, chosen by a seeded md5 draw (deterministic
     and insertion-order-free, so incremental crawls keep a stable
     sample).  Returns docs + (host, domain, domain_rk) with only kept
-    rows — ONE rank window on the domain key.  NULL-domain rows
-    (unparseable URLs) are all kept: the cap is a web-pressure valve,
-    not a validity filter (chain a blocklist/DQ gate for drops)."""
+    rows.  NULL-domain rows (unparseable URLs) are all kept: the cap
+    is a web-pressure valve, not a validity filter (chain a
+    blocklist/DQ gate for drops).
+
+    Skew shape: the exact rank window runs on the BOUNDED survivor
+    set of ``_domain_cap_prerank`` (broadcast mega-domain counts →
+    row-local md5-draw-fraction prefilter → deterministic rescue), so
+    a mega-domain holding 20% of the corpus contributes ≈
+    ``max_per_domain·safety + slack`` rows to its window partition
+    instead of 20% of the corpus — the output is provably identical
+    to the naive single-window form (the prefilter keeps a prefix of
+    each domain's draw order, so survivor ranks equal global ranks)."""
     from pyspark.sql import Window
 
-    if max_per_domain <= 0:
-        raise ValueError(f"max_per_domain must be positive, got {max_per_domain}")
-    staged = with_domain(docs, url_col).withColumn(
-        "_draw", F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col)))
+    base = _domain_cap_prerank(
+        docs,
+        max_per_domain,
+        url_col=url_col,
+        id_col=id_col,
+        seed=seed,
+        prefilter_safety=prefilter_safety,
+        prefilter_slack=prefilter_slack,
     )
     w = Window.partitionBy("domain").orderBy("_draw", id_col)
-    ranked = staged.withColumn(
+    ranked = base.withColumn(
         "domain_rk", F.row_number().over(w).cast("int")
     )
     return ranked.where(

@@ -580,10 +580,10 @@ def _sql_source_profile() -> str:
     from prod2vec_spark.queries_ext import _TOKS
 
     # quality_score formula inlined from _sql_text_profile's convention
-    q = """round((least(1.0, CAST(len(toks) AS DOUBLE) / 20.0)
+    q = r"""round((least(1.0, CAST(len(toks) AS DOUBLE) / 20.0)
          + greatest(0.0, 1.0 - 4.0 * round(CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / length(text), 4))
          + round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4)) / 3.0, 4)"""
-    return f"""
+    return rf"""
 WITH t AS (SELECT source, text, {_TOKS} AS toks FROM documents),
 s AS (SELECT source,
         CAST(len(toks) AS INT) AS nt,

@@ -113,6 +113,64 @@ def test_domain_cap_invariants(spark):
         assert kept_sizes.get(d, 0) == min(n, k), d
 
 
+def _naive_domain_cap(docs, k, id_col="doc_id", seed="domcap"):
+    """The pre-round-11 single-window form — the semantic ground truth
+    the skew-safe prefilter must reproduce bit-for-bit."""
+    from pyspark.sql import Window
+
+    staged = with_domain(docs).withColumn(
+        "_draw", F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col)))
+    )
+    w = Window.partitionBy("domain").orderBy("_draw", id_col)
+    ranked = staged.withColumn("domain_rk", F.row_number().over(w).cast("int"))
+    return ranked.where(
+        F.col("domain").isNull() | (F.col("domain_rk") <= k)
+    ).drop("_draw")
+
+
+def test_domain_cap_matches_naive_window_form(spark):
+    """Output equality: the skew-safe prefilter + rescue is a pure
+    physical optimisation — kept ids AND rank values are identical to
+    the naive all-rows window."""
+    docs = attach_urls(spark.range(0, 600).select(F.col("id").alias("doc_id")))
+    for k in (1, 3, 25):
+        got = {
+            (r["doc_id"], r["domain"], r["domain_rk"])
+            for r in domain_cap(docs, max_per_domain=k)
+            .select("doc_id", "domain", "domain_rk")
+            .collect()
+        }
+        want = {
+            (r["doc_id"], r["domain"], r["domain_rk"])
+            for r in _naive_domain_cap(docs, k)
+            .select("doc_id", "domain", "domain_rk")
+            .collect()
+        }
+        assert got == want, f"k={k}"
+
+
+def test_domain_cap_rescue_path_is_exact(spark):
+    """Degenerate prefilter params (safety=0, slack=0) make the draw
+    threshold ~0 so ~every mega-domain under-covers — the rescue
+    branch must pull every such domain back whole and the output must
+    still equal the naive window (covers the zero-survivor hole)."""
+    docs = attach_urls(spark.range(0, 300).select(F.col("id").alias("doc_id")))
+    k = 4
+    got = {
+        (r["doc_id"], r["domain_rk"])
+        for r in domain_cap(
+            docs, max_per_domain=k, prefilter_safety=0.0, prefilter_slack=0
+        )
+        .select("doc_id", "domain_rk")
+        .collect()
+    }
+    want = {
+        (r["doc_id"], r["domain_rk"])
+        for r in _naive_domain_cap(docs, k).select("doc_id", "domain_rk").collect()
+    }
+    assert got == want
+
+
 def test_domain_cap_keeps_null_domain_rows(spark):
     docs = spark.createDataFrame(
         [(1, "https://a.example.com/x"), (2, "junk"), (3, None)],

@@ -24,9 +24,11 @@ def test_every_oracle_has_query():
 
 # Catalog entries whose compute is a Python codec boundary (no SQL
 # twin exists) — the driver records its weaker rows-only check for
-# exactly these, and this list is the machine-checked record of which
-# (VERDICT r8 stretch #9: the media plane rotates into the catalog).
-CATALOG_ROWS_ONLY = {"video_neardup"}
+# exactly these, and this list is the machine-checked record of which.
+# Empty since round 11: video_neardup split into a pytest-golden
+# persisted-hash codec boundary + a fully-oracled banded-Hamming pair
+# plane (VERDICT r9 ask #2), restoring the 50/50 full-hash signal.
+CATALOG_ROWS_ONLY: set[str] = set()
 
 
 def test_driver_catalog_fits_cap_and_is_fully_oracled():

@@ -250,3 +250,34 @@ def test_domain_cap_removes_skew_on_10x_corpus(spark, amplified):
         for r in domain_cap(docs, max_per_domain=k).select("doc_id").collect()
     )
     assert a == b
+    # skew-safety: the row set feeding the exact rank window is BOUNDED
+    # per domain (~ K*safety + slack), not the mega-domain's raw size —
+    # no task ever sorts 20% of the corpus inside the cap operator
+    from prod2vec_spark.operators.domains import _domain_cap_prerank
+
+    safety, slack = 2.0, 16
+    prerank_sizes = {
+        r["domain"]: r["n"]
+        for r in _domain_cap_prerank(
+            docs, k, prefilter_safety=safety, prefilter_slack=slack
+        )
+        .where(F.col("domain").isNotNull())
+        .groupBy("domain")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    bound = k * safety + slack
+    mega_domains = [d for d, n in sizes.items() if d is not None and n > bound]
+    assert mega_domains  # the 10x corpus really has prefiltered domains
+    for d in mega_domains:
+        # binomial mean = bound; 3x the mean is far beyond any plausible
+        # draw — the window partition never sees the raw domain size
+        assert prerank_sizes[d] <= min(3 * bound, sizes[d]), (
+            d,
+            prerank_sizes[d],
+            sizes[d],
+        )
+    # and the heaviest domain really was cut down, not just under bound
+    heaviest = max(sizes, key=lambda d: sizes[d] if d is not None else -1)
+    assert sizes[heaviest] > 3 * bound
+    assert prerank_sizes[heaviest] < sizes[heaviest] / 2

@@ -171,10 +171,40 @@ def test_phash_videos_neardup_planted_families(spark):
         assert a // 10 == b // 10, (a, b)
 
 
+def test_video_hash_fixture_matches_codec_chain(spark):
+    """The pytest-golden codec boundary behind the round-11 entry
+    split: the persisted hash table (tests/fixtures/video_vhash.
+    parquet) must be bit-for-bit what the REAL distributed codec
+    chain (mapInPandas render → encode_avi_gray8 → stdlib AVI decode
+    → vhash_avi) produces — re-derived here for every sf0.01 doc_id,
+    so the driver's full-hash oracle on the pair plane plus this gate
+    together cover the whole original pipeline."""
+    from prod2vec_spark.queries_r9 import (
+        _video_fixture_path,
+        rendered_video_hashes,
+    )
+    from prod2vec_spark.sources.io import read_table
+    from tests.conftest import SF_ORACLE
+
+    fixture = {
+        r["doc_id"]: r["vhash"]
+        for r in spark.read.parquet(_video_fixture_path()).collect()
+    }
+    assert sorted(fixture) == list(range(5000))  # covers every sf
+    assert all(v is not None for v in fixture.values())
+    doc_ids = read_table(spark, SF_ORACLE, "documents").select("doc_id")
+    recomputed = {
+        r["media_id"]: r["vhash"]
+        for r in rendered_video_hashes(spark, doc_ids).collect()
+    }
+    assert recomputed == {i: fixture[i] for i in recomputed}
+
+
 def test_video_neardup_query_recovers_planted_families(spark):
-    """The rows-only catalog-superset entry: every emitted pair is
-    within-family, and every within-family pair is emitted (pigeonhole
-    recall at one-pixel single-frame perturbation) — the video twin of
+    """The driver-catalog entry (banded-Hamming pair plane over the
+    persisted hash table): every emitted pair is within-family, and
+    every within-family pair is emitted (pigeonhole recall at
+    one-pixel single-frame perturbation) — the video twin of
     test_phash_neardup_query_recovers_planted_families."""
     import collections
 
