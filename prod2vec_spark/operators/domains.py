@@ -10,10 +10,13 @@ Scale shapes:
 
 * **Host extraction is a JVM builtin** (``parse_url(url, 'HOST')``) —
   row-local, whole-stage codegen, no Python.  The naive registered-
-  domain fold (last two labels) is a Column expression; a real eTLD
-  (public-suffix list) table would broadcast-join the same way the
-  UNK-default vocab probe does (operators/baskets.py) — documented,
-  not shipped, because the PSL is an external artifact.
+  domain fold (last two labels + a two-level literal subset) is a
+  Column expression; a USER-SUPPLIED full eTLD (public-suffix list)
+  table plugs in via ``with_domain(..., psl=table)`` — a
+  longest-matching-suffix lookup as ``PSL_MAX_LABELS`` broadcast
+  hash joins, zero shuffle (the UNK-default vocab-probe shape,
+  operators/baskets.py).  The literal subset stays the default so
+  every existing oracle replays unchanged.
 * **domain_profile** is one hash-agg on the host key with map-side
   partial aggregation — the ``source_profile`` shape keyed by domain;
   at 100 TB hosts are ~10⁷-cardinality, far under shuffle pressure.
@@ -115,13 +118,90 @@ def registered_domain(
 
 
 def with_domain(
-    docs: DataFrame, url_col: str = "url", out_col: str = "domain"
+    docs: DataFrame,
+    url_col: str = "url",
+    out_col: str = "domain",
+    psl: DataFrame | None = None,
 ) -> DataFrame:
-    """docs + host + registered domain columns — one row-local
-    projection."""
-    return docs.withColumn("host", url_host(F.col(url_col))).withColumn(
-        out_col, registered_domain(F.col("host"))
+    """docs + host + registered domain columns.
+
+    Default (``psl=None``): one row-local projection using the
+    built-in two-level literal subset — zero joins, whole-stage
+    codegen, the oracle-replayable path every catalog entry uses.
+
+    ``psl``: a user-supplied public-suffix table (1 string column of
+    suffixes, e.g. the full publicsuffix.org list) switches to the
+    longest-matching-suffix BROADCAST join (VERDICT r9 ask #5) — see
+    ``psl_registered_domain``."""
+    staged = docs.withColumn("host", url_host(F.col(url_col)))
+    if psl is None:
+        return staged.withColumn(out_col, registered_domain(F.col("host")))
+    return psl_registered_domain(staged, psl, out_col=out_col)
+
+
+PSL_MAX_LABELS = 4  # longest suffix the join considers (the real PSL
+# tops out at 4 dot-labels, e.g. 'pvt.k12.ma.us')
+
+
+def psl_registered_domain(
+    staged: DataFrame,
+    psl: DataFrame,
+    host_col: str = "host",
+    out_col: str = "domain",
+    max_labels: int = PSL_MAX_LABELS,
+) -> DataFrame:
+    """Registered domain via a full public-suffix table: longest
+    matching suffix + one label (publicsuffix.org semantics for plain
+    rules; wildcard/exception rules are out of scope — pre-expand them
+    into the table if needed).
+
+    Scale shape: the PSL is a ~10⁴-row dimension, so the lookup is
+    ``max_labels`` BROADCAST hash joins — one per candidate suffix
+    length, longest first — each a row-local stream with NO shuffle
+    (the explode → groupBy(max) alternative would shuffle the whole
+    corpus on the doc key).  Fallbacks mirror PSL convention: a host
+    matching no rule uses the last-two-labels fold (unlisted TLDs),
+    and a host that IS a public suffix has no registrable domain →
+    NULL (groups with unparseable URLs, which downstream cap/blocklist
+    stages already pass through)."""
+    parts = F.split(F.col(host_col), r"\.")
+    n = F.size(parts)
+    suffixes = psl.select(
+        F.lower(F.trim(F.col(psl.columns[0]))).alias("_s")
+    ).withColumn("_k", F.size(F.split(F.col("_s"), r"\.")))
+    out = staged
+    for k in range(max_labels, 0, -1):
+        pk = suffixes.where(F.col("_k") == k).select(
+            F.col("_s").alias(f"_m{k}")
+        )
+        out = out.withColumn(
+            f"_sfx{k}",
+            F.when(n >= k, F.concat_ws(".", F.slice(parts, -k, k))),
+        )
+        out = out.join(
+            F.broadcast(pk), out[f"_sfx{k}"] == pk[f"_m{k}"], "left"
+        )
+    ml = F.when(F.col(f"_m{max_labels}").isNotNull(), F.lit(max_labels))
+    for k in range(max_labels - 1, 0, -1):
+        ml = ml.when(F.col(f"_m{k}").isNotNull(), F.lit(k))
+    reg_len = ml + F.lit(1)
+    reg = (
+        F.when(F.col(host_col).isNull(), F.lit(None).cast("string"))
+        .when(
+            ml.isNull(),  # no PSL rule: unlisted-TLD fold (last two labels)
+            F.when(n <= 2, F.col(host_col)).otherwise(
+                F.concat_ws(".", F.slice(parts, -2, 2))
+            ),
+        )
+        .when(n <= ml, F.lit(None).cast("string"))  # host IS a public suffix
+        .otherwise(
+            F.concat_ws(".", F.slice(parts, reg_len * F.lit(-1), reg_len))
+        )
     )
+    drop = [f"_sfx{k}" for k in range(1, max_labels + 1)] + [
+        f"_m{k}" for k in range(1, max_labels + 1)
+    ]
+    return out.withColumn(out_col, reg).drop(*drop)
 
 
 def domain_profile(

@@ -174,6 +174,7 @@ def adaptive_boilerplate_filter(
     min_count: int = 2,
     mode: str = "window",
     width: int = 10,
+    hotspots: DataFrame | None = None,
 ) -> DataFrame:
     """CORPUS-ADAPTIVE line cleanup: mine the ``top_k`` most-repeated
     ``gram_n``-grams (operators/repetition.corpus_ngram_hotspots) and
@@ -188,12 +189,24 @@ def adaptive_boilerplate_filter(
 
     Returns per-doc: ``hot_grams`` (the discovered blocklist, same on
     every row), ``n_lines``, ``n_kept``, ``kept_text``.
+
+    ``hotspots``: optionally hand in an already-mined gram table (a
+    DataFrame with a ``gram`` column, e.g. the persisted
+    ``adaptive_blocklist`` artifact read back) — the mine then runs
+    ZERO times here.  Without it the mine is part of this plan's
+    broadcast subtree, which re-evaluates the full upstream lineage —
+    exactly what the curation DAG's checkpointed artifact avoids
+    (round-11: this double-evaluation was 75% of the r9b macro).
     """
     from prod2vec_spark.operators.repetition import corpus_ngram_hotspots
 
-    hot = corpus_ngram_hotspots(
-        docs, n=gram_n, min_count=min_count, k=top_k,
-        text_col=text_col, id_col=id_col,
+    hot = (
+        hotspots
+        if hotspots is not None
+        else corpus_ngram_hotspots(
+            docs, n=gram_n, min_count=min_count, k=top_k,
+            text_col=text_col, id_col=id_col,
+        )
     )
     # ≤ top_k rows → one row holding the sorted gram array (sort_array
     # for a deterministic broadcast value independent of agg order)

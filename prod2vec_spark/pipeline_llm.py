@@ -62,7 +62,10 @@ Scale notes per stage:
     broadcasts into a left-anti join so the corpus never shuffles for
     the final subtraction.
   * stats — per-stage counts + final token budget, a handful of
-    1-row aggregates unioned driver-side.
+    1-row aggregates unioned driver-side; since round 11 also one
+    ``t_ms_<stage>`` row per executed stage (checkpoint-delimited
+    wall time, VERDICT r9 ask #4) so a 175 s macro run attributes
+    its cost without re-instrumenting anything.
 
 Round-6 stage notes:
   * pii_scrub — row-local regexp redaction (operators/pii.py); fused
@@ -255,6 +258,24 @@ class CorpusCurationPipeline:
         self.cfg = cfg
         self._merges = None  # run() stashes the trained table so the
         # pack stage and the stats report share ONE training pass
+        self._stage_ms: dict[str, int] = {}  # per-stage wall time of
+        # the LAST run(), surfaced as t_ms_* rows in the stats report
+
+    def _timed(self, name: str, fn, *args, **kw):
+        """Checkpoint-delimited wall-time attribution (VERDICT r9 ask
+        #4): every stage method ends in a blocking parquet checkpoint
+        write, so timing the call measures the stage's real cost —
+        including the lineage it forces — with zero changes to the hot
+        path.  Disabled stages are lazy pass-throughs that time ~0 ms
+        and are filtered out of the report."""
+        import time
+
+        t0 = time.monotonic()
+        out = fn(*args, **kw)
+        self._stage_ms[name] = self._stage_ms.get(name, 0) + int(
+            (time.monotonic() - t0) * 1000
+        )
+        return out
 
     # -- stage 0: input gates -----------------------------------------
     def gates(self) -> None:
@@ -361,6 +382,17 @@ class CorpusCurationPipeline:
         )
         from prod2vec_spark.operators.repetition import corpus_ngram_hotspots
 
+        # Round-11 (found by the t_ms_* attribution this round added):
+        # this stage's input is the FUSED scrub/line-filter lineage
+        # unless url_curation checkpointed it, and the stage reads its
+        # input twice (mine + cut) — so materialize it ONCE; a parquet
+        # write is far cheaper than re-running the corpus-wide regex
+        # rewrite per pass (was 75% of the r9b macro's 194 s).
+        if not (bool(self.cfg.domain_blocklist) or self.cfg.domain_cap_k > 0):
+            write_parquet(docs, f"{self.cfg.work_dir}/adaptive_input")
+            docs = self.spark.read.parquet(
+                f"{self.cfg.work_dir}/adaptive_input"
+            )
         hot = corpus_ngram_hotspots(
             docs,
             n=self.cfg.adaptive_gram_n,
@@ -368,6 +400,8 @@ class CorpusCurationPipeline:
             k=self.cfg.adaptive_block_k,
         )
         write_parquet(hot, f"{self.cfg.work_dir}/adaptive_blocklist")
+        # feed the PERSISTED mine back in: the cut's broadcast subtree
+        # then reads a k-row parquet instead of re-mining the corpus
         rep = adaptive_boilerplate_filter(
             docs,
             gram_n=self.cfg.adaptive_gram_n,
@@ -375,6 +409,9 @@ class CorpusCurationPipeline:
             min_count=self.cfg.adaptive_min_count,
             mode=self.cfg.lf_mode,
             width=self.cfg.lf_width,
+            hotspots=self.spark.read.parquet(
+                f"{self.cfg.work_dir}/adaptive_blocklist"
+            ),
         )
         out = (
             rep.where((F.col("n_lines") == 0) | (F.col("n_kept") > 0))
@@ -391,12 +428,21 @@ class CorpusCurationPipeline:
 
     # -- stage 1: exact dedup ------------------------------------------
     def exact_dedup(self) -> DataFrame:
-        docs = self.adaptive_block(self.url_curation(self.scrubbed_input()))
+        import time
+
+        docs = self._timed(
+            "url_curation", self.url_curation, self.scrubbed_input()
+        )
+        docs = self._timed("adaptive_block", self.adaptive_block, docs)
+        t0 = time.monotonic()
         keep = DD.exact_dup_groups(docs).select(
             F.col("keep_doc_id").alias("doc_id")
         )
         out = docs.join(keep, "doc_id", "left_semi")
         write_parquet(out, f"{self.cfg.work_dir}/exact_deduped")
+        self._stage_ms["exact_dedup"] = self._stage_ms.get(
+            "exact_dedup", 0
+        ) + int((time.monotonic() - t0) * 1000)
         return self.spark.read.parquet(f"{self.cfg.work_dir}/exact_deduped")
 
     # -- stage 1.5: segment (line) dedup (optional) --------------------
@@ -736,6 +782,13 @@ class CorpusCurationPipeline:
                 .agg(F.count(F.lit(1)).alias("n"))
                 .collect()
             )
+        # per-stage wall time of this run (VERDICT r9 ask #4): the
+        # checkpoints delimit the stages, so each t_ms_* row is the
+        # real cost of that stage including the lineage it forced;
+        # disabled stages (lazy pass-throughs, ~0 ms) are filtered
+        rows += sorted(
+            (f"t_ms_{k}", v) for k, v in self._stage_ms.items() if v > 0
+        )
         report = self.spark.createDataFrame(rows, "stage string, n long")
         write_parquet(report, f"{self.cfg.work_dir}/curation_report")
         return report
@@ -824,32 +877,37 @@ class CorpusCurationPipeline:
 
     # -- full run -------------------------------------------------------
     def run(self) -> DataFrame:
+        import time
+
+        self._stage_ms = {}
+        t0 = time.monotonic()
         self.gates()
         docs = read_table(self.spark, self.cfg.sf_dir, "documents")
         n_input = docs.count()
-        exact = self.exact_dedup()
+        self._stage_ms["gates"] = int((time.monotonic() - t0) * 1000)
+        exact = self.exact_dedup()  # times url_curation/adaptive_block/itself
         n_exact = exact.count()
         if self.cfg.segment_dedup:
-            exact = self.segment_dedup(exact)
-        quality = self.quality_filter(exact)
+            exact = self._timed("segment_dedup", self.segment_dedup, exact)
+        quality = self._timed("quality_filter", self.quality_filter, exact)
         if self.cfg.lm_gate:
-            quality = self.lm_gate(quality)
+            quality = self._timed("lm_gate", self.lm_gate, quality)
         n_quality = quality.count()
-        deduped = self.near_dedup(quality)
+        deduped = self._timed("near_dedup", self.near_dedup, quality)
         if self.cfg.semantic_dedup:
-            deduped = self.semantic_dedup(deduped)
+            deduped = self._timed("semantic_dedup", self.semantic_dedup, deduped)
         if self.cfg.media_path is not None:
-            deduped = self.media_dedup(deduped)
+            deduped = self._timed("media_dedup", self.media_dedup, deduped)
         n_neardedup = deduped.count()
-        final = self.decontaminate(deduped)
+        final = self._timed("decontaminate", self.decontaminate, deduped)
         if self.cfg.holdout_split:
-            final = self.split_holdout(final)
+            final = self._timed("holdout_split", self.split_holdout, final)
             train = final.where(F.col("split") == "train").drop("split")
         else:
             train = final
         if self.cfg.mix_report:
-            self.write_mix_report(final)
-        chunks = self.chunk(train)
+            self._timed("mix_report", self.write_mix_report, final)
+        chunks = self._timed("chunk", self.chunk, train)
         if self.cfg.pack_budget > 0:
             # trainable shards: pack the TRAIN side into per-bin
             # input_ids under the corpus's own tokenizer
@@ -861,6 +919,7 @@ class CorpusCurationPipeline:
             from prod2vec_spark.operators.bpe import token_vocab, train_bpe
             from prod2vec_spark.operators.chunking import pack_token_ids
 
+            t0 = time.monotonic()
             self._merges = train_bpe(
                 final,
                 n_merges=self.cfg.bpe_merges,
@@ -877,9 +936,11 @@ class CorpusCurationPipeline:
                 n_shards=self.cfg.pack_shards,
             )
             write_parquet(packed, f"{self.cfg.work_dir}/input_ids")
+            self._stage_ms["pack"] = int((time.monotonic() - t0) * 1000)
         if self.cfg.epoch_shards > 0:
             from prod2vec_spark.operators.shards import write_epoch_shards
 
+            t0 = time.monotonic()
             write_epoch_shards(
                 chunks.withColumn(
                     "chunk_key",
@@ -890,6 +951,7 @@ class CorpusCurationPipeline:
                 n_shards=self.cfg.epoch_shards,
                 id_col="chunk_key",
             )
+            self._stage_ms["epoch_shards"] = int((time.monotonic() - t0) * 1000)
         return self.stats(
             n_input, n_exact, n_quality, n_neardedup, final, chunks
         )

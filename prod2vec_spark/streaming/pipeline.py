@@ -249,15 +249,17 @@ class StreamingCorpusPipeline:
         self.spark = spark
         self.cfg = cfg
 
-    def exact_stage(self) -> None:
+    def _row_gates(self, docs: DataFrame, stages: list | None = None) -> DataFrame:
+        """The pre-dedup ROW-LOCAL gate chain (line filter → quality →
+        repetition), shared by the streaming stage and the batch
+        drop-ledger replay — one code path, zero batch/stream drift
+        (the apply_line_filter precedent).  ``stages``: optional list
+        the caller hands in to receive (stage_name, survivors) pairs
+        — the ledger's attribution boundaries."""
         from pyspark.sql import functions as F
 
-        from prod2vec_spark.operators.dedup import text_digest
         from prod2vec_spark.operators.text import quality_score
 
-        docs = self.spark.readStream.schema(_DOCS_SCHEMA).parquet(
-            self.cfg.landing_dir
-        )
         if self.cfg.line_filter:
             from prod2vec_spark.operators.linefilters import apply_line_filter
 
@@ -268,12 +270,16 @@ class StreamingCorpusPipeline:
                 min_words=self.cfg.lf_min_words,
                 blocklist=self.cfg.lf_blocklist,
             )
+            if stages is not None:
+                stages.append(("line_filter", docs))
         # quality gate first (row-local, stateless) so low-quality docs
         # never occupy digest state
         if self.cfg.quality_min > 0.0:
             docs = docs.where(
                 quality_score(F.col("text")) >= self.cfg.quality_min
             )
+            if stages is not None:
+                stages.append(("quality_gate", docs))
         if self.cfg.repetition_gate:
             from prod2vec_spark.operators import repetition as RP
             from prod2vec_spark.operators.text import tokens
@@ -290,6 +296,18 @@ class StreamingCorpusPipeline:
                     F.size(F.col("_g2")),
                 )
             ).drop("_toks", "_g2", "_g3")
+            if stages is not None:
+                stages.append(("repetition_gate", docs))
+        return docs
+
+    def exact_stage(self) -> None:
+        from prod2vec_spark.operators.dedup import text_digest
+
+        docs = self._row_gates(
+            self.spark.readStream.schema(_DOCS_SCHEMA).parquet(
+                self.cfg.landing_dir
+            )
+        )
         deduped = docs.withColumn(
             "text_hash", text_digest(docs["text"])
         ).dropDuplicates(["text_hash"])
@@ -399,6 +417,55 @@ class StreamingCorpusPipeline:
             .select("doc_id")
         )
         return exact.join(F.broadcast(drop), "doc_id", "left_anti")
+
+    def drop_ledger(self) -> DataFrame:
+        """Per-document provenance over the stream's COMMITTED outputs
+        (VERDICT r9 ask #7 — the streaming twin of
+        pipeline_llm.drop_ledger): one row (doc_id, dropped_at) for
+        every landed document that is not in ``curated()``, naming the
+        stage that removed it.
+
+        Partition contract (pytest-locked, mirroring the batch ledger
+        test): landing ids = curated ids ∪ ledger ids, disjoint — each
+        drop is attributed to exactly one stage.  Monotonicity is by
+        construction: the row-local gates are replayed batch-side over
+        the landing dir through the SAME ``_row_gates`` code path the
+        stream ran (deterministic, so replay survivors ⊇ exact-dedup
+        survivors), and the stateful stages read their committed
+        artifacts — the exact-dedup parquet (idempotent file-sink
+        commits), the banded first-presenter decisions (idempotent
+        batch_id partitions, streaming/neardup.read_decisions), and
+        the CMS partials behind the segment gate.
+
+        Scale shape: id-only left-anti joins per boundary, probe side
+        shrinking monotonically — identical to the batch ledger."""
+        from pyspark.sql import functions as F
+
+        landing = self.spark.read.schema(_DOCS_SCHEMA).parquet(
+            self.cfg.landing_dir
+        )
+        chain: list[tuple[str, DataFrame]] = []
+        self._row_gates(landing, stages=chain)
+        exact = _read_output(self.spark, self.cfg.exact_dir, _EXACT_SCHEMA)
+        chain.append(("exact_dedup", exact))
+        if self.cfg.segment_gate:
+            seg_drop = self._segment_gate_drop(exact)
+            chain.append(
+                ("segment_gate",
+                 exact.join(F.broadcast(seg_drop), "doc_id", "left_anti"))
+            )
+        chain.append(("near_dedup", self.curated()))
+
+        prev = landing.select("doc_id")
+        ledger = None
+        for stage, df in chain:
+            cur = df.select("doc_id")
+            dropped = prev.join(cur, "doc_id", "left_anti").withColumn(
+                "dropped_at", F.lit(stage)
+            )
+            ledger = dropped if ledger is None else ledger.unionByName(dropped)
+            prev = cur
+        return ledger
 
     def run(self) -> DataFrame:
         self.exact_stage()

@@ -321,6 +321,20 @@ def test_corpus_curation_pipeline_end_to_end(spark, tmp_path):
     )
     assert by_stage["final_ws_tokens"] > 0
 
+    # per-stage wall-time rows (round 11): every always-on stage is
+    # attributed; disabled stages (segment/lm/semantic/media…) are not
+    timed = {s for s in by_stage if s.startswith("t_ms_")}
+    assert {
+        "t_ms_gates",
+        "t_ms_exact_dedup",
+        "t_ms_quality_filter",
+        "t_ms_near_dedup",
+        "t_ms_decontaminate",
+        "t_ms_chunk",
+    } <= timed
+    assert "t_ms_segment_dedup" not in timed  # off in the default cfg
+    assert all(by_stage[s] > 0 for s in timed)
+
     # decontamination: the training output contains neither held-out
     # docs nor docs over the collision threshold
     from prod2vec_spark.operators.decontam import (

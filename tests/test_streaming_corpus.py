@@ -486,3 +486,61 @@ def test_streaming_line_filter_matches_batch(spark, tmp_path):
     got_9002 = got.where(F.col("doc_id") == 9002).collect()
     if got_9002:                            # junk half cut before digest
         assert got_9002[0]["text"] == clean
+
+
+def test_streaming_drop_ledger_partition_contract(spark, tmp_path):
+    """Round-11 (VERDICT r9 ask #7) — the streaming twin of the batch
+    drop-ledger partition contract: landing ids = curated ids ∪ ledger
+    ids, DISJOINT, with every drop attributed to exactly one stage —
+    the row-local gates replayed through the shared _row_gates path,
+    the stateful stages read from their committed idempotent
+    artifacts."""
+    import shutil
+
+    docs = (
+        amplify_documents(
+            read_table(spark, SF_SMOKE, "documents").limit(80),
+            factor=3,
+            exact_replicas=2,
+        )
+        .select("doc_id", "text", "lang")
+        # a planted sub-threshold doc the quality gate must drop —
+        # and must be ATTRIBUTED to, not just absent from the output
+        .unionByName(
+            spark.createDataFrame(
+                [(999001, "!!! ??? !!!", "en")],
+                "doc_id long, text string, lang string",
+            )
+        )
+        .localCheckpoint()
+    )
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    docs.coalesce(1).write.parquet(str(tmp_path / "stage"))
+    shutil.copy(
+        sorted((tmp_path / "stage").glob("*.parquet"))[0],
+        landing / "batch_a.parquet",
+    )
+    cfg = StreamCorpusConfig(
+        landing_dir=str(landing),
+        work_dir=str(tmp_path / "work"),
+        quality_min=0.5,  # planted junk scores ~0.27, corpus docs >0.7
+    )
+    pipe = StreamingCorpusPipeline(spark, cfg)
+    curated = pipe.run()
+
+    cur_ids = {r["doc_id"] for r in curated.select("doc_id").collect()}
+    landing_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    led = {
+        r["doc_id"]: r["dropped_at"] for r in pipe.drop_ledger().collect()
+    }
+    # partition contract: union covers the landing, intersection empty
+    assert set(led) | cur_ids == landing_ids
+    assert not (set(led) & cur_ids)
+    # the planted doc is attributed to the quality gate by name
+    assert led[999001] == "quality_gate"
+    # the amplified corpus exercises both stateful stages' attributions
+    assert "exact_dedup" in set(led.values())
+    assert "near_dedup" in set(led.values())
+    # only configured stages may appear
+    assert set(led.values()) <= {"quality_gate", "exact_dedup", "near_dedup"}
