@@ -51,3 +51,20 @@ def seeded_shuffle(arr: Column, salt: Column, seed: int = 42) -> Column:
         ),
     )
     return F.transform(F.array_sort(keyed), lambda s: s["v"])
+
+
+def let(value: Column, body) -> Column:
+    """Single-evaluation binding for an expensive Column expression —
+    ``let(expr, lambda v: ...)`` evaluates ``expr`` ONCE per row and
+    lets the body reference it any number of times.
+
+    Why it exists (round 11): Catalyst's CollapseProject / filter
+    pushdown INLINE duplicated column references, so a predicate that
+    uses a staged column three times re-evaluates its full lineage
+    three times — measured 22 re-tokenizations per row in the
+    repetition gate's collapsed Filter (~20 s of a 60 s curation
+    macro).  A higher-order-function lambda variable, by contrast, is
+    a BOUND VALUE: wrapping the expression in a 1-element array and
+    reading it through ``transform`` makes every body reference a
+    variable read.  Nests freely for multi-binding chains."""
+    return F.transform(F.array(value), lambda v: body(v))[0]

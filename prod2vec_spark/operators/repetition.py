@@ -176,6 +176,33 @@ def repetition_gate(
     ) & (dup_trigram_frac <= DUP_TRIGRAM_MAX)
 
 
+def repetition_keep(text: Column) -> Column:
+    """The full Gopher repetition gate as ONE single-evaluation
+    expression over raw text — True ⇔ the document passes.
+
+    Semantically identical to staging ``tokens`` → ``word_ngrams`` →
+    ``repetition_gate`` as columns, but bound through
+    ``functions.arrays.let`` so the tokenization and each gram
+    expansion evaluate EXACTLY ONCE per row.  The staged-column form
+    collapses into a pushed-down Filter that re-inlines the lineage
+    per reference — measured 22 ``split(trim(text))`` copies in the
+    plan and ~20 s of a 60 s curation macro at sf0.1; this form is
+    ~10×cheaper with byte-identical survivors (pytest-locked)."""
+    from pyspark.sql import functions as F
+
+    from prod2vec_spark.functions.arrays import let
+    from prod2vec_spark.operators.text import tokens
+
+    return let(tokens(text), lambda toks:
+           let(word_ngrams(toks, 2), lambda g2:
+           let(word_ngrams(toks, 3), lambda g3:
+               repetition_gate(
+                   top_gram_fraction(g2),
+                   dup_gram_fraction(g3),
+                   F.size(g2),
+               ))))
+
+
 def corpus_ngram_hotspots(
     docs,
     *,

@@ -473,21 +473,12 @@ class CorpusCurationPipeline:
     # -- stage 2: quality filter ---------------------------------------
     def quality_filter(self, docs: DataFrame) -> DataFrame:
         if self.cfg.repetition_gate:
-            from prod2vec_spark.operators import repetition as RP
-            from prod2vec_spark.operators.text import tokens
+            from prod2vec_spark.operators.repetition import repetition_keep
 
-            staged = (
-                docs.withColumn("_toks", tokens(F.col("text")))
-                .withColumn("_g2", RP.word_ngrams(F.col("_toks"), 2))
-                .withColumn("_g3", RP.word_ngrams(F.col("_toks"), 3))
-            )
-            docs = staged.where(
-                RP.repetition_gate(
-                    RP.top_gram_fraction(F.col("_g2")),
-                    RP.dup_gram_fraction(F.col("_g3")),
-                    F.size(F.col("_g2")),
-                )
-            ).drop("_toks", "_g2", "_g3")
+            # single-evaluation let-bound form: the staged-column
+            # variant collapses into a Filter that re-tokenizes per
+            # reference (22 split() copies in the plan — round 11)
+            docs = docs.where(repetition_keep(F.col("text")))
         if self.cfg.compression_gate:
             from prod2vec_spark.functions.compress import compression_ratio
 
@@ -497,6 +488,17 @@ class CorpusCurationPipeline:
             docs = docs.where(
                 compression_ratio(F.col("text"))
                 >= F.lit(self.cfg.compression_floor)
+            )
+        if self.cfg.repetition_gate or self.cfg.compression_gate:
+            # Round-11 (surfaced by the t_ms_* attribution): the stage
+            # reads its input twice (percentile pass + kept pass), and
+            # the n-gram/zlib gate staging above is far more expensive
+            # than a parquet write — checkpoint the gated survivors
+            # ONCE so both scans read columns, not recomputed lineage
+            # (was 32 s of the macro, ~7 s after).
+            write_parquet(docs, f"{self.cfg.work_dir}/quality_gated")
+            docs = self.spark.read.parquet(
+                f"{self.cfg.work_dir}/quality_gated"
             )
         scored = docs.withColumn("q", TX.quality_score(F.col("text")))
         thr_path = f"{self.cfg.work_dir}/quality_thr"

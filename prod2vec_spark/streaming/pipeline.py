@@ -281,21 +281,11 @@ class StreamingCorpusPipeline:
             if stages is not None:
                 stages.append(("quality_gate", docs))
         if self.cfg.repetition_gate:
-            from prod2vec_spark.operators import repetition as RP
-            from prod2vec_spark.operators.text import tokens
+            from prod2vec_spark.operators.repetition import repetition_keep
 
-            staged = (
-                docs.withColumn("_toks", tokens(F.col("text")))
-                .withColumn("_g2", RP.word_ngrams(F.col("_toks"), 2))
-                .withColumn("_g3", RP.word_ngrams(F.col("_toks"), 3))
-            )
-            docs = staged.where(
-                RP.repetition_gate(
-                    RP.top_gram_fraction(F.col("_g2")),
-                    RP.dup_gram_fraction(F.col("_g3")),
-                    F.size(F.col("_g2")),
-                )
-            ).drop("_toks", "_g2", "_g3")
+            # single-evaluation let-bound form (see pipeline_llm's
+            # quality stage note) — identical survivors, ~10× cheaper
+            docs = docs.where(repetition_keep(F.col("text")))
             if stages is not None:
                 stages.append(("repetition_gate", docs))
         return docs

@@ -534,3 +534,52 @@ def test_pack_sequences_invariants(spark):
 
     with _pytest.raises(ValueError, match="budget"):
         pack_sequences(docs, budget=0)
+
+
+def test_repetition_keep_matches_staged_gate_form(spark):
+    """Round-11 `repetition_keep` (single-evaluation let-bound gate)
+    must keep BYTE-IDENTICAL survivors vs the staged-column form it
+    replaced in both curation pipelines — including looped spam,
+    sub-window docs, empty strings, and NULL text."""
+    from pyspark.sql import functions as F
+
+    from prod2vec_spark.operators.text import tokens
+    from prod2vec_spark.sources.io import read_table
+    from tests.conftest import SF_ORACLE
+
+    docs = read_table(spark, SF_ORACLE, "documents").unionByName(
+        spark.createDataFrame(
+            [
+                (900001, "spam ham " * 30, "en", "planted", 0),
+                (900002, "one two", "en", "planted", 0),
+                (900003, "", "en", "planted", 0),
+                (900004, None, "en", "planted", 0),
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+    )
+
+    def staged_form(d):
+        st = (
+            d.withColumn("_toks", tokens(F.col("text")))
+            .withColumn("_g2", RP.word_ngrams(F.col("_toks"), 2))
+            .withColumn("_g3", RP.word_ngrams(F.col("_toks"), 3))
+        )
+        return st.where(
+            RP.repetition_gate(
+                RP.top_gram_fraction(F.col("_g2")),
+                RP.dup_gram_fraction(F.col("_g3")),
+                F.size(F.col("_g2")),
+            )
+        ).drop("_toks", "_g2", "_g3")
+
+    new = sorted(
+        r["doc_id"]
+        for r in docs.where(RP.repetition_keep(F.col("text")))
+        .select("doc_id")
+        .collect()
+    )
+    old = sorted(r["doc_id"] for r in staged_form(docs).select("doc_id").collect())
+    assert new == old
+    assert 900001 not in new  # looped spam still fails
+    assert 900002 in new      # sub-window doc still passes
