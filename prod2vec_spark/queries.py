@@ -632,7 +632,15 @@ CATALOG: list[str] = [
     "quantile_sketch", "verbatim_span_pairs",
     # round-6 new (wave 2: LLM depth tranche)
     "doc_repetition", "decontaminate",
-    "semdedup_audit", "pii_scrub", "doc_chunks",
+    "semdedup_audit", "pii_scrub",
+    # round-11 rotation (VERDICT r9 ask #9): doc_chunks →
+    # packed_input_ids — the chunking module's TERMINAL op
+    # (operators/chunking.pack_token_ids), i.e. the engine's actual
+    # training-input contract, certified end-to-end by the driver
+    # (tokenize → vocab → ids → shard → greedy pack → bin rollup).
+    # The overlap-chunk splitter stays superset-oracled in the pytest
+    # gate, same protocol as every prior rotation.
+    "packed_input_ids",
     # round-6 new (wave 1)
     # round-9 rotation: video_neardup in (the media perceptual-hash
     # plane gets a per-round driver verdict; rows-only by the codec-
