@@ -7,8 +7,10 @@ PNG decoder (``zlib`` inflate + per-scanline unfilter → width/height/
 bit-depth/color-type + a digest of the reconstructed pixel bytes), a
 WAV decoder (``wave`` + ``struct`` → sample rate, duration, RMS), and
 an AVI decoder (round-9: RIFF walk → uncompressed BGR24 DIB frames →
-grayscale frame buffers + fps/duration — compressed fourccs are
-rejected explicitly, not mis-decoded).  Unknown formats take a
+grayscale frame buffers + fps/duration; round-11 adds MJPEG — '00dc'
+chunks baseline-JPEG-decoded by operators/jpeg.py — while all other
+compressed fourccs stay rejected explicitly, not mis-decoded).
+Unknown formats take a
 deterministic byte-stats path (``_decode_stub``), the only remaining
 fallback.  The Spark-side contract is real throughout: the
 schema, the Pandas-UDF batch shape (iterator of DataFrames),
@@ -327,38 +329,78 @@ def encode_avi_gray8(
             rows.append(bytes(v for px in row for v in (px, px, px)) + pad)
         return b"".join(rows)
 
+    return _avi_container(
+        [dib(f) for f in frames], width, height, fps,
+        handler=b"DIB ", compression=0, chunk_id=b"00db",
+        bufsize=stride * height,
+    )
+
+
+_MJPG_FOURCC = struct.unpack("<I", b"MJPG")[0]
+
+
+def encode_avi_mjpeg(
+    frames: list[bytes], width: int, height: int, fps: int = 10,
+    quality: int = 90,
+) -> bytes:
+    """MJPEG (JPEG-in-AVI) ENCODER: each top-down grayscale frame is
+    baseline-JPEG-compressed (operators/jpeg.py) into a '00dc' chunk;
+    strh fccHandler and strf biCompression carry the 'MJPG' fourcc.
+    The compressed write half of the round-11 video codec boundary —
+    lossy (DCT quantization), unlike ``encode_avi_gray8``'s exact
+    roundtrip, so tests bound pixel error instead of pinning bytes."""
+    if fps <= 0:
+        raise ValueError("fps must be positive")
+    from prod2vec_spark.operators.jpeg import encode_jpeg_gray
+
+    payloads = [
+        encode_jpeg_gray(f, width, height, quality=quality) for f in frames
+    ]
+    return _avi_container(
+        payloads, width, height, fps,
+        handler=b"MJPG", compression=_MJPG_FOURCC, chunk_id=b"00dc",
+        bufsize=max((len(p) for p in payloads), default=0),
+    )
+
+
+def _avi_container(
+    payloads: list[bytes], width: int, height: int, fps: int,
+    handler: bytes, compression: int, chunk_id: bytes, bufsize: int,
+) -> bytes:
+    """Assemble the RIFF/AVI container around ready per-frame payloads
+    — shared by the uncompressed-DIB and MJPEG encoders."""
+
     def chunk(fourcc: bytes, data: bytes) -> bytes:
         out = fourcc + struct.pack("<I", len(data)) + data
         return out + (b"\x00" if len(data) % 2 else b"")
 
-    frame_size = stride * height
     avih = struct.pack(
         "<IIIIIIIIII4I",
         1_000_000 // fps,          # dwMicroSecPerFrame
-        frame_size * fps,          # dwMaxBytesPerSec
+        bufsize * fps,             # dwMaxBytesPerSec
         0,                         # dwPaddingGranularity
         0,                         # dwFlags
-        len(frames),               # dwTotalFrames
+        len(payloads),             # dwTotalFrames
         0,                         # dwInitialFrames
         1,                         # dwStreams
-        frame_size,                # dwSuggestedBufferSize
+        bufsize,                   # dwSuggestedBufferSize
         width,
         height,
         0, 0, 0, 0,                # dwReserved
     )
     strh = struct.pack(
         "<4s4sIHHIIIIIIIi4H",
-        b"vids", b"DIB ",
+        b"vids", handler,
         0, 0, 0, 0,                # flags, priority, language, initial
         1, fps,                    # dwScale, dwRate -> fps frames/sec
-        0, len(frames),            # dwStart, dwLength (frames)
-        frame_size, 0, -1,         # bufsize, quality, sample size
+        0, len(payloads),          # dwStart, dwLength (frames)
+        bufsize, 0, -1,            # bufsize, quality, sample size
         0, 0, width & 0xFFFF, height & 0xFFFF,  # rcFrame
     )
     strf = struct.pack(
         "<IiiHHIIiiII",
-        40, width, height, 1, 24, 0,  # BITMAPINFOHEADER, BI_RGB
-        frame_size, 0, 0, 0, 0,
+        40, width, height, 1, 24, compression,  # BITMAPINFOHEADER
+        bufsize, 0, 0, 0, 0,
     )
 
     def lst(listtype: bytes, payload: bytes) -> bytes:
@@ -368,7 +410,7 @@ def encode_avi_gray8(
         b"hdrl",
         chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
     )
-    movi = lst(b"movi", b"".join(chunk(b"00db", dib(f)) for f in frames))
+    movi = lst(b"movi", b"".join(chunk(chunk_id, p) for p in payloads))
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
@@ -388,9 +430,12 @@ def avi_frames(blob: bytes) -> tuple[list[bytes], dict]:
     → '00db'/'00dc' frame chunks in the 'movi' list (including nested
     'rec ' groups) → bottom-up padded BGR24 rows → top-down 8-bit
     grayscale frame buffers (integer BT.601 luma: exact identity on
-    gray-encoded B=G=R frames).  Returns (frames, meta).  Only
-    uncompressed 24-bit BI_RGB video is accepted — compressed fourccs
-    raise rather than mis-decode (same contract as interlaced PNG)."""
+    gray-encoded B=G=R frames).  Returns (frames, meta).  Accepted:
+    uncompressed 24-bit BI_RGB, and (round-11) MJPEG — each frame
+    chunk is a baseline JPEG whose Y plane IS the luma buffer the
+    rest of the video plane consumes.  Every other compressed fourcc
+    raises rather than mis-decodes (same contract as interlaced
+    PNG)."""
     if blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
         raise ValueError("not an AVI")
     avih = strh = strf = None
@@ -417,10 +462,15 @@ def avi_frames(blob: bytes) -> tuple[list[bytes], dict]:
         raise ValueError("missing AVI headers")
     width, height = struct.unpack("<II", avih[32:40])
     bit_count, compression = struct.unpack("<HI", strf[14:20])
-    if compression != 0 or bit_count != 24:
+    if compression == _MJPG_FOURCC:
+        codec = "mjpg"
+    elif compression == 0 and bit_count == 24:
+        codec = "raw"
+    else:
         raise ValueError(
             f"unsupported AVI codec (biBitCount={bit_count}, "
-            f"biCompression={compression}); only uncompressed BGR24"
+            f"biCompression={compression}); only uncompressed BGR24 "
+            f"or MJPG"
         )
     scale, rate = (1, 0)
     if strh is not None and len(strh) >= 28 and strh[:4] == b"vids":
@@ -429,6 +479,14 @@ def avi_frames(blob: bytes) -> tuple[list[bytes], dict]:
     stride = (width * 3 + 3) & ~3
     frames = []
     for data in frame_chunks:
+        if codec == "mjpg":
+            from prod2vec_spark.operators.jpeg import decode_jpeg_gray
+
+            gray, fw, fh = decode_jpeg_gray(data)
+            if (fw, fh) != (width, height):
+                raise ValueError("MJPEG frame dimensions disagree with AVI header")
+            frames.append(gray)
+            continue
         if len(data) != stride * height:
             raise ValueError("AVI frame payload size mismatch")
         if _np is not None:  # vectorized fast path, byte-identical
@@ -460,6 +518,7 @@ def avi_frames(blob: bytes) -> tuple[list[bytes], dict]:
         "n_frames": len(frames),
         "fps": fps,
         "bit_count": int(bit_count),
+        "codec": codec,
     }
     return frames, meta
 

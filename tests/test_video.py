@@ -35,6 +35,7 @@ def test_avi_roundtrip_exact():
     assert got == frames  # grayscale roundtrip is EXACT (B=G=R luma)
     assert meta == {
         "width": 16, "height": 16, "n_frames": 6, "fps": 10.0, "bit_count": 24,
+        "codec": "raw",
     }
 
 
