@@ -362,6 +362,234 @@ def ivf_topk(
     )
 
 
+# ---------------------------------------------------------------- PQ
+def pq_codebooks(
+    corpus: DataFrame,
+    dims: int,
+    m: int = 4,
+    n_codes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Deterministic product-quantization codebooks: ``n_codes``
+    corpus vectors seeded-sampled by md5 hash order (exactly the IVF
+    coarse-quantizer protocol, so the DuckDB oracle replays the
+    choice), unit-scaled on the driver with the left-fold arithmetic
+    of l2_norm, then sliced into ``m`` contiguous subspaces —
+    codebook[mi][j] is sampled vector j's mi-th slice.  A k-means-
+    refined codebook can be passed to ``pq_encode``/``pq_topk``
+    through their ``codebooks`` parameter instead (same plug-in seam
+    as ivf_topk's ``centroids``)."""
+    import math
+
+    if dims % m:
+        raise ValueError(f"dims={dims} not divisible by m={m} subspaces")
+    sub = dims // m
+    rows = (
+        corpus.select(id_col, vec_col)
+        .where(l2_norm(F.col(vec_col)) > 0)
+        .orderBy(F.md5(F.concat_ws("|", F.lit("pq"), F.col(id_col))), F.col(id_col))
+        .limit(n_codes)
+        .collect()
+    )
+    units = []
+    for r in rows:
+        v = [float(x) for x in r[vec_col]]
+        acc = 0.0
+        for x in v:
+            acc = acc + x * x
+        nrm = math.sqrt(acc)
+        units.append([x / nrm for x in v])
+    return [
+        [u[mi * sub : (mi + 1) * sub] for u in units] for mi in range(m)
+    ]
+
+
+def _pq_literal(codebooks: list[list[list[float]]]) -> list[Column]:
+    """One array<array<double>> literal per subspace (n_codes × sub)."""
+    return [
+        F.expr(
+            "array("
+            + ",".join(
+                "array(" + ",".join(repr(c) + "D" for c in cw) + ")" for cw in cb
+            )
+            + ")"
+        )
+        for cb in codebooks
+    ]
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-encode the corpus: unit-scale each vector once, then per
+    subspace pick the L2-nearest codeword ROW-LOCALLY (the codebooks
+    are literals, like the LSH planes / IVF centroids) — one map
+    pass, ZERO shuffle.  Returns (id, codes array<int>): ``m`` small
+    ints per vector instead of ``dims`` doubles — at 100 TB this is
+    the compressed representation that actually fits the cluster
+    (m=4 bytes vs 64 float64s ≈ 128× smaller scan for the ADC pass),
+    and it persists as a plain parquet table.  Ties break to the
+    lowest codeword id (strict < in the fold), matching the oracle's
+    ORDER BY dist, j."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    lits = _pq_literal(codebooks)
+    # a zero vector has no unit form (and would fold to a -1 code);
+    # exclude it from the quantized corpus, same as the codebook path
+    unit = _with_unit(
+        corpus.where(l2_norm(F.col(vec_col)) > 0), vec_col, "nvec"
+    )
+
+    def code_for(mi: int) -> Column:
+        sub_v = F.slice(F.col("nvec"), mi * sub + 1, sub)
+        structs = F.zip_with(
+            lits[mi],
+            F.sequence(F.lit(0), F.lit(len(codebooks[mi]) - 1)),
+            lambda cw, j: F.struct(
+                F.aggregate(
+                    F.zip_with(sub_v, cw, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, d: acc + d,
+                ).alias("d"),
+                j.alias("j"),
+            ),
+        )
+        return F.aggregate(
+            structs,
+            F.struct(
+                F.lit(float("inf")).alias("d"), F.lit(-1).cast("int").alias("j")
+            ),
+            lambda acc, x: F.when(x["d"] < acc["d"], x).otherwise(acc),
+        )["j"]
+
+    return unit.select(
+        id_col, F.array(*[code_for(mi) for mi in range(m)]).alias("codes")
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dims: int,
+    k: int = 10,
+    m: int = 4,
+    n_codes: int = 8,
+    refine: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Product-quantization approximate top-k via asymmetric distance
+    computation (ADC — Jégou et al. 2011, "Product Quantization for
+    Nearest Neighbor Search"): corpus vectors are PQ codes (``m``
+    ints), each query carries a per-subspace lookup table of
+    ⟨query-slice, codeword⟩ dots, and the per-pair score is ``m``
+    table lookups instead of a ``dims``-element fold — with unit
+    vectors Σ_mi ⟨q_mi, c_codes[mi]⟩ approximates the cosine.
+
+    Scale shape: encode is one shuffle-free corpus map (pq_encode);
+    scoring streams the CODES (m ints/row, not the raw vectors)
+    against a broadcast query+LUT table; only the per-query top-k
+    window shuffles, and it shuffles code-width rows.  ``refine`` > 0
+    re-ranks the top ``k*refine`` ADC candidates with the exact
+    cosine over the raw vectors (the standard recall-restoring second
+    stage): the join back to the corpus touches only
+    |queries|·k·refine rows.  With ``refine=0`` the output sim column
+    is ``pq_sim`` (the ADC approximation — honest naming, it is NOT
+    the exact cosine); with refine it is the exact ``cosine_sim``."""
+    cbs = codebooks if codebooks is not None else pq_codebooks(
+        corpus, dims, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col
+    )
+    m = len(cbs)
+    sub = len(cbs[0][0])
+    codes = pq_encode(corpus, cbs, id_col=id_col, vec_col=vec_col)
+    # zero-norm queries have no unit form either — drop, don't emit
+    # null-sim rows (the oracle's corpus/query set is l2 > 0)
+    queries = queries.where(l2_norm(F.col(vec_col)) > 0)
+    # per-query LUT: lut[mi][j] = <q_mi, codeword_j> (computed once
+    # per query, broadcast with it).  Unrolled over (mi, j) with each
+    # codeword as a standalone literal: a transform() lambda whose
+    # body nests vec_dot's zip_with over the OUTER lambda's variable
+    # silently mis-binds (nested-HOF lambda capture), verified against
+    # a numpy reference — literals sidestep the resolver entirely.
+    qn = _with_unit(queries, vec_col, "qn")
+
+    def _cw_lit(cw: list[float]) -> Column:
+        return F.expr("array(" + ",".join(repr(c) + "D" for c in cw) + ")")
+
+    lut = F.array(
+        *[
+            F.array(
+                *[
+                    vec_dot(
+                        F.slice(F.col("qn"), mi * sub + 1, sub),
+                        _cw_lit(cbs[mi][j]),
+                    )
+                    for j in range(len(cbs[mi]))
+                ]
+            )
+            for mi in range(m)
+        ]
+    )
+    q = F.broadcast(
+        qn.select(F.col(id_col).alias("query_id"), lut.alias("lut"))
+    )
+    adc = sum(
+        F.element_at(
+            F.element_at(F.col("lut"), mi + 1),
+            F.element_at(F.col("codes"), mi + 1) + F.lit(1),
+        )
+        for mi in range(m)
+    )
+    cand = (
+        codes.crossJoin(q)
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn("sim", adc)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
+    if not refine:
+        return (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id",
+                F.col(id_col).alias("neighbor_id"),
+                F.round("sim", 5).alias("pq_sim"),
+                "rank",
+            )
+        )
+    shortlist = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k * refine)
+        .select("query_id", id_col)
+    )
+    qexact = F.broadcast(
+        _with_unit(queries, vec_col, "qn").select(
+            F.col(id_col).alias("query_id"), F.col("qn").alias("_qn")
+        )
+    )
+    exact = (
+        shortlist.join(_with_unit(corpus, vec_col, "nvec"), id_col)
+        .join(qexact, "query_id")
+        .withColumn("sim", vec_dot(F.col("_qn"), F.col("nvec")))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round("sim", 5).alias("cosine_sim"),
+            "rank",
+        )
+    )
+
+
 def embedding_neardup(
     corpus: DataFrame,
     dims: int,
