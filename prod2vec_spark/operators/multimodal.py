@@ -237,10 +237,162 @@ def decode_png(blob: bytes) -> dict:
     }
 
 
+# IMA/DVI ADPCM (WAVE format tag 0x0011) — the compressed-audio twin
+# of the MJPEG branch (round-11): 4-bit nibbles with the standard
+# 89-entry step table, block-structured with a (predictor, step
+# index) header per block.  Python's ``wave`` module reads PCM only,
+# so the ADPCM path parses the RIFF container itself.
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_step(pred: int, index: int, nibble: int) -> tuple[int, int]:
+    """One IMA ADPCM state update: returns (new predictor, new index).
+    Shared verbatim by encode (which feeds its own chosen nibble back)
+    and decode, so both sides track identical state."""
+    step = _IMA_STEPS[index]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    if nibble & 8:
+        diff = -diff
+    pred = max(-32768, min(32767, pred + diff))
+    index = max(0, min(88, index + _IMA_INDEX[nibble & 7]))
+    return pred, index
+
+
+def encode_wav_adpcm(
+    samples, sample_rate: int = 8000, block_align: int = 256
+) -> bytes:
+    """Mono IMA-ADPCM WAV ENCODER (format tag 0x0011): 4 bits per
+    sample after the first of each block — 4x smaller than PCM16.
+    Lossy (step-adaptive delta quantization), so tests bound sample
+    error rather than pinning bytes.  Each ``block_align``-byte block
+    carries 1 + (block_align-4)*2 samples; a fact chunk records the
+    true sample count so the decoder drops block padding exactly."""
+    samples = list(samples)
+    spb = 1 + (block_align - 4) * 2  # samples per block
+    blocks = bytearray()
+    index = 0
+    for b0 in range(0, max(len(samples), 1), spb):
+        chunk = samples[b0 : b0 + spb]
+        pred = max(-32768, min(32767, int(chunk[0]))) if chunk else 0
+        blocks += struct.pack("<hBB", pred, index, 0)
+        nibbles = []
+        for s in chunk[1:]:
+            s = max(-32768, min(32767, int(s)))
+            step = _IMA_STEPS[index]
+            delta = s - pred
+            n = 0
+            if delta < 0:
+                n = 8
+                delta = -delta
+            if delta >= step:
+                n |= 4
+                delta -= step
+            if delta >= step >> 1:
+                n |= 2
+                delta -= step >> 1
+            if delta >= step >> 2:
+                n |= 1
+            pred, index = _ima_step(pred, index, n)
+            nibbles.append(n)
+        nibbles += [0] * ((block_align - 4) * 2 - len(nibbles))  # pad block
+        for lo, hi in zip(nibbles[::2], nibbles[1::2]):
+            blocks.append(lo | (hi << 4))
+    spb_rate = max(1, sample_rate * block_align // spb)  # avg bytes/sec
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x0011, 1, sample_rate, spb_rate, block_align, 4, 2, spb
+    )
+    fact = struct.pack("<I", len(samples))
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(blocks)) + bytes(blocks)
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _adpcm_samples(blob: bytes) -> tuple[tuple, dict]:
+    """Decode a mono IMA-ADPCM WAV: RIFF walk → fmt/fact/data → per
+    block (predictor, index) header + low-then-high nibbles, truncated
+    to the fact chunk's true sample count."""
+    fmt = fact = data = None
+    for fourcc, p, ln in _riff_chunks(blob, 12, 8 + struct.unpack("<I", blob[4:8])[0]):
+        if fourcc == b"fmt " and fmt is None:
+            fmt = blob[p : p + ln]
+        elif fourcc == b"fact" and fact is None:
+            fact = blob[p : p + ln]
+        elif fourcc == b"data" and data is None:
+            data = blob[p : p + ln]
+    if fmt is None or len(fmt) < 16 or data is None:
+        raise ValueError("missing WAV chunks")
+    tag, n_channels, framerate, _, block_align, bits = struct.unpack(
+        "<HHIIHH", fmt[:16]
+    )
+    if tag != 0x0011 or bits != 4:
+        raise ValueError(f"unsupported WAV format tag {tag}")
+    if n_channels != 1:
+        raise ValueError("only mono IMA-ADPCM is supported")
+    out: list[int] = []
+    for b0 in range(0, len(data), block_align):
+        block = data[b0 : b0 + block_align]
+        if len(block) < 4:
+            raise ValueError("truncated ADPCM block")
+        pred, index, _ = struct.unpack("<hBB", block[:4])
+        index = max(0, min(88, index))
+        out.append(pred)
+        for byte in block[4:]:
+            for n in (byte & 0x0F, byte >> 4):
+                pred, index = _ima_step(pred, index, n)
+                out.append(pred)
+    n_frames = struct.unpack("<I", fact[:4])[0] if fact and len(fact) >= 4 else len(out)
+    out = out[:n_frames]
+    meta = {
+        "n_channels": 1,
+        "sampwidth": 2,  # decoded width; on-wire depth is 4 bits
+        "framerate": framerate,
+        "n_frames": n_frames,
+        "codec": "ima_adpcm",
+    }
+    return tuple(out), meta
+
+
+def _wav_format_tag(blob: bytes) -> int:
+    """Cheap fmt-chunk probe (no sample decode) to dispatch PCM vs
+    ADPCM before ``wave`` (which rejects anything non-PCM)."""
+    try:
+        end = 8 + struct.unpack("<I", blob[4:8])[0]
+        for fourcc, p, ln in _riff_chunks(blob, 12, end):
+            if fourcc == b"fmt " and ln >= 2:
+                return struct.unpack("<H", blob[p : p + 2])[0]
+    except (struct.error, IndexError):
+        pass
+    return 1  # assume PCM; wave raises its own error on garbage
+
+
 def wav_samples(blob: bytes) -> tuple[tuple, dict]:
-    """PCM sample decode shared by ``decode_wav`` (RMS features) and
+    """Sample decode shared by ``decode_wav`` (RMS features) and
     ``operators/phash.py`` (audio fingerprinting): interleaved signed
-    samples plus the stream metadata."""
+    samples plus the stream metadata.  PCM via the stdlib ``wave``
+    module; IMA-ADPCM (round-11) via the block decoder above — same
+    (samples, meta) contract either way."""
+    if _wav_format_tag(blob) == 0x0011:
+        return _adpcm_samples(blob)
     with wave.open(io.BytesIO(blob), "rb") as w:
         n_channels = w.getnchannels()
         sampwidth = w.getsampwidth()
@@ -261,6 +413,7 @@ def wav_samples(blob: bytes) -> tuple[tuple, dict]:
         "sampwidth": sampwidth,
         "framerate": framerate,
         "n_frames": n_frames,
+        "codec": "pcm",
     }
     return samples, meta
 
@@ -291,7 +444,8 @@ def decode_wav(blob: bytes) -> dict:
         "format": "wav",
         "sample_rate": framerate,
         "n_channels": n_channels,
-        "bit_depth": sampwidth * 8,
+        # on-wire depth: 4-bit nibbles for ADPCM, sample width for PCM
+        "bit_depth": 4 if m.get("codec") == "ima_adpcm" else sampwidth * 8,
         "duration_ms": (n_frames / framerate * 1000.0) if framerate else 0.0,
         "rms": rms,
     }
