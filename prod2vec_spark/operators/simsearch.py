@@ -419,6 +419,34 @@ def _pq_literal(codebooks: list[list[list[float]]]) -> list[Column]:
     ]
 
 
+def _pq_code_expr(
+    lit_mi: Column, n_codes: int, sub: int, mi: int, vec: Column
+) -> Column:
+    """Nearest-codeword id for ``vec``'s mi-th subspace slice: one
+    fold over (squared-distance, j) structs, strict < so ties break to
+    the lowest codeword id (the oracle's ORDER BY d, j)."""
+    sub_v = F.slice(vec, mi * sub + 1, sub)
+    structs = F.zip_with(
+        lit_mi,
+        F.sequence(F.lit(0), F.lit(n_codes - 1)),
+        lambda cw, j: F.struct(
+            F.aggregate(
+                F.zip_with(sub_v, cw, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ).alias("d"),
+            j.alias("j"),
+        ),
+    )
+    return F.aggregate(
+        structs,
+        F.struct(
+            F.lit(float("inf")).alias("d"), F.lit(-1).cast("int").alias("j")
+        ),
+        lambda acc, x: F.when(x["d"] < acc["d"], x).otherwise(acc),
+    )["j"]
+
+
 def pq_encode(
     corpus: DataFrame,
     codebooks: list[list[list[float]]],
@@ -443,31 +471,57 @@ def pq_encode(
     unit = _with_unit(
         corpus.where(l2_norm(F.col(vec_col)) > 0), vec_col, "nvec"
     )
-
-    def code_for(mi: int) -> Column:
-        sub_v = F.slice(F.col("nvec"), mi * sub + 1, sub)
-        structs = F.zip_with(
-            lits[mi],
-            F.sequence(F.lit(0), F.lit(len(codebooks[mi]) - 1)),
-            lambda cw, j: F.struct(
-                F.aggregate(
-                    F.zip_with(sub_v, cw, lambda x, y: (x - y) * (x - y)),
-                    F.lit(0.0),
-                    lambda acc, d: acc + d,
-                ).alias("d"),
-                j.alias("j"),
-            ),
-        )
-        return F.aggregate(
-            structs,
-            F.struct(
-                F.lit(float("inf")).alias("d"), F.lit(-1).cast("int").alias("j")
-            ),
-            lambda acc, x: F.when(x["d"] < acc["d"], x).otherwise(acc),
-        )["j"]
-
     return unit.select(
-        id_col, F.array(*[code_for(mi) for mi in range(m)]).alias("codes")
+        id_col,
+        F.array(
+            *[
+                _pq_code_expr(
+                    lits[mi], len(codebooks[mi]), sub, mi, F.col("nvec")
+                )
+                for mi in range(m)
+            ]
+        ).alias("codes"),
+    )
+
+
+def _pq_lut_expr(
+    cbs: list[list[list[float]]], sub: int, qn_col: str = "qn"
+) -> Column:
+    """Per-query ADC lookup table: lut[mi][j] = <q_mi, codeword_j>.
+    Unrolled over (mi, j) with each codeword as a standalone literal:
+    a transform() lambda whose body nests vec_dot's zip_with over the
+    OUTER lambda's variable silently mis-binds (nested-HOF lambda
+    capture), verified against a numpy reference — literals sidestep
+    the resolver entirely."""
+
+    def _cw_lit(cw: list[float]) -> Column:
+        return F.expr("array(" + ",".join(repr(c) + "D" for c in cw) + ")")
+
+    return F.array(
+        *[
+            F.array(
+                *[
+                    vec_dot(
+                        F.slice(F.col(qn_col), mi * sub + 1, sub),
+                        _cw_lit(cbs[mi][j]),
+                    )
+                    for j in range(len(cbs[mi]))
+                ]
+            )
+            for mi in range(len(cbs))
+        ]
+    )
+
+
+def _pq_adc_expr(m: int) -> Column:
+    """ADC score from a 'codes' array and a broadcast 'lut': m table
+    lookups summed in mi order (the oracle folds the same order)."""
+    return sum(
+        F.element_at(
+            F.element_at(F.col("lut"), mi + 1),
+            F.element_at(F.col("codes"), mi + 1) + F.lit(1),
+        )
+        for mi in range(m)
     )
 
 
@@ -510,45 +564,167 @@ def pq_topk(
     # zero-norm queries have no unit form either — drop, don't emit
     # null-sim rows (the oracle's corpus/query set is l2 > 0)
     queries = queries.where(l2_norm(F.col(vec_col)) > 0)
-    # per-query LUT: lut[mi][j] = <q_mi, codeword_j> (computed once
-    # per query, broadcast with it).  Unrolled over (mi, j) with each
-    # codeword as a standalone literal: a transform() lambda whose
-    # body nests vec_dot's zip_with over the OUTER lambda's variable
-    # silently mis-binds (nested-HOF lambda capture), verified against
-    # a numpy reference — literals sidestep the resolver entirely.
     qn = _with_unit(queries, vec_col, "qn")
-
-    def _cw_lit(cw: list[float]) -> Column:
-        return F.expr("array(" + ",".join(repr(c) + "D" for c in cw) + ")")
-
-    lut = F.array(
-        *[
-            F.array(
-                *[
-                    vec_dot(
-                        F.slice(F.col("qn"), mi * sub + 1, sub),
-                        _cw_lit(cbs[mi][j]),
-                    )
-                    for j in range(len(cbs[mi]))
-                ]
-            )
-            for mi in range(m)
-        ]
-    )
     q = F.broadcast(
-        qn.select(F.col(id_col).alias("query_id"), lut.alias("lut"))
-    )
-    adc = sum(
-        F.element_at(
-            F.element_at(F.col("lut"), mi + 1),
-            F.element_at(F.col("codes"), mi + 1) + F.lit(1),
+        qn.select(
+            F.col(id_col).alias("query_id"),
+            _pq_lut_expr(cbs, sub).alias("lut"),
         )
-        for mi in range(m)
     )
+    adc = _pq_adc_expr(m)
     cand = (
         codes.crossJoin(q)
         .filter(F.col(id_col) != F.col("query_id"))
         .withColumn("sim", adc)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
+    if not refine:
+        return (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id",
+                F.col(id_col).alias("neighbor_id"),
+                F.round("sim", 5).alias("pq_sim"),
+                "rank",
+            )
+        )
+    shortlist = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k * refine)
+        .select("query_id", id_col)
+    )
+    qexact = F.broadcast(
+        _with_unit(queries, vec_col, "qn").select(
+            F.col(id_col).alias("query_id"), F.col("qn").alias("_qn")
+        )
+    )
+    exact = (
+        shortlist.join(_with_unit(corpus, vec_col, "nvec"), id_col)
+        .join(qexact, "query_id")
+        .withColumn("sim", vec_dot(F.col("_qn"), F.col("nvec")))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round("sim", 5).alias("cosine_sim"),
+            "rank",
+        )
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dims: int,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    n_codes: int = 8,
+    refine: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """IVF + PQ approximate top-k — the composed 100 TB layout (the
+    FAISS IVFPQ shape): the inverted file prunes CANDIDATES (only the
+    query's ``nprobe`` cells are scanned), product quantization
+    shrinks BYTES (candidates are scored from m-int codes via ADC,
+    never touching the raw vectors), and ``refine`` restores
+    exactness on the shortlist.
+
+    One corpus pass computes cell id (argmax raw dot against the
+    'ivf'-seeded unit centroids — the SAME seed protocol as ivf_topk,
+    so cells match its assignment exactly) AND the PQ codes — zero
+    shuffle.  The probe join is a broadcast equi-join on cell id
+    carrying each query's ADC LUT; per-pair work on the survivors is
+    m table lookups.  At scale the (cid, codes) table is the only
+    thing the scan reads: ~m bytes/vector, cell-prunable."""
+    import math
+
+    cbs = codebooks if codebooks is not None else pq_codebooks(
+        corpus, dims, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col
+    )
+    m = len(cbs)
+    sub = len(cbs[0][0])
+    lits = _pq_literal(cbs)
+    # coarse quantizer: ivf_topk's seeded sample, verbatim protocol
+    raw_rows = (
+        corpus.select(id_col, vec_col)
+        .where(l2_norm(F.col(vec_col)) > 0)
+        .orderBy(F.md5(F.concat_ws("|", F.lit("ivf"), F.col(id_col))), F.col(id_col))
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = []
+    for r in raw_rows:
+        v = [float(x) for x in r[vec_col]]
+        acc = 0.0
+        for x in v:
+            acc = acc + x * x
+        nrm = math.sqrt(acc)
+        cents.append([x / nrm for x in v])
+    cmat = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(repr(c) + "D" for c in row) + ")" for row in cents
+        )
+        + ")"
+    )
+    cell_structs = F.zip_with(
+        cmat,
+        F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+        lambda c, i: F.struct(vec_dot(F.col(vec_col), c).alias("d"), i.alias("i")),
+    )
+    best_cell = F.aggregate(
+        cell_structs,
+        F.struct(F.lit(float("-inf")).alias("d"), F.lit(-1).cast("int").alias("i")),
+        lambda acc, x: F.when(x["d"] > acc["d"], x).otherwise(acc),
+    )["i"]
+    # ONE corpus pass: cid (raw-dot argmax) + PQ codes (unit slices)
+    enc = _with_unit(
+        corpus.where(l2_norm(F.col(vec_col)) > 0), vec_col, "nvec"
+    ).select(
+        id_col,
+        best_cell.alias("cid"),
+        F.array(
+            *[
+                _pq_code_expr(lits[mi], len(cbs[mi]), sub, mi, F.col("nvec"))
+                for mi in range(m)
+            ]
+        ).alias("codes"),
+    )
+    # queries: nprobe nearest cells + the ADC LUT, broadcast together
+    qkeyed = F.zip_with(
+        cmat,
+        F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+        lambda c, i: F.struct(
+            (-vec_dot(F.col(vec_col), c)).alias("negd"), i.alias("cid")
+        ),
+    )
+    qprobe = F.broadcast(
+        _with_unit(
+            queries.where(l2_norm(F.col(vec_col)) > 0), vec_col, "qn"
+        )
+        .select(
+            F.col(id_col).alias("query_id"),
+            _pq_lut_expr(cbs, sub).alias("lut"),
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort(qkeyed), 1, nprobe), lambda s: s["cid"]
+                )
+            ).alias("cid"),
+        )
+    )
+    cand = (
+        enc.join(qprobe, "cid")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn("sim", _pq_adc_expr(m))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
     if not refine:

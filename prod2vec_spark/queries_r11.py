@@ -110,9 +110,124 @@ WHERE rank <= 5
 """
 
 
+_IVFPQ_CENTS = 8
+_IVFPQ_PROBE = 2
+
+
+def q_ann_ivfpq_topk(spark, sf_dir):
+    """IVF+PQ approximate top-5 (the composed 100 TB layout): coarse
+    cells prune candidates, ADC over m-int codes scores them — the
+    candidate set is ann_ivf_topk's, the scoring is ann_pq_topk's."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return SS.ivf_pq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 20),
+        dims=EMB_DIMS,
+        k=5,
+        n_centroids=_IVFPQ_CENTS,
+        nprobe=_IVFPQ_PROBE,
+        m=_PQ_M,
+        n_codes=_PQ_CODES,
+    )
+
+
+def _sql_ann_ivfpq() -> str:
+    # The IVF oracle's cell assignment/probing (raw dots vs unit
+    # 'ivf'-seeded centroids) composed with the PQ oracle's codes +
+    # mi-ordered ADC fold; candidates are restricted to the probed
+    # cells by the cid equi-join instead of the PQ oracle's cross
+    # join.  Same fold discipline throughout (left folds, prepended
+    # 0.0) so every double matches Spark bit-for-bit.
+    sub = _PQ_SUB
+    dot_ec = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {EMB_DIMS}), i -> "
+        "e.embedding[i]::DOUBLE * c.cvec[i]::DOUBLE)), (x, y) -> x + y)"
+    )
+    dot_qc = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {EMB_DIMS}), i -> "
+        "q.embedding[i]::DOUBLE * c.cvec[i]::DOUBLE)), (x, y) -> x + y)"
+    )
+    d2 = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {sub}), i -> "
+        f"(n.nvec[s.mi*{sub}+i] - c.nvec[s.mi*{sub}+i]) "
+        f"* (n.nvec[s.mi*{sub}+i] - c.nvec[s.mi*{sub}+i]))), (x, y) -> x + y)"
+    )
+    part = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {sub}), i -> "
+        f"qp.qn[k.mi*{sub}+i] * c.nvec[k.mi*{sub}+i])), (x, y) -> x + y)"
+    )
+    mi_rows = ", ".join(f"({mi})" for mi in range(_PQ_M))
+    return f"""
+WITH cw AS (
+  SELECT row_number() OVER (ORDER BY md5('pq|' || vec_id), vec_id) - 1 AS j,
+         nvec
+  FROM (SELECT vec_id, {_UNIT.format(a='embedding')} AS nvec
+        FROM embeddings
+        WHERE {_L2.format(a='embedding')} > 0
+        ORDER BY md5('pq|' || vec_id), vec_id LIMIT {_PQ_CODES})),
+s AS (SELECT * FROM (VALUES {mi_rows}) AS t(mi)),
+n AS (SELECT vec_id, embedding, {_UNIT.format(a='embedding')} AS nvec
+      FROM embeddings
+      WHERE {_L2.format(a='embedding')} > 0),
+codes AS (
+  SELECT vec_id, mi, j FROM (
+    SELECT n.vec_id, s.mi, c.j,
+           row_number() OVER (PARTITION BY n.vec_id, s.mi
+                              ORDER BY ({d2}), c.j) AS rk
+    FROM n CROSS JOIN s CROSS JOIN cw c)
+  WHERE rk = 1),
+cid AS (
+  SELECT row_number() OVER (ORDER BY md5('ivf|' || vec_id), vec_id) - 1 AS cid,
+         cvec
+  FROM (SELECT vec_id, {_UNIT.format(a='embedding')} AS cvec
+        FROM embeddings
+        WHERE {_L2.format(a='embedding')} > 0
+        ORDER BY md5('ivf|' || vec_id), vec_id LIMIT {_IVFPQ_CENTS})),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY ({dot_ec}) DESC, c.cid) AS rk
+    FROM (SELECT vec_id, embedding FROM n) e CROSS JOIN cid c)
+  WHERE rk = 1),
+q AS (SELECT vec_id AS query_id, embedding, nvec AS qn FROM n WHERE vec_id < 20),
+qprobe AS (
+  SELECT query_id, qn, cid FROM (
+    SELECT q.query_id, q.qn, c.cid,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY ({dot_qc}) DESC, c.cid) AS rk
+    FROM q CROSS JOIN cid c)
+  WHERE rk <= {_IVFPQ_PROBE}),
+adc AS (
+  SELECT query_id, vec_id,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE), parts),
+                     (x, y) -> x + y) AS sim
+  FROM (SELECT qp.query_id, k.vec_id, list({part} ORDER BY k.mi) AS parts
+        FROM assign a
+        JOIN qprobe qp USING (cid)
+        JOIN codes k ON k.vec_id = a.vec_id
+        JOIN cw c ON c.j = k.j
+        WHERE a.vec_id != qp.query_id
+        GROUP BY 1, 2))
+SELECT query_id, vec_id AS neighbor_id, round(sim, 5) AS pq_sim,
+       CAST(rank AS INT) AS rank
+FROM (SELECT query_id, vec_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, vec_id) AS rank
+      FROM adc)
+WHERE rank <= 5
+"""
+
+
 R11_QUERIES = {
     "ann_pq_topk": q_ann_pq_topk,
+    "ann_ivfpq_topk": q_ann_ivfpq_topk,
 }
 R11_ORACLES: dict[str, str] = {
     "ann_pq_topk": _sql_ann_pq(),
+    "ann_ivfpq_topk": _sql_ann_ivfpq(),
 }

@@ -171,3 +171,114 @@ def test_pq_zero_vectors_excluded_everywhere(spark):
 def test_pq_rejects_bad_dims(spark):
     with pytest.raises(ValueError, match="not divisible"):
         SS.pq_codebooks(_emb(spark), DIMS, m=5)
+
+
+def test_kmeans_pq_codebooks_beat_seeded_sample(spark):
+    """Lloyd-refined codebooks minimize exactly PQ's distortion
+    objective, so they must (a) keep the [m][n_codes][sub] shape,
+    (b) lower mean quantization error vs the seeded sample, and
+    (c) not hurt raw-ADC recall (measured 0.08 -> 0.40 at m=4/8
+    codes on the amplified corpus)."""
+    from prod2vec_spark.ml.clustering import kmeans_pq_codebooks
+
+    corpus = amplify_embeddings(_emb(spark)).localCheckpoint()
+    seeded = SS.pq_codebooks(corpus, DIMS, m=4, n_codes=8)
+    lloyd = kmeans_pq_codebooks(corpus, DIMS, m=4, n_codes=8)
+    assert len(lloyd) == 4
+    assert all(len(cb) == 8 for cb in lloyd)
+    assert all(len(cw) == 16 for cb in lloyd for cw in cb)
+
+    vecs = np.array(
+        [r["embedding"] for r in corpus.limit(1000).collect()], dtype=np.float64
+    )
+    un = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+
+    def distortion(cbs):
+        tot = 0.0
+        for mi in range(4):
+            s = un[:, mi * 16 : (mi + 1) * 16]
+            C = np.asarray(cbs[mi])
+            tot += ((s[:, None, :] - C[None, :, :]) ** 2).sum(-1).min(1).mean()
+        return tot
+
+    assert distortion(lloyd) < distortion(seeded)
+
+    probes = corpus.where(
+        F.col("vec_id").isin([b * FACTOR for b in PROBE_BASE_IDS])
+    )
+    exact = SS.brute_force_topk(corpus, probes, k=5).localCheckpoint()
+
+    def recall(cbs):
+        return (
+            exact.join(
+                SS.pq_topk(corpus, probes, dims=DIMS, k=5, codebooks=cbs)
+                .select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+                "left_semi",
+            ).count()
+            / 25
+        )
+
+    assert recall(lloyd) >= recall(seeded)
+
+
+def test_ivfpq_refine_recovers_planted_families(spark):
+    """The composed IVF+PQ layout: cells prune candidates, ADC scores
+    codes, exact re-rank restores recall ≥0.9 (measured 1.0) on the
+    planted-family corpus — and raw ADC recall can only improve
+    through refine."""
+    corpus = amplify_embeddings(_emb(spark)).localCheckpoint()
+    probes = corpus.where(
+        F.col("vec_id").isin([b * FACTOR for b in PROBE_BASE_IDS])
+    )
+    exact = SS.brute_force_topk(corpus, probes, k=5).localCheckpoint()
+    denom = 5 * len(PROBE_BASE_IDS)
+
+    def recall(df):
+        return (
+            exact.join(
+                df.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+                "left_semi",
+            ).count()
+            / denom
+        )
+
+    cbs = SS.pq_codebooks(corpus, DIMS, m=8, n_codes=16)
+    r_adc = recall(
+        SS.ivf_pq_topk(
+            corpus, probes, dims=DIMS, k=5, n_centroids=16, nprobe=4,
+            codebooks=cbs,
+        )
+    )
+    r_ref = recall(
+        SS.ivf_pq_topk(
+            corpus, probes, dims=DIMS, k=5, n_centroids=16, nprobe=4,
+            refine=8, codebooks=cbs,
+        )
+    )
+    assert r_ref >= 0.9, f"IVFPQ refine recall@5 = {r_ref}"
+    assert r_ref >= r_adc
+
+
+def test_ivfpq_candidates_are_ivf_cell_restricted(spark):
+    """Same 'ivf' seed protocol as ivf_topk → identical cells: every
+    IVFPQ neighbor must come from the query's nprobe probed cells, and
+    the plan is broadcast-equi-join shaped (no cartesian product)."""
+    emb = _emb(spark)
+    probes = emb.filter(F.col("vec_id") < 5)
+    out = SS.ivf_pq_topk(
+        emb, probes, dims=DIMS, k=5, n_centroids=8, nprobe=2
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the IVF candidate set with the same (n_centroids, nprobe) is a
+    # superset of IVFPQ's output pairs (same cells, different scorer)
+    ivf_all = SS.ivf_topk(
+        emb, probes, dims=DIMS, k=10**6, n_centroids=8, nprobe=2
+    )
+    extra = out.select("query_id", "neighbor_id").exceptAll(
+        ivf_all.select("query_id", "neighbor_id")
+    )
+    assert extra.count() == 0
