@@ -261,6 +261,51 @@ def test_ivfpq_refine_recovers_planted_families(spark):
     assert r_ref >= r_adc
 
 
+def test_pq_encode_streams_and_is_incremental(spark, tmp_path):
+    """pq_encode is stateless and row-local, so the scale contracts
+    hold by construction and are locked here: (a) the SAME call
+    applies to a structured stream unchanged and matches batch output
+    exactly; (b) with fixed codebooks, encoding crawl deltas and
+    unioning equals the full re-run (full == prior ∪ delta) — the PQ
+    code table is append-only across snapshots, nothing re-encodes."""
+    emb = _emb(spark).limit(60).localCheckpoint()
+    cbs = SS.pq_codebooks(emb, DIMS, m=4, n_codes=8)
+    batch = {
+        r["vec_id"]: list(r["codes"]) for r in SS.pq_encode(emb, cbs).collect()
+    }
+
+    src = tmp_path / "src"
+    emb.write.parquet(str(src))
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>, label int"
+    ).parquet(str(src))
+    out_dir, ckpt = str(tmp_path / "codes"), str(tmp_path / "ckpt")
+    q = (
+        SS.pq_encode(stream, cbs)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        r["vec_id"]: list(r["codes"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert streamed == batch
+
+    prior = emb.where(F.col("vec_id") % 2 == 0)
+    delta = emb.where(F.col("vec_id") % 2 == 1)
+    unioned = {
+        r["vec_id"]: list(r["codes"])
+        for r in SS.pq_encode(prior, cbs)
+        .unionByName(SS.pq_encode(delta, cbs))
+        .collect()
+    }
+    assert unioned == batch
+
+
 def test_ivfpq_candidates_are_ivf_cell_restricted(spark):
     """Same 'ivf' seed protocol as ivf_topk → identical cells: every
     IVFPQ neighbor must come from the query's nprobe probed cells, and
