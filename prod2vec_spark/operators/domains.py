@@ -166,8 +166,23 @@ def psl_registered_domain(
     stages already pass through)."""
     parts = F.split(F.col(host_col), r"\.")
     n = F.size(parts)
-    suffixes = psl.select(
-        F.lower(F.trim(F.col(psl.columns[0]))).alias("_s")
+    # A duplicate rule (easy when wildcard expansions collide with
+    # plain rules) would fan out the per-k joins and duplicate corpus
+    # rows.  The PSL is a bounded ~10⁴-row dimension — the same class
+    # as the centroid/plane literals — so dedup DRIVER-side into a
+    # local relation: duplicate-proof without adding the Exchange a
+    # distributed distinct() would (the zero-shuffle plan contract is
+    # pytest-locked).
+    uniq = sorted(
+        {
+            r["_s"]
+            for r in psl.select(
+                F.lower(F.trim(F.col(psl.columns[0]))).alias("_s")
+            ).collect()
+        }
+    )
+    suffixes = psl.sparkSession.createDataFrame(
+        [(s,) for s in uniq], ["_s"]
     ).withColumn("_k", F.size(F.split(F.col("_s"), r"\.")))
     out = staged
     for k in range(max_labels, 0, -1):

@@ -498,8 +498,30 @@ def decode_jpeg_gray(blob: bytes) -> tuple[bytes, int, int]:
                 raise ValueError("JPEG scan before its DHT")
             hmax = max(c[1] for c in comps)
             vmax = max(c[2] for c in comps)
-            mcux = (width + 8 * hmax - 1) // (8 * hmax)
-            mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+            if ns == 1:
+                # T.81 A.2.2: a single-component scan is NON-interleaved
+                # — the MCU is ONE data unit and the block grid comes
+                # from the component's own dimensions, NOT the frame's
+                # hmax/vmax MCU geometry (which would silently permute
+                # block placement).  Luma-only contract: the first scan
+                # must be the first (luma) component at full resolution,
+                # else reject loudly.
+                if seg[1] != comps[0][0]:
+                    raise ValueError(
+                        "unsupported JPEG scan order; first scan must be "
+                        "the luma component"
+                    )
+                h1, v1 = scan[0][0], scan[0][1]
+                cw = (width * h1 + hmax - 1) // hmax
+                ch = (height * v1 + vmax - 1) // vmax
+                if (cw, ch) != (width, height):
+                    raise ValueError("unsupported JPEG: subsampled luma")
+                scan = [(1, 1) + scan[0][2:]]
+                mcux = (width + 7) // 8
+                mcuy = (height + 7) // 8
+            else:
+                mcux = (width + 8 * hmax - 1) // (8 * hmax)
+                mcuy = (height + 8 * vmax - 1) // (8 * vmax)
             # luma plane padded to whole MCUs (cropped at the end)
             h0, v0 = scan[0][0], scan[0][1]
             pw, ph = mcux * h0 * 8, mcuy * v0 * 8

@@ -632,10 +632,10 @@ def avi_frames(blob: bytes) -> tuple[list[bytes], dict]:
     fps = (rate / scale) if scale and rate else 0.0
     stride = (width * 3 + 3) & ~3
     frames = []
+    if codec == "mjpg":  # hoisted: the loop body runs per frame
+        from prod2vec_spark.operators.jpeg import decode_jpeg_gray
     for data in frame_chunks:
         if codec == "mjpg":
-            from prod2vec_spark.operators.jpeg import decode_jpeg_gray
-
             gray, fw, fh = decode_jpeg_gray(data)
             if (fw, fh) != (width, height):
                 raise ValueError("MJPEG frame dimensions disagree with AVI header")

@@ -331,6 +331,12 @@ class CorpusCurationPipeline:
             out = out.withColumn("text", scrub_cc(F.col("text")))
         return out
 
+    def _url_curation_active(self) -> bool:
+        """ONE definition of 'the url_curation stage runs (and thus
+        checkpoints its output)' — adaptive_block keys its own
+        materialization decision off this, so the two can't drift."""
+        return bool(self.cfg.domain_blocklist) or self.cfg.domain_cap_k > 0
+
     # -- stage 0.75: URL curation (optional, round 9) ------------------
     def url_curation(self, docs: DataFrame) -> DataFrame:
         """C4/RefinedWeb ingestion filters, active only when the
@@ -345,8 +351,7 @@ class CorpusCurationPipeline:
             filter_blocked_domains,
         )
 
-        wanted = bool(self.cfg.domain_blocklist) or self.cfg.domain_cap_k > 0
-        if not wanted:
+        if not self._url_curation_active():
             return docs
         if self.cfg.url_col not in docs.columns:
             raise ValueError(
@@ -388,7 +393,7 @@ class CorpusCurationPipeline:
         # input twice (mine + cut) — so materialize it ONCE; a parquet
         # write is far cheaper than re-running the corpus-wide regex
         # rewrite per pass (was 75% of the r9b macro's 194 s).
-        if not (bool(self.cfg.domain_blocklist) or self.cfg.domain_cap_k > 0):
+        if not self._url_curation_active():
             write_parquet(docs, f"{self.cfg.work_dir}/adaptive_input")
             docs = self.spark.read.parquet(
                 f"{self.cfg.work_dir}/adaptive_input"

@@ -157,6 +157,25 @@ def test_psl_registered_domain_longest_match(spark):
     assert naive[3] == "edu.au"
 
 
+def test_psl_duplicate_rules_do_not_duplicate_rows(spark):
+    """A suffix listed twice (wildcard expansions colliding with plain
+    rules) must not fan out the per-k joins — one output row per doc,
+    identical domains to the deduped table."""
+    psl_dup = spark.createDataFrame(
+        [("com",), ("com",), ("co.uk",), ("co.uk",), ("co.uk",)], ["suffix"]
+    )
+    docs = spark.createDataFrame(
+        [(1, "https://www.example.com/x"), (2, "https://a.b.co.uk/x")],
+        "doc_id long, url string",
+    )
+    out = with_domain(docs, psl=psl_dup).select("doc_id", "domain").collect()
+    assert len(out) == 2
+    assert {r["doc_id"]: r["domain"] for r in out} == {
+        1: "example.com",
+        2: "b.co.uk",
+    }
+
+
 def test_psl_plan_is_broadcast_only(spark):
     """The PSL lookup must stay a zero-shuffle chain of broadcast
     joins — no Exchange may appear between the scan and the domain

@@ -117,6 +117,37 @@ def test_jpeg_pure_python_path_matches_numpy():
         J._np = saved
 
 
+def test_jpeg_single_scan_uses_component_grid_not_mcu_geometry():
+    """T.81 A.2.2: a single-component scan is non-interleaved — one
+    block per MCU on the COMPONENT's grid.  A grayscale JPEG that
+    declares 2x2 sampling (legal; ratio to hmax is still 1) must
+    decode identically to the 1x1 declaration; the frame-level MCU
+    geometry would silently permute block placement."""
+    f = _frame(20, w=32, h=16)
+    blob = bytearray(encode_jpeg_gray(f, 32, 16, quality=90))
+    base = decode_jpeg_gray(bytes(blob))[0]
+    i = bytes(blob).index(b"\xff\xc0")
+    assert blob[i + 11] == 0x11  # component 1 sampling byte
+    blob[i + 11] = 0x22
+    assert decode_jpeg_gray(bytes(blob))[0] == base
+
+
+def test_jpeg_rejects_non_luma_first_scan():
+    """A multi-component file whose first scan is a chroma component
+    would yield a bogus 'luma' plane — reject loudly instead."""
+    f = _frame(21, w=16, h=16)
+    blob = bytearray(encode_jpeg_gray(f, 16, 16, quality=90, color=True))
+    i = bytes(blob).index(b"\xff\xda")
+    ns = blob[i + 4]
+    assert ns == 3  # interleaved 3-component scan from our encoder
+    blob[i + 4] = 1  # claim a single-component scan...
+    blob[i + 5] = 2  # ...of component id 2 (Cb)
+    # truncate the now-too-long SOS header is unnecessary: length byte
+    # still covers it; the decoder must reject before entropy decode
+    with pytest.raises(ValueError, match="scan order|unsupported"):
+        decode_jpeg_gray(bytes(blob))
+
+
 def test_jpeg_rejects_progressive_and_garbage():
     f = _frame(7, w=16, h=16)
     blob = bytearray(encode_jpeg_gray(f, 16, 16))

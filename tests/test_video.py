@@ -191,7 +191,17 @@ def test_video_hash_fixture_matches_codec_chain(spark):
         r["doc_id"]: r["vhash"]
         for r in spark.read.parquet(_video_fixture_path()).collect()
     }
-    assert sorted(fixture) == list(range(5000))  # covers every sf
+    assert sorted(fixture) == list(range(5000))
+    # the query leftsemi-joins documents against the fixture, so a
+    # doc_id beyond the fixture would SILENTLY drop out of the entry —
+    # make the cap loud at the largest sf the driver/bench ever runs
+    for sf_dir in ("/root/testdata/sf0.001", SF_ORACLE, "/root/testdata/sf0.1"):
+        top = (
+            read_table(spark, sf_dir, "documents")
+            .agg({"doc_id": "max"})
+            .collect()[0][0]
+        )
+        assert top < 5000, f"{sf_dir}: doc_id {top} exceeds fixture coverage"
     assert all(v is not None for v in fixture.values())
     doc_ids = read_table(spark, SF_ORACLE, "documents").select("doc_id")
     recomputed = {
