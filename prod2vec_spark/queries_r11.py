@@ -223,11 +223,92 @@ WHERE rank <= 5
 """
 
 
+# ---------------------------------------------- hybrid RRF retrieval
+_HYBRID_PROBES = [("q_spark", 0), ("q_scan", 1), ("q_stream", 2)]
+_HYBRID_DEPTH = 10
+_RRF_K = 60
+
+
+def q_hybrid_rrf_topk(spark, sf_dir):
+    """Hybrid lexical+dense retrieval: the BM25 keyword ranking and
+    the exact-cosine ANN ranking (per-query probe vectors) fused by
+    reciprocal-rank fusion — rank-only, so no score calibration
+    between BM25 scores and cosines (operators/fusion.py)."""
+    from prod2vec_spark.operators.bm25 import bm25_topk
+    from prod2vec_spark.operators.fusion import rrf_fuse
+    from prod2vec_spark.queries_r7 import BM25_QUERIES
+
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    bm = bm25_topk(docs, BM25_QUERIES, k=_HYBRID_DEPTH)
+    probes = emb.where(
+        F.col("vec_id").isin([v for _, v in _HYBRID_PROBES])
+    )
+    ann = SS.brute_force_topk(emb, probes, k=_HYBRID_DEPTH).select(
+        F.col("query_id").alias("_vid"),
+        F.col("neighbor_id").alias("doc_id"),
+        "rank",
+    )
+    mapping = F.broadcast(
+        spark.createDataFrame(_HYBRID_PROBES, "qid string, _vid long")
+    )
+    ann_m = ann.join(mapping, "_vid").select(
+        F.col("qid").alias("query_id"), "doc_id", "rank"
+    )
+    return rrf_fuse(
+        [bm.select("query_id", "doc_id", "rank"), ann_m],
+        k=_HYBRID_DEPTH,
+        k_rrf=_RRF_K,
+    )
+
+
+def _sql_hybrid_rrf() -> str:
+    # The BM25 oracle embedded verbatim as a subquery + a brute-force
+    # cosine ranking for the mapped probe vectors, fused with the
+    # rank-only RRF formula.  Two lists → the fused sum is a two-term
+    # IEEE add (commutative), so scores are oracle-exact pre-round.
+    from prod2vec_spark.queries_r7 import _sql_bm25_topk
+
+    map_rows = ", ".join(f"('{q}', {v})" for q, v in _HYBRID_PROBES)
+    return f"""
+WITH bm AS (SELECT * FROM ({_sql_bm25_topk()})),
+map(query_id, vec_id) AS (VALUES {map_rows}),
+n AS (SELECT vec_id, {_UNIT.format(a='embedding')} AS nvec FROM embeddings),
+qv AS (SELECT m.query_id, n.vec_id, n.nvec AS qn
+       FROM n JOIN map m USING (vec_id)),
+p AS (SELECT qv.query_id, n.vec_id AS doc_id,
+             (list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(generate_series(1, {EMB_DIMS}), i ->
+                  qv.qn[i] * n.nvec[i])), (x, y) -> x + y)) AS sim
+      FROM n CROSS JOIN qv
+      WHERE n.vec_id != qv.vec_id),
+ar AS (SELECT query_id, doc_id,
+              CAST(row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, doc_id) AS INT) AS rank
+       FROM p),
+u AS (SELECT query_id, doc_id, 1.0 / ({_RRF_K} + rank) AS c
+      FROM bm
+      UNION ALL
+      SELECT query_id, doc_id, 1.0 / ({_RRF_K} + rank) AS c
+      FROM ar WHERE rank <= {_HYBRID_DEPTH}),
+f AS (SELECT query_id, doc_id, sum(c) AS rrf_score FROM u GROUP BY 1, 2)
+SELECT query_id, doc_id, round(rrf_score, 6) AS rrf_score,
+       CAST(rank AS INT) AS rank
+FROM (SELECT query_id, doc_id, rrf_score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY rrf_score DESC, doc_id) AS rank
+      FROM f)
+WHERE rank <= {_HYBRID_DEPTH}
+"""
+
+
 R11_QUERIES = {
     "ann_pq_topk": q_ann_pq_topk,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
+    "hybrid_rrf_topk": q_hybrid_rrf_topk,
 }
 R11_ORACLES: dict[str, str] = {
     "ann_pq_topk": _sql_ann_pq(),
     "ann_ivfpq_topk": _sql_ann_ivfpq(),
+    "hybrid_rrf_topk": _sql_hybrid_rrf(),
 }

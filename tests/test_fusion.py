@@ -1,0 +1,75 @@
+"""Round-11: reciprocal-rank fusion (operators/fusion.py) — the
+lexical+dense hybrid combiner over the BM25 and ANN planes.  RRF is
+pure rank arithmetic, so tests pin exact values."""
+
+from __future__ import annotations
+
+import pytest
+
+from prod2vec_spark.operators.fusion import rrf_fuse
+
+
+def _ranking(spark, rows):
+    return spark.createDataFrame(
+        rows, "query_id string, doc_id long, rank int"
+    )
+
+
+def test_rrf_exact_values_and_overlap_dominance(spark):
+    """A doc ranked 3rd in BOTH lists (2/(60+3)) must outrank a doc
+    ranked 1st in ONE list (1/(60+1)) — the point of fusion."""
+    a = _ranking(spark, [("q", 10, 1), ("q", 30, 3)])
+    b = _ranking(spark, [("q", 20, 1), ("q", 30, 3)])
+    got = {
+        r["doc_id"]: (r["rrf_score"], r["rank"])
+        for r in rrf_fuse([a, b], k=10).collect()
+    }
+    assert got[30] == (pytest.approx(round(2 / 63, 6)), 1)
+    assert got[10] == (pytest.approx(round(1 / 61, 6)), 2)  # tie → lower id
+    assert got[20] == (pytest.approx(round(1 / 61, 6)), 3)
+
+
+def test_rrf_three_lists_and_k_cut(spark):
+    lists = [
+        _ranking(spark, [("q", d, r) for r, d in enumerate(perm, start=1)])
+        for perm in ([1, 2, 3], [2, 1, 3], [3, 2, 1])
+    ]
+    rows = rrf_fuse(lists, k=2, k_rrf=60).collect()
+    assert len(rows) == 2  # k cut applied
+    got = {r["doc_id"]: r["rrf_score"] for r in rows}
+    # doc 2: ranks (2,1,2) -> 1/62+1/61+1/62 ; doc 1: (1,2,3)
+    assert got[2] == pytest.approx(round(1 / 62 + 1 / 61 + 1 / 62, 6))
+    assert got[1] == pytest.approx(round(1 / 61 + 1 / 62 + 1 / 63, 6))
+    assert got[2] > got[1]
+
+
+def test_rrf_multi_query_independence(spark):
+    a = _ranking(spark, [("q1", 1, 1), ("q2", 2, 1)])
+    b = _ranking(spark, [("q1", 1, 2), ("q2", 3, 1)])
+    rows = rrf_fuse([a, b], k=5).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["doc_id"])
+    assert sorted(per_q["q1"]) == [1]
+    assert sorted(per_q["q2"]) == [2, 3]
+
+
+def test_rrf_rejects_empty_input(spark):
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
+
+
+def test_hybrid_rrf_entry_shape(spark):
+    """The catalog-facing composition: 10 fused docs per keyword
+    query, deterministic across runs."""
+    from prod2vec_spark.queries_r11 import q_hybrid_rrf_topk
+    from tests.conftest import SF_SMOKE
+
+    out = q_hybrid_rrf_topk(spark, SF_SMOKE)
+    rows = out.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert set(per_q) == {"q_spark", "q_scan", "q_stream"}
+    assert all(sorted(v) == list(range(1, 11)) for v in per_q.values())
+    assert [tuple(r) for r in out.collect()] == [tuple(r) for r in rows]
