@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from functools import reduce
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -67,3 +69,82 @@ def rrf_fuse(
             "rank",
         )
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    emb: DataFrame,
+    k: int = 10,
+    lam: float = 0.7,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rel_col: str = "rel",
+    emb_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-rank (Carbonell & Goldstein
+    1998): greedily pick argmax of ``lam·rel(d) − (1−lam)·max_{s∈S}
+    cos(d, s)`` — relevance traded against redundancy with what is
+    already selected, the standard diversity post-processor for a
+    retrieval shortlist (and for diverse training-example selection).
+
+    Scale shape: ``candidates`` is a per-query TOP-N from an upstream
+    retrieval pass — bounded per group — so the greedy loop runs in
+    ONE ``applyInPandas`` over candidates enriched with their vectors
+    (the declared Pandas-UDF boundary class: per-group sequential
+    selection has no relational form).  The embedding join touches
+    |queries|·N rows, never the corpus.  Greedy selection is
+    inherently sequential, so this is a pytest-gated (rows-only)
+    surface, like the k-means family.
+
+    Determinism: candidates sort by (−rel, id) first and score ties
+    resolve in that order (highest relevance, then lowest doc id).
+    lam=1 reduces to relevance order (pytest-locked); the first pick
+    is always the highest-relevance doc."""
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError("lam must be in [0, 1]")
+    enriched = candidates.select(query_col, id_col, rel_col).join(
+        emb.select(
+            F.col(emb_id_col).alias(id_col), F.col(vec_col).alias("_v")
+        ),
+        id_col,
+    )
+    qt = candidates.schema[query_col].dataType.simpleString()
+    it = candidates.schema[id_col].dataType.simpleString()
+    out_schema = f"{query_col} {qt}, {id_col} {it}, mmr_score double, rank int"
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [rel_col, id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+        nrm = np.linalg.norm(V, axis=1, keepdims=True)
+        nrm[nrm == 0.0] = 1.0  # zero vectors: cos contribution 0
+        V = V / nrm
+        rel = pdf[rel_col].to_numpy(dtype=np.float64)
+        ids = pdf[id_col].to_numpy()
+        n = len(pdf)
+        picked: list[int] = []
+        scores: list[float] = []
+        max_sim = np.full(n, -np.inf)  # max cos to the selected set
+        avail = np.ones(n, dtype=bool)
+        for _ in range(min(k, n)):
+            penalty = np.where(np.isinf(max_sim), 0.0, max_sim)
+            score = lam * rel - (1.0 - lam) * penalty
+            score[~avail] = -np.inf
+            best = score.max()
+            j = int(np.flatnonzero(score == best)[0])  # lowest id wins
+            picked.append(j)
+            scores.append(float(best))
+            avail[j] = False
+            max_sim = np.maximum(max_sim, V @ V[j])
+        return pd.DataFrame(
+            {
+                query_col: pdf[query_col].iloc[picked].to_numpy(),
+                id_col: ids[picked],
+                "mmr_score": np.round(scores, 6),
+                "rank": np.arange(1, len(picked) + 1, dtype=np.int32),
+            }
+        )
+
+    return enriched.groupBy(query_col).applyInPandas(pick, out_schema)

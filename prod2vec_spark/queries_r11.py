@@ -302,10 +302,28 @@ WHERE rank <= {_HYBRID_DEPTH}
 """
 
 
+def q_mmr_diverse_topk(spark, sf_dir):
+    """MMR diversity re-rank of an exact-cosine top-30 shortlist
+    (operators/fusion.mmr_rerank) — greedy selection is sequential,
+    so this is the rows-only oracle class (like the k-means family);
+    the exact-value/property gates live in tests/test_fusion.py."""
+    from prod2vec_spark.operators.fusion import mmr_rerank
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    cand = SS.brute_force_topk(emb, probes, k=30).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("cosine_sim").alias("rel"),
+    )
+    return mmr_rerank(cand, emb, k=10, lam=0.7)
+
+
 R11_QUERIES = {
     "ann_pq_topk": q_ann_pq_topk,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "hybrid_rrf_topk": q_hybrid_rrf_topk,
+    "mmr_diverse_topk": q_mmr_diverse_topk,
 }
 R11_ORACLES: dict[str, str] = {
     "ann_pq_topk": _sql_ann_pq(),

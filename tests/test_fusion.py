@@ -59,6 +59,87 @@ def test_rrf_rejects_empty_input(spark):
         rrf_fuse([])
 
 
+def _emb_df(spark, vecs: dict[int, list[float]]):
+    return spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def test_mmr_demotes_planted_redundancy(spark):
+    """Docs 1 and 2 are near-identical and most relevant; doc 3 is
+    orthogonal and less relevant.  Pure relevance picks (1, 2, 3);
+    MMR at lam=0.5 must pick 1, then 3 (2's redundancy penalty
+    outweighs its relevance edge), then 2."""
+    from prod2vec_spark.operators.fusion import mmr_rerank
+
+    emb = _emb_df(
+        spark,
+        {
+            1: [1.0, 0.0, 0.0],
+            2: [0.999, 0.04, 0.0],
+            3: [0.0, 1.0, 0.0],
+        },
+    )
+    cand = spark.createDataFrame(
+        [("q", 1, 0.95), ("q", 2, 0.94), ("q", 3, 0.70)],
+        "query_id string, doc_id long, rel double",
+    )
+    order = [
+        r["doc_id"]
+        for r in mmr_rerank(cand, emb, k=3, lam=0.5)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert order == [1, 3, 2]
+    # lam=1 reduces to pure relevance order
+    rel_order = [
+        r["doc_id"]
+        for r in mmr_rerank(cand, emb, k=3, lam=1.0).orderBy("rank").collect()
+    ]
+    assert rel_order == [1, 2, 3]
+    # the first pick is ALWAYS the most relevant doc
+    for lam in (0.0, 0.3, 0.7):
+        first = (
+            mmr_rerank(cand, emb, k=1, lam=lam).collect()[0]["doc_id"]
+        )
+        assert first == 1, lam
+
+
+def test_mmr_exact_scores_and_validation(spark):
+    from prod2vec_spark.operators.fusion import mmr_rerank
+
+    emb = _emb_df(spark, {1: [1.0, 0.0], 2: [1.0, 0.0], 3: [0.0, 1.0]})
+    cand = spark.createDataFrame(
+        [("q", 1, 0.9), ("q", 2, 0.8), ("q", 3, 0.5)],
+        "query_id string, doc_id long, rel double",
+    )
+    got = {
+        r["doc_id"]: (r["mmr_score"], r["rank"])
+        for r in mmr_rerank(cand, emb, k=3, lam=0.5).collect()
+    }
+    # pick 1: 0.5*0.9 ; then doc2 score 0.5*0.8-0.5*1.0, doc3 0.5*0.5-0
+    assert got[1] == (pytest.approx(0.45), 1)
+    assert got[3] == (pytest.approx(0.25), 2)
+    assert got[2] == (pytest.approx(-0.1), 3)
+    with pytest.raises(ValueError, match="lam"):
+        mmr_rerank(cand, emb, lam=1.5)
+
+
+def test_mmr_entry_shape_and_determinism(spark):
+    from prod2vec_spark.queries_r11 import q_mmr_diverse_topk
+    from tests.conftest import SF_SMOKE
+
+    out = q_mmr_diverse_topk(spark, SF_SMOKE)
+    rows = out.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert set(per_q) == set(range(5))
+    assert all(sorted(v) == list(range(1, 11)) for v in per_q.values())
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, rows))
+
+
 def test_hybrid_rrf_entry_shape(spark):
     """The catalog-facing composition: 10 fused docs per keyword
     query, deterministic across runs."""
