@@ -610,7 +610,14 @@ CATALOG: list[str] = [
     # gate; md5-uniform machinery keeps catalog siblings in
     # decontaminate/skipgram_subsampled).
     "dsir_select",
-    "rm3_expansion", "epoch_shuffle_audit",
+    # round-11 rotation (wave B): rm3_expansion → hybrid_rrf_topk —
+    # the retrieval family keeps bm25_topk, and the fused entry
+    # exercises MORE of the plane per driver run (BM25 ranks AND the
+    # exact-cosine ANN ranks AND the RRF combiner, each replayed by
+    # the embedded oracles); the RM3 feedback leg stays fully
+    # superset-oracled in the pytest gate, same protocol as every
+    # prior rotation.
+    "hybrid_rrf_topk", "epoch_shuffle_audit",
     # round-9b rotation: stratified_split → leakage_safe_split (same
     # splits family, strictly richer surface: the identical md5 hash
     # assignment PLUS the group-key leakage guarantee over the domain
