@@ -179,10 +179,13 @@ def psl_registered_domain(
             for r in psl.select(
                 F.lower(F.trim(F.col(psl.columns[0]))).alias("_s")
             ).collect()
+            if r["_s"] is not None  # a NULL rule can never match
         }
     )
+    # explicit schema: an all-NULL/empty table must degrade to the
+    # no-match fallback (last-two-labels fold), not crash inference
     suffixes = psl.sparkSession.createDataFrame(
-        [(s,) for s in uniq], ["_s"]
+        [(s,) for s in uniq], "_s string"
     ).withColumn("_k", F.size(F.split(F.col("_s"), r"\.")))
     out = staged
     for k in range(max_labels, 0, -1):

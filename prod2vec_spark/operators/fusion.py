@@ -103,17 +103,29 @@ def mmr_rerank(
     is always the highest-relevance doc."""
     if not 0.0 <= lam <= 1.0:
         raise ValueError("lam must be in [0, 1]")
+    # LEFT join so a candidate without an embedding row fails loudly
+    # inside pick() (naming the doc ids) instead of silently vanishing
+    # and letting a lower-relevance doc fill its rank
     enriched = candidates.select(query_col, id_col, rel_col).join(
         emb.select(
             F.col(emb_id_col).alias(id_col), F.col(vec_col).alias("_v")
         ),
         id_col,
+        "left",
     )
     qt = candidates.schema[query_col].dataType.simpleString()
     it = candidates.schema[id_col].dataType.simpleString()
     out_schema = f"{query_col} {qt}, {id_col} {it}, mmr_score double, rank int"
 
     def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        missing = pdf.loc[pdf["_v"].isna(), id_col]
+        if len(missing):
+            raise ValueError(
+                "mmr_rerank: candidates without an embedding row: "
+                f"{sorted(missing.tolist())[:10]}"
+            )
+        if pdf[rel_col].isna().any():
+            raise ValueError("mmr_rerank: null relevance in candidates")
         pdf = pdf.sort_values(
             [rel_col, id_col], ascending=[False, True]
         ).reset_index(drop=True)

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from prod2vec_spark.operators import simsearch as SS
-from prod2vec_spark.queries_ext import _L2, _UNIT, EMB_DIMS
+from prod2vec_spark.queries_ext import _DOT, _L2, _UNIT, EMB_DIMS
 from prod2vec_spark.sources.io import read_table
 
 _PQ_M = 4
@@ -277,9 +277,7 @@ n AS (SELECT vec_id, {_UNIT.format(a='embedding')} AS nvec FROM embeddings),
 qv AS (SELECT m.query_id, n.vec_id, n.nvec AS qn
        FROM n JOIN map m USING (vec_id)),
 p AS (SELECT qv.query_id, n.vec_id AS doc_id,
-             (list_reduce(list_prepend(CAST(0 AS DOUBLE),
-                list_transform(generate_series(1, {EMB_DIMS}), i ->
-                  qv.qn[i] * n.nvec[i])), (x, y) -> x + y)) AS sim
+             ({_DOT.format(a='qv.qn', b='n.nvec')}) AS sim
       FROM n CROSS JOIN qv
       WHERE n.vec_id != qv.vec_id),
 ar AS (SELECT query_id, doc_id,

@@ -7,6 +7,7 @@ from prod2vec_spark.session import get_spark
 
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = "/root/testdata/sf0.01"
+SF_BENCH = "/root/testdata/sf0.1"
 
 TABLE_NAMES = [
     "region", "nation", "customer", "supplier", "part",

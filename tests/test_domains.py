@@ -176,6 +176,22 @@ def test_psl_duplicate_rules_do_not_duplicate_rows(spark):
     }
 
 
+def test_psl_null_and_empty_tables_degrade_gracefully(spark):
+    """A NULL rule can never match; an empty PSL means no rule
+    matches anywhere — both must fall back to the last-two-labels
+    fold, not crash (regression: the driver-side dedup sorted None
+    and inferred a schema from zero rows)."""
+    docs = spark.createDataFrame(
+        [(1, "https://www.example.com/x")], "doc_id long, url string"
+    )
+    for psl in (
+        spark.createDataFrame([("com",), (None,)], "suffix string"),
+        spark.createDataFrame([], "suffix string"),
+    ):
+        got = with_domain(docs, psl=psl).select("domain").collect()
+        assert got[0]["domain"] == "example.com"
+
+
 def test_psl_plan_is_broadcast_only(spark):
     """The PSL lookup must stay a zero-shuffle chain of broadcast
     joins — no Exchange may appear between the scan and the domain

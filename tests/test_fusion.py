@@ -126,6 +126,26 @@ def test_mmr_exact_scores_and_validation(spark):
         mmr_rerank(cand, emb, lam=1.5)
 
 
+def test_mmr_missing_embedding_and_null_rel_fail_loudly(spark):
+    """A candidate with no embedding row (or a null relevance) must
+    raise with the doc ids named — never silently vanish and let a
+    lower-relevance doc fill its rank."""
+    from prod2vec_spark.operators.fusion import mmr_rerank
+
+    emb = _emb_df(spark, {1: [1.0, 0.0]})
+    cand = spark.createDataFrame(
+        [("q", 1, 0.9), ("q", 99, 0.8)],  # doc 99 has no embedding
+        "query_id string, doc_id long, rel double",
+    )
+    with pytest.raises(Exception, match="without an embedding row.*99"):
+        mmr_rerank(cand, emb, k=2).collect()
+    cand2 = spark.createDataFrame(
+        [("q", 1, None)], "query_id string, doc_id long, rel double"
+    )
+    with pytest.raises(Exception, match="null relevance"):
+        mmr_rerank(cand2, emb, k=1).collect()
+
+
 def test_mmr_entry_shape_and_determinism(spark):
     from prod2vec_spark.queries_r11 import q_mmr_diverse_topk
     from tests.conftest import SF_SMOKE

@@ -195,7 +195,9 @@ def test_video_hash_fixture_matches_codec_chain(spark):
     # the query leftsemi-joins documents against the fixture, so a
     # doc_id beyond the fixture would SILENTLY drop out of the entry —
     # make the cap loud at the largest sf the driver/bench ever runs
-    for sf_dir in ("/root/testdata/sf0.001", SF_ORACLE, "/root/testdata/sf0.1"):
+    from tests.conftest import SF_BENCH, SF_SMOKE
+
+    for sf_dir in (SF_SMOKE, SF_ORACLE, SF_BENCH):
         top = (
             read_table(spark, sf_dir, "documents")
             .agg({"doc_id": "max"})
