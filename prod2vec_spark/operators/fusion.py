@@ -160,3 +160,60 @@ def mmr_rerank(
         )
 
     return enriched.groupBy(query_col).applyInPandas(pick, out_schema)
+
+
+def linear_fuse(
+    rankings: list[tuple[DataFrame, float]],
+    k: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Weighted linear score fusion with per-query min-max
+    normalization (the other standard hybrid next to rank-only RRF):
+    each list's scores scale to [0, 1] within the query — so a BM25
+    score and a cosine become commensurable — then fuse as
+    Σ wᵢ·normᵢ(d), missing-from-list contributing 0.  Use when score
+    MAGNITUDES carry signal worth keeping (RRF throws them away);
+    ``rankings`` is [(df, weight)] with (query_col, id_col,
+    score_col) columns.
+
+    Scale shape: inputs are per-query top-k slices, so normalization
+    is a window over tiny groups and fusion is the same
+    union + hash-agg + rank window as RRF — the corpus is never
+    rescanned.  A constant-score list (max == min) normalizes to 1.0
+    for every member (presence signal), matching the oracle."""
+    if not rankings:
+        raise ValueError("linear_fuse needs at least one ranking")
+    parts = []
+    for df, w in rankings:
+        qw = Window.partitionBy(query_col)
+        mn = F.min(score_col).over(qw)
+        mx = F.max(score_col).over(qw)
+        norm = F.when(mx > mn, (F.col(score_col) - mn) / (mx - mn)).otherwise(
+            F.lit(1.0)
+        )
+        parts.append(
+            df.select(
+                F.col(query_col).alias("query_id"),
+                F.col(id_col).alias("doc_id"),
+                (F.lit(float(w)) * norm).alias("_c"),
+            )
+        )
+    unioned = reduce(lambda a, b: a.unionByName(b), parts)
+    scored = unioned.groupBy("query_id", "doc_id").agg(
+        F.sum("_c").alias("fused_score")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("fused_score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round("fused_score", 6).alias("fused_score"),
+            "rank",
+        )
+    )

@@ -300,6 +300,94 @@ WHERE rank <= {_HYBRID_DEPTH}
 """
 
 
+_LIN_W_BM25 = 0.6
+_LIN_W_DENSE = 0.4
+
+
+def q_hybrid_linear_topk(spark, sf_dir):
+    """Weighted min-max score fusion of the same BM25 + ANN legs as
+    the RRF entry (operators/fusion.linear_fuse) — the score-magnitude
+    hybrid; both legs' scores enter normalization ROUNDED (4/5 dp,
+    their entry-facing precision) so min/max replay exactly."""
+    from prod2vec_spark.operators.bm25 import bm25_topk
+    from prod2vec_spark.operators.fusion import linear_fuse
+    from prod2vec_spark.queries_r7 import BM25_QUERIES
+
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    bm = bm25_topk(docs, BM25_QUERIES, k=_HYBRID_DEPTH).select(
+        "query_id", "doc_id", "score"
+    )
+    probes = emb.where(
+        F.col("vec_id").isin([v for _, v in _HYBRID_PROBES])
+    )
+    ann = SS.brute_force_topk(emb, probes, k=_HYBRID_DEPTH).select(
+        F.col("query_id").alias("_vid"),
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("cosine_sim").alias("score"),
+    )
+    mapping = F.broadcast(
+        spark.createDataFrame(_HYBRID_PROBES, "qid string, _vid long")
+    )
+    ann_m = ann.join(mapping, "_vid").select(
+        F.col("qid").alias("query_id"), "doc_id", "score"
+    )
+    return linear_fuse(
+        [(bm, _LIN_W_BM25), (ann_m, _LIN_W_DENSE)], k=_HYBRID_DEPTH
+    )
+
+
+def _sql_hybrid_linear() -> str:
+    # same legs as _sql_hybrid_rrf, fused by weighted per-query
+    # min-max normalization; both scores are the entries' ROUNDED
+    # values so mn/mx/norm arithmetic replays bit-for-bit, and the
+    # two-term weighted sum is an order-free IEEE add.
+    from prod2vec_spark.queries_r7 import _sql_bm25_topk
+
+    map_rows = ", ".join(f"('{q}', {v})" for q, v in _HYBRID_PROBES)
+    return f"""
+WITH bm AS (SELECT * FROM ({_sql_bm25_topk()})),
+map(query_id, vec_id) AS (VALUES {map_rows}),
+n AS (SELECT vec_id, {_UNIT.format(a='embedding')} AS nvec FROM embeddings),
+qv AS (SELECT m.query_id, n.vec_id, n.nvec AS qn
+       FROM n JOIN map m USING (vec_id)),
+p AS (SELECT qv.query_id, n.vec_id AS doc_id,
+             ({_DOT.format(a='qv.qn', b='n.nvec')}) AS sim
+      FROM n CROSS JOIN qv
+      WHERE n.vec_id != qv.vec_id),
+ar AS (SELECT query_id, doc_id, round(sim, 5) AS score
+       FROM (SELECT query_id, doc_id, sim,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, doc_id) AS rank
+             FROM p)
+       WHERE rank <= {_HYBRID_DEPTH}),
+u AS (
+  SELECT query_id, doc_id,
+         {_LIN_W_BM25} * (CASE WHEN mx > mn THEN (score - mn) / (mx - mn)
+                               ELSE 1.0 END) AS c
+  FROM (SELECT query_id, doc_id, score,
+               min(score) OVER (PARTITION BY query_id) AS mn,
+               max(score) OVER (PARTITION BY query_id) AS mx
+        FROM bm)
+  UNION ALL
+  SELECT query_id, doc_id,
+         {_LIN_W_DENSE} * (CASE WHEN mx > mn THEN (score - mn) / (mx - mn)
+                                ELSE 1.0 END) AS c
+  FROM (SELECT query_id, doc_id, score,
+               min(score) OVER (PARTITION BY query_id) AS mn,
+               max(score) OVER (PARTITION BY query_id) AS mx
+        FROM ar)),
+f AS (SELECT query_id, doc_id, sum(c) AS fused_score FROM u GROUP BY 1, 2)
+SELECT query_id, doc_id, round(fused_score, 6) AS fused_score,
+       CAST(rank AS INT) AS rank
+FROM (SELECT query_id, doc_id, fused_score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY fused_score DESC, doc_id) AS rank
+      FROM f)
+WHERE rank <= {_HYBRID_DEPTH}
+"""
+
+
 def q_mmr_diverse_topk(spark, sf_dir):
     """MMR diversity re-rank of an exact-cosine top-30 shortlist
     (operators/fusion.mmr_rerank) — greedy selection is sequential,
@@ -321,10 +409,12 @@ R11_QUERIES = {
     "ann_pq_topk": q_ann_pq_topk,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "hybrid_rrf_topk": q_hybrid_rrf_topk,
+    "hybrid_linear_topk": q_hybrid_linear_topk,
     "mmr_diverse_topk": q_mmr_diverse_topk,
 }
 R11_ORACLES: dict[str, str] = {
     "ann_pq_topk": _sql_ann_pq(),
     "ann_ivfpq_topk": _sql_ann_ivfpq(),
     "hybrid_rrf_topk": _sql_hybrid_rrf(),
+    "hybrid_linear_topk": _sql_hybrid_linear(),
 }

@@ -59,6 +59,44 @@ def test_rrf_rejects_empty_input(spark):
         rrf_fuse([])
 
 
+def _scored(spark, rows):
+    return spark.createDataFrame(
+        rows, "query_id string, doc_id long, score double"
+    )
+
+
+def test_linear_fuse_exact_minmax_weighting(spark):
+    """Per-query min-max normalization + weights, exact values: a doc
+    strong in BOTH lists beats a doc that tops only one."""
+    from prod2vec_spark.operators.fusion import linear_fuse
+
+    a = _scored(spark, [("q", 1, 10.0), ("q", 2, 8.0), ("q", 3, 0.0)])
+    b = _scored(spark, [("q", 2, 0.9), ("q", 3, 0.1)])
+    got = {
+        r["doc_id"]: (r["fused_score"], r["rank"])
+        for r in linear_fuse([(a, 0.6), (b, 0.4)], k=10).collect()
+    }
+    # doc1: 0.6*1.0 ; doc2: 0.6*0.8 + 0.4*1.0 = 0.88 ; doc3: 0 + 0
+    assert got[2] == (pytest.approx(0.88), 1)
+    assert got[1] == (pytest.approx(0.6), 2)
+    assert got[3] == (pytest.approx(0.0), 3)
+
+
+def test_linear_fuse_constant_list_is_presence_signal(spark):
+    """max == min normalizes to 1.0 for every member — membership in
+    the list still contributes its full weight."""
+    from prod2vec_spark.operators.fusion import linear_fuse
+
+    a = _scored(spark, [("q", 1, 5.0), ("q", 2, 5.0)])
+    got = {
+        r["doc_id"]: r["fused_score"]
+        for r in linear_fuse([(a, 0.5)], k=5).collect()
+    }
+    assert got == {1: pytest.approx(0.5), 2: pytest.approx(0.5)}
+    with pytest.raises(ValueError, match="at least one"):
+        linear_fuse([])
+
+
 def _emb_df(spark, vecs: dict[int, list[float]]):
     return spark.createDataFrame(
         [(i, v) for i, v in vecs.items()],
