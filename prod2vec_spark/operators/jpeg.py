@@ -426,6 +426,12 @@ def decode_jpeg_gray(blob: bytes) -> tuple[bytes, int, int]:
             continue
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / stray RSTn: STANDALONE markers (T.81 B.1.1.3) carry
+            # no length segment — reading one as length-prefixed would
+            # consume arbitrary bytes of a decodable stream
+            pos += 2
+            continue
         (seglen,) = struct.unpack(">H", blob[pos + 2 : pos + 4])
         seg = blob[pos + 4 : pos + 2 + seglen]
         if len(seg) != seglen - 2:

@@ -697,16 +697,43 @@ def decode_avi(blob: bytes) -> dict:
     }
 
 
+def decode_jpeg(blob: bytes) -> dict:
+    """Real stdlib-only baseline-JPEG decode feature row — the
+    standalone-image twin of ``decode_png``, built on the SAME decoder
+    the MJPEG video plane uses (operators/jpeg.py:decode_jpeg_gray).
+    Dimensions plus a digest + mean of the decoded LUMA plane; round-12
+    closes the gap where a bare JPEG — the dominant real-world image
+    format — fell to ``format='raw'`` byte stats and was invisible to
+    media dedup."""
+    from prod2vec_spark.operators.jpeg import decode_jpeg_gray
+
+    gray, width, height = decode_jpeg_gray(blob)
+    return {
+        "format": "jpeg",
+        "width": width,
+        "height": height,
+        "bit_depth": 8,
+        "channels": 1,
+        "pixel_digest": hashlib.md5(gray).hexdigest(),
+        "mean_pixel_byte": (sum(gray) / len(gray)) if gray else 0.0,
+    }
+
+
 def decode_media(media_type: str, blob: bytes) -> dict:
     """Sniff the container by magic bytes and run the REAL decoder
-    (PNG / WAV / uncompressed AVI); unknown formats fall through to
-    the deterministic byte-stats path with ``format='raw'``.  A
-    corrupt PNG/WAV/AVI is reported as ``format='corrupt'`` rather
+    (PNG / JPEG / WAV / uncompressed AVI); unknown formats fall through
+    to the deterministic byte-stats path with ``format='raw'``.  A
+    corrupt PNG/JPEG/WAV/AVI is reported as ``format='corrupt'`` rather
     than mis-decoded."""
     fmt = "raw"
     if blob[:8] == PNG_SIG:
         try:
             return decode_png(blob)
+        except Exception:
+            fmt = "corrupt"
+    elif blob[:2] == b"\xff\xd8":
+        try:
+            return decode_jpeg(blob)
         except Exception:
             fmt = "corrupt"
     elif blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":

@@ -102,6 +102,25 @@ def dhash_png(blob: bytes) -> int | None:
     return dhash64(g)
 
 
+def dhash_jpeg(blob: bytes) -> int | None:
+    """dHash of a baseline-JPEG blob via its decoded LUMA plane, or
+    None when not decodable (the auditable-miss contract).  Pixels come
+    from the same decoder the MJPEG video plane already uses, so a
+    PNG↔JPEG re-encode of the same image lands in the same banded
+    bucket — the image edition of the raw↔MJPEG cross-codec pairing."""
+    bb = bytes(blob) if isinstance(blob, (bytes, bytearray)) else b""
+    if bb[:2] != b"\xff\xd8":
+        return None
+    from prod2vec_spark.operators.jpeg import decode_jpeg_gray
+
+    try:
+        gray, w, h = decode_jpeg_gray(bb)
+    except Exception:
+        return None
+    g = np.frombuffer(gray, dtype=np.uint8).astype(np.float64).reshape(h, w)
+    return dhash64(g)
+
+
 def ahash64(samples: np.ndarray) -> int | None:
     """64-bit audio fingerprint: temporal energy-gradient hash.  The
     mono signal splits into 65 equal windows; bit i is set iff
@@ -510,8 +529,8 @@ def media_hashes(
     media: DataFrame, id_col: str = "media_id", blob_col: str = "blob"
 ) -> DataFrame:
     """(id, modality, mhash) for a MIXED-modality blob column: sniff
-    container magic → dHash (PNG) / energy-gradient (WAV) /
-    keyframe-mean dHash (AVI); (NULL, NULL) where the blob is
+    container magic → dHash (PNG / baseline JPEG) / energy-gradient
+    (WAV) / keyframe-mean dHash (AVI); (NULL, NULL) where the blob is
     undecodable — the auditable-miss contract.  One Arrow-batched
     pass; the blob never leaves the executor."""
     src = media.select(id_col, blob_col)
@@ -526,6 +545,9 @@ def media_hashes(
                 if bb.startswith(_SIG):
                     mods.append("image")
                     hashes.append(dhash_png(bb))
+                elif bb[:2] == b"\xff\xd8":
+                    mods.append("image")
+                    hashes.append(dhash_jpeg(bb))
                 elif bb[:4] == b"RIFF" and bb[8:12] == b"WAVE":
                     mods.append("audio")
                     hashes.append(ahash_wav(bb))
