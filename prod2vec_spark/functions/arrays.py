@@ -66,5 +66,12 @@ def let(value: Column, body) -> Column:
     macro).  A higher-order-function lambda variable, by contrast, is
     a BOUND VALUE: wrapping the expression in a 1-element array and
     reading it through ``transform`` makes every body reference a
-    variable read.  Nests freely for multi-binding chains."""
+    variable read.  Nests freely for multi-binding chains.
+
+    CAUTION: passing a let-bound (outer HOF-lambda) var into a FURTHER
+    nested transform/zip_with/aggregate lambda is the known PySpark
+    4.1.2 silent-mis-binding shape (see ``_pq_lut_expr``'s forced
+    literal unroll and repetition_keep's docstring) — any new nesting
+    of this form needs an equality test against a staged-column
+    reference implementation."""
     return F.transform(F.array(value), lambda v: body(v))[0]

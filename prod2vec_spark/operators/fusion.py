@@ -126,6 +126,13 @@ def mmr_rerank(
             )
         if pdf[rel_col].isna().any():
             raise ValueError("mmr_rerank: null relevance in candidates")
+        if pdf[id_col].duplicated().any():
+            # a duplicated shortlist row would be scored independently
+            # and the same doc could occupy two output ranks
+            dups = sorted(pdf.loc[pdf[id_col].duplicated(), id_col].tolist())
+            raise ValueError(
+                f"mmr_rerank: duplicate candidate rows for docs: {dups[:10]}"
+            )
         pdf = pdf.sort_values(
             [rel_col, id_col], ascending=[False, True]
         ).reset_index(drop=True)

@@ -283,6 +283,13 @@ def encode_wav_adpcm(
     error rather than pinning bytes.  Each ``block_align``-byte block
     carries 1 + (block_align-4)*2 samples; a fact chunk records the
     true sample count so the decoder drops block padding exactly."""
+    if block_align < 8 or block_align % 2:
+        # <8 would make spb<=7 with a 4-byte header dominating (and <5
+        # makes spb<=0: a range step of 0/negative silently emits an
+        # empty data chunk while fact still records len(samples)); odd
+        # aligns break the exact nibble-padding arithmetic — reject
+        # loudly, mirroring the other codecs' contracts
+        raise ValueError(f"block_align must be even and >= 8, got {block_align}")
     samples = list(samples)
     spb = 1 + (block_align - 4) * 2  # samples per block
     blocks = bytearray()

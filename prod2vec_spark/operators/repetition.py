@@ -187,7 +187,18 @@ def repetition_keep(text: Column) -> Column:
     collapses into a pushed-down Filter that re-inlines the lineage
     per reference — measured 22 ``split(trim(text))`` copies in the
     plan and ~20 s of a 60 s curation macro at sf0.1; this form is
-    ~10×cheaper with byte-identical survivors (pytest-locked)."""
+    ~10×cheaper with byte-identical survivors (pytest-locked).
+
+    CAUTION — known PySpark 4.1.2 mis-binding shape: passing OUTER
+    HOF-lambda vars (``toks``/``g2``/``g3`` here) into NESTED
+    transform/zip_with/aggregate lambdas can silently bind wrong
+    values (the exact class that forced ``_pq_lut_expr`` to unroll to
+    literals in round 11).  This composition resolves correctly today,
+    but any refactor of ``word_ngrams``/``gram_run_stats`` internals
+    (or a Spark upgrade) MUST re-verify against the staged-column
+    form: ``test_repetition_keep_matches_staged_gate_form`` is the
+    mandatory byte-identical-survivors gate — do not skip or relax
+    it."""
     from pyspark.sql import functions as F
 
     from prod2vec_spark.functions.arrays import let

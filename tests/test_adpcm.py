@@ -87,6 +87,19 @@ def test_adpcm_rejects_stereo_and_garbage():
     assert decode_media("audio", full[:50])["format"] == "corrupt"
 
 
+def test_adpcm_rejects_bad_block_align():
+    """block_align < 8 (spb<=0 at <5: a silently empty data chunk
+    while fact records len(samples)) or odd (breaks the exact
+    nibble-padding arithmetic) must raise, mirroring the other codecs'
+    loud-rejection contract."""
+    for ba in (0, 3, 4, 6, 7, 9, 255):
+        with pytest.raises(ValueError, match="block_align"):
+            encode_wav_adpcm(_am(4), block_align=ba)
+    # the minimum legal align still roundtrips
+    got, meta = wav_samples(encode_wav_adpcm(_am(4), block_align=8))
+    assert meta["codec"] == "ima_adpcm" and len(got) == len(_am(4))
+
+
 def test_pcm_path_unchanged_by_dispatch():
     sig = _am(5)
     got, meta = wav_samples(encode_wav_pcm16(sig))

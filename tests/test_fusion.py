@@ -182,6 +182,14 @@ def test_mmr_missing_embedding_and_null_rel_fail_loudly(spark):
     )
     with pytest.raises(Exception, match="null relevance"):
         mmr_rerank(cand2, emb, k=1).collect()
+    # a duplicated shortlist row would be scored independently and the
+    # same doc could occupy two output ranks — reject loudly
+    cand3 = spark.createDataFrame(
+        [("q", 1, 0.9), ("q", 1, 0.8)],
+        "query_id string, doc_id long, rel double",
+    )
+    with pytest.raises(Exception, match="duplicate candidate rows.*1"):
+        mmr_rerank(cand3, emb, k=2).collect()
 
 
 def test_mmr_entry_shape_and_determinism(spark):

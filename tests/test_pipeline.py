@@ -326,6 +326,7 @@ def test_corpus_curation_pipeline_end_to_end(spark, tmp_path):
     timed = {s for s in by_stage if s.startswith("t_ms_")}
     assert {
         "t_ms_gates",
+        "t_ms_input",
         "t_ms_exact_dedup",
         "t_ms_quality_filter",
         "t_ms_near_dedup",
