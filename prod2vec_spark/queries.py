@@ -661,8 +661,25 @@ CATALOG: list[str] = [
     "bloom_blocklist",
     # round-5 new / reshaped
     "minhash_jaccard_audit", "word2vec_neighbors", "kmeans_audit",
-    "text_profile", "doc_signatures", "setops_parts", "events_windows",
-    "dq_suite", "distinct_parts", "ann_recall",
+    # round-12 rotation (VERDICT r11 asks #2/#5): the PQ plane —
+    # round 11's flagship ANN addition — gets a per-round driver
+    # verdict via ann_ivfpq_topk (the composed FAISS shape: IVF
+    # broadcast-centroid probe AND PQ/ADC scoring AND exact re-rank
+    # in one entry; ann_pq_topk's scoring executes inside it), and
+    # the second fusion mode gets one via hybrid_linear_topk (its
+    # oracle replays min-max normalization bit-for-bit).  Out, each
+    # with family siblings kept:
+    #   ann_recall → ann_ivf_topk + ann_ivfpq_topk (the exact
+    #     brute-force leg still executes inside ann_ivfpq_topk's
+    #     re-rank, and the recall audit stays superset-oracled in the
+    #     pytest gate),
+    #   events_windows → events_json/sessionize (events family keeps
+    #     two entries; the tumbling-window agg shape also executes
+    #     inside sessionize's gap windows and packed_input_ids'
+    #     shard cumsum).
+    "ann_ivfpq_topk", "hybrid_linear_topk",
+    "text_profile", "doc_signatures", "setops_parts",
+    "dq_suite", "distinct_parts",
     # relational / grouping-sets / window plane
     "pricing_summary", "baskets", "vocab", "index_items", "oov_miss_count",
     "skipgram_stats", "negative_sampling_stats",
@@ -679,6 +696,28 @@ CATALOG: list[str] = [
     # events
     "events_json", "sessionize",
 ]
+# ---------------------------------------------------------------------
+# Rotation debt — PERMANENTLY superset-only families (do not burn
+# future rotation slots re-litigating these; the coverage matrix
+# encodes the claims and tests/test_coverage_matrix.py enforces them):
+#   * mmr_diverse_topk — greedy sequential selection has no relational
+#     form (declared applyInPandas boundary class); rows-only + exact
+#     pytest goldens (tests/test_fusion.py).
+#   * lang_id_learned — iterative MLlib training (logistic regression
+#     fit), same class as kmeans refinement; accuracy-gated pytest.
+#   * compression_profile / nfc_normalize — zlib / Unicode-NFC codec
+#     boundaries DuckDB cannot replay; golden-tested pytests.
+#   * phash/media goldens (dhash_png/jpeg, ahash_wav, video frames) —
+#     pixel/sample decoding is a codec boundary; the DRIVER sees the
+#     media plane through video_neardup (rows-only by the same
+#     contract) and the planted-family pytests.
+#   * kmeans_audit stays IN the catalog but its Lloyd refinement is
+#     pytest-gated; the catalog entry oracles the assignment step.
+# Everything else in the superset either has a catalog sibling from
+# the same operator family (see the per-wave notes above) or is a
+# macro deliberately kept out of the per-query bench loop
+# (curation_stress_audit — timed as bench.py's __curation10x__).
+# ---------------------------------------------------------------------
 # import-time guards (explicit raise, NOT assert: asserts vanish under
 # python -O and the driver catalog must stay guarded in optimized runs)
 if len(CATALOG) != 50:
