@@ -150,58 +150,110 @@ def psl_registered_domain(
     out_col: str = "domain",
     max_labels: int = PSL_MAX_LABELS,
 ) -> DataFrame:
-    """Registered domain via a full public-suffix table: longest
-    matching suffix + one label (publicsuffix.org semantics for plain
-    rules; wildcard/exception rules are out of scope — pre-expand them
-    into the table if needed).
+    """Registered domain via a full public-suffix table with COMPLETE
+    publicsuffix.org rule semantics: plain rules (longest matching
+    suffix + one label), wildcard rules (``*.ck`` — the ``*`` binds
+    exactly one real host label, so the public suffix is the tail
+    plus that label), and exception rules (``!www.ck`` — the named
+    suffix is NOT a public suffix; its registrable domain is itself).
+    Prevailing-rule order per the spec: a matching exception rule
+    beats everything (longest exception first), else the longest
+    matching plain/wildcard rule, else the default ``*`` rule — the
+    last-two-labels fold for unlisted TLDs.  ``//`` comment lines and
+    blanks in the rule column are ignored, so the raw published list
+    loads as-is.  (``*`` is honored only as the leftmost label, the
+    only position the published list uses.)
 
     Scale shape: the PSL is a ~10⁴-row dimension, so the lookup is
-    ``max_labels`` BROADCAST hash joins — one per candidate suffix
-    length, longest first — each a row-local stream with NO shuffle
-    (the explode → groupBy(max) alternative would shuffle the whole
-    corpus on the doc key).  Fallbacks mirror PSL convention: a host
-    matching no rule uses the last-two-labels fold (unlisted TLDs),
-    and a host that IS a public suffix has no registrable domain →
-    NULL (groups with unparseable URLs, which downstream cap/blocklist
-    stages already pass through)."""
+    BROADCAST hash joins — one per candidate suffix length for plain
+    rules, plus one per wildcard-tail / exception length ONLY when the
+    table carries such rules (a plain-only table keeps the exact
+    ``max_labels``-join plan) — each a row-local stream with NO
+    shuffle (the explode → groupBy(max) alternative would shuffle the
+    whole corpus on the doc key).  Fallbacks mirror PSL convention: a
+    host matching no rule uses the last-two-labels fold (unlisted
+    TLDs), and a host that IS a public suffix has no registrable
+    domain → NULL (groups with unparseable URLs, which downstream
+    cap/blocklist stages already pass through)."""
     parts = F.split(F.col(host_col), r"\.")
     n = F.size(parts)
     # A duplicate rule (easy when wildcard expansions collide with
     # plain rules) would fan out the per-k joins and duplicate corpus
     # rows.  The PSL is a bounded ~10⁴-row dimension — the same class
-    # as the centroid/plane literals — so dedup DRIVER-side into a
-    # local relation: duplicate-proof without adding the Exchange a
+    # as the centroid/plane literals — so dedup DRIVER-side into local
+    # relations: duplicate-proof without adding the Exchange a
     # distributed distinct() would (the zero-shuffle plan contract is
     # pytest-locked).
-    uniq = sorted(
-        {
-            r["_s"]
-            for r in psl.select(
-                F.lower(F.trim(F.col(psl.columns[0]))).alias("_s")
-            ).collect()
-            if r["_s"] is not None  # a NULL rule can never match
-        }
-    )
-    # explicit schema: an all-NULL/empty table must degrade to the
-    # no-match fallback (last-two-labels fold), not crash inference
-    suffixes = psl.sparkSession.createDataFrame(
-        [(s,) for s in uniq], "_s string"
-    ).withColumn("_k", F.size(F.split(F.col("_s"), r"\.")))
+    raw = {
+        r["_s"]
+        for r in psl.select(
+            F.lower(F.trim(F.col(psl.columns[0]))).alias("_s")
+        ).collect()
+        if r["_s"]  # a NULL/empty rule can never match
+    }
+    plain, wild_tails, excs = set(), set(), set()
+    for s in sorted(raw):
+        if s.startswith("//"):
+            continue  # comment line from the raw published list
+        if s.startswith("!"):
+            excs.add(s[1:])
+        elif s.startswith("*."):
+            wild_tails.add(s[2:])
+        elif s == "*":
+            continue  # the default rule — already the no-match fold
+        else:
+            plain.add(s)
+
+    def _dim(values: set[str], col: str) -> DataFrame:
+        # explicit schema: an all-NULL/empty table must degrade to the
+        # no-match fallback (last-two-labels fold), not crash inference
+        return psl.sparkSession.createDataFrame(
+            [(s,) for s in sorted(values)], f"{col} string"
+        )
+
+    nlab = {s: s.count(".") + 1 for s in plain | wild_tails | excs}
     out = staged
     for k in range(max_labels, 0, -1):
-        pk = suffixes.where(F.col("_k") == k).select(
-            F.col("_s").alias(f"_m{k}")
-        )
         out = out.withColumn(
             f"_sfx{k}",
             F.when(n >= k, F.concat_ws(".", F.slice(parts, -k, k))),
         )
+        pk = _dim({s for s in plain if nlab[s] == k}, f"_m{k}")
         out = out.join(
             F.broadcast(pk), out[f"_sfx{k}"] == pk[f"_m{k}"], "left"
         )
-    ml = F.when(F.col(f"_m{max_labels}").isNotNull(), F.lit(max_labels))
-    for k in range(max_labels - 1, 0, -1):
-        ml = ml.when(F.col(f"_m{k}").isNotNull(), F.lit(k))
+    # wildcard tails: a rule *.T (T = k-1 labels) matches a k-label
+    # suffix; the * must bind a REAL label, so the match needs n >= k
+    # rules beyond max_labels never join — same cap as plain rules
+    wild_lens = sorted(
+        {nlab[t] + 1 for t in wild_tails if nlab[t] + 1 <= max_labels},
+        reverse=True,
+    )
+    for k in wild_lens:
+        wk = _dim({t for t in wild_tails if nlab[t] == k - 1}, f"_w{k}")
+        out = out.join(
+            F.broadcast(wk), out[f"_sfx{k - 1}"] == wk[f"_w{k}"], "left"
+        )
+    # exception rules: !E (E = k labels) means E is NOT a public
+    # suffix — its own registrable domain is E, i.e. ps_len = k-1
+    exc_lens = sorted(
+        {nlab[e] for e in excs if nlab[e] <= max_labels}, reverse=True
+    )
+    for k in exc_lens:
+        ek = _dim({e for e in excs if nlab[e] == k}, f"_e{k}")
+        out = out.join(
+            F.broadcast(ek), out[f"_sfx{k}"] == ek[f"_e{k}"], "left"
+        )
+    # prevailing rule: exception (longest first) beats all, then the
+    # longest plain/wildcard match, then the default-* fold
+    ml = F.when(F.lit(False), F.lit(None).cast("int"))
+    for k in exc_lens:
+        ml = ml.when(F.col(f"_e{k}").isNotNull(), F.lit(k - 1))
+    for k in range(max_labels, 0, -1):
+        hit = F.col(f"_m{k}").isNotNull()
+        if k in wild_lens:
+            hit = hit | (F.col(f"_w{k}").isNotNull() & (n >= k))
+        ml = ml.when(hit, F.lit(k))
     reg_len = ml + F.lit(1)
     reg = (
         F.when(F.col(host_col).isNull(), F.lit(None).cast("string"))
@@ -216,9 +268,12 @@ def psl_registered_domain(
             F.concat_ws(".", F.slice(parts, reg_len * F.lit(-1), reg_len))
         )
     )
-    drop = [f"_sfx{k}" for k in range(1, max_labels + 1)] + [
-        f"_m{k}" for k in range(1, max_labels + 1)
-    ]
+    drop = (
+        [f"_sfx{k}" for k in range(1, max_labels + 1)]
+        + [f"_m{k}" for k in range(1, max_labels + 1)]
+        + [f"_w{k}" for k in wild_lens]
+        + [f"_e{k}" for k in exc_lens]
+    )
     return out.withColumn(out_col, reg).drop(*drop)
 
 

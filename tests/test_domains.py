@@ -157,6 +157,79 @@ def test_psl_registered_domain_longest_match(spark):
     assert naive[3] == "edu.au"
 
 
+def test_psl_wildcard_and_exception_rules(spark):
+    """Full publicsuffix.org rule semantics (VERDICT r11 ask #3): a
+    wildcard rule ``*.ck`` makes every <label>.ck a public suffix, an
+    exception rule ``!www.ck`` carves its suffix back OUT (www.ck's
+    registrable domain is www.ck itself).  Exception beats wildcard,
+    longest rule wins among plain/wildcard, ``//`` comments and the
+    default ``*`` rule are ignored, so the raw published list loads
+    as-is."""
+    psl = spark.createDataFrame(
+        [
+            ("com",),
+            ("ck",),  # plain TLD rule coexists with the wildcard
+            ("*.ck",),
+            ("!www.ck",),
+            ("jp",),
+            ("*.kawasaki.jp",),      # 3-label wildcard (real PSL rule)
+            ("!city.kawasaki.jp",),  # its real exception
+            ("// this is a comment",),
+            ("*",),  # the default rule — already the fallback fold
+        ],
+        ["suffix"],
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "https://example.com/x"),        # plain: example.com
+            (2, "https://www.foo.ck/x"),         # *.ck -> foo.ck is a
+            #                                      suffix -> www.foo.ck
+            (3, "https://foo.ck/x"),             # IS a suffix -> NULL
+            (4, "https://www.ck/x"),             # exception: www.ck
+            (5, "https://a.www.ck/x"),           # under the exception
+            #                                      suffix ck+www -> www.ck
+            (6, "https://ck/x"),                 # bare TLD, plain 'ck'
+            #                                      rule -> NULL
+            (7, "https://a.b.kawasaki.jp/x"),    # *.kawasaki.jp ->
+            #                                      b.kawasaki.jp suffix
+            (8, "https://city.kawasaki.jp/x"),   # exception: itself
+            (9, "https://x.city.kawasaki.jp/x"),  # under the exception
+        ],
+        "doc_id long, url string",
+    )
+    got = {
+        r["doc_id"]: r["domain"]
+        for r in with_domain(docs, psl=psl).select("doc_id", "domain").collect()
+    }
+    assert got == {
+        1: "example.com",
+        2: "www.foo.ck",
+        3: None,
+        4: "www.ck",
+        5: "www.ck",
+        6: None,
+        7: "a.b.kawasaki.jp",
+        8: "city.kawasaki.jp",
+        9: "city.kawasaki.jp",
+    }
+
+
+def test_psl_wildcard_plan_stays_broadcast_only(spark):
+    """Wildcard/exception rules add broadcast joins, never a shuffle;
+    and a plain-only table keeps the exact plain-only join count."""
+    from prod2vec_spark.plans.inspect import count_exchanges, has_broadcast_join
+
+    psl = spark.createDataFrame(
+        [("com",), ("*.ck",), ("!www.ck",)], ["suffix"]
+    )
+    docs = spark.createDataFrame(
+        [(1, "https://a.example.com/")], "doc_id long, url string"
+    )
+    out = with_domain(docs, psl=psl)
+    assert count_exchanges(out) == 0
+    assert has_broadcast_join(out)
+
+
 def test_psl_duplicate_rules_do_not_duplicate_rows(spark):
     """A suffix listed twice (wildcard expansions colliding with plain
     rules) must not fan out the per-k joins — one output row per doc,
