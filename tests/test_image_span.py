@@ -1,0 +1,136 @@
+"""Round-12 stretch (VERDICT r11 ask #6): tiled-dHash partial-image
+duplicate detection — the spatial analog of the video plane's
+per-frame span detection.  Whole-image dHash misses a cropped or
+letterboxed duplicate the way whole-clip hashing misses an embedded
+clip; ``image_tile_hashes`` + ``image_span_pairs`` close that gap for
+crop/pad offsets aligned to the tile stride (the granularity contract
+documented on the operator, mirroring frame_hashes' temporal
+sampling)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from prod2vec_spark.operators.multimodal import encode_png_gray8
+from prod2vec_spark.operators.phash import (
+    image_gray,
+    image_span_pairs,
+    image_tile_hashes,
+)
+
+
+def _noise(seed: int, h: int = 64, w: int = 64) -> np.ndarray:
+    """Deterministic full-entropy grayscale content: every 16x16 tile
+    is unique, so cross-image tile matches are content matches, never
+    smooth-gradient coincidences."""
+    return np.random.RandomState(seed).randint(0, 256, (h, w), dtype=np.uint8)
+
+
+def _png(a: np.ndarray) -> bytearray:
+    h, w = a.shape
+    return bytearray(encode_png_gray8(a.tobytes(), w, h))
+
+
+def test_image_gray_shared_decode_door():
+    a = _noise(7)
+    g = image_gray(bytes(_png(a)))
+    assert g is not None and g.shape == a.shape
+    assert np.array_equal(g.astype(np.uint8), a)
+    assert image_gray(b"not an image") is None
+    assert image_gray(None) is None
+
+
+def test_tile_hashes_geometry_and_constant_skip(spark):
+    """64x64 at tile_px=16/stride=8 -> 7x7 anchored tiles; an
+    all-constant image emits ZERO rows (flat tiles dHash to 0
+    regardless of level and would pair unrelated letterbox bars)."""
+    rows = [
+        (1, _png(_noise(1))),
+        (2, _png(np.full((64, 64), 200, dtype=np.uint8))),
+        (3, bytearray(b"undecodable")),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, blob binary")
+    th = image_tile_hashes(media, tile_px=16, stride=8).collect()
+    by_id: dict = {}
+    for r in th:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert len(by_id.get(1, [])) == 49  # 7x7 grid
+    assert 2 not in by_id  # constant tiles skipped
+    assert 3 not in by_id  # undecodable: no rows (auditable upstream)
+    one = {(r["tile_row"], r["tile_col"]) for r in by_id[1]}
+    assert one == {(i, j) for i in range(7) for j in range(7)}
+    idx = {(r["tile_row"], r["tile_col"]): r["tile_idx"] for r in by_id[1]}
+    assert idx[(2, 3)] == 2 * 1024 + 3
+
+    with pytest.raises(ValueError, match="tile_px"):
+        image_tile_hashes(media, tile_px=1)
+    with pytest.raises(ValueError, match="stride"):
+        image_tile_hashes(media, stride=0)
+
+
+def test_image_span_pairs_recovers_crop_and_letterbox(spark):
+    """Planted family: original A, stride-aligned crop B, letterboxed
+    C (black bars).  All three pair with >= min_shared shared tiles
+    even though their WHOLE-image dHashes differ; an unrelated noise
+    image produces zero pairs."""
+    a = _noise(1)
+    b = a[16:, 16:]  # 48x48 crop at a stride-multiple offset
+    c = np.vstack(  # 16px letterbox bars top+bottom
+        [np.zeros((16, 64), np.uint8), a, np.zeros((16, 64), np.uint8)]
+    )
+    d = _noise(2)  # unrelated
+    media = spark.createDataFrame(
+        [(1, _png(a)), (2, _png(b)), (3, _png(c)), (4, _png(d))],
+        "media_id long, blob binary",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared_tiles"]
+        for r in image_span_pairs(
+            media, tile_px=16, stride=8, min_shared=4
+        ).collect()
+    }
+    assert set(pairs) == {(1, 2), (1, 3), (2, 3)}, pairs
+    # the 48x48 crop carries 5x5 fully-aligned tiles
+    assert pairs[(1, 2)] >= 25
+    # whole-image dHash genuinely diverges on these (the gap the tile
+    # plane exists to close)
+    from prod2vec_spark.operators.phash import dhash_png
+
+    ha, hb = dhash_png(bytes(_png(a))), dhash_png(bytes(_png(b)))
+    assert bin((ha ^ hb) & ((1 << 64) - 1)).count("1") > 3
+
+
+def test_image_span_pairs_cross_codec_jpeg_letterbox(spark):
+    """A JPEG letterbox of a PNG original still pairs: tile hashes ride
+    the SAME decode door (image_gray), and the per-tile Hamming budget
+    absorbs q90 loss on smooth content."""
+    from prod2vec_spark.operators.jpeg import encode_jpeg_gray
+
+    y, x = np.mgrid[0:64, 0:64]
+    a = np.clip(
+        128
+        + 60 * np.sin(x / 3.1) * np.cos(y / 4.3)
+        + 40 * np.sin((x + 2 * y) / 5.7),
+        0,
+        255,
+    ).astype(np.uint8)
+    boxed = np.vstack(
+        [np.zeros((16, 64), np.uint8), a, np.zeros((16, 64), np.uint8)]
+    )
+    media = spark.createDataFrame(
+        [
+            (1, _png(a)),
+            (2, bytearray(encode_jpeg_gray(boxed.tobytes(), 64, 96, quality=90))),
+            (3, _png(_noise(9))),
+        ],
+        "media_id long, blob binary",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in image_span_pairs(
+            media, tile_px=16, stride=8, min_shared=4
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
