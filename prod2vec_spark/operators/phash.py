@@ -370,6 +370,24 @@ def video_span_pairs(
 _TILE_ID_BASE = 1_000_000  # composite tile id = image_id * BASE + tile_idx
 
 
+def tile_rows_py(g: "np.ndarray", tile_px: int, stride: int):
+    """Pure-Python tile enumeration of one grayscale plane —
+    [(tile_row, tile_col, dhash64)] with exactly-constant tiles
+    skipped.  The SINGLE source of tile geometry: the distributed
+    image_tile_hashes pass, the fixture generator
+    (tools/gen_image_tile_fixture.py), and the pytest golden gate all
+    call this, so they can never silently disagree."""
+    h, w = g.shape
+    out = []
+    for ti, r0 in enumerate(range(0, h - tile_px + 1, stride)):
+        for tj, c0 in enumerate(range(0, w - tile_px + 1, stride)):
+            tile = g[r0 : r0 + tile_px, c0 : c0 + tile_px]
+            if tile.min() == tile.max():
+                continue  # constant tile: uninformative
+            out.append((ti, tj, dhash64(tile)))
+    return out
+
+
 def image_tile_hashes(
     media: DataFrame,
     tile_px: int = 16,
@@ -399,16 +417,11 @@ def image_tile_hashes(
                 g = image_gray(b)
                 if g is None:
                     continue
-                h, w = g.shape
-                for ti, r0 in enumerate(range(0, h - tile_px + 1, stride)):
-                    for tj, c0 in enumerate(range(0, w - tile_px + 1, stride)):
-                        tile = g[r0 : r0 + tile_px, c0 : c0 + tile_px]
-                        if tile.min() == tile.max():
-                            continue  # constant tile: uninformative
-                        out[id_col].append(mid)
-                        out["tile_row"].append(ti)
-                        out["tile_col"].append(tj)
-                        out["thash"].append(dhash64(tile))
+                for ti, tj, th in tile_rows_py(g, tile_px, stride):
+                    out[id_col].append(mid)
+                    out["tile_row"].append(ti)
+                    out["tile_col"].append(tj)
+                    out["thash"].append(th)
             yield pd.DataFrame(
                 {
                     id_col: out[id_col],

@@ -1,0 +1,212 @@
+"""Round-12: the partial-image (crop/letterbox) duplicate plane gets
+an ORACLED superset entry (ENGINE scope; reference anchor: the
+reference has no media surface — SURVEY.md §2.21's tiled-dHash span
+detection).
+
+Same split as the video plane (queries_r9.py / VERDICT r9 ask #2):
+the codec boundary (planted PNG render → stdlib decode → per-tile
+dHash) persists its per-tile hashes as a pytest-golden fixture
+(tests/fixtures/image_tiles.parquet, regenerate with
+tools/gen_image_tile_fixture.py), and the query is the pure-integer
+SQL half — composite tile ids → banded-Hamming candidate join →
+bit_count verify → per-image-pair matched-tile counts — with a full
+DuckDB oracle.
+
+Planted corpus: doc_id pairs (fam = doc_id // 2).  The even member is
+a 48×48 md5-noise original; the odd member is a STRIDE-ALIGNED
+transform of the same pixels chosen by fam % 3 — crop [16:, 16:],
+16-row letterbox (constant bars, skipped by the tile plane), or crop
+[8:, 8:] — so every family is a genuine partial-image duplicate whose
+WHOLE-image dHash diverges, and unrelated families (independent
+noise) share no tiles.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import functions as F
+
+from prod2vec_spark.sources.io import read_table
+
+IMG_W = IMG_H = 48
+TILE_PX, STRIDE = 16, 8
+MIN_SHARED = 4
+_TILE_COLS = 1024  # tile_idx = tile_row * 1024 + tile_col
+_TILE_ID_BASE = 1_000_000
+
+
+def planted_image(doc_id: int) -> bytes:
+    """Deterministic planted image corpus, one PNG per doc id (module
+    docstring).  Shared by the fixture generator
+    (tools/gen_image_tile_fixture.py), the pytest-golden codec gate,
+    and the distributed render."""
+    import numpy as np
+
+    from prod2vec_spark.operators.multimodal import encode_png_gray8
+
+    fam, member = int(doc_id) // 2, int(doc_id) % 2
+    base = np.frombuffer(
+        b"".join(
+            hashlib.md5(f"img{fam}|{r}".encode()).digest()
+            for r in range(IMG_W * IMG_H // 16)
+        ),
+        dtype=np.uint8,
+    ).reshape(IMG_H, IMG_W)
+    if member == 0:
+        a = base
+    elif fam % 3 == 0:
+        a = base[16:, 16:]
+    elif fam % 3 == 1:
+        a = np.vstack(
+            [
+                np.zeros((16, IMG_W), np.uint8),
+                base,
+                np.zeros((16, IMG_W), np.uint8),
+            ]
+        )
+    else:
+        a = base[8:, 8:]
+    h, w = a.shape
+    return encode_png_gray8(np.ascontiguousarray(a).tobytes(), w, h)
+
+
+def tile_hash_rows(doc_id: int) -> list[tuple[int, int, int]]:
+    """[(doc_id, tile_idx, thash)] for one planted image through the
+    REAL codec chain (PNG encode → image_gray decode → tile dHash) —
+    the single recipe the fixture generator and the golden gate
+    share."""
+    from prod2vec_spark.operators.phash import image_gray, tile_rows_py
+
+    g = image_gray(planted_image(doc_id))
+    return [
+        (int(doc_id), ti * _TILE_COLS + tj, th)
+        for ti, tj, th in tile_rows_py(g, TILE_PX, STRIDE)
+    ]
+
+
+def rendered_tile_hashes(spark, doc_ids):
+    """(doc_id, tile_idx, thash) via the distributed codec chain
+    (mapInPandas render → image_tile_hashes) — the pytest-golden gate
+    runs this against the persisted fixture so the codec boundary
+    stays verified even though the query reads the fixture."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from prod2vec_spark.operators.phash import image_tile_hashes
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "blob": [planted_image(i) for i in pdf["doc_id"]],
+                }
+            )
+
+    media = doc_ids.mapInPandas(render, schema="media_id long, blob binary")
+    return image_tile_hashes(media, tile_px=TILE_PX, stride=STRIDE).select(
+        F.col("media_id").alias("doc_id"), "tile_idx", "thash"
+    )
+
+
+def _image_fixture_path() -> str:
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests",
+        "fixtures",
+        "image_tiles.parquet",
+    )
+
+
+def q_image_span_audit(spark, sf_dir):
+    """Partial-image duplicate pairs over the PERSISTED per-tile hash
+    table: composite tile ids (doc·10⁶ + tile_idx) → the banded-
+    Hamming plane (phash_neardup: 4×16-bit slices, pigeonhole recall 1
+    at distance ≤3) → same-image pairs dropped → matched-tile count
+    per image pair ≥ MIN_SHARED.  ``same_family`` (doc_id//2 equality)
+    keeps the entry self-auditing: pytest asserts it is 1 on every
+    pair and that every planted family is recovered."""
+    from prod2vec_spark.operators import phash as PH
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    tiles = (
+        spark.read.parquet(_image_fixture_path())
+        .join(docs, "doc_id", "leftsemi")
+        .select(
+            (F.col("doc_id") * F.lit(_TILE_ID_BASE) + F.col("tile_idx")).alias(
+                "tid"
+            ),
+            "thash",
+        )
+    )
+    pairs = PH.phash_neardup(tiles, id_col="tid", hash_col="thash", max_distance=3)
+    img_a = F.floor(F.col("id_a") / F.lit(_TILE_ID_BASE)).cast("long")
+    img_b = F.floor(F.col("id_b") / F.lit(_TILE_ID_BASE)).cast("long")
+    return (
+        pairs.select(img_a.alias("ia"), img_b.alias("ib"))
+        .where(F.col("ia") != F.col("ib"))
+        .select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_shared_tiles"))
+        .where(F.col("n_shared_tiles") >= MIN_SHARED)
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared_tiles",
+            (
+                F.floor(F.col("id_a") / 2) == F.floor(F.col("id_b") / 2)
+            ).cast("bigint").alias("same_family"),
+        )
+    )
+
+
+def _sql_image_span_audit() -> str:
+    """DuckDB twin: identical composite-id banding (4 disjoint 16-bit
+    slices by shift+mask — arithmetic vs logical shift neutralised by
+    the mask), slice-equality candidate join with DISTINCT tile pairs,
+    XOR bit_count verify, image-pair rollup with the same MIN_SHARED
+    cut."""
+    path = _image_fixture_path()
+    return f"""
+WITH t AS (
+  SELECT v.doc_id * {_TILE_ID_BASE} + v.tile_idx AS tid, v.thash
+  FROM read_parquet('{path}') v
+  WHERE v.doc_id IN (SELECT doc_id FROM documents)
+),
+sig AS (
+  SELECT tid, thash, band, (thash >> (band * 16)) & 65535 AS slice
+  FROM t CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.tid AS ta, a.thash AS ha, b.tid AS tb, b.thash AS hb
+  FROM sig a JOIN sig b
+    ON a.band = b.band AND a.slice = b.slice AND a.tid < b.tid
+),
+tile_pairs AS (
+  SELECT ta // {_TILE_ID_BASE} AS ia, tb // {_TILE_ID_BASE} AS ib
+  FROM cand
+  WHERE bit_count(xor(ha, hb)) <= 3
+    AND ta // {_TILE_ID_BASE} <> tb // {_TILE_ID_BASE}
+)
+SELECT LEAST(ia, ib) AS id_a, GREATEST(ia, ib) AS id_b,
+       CAST(COUNT(*) AS INT) AS n_shared_tiles,
+       CAST(CASE WHEN LEAST(ia, ib) // 2 = GREATEST(ia, ib) // 2
+                 THEN 1 ELSE 0 END AS BIGINT) AS same_family
+FROM tile_pairs
+GROUP BY 1, 2
+HAVING COUNT(*) >= {MIN_SHARED}
+"""
+
+
+R12_QUERIES = {
+    "image_span_audit": q_image_span_audit,
+}
+R12_ORACLES: dict[str, str] = {
+    "image_span_audit": _sql_image_span_audit(),
+}

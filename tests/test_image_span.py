@@ -101,6 +101,63 @@ def test_image_span_pairs_recovers_crop_and_letterbox(spark):
     assert bin((ha ^ hb) & ((1 << 64) - 1)).count("1") > 3
 
 
+def test_image_tile_fixture_matches_codec_chain(spark):
+    """The persisted per-tile hash table (the image_span_audit query's
+    input) must reproduce bit-for-bit through the REAL codec chain —
+    a stratified sample re-derived via the distributed render
+    (mapInPandas PNG encode → image_tile_hashes decode+dHash) and the
+    pure-Python recipe both match the fixture, so it can never
+    silently diverge from the codec."""
+    import duckdb
+
+    from prod2vec_spark.queries_r12 import (
+        _image_fixture_path,
+        rendered_tile_hashes,
+        tile_hash_rows,
+    )
+
+    sample_ids = list(range(0, 500, 37)) + [499]
+    fx = duckdb.sql(
+        f"SELECT doc_id, tile_idx, thash FROM "
+        f"read_parquet('{_image_fixture_path()}') "
+        f"WHERE doc_id IN ({','.join(map(str, sample_ids))})"
+    ).fetchall()
+    fixture = {(r[0], r[1]): r[2] for r in fx}
+    # pure-Python recipe
+    py = {
+        (d, ti): th for d in sample_ids for _, ti, th in [
+            (r[0], r[1], r[2]) for r in tile_hash_rows(d)
+        ]
+    }
+    assert py == fixture
+    # distributed codec chain
+    ids = spark.createDataFrame([(i,) for i in sample_ids], "doc_id long")
+    got = {
+        (r["doc_id"], r["tile_idx"]): r["thash"]
+        for r in rendered_tile_hashes(spark, ids).collect()
+    }
+    assert got == fixture
+
+
+def test_image_span_audit_recovers_planted_families(spark):
+    """Every planted crop/letterbox family at sf0.001 surfaces as a
+    pair, every reported pair is within-family (same_family == 1
+    throughout — the self-audit), and the crop members share the
+    expected fully-aligned tile counts."""
+    from prod2vec_spark.queries import ALL_QUERIES
+    from tests.conftest import SF_SMOKE
+
+    rows = ALL_QUERIES["image_span_audit"](spark, SF_SMOKE).collect()
+    assert rows
+    assert all(r["same_family"] == 1 for r in rows)
+    got_fams = {r["id_a"] // 2 for r in rows}
+    # sf0.001 documents: doc_id 0..499 -> families 0..249, all planted
+    assert got_fams == set(range(250))
+    for r in rows:
+        assert r["n_shared_tiles"] >= 4
+        assert (r["id_a"], r["id_b"]) == (r["id_a"] // 2 * 2, r["id_a"] // 2 * 2 + 1)
+
+
 def test_image_span_pairs_cross_codec_jpeg_letterbox(spark):
     """A JPEG letterbox of a PNG original still pairs: tile hashes ride
     the SAME decode door (image_gray), and the per-tile Hamming budget
