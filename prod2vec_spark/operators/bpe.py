@@ -220,7 +220,10 @@ def decode_tokens(token_seq: list[str]) -> str:
 
 
 def token_vocab(
-    docs: DataFrame, merges: list[tuple[str, str]], text_col: str = "text"
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    tokens_fn=None,
 ) -> DataFrame:
     """(token, token_id, n): frequency-ranked vocabulary of the
     ENCODED corpus — the id table the training loader ships with the
@@ -229,11 +232,19 @@ def token_vocab(
     still maps corpus N+1's novel tokens).  One explode + hash-agg;
     the rank window runs on the vocab-sized aggregate (bounded by
     merges + charset, the W1 global-rank shape).  Deterministic:
-    ties break lexicographically."""
+    ties break lexicographically.
+
+    ``tokens_fn`` (text Column → array<string> Column) swaps the
+    tokenizer family — the unigram plane (operators/unigram.py)
+    passes its Viterbi segmenter here; default is BPE under
+    ``merges``."""
     from pyspark.sql import Window
 
+    tf = tokens_fn if tokens_fn is not None else (
+        lambda c: bpe_tokens(c, merges)
+    )
     counts = (
-        docs.select(F.explode(bpe_tokens(F.col(text_col), merges)).alias("token"))
+        docs.select(F.explode(tf(F.col(text_col))).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -249,6 +260,7 @@ def token_id_sequences(
     vocab: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokens_fn=None,
 ) -> DataFrame:
     """(doc_id, n_ids, n_unk, ids): each document's model-token ID
     sequence — the actual LM training input.  posexplode the token
@@ -256,10 +268,15 @@ def token_id_sequences(
     OOV shape), reassemble in position order (the linedup
     sort_array-over-structs shape — deterministic, never
     collection-order dependent).  One reassembly shuffle on the doc
-    key; the vocab probe is a broadcast hash join."""
+    key; the vocab probe is a broadcast hash join.  ``tokens_fn``
+    swaps the tokenizer family (token_vocab's contract — pass the
+    SAME fn to both or the id table won't match the stream)."""
+    tf = tokens_fn if tokens_fn is not None else (
+        lambda c: bpe_tokens(c, merges)
+    )
     toks = docs.select(
         F.col(id_col),
-        F.posexplode(bpe_tokens(F.col(text_col), merges)).alias("pos", "token"),
+        F.posexplode(tf(F.col(text_col))).alias("pos", "token"),
     )
     mapped = toks.join(
         F.broadcast(vocab.select("token", "token_id")), "token", "left"

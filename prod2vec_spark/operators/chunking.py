@@ -158,6 +158,8 @@ def pack_token_ids(
     id_col: str = "doc_id",
     text_col: str = "text",
     eod_id: int | None = None,
+    tokens_fn=None,
+    count_fn=None,
 ) -> DataFrame:
     """The packing plane's FINAL form: materialized training examples
     — one row per (part, shard, bin) carrying the concatenated
@@ -185,6 +187,15 @@ def pack_token_ids(
     """
     from prod2vec_spark.operators.bpe import bpe_token_count, token_id_sequences
 
+    # tokenizer-family seam (round 12): tokens_fn/count_fn swap the
+    # tokenizer (the unigram plane passes its Viterbi segmenter +
+    # counter); pass BOTH or neither — the count must be the size of
+    # the stream or bins and payloads disagree.  Default: BPE.
+    if (tokens_fn is None) != (count_fn is None):
+        raise ValueError("pass both tokens_fn and count_fn, or neither")
+    count = count_fn if count_fn is not None else (
+        lambda c: bpe_token_count(c, merges)
+    )
     # with an EOD separator, the budget counts ids as WRITTEN —
     # each doc costs its token count plus one separator
     sep = 1 if eod_id is not None else 0
@@ -195,10 +206,11 @@ def pack_token_ids(
         part_col=part_col,
         id_col=id_col,
         text_col=text_col,
-        count_fn=lambda c: bpe_token_count(c, merges) + F.lit(sep),
+        count_fn=lambda c: count(c) + F.lit(sep),
     )
     seqs = token_id_sequences(
-        docs, merges, vocab, id_col=id_col, text_col=text_col
+        docs, merges, vocab, id_col=id_col, text_col=text_col,
+        tokens_fn=tokens_fn,
     ).select(id_col, "ids")
     if eod_id is not None:
         seqs = seqs.withColumn(

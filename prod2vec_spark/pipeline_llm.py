@@ -221,6 +221,14 @@ class CorpusConfig:
     # loader reads, not just cleaned text.
     pack_budget: int = 0
     pack_shards: int = 1
+    # round-12: tokenizer FAMILY for the pack stage and the
+    # final_model_tokens stat — "bpe" (merge table, bpe_merges > 0
+    # sets the size) or "unigram" (SentencePiece-style piece table,
+    # operators/unigram.py; unigram_vocab_size sets the size).  Both
+    # train on the curated corpus itself and share the same
+    # token_vocab / pack_token_ids plumbing via the tokens_fn seam.
+    tokenizer: str = "bpe"
+    unigram_vocab_size: int = 200
     # round-9b: C4 rule-based line filtering (Raffel et al. 2020
     # §2.2) fused into the input scan after normalization and before
     # the PII scrub — row-local, no shuffle boundary, no checkpoint,
@@ -258,6 +266,7 @@ class CorpusCurationPipeline:
         self.cfg = cfg
         self._merges = None  # run() stashes the trained table so the
         # pack stage and the stats report share ONE training pass
+        self._uni_model = None  # unigram twin of _merges
         self._stage_ms: dict[str, int] = {}  # per-stage wall time of
         # the LAST run(), surfaced as t_ms_* rows in the stats report
 
@@ -760,7 +769,19 @@ class CorpusCurationPipeline:
             ("final_chunks", cagg["n_chunks"]),
             ("final_chunk_tokens", cagg["n_chunk_tokens"]),
         ]
-        if self.cfg.bpe_merges > 0:
+        if self.cfg.tokenizer == "unigram" and self._uni_model is not None:
+            # unigram family: run()'s pack stage trained the piece
+            # table; report the final budget in ITS model tokens
+            from prod2vec_spark.operators.unigram import unigram_counter
+
+            n_model = final.agg(
+                F.coalesce(
+                    F.sum(unigram_counter(self._uni_model)(F.col("text"))),
+                    F.lit(0),
+                ).alias("n")
+            ).first()["n"]
+            rows.append(("final_model_tokens", int(n_model)))
+        elif self.cfg.bpe_merges > 0:
             # the corpus's OWN trained tokenizer: the final budget in
             # model tokens (merge table persisted for downstream use);
             # run() may hand the table in so pack + stats train once
@@ -922,30 +943,70 @@ class CorpusCurationPipeline:
         chunks = self._timed("chunk", self.chunk, train)
         if self.cfg.pack_budget > 0:
             # trainable shards: pack the TRAIN side into per-bin
-            # input_ids under the corpus's own tokenizer
-            if self.cfg.bpe_merges <= 0:
+            # input_ids under the corpus's own tokenizer (family
+            # chosen by cfg.tokenizer — both ride the tokens_fn seam)
+            if self.cfg.tokenizer not in ("bpe", "unigram"):
                 raise ValueError(
-                    "pack_budget requires bpe_merges > 0 (the packed ids "
-                    "need the corpus-trained merge table)"
+                    f"unknown tokenizer {self.cfg.tokenizer!r} "
+                    "(expected 'bpe' or 'unigram')"
                 )
-            from prod2vec_spark.operators.bpe import token_vocab, train_bpe
+            from prod2vec_spark.operators.bpe import token_vocab
             from prod2vec_spark.operators.chunking import pack_token_ids
 
             t0 = time.monotonic()
-            self._merges = train_bpe(
-                final,
-                n_merges=self.cfg.bpe_merges,
-                max_vocab_words=self.cfg.bpe_vocab_words,
-            )
-            vocab = token_vocab(train, self._merges)
+            if self.cfg.tokenizer == "unigram":
+                if self.cfg.unigram_vocab_size <= 0:
+                    raise ValueError(
+                        "pack_budget with tokenizer='unigram' requires "
+                        "unigram_vocab_size > 0"
+                    )
+                from prod2vec_spark.operators.unigram import (
+                    train_unigram,
+                    unigram_counter,
+                    unigram_tokens,
+                )
+
+                self._uni_model = train_unigram(
+                    final,
+                    vocab_size=self.cfg.unigram_vocab_size,
+                    max_vocab_words=self.cfg.bpe_vocab_words,
+                )
+                model = self._uni_model
+                pieces = self.spark.createDataFrame(
+                    [(p, lp) for p, lp in model],
+                    "piece string, logprob double",
+                )
+                write_parquet(pieces, f"{self.cfg.work_dir}/unigram_pieces")
+                merges: list = []
+                tokens_fn = lambda c: unigram_tokens(c, model)  # noqa: E731
+                count_fn = unigram_counter(model)
+            else:
+                if self.cfg.bpe_merges <= 0:
+                    raise ValueError(
+                        "pack_budget requires bpe_merges > 0 (the packed "
+                        "ids need the corpus-trained merge table)"
+                    )
+                from prod2vec_spark.operators.bpe import train_bpe
+
+                self._merges = train_bpe(
+                    final,
+                    n_merges=self.cfg.bpe_merges,
+                    max_vocab_words=self.cfg.bpe_vocab_words,
+                )
+                merges = self._merges
+                tokens_fn = None
+                count_fn = None
+            vocab = token_vocab(train, merges, tokens_fn=tokens_fn)
             write_parquet(vocab, f"{self.cfg.work_dir}/token_vocab")
             vocab = self.spark.read.parquet(f"{self.cfg.work_dir}/token_vocab")
             packed = pack_token_ids(
                 train,
-                self._merges,
+                merges,
                 vocab,
                 budget=self.cfg.pack_budget,
                 n_shards=self.cfg.pack_shards,
+                tokens_fn=tokens_fn,
+                count_fn=count_fn,
             )
             write_parquet(packed, f"{self.cfg.work_dir}/input_ids")
             self._stage_ms["pack"] = int((time.monotonic() - t0) * 1000)

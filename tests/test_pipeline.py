@@ -1415,3 +1415,68 @@ def test_corpus_pipeline_packed_input_ids_output(spark, tmp_path):
             CorpusConfig(sf_dir=SF_SMOKE, work_dir=str(tmp_path / "c2"),
                          pack_budget=64),
         ).run()
+
+
+def test_corpus_pipeline_packs_under_unigram_tokenizer(spark, tmp_path):
+    """Round-12 tokenizer-family seam: tokenizer='unigram' trains a
+    SentencePiece-style piece table on the curated corpus, persists it
+    (work_dir/unigram_pieces), and the packed input_ids + vocab +
+    final_model_tokens all account in UNIGRAM tokens — same invariants
+    as the BPE test; a bad tokenizer name or a zero vocab size raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from prod2vec_spark.pipeline_llm import CorpusConfig, CorpusCurationPipeline
+    from tests.conftest import SF_SMOKE
+
+    cfg = CorpusConfig(
+        sf_dir=SF_SMOKE,
+        work_dir=str(tmp_path / "corpus"),
+        tokenizer="unigram",
+        unigram_vocab_size=120,
+        pack_budget=64,
+        pack_shards=2,
+    )
+    report = CorpusCurationPipeline(spark, cfg).run()
+    by_stage = {r["stage"]: r["n"] for r in report.collect()}
+
+    packed = spark.read.parquet(f"{cfg.work_dir}/input_ids")
+    rows = packed.collect()
+    assert rows
+    for r in rows:
+        assert r["n_ids"] == len(r["input_ids"])
+        assert sum(r["doc_lens"]) == r["n_ids"]
+        assert len(r["doc_lens"]) == len(r["doc_ids"])
+    total_ids = sum(r["n_ids"] for r in rows)
+    assert total_ids == by_stage["final_model_tokens"]
+
+    vocab = spark.read.parquet(f"{cfg.work_dir}/token_vocab")
+    assert vocab.where(F.col("token_id") == 0).count() == 0  # UNK reserved
+    pieces = spark.read.parquet(f"{cfg.work_dir}/unigram_pieces")
+    assert pieces.count() > 0
+    # the persisted piece table replays the packed accounting exactly
+    from prod2vec_spark.operators.unigram import unigram_counter
+
+    model = sorted(
+        ((r["piece"], r["logprob"]) for r in pieces.collect()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    final = spark.read.parquet(f"{cfg.work_dir}/decontaminated")
+    n_replay = final.agg(
+        F.sum(unigram_counter(model)(F.col("text"))).alias("n")
+    ).first()["n"]
+    assert n_replay == total_ids
+
+    with pytest.raises(ValueError, match="unknown tokenizer"):
+        CorpusCurationPipeline(
+            spark,
+            CorpusConfig(sf_dir=SF_SMOKE, work_dir=str(tmp_path / "c2"),
+                         tokenizer="wordpiece", pack_budget=64),
+        ).run()
+    with pytest.raises(ValueError, match="unigram_vocab_size"):
+        CorpusCurationPipeline(
+            spark,
+            CorpusConfig(sf_dir=SF_SMOKE, work_dir=str(tmp_path / "c3"),
+                         tokenizer="unigram", unigram_vocab_size=0,
+                         pack_budget=64),
+        ).run()
