@@ -297,6 +297,116 @@ def read_lm_scores(spark, out_dir: str) -> DataFrame:
     )
 
 
+DEFAULT_DISCOUNT = 0.75  # the standard absolute discount (Chen &
+# Goodman 1998 report D in [0.7, 0.8] across corpora)
+
+
+def kn_perplexity(
+    docs: DataFrame,
+    train_frac: float = 0.8,
+    discount: float = DEFAULT_DISCOUNT,
+    seed: str = "lm",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_unigrams: bool = True,
+    tagged: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document bigram perplexity under INTERPOLATED KNESER-NEY
+    smoothing (Chen & Goodman 1998 §2.7) — the other standard n-gram
+    smoothing family next to Stupid Backoff (``lm_perplexity``).  KN's
+    insight: the backoff distribution should weight a word by how many
+    DISTINCT contexts it continues (N1+(•,w)), not by raw frequency —
+    'Francisco' is frequent but continues only 'San', so it gets a
+    small continuation probability.
+
+    Model, for an adjacent pair (w1, w2) with train-split counts:
+
+        den(w1)   = Σ_w c2(w1, w)            (left-context total)
+        λ(w1)     = D · N1+(w1,•) / den(w1)  (discount mass reassigned)
+        P_cont(w2)= (N1+(•,w2) + 1) / (n_types + V + 1)
+        P(w2|w1)  = (max(c2−D, 0)) / den(w1) + λ(w1) · P_cont(w2)
+                  = P_cont(w2)               when w1 is unseen as a
+                                             left context
+
+    The continuation leg is add-one-smoothed (the lm_perplexity
+    convention) so unseen words score > 0 — no log(0) anywhere; λ > 0
+    whenever den exists (N1+ ≥ 1), so the interpolated sum is always
+    positive.  Output mirrors lm_perplexity: (doc_id, is_train 0/1,
+    n_pairs, n_unseen — pairs absent from the train bigram table —
+    avg_nll, ppl), rounded at 4 so both engines hash identically.
+
+    Scale shape: identical to score_docs — counting is hash-aggs over
+    the train pair stream; the per-w1 stats table (den, N1+(w1,•))
+    and per-w2 continuation table are vocab-sized broadcast probes
+    (``broadcast_unigrams=False`` flips them to shuffle joins for
+    web-scale vocabularies); the bigram table joins on the pair key
+    (corpus-sized — honestly not broadcast); scalars ride a 1-row
+    broadcast cross join."""
+    if not 0.0 < discount < 1.0:
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    if tagged is None:
+        tagged = with_train_split(docs, train_frac, seed=seed, id_col=id_col)
+    train = tagged.where(F.col("is_train"))
+    tpairs = doc_pairs(train, id_col=id_col, text_col=text_col)
+    c2 = tpairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    left = c2.groupBy("w1").agg(
+        F.sum("c2").alias("den"), F.count(F.lit(1)).alias("n1p_left")
+    )
+    right = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_right"))
+    toks = train.withColumn("_toks", tokens(F.col(text_col))).select(
+        F.explode("_toks").alias("w")
+    )
+    totals = c2.agg(F.count(F.lit(1)).alias("n_types")).crossJoin(
+        toks.agg(F.countDistinct("w").alias("v_vocab"))
+    )
+    if totals.first()["n_types"] == 0:
+        raise ValueError(
+            "kn_perplexity: training split has no bigrams — cannot "
+            "estimate a model"
+        )
+    if broadcast_unigrams:
+        left, right = F.broadcast(left), F.broadcast(right)
+    pairs = doc_pairs(tagged, id_col=id_col, text_col=text_col)
+    pcont = (
+        (F.coalesce(F.col("n1p_right"), F.lit(0)) + F.lit(1))
+        / (F.col("n_types") + F.col("v_vocab") + F.lit(1))
+    )
+    lam = F.lit(discount) * F.col("n1p_left") / F.col("den")
+    seen_leg = (
+        F.greatest(
+            F.coalesce(F.col("c2"), F.lit(0)) - F.lit(discount), F.lit(0.0)
+        )
+        / F.col("den")
+        + lam * pcont
+    )
+    scored = (
+        pairs.join(c2, ["w1", "w2"], "left")
+        .join(left, "w1", "left")
+        .join(right, "w2", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            "is_train",
+            F.when(F.col("den").isNotNull(), seen_leg)
+            .otherwise(pcont)
+            .alias("prob"),
+            F.when(F.col("c2").isNull(), F.lit(1)).otherwise(F.lit(0)).alias(
+                "unseen"
+            ),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.max(F.col("is_train").cast("long")).alias("is_train"),
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("unseen").alias("n_unseen"),
+            F.round(F.avg(-F.log("prob")), 4).alias("avg_nll"),
+            F.round(F.exp(F.avg(-F.log("prob"))), 4).alias("ppl"),
+        )
+    )
+
+
 def token_triples(toks: Column) -> Column:
     """Array of struct(w1, w2, w3) adjacent triples; empty below 3
     tokens (guarded — sequence would count DOWN)."""

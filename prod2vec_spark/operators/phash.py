@@ -502,6 +502,129 @@ def image_span_pairs(
     )
 
 
+def tile_band_table(
+    media: DataFrame,
+    tile_px: int = 16,
+    stride: int = 8,
+    bands: int = 4,
+    id_col: str = "media_id",
+    blob_col: str = "blob",
+) -> DataFrame:
+    """(id, tile_idx, band, slice, thash): the PERSISTABLE band table
+    of an image corpus's TILES — the archive the incremental span
+    path probes (media_band_table, tile edition).  One decode per
+    image; each row is a band signature + the 8-byte tile hash (the
+    hash rides along so the incremental verify never re-decodes the
+    archive)."""
+    th = image_tile_hashes(
+        media, tile_px=tile_px, stride=stride, id_col=id_col, blob_col=blob_col
+    )
+    return (
+        th.select(
+            id_col,
+            "tile_idx",
+            "thash",
+            F.explode(F.array(*band_structs(F.col("thash"), bands))).alias("bs"),
+        )
+        .select(
+            id_col,
+            "tile_idx",
+            F.col("bs.band").alias("band"),
+            F.col("bs.slice").alias("slice"),
+            "thash",
+        )
+    )
+
+
+def incremental_image_span_pairs(
+    old_bands: DataFrame,
+    new_media: DataFrame,
+    tile_px: int = 16,
+    stride: int = 8,
+    max_distance: int = 3,
+    bands: int = 4,
+    min_shared: int = 4,
+    max_group: int | None = None,
+    id_col: str = "media_id",
+    blob_col: str = "blob",
+) -> DataFrame:
+    """Partial-image duplicate pairs INVOLVING at least one new image,
+    probed against a prior snapshot's persisted tile-band table — the
+    incremental twin of :func:`image_span_pairs`
+    (incremental_media_pairs, tile edition).
+
+    At 100 TB the archived corpus is never re-decoded: only its
+    (id, tile_idx, band, slice, thash) table is read back, and only
+    the new fraction runs the codec pass.  Old×old image pairs are
+    already known and NOT re-emitted; tile counts of an existing pair
+    can never change when disjoint new images arrive, so (pytest-
+    locked, id-disjoint snapshots, no cap):
+        image_span_pairs(old ∪ new)
+          == image_span_pairs(old) ∪ incremental_image_span_pairs(...)
+    Re-ingested ids supersede their stored signatures."""
+    from prod2vec_spark.functions.arrays import pair_expand
+
+    nb = tile_band_table(
+        new_media, tile_px=tile_px, stride=stride, bands=bands,
+        id_col=id_col, blob_col=blob_col,
+    )
+    new_ids = new_media.select(F.col(id_col)).distinct()
+    ob = old_bands.join(F.broadcast(new_ids), id_col, "left_anti")
+    tid = (F.col(id_col) * F.lit(_TILE_ID_BASE) + F.col("tile_idx")).alias("tid")
+    allb = ob.select(
+        tid, "band", "slice", "thash", F.lit(0).alias("is_new")
+    ).unionByName(
+        nb.select(tid, "band", "slice", "thash", F.lit(1).alias("is_new"))
+    )
+    grouped = (
+        allb.groupBy("band", "slice")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("tid").alias("id"),
+                        F.col("thash").alias("h"),
+                        F.col("is_new").alias("is_new"),
+                    )
+                )
+            ).alias("items")
+        )
+        .filter(
+            (F.size("items") > 1)
+            & (F.size(F.filter("items", lambda s: s.is_new == 1)) > 0)
+        )
+    )
+    if max_group is not None:
+        grouped = grouped.filter(F.size("items") <= max_group)
+    tpairs = (
+        grouped.select(F.explode(pair_expand(F.col("items"))).alias("p"))
+        .where((F.col("p.a.is_new") == 1) | (F.col("p.b.is_new") == 1))
+        .select(
+            F.col("p.a.id").alias("ta"),
+            F.col("p.b.id").alias("tb"),
+            F.bit_count(F.col("p.a.h").bitwiseXOR(F.col("p.b.h")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_distance)
+        .select("ta", "tb")
+        .distinct()  # a tile pair may band-collide in several bands
+    )
+    img_a = F.floor(F.col("ta") / F.lit(_TILE_ID_BASE)).cast("long")
+    img_b = F.floor(F.col("tb") / F.lit(_TILE_ID_BASE)).cast("long")
+    return (
+        tpairs.select(img_a.alias("ia"), img_b.alias("ib"))
+        .where(F.col("ia") != F.col("ib"))
+        .select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_shared_tiles"))
+        .where(F.col("n_shared_tiles") >= min_shared)
+    )
+
+
 def phash_audio(
     media: DataFrame, id_col: str = "media_id", blob_col: str = "blob"
 ) -> DataFrame:

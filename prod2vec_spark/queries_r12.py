@@ -204,9 +204,77 @@ HAVING COUNT(*) >= {MIN_SHARED}
 """
 
 
+# ------------------------------------------- Kneser-Ney perplexity
+KN_TRAIN_FRAC = 0.8
+KN_DISCOUNT = 0.75
+
+
+def q_kn_perplexity(spark, sf_dir):
+    """Per-document bigram perplexity under interpolated Kneser-Ney
+    smoothing (operators/lm.kn_perplexity) — the continuation-count
+    smoothing family next to the catalog's Stupid-Backoff entries;
+    same md5-uniform train split, same rounded (avg_nll, ppl)
+    contract."""
+    from prod2vec_spark.operators.lm import kn_perplexity
+
+    docs = read_table(spark, sf_dir, "documents")
+    return kn_perplexity(
+        docs, train_frac=KN_TRAIN_FRAC, discount=KN_DISCOUNT, seed="lm"
+    )
+
+
+def _sql_kn_perplexity() -> str:
+    from prod2vec_spark.queries_ext import _TOKS
+
+    return f"""
+WITH sp AS (SELECT doc_id, text,
+    (('0x' || substr(md5('lm|' || doc_id), 1, 8))::BIGINT / 4294967296.0)
+      < {KN_TRAIN_FRAC} AS is_train
+  FROM documents),
+t AS (SELECT doc_id, is_train, {_TOKS} AS toks FROM sp),
+p AS (SELECT doc_id, is_train,
+        toks[CAST(i AS INT)] AS w1, toks[CAST(i AS INT) + 1] AS w2
+      FROM t, unnest(range(1, len(toks))) AS u(i)),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM p WHERE is_train GROUP BY 1, 2),
+lft AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS den,
+               count(*) AS n1p_left FROM c2 GROUP BY 1),
+rgt AS (SELECT w2, count(*) AS n1p_right FROM c2 GROUP BY 1),
+tot AS (SELECT (SELECT count(*) FROM c2) AS n_types,
+               (SELECT count(DISTINCT w)
+                FROM (SELECT unnest(toks) AS w FROM t WHERE is_train))
+                 AS v_vocab),
+sc AS (SELECT p.doc_id, p.is_train,
+    -- every operand forced to DOUBLE so DuckDB's DECIMAL propagation
+    -- can never drift from Spark's IEEE arithmetic
+    CASE WHEN lft.den IS NOT NULL THEN
+      GREATEST(CAST(COALESCE(c2.c2, 0) AS DOUBLE) - CAST({KN_DISCOUNT} AS DOUBLE), CAST(0 AS DOUBLE))
+        / CAST(lft.den AS DOUBLE)
+      + (CAST({KN_DISCOUNT} AS DOUBLE) * CAST(lft.n1p_left AS DOUBLE)
+         / CAST(lft.den AS DOUBLE))
+        * ((CAST(COALESCE(rgt.n1p_right, 0) AS DOUBLE) + 1)
+           / CAST(tot.n_types + tot.v_vocab + 1 AS DOUBLE))
+    ELSE (CAST(COALESCE(rgt.n1p_right, 0) AS DOUBLE) + 1)
+         / CAST(tot.n_types + tot.v_vocab + 1 AS DOUBLE) END AS prob,
+    CASE WHEN c2.c2 IS NULL THEN 1 ELSE 0 END AS unseen
+  FROM p
+  LEFT JOIN c2 ON p.w1 = c2.w1 AND p.w2 = c2.w2
+  LEFT JOIN lft ON p.w1 = lft.w1
+  LEFT JOIN rgt ON p.w2 = rgt.w2
+  CROSS JOIN tot)
+SELECT doc_id, max(CAST(is_train AS BIGINT)) AS is_train,
+       count(*) AS n_pairs,
+       CAST(sum(unseen) AS BIGINT) AS n_unseen,
+       round(avg(-ln(prob)), 4) AS avg_nll,
+       round(exp(avg(-ln(prob))), 4) AS ppl
+FROM sc GROUP BY doc_id
+"""
+
+
 R12_QUERIES = {
     "image_span_audit": q_image_span_audit,
+    "kn_perplexity": q_kn_perplexity,
 }
 R12_ORACLES: dict[str, str] = {
     "image_span_audit": _sql_image_span_audit(),
+    "kn_perplexity": _sql_kn_perplexity(),
 }

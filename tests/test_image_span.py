@@ -158,6 +158,62 @@ def test_image_span_audit_recovers_planted_families(spark):
         assert (r["id_a"], r["id_b"]) == (r["id_a"] // 2 * 2, r["id_a"] // 2 * 2 + 1)
 
 
+def test_incremental_image_span_matches_batch(spark):
+    """The media-triad incremental contract, tile edition: probing a
+    new snapshot against the persisted tile-band archive emits EXACTLY
+    the delta pair set — batch(old ∪ new) == batch(old) ∪ incremental
+    — with the archive never re-decoded and old×old pairs never
+    re-emitted."""
+    from prod2vec_spark.operators.phash import (
+        incremental_image_span_pairs,
+        tile_band_table,
+    )
+
+    a, b = _noise(1), _noise(2)
+    old_rows = [
+        (1, _png(a)),
+        (2, _png(a[16:, 16:])),     # old family: 1-2 pair
+        (3, _png(b)),
+    ]
+    new_rows = [
+        (4, _png(b[8:, 8:])),       # new crop of an ARCHIVED image
+        (5, _png(_noise(3))),
+        (6, _png(_noise(3)[16:, 16:])),  # new-only family: 5-6 pair
+    ]
+    old = spark.createDataFrame(old_rows, "media_id long, blob binary")
+    new = spark.createDataFrame(new_rows, "media_id long, blob binary")
+    both = spark.createDataFrame(
+        old_rows + new_rows, "media_id long, blob binary"
+    )
+    kw = dict(tile_px=16, stride=8, min_shared=4)
+    batch_all = {
+        (r["id_a"], r["id_b"]): r["n_shared_tiles"]
+        for r in image_span_pairs(both, **kw).collect()
+    }
+    batch_old = {
+        (r["id_a"], r["id_b"]): r["n_shared_tiles"]
+        for r in image_span_pairs(old, **kw).collect()
+    }
+    archive = tile_band_table(old, tile_px=16, stride=8)
+    inc = {
+        (r["id_a"], r["id_b"]): r["n_shared_tiles"]
+        for r in incremental_image_span_pairs(archive, new, **kw).collect()
+    }
+    assert batch_old == {(1, 2): batch_all[(1, 2)]}
+    assert inc == {(3, 4): batch_all[(3, 4)], (5, 6): batch_all[(5, 6)]}
+    merged = dict(batch_old)
+    merged.update(inc)
+    assert merged == batch_all
+    # re-ingest: a changed id 3 supersedes its archived signatures —
+    # its OLD tiles must not produce stale pairs
+    new2 = spark.createDataFrame(
+        [(3, _png(_noise(9)))], "media_id long, blob binary"
+    )
+    assert (
+        incremental_image_span_pairs(archive, new2, **kw).count() == 0
+    )
+
+
 def test_image_span_pairs_cross_codec_jpeg_letterbox(spark):
     """A JPEG letterbox of a PNG original still pairs: tile hashes ride
     the SAME decode door (image_gray), and the per-tile Hamming budget
