@@ -144,6 +144,12 @@ class CorpusConfig:
     lm_gate: bool = False
     lm_drop_pct: float = 0.1
     lm_train_frac: float = 0.8
+    # round-12: smoothing family for the gate's bigram LM —
+    # "stupid_backoff" (Brants et al. 2007, the default) or
+    # "kneser_ney" (interpolated KN, Chen & Goodman 1998 — the
+    # continuation-count family; operators/lm.kn_perplexity).  Both
+    # share the md5-uniform split and the percentile-cut shape.
+    lm_smoothing: str = "stupid_backoff"
     # near-dup survivor policy: "min_id" (dedup_clusters default) or
     # "quality" (keep each cluster's best-quality member)
     canonical_policy: str = "min_id"
@@ -562,10 +568,20 @@ class CorpusCurationPipeline:
         bigram LM (operators/lm.py) — the KenLM-style fluency screen.
         The cut threshold is the (1 - lm_drop_pct) ppl percentile, a
         1-row aggregate broadcast back (same shape as the quality
-        percentile — never a corpus-wide window)."""
-        from prod2vec_spark.operators.lm import lm_perplexity
+        percentile — never a corpus-wide window).  cfg.lm_smoothing
+        picks the smoothing family; both scorers emit the same
+        (doc_id, ppl) contract."""
+        from prod2vec_spark.operators.lm import kn_perplexity, lm_perplexity
 
-        rep = lm_perplexity(docs, train_frac=self.cfg.lm_train_frac)
+        if self.cfg.lm_smoothing == "kneser_ney":
+            rep = kn_perplexity(docs, train_frac=self.cfg.lm_train_frac)
+        elif self.cfg.lm_smoothing == "stupid_backoff":
+            rep = lm_perplexity(docs, train_frac=self.cfg.lm_train_frac)
+        else:
+            raise ValueError(
+                f"unknown lm_smoothing {self.cfg.lm_smoothing!r} "
+                "(expected 'stupid_backoff' or 'kneser_ney')"
+            )
         thr = rep.agg(
             F.percentile("ppl", F.lit(1.0 - self.cfg.lm_drop_pct)).alias(
                 "ppl_thr"

@@ -890,6 +890,48 @@ def test_incremental_update_equals_scratch_rebuild(spark, tmp_path):
     assert not any(1000000 <= d < 2000000 for d in got)  # copies gone
 
 
+def test_corpus_pipeline_lm_gate_under_kneser_ney(spark, tmp_path):
+    """Round-12 smoothing-family seam: lm_smoothing='kneser_ney' runs
+    the gate under the KN scorer — the kept set is exactly the docs at
+    or below the (1 - lm_drop_pct) KN-ppl percentile, which genuinely
+    differs from the Stupid-Backoff kept set's scores; an unknown
+    family raises."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from prod2vec_spark.operators.lm import kn_perplexity
+    from prod2vec_spark.pipeline_llm import CorpusConfig, CorpusCurationPipeline
+    from tests.conftest import SF_SMOKE
+
+    cfg = CorpusConfig(
+        sf_dir=SF_SMOKE,
+        work_dir=str(tmp_path / "corpus_kn"),
+        lm_gate=True,
+        lm_smoothing="kneser_ney",
+    )
+    CorpusCurationPipeline(spark, cfg).run()
+    gate_in = spark.read.parquet(f"{cfg.work_dir}/quality_kept")
+    kept = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{cfg.work_dir}/lm_kept").collect()
+    }
+    rep = kn_perplexity(gate_in, train_frac=cfg.lm_train_frac)
+    thr = rep.agg(
+        F.percentile("ppl", F.lit(1.0 - cfg.lm_drop_pct)).alias("t")
+    ).first()["t"]
+    expect = {
+        r["doc_id"] for r in rep.where(F.col("ppl") <= F.lit(thr)).collect()
+    }
+    assert kept == expect and kept  # the KN percentile cut, exactly
+
+    with _pytest.raises(ValueError, match="lm_smoothing"):
+        CorpusCurationPipeline(
+            spark,
+            CorpusConfig(sf_dir=SF_SMOKE, work_dir=str(tmp_path / "bad"),
+                         lm_gate=True, lm_smoothing="laplace"),
+        ).run()
+
+
 def test_incremental_update_rejects_unsupported_options(spark, tmp_path):
     from prod2vec_spark.pipeline_llm import CorpusConfig, CorpusCurationPipeline
     from tests.conftest import SF_SMOKE
