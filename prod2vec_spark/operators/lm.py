@@ -341,7 +341,17 @@ def kn_perplexity(
     (``broadcast_unigrams=False`` flips them to shuffle joins for
     web-scale vocabularies); the bigram table joins on the pair key
     (corpus-sized — honestly not broadcast); scalars ride a 1-row
-    broadcast cross join."""
+    broadcast cross join.
+
+    100 TB caveat (plan-read): this SELF-TRAINED single-expression
+    form re-derives the c2 lineage once per downstream statistic
+    (Catalyst re-inlines the shared aggregate — 4 tokenize+shuffle
+    passes at plan level), which is fine for the oracled audit at
+    driver scale but wrong for production.  The train-once/score-many
+    path is the BigramLM pattern: persist the count tables (c2 /
+    left / right / totals) to parquet after one fit pass — the
+    pipeline's checkpoint discipline — and score any number of
+    corpora against the stored tables with zero re-derivation."""
     if not 0.0 < discount < 1.0:
         raise ValueError(f"discount must be in (0, 1), got {discount}")
     if tagged is None:

@@ -471,7 +471,16 @@ def image_span_pairs(
     tile_idx) → same-image pairs dropped → one hash-agg counting
     matched tile pairs per image pair.  The shuffle carries 16-byte
     tile signatures, never pixels.  Output: (id_a, id_b,
-    n_shared_tiles ≥ min_shared)."""
+    n_shared_tiles ≥ min_shared).
+
+    Hot-bucket caveat (measured at 10×, tests/test_scale_stress.py):
+    HALF-CONSTANT tiles — e.g. letterbox bar-straddles — zero out the
+    gradient band of their constant half, so unrelated images share a
+    degenerate (band, slice=0) bucket that grows linearly with the
+    corpus.  Set ``max_group`` at scale (the LSH text plane's valve):
+    capping that bucket loses no aligned-duplicate pair, because such
+    pairs also match on their varying-half bands, which land in
+    family-sized buckets (pigeonhole over the remaining bands)."""
     th = image_tile_hashes(
         media, tile_px=tile_px, stride=stride, id_col=id_col, blob_col=blob_col
     )

@@ -281,3 +281,68 @@ def test_domain_cap_removes_skew_on_10x_corpus(spark, amplified):
     heaviest = max(sizes, key=lambda d: sizes[d] if d is not None else -1)
     assert sizes[heaviest] > 3 * bound
     assert prerank_sizes[heaviest] < sizes[heaviest] / 2
+
+
+def test_image_span_plane_holds_at_10x_fixture(spark):
+    """Round-12 tile plane at 10x: the full 5000-image fixture (10x
+    the sf0.001 doc range the oracle gate sees) through the SAME
+    banded dataflow.  The 10x corpus EXPOSES the degenerate hot
+    bucket: letterbox bar-straddling tiles have a constant half, so
+    their top-rows (or bottom-rows) gradient band is 0 across ~4k
+    UNRELATED images — a quadratic pair_expand group.  The designed
+    valve is the max_group cap (the LSH text plane's): capping the
+    hot bucket loses NO planted family, because an aligned duplicate
+    tile pair matches on its noise-half bands too (pigeonhole over
+    the remaining bands), which land in family-sized buckets.  All
+    2500 families recover under the cap; every pair is within-family.
+    """
+    from prod2vec_spark.operators import phash as PH
+    from prod2vec_spark.queries_r12 import (
+        MIN_SHARED,
+        _TILE_ID_BASE,
+        _image_fixture_path,
+    )
+
+    tiles = spark.read.parquet(_image_fixture_path()).select(
+        (F.col("doc_id") * F.lit(_TILE_ID_BASE) + F.col("tile_idx")).alias(
+            "tid"
+        ),
+        "thash",
+    )
+    assert tiles.count() > 100_000  # genuinely 10x the oracle slice
+
+    # the hot bucket is real at 10x: half-constant straddle tiles of
+    # unrelated letterbox images share a zero gradient band
+    sigs = tiles.select(
+        "tid",
+        F.explode(F.array(*PH.band_structs(F.col("thash"), 4))).alias("bs"),
+    )
+    groups = sigs.groupBy("bs.band", "bs.slice").agg(F.count("*").alias("n"))
+    assert groups.agg(F.max("n")).first()[0] > 1000  # degenerate bucket
+    # ...and every bucket OTHER than the structural zero-slice ones is
+    # family-sized (md5-noise tiles only collide when aligned dups)
+    benign_max = (
+        groups.where(F.col("slice") != 0).agg(F.max("n")).first()[0]
+    )
+    assert benign_max <= 128, benign_max
+
+    pairs = PH.phash_neardup(
+        tiles, id_col="tid", hash_col="thash", max_distance=3, max_group=256
+    )
+    img_a = F.floor(F.col("id_a") / F.lit(_TILE_ID_BASE)).cast("long")
+    img_b = F.floor(F.col("id_b") / F.lit(_TILE_ID_BASE)).cast("long")
+    rolled = (
+        pairs.select(img_a.alias("ia"), img_b.alias("ib"))
+        .where(F.col("ia") != F.col("ib"))
+        .select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= MIN_SHARED)
+        .collect()
+    )
+    fams = {r["id_a"] // 2 for r in rolled}
+    assert fams == set(range(2500))  # every family, even under the cap
+    assert all(r["id_a"] // 2 == r["id_b"] // 2 for r in rolled)
