@@ -80,6 +80,7 @@ CURATION_R7 = "__curation_r7__"
 CURATION_R7B = "__curation_r7b__"
 CURATION_R9 = "__curation_r9__"
 CURATION_R9B = "__curation_r9b__"
+CURATION_R12 = "__curation_r12__"
 BASELINE_SF = 0.1  # scale factor the BASELINE.json timings were recorded at
 ADJ_ABS_FLOOR_SEC = 0.5  # sub-floor deltas are bench-noise resolution, not signal
 
@@ -334,6 +335,37 @@ def _curation_r9b(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _curation_r12(spark, sf_dir):
+    """The curation DAG with the round-12 model-plane wave ON: the
+    Kneser-Ney LM gate (continuation-count smoothing) and the
+    unigram-LM tokenizer family driving the pack stage (Viterbi
+    segmentation through the tokens_fn seam: piece-table training,
+    vocab, packed input_ids all in unigram tokens) — the new seams'
+    combined wall clock recorded next to the other DAG macros."""
+    import shutil
+    import tempfile
+
+    from prod2vec_spark.pipeline_llm import CorpusConfig, CorpusCurationPipeline
+
+    work = tempfile.mkdtemp(prefix="bench_curation_r12_")
+    try:
+        return CorpusCurationPipeline(
+            spark,
+            CorpusConfig(
+                sf_dir=sf_dir,
+                work_dir=work,
+                lm_gate=True,
+                lm_smoothing="kneser_ney",
+                tokenizer="unigram",
+                unigram_vocab_size=200,
+                pack_budget=256,
+                pack_shards=2,
+            ),
+        ).run()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def run_chunk(names: list[str], sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
     """Child entry: time the named queries in THIS process's fresh JVM."""
     from prod2vec_spark.queries import QUERIES
@@ -358,6 +390,7 @@ def run_chunk(names: list[str], sf_dir: str) -> tuple[dict[str, float], dict[str
         CURATION_R7B: _curation_r7b,
         CURATION_R9: _curation_r9,
         CURATION_R9B: _curation_r9b,
+        CURATION_R12: _curation_r12,
     }
     # macro entries run once in the main pass (the CC loop's eager
     # checkpoints dominate; one run is representative) — but an
@@ -366,7 +399,7 @@ def run_chunk(names: list[str], sf_dir: str) -> tuple[dict[str, float], dict[str
     macro_runs = int(os.environ.get("SPARK_GRAFT_MACRO_RUNS", "1"))
     for name in names:
         fn = special.get(name) or QUERIES[name]
-        n_runs = macro_runs if name in (CURATION10X, CURATION_FULL, CURATION_R7, CURATION_R7B, CURATION_R9, CURATION_R9B) else runs
+        n_runs = macro_runs if name in (CURATION10X, CURATION_FULL, CURATION_R7, CURATION_R7B, CURATION_R9, CURATION_R9B, CURATION_R12) else runs
         times = []
         for _ in range(n_runs):
             t0 = time.perf_counter()
@@ -393,7 +426,7 @@ def main() -> None:
     # timed too, appended last so their heavy driver-side work never
     # precedes (and so ages the JVM of) the catalog queries sharing
     # their chunk
-    names = list(QUERIES) + [FLAGSHIP, CURATION10X, CURATION_FULL, CURATION_R7, CURATION_R7B, CURATION_R9, CURATION_R9B]
+    names = list(QUERIES) + [FLAGSHIP, CURATION10X, CURATION_FULL, CURATION_R7, CURATION_R7B, CURATION_R9, CURATION_R9B, CURATION_R12]
     chunk_size = int(os.environ.get("SPARK_GRAFT_BENCH_CHUNK", "6"))
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}

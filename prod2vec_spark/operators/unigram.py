@@ -213,6 +213,20 @@ def unigram_tokens(
 
     @pandas_udf("array<string>")
     def seg(texts: pd.Series) -> pd.Series:
+        # Zipf memo: words repeat massively, so segment each DISTINCT
+        # word once per executor.  Bounded (the IVF-centroid class of
+        # executor-local state) — on overflow the memo stops growing
+        # and rare tails pay the DP, which is the right trade.
+        memo: dict[str, list[str]] = {}
+
+        def word_toks(w: str) -> list[str]:
+            got = memo.get(w)
+            if got is None:
+                got = _viterbi(_clean(w) + END, logp, max_len)
+                if len(memo) < 1 << 17:
+                    memo[w] = got
+            return got
+
         def run(t) -> list[str]:
             if t is None:
                 return []
@@ -220,7 +234,7 @@ def unigram_tokens(
             for w in re.split(_JAVA_WS, t.strip()):
                 # split(trim, \s+) of '' yields [''] — encode the
                 # empty word as just END for exact tokens() parity
-                out.extend(_viterbi(_clean(w) + END, logp, max_len))
+                out.extend(word_toks(w))
             return out
 
         return texts.map(run)
