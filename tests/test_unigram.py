@@ -119,6 +119,27 @@ def test_doc_chunks_budget_column_matches_unigram_encoder(spark):
     )
 
 
+def test_encode_decode_roundtrip_fuzz():
+    """300 seeded-random words — mixed scripts, digits, punctuation,
+    multi-byte code points, sentinel bytes (stripped defensively) —
+    every one roundtrips through Viterbi encode + concatenate-decode
+    under a model trained on an unrelated corpus."""
+    import hashlib
+
+    from prod2vec_spark.operators.bpe import decode_tokens
+
+    model = _model()
+    alphabet = "abcdehnst0189.!-▁中文ß€ "
+    for i in range(300):
+        d = hashlib.md5(f"w|{i}".encode()).digest()
+        n = 1 + d[0] % 12
+        w = "".join(alphabet[d[1 + j % 14] % len(alphabet)] for j in range(n))
+        w = w.replace("\x01", "").replace("\x02", "")
+        toks = encode_word_unigram(w, model)
+        assert "".join(toks) == w + "▁", (w, toks)
+        assert decode_tokens(toks) == w
+
+
 def test_train_unigram_corpus_path_matches_counts_path(spark):
     """train_unigram (scan + hash-agg + driver EM) equals
     train_unigram_from_counts on the same word frequencies."""
