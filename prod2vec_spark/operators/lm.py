@@ -417,6 +417,139 @@ def kn_perplexity(
     )
 
 
+def kn_perplexity_by_lang(
+    docs: DataFrame,
+    train_frac: float = 0.8,
+    discount: float = DEFAULT_DISCOUNT,
+    seed: str = "lm",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Interpolated Kneser-Ney, CCNet deployment shape: ONE KN model
+    per language in a single grouped computation — the language
+    column joins every count key (c2 keyed (lang, w1, w2), left/right
+    continuation stats per (lang, w), per-lang (n_types, V)), so 100
+    languages cost the same hash-agg shuffles as one.  Documents of a
+    language with NO training bigrams are absent (inner totals join —
+    no model to score against; the lm_by_lang convention).  Output
+    mirrors kn_perplexity plus the lang column."""
+    if not 0.0 < discount < 1.0:
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    tagged = with_train_split(docs, train_frac, seed=seed, id_col=id_col)
+    staged = tagged.withColumn("_toks", tokens(F.col(text_col)))
+    pairs = staged.select(
+        id_col,
+        F.col(lang_col).alias("lang"),
+        "is_train",
+        F.explode(token_pairs(F.col("_toks"))).alias("_p"),
+    ).select(
+        id_col, "lang", "is_train",
+        F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"),
+    )
+    train = staged.where(F.col("is_train"))
+    t_pairs = train.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(token_pairs(F.col("_toks"))).alias("_p"),
+    ).select("lang", F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+    c2 = t_pairs.groupBy("lang", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("c2")
+    )
+    left = c2.groupBy("lang", "w1").agg(
+        F.sum("c2").alias("den"), F.count(F.lit(1)).alias("n1p_left")
+    )
+    right = c2.groupBy("lang", "w2").agg(
+        F.count(F.lit(1)).alias("n1p_right")
+    )
+    t_toks = train.select(
+        F.col(lang_col).alias("lang"), F.explode("_toks").alias("w")
+    )
+    totals = (
+        c2.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_types"))
+        .join(
+            t_toks.groupBy("lang").agg(
+                F.countDistinct("w").alias("v_vocab")
+            ),
+            "lang",
+        )
+    )
+    # disjoint key names (shared-lineage USING-join hazard — see
+    # trigram_perplexity)
+    c2k = c2.select(
+        F.col("lang").alias("k0"), F.col("w1").alias("k1"),
+        F.col("w2").alias("k2"), F.col("c2"),
+    )
+    lk = F.broadcast(
+        left.select(
+            F.col("lang").alias("a0"), F.col("w1").alias("a1"),
+            "den", "n1p_left",
+        )
+    )
+    rk = F.broadcast(
+        right.select(
+            F.col("lang").alias("b0"), F.col("w2").alias("b1"),
+            "n1p_right",
+        )
+    )
+    tot = F.broadcast(
+        totals.select(F.col("lang").alias("t0"), "n_types", "v_vocab")
+    )
+    pcont = (
+        (F.coalesce(F.col("n1p_right"), F.lit(0)) + F.lit(1))
+        / (F.col("n_types") + F.col("v_vocab") + F.lit(1))
+    )
+    lam = F.lit(discount) * F.col("n1p_left") / F.col("den")
+    seen_leg = (
+        F.greatest(
+            F.coalesce(F.col("c2"), F.lit(0)) - F.lit(discount), F.lit(0.0)
+        )
+        / F.col("den")
+        + lam * pcont
+    )
+    scored = (
+        pairs.join(
+            c2k,
+            (F.col("lang") == F.col("k0"))
+            & (F.col("w1") == F.col("k1"))
+            & (F.col("w2") == F.col("k2")),
+            "left",
+        )
+        .join(
+            lk,
+            (F.col("lang") == F.col("a0")) & (F.col("w1") == F.col("a1")),
+            "left",
+        )
+        .join(
+            rk,
+            (F.col("lang") == F.col("b0")) & (F.col("w2") == F.col("b1")),
+            "left",
+        )
+        .join(tot, F.col("lang") == F.col("t0"), "inner")
+        .select(
+            id_col,
+            "lang",
+            "is_train",
+            F.when(F.col("den").isNotNull(), seen_leg)
+            .otherwise(pcont)
+            .alias("prob"),
+            F.when(F.col("c2").isNull(), F.lit(1)).otherwise(F.lit(0)).alias(
+                "unseen"
+            ),
+        )
+    )
+    return (
+        scored.groupBy(id_col, "lang")
+        .agg(
+            F.max(F.col("is_train").cast("long")).alias("is_train"),
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("unseen").alias("n_unseen"),
+            F.round(F.avg(-F.log("prob")), 4).alias("avg_nll"),
+            F.round(F.exp(F.avg(-F.log("prob"))), 4).alias("ppl"),
+        )
+    )
+
+
 def token_triples(toks: Column) -> Column:
     """Array of struct(w1, w2, w3) adjacent triples; empty below 3
     tokens (guarded — sequence would count DOWN)."""

@@ -270,11 +270,74 @@ FROM sc GROUP BY doc_id
 """
 
 
+def q_kn_by_lang(spark, sf_dir):
+    """Per-language interpolated Kneser-Ney scoring (CCNet deployment
+    shape): one KN model per language in a single grouped computation
+    — the lang column joins every count key; languages with no
+    training bigrams are absent (inner totals join, the lm_by_lang
+    convention)."""
+    from prod2vec_spark.operators.lm import kn_perplexity_by_lang
+
+    docs = read_table(spark, sf_dir, "documents")
+    return kn_perplexity_by_lang(
+        docs, train_frac=KN_TRAIN_FRAC, discount=KN_DISCOUNT, seed="lm"
+    )
+
+
+def _sql_kn_by_lang() -> str:
+    from prod2vec_spark.queries_ext import _TOKS
+
+    return f"""
+WITH sp AS (SELECT doc_id, lang, text,
+    (('0x' || substr(md5('lm|' || doc_id), 1, 8))::BIGINT / 4294967296.0)
+      < {KN_TRAIN_FRAC} AS is_train
+  FROM documents),
+t AS (SELECT doc_id, lang, is_train, {_TOKS} AS toks FROM sp),
+p AS (SELECT doc_id, lang, is_train,
+        toks[CAST(i AS INT)] AS w1, toks[CAST(i AS INT) + 1] AS w2
+      FROM t, unnest(range(1, len(toks))) AS u(i)),
+c2 AS (SELECT lang, w1, w2, count(*) AS c2
+       FROM p WHERE is_train GROUP BY 1, 2, 3),
+lft AS (SELECT lang, w1, CAST(sum(c2) AS BIGINT) AS den,
+               count(*) AS n1p_left FROM c2 GROUP BY 1, 2),
+rgt AS (SELECT lang, w2, count(*) AS n1p_right FROM c2 GROUP BY 1, 2),
+tot AS (SELECT ty.lang, ty.n_types, vv.v_vocab
+        FROM (SELECT lang, count(*) AS n_types FROM c2 GROUP BY 1) ty
+        JOIN (SELECT lang, count(DISTINCT w) AS v_vocab
+              FROM (SELECT lang, unnest(toks) AS w FROM t WHERE is_train)
+              GROUP BY 1) vv USING (lang)),
+sc AS (SELECT p.doc_id, p.lang, p.is_train,
+    CASE WHEN lft.den IS NOT NULL THEN
+      GREATEST(CAST(COALESCE(c2.c2, 0) AS DOUBLE) - CAST({KN_DISCOUNT} AS DOUBLE), CAST(0 AS DOUBLE))
+        / CAST(lft.den AS DOUBLE)
+      + (CAST({KN_DISCOUNT} AS DOUBLE) * CAST(lft.n1p_left AS DOUBLE)
+         / CAST(lft.den AS DOUBLE))
+        * ((CAST(COALESCE(rgt.n1p_right, 0) AS DOUBLE) + 1)
+           / CAST(tot.n_types + tot.v_vocab + 1 AS DOUBLE))
+    ELSE (CAST(COALESCE(rgt.n1p_right, 0) AS DOUBLE) + 1)
+         / CAST(tot.n_types + tot.v_vocab + 1 AS DOUBLE) END AS prob,
+    CASE WHEN c2.c2 IS NULL THEN 1 ELSE 0 END AS unseen
+  FROM p
+  LEFT JOIN c2 ON p.lang = c2.lang AND p.w1 = c2.w1 AND p.w2 = c2.w2
+  LEFT JOIN lft ON p.lang = lft.lang AND p.w1 = lft.w1
+  LEFT JOIN rgt ON p.lang = rgt.lang AND p.w2 = rgt.w2
+  JOIN tot ON p.lang = tot.lang)
+SELECT doc_id, lang, max(CAST(is_train AS BIGINT)) AS is_train,
+       count(*) AS n_pairs,
+       CAST(sum(unseen) AS BIGINT) AS n_unseen,
+       round(avg(-ln(prob)), 4) AS avg_nll,
+       round(exp(avg(-ln(prob))), 4) AS ppl
+FROM sc GROUP BY doc_id, lang
+"""
+
+
 R12_QUERIES = {
     "image_span_audit": q_image_span_audit,
     "kn_perplexity": q_kn_perplexity,
+    "kn_by_lang": q_kn_by_lang,
 }
 R12_ORACLES: dict[str, str] = {
     "image_span_audit": _sql_image_span_audit(),
     "kn_perplexity": _sql_kn_perplexity(),
+    "kn_by_lang": _sql_kn_by_lang(),
 }

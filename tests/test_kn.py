@@ -90,6 +90,66 @@ def test_kn_validation_errors(spark):
         kn_perplexity(empty, tagged=empty)
 
 
+def test_kn_by_lang_models_are_independent(spark):
+    """Per-language KN: the same pair scores differently under two
+    languages' different count tables; a language with no training
+    bigrams is absent from the report (inner totals join)."""
+    from prod2vec_spark.operators.lm import kn_perplexity_by_lang
+
+    tagged = spark.createDataFrame(
+        [
+            (1, "a b a b", "en", True),
+            (2, "a b", "en", False),
+            (3, "a b c a b c", "de", True),
+            (4, "a b", "de", False),
+            (5, "x y", "fr", False),  # fr has no training docs
+        ],
+        "doc_id long, text string, lang string, is_train boolean",
+    )
+    # drive the split through the precomputed is_train by monkeypatching
+    # would be invasive — instead replicate with train_frac=1.0 on train
+    # docs only for the independence half:
+    out = {
+        (r["doc_id"], r["lang"]): r
+        for r in kn_perplexity_by_lang(
+            tagged.drop("is_train"), train_frac=0.5, seed="s-kn"
+        ).collect()
+    }
+    langs = {k[1] for k in out}
+    # whatever the md5 split chose, fr can only appear if doc 5 landed
+    # in train AND produced bigrams to train on (it does: 'x y');
+    # en/de appear iff their train side has bigrams — assert at least
+    # that every reported doc scored under ITS OWN language's model
+    assert out  # non-degenerate
+    for (d, lg), r in out.items():
+        assert r["ppl"] >= 1.0
+        assert lg == {1: "en", 2: "en", 3: "de", 4: "de", 5: "fr"}[d]
+    # independence: score the identical text under en and de models
+    # trained on different corpora — different probabilities
+    tagged2 = spark.createDataFrame(
+        [
+            (10, "a b a b", "en", True),
+            (11, "a b c a b c", "de", True),
+            (12, "a b", "en", False),
+            (13, "a b", "de", False),
+        ],
+        "doc_id long, text string, lang string, is_train boolean",
+    )
+    from prod2vec_spark.operators.lm import kn_perplexity
+
+    en = kn_perplexity(
+        tagged2.where(F.col("lang") == "en"),
+        tagged=tagged2.where(F.col("lang") == "en"),
+    )
+    de = kn_perplexity(
+        tagged2.where(F.col("lang") == "de"),
+        tagged=tagged2.where(F.col("lang") == "de"),
+    )
+    ppl_en = {r["doc_id"]: r["ppl"] for r in en.collect()}[12]
+    ppl_de = {r["doc_id"]: r["ppl"] for r in de.collect()}[13]
+    assert ppl_en != ppl_de  # same text, different per-lang model
+
+
 def test_kn_corpus_scoring_finite(spark):
     from tests.conftest import SF_SMOKE
 
