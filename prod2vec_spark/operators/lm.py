@@ -417,6 +417,154 @@ def kn_perplexity(
     )
 
 
+class KNModel:
+    """A fitted interpolated-KN bigram model: four small DataFrames —
+    pair counts c2(w1,w2), left-context stats (den, N1+(w1,•)),
+    continuation counts N1+(•,w2), and the (n_types, V) scalar — the
+    train-once / score-many handle kn_perplexity's docstring promises
+    (the BigramLM pattern): persisting these to parquet after ONE fit
+    pass removes the self-trained form's per-statistic lineage
+    re-derivation, and any number of corpora then score against the
+    stored tables."""
+
+    def __init__(
+        self,
+        c2: DataFrame,
+        left: DataFrame,
+        right: DataFrame,
+        totals: DataFrame,
+    ):
+        self.c2 = c2
+        self.left = left
+        self.right = right
+        self.totals = totals
+
+    def save(self, dir_path: str) -> None:
+        self.c2.write.mode("overwrite").parquet(f"{dir_path}/c2")
+        self.left.write.mode("overwrite").parquet(f"{dir_path}/left")
+        self.right.write.mode("overwrite").parquet(f"{dir_path}/right")
+        self.totals.write.mode("overwrite").parquet(f"{dir_path}/totals")
+
+    @staticmethod
+    def load(spark, dir_path: str) -> "KNModel":
+        return KNModel(
+            spark.read.parquet(f"{dir_path}/c2"),
+            spark.read.parquet(f"{dir_path}/left"),
+            spark.read.parquet(f"{dir_path}/right"),
+            spark.read.parquet(f"{dir_path}/totals"),
+        )
+
+    def pruned(self, min_count: int = 2) -> "KNModel":
+        """Count-floor pruning of the BIGRAM table only (BigramLM's
+        knob): pruned pairs fall to the discounted-to-zero numerator
+        but keep the λ·P_cont leg, because left/right/totals stay
+        computed over the FULL training mass — the model still
+        normalizes over what it saw, exactly like BigramLM.pruned."""
+        return KNModel(
+            self.c2.where(F.col("c2") >= min_count),
+            self.left,
+            self.right,
+            self.totals,
+        )
+
+
+def fit_kn(
+    train_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> KNModel:
+    """Estimate the KN count tables from a training corpus: one pair
+    hash-agg + three aggregates DERIVED from it (the derivations cost
+    re-lineage here, which is exactly why the production path calls
+    ``model.save`` before scoring — parquet breaks the re-derivation,
+    see kn_perplexity's 100 TB caveat)."""
+    tpairs = doc_pairs(train_docs, id_col=id_col, text_col=text_col)
+    c2 = tpairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    left = c2.groupBy("w1").agg(
+        F.sum("c2").alias("den"), F.count(F.lit(1)).alias("n1p_left")
+    )
+    right = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_right"))
+    toks = train_docs.withColumn("_toks", tokens(F.col(text_col))).select(
+        F.explode("_toks").alias("w")
+    )
+    totals = c2.agg(F.count(F.lit(1)).alias("n_types")).crossJoin(
+        toks.agg(F.countDistinct("w").alias("v_vocab"))
+    )
+    if totals.first()["n_types"] == 0:
+        raise ValueError(
+            "fit_kn: training corpus has no bigrams — cannot estimate "
+            "a model"
+        )
+    return KNModel(c2, left, right, totals)
+
+
+def score_docs_kn(
+    docs: DataFrame,
+    model: KNModel,
+    discount: float = DEFAULT_DISCOUNT,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_unigrams: bool = True,
+) -> DataFrame:
+    """Per-document KN score against a FITTED model — identical
+    formula and output contract to kn_perplexity's scoring half
+    ((doc_id [, is_train], n_pairs, n_unseen, avg_nll, ppl);
+    equality with the self-trained form on the same split is
+    pytest-locked), with the model tables read back instead of
+    re-derived."""
+    if not 0.0 < discount < 1.0:
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    has_tag = "is_train" in docs.columns
+    pairs = doc_pairs(docs, id_col=id_col, text_col=text_col)
+    left, right = model.left, model.right
+    if broadcast_unigrams:
+        left, right = F.broadcast(left), F.broadcast(right)
+    pcont = (
+        (F.coalesce(F.col("n1p_right"), F.lit(0)) + F.lit(1))
+        / (F.col("n_types") + F.col("v_vocab") + F.lit(1))
+    )
+    lam = F.lit(discount) * F.col("n1p_left") / F.col("den")
+    seen_leg = (
+        F.greatest(
+            F.coalesce(F.col("c2"), F.lit(0)) - F.lit(discount), F.lit(0.0)
+        )
+        / F.col("den")
+        + lam * pcont
+    )
+    carry = ["is_train"] if has_tag else []
+    scored = (
+        pairs.join(model.c2, ["w1", "w2"], "left")
+        .join(left, "w1", "left")
+        .join(right, "w2", "left")
+        .crossJoin(F.broadcast(model.totals))
+        .select(
+            id_col,
+            *carry,
+            F.when(F.col("den").isNotNull(), seen_leg)
+            .otherwise(pcont)
+            .alias("prob"),
+            F.when(F.col("c2").isNull(), F.lit(1)).otherwise(F.lit(0)).alias(
+                "unseen"
+            ),
+        )
+    )
+    tag_aggs = (
+        [F.max(F.col("is_train").cast("long")).alias("is_train")]
+        if has_tag
+        else []
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            *tag_aggs,
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("unseen").alias("n_unseen"),
+            F.round(F.avg(-F.log("prob")), 4).alias("avg_nll"),
+            F.round(F.exp(F.avg(-F.log("prob"))), 4).alias("ppl"),
+        )
+    )
+
+
 def kn_perplexity_by_lang(
     docs: DataFrame,
     train_frac: float = 0.8,

@@ -150,6 +150,47 @@ def test_kn_by_lang_models_are_independent(spark):
     assert ppl_en != ppl_de  # same text, different per-lang model
 
 
+def test_kn_fit_score_split_matches_self_trained(spark, tmp_path):
+    """The production path (fit_kn → KNModel.save → load →
+    score_docs_kn) reproduces the self-trained kn_perplexity output
+    row-for-row on the same split — and the pruned model degrades a
+    pruned pair to the λ·P_cont leg while keeping every score finite
+    (totals/continuation stats unchanged, the BigramLM.pruned
+    contract)."""
+    from prod2vec_spark.operators.lm import (
+        KNModel,
+        fit_kn,
+        kn_perplexity,
+        score_docs_kn,
+        with_train_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["a b a b c", "b c b a", "a a a b", "c b a", "zz b a c"]
+        )],
+        "doc_id long, text string",
+    )
+    tagged = with_train_split(docs, 0.6, seed="kn-split")
+    want = sorted(
+        map(tuple, kn_perplexity(docs, tagged=tagged).collect())
+    )
+    model = fit_kn(tagged.where(F.col("is_train")))
+    model.save(str(tmp_path / "kn"))
+    loaded = KNModel.load(spark, str(tmp_path / "kn"))
+    got = sorted(map(tuple, score_docs_kn(tagged, loaded).collect()))
+    assert got == want
+
+    # pruning: a floor above every count empties c2 → every pair is
+    # 'unseen', scores stay finite via the continuation leg
+    hard = loaded.pruned(min_count=10_000)
+    rows = score_docs_kn(tagged, hard).collect()
+    assert rows and all(r["n_unseen"] == r["n_pairs"] for r in rows)
+    assert all(math.isfinite(r["avg_nll"]) for r in rows)
+    with pytest.raises(ValueError, match="no bigrams"):
+        fit_kn(docs.where(F.lit(False)))
+
+
 def test_kn_corpus_scoring_finite(spark):
     from tests.conftest import SF_SMOKE
 
