@@ -297,6 +297,54 @@ def read_lm_scores(spark, out_dir: str) -> DataFrame:
     )
 
 
+def start_kn_score_stream(
+    docs_stream: DataFrame,
+    model: "KNModel",
+    out_dir: str,
+    checkpoint: str,
+    discount: float | None = None,
+):
+    """Score a DOCUMENT STREAM against a fitted KN model — the
+    Kneser-Ney twin of :func:`start_lm_score_stream`, same
+    stream-static scoring join per micro-batch and the same
+    idempotent-by-path ``out_dir/batch_id=N`` sink (batch parity with
+    ``score_docs_kn`` pytest-locked)."""
+    d = DEFAULT_DISCOUNT if discount is None else discount
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        score_docs_kn(batch_df, model, discount=d).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/batch_id={batch_id}")
+
+    return (
+        docs_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_kn_scores(spark, out_dir: str) -> DataFrame:
+    """All committed per-batch KN score partitions as one frame.
+    Before the first commit: empty, not an error."""
+    import glob
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    if not glob.glob(os.path.join(out_dir, "batch_id=*", "*.parquet")):
+        return spark.createDataFrame(
+            [],
+            "doc_id long, n_pairs long, n_unseen long, "
+            "avg_nll double, ppl double",
+        )
+    return (
+        spark.read.option("basePath", out_dir)
+        .parquet(out_dir)
+        .drop("batch_id")
+    )
+
+
 DEFAULT_DISCOUNT = 0.75  # the standard absolute discount (Chen &
 # Goodman 1998 report D in [0.7, 0.8] across corpora)
 

@@ -544,3 +544,65 @@ def test_streaming_drop_ledger_partition_contract(spark, tmp_path):
     assert "near_dedup" in set(led.values())
     # only configured stages may appear
     assert set(led.values()) <= {"quality_gate", "exact_dedup", "near_dedup"}
+
+
+def test_streaming_kn_scoring_matches_batch(spark, tmp_path):
+    """start_kn_score_stream — the Kneser-Ney twin: per-batch scores
+    equal batch score_docs_kn under the same persisted model, stay
+    exactly-once across a no-new-input restart, and extend on a
+    second landing batch."""
+    import shutil
+
+    from prod2vec_spark.operators.lm import (
+        KNModel,
+        fit_kn,
+        read_kn_scores,
+        score_docs_kn,
+        start_kn_score_stream,
+    )
+
+    docs = read_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    model = fit_kn(docs.where(F.col("doc_id") % 2 == 0))
+    model.save(str(tmp_path / "kn_model"))
+    model = KNModel.load(spark, str(tmp_path / "kn_model"))
+
+    half_a = docs.where(F.col("doc_id") < 25)
+    half_b = docs.where((F.col("doc_id") >= 25) & (F.col("doc_id") < 50))
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    half_a.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "sa"))
+    half_b.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "sb"))
+    shutil.copy(
+        sorted((tmp_path / "sa").glob("*.parquet"))[0], landing / "a.parquet"
+    )
+    out, ckpt = str(tmp_path / "scores"), str(tmp_path / "ckpt")
+
+    def drain():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(
+            str(landing)
+        )
+        start_kn_score_stream(stream, model, out, ckpt).awaitTermination()
+
+    def scores():
+        return {
+            r["doc_id"]: (r["n_pairs"], r["n_unseen"], r["avg_nll"], r["ppl"])
+            for r in read_kn_scores(spark, out).collect()
+        }
+
+    def batch_scores(df):
+        return {
+            r["doc_id"]: (r["n_pairs"], r["n_unseen"], r["avg_nll"], r["ppl"])
+            for r in score_docs_kn(df, model).collect()
+        }
+
+    drain()
+    got_a = scores()
+    assert got_a and got_a == batch_scores(half_a)
+    drain()  # no-new-input restart: nothing double-scored
+    assert scores() == got_a
+    shutil.copy(
+        sorted((tmp_path / "sb").glob("*.parquet"))[0], landing / "b.parquet"
+    )
+    drain()
+    both = scores()
+    assert both == {**batch_scores(half_a), **batch_scores(half_b)}
