@@ -77,6 +77,71 @@ def url_host(url: Column) -> Column:
     return F.lower(F.parse_url(url, F.lit("HOST")))
 
 
+# Tracking parameters every major canonicalizer strips (utm_* is the
+# Google Analytics family; the rest are click-identifier params that
+# differ per visitor for the SAME page — exactly the noise that makes
+# byte-equal URL dedup miss real duplicates)
+TRACKING_PARAM_RE = (
+    "^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid|igshid|ref)(=|$)"
+)
+
+
+def canonical_url(url: Column) -> Column:
+    """RFC 3986-style URL normalization as ONE row-local Column chain
+    (zero UDFs, whole-stage codegen) — the ingestion-edge prep that
+    makes URL-level exact dedup catch real duplicates: the SAME page
+    arrives as ``HTTP://WWW.Site.com:80/a/?utm_source=x&b=1#frag`` and
+    ``http://www.site.com/a?b=1`` and must collapse.
+
+    Normalizations applied (each standard, each deterministic):
+      * scheme and host lowercased (path/query case preserved — those
+        are case-significant per the RFC);
+      * default ports stripped (``:80`` for http, ``:443`` for https);
+      * fragment stripped (never sent to the server);
+      * tracking parameters dropped (TRACKING_PARAM_RE: utm_*,
+        fbclid, gclid, ...), remaining params SORTED (param order is
+        not semantic), empty query dropped;
+      * empty path → ``/``; non-root trailing slashes stripped.
+
+    NULL for input with no ``scheme://host`` shape (the
+    auditable-miss contract — unparseable rows group separately, the
+    with_domain convention)."""
+    u = F.trim(url)
+    scheme = F.lower(
+        F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1)
+    )
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    rest = F.regexp_replace(rest, r"#.*$", "")  # fragment
+    auth = F.lower(F.regexp_extract(rest, r"^([^/?]*)", 1))
+    auth = (
+        F.when(scheme == "http", F.regexp_replace(auth, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(auth, ":443$", ""))
+        .otherwise(auth)
+    )
+    pathq = F.regexp_replace(rest, r"^[^/?]*", "")
+    path = F.regexp_extract(pathq, r"^([^?]*)", 1)
+    query = F.regexp_replace(pathq, r"^[^?]*\??", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    path = F.when(path != "/", F.regexp_replace(path, "/+$", "")).otherwise(
+        path
+    )
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    qs = F.concat_ws("&", F.array_sort(params))
+    out = F.concat(
+        scheme,
+        F.lit("://"),
+        auth,
+        path,
+        F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)),
+    )
+    return F.when(
+        (scheme == "") | (auth == ""), F.lit(None).cast("string")
+    ).otherwise(out)
+
+
 # Common two-level public suffixes (a well-known subset of the public
 # suffix list — the full PSL is an external artifact; this literal set
 # covers the major ccTLD second-level registries so 'a.b.co.uk' folds

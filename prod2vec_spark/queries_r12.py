@@ -28,6 +28,7 @@ import os
 
 from pyspark.sql import functions as F
 
+from prod2vec_spark.operators.domains import TRACKING_PARAM_RE as TRACKING_RE_SQL
 from prod2vec_spark.sources.io import read_table
 
 IMG_W = IMG_H = 48
@@ -331,13 +332,121 @@ FROM sc GROUP BY doc_id, lang
 """
 
 
+# -------------------------------------------- URL canonicalization
+def _messy_url(doc_id):
+    """Deterministic messy-URL adapter (the attach_urls precedent,
+    dirtier): six surface variants of the SAME logical page
+    (site = doc_id % 40, page = (doc_id // 40) % 3) — case-mangled
+    scheme/host, default ports, tracking params, permuted param
+    order, trailing slash, fragment — plus an unparseable row every
+    97th doc.  Pure doc_id arithmetic so the DuckDB oracle replays
+    the identical corpus."""
+    from pyspark.sql import functions as F
+
+    site = (F.col(doc_id) % 40).cast("string")
+    page = ((F.col(doc_id) / 40).cast("long") % 3).cast("string")
+    v = F.col(doc_id) % 6
+    base = F.concat(F.lit("site"), site, F.lit(".com/p/"), page)
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://www."), base, F.lit("?b=1&a=2")))
+        .when(v == 1, F.concat(F.lit("HTTPS://WWW."), F.upper(base), F.lit("?a=2&b=1")))
+        .when(v == 2, F.concat(F.lit("https://www."), base, F.lit(":443/?b=1&a=2")))
+        .when(v == 3, F.concat(F.lit("https://www."), base, F.lit("/?utm_source=x&b=1&a=2#frag")))
+        .when(v == 4, F.concat(F.lit("https://www."), base, F.lit("?gclid=Z9&a=2&b=1")))
+        .otherwise(F.concat(F.lit("https://www."), base, F.lit("/?b=1&utm_campaign=c&a=2")))
+    )
+    return F.when(F.col(doc_id) % 97 == 0, F.lit("not a url")).otherwise(url)
+
+
+def q_url_canonical_groups(spark, sf_dir):
+    """URL-level duplicate groups AFTER canonicalization
+    (operators/domains.canonical_url): the six planted surface
+    variants of each logical page collapse to one canonical key; the
+    output proves it — n_raw > 1 distinct raw spellings per group,
+    min-id canonical pick, unparseable rows grouped under NULL.
+    Row-local normalization + ONE hash-agg on the canonical key."""
+    from prod2vec_spark.operators.domains import canonical_url
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    staged = docs.withColumn("url", _messy_url("doc_id")).withColumn(
+        "canon", canonical_url(F.col("url"))
+    )
+    # variant 2 of page 0 is ...:443/?... whose PATH differs pre-norm;
+    # upper-cased variant 1 keeps its case-significant PATH distinct —
+    # group by canon and count both docs and distinct raw spellings
+    return (
+        staged.groupBy("canon")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("url").alias("n_raw"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+def _sql_url_canonical_groups() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 97 = 0 THEN 'not a url' ELSE
+      CASE doc_id % 6
+        WHEN 0 THEN 'https://www.site' || (doc_id % 40) || '.com/p/' || ((doc_id // 40) % 3) || '?b=1&a=2'
+        WHEN 1 THEN 'HTTPS://WWW.' || upper('site' || (doc_id % 40) || '.com/p/' || ((doc_id // 40) % 3)) || '?a=2&b=1'
+        WHEN 2 THEN 'https://www.site' || (doc_id % 40) || '.com/p/' || ((doc_id // 40) % 3) || ':443/?b=1&a=2'
+        WHEN 3 THEN 'https://www.site' || (doc_id % 40) || '.com/p/' || ((doc_id // 40) % 3) || '/?utm_source=x&b=1&a=2#frag'
+        WHEN 4 THEN 'https://www.site' || (doc_id % 40) || '.com/p/' || ((doc_id // 40) % 3) || '?gclid=Z9&a=2&b=1'
+        ELSE 'https://www.site' || (doc_id % 40) || '.com/p/' || ((doc_id // 40) % 3) || '/?b=1&utm_campaign=c&a=2'
+      END
+    END AS url
+  FROM documents),
+n AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+    regexp_replace(regexp_replace(trim(url), '^[A-Za-z][A-Za-z0-9+.\\-]*://', ''), '#.*$', '') AS rest
+  FROM d),
+n2 AS (
+  SELECT doc_id, url, scheme, rest,
+    lower(regexp_extract(rest, '^([^/?]*)', 1)) AS auth0,
+    regexp_replace(rest, '^[^/?]*', '') AS pathq
+  FROM n),
+n3 AS (
+  SELECT doc_id, url, scheme,
+    CASE WHEN scheme = 'http' THEN regexp_replace(auth0, ':80$', '')
+         WHEN scheme = 'https' THEN regexp_replace(auth0, ':443$', '')
+         ELSE auth0 END AS auth,
+    regexp_extract(pathq, '^([^?]*)', 1) AS path0,
+    regexp_replace(pathq, '^[^?]*\\??', '') AS query
+  FROM n2),
+n4 AS (
+  SELECT doc_id, url, scheme, auth,
+    CASE WHEN p1 = '/' THEN p1 ELSE regexp_replace(p1, '/+$', '') END AS path,
+    array_to_string(list_sort(list_filter(str_split(query, '&'),
+      p -> p <> '' AND NOT regexp_matches(p, '{TRACKING_RE_SQL}'))), '&') AS qs
+  FROM (SELECT *, CASE WHEN path0 = '' THEN '/' ELSE path0 END AS p1 FROM n3)),
+c AS (
+  SELECT doc_id, url,
+    CASE WHEN scheme = '' OR auth = '' THEN NULL
+         ELSE scheme || '://' || auth || path ||
+              CASE WHEN qs = '' THEN '' ELSE '?' || qs END
+    END AS canon
+  FROM n4)
+SELECT canon, count(*) AS n_docs,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_raw,
+       min(doc_id) AS canonical_doc
+FROM c GROUP BY canon HAVING count(*) >= 2
+"""
+
+
 R12_QUERIES = {
     "image_span_audit": q_image_span_audit,
     "kn_perplexity": q_kn_perplexity,
     "kn_by_lang": q_kn_by_lang,
+    "url_canonical_groups": q_url_canonical_groups,
 }
 R12_ORACLES: dict[str, str] = {
     "image_span_audit": _sql_image_span_audit(),
     "kn_perplexity": _sql_kn_perplexity(),
     "kn_by_lang": _sql_kn_by_lang(),
+    "url_canonical_groups": _sql_url_canonical_groups(),
 }

@@ -157,6 +157,41 @@ def test_psl_registered_domain_longest_match(spark):
     assert naive[3] == "edu.au"
 
 
+def test_canonical_url_normalizations(spark):
+    """Each RFC 3986-style normalization, hand-pinned: scheme/host
+    case, default ports (scheme-matched only), fragment, tracking
+    params, param sorting, empty-query drop, trailing slash, empty
+    path — and the things that must NOT change: path/query case,
+    non-default ports, a legit 'refresh' param that merely PREFIXES a
+    tracking name."""
+    from prod2vec_spark.operators.domains import canonical_url
+
+    cases = [
+        ("HTTP://WWW.Ex.COM:80/A/b/?utm_source=x&b=1&a=2#frag",
+         "http://www.ex.com/A/b?a=2&b=1"),
+        ("https://ex.com:443", "https://ex.com/"),
+        ("https://ex.com:8443/x", "https://ex.com:8443/x"),  # non-default port
+        ("http://ex.com:443/x", "http://ex.com:443/x"),  # wrong-scheme port
+        ("https://ex.com/a///", "https://ex.com/a"),
+        ("https://ex.com/?gclid=1&fbclid=2&utm_campaign=c", "https://ex.com/"),
+        ("https://ex.com/p?refresh=1&a=B", "https://ex.com/p?a=B&refresh=1"),
+        ("https://ex.com/p?ref=home&a=1", "https://ex.com/p?a=1"),
+        ("  https://ex.com/p  ", "https://ex.com/p"),
+        ("not a url", None),
+        ("/relative/only", None),
+        (None, None),
+    ]
+    docs = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, url string"
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in docs.select("i", canonical_url(F.col("url")).alias("c")).collect()
+    }
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)
+
+
 def test_psl_wildcard_and_exception_rules(spark):
     """Full publicsuffix.org rule semantics (VERDICT r11 ask #3): a
     wildcard rule ``*.ck`` makes every <label>.ck a public suffix, an
