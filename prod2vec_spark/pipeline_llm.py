@@ -6,7 +6,7 @@ counterpart of the Prod2VecPipeline DAG (pipeline.py).
 Stage graph (the canonical web-corpus curation shape, round-6
 extension adds the four starred stages):
 
-    gates → [line_filter⁹ᵇ →] pii_scrub* [→ url_curation⁹]
+    gates → [line_filter⁹ᵇ →] pii_scrub* [→ url_curation⁹ ¹²]
           [→ adaptive_block⁹ᵇ] → exact_dedup
           [→ segment_dedup°] → quality_filter(+repetition*)
           [→ lm_gate°] → near_dedup [→ semantic_dedup*]
@@ -23,8 +23,11 @@ aggregate, so incremental_update rejects it; the mined blocklist
 persists as a work_dir artifact).)
 
 (⁹ = optional round-9 stages: url_curation applies the C4/RefinedWeb
-ingestion filters — registered-domain blocklist + per-domain doc cap
-— before exact dedup when the corpus carries a url column
+ingestion filters — registered-domain blocklist + per-domain doc cap,
+plus round-12's canonical-URL exact dedup (``url_dedup``: RFC 3986
+normalization then min-id survivor per canonical key, the crawl-
+frontier dedup) — before exact dedup when the corpus carries a url
+column
 (``domain_blocklist`` / ``domain_cap_k``); media_dedup runs
 perceptual near-dup over per-document media attachments — mixed
 PNG/WAV/AVI blobs hashed per modality and collapsed through the same
@@ -209,6 +212,14 @@ class CorpusConfig:
     url_col: str = "url"
     domain_blocklist: tuple[str, ...] = ()
     domain_cap_k: int = 0
+    # round-12: URL-level exact dedup AFTER canonicalization
+    # (operators/domains.canonical_url) — the crawl-frontier dedup
+    # that catches the SAME page fetched under different tracking
+    # params / casing / default ports before any text machinery runs;
+    # min-doc_id survivor per canonical key, unparseable-URL rows all
+    # pass (NULL keys never collapse together).  Corpus-wide group →
+    # incremental_update rejects it like the other corpus-wide stages.
+    url_dedup: bool = False
     # round-9: train a BPE merge table on the CURATED corpus and
     # report the final token budget in MODEL tokens next to the
     # whitespace/lexer counts (> 0 turns the stage on and sets the
@@ -350,7 +361,11 @@ class CorpusCurationPipeline:
         """ONE definition of 'the url_curation stage runs (and thus
         checkpoints its output)' — adaptive_block keys its own
         materialization decision off this, so the two can't drift."""
-        return bool(self.cfg.domain_blocklist) or self.cfg.domain_cap_k > 0
+        return (
+            bool(self.cfg.domain_blocklist)
+            or self.cfg.domain_cap_k > 0
+            or self.cfg.url_dedup
+        )
 
     # -- stage 0.75: URL curation (optional, round 9) ------------------
     def url_curation(self, docs: DataFrame) -> DataFrame:
@@ -374,6 +389,27 @@ class CorpusCurationPipeline:
                 f"is absent from the corpus"
             )
         out = docs
+        if self.cfg.url_dedup:
+            # canonical-URL exact dedup first — cheapest, and the
+            # blocklist/cap then see one row per page.  NULL canon
+            # (unparseable) rows pass: they must NOT collapse with
+            # each other under a shared NULL key.
+            from prod2vec_spark.operators.domains import canonical_url
+
+            staged = out.withColumn(
+                "_canon", canonical_url(F.col(self.cfg.url_col))
+            )
+            keep_ids = (
+                staged.where(F.col("_canon").isNotNull())
+                .groupBy("_canon")
+                .agg(F.min("doc_id").alias("doc_id"))
+                .select("doc_id")
+            )
+            out = (
+                staged.where(F.col("_canon").isNull())
+                .unionByName(staged.join(keep_ids, "doc_id", "left_semi"))
+                .drop("_canon")
+            )
         if self.cfg.domain_blocklist:
             bl = self.spark.createDataFrame(
                 [(d,) for d in self.cfg.domain_blocklist], ["domain"]
@@ -1127,6 +1163,7 @@ class CorpusCurationPipeline:
                 ("domain_cap_k", cfg.domain_cap_k > 0),
                 ("adaptive_block_k", cfg.adaptive_block_k > 0),
                 ("pack_budget", cfg.pack_budget > 0),
+                ("url_dedup", cfg.url_dedup),
             ]
             if on
         ]

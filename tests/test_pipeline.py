@@ -890,6 +890,60 @@ def test_incremental_update_equals_scratch_rebuild(spark, tmp_path):
     assert not any(1000000 <= d < 2000000 for d in got)  # copies gone
 
 
+def test_corpus_pipeline_url_dedup_stage(spark, tmp_path):
+    """Round-12 canonical-URL dedup: six surface variants of the same
+    page (tracking params, casing, default port, fragment, param
+    order) collapse to the min-id survivor BEFORE any text machinery;
+    unparseable-URL docs all pass (NULL keys never collapse); and
+    incremental_update rejects the corpus-wide stage loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from prod2vec_spark.pipeline_llm import CorpusConfig, CorpusCurationPipeline
+    from prod2vec_spark.sources.io import read_table
+    from tests.conftest import SF_SMOKE
+
+    base = read_table(spark, SF_SMOKE, "documents")
+    variants = F.array(
+        F.lit("https://www.page.com/a?b=1&a=2"),
+        F.lit("HTTPS://WWW.page.com/a?a=2&b=1"),
+        F.lit("https://www.page.com:443/a?b=1&a=2"),
+        F.lit("https://www.page.com/a/?utm_source=x&b=1&a=2#f"),
+        F.lit("https://www.page.com/a?gclid=Z&a=2&b=1"),
+        F.lit("https://www.page.com/a/?b=1&utm_campaign=c&a=2"),
+    )
+    docs = base.withColumn(
+        "url",
+        F.when(F.col("doc_id") % 11 == 0, F.lit("junk"))  # unparseable
+        .when(
+            F.col("doc_id") < 30,
+            F.element_at(variants, (F.col("doc_id") % 6 + 1).cast("int")),
+        )
+        .otherwise(F.concat(F.lit("https://u"), F.col("doc_id"), F.lit(".com/"))),
+    )
+    sf_dir = str(tmp_path / "sf")
+    docs.write.parquet(f"{sf_dir}/documents.parquet")
+
+    cfg = CorpusConfig(
+        sf_dir=sf_dir, work_dir=str(tmp_path / "corpus"), url_dedup=True
+    )
+    pipe = CorpusCurationPipeline(spark, cfg)
+    pipe.run()
+    kept = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{cfg.work_dir}/url_curated").collect()
+    }
+    # docs 0..29 share ONE canonical page; the min id NOT diverted to
+    # the junk branch survives; all junk-url docs pass unconditionally
+    junk = {d for d in range(500) if d % 11 == 0}
+    page_docs = set(range(30)) - junk
+    assert kept & set(range(30)) == {min(page_docs)} | (junk & set(range(30)))
+    # unique-url docs all survive
+    assert set(range(30, 60)) - junk <= kept
+    with pytest.raises(ValueError, match="url_dedup"):
+        pipe.incremental_update(sf_dir)
+
+
 def test_corpus_pipeline_lm_gate_under_kneser_ney(spark, tmp_path):
     """Round-12 smoothing-family seam: lm_smoothing='kneser_ney' runs
     the gate under the KN scorer — the kept set is exactly the docs at
