@@ -1,7 +1,15 @@
-"""Round-12: the partial-image (crop/letterbox) duplicate plane gets
-an ORACLED superset entry (ENGINE scope; reference anchor: the
-reference has no media surface — SURVEY.md §2.21's tiled-dHash span
-detection).
+"""Round-12 superset entries (ENGINE scope; reference anchor: the
+reference has no media/LM/URL surface — SURVEY.md §2.21):
+
+* ``image_span_audit`` — the partial-image (crop/letterbox) duplicate
+  plane, fixture-split like the video plane (below).
+* ``kn_perplexity`` / ``kn_by_lang`` — interpolated Kneser-Ney bigram
+  scoring (single-model and one-model-per-language); the DuckDB twins
+  force every operand to DOUBLE in Spark's association order so the
+  IEEE arithmetic replays bit-for-bit before the 4-digit round.
+* ``url_canonical_groups`` — RFC 3986-style URL canonicalization
+  collapsing planted surface variants of the same page; the twin
+  replays the normalization step-for-step.
 
 Same split as the video plane (queries_r9.py / VERDICT r9 ask #2):
 the codec boundary (planted PNG render → stdlib decode → per-tile
