@@ -202,6 +202,14 @@ class CorpusConfig:
     media_path: str | None = None
     media_max_distance: int = 3
     media_bands: int = 4
+    # round-12: also collapse PARTIAL-image duplicates (a doc whose
+    # image is a stride-aligned crop/letterbox of another doc's —
+    # whole-image hashes diverge on those): image_span_pairs' matched-
+    # tile pairs union into the same connected-components pass.
+    media_span_dedup: bool = False
+    media_tile_px: int = 16
+    media_tile_stride: int = 8
+    media_span_min_shared: int = 4
     # round-9: URL curation stage (the C4/RefinedWeb ingestion
     # filters) — active only when the corpus carries ``url_col``.
     # domain_blocklist drops whole registered domains (broadcast
@@ -737,7 +745,23 @@ class CorpusCurationPipeline:
             max_distance=self.cfg.media_max_distance,
             bands=self.cfg.media_bands,
             max_group=self.cfg.lsh_max_group,
-        )
+        ).select("id_a", "id_b")
+        if self.cfg.media_span_dedup:
+            # partial-image dups (crops/letterboxes) union into the
+            # SAME component pass — one decode per image, the span
+            # plane's hot-bucket cap applied (image_span_pairs
+            # docstring)
+            span = PH.image_span_pairs(
+                media,
+                tile_px=self.cfg.media_tile_px,
+                stride=self.cfg.media_tile_stride,
+                max_distance=self.cfg.media_max_distance,
+                min_shared=self.cfg.media_span_min_shared,
+                max_group=self.cfg.lsh_max_group,
+                id_col="doc_id",
+                blob_col="blob",
+            ).select("id_a", "id_b")
+            pairs = pairs.unionByName(span).distinct()
         clusters = dedup_clusters(
             pairs.select(
                 F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")

@@ -890,6 +890,62 @@ def test_incremental_update_equals_scratch_rebuild(spark, tmp_path):
     assert not any(1000000 <= d < 2000000 for d in got)  # copies gone
 
 
+def test_corpus_pipeline_media_span_dedup_stage(spark, tmp_path):
+    """Round-12 partial-image dedup in the DAG: doc B's PNG is a
+    stride-aligned CROP of doc A's (whole-image dHash diverges, so
+    the plain media stage keeps both) — with media_span_dedup the
+    matched-tile pairs join the same component pass and only the
+    min-id doc survives; unrelated-image docs are untouched."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from prod2vec_spark.operators.multimodal import encode_png_gray8
+    from prod2vec_spark.pipeline_llm import CorpusConfig, CorpusCurationPipeline
+    from prod2vec_spark.sources.io import read_table
+    from tests.conftest import SF_SMOKE
+
+    def noise(seed):
+        return np.random.RandomState(seed).randint(0, 256, (64, 64), np.uint8)
+
+    def png(a):
+        h, w = a.shape
+        return bytearray(encode_png_gray8(np.ascontiguousarray(a).tobytes(), w, h))
+
+    a = noise(1)
+    media_rows = [
+        (0, png(a)),
+        (1, png(a[16:, 16:])),  # crop of doc 0's image
+        (2, png(noise(2))),     # unrelated
+    ]
+    sf_dir = str(tmp_path / "sf")
+    read_table(spark, SF_SMOKE, "documents").write.parquet(
+        f"{sf_dir}/documents.parquet"
+    )
+    media_path = str(tmp_path / "media")
+    spark.createDataFrame(media_rows, "doc_id long, blob binary").write.parquet(
+        media_path
+    )
+
+    def kept(span: bool) -> set:
+        cfg = CorpusConfig(
+            sf_dir=sf_dir,
+            work_dir=str(tmp_path / ("w_span" if span else "w_plain")),
+            media_path=media_path,
+            media_span_dedup=span,
+        )
+        CorpusCurationPipeline(spark, cfg).run()
+        return {
+            r["doc_id"]
+            for r in spark.read.parquet(f"{cfg.work_dir}/media_deduped")
+            .select("doc_id")
+            .where(F.col("doc_id") < 3)
+            .collect()
+        }
+
+    assert kept(span=False) == {0, 1, 2}  # whole-image hashes diverge
+    assert kept(span=True) == {0, 2}      # the crop collapses to min id
+
+
 def test_corpus_pipeline_url_dedup_stage(spark, tmp_path):
     """Round-12 canonical-URL dedup: six surface variants of the same
     page (tracking params, casing, default port, fragment, param
