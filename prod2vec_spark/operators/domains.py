@@ -80,13 +80,18 @@ def url_host(url: Column) -> Column:
 # Tracking parameters every major canonicalizer strips (utm_* is the
 # Google Analytics family; the rest are click-identifier params that
 # differ per visitor for the SAME page — exactly the noise that makes
-# byte-equal URL dedup miss real duplicates)
+# byte-equal URL dedup miss real duplicates).  Deliberately EXCLUDES
+# ambiguous names like 'ref': on code hosts ?ref=<branch> selects
+# DIFFERENT content, so stripping it would silently drop documents —
+# only unambiguous click identifiers belong in the default set.
 TRACKING_PARAM_RE = (
-    "^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid|igshid|ref)(=|$)"
+    "^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid|igshid)(=|$)"
 )
 
 
-def canonical_url(url: Column) -> Column:
+def canonical_url(
+    url: Column, tracking_param_re: str = TRACKING_PARAM_RE
+) -> Column:
     """RFC 3986-style URL normalization as ONE row-local Column chain
     (zero UDFs, whole-stage codegen) — the ingestion-edge prep that
     makes URL-level exact dedup catch real duplicates: the SAME page
@@ -127,7 +132,7 @@ def canonical_url(url: Column) -> Column:
     )
     params = F.filter(
         F.split(query, "&"),
-        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        lambda p: (p != "") & ~p.rlike(tracking_param_re),
     )
     qs = F.concat_ws("&", F.array_sort(params))
     out = F.concat(

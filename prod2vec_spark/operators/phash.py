@@ -352,8 +352,10 @@ def video_span_pairs(
         bands=bands,
         max_group=max_group,
     )
-    clip_a = F.floor(F.col("id_a") / F.lit(_FRAME_ID_BASE)).cast("long")
-    clip_b = F.floor(F.col("id_b") / F.lit(_FRAME_ID_BASE)).cast("long")
+    # `div` is exact 64-bit integer division; floor(double/double) can be
+    # off-by-one once the composite id exceeds 2^53 (hash-derived ids).
+    clip_a = F.expr(f"id_a div {_FRAME_ID_BASE}").cast("long")
+    clip_b = F.expr(f"id_b div {_FRAME_ID_BASE}").cast("long")
     return (
         pairs.select(clip_a.alias("ca"), clip_b.alias("cb"))
         .where(F.col("ca") != F.col("cb"))
@@ -368,6 +370,7 @@ def video_span_pairs(
 
 
 _TILE_ID_BASE = 1_000_000  # composite tile id = image_id * BASE + tile_idx
+_TILE_COLS_PER_ROW = 1024  # tile_idx = tile_row * 1024 + tile_col
 
 
 def tile_rows_py(g: "np.ndarray", tile_px: int, stride: int):
@@ -418,6 +421,19 @@ def image_tile_hashes(
                 if g is None:
                     continue
                 for ti, tj, th in tile_rows_py(g, tile_px, stride):
+                    # Composite-id safety: tile_idx = ti*1024 + tj must stay
+                    # below _TILE_ID_BASE or tiles silently bleed into the
+                    # NEXT image id's space (tall scans / long screenshots).
+                    # Fail loud rather than mispair.
+                    if tj >= _TILE_COLS_PER_ROW or (
+                        ti * _TILE_COLS_PER_ROW + tj >= _TILE_ID_BASE
+                    ):
+                        raise ValueError(
+                            f"image {mid}: tile ({ti},{tj}) exceeds the "
+                            f"composite tile-id space (cols<{_TILE_COLS_PER_ROW}, "
+                            f"idx<{_TILE_ID_BASE}); raise stride/tile_px or "
+                            f"split the image"
+                        )
                     out[id_col].append(mid)
                     out["tile_row"].append(ti)
                     out["tile_col"].append(tj)
@@ -431,14 +447,14 @@ def image_tile_hashes(
                 }
             )
 
-    cols_per_row = 1024  # tile_idx = tile_row * 1024 + tile_col (image
-    # width / stride is < 1024 for any real corpus tile config)
     return src.mapInPandas(
         run,
         schema=f"{id_col} long, tile_row int, tile_col int, thash long",
     ).withColumn(
         "tile_idx",
-        (F.col("tile_row") * F.lit(cols_per_row) + F.col("tile_col")).cast("int"),
+        (
+            F.col("tile_row") * F.lit(_TILE_COLS_PER_ROW) + F.col("tile_col")
+        ).cast("int"),
     )
 
 
@@ -496,8 +512,8 @@ def image_span_pairs(
         bands=bands,
         max_group=max_group,
     )
-    img_a = F.floor(F.col("id_a") / F.lit(_TILE_ID_BASE)).cast("long")
-    img_b = F.floor(F.col("id_b") / F.lit(_TILE_ID_BASE)).cast("long")
+    img_a = F.expr(f"id_a div {_TILE_ID_BASE}").cast("long")
+    img_b = F.expr(f"id_b div {_TILE_ID_BASE}").cast("long")
     return (
         pairs.select(img_a.alias("ia"), img_b.alias("ib"))
         .where(F.col("ia") != F.col("ib"))
@@ -619,8 +635,8 @@ def incremental_image_span_pairs(
         .select("ta", "tb")
         .distinct()  # a tile pair may band-collide in several bands
     )
-    img_a = F.floor(F.col("ta") / F.lit(_TILE_ID_BASE)).cast("long")
-    img_b = F.floor(F.col("tb") / F.lit(_TILE_ID_BASE)).cast("long")
+    img_a = F.expr(f"ta div {_TILE_ID_BASE}").cast("long")
+    img_b = F.expr(f"tb div {_TILE_ID_BASE}").cast("long")
     return (
         tpairs.select(img_a.alias("ia"), img_b.alias("ib"))
         .where(F.col("ia") != F.col("ib"))

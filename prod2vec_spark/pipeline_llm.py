@@ -845,19 +845,34 @@ class CorpusCurationPipeline:
             ("final_chunks", cagg["n_chunks"]),
             ("final_chunk_tokens", cagg["n_chunk_tokens"]),
         ]
-        if self.cfg.tokenizer == "unigram" and self._uni_model is not None:
-            # unigram family: run()'s pack stage trained the piece
-            # table; report the final budget in ITS model tokens
-            from prod2vec_spark.operators.unigram import unigram_counter
+        if self.cfg.tokenizer == "unigram":
+            # unigram family: report the final budget in ITS model
+            # tokens.  run()'s pack stage usually trained the piece
+            # table; with pack_budget=0 train it here so the stats
+            # never silently fall through to the BPE branch (a
+            # 'unigram' config must never report BPE-token counts).
+            from prod2vec_spark.operators.unigram import (
+                train_unigram,
+                unigram_counter,
+            )
 
-            n_model = final.agg(
-                F.coalesce(
-                    F.sum(unigram_counter(self._uni_model)(F.col("text"))),
-                    F.lit(0),
-                ).alias("n")
-            ).first()["n"]
-            rows.append(("final_model_tokens", int(n_model)))
-        elif self.cfg.bpe_merges > 0:
+            if self._uni_model is None and self.cfg.unigram_vocab_size > 0:
+                self._uni_model = train_unigram(
+                    final,
+                    vocab_size=self.cfg.unigram_vocab_size,
+                    max_vocab_words=self.cfg.bpe_vocab_words,
+                )
+            if self._uni_model is not None:
+                n_model = final.agg(
+                    F.coalesce(
+                        F.sum(
+                            unigram_counter(self._uni_model)(F.col("text"))
+                        ),
+                        F.lit(0),
+                    ).alias("n")
+                ).first()["n"]
+                rows.append(("final_model_tokens", int(n_model)))
+        elif self.cfg.tokenizer == "bpe" and self.cfg.bpe_merges > 0:
             # the corpus's OWN trained tokenizer: the final budget in
             # model tokens (merge table persisted for downstream use);
             # run() may hand the table in so pack + stats train once

@@ -152,8 +152,8 @@ def q_image_span_audit(spark, sf_dir):
         )
     )
     pairs = PH.phash_neardup(tiles, id_col="tid", hash_col="thash", max_distance=3)
-    img_a = F.floor(F.col("id_a") / F.lit(_TILE_ID_BASE)).cast("long")
-    img_b = F.floor(F.col("id_b") / F.lit(_TILE_ID_BASE)).cast("long")
+    img_a = F.expr(f"id_a div {_TILE_ID_BASE}").cast("long")
+    img_b = F.expr(f"id_b div {_TILE_ID_BASE}").cast("long")
     return (
         pairs.select(img_a.alias("ia"), img_b.alias("ib"))
         .where(F.col("ia") != F.col("ib"))

@@ -160,7 +160,7 @@ def start_image_span_gate(
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         foreign_tile = (
             (
-                F.floor(F.col("owner") / F.lit(_TILE_ID_BASE)).cast("long")
+                F.expr(f"owner div {_TILE_ID_BASE}").cast("long")
                 != F.col("media_id")
             )
             & (

@@ -175,7 +175,9 @@ def test_canonical_url_normalizations(spark):
         ("https://ex.com/a///", "https://ex.com/a"),
         ("https://ex.com/?gclid=1&fbclid=2&utm_campaign=c", "https://ex.com/"),
         ("https://ex.com/p?refresh=1&a=B", "https://ex.com/p?a=B&refresh=1"),
-        ("https://ex.com/p?ref=home&a=1", "https://ex.com/p?a=1"),
+        # 'ref' is content-bearing (?ref=<branch> on code hosts) and is
+        # deliberately NOT in the default strip set — preserved, sorted.
+        ("https://ex.com/p?ref=home&a=1", "https://ex.com/p?a=1&ref=home"),
         ("  https://ex.com/p  ", "https://ex.com/p"),
         ("not a url", None),
         ("/relative/only", None),

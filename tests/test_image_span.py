@@ -247,3 +247,21 @@ def test_image_span_pairs_cross_codec_jpeg_letterbox(spark):
     }
     assert (1, 2) in pairs
     assert not any(3 in p for p in pairs)
+
+
+def test_tile_id_overflow_guard_fails_loud(spark):
+    """ADVICE r12 regression: tile_idx = tile_row*1024 + tile_col must
+    stay below the composite-id base (1e6) or a tall scan's tiles
+    silently bleed into the NEXT image id's space.  A pathological
+    image (stride=1 making a 64px-wide image exceed 1024 tile cols is
+    impractical to build; instead a tall-and-thin image with stride=1
+    pushes tile_row past the base) must raise, not mispair."""
+    # stride=1 on a (tile_px+N)-tall image yields N+1 tile rows; with
+    # tile_px=2 a 1005-px-tall, 2-px-wide noise image yields 1004 tile
+    # rows -> tile_idx up to 1004*1024 > 1_000_000 -> must raise.
+    tall = _noise(11, h=1005, w=2)
+    media = spark.createDataFrame(
+        [(1, _png(tall))], "media_id long, blob binary"
+    )
+    with pytest.raises(Exception, match="composite tile-id space"):
+        image_tile_hashes(media, tile_px=2, stride=1).collect()

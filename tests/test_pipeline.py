@@ -1632,3 +1632,46 @@ def test_corpus_pipeline_packs_under_unigram_tokenizer(spark, tmp_path):
                          tokenizer="unigram", unigram_vocab_size=0,
                          pack_budget=64),
         ).run()
+
+
+def test_unigram_stats_never_fall_through_to_bpe(spark, tmp_path):
+    """ADVICE r12 regression: tokenizer='unigram' with pack_budget=0
+    (pack stage never trains the piece table) must STILL report
+    final_model_tokens in unigram tokens — previously the stats branch
+    fell through to `elif bpe_merges > 0` and trained a BPE merge
+    table despite the configured unigram family."""
+    from pyspark.sql import functions as F
+
+    from prod2vec_spark.pipeline_llm import CorpusConfig, CorpusCurationPipeline
+    from tests.conftest import SF_SMOKE
+
+    cfg = CorpusConfig(
+        sf_dir=SF_SMOKE,
+        work_dir=str(tmp_path / "corpus"),
+        tokenizer="unigram",
+        unigram_vocab_size=120,
+        bpe_merges=8,  # the ambiguous config the fall-through hit
+        pack_budget=0,
+    )
+    report = CorpusCurationPipeline(spark, cfg).run()
+    by_stage = {r["stage"]: r["n"] for r in report.collect()}
+    assert "final_model_tokens" in by_stage
+
+    # no BPE artifact may exist — the unigram family owns the stats
+    import os
+
+    assert not os.path.exists(f"{cfg.work_dir}/bpe_merges")
+
+    # and the number replays under a freshly trained unigram table
+    from prod2vec_spark.operators.unigram import train_unigram, unigram_counter
+
+    final = spark.read.parquet(f"{cfg.work_dir}/decontaminated")
+    model = train_unigram(
+        final, vocab_size=cfg.unigram_vocab_size,
+        max_vocab_words=cfg.bpe_vocab_words,
+    )
+    n = final.agg(
+        F.coalesce(F.sum(unigram_counter(model)(F.col("text"))), F.lit(0))
+        .alias("n")
+    ).first()["n"]
+    assert n == by_stage["final_model_tokens"]
