@@ -171,9 +171,12 @@ def ahash64(samples: np.ndarray) -> int | None:
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
-def ahash_wav(blob: bytes) -> int | None:
-    """Audio fingerprint of a WAV blob (None when not decodable PCM):
-    channel-mean mono mix, then the energy-gradient hash."""
+def audio_mono(blob) -> "tuple[np.ndarray, int] | None":
+    """Shared audio decode door (the ``image_gray`` analog): channel-
+    mean mono float64 signal + sample rate of a WAV blob — PCM
+    8/16/32-bit or IMA-ADPCM, both via ``multimodal.wav_samples`` —
+    None where the blob isn't decodable audio (the auditable-miss
+    contract every fingerprint shares)."""
     from prod2vec_spark.operators.multimodal import wav_samples
 
     if not isinstance(blob, (bytes, bytearray)) or bytes(blob)[:4] != b"RIFF":
@@ -186,7 +189,19 @@ def ahash_wav(blob: bytes) -> int | None:
     nch = m["n_channels"]
     if nch > 1:
         a = a[: (len(a) // nch) * nch].reshape(-1, nch).mean(axis=1)
-    return ahash64(a)
+    rate = int(m.get("framerate") or 0)
+    if rate <= 0:
+        return None
+    return a, rate
+
+
+def ahash_wav(blob: bytes) -> int | None:
+    """Audio fingerprint of a WAV blob (None when not decodable PCM):
+    channel-mean mono mix, then the energy-gradient hash."""
+    dec = audio_mono(blob)
+    if dec is None:
+        return None
+    return ahash64(dec[0])
 
 
 _VHASH_FRAMES = 8  # keyframes sampled per clip
@@ -647,6 +662,267 @@ def incremental_image_span_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).cast("int").alias("n_shared_tiles"))
         .where(F.col("n_shared_tiles") >= min_shared)
+    )
+
+
+_WIN_ID_BASE = 1_000_000  # composite window id = clip_id * BASE + win_idx
+
+
+def window_rows_py(a: "np.ndarray", rate: int, window_ms: int, hop_ms: int):
+    """[(win_idx, whash)] for one mono signal: energy-gradient hash
+    (``ahash64``) per ``window_ms`` window anchored every ``hop_ms``
+    (overlapping when hop < window).  EXACTLY-CONSTANT windows are
+    skipped — digital silence / DC gradient-hashes to 0 regardless of
+    level, so silent lead-ins of UNRELATED clips would otherwise
+    pair (the flat-tile rule, audio edition).  Windows too short for
+    the 65-sub-window gradient are skipped too."""
+    win = max(1, (rate * window_ms) // 1000)
+    hop = max(1, (rate * hop_ms) // 1000)
+    out = []
+    for wi, s0 in enumerate(range(0, a.shape[0] - win + 1, hop)):
+        w = a[s0 : s0 + win]
+        if w.min() == w.max():
+            continue  # constant window: uninformative
+        h = ahash64(w)
+        if h is not None:
+            out.append((wi, h))
+    return out
+
+
+def audio_window_hashes(
+    media: DataFrame,
+    window_ms: int = 1000,
+    hop_ms: int = 500,
+    id_col: str = "media_id",
+    blob_col: str = "blob",
+) -> DataFrame:
+    """(id, win_idx, whash): energy-gradient hash per fixed-length
+    audio WINDOW — the temporal analog of ``image_tile_hashes``' tile
+    grid and ``frame_hashes``' frame sampling, completing the span
+    triad (video frames, image tiles, audio windows).  One decode per
+    clip (PCM or IMA-ADPCM via the shared ``audio_mono`` door);
+    undecodable blobs emit no rows (auditable upstream via
+    extract_features, same contract as frame_hashes)."""
+    if window_ms <= 0:
+        raise ValueError(f"window_ms must be positive, got {window_ms}")
+    if hop_ms <= 0:
+        raise ValueError(f"hop_ms must be positive, got {hop_ms}")
+    src = media.select(id_col, blob_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {id_col: [], "win_idx": [], "whash": []}
+            for mid, b in zip(pdf[id_col], pdf[blob_col]):
+                dec = audio_mono(b)
+                if dec is None:
+                    continue
+                a, rate = dec
+                for wi, wh in window_rows_py(a, rate, window_ms, hop_ms):
+                    # Composite-id safety (the tile-plane guard): a
+                    # window index at or past the base would bleed into
+                    # the NEXT clip id's space.  win_idx < 1e6 is ~5.8
+                    # days of audio at the default 500 ms hop — fail
+                    # loud on anything longer rather than mispair.
+                    if wi >= _WIN_ID_BASE:
+                        raise ValueError(
+                            f"clip {mid}: window {wi} exceeds the "
+                            f"composite window-id space (<{_WIN_ID_BASE});"
+                            f" raise hop_ms or split the clip"
+                        )
+                    out[id_col].append(mid)
+                    out["win_idx"].append(wi)
+                    out["whash"].append(wh)
+            yield pd.DataFrame(
+                {
+                    id_col: out[id_col],
+                    "win_idx": out["win_idx"],
+                    "whash": pd.array(out["whash"], dtype="Int64"),
+                }
+            )
+
+    return src.mapInPandas(
+        run, schema=f"{id_col} long, win_idx int, whash long"
+    )
+
+
+def audio_span_pairs(
+    media: DataFrame,
+    window_ms: int = 1000,
+    hop_ms: int = 500,
+    max_distance: int = 3,
+    bands: int = 4,
+    min_shared: int = 2,
+    max_group: int | None = None,
+    id_col: str = "media_id",
+    blob_col: str = "blob",
+) -> DataFrame:
+    """Partial-audio duplicate detection — the ``video_span_pairs`` /
+    ``image_span_pairs`` analog for sound: clip pairs sharing ≥
+    ``min_shared`` near-identical WINDOWS, catching an embedded
+    jingle/sample whose WHOLE-clip energy-gradient hash diverges (the
+    gap the round-12 verdict named: whole-clip hashing misses an
+    embedded clip the way whole-image hashing misses a crop).
+
+    Alignment contract: an insertion offset that is a multiple of
+    ``hop_ms`` re-anchors content windows exactly (the default 50%
+    overlap halves the alignment granularity); arbitrary sub-hop
+    offsets are out of scope — the same granularity trade the tile
+    and frame planes make.  The energy-gradient hash is invariant to
+    uniform gain and Hamming-robust to ADPCM quantization, so the
+    pairs survive PCM↔ADPCM re-encoding (tests/test_cross_codec.py).
+
+    Shape: per-window hash (ONE decode per clip) → the SAME fused
+    banded-Hamming plane over composite window ids (clip·10⁶ +
+    win_idx) → same-clip pairs dropped → one hash-agg counting
+    matched window pairs per clip pair.  The shuffle carries 16-byte
+    window signatures, never samples.  Output: (id_a, id_b,
+    n_shared_windows ≥ min_shared)."""
+    wh = audio_window_hashes(
+        media, window_ms=window_ms, hop_ms=hop_ms,
+        id_col=id_col, blob_col=blob_col,
+    )
+    composite = wh.select(
+        (F.col(id_col) * F.lit(_WIN_ID_BASE) + F.col("win_idx")).alias("wid"),
+        "whash",
+    )
+    pairs = phash_neardup(
+        composite,
+        id_col="wid",
+        hash_col="whash",
+        max_distance=max_distance,
+        bands=bands,
+        max_group=max_group,
+    )
+    clip_a = F.expr(f"id_a div {_WIN_ID_BASE}").cast("long")
+    clip_b = F.expr(f"id_b div {_WIN_ID_BASE}").cast("long")
+    return (
+        pairs.select(clip_a.alias("ca"), clip_b.alias("cb"))
+        .where(F.col("ca") != F.col("cb"))
+        .select(
+            F.least("ca", "cb").alias("id_a"),
+            F.greatest("ca", "cb").alias("id_b"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_shared_windows"))
+        .where(F.col("n_shared_windows") >= min_shared)
+    )
+
+
+def audio_band_table(
+    media: DataFrame,
+    window_ms: int = 1000,
+    hop_ms: int = 500,
+    bands: int = 4,
+    id_col: str = "media_id",
+    blob_col: str = "blob",
+) -> DataFrame:
+    """(id, win_idx, band, slice, whash): the PERSISTABLE band table
+    of an audio corpus's WINDOWS — the archive the incremental span
+    path probes (tile_band_table, audio edition).  One decode per
+    clip; the 8-byte window hash rides along so the incremental
+    verify never re-decodes the archive."""
+    wh = audio_window_hashes(
+        media, window_ms=window_ms, hop_ms=hop_ms,
+        id_col=id_col, blob_col=blob_col,
+    )
+    return (
+        wh.select(
+            id_col,
+            "win_idx",
+            "whash",
+            F.explode(F.array(*band_structs(F.col("whash"), bands))).alias("bs"),
+        )
+        .select(
+            id_col,
+            "win_idx",
+            F.col("bs.band").alias("band"),
+            F.col("bs.slice").alias("slice"),
+            "whash",
+        )
+    )
+
+
+def incremental_audio_span_pairs(
+    old_bands: DataFrame,
+    new_media: DataFrame,
+    window_ms: int = 1000,
+    hop_ms: int = 500,
+    max_distance: int = 3,
+    bands: int = 4,
+    min_shared: int = 2,
+    max_group: int | None = None,
+    id_col: str = "media_id",
+    blob_col: str = "blob",
+) -> DataFrame:
+    """Partial-audio duplicate pairs INVOLVING at least one new clip,
+    probed against a prior snapshot's persisted window-band table —
+    the incremental twin of :func:`audio_span_pairs`
+    (incremental_image_span_pairs, audio edition).  The archive is
+    never re-decoded: its window hashes ride in the band table.
+    Guarantee (hash-locked, id-disjoint snapshots, no cap):
+        audio_span_pairs(old ∪ new)
+          == audio_span_pairs(old) ∪ incremental_audio_span_pairs(...)
+    Re-ingested ids supersede their stored signatures."""
+    from prod2vec_spark.functions.arrays import pair_expand
+
+    nb = audio_band_table(
+        new_media, window_ms=window_ms, hop_ms=hop_ms, bands=bands,
+        id_col=id_col, blob_col=blob_col,
+    )
+    new_ids = new_media.select(F.col(id_col)).distinct()
+    ob = old_bands.join(F.broadcast(new_ids), id_col, "left_anti")
+    wid = (F.col(id_col) * F.lit(_WIN_ID_BASE) + F.col("win_idx")).alias("wid")
+    allb = ob.select(
+        wid, "band", "slice", "whash", F.lit(0).alias("is_new")
+    ).unionByName(
+        nb.select(wid, "band", "slice", "whash", F.lit(1).alias("is_new"))
+    )
+    grouped = (
+        allb.groupBy("band", "slice")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("wid").alias("id"),
+                        F.col("whash").alias("h"),
+                        F.col("is_new").alias("is_new"),
+                    )
+                )
+            ).alias("items")
+        )
+        .filter(
+            (F.size("items") > 1)
+            & (F.size(F.filter("items", lambda s: s.is_new == 1)) > 0)
+        )
+    )
+    if max_group is not None:
+        grouped = grouped.filter(F.size("items") <= max_group)
+    wpairs = (
+        grouped.select(F.explode(pair_expand(F.col("items"))).alias("p"))
+        .where((F.col("p.a.is_new") == 1) | (F.col("p.b.is_new") == 1))
+        .select(
+            F.col("p.a.id").alias("wa"),
+            F.col("p.b.id").alias("wb"),
+            F.bit_count(F.col("p.a.h").bitwiseXOR(F.col("p.b.h")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_distance)
+        .select("wa", "wb")
+        .distinct()  # a window pair may band-collide in several bands
+    )
+    clip_a = F.expr(f"wa div {_WIN_ID_BASE}").cast("long")
+    clip_b = F.expr(f"wb div {_WIN_ID_BASE}").cast("long")
+    return (
+        wpairs.select(clip_a.alias("ca"), clip_b.alias("cb"))
+        .where(F.col("ca") != F.col("cb"))
+        .select(
+            F.least("ca", "cb").alias("id_a"),
+            F.greatest("ca", "cb").alias("id_b"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_shared_windows"))
+        .where(F.col("n_shared_windows") >= min_shared)
     )
 
 

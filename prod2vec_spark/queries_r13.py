@@ -1,0 +1,227 @@
+"""Round-13 superset entries (ENGINE scope; reference anchor: the
+reference has no media surface — SURVEY.md §2.21):
+
+* ``audio_span_audit`` — the partial-AUDIO (embedded jingle) duplicate
+  plane, completing the span triad (video frames / image tiles / audio
+  windows), fixture-split like the image plane (queries_r12.py).
+
+Same split as the image/video planes (VERDICT r9 ask #2 protocol):
+the codec boundary (planted WAV render → stdlib PCM/ADPCM decode →
+per-window energy-gradient hash) persists its per-window hashes as a
+pytest-golden fixture (tests/fixtures/audio_windows.parquet,
+regenerate with tools/gen_audio_window_fixture.py), and the query is
+the pure-integer SQL half — composite window ids → banded-Hamming
+candidate join → bit_count verify → per-clip-pair matched-window
+counts — with a full DuckDB oracle.
+
+Planted corpus: doc_id pairs (fam = doc_id // 2).  The even member is
+a 2 s md5-seeded jingle encoded PCM-16; the odd member embeds the SAME
+jingle at a HOP-ALIGNED offset (fam % 3 chooses 500 / 1000 / 250 ms)
+inside unrelated lead-in/lead-out material and re-encodes IMA-ADPCM —
+so every family pair is a genuine partial-audio duplicate that ALSO
+crosses the lossy codec boundary, whose WHOLE-clip energy-gradient
+hash diverges; unrelated families (independent md5 envelopes) disagree
+on ≥10 of 64 bits per window (measured), far beyond the distance-3
+verify.  The signal is a log-uniform piecewise-constant envelope
+(40-sample steps spanning 30×) over a square-ish carrier: gradient
+sub-window energies differ by large margins, so ADPCM quantization
+moves aligned-window hashes ≤ a few bits (measured worst 6; ≥5 of the
+7 aligned windows stay within distance 3 in every sampled family).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import functions as F
+
+from prod2vec_spark.sources.io import read_table
+
+AUDIO_RATE = 4000
+WINDOW_MS, HOP_MS = 500, 250
+AUDIO_MIN_SHARED = 3
+_WIN_ID_BASE = 1_000_000
+
+
+def planted_audio_sig(tag: str, n: int) -> list[int]:
+    """Deterministic strong-margin signal (module docstring), seeded
+    from md5 of ``tag`` — shared by the fixture generator, the
+    pytest-golden codec gate, and the distributed render."""
+    import numpy as np
+
+    steps = n // 40 + 1
+    raw = b"".join(
+        hashlib.md5(f"{tag}|{k}".encode()).digest()
+        for k in range(steps // 4 + 1)
+    )
+    u = np.frombuffer(raw, dtype=np.uint8)[:steps].astype(np.float64) / 255.0
+    lv = np.exp(np.log(300) + u * (np.log(9000) - np.log(300)))
+    env = np.repeat(lv, 40)[:n]
+    ph = int(hashlib.md5(f"{tag}|ph".encode()).hexdigest(), 16) % 628 / 100.0
+    carrier = np.sign(
+        np.sin(2 * np.pi * 440 * np.arange(n) / AUDIO_RATE + ph)
+    )
+    carrier[carrier == 0] = 1.0
+    return (env * carrier).astype(int).clip(-30000, 30000).tolist()
+
+
+def planted_audio(doc_id: int) -> bytes:
+    """One WAV blob per doc id: even = standalone PCM jingle, odd =
+    ADPCM host with the family jingle embedded hop-aligned."""
+    from prod2vec_spark.operators.multimodal import (
+        encode_wav_adpcm,
+        encode_wav_pcm16,
+    )
+
+    fam, member = int(doc_id) // 2, int(doc_id) % 2
+    jingle = planted_audio_sig(f"jin{fam}", 2 * AUDIO_RATE)
+    if member == 0:
+        return encode_wav_pcm16(jingle, AUDIO_RATE)
+    off_hops = (2, 4, 1)[fam % 3]  # hop-aligned insertion offset
+    pre = planted_audio_sig(
+        f"pre{fam}", off_hops * AUDIO_RATE * HOP_MS // 1000
+    )
+    post = planted_audio_sig(f"post{fam}", AUDIO_RATE)
+    return encode_wav_adpcm(pre + jingle + post, AUDIO_RATE)
+
+
+def window_hash_rows(doc_id: int) -> list[tuple[int, int, int]]:
+    """[(doc_id, win_idx, whash)] for one planted clip through the
+    REAL codec chain (WAV encode → audio_mono decode → window hash) —
+    the single recipe the fixture generator and the golden gate
+    share."""
+    from prod2vec_spark.operators.phash import audio_mono, window_rows_py
+
+    a, rate = audio_mono(planted_audio(doc_id))
+    return [
+        (int(doc_id), wi, wh)
+        for wi, wh in window_rows_py(a, rate, WINDOW_MS, HOP_MS)
+    ]
+
+
+def rendered_window_hashes(spark, doc_ids):
+    """(doc_id, win_idx, whash) via the distributed codec chain
+    (mapInPandas render → audio_window_hashes) — the pytest-golden
+    gate runs this against the persisted fixture so the codec boundary
+    stays verified even though the query reads the fixture."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from prod2vec_spark.operators.phash import audio_window_hashes
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "blob": [planted_audio(i) for i in pdf["doc_id"]],
+                }
+            )
+
+    media = doc_ids.mapInPandas(render, schema="media_id long, blob binary")
+    return audio_window_hashes(
+        media, window_ms=WINDOW_MS, hop_ms=HOP_MS
+    ).select(F.col("media_id").alias("doc_id"), "win_idx", "whash")
+
+
+def _audio_fixture_path() -> str:
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests",
+        "fixtures",
+        "audio_windows.parquet",
+    )
+
+
+def q_audio_span_audit(spark, sf_dir):
+    """Partial-audio duplicate pairs over the PERSISTED per-window
+    hash table: composite window ids (doc·10⁶ + win_idx) → the banded-
+    Hamming plane (phash_neardup: 4×16-bit slices, pigeonhole recall 1
+    at distance ≤3) → same-clip pairs dropped → matched-window count
+    per clip pair ≥ AUDIO_MIN_SHARED.  ``same_family`` (doc_id//2
+    equality) keeps the entry self-auditing: pytest asserts it is 1 on
+    every pair and that every planted family is recovered."""
+    from prod2vec_spark.operators import phash as PH
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    wins = (
+        spark.read.parquet(_audio_fixture_path())
+        .join(docs, "doc_id", "leftsemi")
+        .select(
+            (F.col("doc_id") * F.lit(_WIN_ID_BASE) + F.col("win_idx")).alias(
+                "wid"
+            ),
+            "whash",
+        )
+    )
+    pairs = PH.phash_neardup(
+        wins, id_col="wid", hash_col="whash", max_distance=3
+    )
+    clip_a = F.expr(f"id_a div {_WIN_ID_BASE}").cast("long")
+    clip_b = F.expr(f"id_b div {_WIN_ID_BASE}").cast("long")
+    return (
+        pairs.select(clip_a.alias("ca"), clip_b.alias("cb"))
+        .where(F.col("ca") != F.col("cb"))
+        .select(
+            F.least("ca", "cb").alias("id_a"),
+            F.greatest("ca", "cb").alias("id_b"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_shared_windows"))
+        .where(F.col("n_shared_windows") >= AUDIO_MIN_SHARED)
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared_windows",
+            (
+                F.floor(F.col("id_a") / 2) == F.floor(F.col("id_b") / 2)
+            ).cast("bigint").alias("same_family"),
+        )
+    )
+
+
+def _sql_audio_span_audit() -> str:
+    """DuckDB twin: identical composite-id banding (4 disjoint 16-bit
+    slices by shift+mask), slice-equality candidate join with DISTINCT
+    window pairs, XOR bit_count verify, clip-pair rollup with the same
+    AUDIO_MIN_SHARED cut."""
+    path = _audio_fixture_path()
+    return f"""
+WITH t AS (
+  SELECT v.doc_id * {_WIN_ID_BASE} + v.win_idx AS wid, v.whash
+  FROM read_parquet('{path}') v
+  WHERE v.doc_id IN (SELECT doc_id FROM documents)
+),
+sig AS (
+  SELECT wid, whash, band, (whash >> (band * 16)) & 65535 AS slice
+  FROM t CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.wid AS wa, a.whash AS ha, b.wid AS wb, b.whash AS hb
+  FROM sig a JOIN sig b
+    ON a.band = b.band AND a.slice = b.slice AND a.wid < b.wid
+),
+win_pairs AS (
+  SELECT wa // {_WIN_ID_BASE} AS ca, wb // {_WIN_ID_BASE} AS cb
+  FROM cand
+  WHERE bit_count(xor(ha, hb)) <= 3
+    AND wa // {_WIN_ID_BASE} <> wb // {_WIN_ID_BASE}
+)
+SELECT LEAST(ca, cb) AS id_a, GREATEST(ca, cb) AS id_b,
+       CAST(COUNT(*) AS INT) AS n_shared_windows,
+       CAST(CASE WHEN LEAST(ca, cb) // 2 = GREATEST(ca, cb) // 2
+                 THEN 1 ELSE 0 END AS BIGINT) AS same_family
+FROM win_pairs
+GROUP BY 1, 2
+HAVING COUNT(*) >= {AUDIO_MIN_SHARED}
+"""
+
+
+R13_QUERIES = {
+    "audio_span_audit": q_audio_span_audit,
+}
+R13_ORACLES: dict[str, str] = {
+    "audio_span_audit": _sql_audio_span_audit(),
+}
