@@ -12,14 +12,21 @@ IDCTs are skipped: exact for our purposes, ~3x cheaper on 4:4:4).
 
 Supported: baseline + extended-sequential DCT (SOF0/SOF1), 8-bit,
 any component layout/subsampling for *decode* (Y plane out), restart
-markers, 16-bit DQT entries.  Rejected loudly (never mis-decoded):
-progressive (SOF2), lossless, arithmetic coding, 12-bit precision —
-the same explicit-rejection contract as interlaced PNG in
-multimodal.py.
+markers, 16-bit DQT entries — and, round-13, progressive DCT (SOF2):
+spectral selection + successive approximation per T.81 Annex G
+(coefficients accumulate across scans; chroma-ONLY scans are skipped
+without entropy decode — scans are marker-delimited).  Rejected
+loudly (never mis-decoded): lossless, arithmetic coding, hierarchical,
+12-bit precision — the same explicit-rejection contract as interlaced
+PNG in multimodal.py.
 
 Encode: single-component grayscale (the fixture/write half of the
 codec boundary) or 3-component 4:4:4 YCbCr with neutral chroma
-(exercises the multi-component MCU interleave in tests).  Standard
+(exercises the multi-component MCU interleave in tests), as baseline
+(``encode_jpeg_gray``) or as a 6-scan progressive script
+(``encode_jpeg_gray_progressive``) delivering IDENTICAL quantized
+coefficients — so progressive and baseline encodings of the same
+pixels decode bit-identically, the property the tests lock.  Standard
 Annex-K quantization + Huffman tables, IJG quality scaling.
 
 numpy (when importable) vectorizes the 8x8 DCT/IDCT; the pure-Python
@@ -298,6 +305,164 @@ def encode_jpeg_gray(
     return bytes(out)
 
 
+def _emit_magnitude(bw: _BitWriter, v: int, cat: int) -> None:
+    """The cat-bit magnitude field of value v (T.81 F.1.2.2.1)."""
+    if cat:
+        bw.write(v if v >= 0 else v + (1 << cat) - 1, cat)
+
+
+def encode_jpeg_gray_progressive(
+    frame: bytes,
+    width: int,
+    height: int,
+    quality: int = 90,
+    color: bool = False,
+) -> bytes:
+    """Progressive (SOF2) JPEG from a top-down 8-bit grayscale buffer —
+    the test-input half of the round-13 progressive decode support.
+    Quantized coefficients are IDENTICAL to ``encode_jpeg_gray`` at the
+    same quality, delivered as a 6-scan script (DC first at Al=1 →
+    AC 1-5 and 6-63 first at Al=2 → two AC refinements → DC
+    refinement), so a conforming decoder reconstructs the EXACT pixels
+    of the baseline encoding — the bit-identical-dHash property the
+    tests lock.  EOB runs are not accumulated across blocks (each
+    block ends with its own EOB, legal and table-compatible with the
+    Annex-K AC table, which lacks EOBn>1 symbols).  With ``color=True``
+    the DC scans interleave 3 components (neutral chroma, all-zero
+    blocks); chroma AC scans are omitted entirely — exercising the
+    decoder's chroma-scan-skip path."""
+    if len(frame) != width * height:
+        raise ValueError("frame buffer does not match width*height")
+    qtab = _quality_table(quality)
+    nbx = (width + 7) // 8
+    nby = (height + 7) // 8
+    blocks = [
+        _fdct_quant_block(_block_at(frame, width, height, bx, by), qtab)
+        for by in range(nby)
+        for bx in range(nbx)
+    ]
+    ncomp = 3 if color else 1
+
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    )
+    zz_q = bytes(qtab[_ZIGZAG[i]] for i in range(64))
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zz_q
+    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    for cid in range(1, ncomp + 1):
+        sof += struct.pack(">BBB", cid, 0x11, 0)
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof  # SOF2
+    out += _dht_segment(0x00, _DC_BITS, _DC_VALS)
+    out += _dht_segment(0x10, _AC_BITS, _AC_VALS)
+
+    def sos_header(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += struct.pack(">BB", cid, 0x00)
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", len(body) + 2) + body
+
+    all_ids = list(range(1, ncomp + 1))
+
+    # ---- scan 1: DC first, Al=1, interleaved over all components
+    out += sos_header(all_ids, 0, 0, 0, 1)
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    for b in blocks:
+        for ci in range(ncomp):
+            dc = (b[0] >> 1) if ci == 0 else 0  # chroma blocks are zero
+            diff = dc - preds[ci]
+            preds[ci] = dc
+            cat = _magnitude_category(diff)
+            code, ln = _DC_ENC[cat]
+            bw.write(code, ln)
+            _emit_magnitude(bw, diff, cat)
+    bw.flush()
+    out += bw.buf
+
+    # ---- scans 2+3: luma AC first passes at Al=2
+    for ss, se in ((1, 5), (6, 63)):
+        out += sos_header([1], ss, se, 0, 2)
+        bw = _BitWriter()
+        for b in blocks:
+            r = 0
+            for k in range(ss, se + 1):
+                t2 = (b[k] if b[k] >= 0 else -b[k]) >> 2
+                if t2 == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    zc, zl = _AC_ENC[0xF0]
+                    bw.write(zc, zl)
+                    r -= 16
+                cat = t2.bit_length()
+                ac, al_ = _AC_ENC[(r << 4) | cat]
+                bw.write(ac, al_)
+                _emit_magnitude(bw, t2 if b[k] >= 0 else -t2, cat)
+                r = 0
+            if r:
+                ec, el = _AC_ENC[0x00]  # EOB (run of 1)
+                bw.write(ec, el)
+        bw.flush()
+        out += bw.buf
+
+    # ---- scans 4+5: luma AC refinements Al=2->1->0
+    for al in (1, 0):
+        out += sos_header([1], 1, 63, al + 1, al)
+        bw = _BitWriter()
+        for b in blocks:
+            r = 0
+            pending: list[int] = []  # buffered correction bits
+            for k in range(1, 64):
+                a = b[k] if b[k] >= 0 else -b[k]
+                t2 = a >> al
+                if t2 == 0:
+                    r += 1
+                    continue
+                # ZRLs are due at ANY nonzero coefficient (jcphuff.c):
+                # a history coefficient's correction bit must follow
+                # the ZRL covering the zero run before it, or the
+                # decoder pairs the bits with the wrong coefficients
+                while r > 15:
+                    zc, zl = _AC_ENC[0xF0]
+                    bw.write(zc, zl)
+                    r -= 16
+                    for bit in pending:
+                        bw.write(bit, 1)
+                    pending = []
+                if t2 > 1:  # nonzero history: one correction bit
+                    pending.append(t2 & 1)
+                    continue
+                ac, al_ = _AC_ENC[(r << 4) | 1]
+                bw.write(ac, al_)
+                bw.write(1 if b[k] >= 0 else 0, 1)
+                for bit in pending:
+                    bw.write(bit, 1)
+                pending = []
+                r = 0
+            if r or pending:
+                ec, el = _AC_ENC[0x00]
+                bw.write(ec, el)
+                for bit in pending:
+                    bw.write(bit, 1)
+        bw.flush()
+        out += bw.buf
+
+    # ---- scan 6: DC refinement Al=1->0, interleaved
+    out += sos_header(all_ids, 0, 0, 1, 0)
+    bw = _BitWriter()
+    for b in blocks:
+        for ci in range(ncomp):
+            bw.write((b[0] & 1) if ci == 0 else 0, 1)
+    bw.flush()
+    out += bw.buf
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # ------------------------------------------------------------ decode
 class _BitReader:
     """MSB-first entropy-segment reader: unstuffs 0xFF00, stops at
@@ -368,6 +533,30 @@ def _extend(v: int, cat: int) -> int:
     return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
 
 
+def _next_marker_pos(data: bytes, start: int) -> int:
+    """Index of the 0xFF of the next REAL marker at or after ``start``:
+    skips stuffed 0xFF00 pairs, 0xFF fill bytes, and standalone RSTn
+    markers (all legal inside/after an entropy-coded segment).  Used to
+    walk past a progressive scan's entropy data — either one we just
+    decoded or a chroma-only scan we skip without decoding."""
+    i = start
+    n = len(data)
+    while i < n - 1:
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        nxt = data[i + 1]
+        if nxt == 0x00:  # stuffed
+            i += 2
+        elif nxt == 0xFF:  # fill byte
+            i += 1
+        elif 0xD0 <= nxt <= 0xD7:  # restart marker inside the scan
+            i += 2
+        else:
+            return i
+    raise ValueError("truncated JPEG: no marker after scan data")
+
+
 def _decode_huff(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
     code, length = 0, 0
     while length < 16:
@@ -402,12 +591,157 @@ def _idct_block(zz: list[int], qtab: list[int]):
     return out
 
 
+def _prog_dc_scan(
+    br: "_BitReader",
+    scan_comps: list,
+    luma_ci: "int | None",
+    coefs: list,
+    geom: dict,
+    ah: int,
+    al: int,
+    restart_interval: int,
+) -> None:
+    """One progressive DC scan (T.81 G.2): first pass (Ah=0) Huffman-
+    decodes DC/2^Al diffs, refinement (Ah>0) reads ONE raw bit per
+    block.  Interleaved (ns>1) walks MCU geometry incl. pad blocks;
+    single-component walks the component's own block grid.  Only the
+    luma component's coefficients are stored; other components are
+    entropy-decoded purely to keep bitstream sync."""
+    ns = len(scan_comps)
+    preds = [0] * ns
+    mcu_count = 0
+
+    def one_block(ci: int, by: int, bx: int) -> None:
+        if ah == 0:
+            cat = _decode_huff(br, scan_comps[ci][3])
+            preds[ci] += _extend(br.receive(cat), cat)
+            if ci == luma_ci and by < geom["nby_pad"] and bx < geom["nbx_pad"]:
+                coefs[by * geom["nbx_pad"] + bx][0] = preds[ci] << al
+        else:
+            bit = br.read_bit()
+            if bit and ci == luma_ci and by < geom["nby_pad"] and bx < geom["nbx_pad"]:
+                coefs[by * geom["nbx_pad"] + bx][0] |= 1 << al
+
+    if ns > 1:
+        for my in range(geom["mcuy"]):
+            for mx in range(geom["mcux"]):
+                if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                    br.restart()
+                    preds[:] = [0] * ns
+                mcu_count += 1
+                for ci, (h, v, _, _, _) in enumerate(scan_comps):
+                    for by in range(v):
+                        for bx in range(h):
+                            one_block(ci, my * v + by, mx * h + bx)
+    else:
+        # single-component scans reaching here are always luma (chroma-
+        # only scans are skipped upstream without entropy decode)
+        for by in range(geom["nby_real"]):
+            for bx in range(geom["nbx_real"]):
+                if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                    br.restart()
+                    preds[:] = [0]
+                mcu_count += 1
+                one_block(0, by, bx)
+
+
+def _prog_ac_scan(
+    br: "_BitReader",
+    act: dict,
+    coefs: list,
+    geom: dict,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    restart_interval: int,
+) -> None:
+    """One progressive AC scan over the LUMA component (T.81 G.2:
+    AC scans are always single-component / non-interleaved).  First
+    pass (Ah=0) decodes coefficients at 2^Al precision with EOB-run
+    coding; refinement (Ah>0) appends one magnitude bit to already-
+    nonzero coefficients and introduces newly-nonzero ±2^Al values —
+    the jdphuff.c two-branch structure."""
+    p1, m1 = 1 << al, -1 << al
+    eobrun = 0
+    mcu_count = 0
+    for by in range(geom["nby_real"]):
+        for bx in range(geom["nbx_real"]):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                br.restart()
+                eobrun = 0
+            mcu_count += 1
+            zz = coefs[by * geom["nbx_pad"] + bx]
+            if ah == 0:  # -------- first pass
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    sym = _decode_huff(br, act)
+                    r, s = sym >> 4, sym & 0x0F
+                    if s == 0:
+                        if r != 15:  # EOBn
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += br.receive(r)
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += r
+                    if k > se:
+                        raise ValueError("JPEG AC index overflow")
+                    zz[k] = _extend(br.receive(s), s) << al
+                    k += 1
+            else:  # -------- refinement pass
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        sym = _decode_huff(br, act)
+                        r, s = sym >> 4, sym & 0x0F
+                        val = 0
+                        if s == 0:
+                            if r != 15:  # EOBn: rest of band is history-refine
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += br.receive(r)
+                                break
+                            # ZRL: skip 16 zero-history slots below
+                        else:
+                            if s != 1:
+                                raise ValueError(
+                                    "invalid JPEG AC refinement symbol"
+                                )
+                            val = p1 if br.read_bit() else m1
+                        while k <= se:
+                            if zz[k] != 0:
+                                if br.read_bit() and (zz[k] & p1) == 0:
+                                    zz[k] += p1 if zz[k] >= 0 else m1
+                            else:
+                                r -= 1
+                                if r < 0:
+                                    break
+                            k += 1
+                        if val and k <= se:
+                            zz[k] = val
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        if zz[k] != 0 and br.read_bit() and (zz[k] & p1) == 0:
+                            zz[k] += p1 if zz[k] >= 0 else m1
+                        k += 1
+                    eobrun -= 1
+
+
 def decode_jpeg_gray(blob: bytes) -> tuple[bytes, int, int]:
-    """Decode a baseline/extended-sequential JPEG to its luma plane:
-    returns (top-down 8-bit grayscale bytes, width, height).  Every
-    component is entropy-decoded (the bitstream interleaves them) but
-    only Y is dequantized/IDCTed.  Progressive, arithmetic, lossless
-    and 12-bit inputs raise — never mis-decode."""
+    """Decode a baseline/extended-sequential (SOF0/SOF1) OR progressive
+    (SOF2, round-13) JPEG to its luma plane: returns (top-down 8-bit
+    grayscale bytes, width, height).  Every component is entropy-
+    decoded where the bitstream interleaves them; chroma-ONLY
+    progressive scans are skipped without decoding (scans are marker-
+    delimited), and only Y is ever dequantized/IDCTed.  Arithmetic
+    coding, lossless, hierarchical and 12-bit inputs raise — never
+    mis-decode."""
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
@@ -416,6 +750,9 @@ def decode_jpeg_gray(blob: bytes) -> tuple[bytes, int, int]:
     ac_tabs: dict[int, dict[tuple[int, int], int]] = {}
     frame = None  # (width, height, comps) ; comps = [(cid, h, v, tq)]
     restart_interval = 0
+    progressive = False
+    prog_coefs: list | None = None  # luma blocks, zigzag order
+    prog_geom: dict | None = None
 
     while pos + 4 <= len(blob):
         if blob[pos] != 0xFF:
@@ -468,7 +805,7 @@ def decode_jpeg_gray(blob: bytes) -> tuple[bytes, int, int]:
                 }
                 (ac_tabs if tc else dc_tabs)[th] = dec
                 p += 17 + nv
-        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline / ext. sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             precision, height, width, nc = struct.unpack(">BHHB", seg[:6])
             if precision != 8:
                 raise ValueError(f"unsupported JPEG precision {precision}")
@@ -477,12 +814,87 @@ def decode_jpeg_gray(blob: bytes) -> tuple[bytes, int, int]:
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (width, height, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            if marker == 0xC2:
+                progressive = True
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                h0, v0 = comps[0][1], comps[0][2]
+                cw = (width * h0 + hmax - 1) // hmax
+                ch = (height * v0 + vmax - 1) // vmax
+                if (cw, ch) != (width, height):
+                    raise ValueError("unsupported JPEG: subsampled luma")
+                mcux = (width + 8 * hmax - 1) // (8 * hmax)
+                mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+                prog_geom = {
+                    "mcux": mcux,
+                    "mcuy": mcuy,
+                    "nbx_pad": mcux * h0,
+                    "nby_pad": mcuy * v0,
+                    "nbx_real": (cw + 7) // 8,
+                    "nby_real": (ch + 7) // 8,
+                }
+                prog_coefs = [
+                    [0] * 64
+                    for _ in range(prog_geom["nbx_pad"] * prog_geom["nby_pad"])
+                ]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                f"unsupported JPEG coding (SOF{marker - 0xC0}); baseline only"
+                f"unsupported JPEG coding (SOF{marker - 0xC0}); "
+                "baseline/progressive only"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA and progressive:  # progressive scan
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            width, height, comps = frame
+            ns = seg[0]
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
+            luma_id = comps[0][0]
+            scan_ids = [seg[1 + 2 * i] for i in range(ns)]
+            data_start = pos + 2 + seglen
+            if luma_id not in scan_ids:
+                # chroma-only scan: entropy data is marker-delimited —
+                # skip without decoding (luma-only contract)
+                pos = _next_marker_pos(blob, data_start)
+                continue
+            scan_comps = []  # (h, v, qtab?, dc_table, ac_table)
+            for i in range(ns):
+                cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
+                comp = next((c for c in comps if c[0] == cs), None)
+                if comp is None:
+                    raise ValueError("JPEG scan references unknown component")
+                _, h, v, tq = comp
+                scan_comps.append(
+                    (h, v, tq, dc_tabs.get(tdta >> 4), ac_tabs.get(tdta & 0x0F))
+                )
+            luma_ci = scan_ids.index(luma_id)
+            br = _BitReader(blob, data_start)
+            if ss == 0:  # DC scan (Se must be 0 per T.81)
+                if se != 0:
+                    raise ValueError("JPEG progressive DC scan with Se != 0")
+                if ah == 0 and any(s[3] is None for s in scan_comps):
+                    raise ValueError("JPEG scan before its DHT")
+                _prog_dc_scan(
+                    br, scan_comps, luma_ci, prog_coefs, prog_geom,
+                    ah, al, restart_interval,
+                )
+            else:  # AC scan: single-component per T.81 G.2
+                if ns != 1:
+                    raise ValueError("JPEG progressive AC scan must be 1-component")
+                if scan_comps[0][4] is None:
+                    raise ValueError("JPEG scan before its DHT")
+                _prog_ac_scan(
+                    br, scan_comps[0][4], prog_coefs, prog_geom,
+                    ss, se, ah, al, restart_interval,
+                )
+            # advance to the marker after this scan's entropy data
+            if br.marker is not None and not 0xD0 <= br.marker <= 0xD7:
+                pos = br.pos - 2
+            else:
+                pos = _next_marker_pos(blob, br.pos)
+            continue
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
@@ -587,4 +999,35 @@ def decode_jpeg_gray(blob: bytes) -> tuple[bytes, int, int]:
             return gray, width, height
         # APPn / COM / anything skippable: fall through
         pos += 2 + seglen
+    if progressive and prog_coefs is not None and frame is not None:
+        # EOI (or stream end): reconstruct the accumulated luma plane
+        width, height, comps = frame
+        tq = comps[0][3]
+        if tq not in qtabs:
+            raise ValueError("JPEG progressive stream missing luma DQT")
+        qtab = qtabs[tq]
+        nbx, nby = prog_geom["nbx_real"], prog_geom["nby_real"]
+        if _np is not None:
+            plane = _np.zeros((nby * 8, nbx * 8), dtype=_np.uint8)
+        else:
+            plane = [bytearray(nbx * 8) for _ in range(nby * 8)]
+        for by in range(nby):
+            for bx in range(nbx):
+                block = _idct_block(
+                    prog_coefs[by * prog_geom["nbx_pad"] + bx], qtab
+                )
+                if _np is not None:
+                    plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+                else:
+                    for dy in range(8):
+                        row = plane[by * 8 + dy]
+                        for dx in range(8):
+                            row[bx * 8 + dx] = block[dy][dx]
+        if _np is not None:
+            return plane[:height, :width].tobytes(), width, height
+        return (
+            b"".join(bytes(r[:width]) for r in plane[:height]),
+            width,
+            height,
+        )
     raise ValueError("JPEG has no SOS scan")

@@ -119,3 +119,50 @@ def test_media_hashes_pairs_and_dedup_png_jpeg(spark):
     fam_a = {r["cluster_id"] for r in dd if r["media_id"] in (1, 2)}
     fam_b = {r["cluster_id"] for r in dd if r["media_id"] in (3, 4)}
     assert len(fam_a) == 1 and len(fam_b) == 1 and fam_a != fam_b
+
+
+# ------------------------------------------------ round-13: progressive
+def test_progressive_jpeg_decodes_bit_identical_to_baseline():
+    """The round-13 headline: a progressive (SOF2) re-encode of the
+    same pixels decodes to EXACTLY the baseline's gray plane (the
+    6-scan script delivers identical quantized coefficients), across
+    sizes incl. non-multiple-of-8 and low quality (EOB/ZRL-heavy
+    streams), gray and 3-component (whose chroma AC scans are omitted
+    — exercising the decoder's chroma-scan skip)."""
+    from prod2vec_spark.operators.jpeg import encode_jpeg_gray_progressive
+
+    rng = np.random.RandomState(13)
+    for (w, h) in [(16, 16), (24, 17), (33, 9), (8, 8)]:
+        px = rng.randint(0, 256, (h, w), dtype=np.uint8).tobytes()
+        for q in (90, 50, 10):
+            for color in (False, True):
+                prog = decode_jpeg_gray(
+                    encode_jpeg_gray_progressive(px, w, h, quality=q, color=color)
+                )
+                base = decode_jpeg_gray(
+                    encode_jpeg_gray(px, w, h, quality=q, color=color)
+                )
+                assert prog == base, (w, h, q, color)
+
+
+def test_progressive_jpeg_dhash_bit_identical_and_corrupt_unchanged():
+    """dhash_jpeg of the progressive re-encode is BIT-IDENTICAL to the
+    baseline's (same pixels in, same hash out), so progressive blobs
+    join media dedup in the same banded bucket; garbage and truncated
+    progressive streams still map to the auditable miss (None /
+    'corrupt'), never a fake hash."""
+    from prod2vec_spark.operators.jpeg import encode_jpeg_gray_progressive
+
+    px = _image(5)
+    base = encode_jpeg_gray(px, W, H, quality=90)
+    prog = encode_jpeg_gray_progressive(px, W, H, quality=90)
+    assert PH.dhash_jpeg(prog) == PH.dhash_jpeg(base)
+    assert PH.dhash_jpeg(prog) is not None
+    # image_gray door: identical planes -> the tile plane agrees too
+    assert np.array_equal(PH.image_gray(prog), PH.image_gray(base))
+    # corrupt handling unchanged
+    assert PH.dhash_jpeg(prog[:60]) is None
+    assert decode_media("image", prog[:60])["format"] == "corrupt"
+    d = decode_media("image", prog)
+    assert d["format"] == "jpeg"
+    assert d["pixel_digest"] == hashlib.md5(decode_jpeg_gray(prog)[0]).hexdigest()

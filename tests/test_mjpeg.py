@@ -148,11 +148,20 @@ def test_jpeg_rejects_non_luma_first_scan():
         decode_jpeg_gray(bytes(blob))
 
 
-def test_jpeg_rejects_progressive_and_garbage():
+def test_jpeg_rejects_malformed_and_garbage():
+    """Round-13: progressive (SOF2) now DECODES (see
+    test_jpeg_image_plane.py); what must still fail loudly: a
+    baseline stream whose SOF marker is flipped to SOF2 (its full-band
+    Ss=0/Se=63 scan is illegal for progressive DC), non-JPEG bytes,
+    truncation, and the still-unsupported codings (lossless,
+    arithmetic)."""
     f = _frame(7, w=16, h=16)
     blob = bytearray(encode_jpeg_gray(f, 16, 16))
     i = blob.index(b"\xff\xc0")
-    blob[i + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
+    blob[i + 1] = 0xC2  # SOF0 -> SOF2: scan header is now inconsistent
+    with pytest.raises(ValueError, match="progressive DC scan"):
+        decode_jpeg_gray(bytes(blob))
+    blob[i + 1] = 0xC3  # lossless: still rejected, never mis-decoded
     with pytest.raises(ValueError, match="unsupported JPEG coding"):
         decode_jpeg_gray(bytes(blob))
     with pytest.raises(ValueError, match="not a JPEG"):
