@@ -4,6 +4,12 @@ reference has no media surface — SURVEY.md §2.21):
 * ``audio_span_audit`` — the partial-AUDIO (embedded jingle) duplicate
   plane, completing the span triad (video frames / image tiles / audio
   windows), fixture-split like the image plane (queries_r12.py).
+* ``kn3_perplexity`` — TRIGRAM interpolated Kneser-Ney scoring
+  (operators/lm.kn3_perplexity, VERDICT r12 ask #3): three-leg
+  interpolation through continuation-count lower orders; the DuckDB
+  twin replays the chain operand-for-operand in Spark's association
+  order so the IEEE arithmetic hashes identically (the r12
+  kn_perplexity convention, one order deeper).
 
 Same split as the image/video planes (VERDICT r9 ask #2 protocol):
 the codec boundary (planted WAV render → stdlib PCM/ADPCM decode →
@@ -225,3 +231,93 @@ R13_QUERIES = {
 R13_ORACLES: dict[str, str] = {
     "audio_span_audit": _sql_audio_span_audit(),
 }
+
+
+# ------------------------------------------- trigram Kneser-Ney
+KN_TRAIN_FRAC = 0.8
+KN_DISCOUNT = 0.75
+
+
+def q_kn3_perplexity(spark, sf_dir):
+    """Per-document TRIGRAM perplexity under interpolated Kneser-Ney
+    smoothing (operators/lm.kn3_perplexity, VERDICT r12 ask #3) — the
+    order-3 extension of the round-12 kn_perplexity entry: three-leg
+    interpolation through continuation-count lower orders, same
+    md5-uniform train split, same rounded (avg_nll, ppl) contract."""
+    from prod2vec_spark.operators.lm import kn3_perplexity
+
+    docs = read_table(spark, sf_dir, "documents")
+    return kn3_perplexity(
+        docs, train_frac=KN_TRAIN_FRAC, discount=KN_DISCOUNT, seed="lm"
+    )
+
+
+def _sql_kn3_perplexity() -> str:
+    """DuckDB twin of the three-leg chain — every operand forced to
+    DOUBLE in Spark's association order (the r12 kn_perplexity
+    convention) so the IEEE arithmetic replays bit-for-bit before the
+    4-digit round.  P2 (the continuation-bigram leg) is inlined into
+    both branches of the P3 CASE exactly as Catalyst evaluates it."""
+    from prod2vec_spark.queries_ext import _TOKS
+
+    D = f"CAST({KN_DISCOUNT} AS DOUBLE)"
+    p1 = (
+        "((CAST(COALESCE(r3.n1p_r3, 0) AS DOUBLE) + 1)"
+        " / CAST(tot.n_types2p + tot.v_vocab + 1 AS DOUBLE))"
+    )
+    p2 = f"""CASE WHEN mid.den2p IS NOT NULL THEN
+      GREATEST(CAST(COALESCE(c2p.c2p, 0) AS DOUBLE) - {D}, CAST(0 AS DOUBLE))
+        / CAST(mid.den2p AS DOUBLE)
+      + ({D} * CAST(mid.n1p_mid AS DOUBLE) / CAST(mid.den2p AS DOUBLE))
+        * {p1}
+    ELSE {p1} END"""
+    return f"""
+WITH sp AS (SELECT doc_id, text,
+    (('0x' || substr(md5('lm|' || doc_id), 1, 8))::BIGINT / 4294967296.0)
+      < {KN_TRAIN_FRAC} AS is_train
+  FROM documents),
+t AS (SELECT doc_id, is_train, {_TOKS} AS toks FROM sp),
+tr AS (SELECT doc_id, is_train,
+        toks[CAST(i AS INT)] AS w1, toks[CAST(i AS INT) + 1] AS w2,
+        toks[CAST(i AS INT) + 2] AS w3
+      FROM t, unnest(range(1, len(toks) - 1)) AS u(i)),
+c3 AS (SELECT w1, w2, w3, count(*) AS c3
+       FROM tr WHERE is_train GROUP BY 1, 2, 3),
+ctx AS (SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS den12,
+               count(*) AS n1p_ctx FROM c3 GROUP BY 1, 2),
+c2p AS (SELECT w2, w3, count(*) AS c2p FROM c3 GROUP BY 1, 2),
+mid AS (SELECT w2, CAST(sum(c2p) AS BIGINT) AS den2p,
+               count(*) AS n1p_mid FROM c2p GROUP BY 1),
+r3 AS (SELECT w3, count(*) AS n1p_r3 FROM c2p GROUP BY 1),
+tot AS (SELECT (SELECT count(*) FROM c2p) AS n_types2p,
+               (SELECT count(DISTINCT w)
+                FROM (SELECT unnest(toks) AS w FROM t WHERE is_train))
+                 AS v_vocab),
+sc AS (SELECT tr.doc_id, tr.is_train,
+    CASE WHEN ctx.den12 IS NOT NULL THEN
+      GREATEST(CAST(COALESCE(c3.c3, 0) AS DOUBLE) - {D}, CAST(0 AS DOUBLE))
+        / CAST(ctx.den12 AS DOUBLE)
+      + ({D} * CAST(ctx.n1p_ctx AS DOUBLE) / CAST(ctx.den12 AS DOUBLE))
+        * ({p2})
+    ELSE ({p2}) END AS prob,
+    CASE WHEN c3.c3 IS NULL THEN 1 ELSE 0 END AS bo1,
+    CASE WHEN c3.c3 IS NULL AND c2p.c2p IS NULL THEN 1 ELSE 0 END AS bo2
+  FROM tr
+  LEFT JOIN c3 ON tr.w1 = c3.w1 AND tr.w2 = c3.w2 AND tr.w3 = c3.w3
+  LEFT JOIN ctx ON tr.w1 = ctx.w1 AND tr.w2 = ctx.w2
+  LEFT JOIN c2p ON tr.w2 = c2p.w2 AND tr.w3 = c2p.w3
+  LEFT JOIN mid ON tr.w2 = mid.w2
+  LEFT JOIN r3 ON tr.w3 = r3.w3
+  CROSS JOIN tot)
+SELECT doc_id, max(CAST(is_train AS BIGINT)) AS is_train,
+       count(*) AS n_triples,
+       CAST(sum(bo1) AS BIGINT) AS n_bo1,
+       CAST(sum(bo2) AS BIGINT) AS n_bo2,
+       round(avg(-ln(prob)), 4) AS avg_nll,
+       round(exp(avg(-ln(prob))), 4) AS ppl
+FROM sc GROUP BY doc_id
+"""
+
+
+R13_QUERIES["kn3_perplexity"] = q_kn3_perplexity
+R13_ORACLES["kn3_perplexity"] = _sql_kn3_perplexity()

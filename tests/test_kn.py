@@ -207,3 +207,133 @@ def test_kn_corpus_scoring_finite(spark):
 
     sb = lm_perplexity(docs)
     assert sb.count() == len(rows)
+
+
+# ------------------------------------------ round-13: trigram KN
+def test_kn3_hand_computed_three_leg_chain(spark):
+    """VERDICT r12 ask #3's 'hand-computed three-leg chain': train
+    'a b c a b c' + 'a b d' → c3={(a,b,c):2,(b,c,a):1,(c,a,b):1,
+    (a,b,d):1}; ctx(a,b)=(den 3, N1+ 2); continuation bigrams c₂' all
+    1 with den₂'(b)=2; types₂=4, V=4 → P1 denominator 9.
+
+    Held-out (a,b,c): P1=2/9, P2=0.25/2+(0.75·2/2)·2/9=7/24,
+    P3=1.25/3+(0.75·2/3)·7/24=9/16.  Held-out (b,c,d): triple AND
+    continuation bigram unseen but ctx(b,c) exists → P2=0+0.75·2/9=1/6,
+    P3=0+0.75·1/6=1/8.  Held-out (d,d,d): no ctx, no mid → P1=2/9."""
+    from prod2vec_spark.operators.lm import kn3_perplexity
+
+    tagged = spark.createDataFrame(
+        [(1, "a b c a b c", True), (2, "a b d", True),
+         (3, "a b c", False), (4, "b c d", False), (5, "d d d", False)],
+        "doc_id long, text string, is_train boolean",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in kn3_perplexity(tagged, discount=0.75, tagged=tagged).collect()
+    }
+    assert out[3]["avg_nll"] == round(-math.log(9 / 16), 4)
+    assert out[3]["n_bo1"] == 0 and out[3]["n_bo2"] == 0
+    assert out[4]["avg_nll"] == round(-math.log(1 / 8), 4)
+    assert out[4]["n_bo1"] == 1 and out[4]["n_bo2"] == 1
+    assert out[5]["avg_nll"] == round(-math.log(2 / 9), 4)
+    assert out[5]["ppl"] == round(9 / 2, 4)
+    # two-token doc is absent (no triples), the trigram convention
+    short = spark.createDataFrame(
+        [(9, "x y", False)], "doc_id long, text string, is_train boolean"
+    )
+    both = tagged.unionByName(short)
+    assert 9 not in {
+        r["doc_id"]
+        for r in kn3_perplexity(both, discount=0.75, tagged=both).collect()
+    }
+
+
+def test_kn3_fit_score_split_matches_self_trained(spark, tmp_path):
+    """The train-once/score-many contract at order 3: fit_kn3 +
+    score_docs_kn3 reproduce kn3_perplexity bit-for-bit on the same
+    split, and a save/load roundtrip through parquet changes nothing
+    (the KNModel pattern)."""
+    from prod2vec_spark.operators.lm import (
+        KN3Model,
+        fit_kn3,
+        kn3_perplexity,
+        score_docs_kn3,
+    )
+    from prod2vec_spark.sources.io import read_table
+    from tests.conftest import SF_SMOKE
+
+    docs = read_table(spark, SF_SMOKE, "documents").limit(120)
+    from prod2vec_spark.operators.lm import with_train_split
+
+    tagged = with_train_split(docs, 0.8, seed="lm")
+    want = {
+        r["doc_id"]: r.asDict()
+        for r in kn3_perplexity(docs, tagged=tagged).collect()
+    }
+    model = fit_kn3(tagged.where(F.col("is_train")))
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in score_docs_kn3(tagged, model).collect()
+    }
+    assert got == want
+    model.save(str(tmp_path / "kn3"))
+    loaded = KN3Model.load(spark, str(tmp_path / "kn3"))
+    got2 = {
+        r["doc_id"]: r.asDict()
+        for r in score_docs_kn3(tagged, loaded).collect()
+    }
+    assert got2 == want
+
+
+def test_kn3_discount_estimated_from_counts_of_counts(spark):
+    """Ney-Essen-Kneser D = n1/(n1+2·n2) as a CHECKED number: the toy
+    c3 table has n1=3 singletons and n2=1 doubleton → D = 3/5; a
+    singleton-free table falls back to the standard 0.75."""
+    from prod2vec_spark.operators.lm import estimate_discount, fit_kn3
+
+    train = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "a b d")], "doc_id long, text string"
+    )
+    model = fit_kn3(train)
+    assert estimate_discount(model.c3, "c3") == pytest.approx(0.6)
+    one_singleton = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 2)], "k long, c3 long"
+    )
+    assert estimate_discount(one_singleton, "c3") == pytest.approx(
+        1 / (1 + 2 * 2)
+    )
+    no_singletons = spark.createDataFrame([(1, 7), (2, 2)], "k long, c3 long")
+    assert estimate_discount(no_singletons, "c3") == 0.75  # fallback
+
+
+def test_kn3_pruned_keeps_interpolation_mass(spark):
+    """Pruning the trigram table floors the discounted numerator but
+    keeps the λ·P2 leg (stats computed over full training mass): a
+    pruned singleton scores exactly its interpolation legs."""
+    from prod2vec_spark.operators.lm import fit_kn3, score_docs_kn3
+
+    train = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "a b d")], "doc_id long, text string"
+    )
+    model = fit_kn3(train).pruned(min_count=2)
+    test = spark.createDataFrame([(7, "a b d")], "doc_id long, text string")
+    r = score_docs_kn3(test, model, discount=0.75).first()
+    # (a,b,d): c3 pruned -> numerator 0, ctx/mid/r3 intact:
+    # P1(d)=2/9, P2(b,d)=0.25/2+0.75·2/9 = 7/24... wait c2p(b,d)=1:
+    # P2 = max(1-.75,0)/2 + (.75·2/2)·(2/9) = 1/8 + 1/6 = 7/24
+    # P3 = 0/3 + (.75·2/3)·(7/24) = 7/48
+    assert r["n_bo1"] == 1  # pruned triple counts as backed-off
+    assert r["avg_nll"] == round(-math.log(7 / 48), 4)
+
+
+def test_kn3_validation_errors(spark):
+    from prod2vec_spark.operators.lm import fit_kn3, kn3_perplexity, score_docs_kn3
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", True)], "doc_id long, text string, is_train boolean"
+    )
+    with pytest.raises(ValueError, match="discount"):
+        kn3_perplexity(docs, discount=1.5, tagged=docs)
+    short = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="no trigrams"):
+        fit_kn3(short)
