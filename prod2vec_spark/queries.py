@@ -635,7 +635,30 @@ CATALOG: list[str] = [
     # superset-oracled) and dedup_exact → snapshot_diff (the same
     # content digest exercised inside the version-diff semantics;
     # exact-dedup survivors stay superset-oracled)
-    "lm_by_lang", "snapshot_diff",
+    # round-13 rotation (VERDICT r12 ask #4): the round-12 tranche
+    # gets its per-round driver verdicts — three strictly-reasoned
+    # swaps, every retiree keeping its full superset oracle + family
+    # catalog siblings (the standing rotation protocol):
+    #   kn_by_lang in (per-language interpolated Kneser-Ney — the
+    #     CCNet deployment shape under the RICHER smoothing family;
+    #     its oracle replays the continuation-count chain bit-for-bit)
+    #     ← lm_by_lang out: the identical by-lang grouping shape now
+    #     runs under KN in the catalog; Stupid-Backoff keeps its
+    #     superset oracles (lm_perplexity, trigram_perplexity,
+    #     lm_by_lang) and the curation-gate pytests.
+    #   url_canonical_groups in (RFC 3986 canonicalization dedup —
+    #     the crawl-frontier group-collapse with the six-variant
+    #     planted corpus) ← snapshot_diff out: the content-digest
+    #     family keeps canonical_pick in the catalog; the version-
+    #     diff semantics stay superset-oracled.
+    #   image_span_audit in (partial-image duplicate plane, fully
+    #     oracled via the fixture-split protocol — a strictly
+    #     stronger verdict class than a rows-only media entry)
+    #     ← doc_signatures out: the near-dup representation family
+    #     keeps minhash_jaccard_audit, neardup_editdist and
+    #     verbatim_span_pairs in the catalog; simhash stays
+    #     superset-oracled.
+    "kn_by_lang", "url_canonical_groups", "image_span_audit",
     # round-6 new (wave 3: sketch + substring-dedup planes; retired
     # ngram_jaccard → minhash_jaccard_audit computes the exact n-gram
     # Jaccard internally + verbatim_span_pairs keeps the n-gram plane;
@@ -682,7 +705,7 @@ CATALOG: list[str] = [
     #     inside sessionize's gap windows and packed_input_ids'
     #     shard cumsum).
     "ann_ivfpq_topk", "hybrid_linear_topk",
-    "text_profile", "doc_signatures", "setops_parts",
+    "text_profile", "setops_parts",
     "dq_suite", "distinct_parts",
     # relational / grouping-sets / window plane
     "pricing_summary", "baskets", "vocab", "index_items", "oov_miss_count",
