@@ -880,6 +880,7 @@ def semdedup(
     seed: str = "sem",
     centroids: list[list[float]] | None = None,
     min_parallelism: int | None = None,
+    max_cluster: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by clustering embeddings, then dropping within-
@@ -906,6 +907,17 @@ def semdedup(
        cells suffice for the test fixture.  Zero-norm vectors cannot
        be near anything under cosine — they are kept unconditionally
        and skip the pair join.
+
+    ``max_cluster`` (VERDICT r12 watch item) is the LSH plane's
+    ``max_group`` valve ported here: the n_clusters-∝-corpus
+    discipline above is otherwise parameter-TRUSTED, and one
+    degenerate centroid (a hub direction attracting a huge slice of
+    the corpus) would trigger an unbounded quadratic pair join.  With
+    the cap set, clusters above it are EXCLUDED from the pair join —
+    their rows are kept unconditionally (dedup abstains rather than
+    detonates) and the exemption is auditable via
+    ``semdedup_oversize_clusters``.  The size probe is a groupBy(cid)
+    count — at most n_clusters rows, broadcast back.
 
     Output: one row per corpus vector — (id, cid, kept) with
     kept=false iff a smaller-id same-cluster τ-neighbor exists.
@@ -984,10 +996,21 @@ def semdedup(
         F.col(id_col).alias("id"), best.alias("cid"), F.col("nvec")
     )
     # zero-norm rows have null nvec: kept unconditionally, never paired
-    a = assigned.where(F.col("nvec").isNotNull()).select(
+    pairable = assigned.where(F.col("nvec").isNotNull())
+    if max_cluster is not None:
+        # the LSH max_group valve: oversize clusters abstain from the
+        # quadratic join (rows kept; semdedup_oversize_clusters audits)
+        ok_cids = F.broadcast(
+            pairable.groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") <= max_cluster)
+            .select("cid")
+        )
+        pairable = pairable.join(ok_cids, "cid", "leftsemi")
+    a = pairable.select(
         F.col("id").alias("id_a"), F.col("cid"), F.col("nvec").alias("na")
     )
-    b = assigned.where(F.col("nvec").isNotNull()).select(
+    b = pairable.select(
         F.col("id").alias("id_b"), F.col("cid"), F.col("nvec").alias("nb")
     )
     dropped = (
@@ -1005,6 +1028,48 @@ def semdedup(
             "cid",
             F.col("_drop").isNull().alias("kept"),
         )
+    )
+
+
+def semdedup_oversize_clusters(
+    corpus: DataFrame,
+    dims: int,
+    n_clusters: int = 8,
+    max_cluster: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "sem",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Audit companion to ``semdedup(max_cluster=…)`` (the
+    ``lsh_oversize_groups`` pattern): (cid, n_vecs) for every cluster
+    whose population exceeds the cap — i.e. exactly the clusters whose
+    pairs the capped run abstained from, so a recall audit knows what
+    was skipped and a capacity planner knows which centroid is
+    degenerate.  Same seeded assignment as semdedup (identical
+    centroids given identical seed/corpus), one groupBy(cid) — never
+    the quadratic join."""
+    out = semdedup(
+        corpus,
+        dims,
+        n_clusters=n_clusters,
+        threshold=2.0,  # > max cosine: the pair join matches nothing
+        id_col=id_col,
+        vec_col=vec_col,
+        seed=seed,
+        centroids=centroids,
+        max_cluster=0,  # every cluster abstains: assignment only
+    )
+    # count the PAIR-JOIN population: zero-norm rows never enter the
+    # quadratic join, so they don't count against the cap
+    nonzero = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("_v")
+    ).where(l2_norm(F.col("_v")) > 0)
+    return (
+        out.join(nonzero, "id", "leftsemi")
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .where(F.col("n_vecs") > max_cluster)
     )
 
 

@@ -583,3 +583,76 @@ def test_repetition_keep_matches_staged_gate_form(spark):
     assert new == old
     assert 900001 not in new  # looped spam still fails
     assert 900002 in new      # sub-window doc still passes
+
+
+def test_semdedup_max_cluster_valve_and_oversize_audit(spark):
+    """VERDICT r12 watch item: one degenerate centroid attracting a
+    huge corpus slice must not trigger an unbounded quadratic pair
+    join.  Plant a HOT cluster (60 vectors along one hub direction,
+    all mutual tau-neighbors) + two small clusters with planted dups;
+    with max_cluster=20 the hot cluster abstains (ALL its rows kept —
+    dedup abstains rather than detonates), the small clusters dedup
+    exactly as uncapped, and semdedup_oversize_clusters reports the
+    hot cluster (and only it).  A cap above every cluster reproduces
+    the uncapped output bit-for-bit."""
+    import numpy as np
+
+    from prod2vec_spark.operators.simsearch import (
+        semdedup,
+        semdedup_oversize_clusters,
+    )
+
+    rng = np.random.RandomState(6)
+    dims = 16
+    hub = rng.randn(dims)
+    hub /= np.linalg.norm(hub)
+    rows = []
+    # hot cluster: 60 hub-aligned vectors (tiny jitter, cosine ~1)
+    for i in range(60):
+        v = hub * (1.0 + 0.01 * i) + 0.001 * rng.randn(dims)
+        rows.append((i, [float(x) for x in v]))
+    # two small clusters, each with one planted duplicate pair
+    cents = [[float(x) for x in hub]]
+    for base_id, seed in ((100, 7), (200, 8)):
+        d = rng.randn(dims) if seed != 7 else -hub + 0.5 * rng.randn(dims)
+        d = d / np.linalg.norm(d)
+        cents.append([float(x) for x in d])
+        rows.append((base_id, [float(x) for x in d]))
+        rows.append((base_id + 1, [float(x) for x in d * 2.0]))  # dup
+        orth = rng.randn(dims)
+        orth -= orth.dot(d) * d
+        rows.append((base_id + 2, [float(x) for x in orth]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    # explicit centroids pin the assignment (the supplied-centroids
+    # contract) so the hub family provably lands in ONE cluster
+    kw = dict(dims=dims, n_clusters=3, centroids=cents)
+
+    capped = {r["id"]: r for r in semdedup(
+        df, threshold=0.9, max_cluster=20, **kw
+    ).collect()}
+    # every hot-cluster row kept (abstained), dups still cut elsewhere
+    hot_cid = capped[0]["cid"]
+    assert all(capped[i]["kept"] for i in range(60))
+    assert all(capped[i]["cid"] == hot_cid for i in range(60))
+    assert capped[100]["kept"] and not capped[101]["kept"]
+    assert capped[200]["kept"] and not capped[201]["kept"]
+
+    audit = semdedup_oversize_clusters(
+        df, max_cluster=20, **kw
+    ).collect()
+    # exactly one oversize cluster — the hub's — holding all 60
+    # planted rows (a stray filler row may argmax to the hub too)
+    assert {r["cid"] for r in audit} == {hot_cid}
+    assert audit[0]["n_vecs"] >= 60
+
+    # a non-binding cap is a no-op: bit-for-bit the uncapped output
+    uncapped = {r["id"]: r.asDict() for r in semdedup(
+        df, threshold=0.9, **kw
+    ).collect()}
+    loose = {r["id"]: r.asDict() for r in semdedup(
+        df, threshold=0.9, max_cluster=10_000, **kw
+    ).collect()}
+    assert loose == uncapped
+    assert not semdedup_oversize_clusters(
+        df, max_cluster=10_000, **kw
+    ).collect()
