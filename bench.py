@@ -81,8 +81,32 @@ CURATION_R7B = "__curation_r7b__"
 CURATION_R9 = "__curation_r9__"
 CURATION_R9B = "__curation_r9b__"
 CURATION_R12 = "__curation_r12__"
+CANARY = "__canary__"
 BASELINE_SF = 0.1  # scale factor the BASELINE.json timings were recorded at
 ADJ_ABS_FLOOR_SEC = 0.5  # sub-floor deltas are bench-noise resolution, not signal
+
+
+def _canary(spark, sf_dir):
+    """Throughput canary (VERDICT r12 ask #8): a FIXED synthetic
+    pure-Spark busy query — md5 over a 24M-row range, no I/O, no
+    shuffle beyond the final 1-row agg — timed every bench run so
+    ambient VM throughput decay (the uniform ~1.3-1.5x drift the
+    r11→r12 sub-second entries showed) is measured directly and
+    normalized out, instead of re-litigated per entry.  The work is
+    sf-independent by construction; its ratio vs BASELINE.json's
+    ``canary_sec`` rides the artifact as ``canary.vs_baseline``."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(0, 24_000_000, 1, 32)
+        .select(
+            F.md5(F.concat_ws("|", F.col("id"), F.lit("canary"))).alias("h")
+        )
+        .agg(
+            F.count(F.when(F.col("h").like("00%"), True)).alias("n00"),
+            F.max("h").alias("hmax"),
+        )
+    )
 
 
 def _flagship(spark, sf_dir):
@@ -383,6 +407,7 @@ def run_chunk(names: list[str], sf_dir: str) -> tuple[dict[str, float], dict[str
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     special = {
+        CANARY: _canary,
         FLAGSHIP: _flagship,
         CURATION10X: _curation10x,
         CURATION_FULL: _curation_full,
@@ -501,6 +526,24 @@ def main() -> None:
         }
         timings[q] = min(timings[q], isolated)
 
+    # the canary is a VM-throughput probe, not a catalog query: it
+    # runs ISOLATED in its own fresh JVM (an aged chunk JVM's GC
+    # pressure would contaminate the ambient measurement — observed
+    # 10x when it shared the macro chunk) with extra samples, and
+    # stays out of the total, the vs_baseline geomean, and the
+    # suspect list
+    canary_sec = None
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--chunk", CANARY],
+        capture_output=True,
+        text=True,
+        cwd=here,
+        env={**os.environ, "SPARK_GRAFT_BENCH_RUNS": "6"},
+    )
+    if proc.returncode == 0:
+        canary_sec = json.loads(proc.stdout.strip().splitlines()[-1])[
+            "queries"
+        ][CANARY]
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "catalog_total_runtime",
@@ -510,6 +553,12 @@ def main() -> None:
         "sf": sf,
         "cold_value": round(sum(cold.values()), 3),
     }
+    if canary_sec is not None:
+        cb = _baseline_data().get("canary_sec")
+        out["canary"] = {
+            "sec": canary_sec,
+            "vs_baseline": round(canary_sec / cb, 2) if cb else None,
+        }
     if adjudications:
         out["adjudications"] = adjudications
     if baseline:
@@ -558,12 +607,15 @@ def _per_query_baseline() -> dict[str, float]:
     """Per-query reference timings (BASELINE.json 'queries' key if
     present) so the 2× gate is machine-checkable per query, not just
     on the catalog total."""
+    q = _baseline_data().get("queries", {})
+    return {k: float(v) for k, v in q.items()}
+
+
+def _baseline_data() -> dict:
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.json")
     try:
         with open(path) as f:
-            data = json.load(f)
-        q = data.get("queries", {})
-        return {k: float(v) for k, v in q.items()}
+            return json.load(f)
     except (OSError, ValueError):
         return {}
 
