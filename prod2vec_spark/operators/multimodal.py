@@ -726,11 +726,34 @@ def decode_jpeg(blob: bytes) -> dict:
     }
 
 
+def decode_gif(blob: bytes) -> dict:
+    """Real stdlib-only GIF decode feature row (round-13) — the
+    palette-image twin of ``decode_png``, built on operators/gif.py's
+    LZW decoder.  Dimensions plus a digest + mean of the decoded RGB
+    plane; closes the VERDICT r12 gap where GIF blobs fell to
+    ``format='raw'`` byte stats and were invisible to media dedup.
+    WebP stays a documented out-of-scope boundary (operators/gif.py
+    module docstring): ``RIFF....WEBP`` remains in the raw class."""
+    from prod2vec_spark.operators.gif import gif_pixels
+
+    rgb, m = gif_pixels(blob)
+    return {
+        "format": "gif",
+        "width": m["width"],
+        "height": m["height"],
+        "bit_depth": m["bit_depth"],
+        "channels": m["channels"],
+        "pixel_digest": hashlib.md5(rgb).hexdigest(),
+        "mean_pixel_byte": (sum(rgb) / len(rgb)) if rgb else 0.0,
+    }
+
+
 def decode_media(media_type: str, blob: bytes) -> dict:
     """Sniff the container by magic bytes and run the REAL decoder
-    (PNG / JPEG / WAV / uncompressed AVI); unknown formats fall through
-    to the deterministic byte-stats path with ``format='raw'``.  A
-    corrupt PNG/JPEG/WAV/AVI is reported as ``format='corrupt'`` rather
+    (PNG / JPEG / GIF / WAV / uncompressed AVI); unknown formats fall
+    through to the deterministic byte-stats path with ``format='raw'``
+    (including WebP — the documented boundary).  A corrupt
+    PNG/JPEG/GIF/WAV/AVI is reported as ``format='corrupt'`` rather
     than mis-decoded."""
     fmt = "raw"
     if blob[:8] == PNG_SIG:
@@ -741,6 +764,11 @@ def decode_media(media_type: str, blob: bytes) -> dict:
     elif blob[:2] == b"\xff\xd8":
         try:
             return decode_jpeg(blob)
+        except Exception:
+            fmt = "corrupt"
+    elif blob[:6] in (b"GIF87a", b"GIF89a"):
+        try:
+            return decode_gif(blob)
         except Exception:
             fmt = "corrupt"
     elif blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":

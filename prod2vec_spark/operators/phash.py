@@ -121,12 +121,27 @@ def dhash_jpeg(blob: bytes) -> int | None:
     return dhash64(g)
 
 
+def dhash_gif(blob: bytes) -> int | None:
+    """dHash of a GIF blob via its decoded first frame (round-13), or
+    None when not decodable (the auditable-miss contract).  The gray
+    fold is the SAME channel-mean ``_gray`` the PNG path uses, so a
+    PNG↔GIF re-encode of the same grayscale image hashes
+    BIT-IDENTICALLY (gray palettes have r=g=b)."""
+    g = image_gray(blob)
+    if g is None or not (
+        isinstance(blob, (bytes, bytearray))
+        and bytes(blob)[:6] in (b"GIF87a", b"GIF89a")
+    ):
+        return None
+    return dhash64(g)
+
+
 def image_gray(blob) -> np.ndarray | None:
-    """(height, width) float64 luminance of a decodable PNG or
-    baseline-JPEG blob, None otherwise — the shared pixel door for
-    every whole-image and tiled hash (one sniff+decode path, so the
-    tile plane can never disagree with the whole-image plane about
-    what decodes)."""
+    """(height, width) float64 luminance of a decodable PNG, JPEG
+    (baseline or progressive) or GIF blob, None otherwise — the shared
+    pixel door for every whole-image and tiled hash (one sniff+decode
+    path, so the tile plane can never disagree with the whole-image
+    plane about what decodes)."""
     bb = bytes(blob) if isinstance(blob, (bytes, bytearray)) else b""
     if bb.startswith(PNG_SIG):
         try:
@@ -144,6 +159,14 @@ def image_gray(blob) -> np.ndarray | None:
         except Exception:
             return None
         return np.frombuffer(gray, dtype=np.uint8).astype(np.float64).reshape(h, w)
+    if bb[:6] in (b"GIF87a", b"GIF89a"):
+        from prod2vec_spark.operators.gif import gif_pixels
+
+        try:
+            rgb, m = gif_pixels(bb)
+        except Exception:
+            return None
+        return _gray(rgb, m["width"], m["height"], m["channels"])
     return None
 
 
@@ -1114,7 +1137,7 @@ def media_hashes(
     media: DataFrame, id_col: str = "media_id", blob_col: str = "blob"
 ) -> DataFrame:
     """(id, modality, mhash) for a MIXED-modality blob column: sniff
-    container magic → dHash (PNG / baseline JPEG) / energy-gradient
+    container magic → dHash (PNG / JPEG / GIF) / energy-gradient
     (WAV) / keyframe-mean dHash (AVI); (NULL, NULL) where the blob is
     undecodable — the auditable-miss contract.  One Arrow-batched
     pass; the blob never leaves the executor."""
@@ -1133,6 +1156,9 @@ def media_hashes(
                 elif bb[:2] == b"\xff\xd8":
                     mods.append("image")
                     hashes.append(dhash_jpeg(bb))
+                elif bb[:6] in (b"GIF87a", b"GIF89a"):
+                    mods.append("image")
+                    hashes.append(dhash_gif(bb))
                 elif bb[:4] == b"RIFF" and bb[8:12] == b"WAVE":
                     mods.append("audio")
                     hashes.append(ahash_wav(bb))

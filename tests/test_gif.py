@@ -1,0 +1,138 @@
+"""Round-13 (VERDICT r12 ask #5): GIF joins the image plane.
+operators/gif.py is a stdlib LZW codec; these tests lock the LZW
+roundtrip (incl. dictionary reset and the KwKwK case), interlace,
+palette compositing, the PNG↔GIF cross-codec pairing (gray palettes
+have r=g=b, so the shared ``_gray`` fold makes dHash BIT-IDENTICAL),
+corrupt handling, and the documented WebP boundary."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from prod2vec_spark.operators import phash as PH
+from prod2vec_spark.operators.gif import (
+    _lzw_decode,
+    _lzw_encode,
+    encode_gif_gray8,
+    gif_pixels,
+)
+from prod2vec_spark.operators.multimodal import decode_media, encode_png_gray8
+
+W, H = 40, 24
+
+
+def _noise(seed: int, h: int = H, w: int = W) -> np.ndarray:
+    return np.random.RandomState(seed).randint(0, 256, (h, w), dtype=np.uint8)
+
+
+def test_lzw_roundtrip_including_dictionary_reset():
+    rng = np.random.RandomState(1)
+    for n in (1, 7, 300, 20_000):  # 20k forces a 4096-table reset
+        data = bytes(rng.randint(0, 256, n, dtype=np.uint8))
+        assert bytes(_lzw_decode(8, _lzw_encode(8, data), n)) == data
+    # the KwKwK case: aaa... emits a code equal to next_code
+    runs = b"\x05" * 50
+    assert bytes(_lzw_decode(8, _lzw_encode(8, runs), 50)) == runs
+
+
+def test_gif_roundtrip_and_feature_row():
+    a = _noise(3)
+    blob = encode_gif_gray8(a.tobytes(), W, H)
+    rgb, m = gif_pixels(blob)
+    assert (m["width"], m["height"], m["channels"]) == (W, H, 3)
+    got = np.frombuffer(rgb, dtype=np.uint8).reshape(H, W, 3)
+    for c in range(3):  # gray palette: every channel IS the index
+        assert np.array_equal(got[:, :, c], a)
+    d = decode_media("image", blob)
+    assert d["format"] == "gif"
+    assert (d["width"], d["height"], d["channels"]) == (W, H, 3)
+
+
+def test_gif_interlaced_rows_deinterlaced():
+    """Hand-build an interlaced variant by permuting rows into GIF's
+    four-pass order and setting the interlace flag; decode must return
+    the original top-down image."""
+    a = _noise(4, h=16, w=8)
+    order = (
+        list(range(0, 16, 8))
+        + list(range(4, 16, 8))
+        + list(range(2, 16, 4))
+        + list(range(1, 16, 2))
+    )
+    interlaced_rows = np.vstack([a[y] for y in order])
+    blob = bytearray(encode_gif_gray8(interlaced_rows.tobytes(), 8, 16))
+    # image descriptor packed byte: offset = 6 (header) + 7 (LSD) +
+    # 768 (GCT) + 9 into the 0x2C block
+    idesc = 6 + 7 + 768
+    assert blob[idesc] == 0x2C
+    blob[idesc + 9] |= 0x40  # set interlace flag
+    rgb, m = gif_pixels(bytes(blob))
+    assert m["interlaced"] is True
+    got = np.frombuffer(rgb, dtype=np.uint8).reshape(16, 8, 3)[:, :, 0]
+    assert np.array_equal(got, a)
+
+
+def test_gif_dhash_bit_identical_to_png():
+    """The cross-codec property: the SAME gray pixels through PNG and
+    GIF produce the SAME dHash (and the same image_gray plane, so the
+    tile/span plane agrees too)."""
+    a = _noise(5)
+    png = encode_png_gray8(a.tobytes(), W, H)
+    gif = encode_gif_gray8(a.tobytes(), W, H)
+    assert PH.dhash_png(png) == PH.dhash_gif(gif)
+    assert PH.dhash_gif(gif) is not None
+    assert np.array_equal(PH.image_gray(png), PH.image_gray(gif))
+
+
+def test_gif_corrupt_and_webp_boundary():
+    a = _noise(6)
+    blob = encode_gif_gray8(a.tobytes(), W, H)
+    assert PH.dhash_gif(blob[:40]) is None  # truncated
+    assert decode_media("image", blob[:40])["format"] == "corrupt"
+    assert PH.dhash_gif(b"not a gif") is None
+    # WebP: the DOCUMENTED out-of-scope boundary — raw, never corrupt,
+    # never mis-decoded (operators/gif.py module docstring)
+    webp = b"RIFF\x24\x00\x00\x00WEBPVP8 " + bytes(24)
+    assert decode_media("image", webp)["format"] == "raw"
+    assert PH.image_gray(webp) is None
+
+
+def test_gif_cross_codec_pairing_in_media_plane(spark):
+    """A PNG and a GIF encode of the same image pair in media_neardup
+    (the PNG↔JPEG test's shape); unrelated images don't."""
+    a, b = _noise(7), _noise(8)
+    rows = [
+        (1, bytearray(encode_png_gray8(a.tobytes(), W, H))),
+        (2, bytearray(encode_gif_gray8(a.tobytes(), W, H))),
+        (3, bytearray(encode_gif_gray8(b.tobytes(), W, H))),
+        (4, bytearray(b"RIFF\x10\x00\x00\x00WEBPVP8 garbage!")),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, blob binary")
+    hashes = PH.media_hashes(media)
+    got = {r["media_id"]: r for r in hashes.collect()}
+    assert got[2]["modality"] == got[3]["modality"] == "image"
+    assert got[4]["modality"] is None and got[4]["mhash"] is None
+    pairs = PH.media_neardup_pairs(hashes, max_distance=3).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_gif_joins_the_tile_span_plane(spark):
+    """image_tile_hashes accepts GIF blobs through the shared decode
+    door: a GIF crop of a PNG original pairs in image_span_pairs —
+    the cross-codec partial-image case, GIF edition."""
+    from prod2vec_spark.operators.phash import image_span_pairs
+
+    base = _noise(9, h=48, w=48)
+    crop = base[16:, 16:]
+    rows = [
+        (1, bytearray(encode_png_gray8(base.tobytes(), 48, 48))),
+        (2, bytearray(encode_gif_gray8(np.ascontiguousarray(crop).tobytes(), 32, 32))),
+        (3, bytearray(encode_gif_gray8(_noise(10, 48, 48).tobytes(), 48, 48))),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, blob binary")
+    got = {
+        (r["id_a"], r["id_b"]): r["n_shared_tiles"]
+        for r in image_span_pairs(media, min_shared=4).collect()
+    }
+    assert set(got) == {(1, 2)}, got
