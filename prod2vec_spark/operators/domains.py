@@ -89,8 +89,47 @@ TRACKING_PARAM_RE = (
 )
 
 
+def _idn_ascii_py(host: "str | None") -> "str | None":
+    """Pure-Python IDNA ACE canonical form of one host: per dot-label,
+    nameprep + punycode via the stdlib ``idna`` codec — a Unicode host
+    and its ``xn--`` form (any case) collapse to one lowercase ASCII
+    string.  Labels the codec rejects (length/format edge cases) fall
+    back to their lowercased selves — conservative: never a silent
+    drop, never an exception on corpus data."""
+    if host is None:
+        return None
+    out = []
+    for label in host.split("."):
+        if not label:
+            out.append(label)
+            continue
+        try:
+            out.append(label.encode("idna").decode("ascii"))
+        except UnicodeError:
+            out.append(label.lower())
+    return ".".join(out)
+
+
+def idn_ascii_host(host: Column) -> Column:
+    """IDNA ACE host normalization as an Arrow-batched Pandas UDF —
+    a DECLARED codec boundary (the nfc_normalize class: Unicode
+    nameprep tables aren't expressible as Column functions), applied
+    only on the opt-in ``idn_hosts``/``idn`` paths so the default
+    canonical_url / PSL chains keep their zero-UDF whole-stage-codegen
+    plans and their DuckDB oracles."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _udf(s):  # type: ignore[no-untyped-def]
+        return s.map(_idn_ascii_py)
+
+    return _udf(host)
+
+
 def canonical_url(
-    url: Column, tracking_param_re: str = TRACKING_PARAM_RE
+    url: Column,
+    tracking_param_re: str = TRACKING_PARAM_RE,
+    idn_hosts: bool = False,
 ) -> Column:
     """RFC 3986-style URL normalization as ONE row-local Column chain
     (zero UDFs, whole-stage codegen) — the ingestion-edge prep that
@@ -123,6 +162,13 @@ def canonical_url(
         .when(scheme == "https", F.regexp_replace(auth, ":443$", ""))
         .otherwise(auth)
     )
+    if idn_hosts:
+        # round-13 opt-in: fold Unicode and xn-- forms of one host
+        # together (IDNA ACE canonical form).  The port survives; the
+        # host half routes through the declared Arrow boundary.
+        port_sfx = F.regexp_extract(auth, r"(:\d+)$", 1)
+        host_part = F.regexp_replace(auth, r":\d+$", "")
+        auth = F.concat(idn_ascii_host(host_part), port_sfx)
     pathq = F.regexp_replace(rest, r"^[^/?]*", "")
     path = F.regexp_extract(pathq, r"^([^?]*)", 1)
     query = F.regexp_replace(pathq, r"^[^?]*\??", "")
@@ -219,6 +265,7 @@ def psl_registered_domain(
     host_col: str = "host",
     out_col: str = "domain",
     max_labels: int = PSL_MAX_LABELS,
+    idn: bool = False,
 ) -> DataFrame:
     """Registered domain via a full public-suffix table with COMPLETE
     publicsuffix.org rule semantics: plain rules (longest matching
@@ -244,7 +291,19 @@ def psl_registered_domain(
     host matching no rule uses the last-two-labels fold (unlisted
     TLDs), and a host that IS a public suffix has no registrable
     domain → NULL (groups with unparseable URLs, which downstream
-    cap/blocklist stages already pass through)."""
+    cap/blocklist stages already pass through).
+
+    ``idn=True`` (round-13): hosts route through the IDNA ACE
+    normalizer (idn_ascii_host — a declared Arrow boundary) and the
+    RULES are ACE-normalized driver-side, so a Unicode host, its
+    ``xn--`` form, and a published Unicode PSL rule (the real list
+    carries both forms) all match — e.g. ``пример.рф`` folds under the
+    ``рф``/``xn--p1ai`` suffix rule.  Default keeps the pure-Column
+    zero-UDF plan."""
+    if idn:
+        staged = staged.withColumn(
+            host_col, idn_ascii_host(F.col(host_col))
+        )
     parts = F.split(F.col(host_col), r"\.")
     n = F.size(parts)
     # A duplicate rule (easy when wildcard expansions collide with
@@ -261,6 +320,19 @@ def psl_registered_domain(
         ).collect()
         if r["_s"]  # a NULL/empty rule can never match
     }
+    if idn:
+        # ACE-normalize the rule labels driver-side (a bounded table);
+        # '!'/'*.' markers pass through — they're never IDN labels
+        def _ace_rule(s: str) -> str:
+            if s.startswith("//"):
+                return s
+            if s.startswith("!"):
+                return "!" + _idn_ascii_py(s[1:])
+            if s.startswith("*."):
+                return "*." + _idn_ascii_py(s[2:])
+            return _idn_ascii_py(s)
+
+        raw = {_ace_rule(s) for s in raw}
     plain, wild_tails, excs = set(), set(), set()
     for s in sorted(raw):
         if s.startswith("//"):

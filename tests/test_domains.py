@@ -428,3 +428,63 @@ def test_domain_profile_shape(spark):
         assert r["n_hosts"] >= 1
         assert 0.0 <= r["dup_share"] <= 1.0
         assert r["n_tokens"] >= r["n_docs"]  # every text has >= 1 token
+
+
+def test_idn_hosts_collapse_unicode_and_punycode(spark):
+    """Round-13 (VERDICT r12 ask #6): with idn_hosts=True the Unicode
+    and xn-- forms of one host canonicalize to the SAME URL (IDNA ACE
+    form); ports and paths survive; ASCII hosts are unchanged; the
+    default path stays UDF-free and keeps both forms distinct (the
+    documented pre-r13 behavior)."""
+    from prod2vec_spark.operators.domains import canonical_url
+
+    cases = [
+        ("https://пример.рф/p?a=1", "https://xn--e1afmkfd.xn--p1ai/p?a=1"),
+        ("https://XN--E1AFMKFD.xn--p1ai/p?a=1",
+         "https://xn--e1afmkfd.xn--p1ai/p?a=1"),
+        ("https://bücher.example:8443/x", "https://xn--bcher-kva.example:8443/x"),
+        ("https://plain.example.com/x", "https://plain.example.com/x"),
+        ("not a url", None),
+    ]
+    docs = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, url string"
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in docs.select(
+            "i", canonical_url(F.col("url"), idn_hosts=True).alias("c")
+        ).collect()
+    }
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)
+    # the two IDN forms now collapse to one canonical key
+    assert got[0] == got[1]
+
+
+def test_psl_idn_rules_match_both_host_forms(spark):
+    """A real IDN public suffix (рф / xn--p1ai, from the published
+    PSL): with idn=True a Unicode-form rule matches BOTH the Unicode
+    and the punycode form of a host under it, and a Unicode wildcard
+    rule binds its label — the ACE normalization applies to rules and
+    hosts symmetrically."""
+    from prod2vec_spark.operators.domains import psl_registered_domain
+
+    psl = spark.createDataFrame(
+        [("рф",), ("com",), ("*.栃木.jp",)], "suffix string"
+    )
+    hosts = [
+        (1, "пример.рф"),
+        (2, "xn--e1afmkfd.xn--p1ai"),
+        (3, "www.пример.рф"),
+        (4, "shop.example.com"),
+        (5, "a.b.栃木.jp"),  # wildcard: *.栃木.jp -> ps = b.栃木.jp (ACE)
+    ]
+    staged = spark.createDataFrame(hosts, "doc_id long, host string")
+    got = {
+        r["doc_id"]: r["domain"]
+        for r in psl_registered_domain(staged, psl, idn=True).collect()
+    }
+    assert got[1] == got[2] == "xn--e1afmkfd.xn--p1ai"
+    assert got[3] == "xn--e1afmkfd.xn--p1ai"
+    assert got[4] == "example.com"
+    assert got[5] == "a.b.xn--4pvxs.jp"
