@@ -10,6 +10,12 @@ reference has no media surface — SURVEY.md §2.21):
   twin replays the chain operand-for-operand in Spark's association
   order so the IEEE arithmetic hashes identically (the r12
   kn_perplexity convention, one order deeper).
+* ``packed_unigram_ids`` — the packing plane under the UNIGRAM
+  tokenizer family (VERDICT r12 ask #9): the real Viterbi encoder
+  feeds token_vocab + pack_token_ids over a fixed disjoint-alphabet
+  piece table whose unique Viterbi optimum provably equals a replace
+  chain, so DuckDB replays the whole Viterbi-fed pipeline without a
+  SQL Viterbi (the BPE_FIXED_MERGES trick, unigram seam).
 
 Same split as the image/video planes (VERDICT r9 ask #2 protocol):
 the codec boundary (planted WAV render → stdlib PCM/ADPCM decode →
@@ -321,3 +327,124 @@ FROM sc GROUP BY doc_id
 
 R13_QUERIES["kn3_perplexity"] = q_kn3_perplexity
 R13_ORACLES["kn3_perplexity"] = _sql_kn3_perplexity()
+
+
+# --------------------------------- unigram-fed packed accounting
+# Fixed literal piece table (VERDICT r12 ask #9, the BPE_FIXED_MERGES
+# trick at the unigram seam): four 2-char pieces with PAIRWISE-DISJOINT
+# alphabets and no self-borders, each at logprob -1.0 while absent
+# chars score the floor (min-100).  Consequences, provable: (a) piece
+# occurrences in any word are pairwise non-overlapping, (b) taking
+# every occurrence strictly dominates any alternative segmentation, so
+# the Viterbi optimum is UNIQUE and equals the replace-chain
+# segmentation — which is what lets DuckDB replay a Viterbi-fed
+# pipeline without a SQL Viterbi.  The contract under test is the REAL
+# encoder (operators/unigram.unigram_tokens runs the actual DP);
+# train_unigram is pytest-certified separately.
+UNI_FIXED_PIECES: list[tuple[str, float]] = [
+    ("th", -1.0), ("er", -1.0), ("in", -1.0), ("qu", -1.0),
+]
+_UPK_BUDGET, _UPK_SHARDS = 64, 2
+
+
+def q_packed_unigram_ids(spark, sf_dir):
+    """The packing plane's final form under the UNIGRAM tokenizer
+    family, certified end-to-end (the packed_input_ids contract with
+    tokens_fn = the real Viterbi encoder over UNI_FIXED_PIECES): per
+    (lang, shard, bin) training example with sizes + md5 of the
+    concatenated ids + md5 of the doc lineage in pack order."""
+    from prod2vec_spark.operators.bpe import token_vocab
+    from prod2vec_spark.operators.chunking import pack_token_ids
+    from prod2vec_spark.operators.unigram import (
+        unigram_counter,
+        unigram_tokens,
+    )
+
+    tokens_fn = lambda c: unigram_tokens(c, UNI_FIXED_PIECES)  # noqa: E731
+    docs = read_table(spark, sf_dir, "documents")
+    vocab = token_vocab(docs, [], tokens_fn=tokens_fn)
+    out = pack_token_ids(
+        docs, [], vocab,
+        budget=_UPK_BUDGET, n_shards=_UPK_SHARDS,
+        tokens_fn=tokens_fn, count_fn=unigram_counter(UNI_FIXED_PIECES),
+    )
+    as_csv = lambda col: F.concat_ws(  # noqa: E731
+        ",", F.transform(col, lambda x: x.cast("string"))
+    )
+    return out.select(
+        F.col("part"),
+        F.col("shard").cast("long").alias("shard"),
+        F.col("bin").cast("long").alias("bin"),
+        "n_ids",
+        F.md5(as_csv(F.col("input_ids"))).alias("ids_md5"),
+        F.md5(as_csv(F.col("doc_ids"))).alias("docs_md5"),
+    )
+
+
+def _sql_packed_unigram_ids() -> str:
+    """DuckDB twin: the unique-Viterbi-optimum segmentation as a
+    sentinel replace chain (module comment above proves equality),
+    then the identical vocab ranking, md5 shard hash, md5 pack order,
+    and cumulative-sum bin rollup as the BPE packed_input_ids twin."""
+    from prod2vec_spark.queries_ext import _TOKS
+
+    def w(sym: str) -> str:
+        return f"chr(1)||'{sym}'||chr(2)"
+
+    s = (
+        "array_to_string(list_transform(str_split("
+        "replace(replace(word, chr(1), ''), chr(2), ''), ''), "
+        "c -> chr(1)||c||chr(2)), '') || " + w("▁")
+    )
+    for piece, _ in UNI_FIXED_PIECES:
+        a, b = piece[0], piece[1]
+        s = f"replace({s}, {w(a)}||{w(b)}, {w(piece)})"
+    toklist = (
+        f"list_filter(list_transform(str_split({s}, chr(1)), "
+        "p -> replace(p, chr(2), '')), p -> p <> '')"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+wd AS (SELECT doc_id, CAST(i AS BIGINT) AS wi,
+         toks[CAST(i AS INT)] AS word
+       FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+       WHERE len(toks) > 0),
+enc AS (SELECT doc_id, wi, {toklist} AS wtoks FROM wd),
+tok AS (SELECT doc_id, wi, CAST(j AS BIGINT) AS ti,
+          wtoks[CAST(j AS INT)] AS token
+        FROM enc, unnest(range(1, len(wtoks) + 1)) AS v(j)),
+vc AS (SELECT token, count(*) AS n FROM tok GROUP BY 1),
+vid AS (SELECT token,
+          CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT)
+            AS token_id
+        FROM vc),
+m AS (SELECT tok.doc_id, tok.wi, tok.ti, vid.token_id AS tid
+      FROM tok JOIN vid USING (token)),
+perdoc AS (SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_ids,
+         string_agg(CAST(tid AS VARCHAR), ',' ORDER BY wi, ti) AS ids_csv
+       FROM m GROUP BY doc_id),
+pk AS (SELECT d.doc_id, d.lang AS part,
+         ('0x' || substr(md5('shard|' || d.doc_id), 1, 8))::BIGINT
+           % {_UPK_SHARDS} AS shard,
+         md5('pack|' || d.doc_id) AS ord_key,
+         p.n_ids, p.ids_csv
+       FROM documents d JOIN perdoc p USING (doc_id)),
+bins AS (SELECT *,
+           CAST(floor((sum(n_ids) OVER (
+                   PARTITION BY part, shard
+                   ORDER BY ord_key, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n_ids) / {_UPK_BUDGET}.0) AS BIGINT) AS bin
+         FROM pk)
+SELECT part, shard, bin,
+       CAST(sum(n_ids) AS BIGINT) AS n_ids,
+       md5(string_agg(ids_csv, ',' ORDER BY ord_key, doc_id)) AS ids_md5,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY ord_key, doc_id))
+         AS docs_md5
+FROM bins GROUP BY 1, 2, 3
+"""
+
+
+R13_QUERIES["packed_unigram_ids"] = q_packed_unigram_ids
+R13_ORACLES["packed_unigram_ids"] = _sql_packed_unigram_ids()
