@@ -130,14 +130,24 @@ def _image_fixture_path() -> str:
     )
 
 
+_SPAN_MAX_GROUP = 256  # the hot-bucket valve, ON in the driver entry:
+# letterbox bar-straddling tiles zero out half their gradient bands, so
+# (band, slice=0) buckets grow with the CORPUS (measured 4,165 tiles at
+# sf0.1 → ~35M candidate pairs → 19 s) while family buckets stay
+# family-sized.  Capping loses no aligned-duplicate pair (the pigeonhole
+# argument on image_span_pairs) and is replayed EXACTLY by the oracle.
+
+
 def q_image_span_audit(spark, sf_dir):
     """Partial-image duplicate pairs over the PERSISTED per-tile hash
     table: composite tile ids (doc·10⁶ + tile_idx) → the banded-
     Hamming plane (phash_neardup: 4×16-bit slices, pigeonhole recall 1
-    at distance ≤3) → same-image pairs dropped → matched-tile count
-    per image pair ≥ MIN_SHARED.  ``same_family`` (doc_id//2 equality)
-    keeps the entry self-auditing: pytest asserts it is 1 on every
-    pair and that every planted family is recovered."""
+    at distance ≤3, hot buckets capped at _SPAN_MAX_GROUP — the
+    operator's own 100 TB valve, exercised by the driver entry) →
+    same-image pairs dropped → matched-tile count per image pair ≥
+    MIN_SHARED.  ``same_family`` (doc_id//2 equality) keeps the entry
+    self-auditing: pytest asserts it is 1 on every pair and that every
+    planted family is recovered."""
     from prod2vec_spark.operators import phash as PH
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
@@ -151,7 +161,10 @@ def q_image_span_audit(spark, sf_dir):
             "thash",
         )
     )
-    pairs = PH.phash_neardup(tiles, id_col="tid", hash_col="thash", max_distance=3)
+    pairs = PH.phash_neardup(
+        tiles, id_col="tid", hash_col="thash", max_distance=3,
+        max_group=_SPAN_MAX_GROUP,
+    )
     img_a = F.expr(f"id_a div {_TILE_ID_BASE}").cast("long")
     img_b = F.expr(f"id_b div {_TILE_ID_BASE}").cast("long")
     return (
@@ -178,7 +191,8 @@ def q_image_span_audit(spark, sf_dir):
 def _sql_image_span_audit() -> str:
     """DuckDB twin: identical composite-id banding (4 disjoint 16-bit
     slices by shift+mask — arithmetic vs logical shift neutralised by
-    the mask), slice-equality candidate join with DISTINCT tile pairs,
+    the mask), the SAME _SPAN_MAX_GROUP hot-bucket cap on the banded
+    groups, slice-equality candidate join with DISTINCT tile pairs,
     XOR bit_count verify, image-pair rollup with the same MIN_SHARED
     cut."""
     path = _image_fixture_path()
@@ -192,10 +206,15 @@ sig AS (
   SELECT tid, thash, band, (thash >> (band * 16)) & 65535 AS slice
   FROM t CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b
 ),
+ok AS (
+  SELECT band, slice FROM sig GROUP BY 1, 2
+  HAVING count(*) <= {_SPAN_MAX_GROUP}
+),
 cand AS (
   SELECT DISTINCT a.tid AS ta, a.thash AS ha, b.tid AS tb, b.thash AS hb
   FROM sig a JOIN sig b
     ON a.band = b.band AND a.slice = b.slice AND a.tid < b.tid
+  JOIN ok ON ok.band = a.band AND ok.slice = a.slice
 ),
 tile_pairs AS (
   SELECT ta // {_TILE_ID_BASE} AS ia, tb // {_TILE_ID_BASE} AS ib
