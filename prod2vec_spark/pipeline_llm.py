@@ -206,10 +206,18 @@ class CorpusConfig:
     # image is a stride-aligned crop/letterbox of another doc's —
     # whole-image hashes diverge on those): image_span_pairs' matched-
     # tile pairs union into the same connected-components pass.
+    # round-13: the same switch now ALSO unions partial-AUDIO spans
+    # (audio_span_pairs — a doc whose clip embeds another doc's
+    # jingle at a hop-aligned offset collapses even across PCM↔ADPCM)
+    # — one switch per the span-triad principle: partial-media dedup
+    # is one policy, not three.
     media_span_dedup: bool = False
     media_tile_px: int = 16
     media_tile_stride: int = 8
     media_span_min_shared: int = 4
+    media_window_ms: int = 1000
+    media_hop_ms: int = 500
+    media_audio_min_shared: int = 2
     # round-9: URL curation stage (the C4/RefinedWeb ingestion
     # filters) — active only when the corpus carries ``url_col``.
     # domain_blocklist drops whole registered domains (broadcast
@@ -761,7 +769,20 @@ class CorpusCurationPipeline:
                 id_col="doc_id",
                 blob_col="blob",
             ).select("id_a", "id_b")
-            pairs = pairs.unionByName(span).distinct()
+            # round-13: partial-AUDIO spans ride the same switch — a
+            # doc whose clip embeds another doc's jingle (hop-aligned,
+            # incl. across PCM↔ADPCM) joins the same component pass
+            aspan = PH.audio_span_pairs(
+                media,
+                window_ms=self.cfg.media_window_ms,
+                hop_ms=self.cfg.media_hop_ms,
+                max_distance=self.cfg.media_max_distance,
+                min_shared=self.cfg.media_audio_min_shared,
+                max_group=self.cfg.lsh_max_group,
+                id_col="doc_id",
+                blob_col="blob",
+            ).select("id_a", "id_b")
+            pairs = pairs.unionByName(span).unionByName(aspan).distinct()
         clusters = dedup_clusters(
             pairs.select(
                 F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")

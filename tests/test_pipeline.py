@@ -1675,3 +1675,72 @@ def test_unigram_stats_never_fall_through_to_bpe(spark, tmp_path):
         .alias("n")
     ).first()["n"]
     assert n == by_stage["final_model_tokens"]
+
+
+def test_corpus_pipeline_audio_span_dedup_stage(spark, tmp_path):
+    """Round-13: the media_span_dedup switch now also collapses
+    partial-AUDIO duplicates — doc 1's ADPCM clip embeds doc 0's PCM
+    jingle at a hop-aligned offset (whole-clip energy hashes diverge,
+    and the codec differs, so the plain media stage keeps both); with
+    the switch the matched-window pairs join the component pass and
+    only the min-id doc survives; the unrelated-clip doc is
+    untouched."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from prod2vec_spark.operators.multimodal import (
+        encode_wav_adpcm,
+        encode_wav_pcm16,
+    )
+    from prod2vec_spark.pipeline_llm import CorpusConfig, CorpusCurationPipeline
+    from prod2vec_spark.sources.io import read_table
+    from tests.conftest import SF_SMOKE
+
+    RATE = 8000
+
+    def sig(seed, n):
+        rng = np.random.RandomState(seed)
+        steps = n // 100 + 1
+        lv = np.exp(rng.uniform(np.log(300), np.log(9000), steps))
+        env = np.repeat(lv, 100)[:n]
+        car = np.sign(
+            np.sin(2 * np.pi * 440 * np.arange(n) / RATE + rng.uniform(0, 6))
+        )
+        return (env * car).astype(int).clip(-30000, 30000).tolist()
+
+    jingle = sig(1, 2 * RATE)
+    host = sig(2, RATE) + jingle + sig(3, RATE)  # 1000 ms = 2 hops
+    media_rows = [
+        (0, bytearray(encode_wav_pcm16(jingle, RATE))),
+        (1, bytearray(encode_wav_adpcm(host, RATE))),  # cross-codec embed
+        (2, bytearray(encode_wav_pcm16(sig(9, 3 * RATE), RATE))),
+    ]
+    sf_dir = str(tmp_path / "sf")
+    read_table(spark, SF_SMOKE, "documents").write.parquet(
+        f"{sf_dir}/documents.parquet"
+    )
+    media_path = str(tmp_path / "media")
+    spark.createDataFrame(media_rows, "doc_id long, blob binary").write.parquet(
+        media_path
+    )
+
+    def kept(span: bool) -> set:
+        cfg = CorpusConfig(
+            sf_dir=sf_dir,
+            work_dir=str(tmp_path / ("w_span" if span else "w_plain")),
+            media_path=media_path,
+            media_span_dedup=span,
+            media_window_ms=500,
+            media_hop_ms=250,
+        )
+        CorpusCurationPipeline(spark, cfg).run()
+        return {
+            r["doc_id"]
+            for r in spark.read.parquet(f"{cfg.work_dir}/media_deduped")
+            .select("doc_id")
+            .where(F.col("doc_id") < 3)
+            .collect()
+        }
+
+    assert kept(span=False) == {0, 1, 2}  # whole-clip hashes diverge
+    assert kept(span=True) == {0, 2}      # the embed collapses to min id
