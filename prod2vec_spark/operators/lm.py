@@ -1073,6 +1073,95 @@ def _kn3_prob(discount: float):
     return F.when(F.col("den12").isNotNull(), p3_seen).otherwise(p2)
 
 
+def _mkn_discount(c: Column, d: "tuple[float, float, float]") -> Column:
+    """D(c): count-dependent absolute discount — D1 for singletons,
+    D2 for doubletons, D3+ above; 0 below 1 (an absent n-gram has no
+    mass to discount)."""
+    return (
+        F.when(c >= 3, F.lit(d[2]))
+        .when(c == 2, F.lit(d[1]))
+        .when(c == 1, F.lit(d[0]))
+        .otherwise(F.lit(0.0))
+    )
+
+
+def _kn3m_prob(
+    d3: "tuple[float, float, float]", d2: "tuple[float, float, float]"
+):
+    """The MODIFIED-KN three-leg probability Column (Chen & Goodman
+    1999 §3): count-dependent discounts per level, with λ(context)
+    reassigning exactly the removed mass through the per-context
+    count-of-count splits:
+
+        λ(ctx) = (D1·N1(ctx) + D2·N2(ctx) + D3+·N3+(ctx)) / den(ctx)
+
+    Same association-order discipline as _kn3_prob; with
+    D1=D2=D3+=D the expressions agree value-for-value with the
+    single-D form (the reduction pytest)."""
+    c3 = F.coalesce(F.col("c3"), F.lit(0))
+    c2p = F.coalesce(F.col("c2p"), F.lit(0))
+    p1 = (F.coalesce(F.col("n1p_r3"), F.lit(0)) + F.lit(1)) / (
+        F.col("n_types2p") + F.col("v_vocab") + F.lit(1)
+    )
+    lam2 = (
+        F.lit(d2[0]) * F.col("n1_mid")
+        + F.lit(d2[1]) * F.col("n2_mid")
+        + F.lit(d2[2]) * F.col("n3p_mid")
+    ) / F.col("den2p")
+    p2_seen = (
+        F.greatest(
+            c2p.cast("double") - _mkn_discount(c2p, d2), F.lit(0.0)
+        )
+        / F.col("den2p")
+        + lam2 * p1
+    )
+    p2 = F.when(F.col("den2p").isNotNull(), p2_seen).otherwise(p1)
+    lam12 = (
+        F.lit(d3[0]) * F.col("n1_ctx")
+        + F.lit(d3[1]) * F.col("n2_ctx")
+        + F.lit(d3[2]) * F.col("n3p_ctx")
+    ) / F.col("den12")
+    p3_seen = (
+        F.greatest(
+            c3.cast("double") - _mkn_discount(c3, d3), F.lit(0.0)
+        )
+        / F.col("den12")
+        + lam12 * p2
+    )
+    return F.when(F.col("den12").isNotNull(), p3_seen).otherwise(p2)
+
+
+def estimate_mkn_discounts(
+    counts: DataFrame, count_col: str
+) -> "tuple[float, float, float]":
+    """Chen & Goodman 1999 eq. 26: the three modified-KN discounts
+    from one table's counts-of-counts —
+
+        Y   = n1 / (n1 + 2·n2)
+        D1  = 1 − 2·Y·n2/n1,  D2 = 2 − 3·Y·n3/n2,  D3+ = 3 − 4·Y·n4/n3
+
+    Falls back to (D, D, D) with the standard DEFAULT_DISCOUNT when
+    any needed n_k is zero (tiny corpora where the estimator is
+    undefined — the estimate_discount convention).  One bounded 1-row
+    driver aggregate."""
+    row = counts.agg(
+        *[
+            F.sum((F.col(count_col) == k).cast("long")).alias(f"n{k}")
+            for k in (1, 2, 3, 4)
+        ]
+    ).first()
+    n1, n2, n3, n4 = (row[f"n{k}"] or 0 for k in (1, 2, 3, 4))
+    if 0 in (n1, n2, n3):
+        return (DEFAULT_DISCOUNT,) * 3
+    y = n1 / (n1 + 2.0 * n2)
+    d1 = 1.0 - 2.0 * y * n2 / n1
+    d2 = 2.0 - 3.0 * y * n3 / n2
+    d3p = 3.0 - 4.0 * y * n4 / n3
+    if min(d1, d2, d3p) < 0:
+        return (DEFAULT_DISCOUNT,) * 3  # degenerate count shape
+    return (d1, d2, d3p)
+
+
 class KN3Model:
     """A fitted interpolated-KN TRIGRAM model (VERDICT r12 ask #3 —
     the order-3 extension of KNModel): six small-to-corpus-sized
@@ -1137,12 +1226,24 @@ def fit_kn3(
         F.col("_t.w2").alias("w2"),
         F.col("_t.w3").alias("w3"),
     ).agg(F.count(F.lit(1)).alias("c3"))
+    # per-context count-of-count splits (nk_ctx = continuation types
+    # seen exactly k / ≥3 times) ride the SAME hash-agg — they cost
+    # three more partial aggregates, no extra shuffle, and are what
+    # the MODIFIED-KN lambda needs (single-D scoring ignores them)
     ctx = c3.groupBy("w1", "w2").agg(
-        F.sum("c3").alias("den12"), F.count(F.lit(1)).alias("n1p_ctx")
+        F.sum("c3").alias("den12"),
+        F.count(F.lit(1)).alias("n1p_ctx"),
+        F.sum((F.col("c3") == 1).cast("long")).alias("n1_ctx"),
+        F.sum((F.col("c3") == 2).cast("long")).alias("n2_ctx"),
+        F.sum((F.col("c3") >= 3).cast("long")).alias("n3p_ctx"),
     )
     c2p = c3.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("c2p"))
     mid = c2p.groupBy("w2").agg(
-        F.sum("c2p").alias("den2p"), F.count(F.lit(1)).alias("n1p_mid")
+        F.sum("c2p").alias("den2p"),
+        F.count(F.lit(1)).alias("n1p_mid"),
+        F.sum((F.col("c2p") == 1).cast("long")).alias("n1_mid"),
+        F.sum((F.col("c2p") == 2).cast("long")).alias("n2_mid"),
+        F.sum((F.col("c2p") >= 3).cast("long")).alias("n3p_mid"),
     )
     r3 = c2p.groupBy("w3").agg(F.count(F.lit(1)).alias("n1p_r3"))
     toks = staged.select(F.explode("_toks").alias("w"))
@@ -1164,6 +1265,8 @@ def score_docs_kn3(
     id_col: str = "doc_id",
     text_col: str = "text",
     broadcast_unigrams: bool = True,
+    discounts3: "tuple[float, float, float] | None" = None,
+    discounts2: "tuple[float, float, float] | None" = None,
 ) -> DataFrame:
     """Per-document trigram-KN score against a FITTED model: (doc_id
     [, is_train], n_triples, n_bo1 — triples absent from c3 —, n_bo2 —
@@ -1173,8 +1276,33 @@ def score_docs_kn3(
     and context probes are honest shuffle joins on narrow keys
     (corpus-sized tables), mid/r3 broadcast vocab-sized probes
     (``broadcast_unigrams=False`` for web-scale vocabularies), totals
-    a 1-row broadcast."""
-    if not 0.0 < discount < 1.0:
+    a 1-row broadcast.
+
+    MODIFIED Kneser-Ney (round-13, Chen & Goodman 1999 §3): pass
+    ``discounts3`` = (D1, D2, D3+) for the trigram level and
+    ``discounts2`` for the continuation-bigram level — the discount
+    then depends on the n-gram's own count (D1 for singletons, D2 for
+    doubletons, D3+ above), and λ(context) reassigns exactly the mass
+    removed: (D1·N1 + D2·N2 + D3+·N3+)/den over the per-context
+    count-of-count splits fit_kn3 stores.  With D1=D2=D3+=D the
+    formula reduces to the single-``discount`` form (equal rounded
+    outputs, pytest-locked; the λ sums associate differently at the
+    ulp level).  Derive the six numbers with
+    ``estimate_mkn_discounts`` (counts-of-counts) or pin literals."""
+    if (discounts3 is None) != (discounts2 is None):
+        raise ValueError(
+            "modified KN needs BOTH discounts3 and discounts2 (or neither)"
+        )
+    if discounts3 is not None:
+        for dk in (*discounts3, *discounts2):
+            if not 0.0 <= dk:
+                raise ValueError(f"modified discounts must be >= 0, got {dk}")
+        if "n1_ctx" not in model.ctx.columns:
+            raise ValueError(
+                "modified KN needs a model fit with count-of-count splits "
+                "(re-fit with this version's fit_kn3)"
+            )
+    elif not 0.0 < discount < 1.0:
         raise ValueError(f"discount must be in (0, 1), got {discount}")
     has_tag = "is_train" in docs.columns
     staged = docs.withColumn("_toks", tokens(F.col(text_col)))
@@ -1196,14 +1324,26 @@ def score_docs_kn3(
         F.col("w1").alias("t1"), F.col("w2").alias("t2"),
         F.col("w3").alias("t3"), "c3",
     )
+    ctx_extra = (
+        ["n1_ctx", "n2_ctx", "n3p_ctx"]
+        if "n1_ctx" in model.ctx.columns
+        else []
+    )
+    mid_extra = (
+        ["n1_mid", "n2_mid", "n3p_mid"]
+        if "n1_mid" in model.mid.columns
+        else []
+    )
     ctxk = model.ctx.select(
         F.col("w1").alias("x1"), F.col("w2").alias("x2"),
-        "den12", "n1p_ctx",
+        "den12", "n1p_ctx", *ctx_extra,
     )
     c2pk = model.c2p.select(
         F.col("w2").alias("b2"), F.col("w3").alias("b3"), "c2p"
     )
-    midk = model.mid.select(F.col("w2").alias("u2"), "den2p", "n1p_mid")
+    midk = model.mid.select(
+        F.col("w2").alias("u2"), "den2p", "n1p_mid", *mid_extra
+    )
     r3k = model.r3.select(F.col("w3").alias("u3"), "n1p_r3")
     if broadcast_unigrams:
         midk, r3k = F.broadcast(midk), F.broadcast(r3k)
@@ -1231,7 +1371,11 @@ def score_docs_kn3(
         .select(
             id_col,
             *carry,
-            _kn3_prob(discount).alias("prob"),
+            (
+                _kn3m_prob(discounts3, discounts2)
+                if discounts3 is not None
+                else _kn3_prob(discount)
+            ).alias("prob"),
             F.when(F.col("c3").isNull(), F.lit(1)).otherwise(F.lit(0)).alias(
                 "bo1"
             ),

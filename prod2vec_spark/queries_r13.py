@@ -448,3 +448,131 @@ FROM bins GROUP BY 1, 2, 3
 
 R13_QUERIES["packed_unigram_ids"] = q_packed_unigram_ids
 R13_ORACLES["packed_unigram_ids"] = _sql_packed_unigram_ids()
+
+
+# ------------------------------------ MODIFIED Kneser-Ney (trigram)
+# Pinned literal discounts (the scorer is the contract under test —
+# estimate_mkn_discounts is pytest-certified separately, and literal
+# discounts are what let the twin replay without re-deriving
+# counts-of-counts in SQL).
+KN3M_D3 = (0.5, 1.1, 1.6)
+KN3M_D2 = (0.4, 0.9, 1.3)
+
+
+def q_kn3m_perplexity(spark, sf_dir):
+    """Per-document trigram perplexity under MODIFIED Kneser-Ney
+    (Chen & Goodman 1999 §3: count-dependent discounts D1/D2/D3+ per
+    level, λ reassigning exactly the removed mass through per-context
+    count-of-count splits) — fit on the md5-uniform train split, score
+    every doc (operators/lm.fit_kn3 + score_docs_kn3(discounts3=…))."""
+    from prod2vec_spark.operators.lm import (
+        fit_kn3,
+        score_docs_kn3,
+        with_train_split,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    tagged = with_train_split(docs, KN_TRAIN_FRAC, seed="lm")
+    model = fit_kn3(tagged.where(F.col("is_train")))
+    return score_docs_kn3(
+        tagged, model, discounts3=KN3M_D3, discounts2=KN3M_D2
+    )
+
+
+def _sql_kn3m_perplexity() -> str:
+    """DuckDB twin of the modified three-leg chain: per-level CASE
+    discounts on the n-gram's own count + count-of-count-weighted λ,
+    every operand DOUBLE in Spark's association order (left-assoc λ
+    sums) — the _sql_kn3_perplexity conventions with the modified
+    formula."""
+    from prod2vec_spark.queries_ext import _TOKS
+
+    def D(col: str, d: tuple) -> str:
+        return (
+            f"CASE WHEN {col} >= 3 THEN CAST({d[2]} AS DOUBLE) "
+            f"WHEN {col} = 2 THEN CAST({d[1]} AS DOUBLE) "
+            f"WHEN {col} = 1 THEN CAST({d[0]} AS DOUBLE) "
+            f"ELSE CAST(0 AS DOUBLE) END"
+        )
+
+    d3, d2 = KN3M_D3, KN3M_D2
+    p1 = (
+        "((CAST(COALESCE(r3.n1p_r3, 0) AS DOUBLE) + 1)"
+        " / CAST(tot.n_types2p + tot.v_vocab + 1 AS DOUBLE))"
+    )
+    lam2 = (
+        f"((CAST({d2[0]} AS DOUBLE) * CAST(mid.n1_mid AS DOUBLE)"
+        f" + CAST({d2[1]} AS DOUBLE) * CAST(mid.n2_mid AS DOUBLE)"
+        f" + CAST({d2[2]} AS DOUBLE) * CAST(mid.n3p_mid AS DOUBLE))"
+        f" / CAST(mid.den2p AS DOUBLE))"
+    )
+    c2v = "COALESCE(c2p.c2p, 0)"
+    p2 = f"""CASE WHEN mid.den2p IS NOT NULL THEN
+      GREATEST(CAST({c2v} AS DOUBLE) - {D(c2v, d2)}, CAST(0 AS DOUBLE))
+        / CAST(mid.den2p AS DOUBLE)
+      + {lam2} * {p1}
+    ELSE {p1} END"""
+    lam12 = (
+        f"((CAST({d3[0]} AS DOUBLE) * CAST(ctx.n1_ctx AS DOUBLE)"
+        f" + CAST({d3[1]} AS DOUBLE) * CAST(ctx.n2_ctx AS DOUBLE)"
+        f" + CAST({d3[2]} AS DOUBLE) * CAST(ctx.n3p_ctx AS DOUBLE))"
+        f" / CAST(ctx.den12 AS DOUBLE))"
+    )
+    c3v = "COALESCE(c3.c3, 0)"
+    return f"""
+WITH sp AS (SELECT doc_id, text,
+    (('0x' || substr(md5('lm|' || doc_id), 1, 8))::BIGINT / 4294967296.0)
+      < {KN_TRAIN_FRAC} AS is_train
+  FROM documents),
+t AS (SELECT doc_id, is_train, {_TOKS} AS toks FROM sp),
+tr AS (SELECT doc_id, is_train,
+        toks[CAST(i AS INT)] AS w1, toks[CAST(i AS INT) + 1] AS w2,
+        toks[CAST(i AS INT) + 2] AS w3
+      FROM t, unnest(range(1, len(toks) - 1)) AS u(i)),
+c3 AS (SELECT w1, w2, w3, count(*) AS c3
+       FROM tr WHERE is_train GROUP BY 1, 2, 3),
+ctx AS (SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS den12,
+               count(*) AS n1p_ctx,
+               CAST(sum(CASE WHEN c3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1_ctx,
+               CAST(sum(CASE WHEN c3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2_ctx,
+               CAST(sum(CASE WHEN c3 >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3p_ctx
+        FROM c3 GROUP BY 1, 2),
+c2p AS (SELECT w2, w3, count(*) AS c2p FROM c3 GROUP BY 1, 2),
+mid AS (SELECT w2, CAST(sum(c2p) AS BIGINT) AS den2p,
+               count(*) AS n1p_mid,
+               CAST(sum(CASE WHEN c2p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1_mid,
+               CAST(sum(CASE WHEN c2p = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2_mid,
+               CAST(sum(CASE WHEN c2p >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3p_mid
+        FROM c2p GROUP BY 1),
+r3 AS (SELECT w3, count(*) AS n1p_r3 FROM c2p GROUP BY 1),
+tot AS (SELECT (SELECT count(*) FROM c2p) AS n_types2p,
+               (SELECT count(DISTINCT w)
+                FROM (SELECT unnest(toks) AS w FROM t WHERE is_train))
+                 AS v_vocab),
+sc AS (SELECT tr.doc_id, tr.is_train,
+    CASE WHEN ctx.den12 IS NOT NULL THEN
+      GREATEST(CAST({c3v} AS DOUBLE) - {D(c3v, d3)}, CAST(0 AS DOUBLE))
+        / CAST(ctx.den12 AS DOUBLE)
+      + {lam12} * ({p2})
+    ELSE ({p2}) END AS prob,
+    CASE WHEN c3.c3 IS NULL THEN 1 ELSE 0 END AS bo1,
+    CASE WHEN c3.c3 IS NULL AND c2p.c2p IS NULL THEN 1 ELSE 0 END AS bo2
+  FROM tr
+  LEFT JOIN c3 ON tr.w1 = c3.w1 AND tr.w2 = c3.w2 AND tr.w3 = c3.w3
+  LEFT JOIN ctx ON tr.w1 = ctx.w1 AND tr.w2 = ctx.w2
+  LEFT JOIN c2p ON tr.w2 = c2p.w2 AND tr.w3 = c2p.w3
+  LEFT JOIN mid ON tr.w2 = mid.w2
+  LEFT JOIN r3 ON tr.w3 = r3.w3
+  CROSS JOIN tot)
+SELECT doc_id, max(CAST(is_train AS BIGINT)) AS is_train,
+       count(*) AS n_triples,
+       CAST(sum(bo1) AS BIGINT) AS n_bo1,
+       CAST(sum(bo2) AS BIGINT) AS n_bo2,
+       round(avg(-ln(prob)), 4) AS avg_nll,
+       round(exp(avg(-ln(prob))), 4) AS ppl
+FROM sc GROUP BY doc_id
+"""
+
+
+R13_QUERIES["kn3m_perplexity"] = q_kn3m_perplexity
+R13_ORACLES["kn3m_perplexity"] = _sql_kn3m_perplexity()

@@ -337,3 +337,106 @@ def test_kn3_validation_errors(spark):
     short = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError, match="no trigrams"):
         fit_kn3(short)
+
+
+# ------------------------------------- round-13: MODIFIED Kneser-Ney
+def test_mkn_hand_computed_probabilities(spark):
+    """Chen & Goodman 1999 §3 with pinned discounts d3=(0.5,1.1,1.6),
+    d2=(0.4,0.9,1.3) on a corpus with mixed counts (c3: 4,3,3,1,1):
+    held-out (a,b,c) → num=(4−D3+)/5=0.48, λ12=(0.5·1+1.6·1)/5=0.42,
+    P2(b,c)=(1−0.4)/2+0.4·P1(c)=0.38 with P1(c)=2/10 → P3=0.6396;
+    held-out (b,c,d) → (1−0.5)/4 + (2.1/4)·(0.3+0.4·0.3) = 0.3455."""
+    import math
+
+    from prod2vec_spark.operators.lm import fit_kn3, score_docs_kn3
+
+    train = spark.createDataFrame(
+        [(1, "a b c a b c a b c"), (2, "a b d"), (3, "b c a b c d")],
+        "doc_id long, text string",
+    )
+    model = fit_kn3(train)
+    test = spark.createDataFrame(
+        [(7, "a b c"), (8, "b c d")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in score_docs_kn3(
+            test, model,
+            discounts3=(0.5, 1.1, 1.6), discounts2=(0.4, 0.9, 1.3),
+        ).collect()
+    }
+    assert out[7]["avg_nll"] == round(-math.log(0.6396), 4)
+    assert out[8]["avg_nll"] == round(-math.log(0.3455), 4)
+    assert out[8]["n_bo1"] == 0  # (b,c,d) IS in the trigram table
+
+
+def test_mkn_uniform_discounts_reduce_to_single_d(spark):
+    """With D1=D2=D3+=D the modified formula reduces to the single-D
+    form — equal rounded outputs on a real corpus slice."""
+    from prod2vec_spark.operators.lm import fit_kn3, score_docs_kn3
+    from prod2vec_spark.sources.io import read_table
+    from tests.conftest import SF_SMOKE
+
+    docs = read_table(spark, SF_SMOKE, "documents").limit(150)
+    model = fit_kn3(docs)
+    single = {
+        r["doc_id"]: r.asDict()
+        for r in score_docs_kn3(docs, model, discount=0.75).collect()
+    }
+    uniform = {
+        r["doc_id"]: r.asDict()
+        for r in score_docs_kn3(
+            docs, model, discounts3=(0.75,) * 3, discounts2=(0.75,) * 3
+        ).collect()
+    }
+    assert uniform == single
+
+
+def test_mkn_discounts_estimated_from_counts_of_counts(spark):
+    """Chen & Goodman eq. 26 as checked numbers: counts
+    [1,1,1,1,2,2,2,3,3,4,4] → n1..n4 = 4,3,2,2 → Y=0.4, D1=0.4,
+    D2=1.2, D3+=1.4; a table missing any n_k falls back to the
+    uniform default triple."""
+    from prod2vec_spark.operators.lm import estimate_mkn_discounts
+
+    cts = spark.createDataFrame(
+        [(i, c) for i, c in enumerate([1, 1, 1, 1, 2, 2, 2, 3, 3, 4, 4])],
+        "k long, c long",
+    )
+    d1, d2, d3p = estimate_mkn_discounts(cts, "c")
+    assert (round(d1, 10), round(d2, 10), round(d3p, 10)) == (0.4, 1.2, 1.4)
+    no_n2 = spark.createDataFrame([(1, 1), (2, 3)], "k long, c long")
+    assert estimate_mkn_discounts(no_n2, "c") == (0.75, 0.75, 0.75)
+
+
+def test_mkn_validation_errors(spark):
+    from prod2vec_spark.operators.lm import (
+        KN3Model,
+        fit_kn3,
+        score_docs_kn3,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e")], "doc_id long, text string"
+    )
+    model = fit_kn3(docs)
+    with pytest.raises(ValueError, match="BOTH"):
+        score_docs_kn3(docs, model, discounts3=(0.5, 1.1, 1.6))
+    with pytest.raises(ValueError, match=">= 0"):
+        score_docs_kn3(
+            docs, model, discounts3=(-0.1, 1, 1), discounts2=(0.4, 0.9, 1.3)
+        )
+    # a legacy model without the count-of-count splits refuses loudly
+    legacy = KN3Model(
+        model.c3,
+        model.ctx.select("w1", "w2", "den12", "n1p_ctx"),
+        model.c2p,
+        model.mid.select("w2", "den2p", "n1p_mid"),
+        model.r3,
+        model.totals,
+    )
+    with pytest.raises(ValueError, match="count-of-count"):
+        score_docs_kn3(
+            docs, legacy,
+            discounts3=(0.5, 1.1, 1.6), discounts2=(0.4, 0.9, 1.3),
+        )

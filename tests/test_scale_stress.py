@@ -346,3 +346,60 @@ def test_image_span_plane_holds_at_10x_fixture(spark):
     fams = {r["id_a"] // 2 for r in rolled}
     assert fams == set(range(2500))  # every family, even under the cap
     assert all(r["id_a"] // 2 == r["id_b"] // 2 for r in rolled)
+
+
+def test_audio_span_plane_holds_at_10x_fixture(spark):
+    """Round-13 window plane at 10x: the full 5000-clip fixture (10x
+    the sf0.001 doc range the oracle gate sees) through the SAME
+    banded dataflow.  Unlike the tile plane, the window plane has NO
+    structural degenerate bucket at 10x — digital silence is skipped
+    at the hash step (the constant-window rule) and the md5-seeded
+    envelopes are full-entropy, so the largest (band, slice) bucket
+    stays family-sized; all 2500 embedded-jingle families recover
+    across the PCM<->ADPCM boundary with zero cross-family pairs even
+    UNCAPPED.
+    """
+    from prod2vec_spark.operators import phash as PH
+    from prod2vec_spark.queries_r13 import (
+        AUDIO_MIN_SHARED,
+        _WIN_ID_BASE,
+        _audio_fixture_path,
+    )
+
+    wins = spark.read.parquet(_audio_fixture_path()).select(
+        (F.col("doc_id") * F.lit(_WIN_ID_BASE) + F.col("win_idx")).alias(
+            "wid"
+        ),
+        "whash",
+    )
+    assert wins.count() > 45_000  # genuinely 10x the oracle slice
+
+    # no degenerate bucket: max group stays family-sized (the silence
+    # skip + full-entropy envelopes leave nothing structural to share)
+    sigs = wins.select(
+        "wid",
+        F.explode(F.array(*PH.band_structs(F.col("whash"), 4))).alias("bs"),
+    )
+    groups = sigs.groupBy("bs.band", "bs.slice").agg(F.count("*").alias("n"))
+    assert groups.agg(F.max("n")).first()[0] <= 128
+
+    pairs = PH.phash_neardup(
+        wins, id_col="wid", hash_col="whash", max_distance=3
+    )
+    clip_a = F.expr(f"id_a div {_WIN_ID_BASE}").cast("long")
+    clip_b = F.expr(f"id_b div {_WIN_ID_BASE}").cast("long")
+    rolled = (
+        pairs.select(clip_a.alias("ca"), clip_b.alias("cb"))
+        .where(F.col("ca") != F.col("cb"))
+        .select(
+            F.least("ca", "cb").alias("id_a"),
+            F.greatest("ca", "cb").alias("id_b"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= AUDIO_MIN_SHARED)
+        .collect()
+    )
+    fams = {r["id_a"] // 2 for r in rolled}
+    assert fams == set(range(2500))
+    assert all(r["id_a"] // 2 == r["id_b"] // 2 for r in rolled)
