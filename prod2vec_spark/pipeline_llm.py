@@ -262,6 +262,11 @@ class CorpusConfig:
     # token_vocab / pack_token_ids plumbing via the tokens_fn seam.
     tokenizer: str = "bpe"
     unigram_vocab_size: int = 200
+    # round-13: third tokenizer family — BERT WordPiece (greedy
+    # longest-match over a likelihood-trained ##-marked vocab,
+    # operators/wordpiece.py); wordpiece_merges sets the trainer's
+    # merge budget when tokenizer='wordpiece'.
+    wordpiece_merges: int = 50
     # round-9b: C4 rule-based line filtering (Raffel et al. 2020
     # §2.2) fused into the input scan after normalization and before
     # the PII scrub — row-local, no shuffle boundary, no checkpoint,
@@ -300,6 +305,7 @@ class CorpusCurationPipeline:
         self._merges = None  # run() stashes the trained table so the
         # pack stage and the stats report share ONE training pass
         self._uni_model = None  # unigram twin of _merges
+        self._wp_vocab = None  # wordpiece twin (round-13)
         self._stage_ms: dict[str, int] = {}  # per-stage wall time of
         # the LAST run(), surfaced as t_ms_* rows in the stats report
 
@@ -866,7 +872,32 @@ class CorpusCurationPipeline:
             ("final_chunks", cagg["n_chunks"]),
             ("final_chunk_tokens", cagg["n_chunk_tokens"]),
         ]
-        if self.cfg.tokenizer == "unigram":
+        if self.cfg.tokenizer == "wordpiece":
+            # wordpiece family: report final_model_tokens in ITS model
+            # tokens (train here when pack didn't run — the unigram
+            # rule: a configured family never falls through to BPE)
+            from prod2vec_spark.operators.wordpiece import (
+                train_wordpiece,
+                wordpiece_counter,
+            )
+
+            if self._wp_vocab is None and self.cfg.wordpiece_merges > 0:
+                self._wp_vocab = train_wordpiece(
+                    final,
+                    n_merges=self.cfg.wordpiece_merges,
+                    max_vocab_words=self.cfg.bpe_vocab_words,
+                )
+            if self._wp_vocab is not None:
+                n_model = final.agg(
+                    F.coalesce(
+                        F.sum(
+                            wordpiece_counter(self._wp_vocab)(F.col("text"))
+                        ),
+                        F.lit(0),
+                    ).alias("n")
+                ).first()["n"]
+                rows.append(("final_model_tokens", int(n_model)))
+        elif self.cfg.tokenizer == "unigram":
             # unigram family: report the final budget in ITS model
             # tokens.  run()'s pack stage usually trained the piece
             # table; with pack_budget=0 train it here so the stats
@@ -1057,16 +1088,43 @@ class CorpusCurationPipeline:
             # trainable shards: pack the TRAIN side into per-bin
             # input_ids under the corpus's own tokenizer (family
             # chosen by cfg.tokenizer — both ride the tokens_fn seam)
-            if self.cfg.tokenizer not in ("bpe", "unigram"):
+            if self.cfg.tokenizer not in ("bpe", "unigram", "wordpiece"):
                 raise ValueError(
                     f"unknown tokenizer {self.cfg.tokenizer!r} "
-                    "(expected 'bpe' or 'unigram')"
+                    "(expected 'bpe', 'unigram' or 'wordpiece')"
                 )
             from prod2vec_spark.operators.bpe import token_vocab
             from prod2vec_spark.operators.chunking import pack_token_ids
 
             t0 = time.monotonic()
-            if self.cfg.tokenizer == "unigram":
+            if self.cfg.tokenizer == "wordpiece":
+                if self.cfg.wordpiece_merges <= 0:
+                    raise ValueError(
+                        "pack_budget with tokenizer='wordpiece' requires "
+                        "wordpiece_merges > 0"
+                    )
+                from prod2vec_spark.operators.wordpiece import (
+                    train_wordpiece,
+                    wordpiece_counter,
+                    wordpiece_tokens,
+                )
+
+                self._wp_vocab = train_wordpiece(
+                    final,
+                    n_merges=self.cfg.wordpiece_merges,
+                    max_vocab_words=self.cfg.bpe_vocab_words,
+                )
+                wpv = self._wp_vocab
+                write_parquet(
+                    self.spark.createDataFrame(
+                        [(p,) for p in wpv], "piece string"
+                    ),
+                    f"{self.cfg.work_dir}/wordpiece_vocab",
+                )
+                merges = []
+                tokens_fn = lambda c: wordpiece_tokens(c, wpv)  # noqa: E731
+                count_fn = wordpiece_counter(wpv)
+            elif self.cfg.tokenizer == "unigram":
                 if self.cfg.unigram_vocab_size <= 0:
                     raise ValueError(
                         "pack_budget with tokenizer='unigram' requires "

@@ -576,3 +576,133 @@ FROM sc GROUP BY doc_id
 
 R13_QUERIES["kn3m_perplexity"] = q_kn3m_perplexity
 R13_ORACLES["kn3m_perplexity"] = _sql_kn3m_perplexity()
+
+
+# ------------------------------- wordpiece-fed packed accounting
+# Fixed literal WordPiece vocab (the packed_unigram_ids trick, third
+# family): the four disjoint-alphabet 2-char pieces in bare AND ##
+# continuation form, plus every printable-ASCII single char (bare and
+# ##) so greedy longest-match never sticks on ASCII words — greedy
+# left-to-right over non-overlapping pieces provably equals the
+# replace-chain segmentation, with ## marking by position.  Words
+# containing anything outside printable ASCII take BERT's whole-word
+# [UNK]; empty words produce no tokens.
+import string as _string
+
+_WP_SINGLES = [c for c in _string.printable if not c.isspace()]
+WP_FIXED_VOCAB: list[str] = (
+    ["th", "er", "in", "qu"]
+    + ["##th", "##er", "##in", "##qu"]
+    + _WP_SINGLES
+    + ["##" + c for c in _WP_SINGLES]
+    + ["[UNK]"]
+)
+
+
+def q_packed_wordpiece_ids(spark, sf_dir):
+    """The packing plane under the WORDPIECE tokenizer family,
+    certified end-to-end (the packed_input_ids contract with
+    tokens_fn = the real greedy longest-match encoder over
+    WP_FIXED_VOCAB): per (lang, shard, bin) training example with
+    sizes + md5 of the concatenated ids + md5 of the doc lineage in
+    pack order."""
+    from prod2vec_spark.operators.bpe import token_vocab
+    from prod2vec_spark.operators.chunking import pack_token_ids
+    from prod2vec_spark.operators.wordpiece import (
+        wordpiece_counter,
+        wordpiece_tokens,
+    )
+
+    tokens_fn = lambda c: wordpiece_tokens(c, WP_FIXED_VOCAB)  # noqa: E731
+    docs = read_table(spark, sf_dir, "documents")
+    vocab = token_vocab(docs, [], tokens_fn=tokens_fn)
+    out = pack_token_ids(
+        docs, [], vocab,
+        budget=_UPK_BUDGET, n_shards=_UPK_SHARDS,
+        tokens_fn=tokens_fn, count_fn=wordpiece_counter(WP_FIXED_VOCAB),
+    )
+    as_csv = lambda col: F.concat_ws(  # noqa: E731
+        ",", F.transform(col, lambda x: x.cast("string"))
+    )
+    return out.select(
+        F.col("part"),
+        F.col("shard").cast("long").alias("shard"),
+        F.col("bin").cast("long").alias("bin"),
+        "n_ids",
+        F.md5(as_csv(F.col("input_ids"))).alias("ids_md5"),
+        F.md5(as_csv(F.col("doc_ids"))).alias("docs_md5"),
+    )
+
+
+def _sql_packed_wordpiece_ids() -> str:
+    """DuckDB twin: the greedy-equals-replace-chain segmentation with
+    position-based ## marking, BERT whole-word [UNK] for non-printable-
+    ASCII words, then the identical vocab/shard/pack/bin chain as the
+    unigram twin."""
+    from prod2vec_spark.queries_ext import _TOKS
+
+    def w(sym: str) -> str:
+        return f"chr(1)||'{sym}'||chr(2)"
+
+    s = (
+        "array_to_string(list_transform(str_split("
+        "replace(replace(word, chr(1), ''), chr(2), ''), ''), "
+        "c -> chr(1)||c||chr(2)), '')"
+    )
+    for piece in ("th", "er", "in", "qu"):
+        a, b = piece[0], piece[1]
+        s = f"replace({s}, {w(a)}||{w(b)}, {w(piece)})"
+    seglist = (
+        f"list_filter(list_transform(str_split({s}, chr(1)), "
+        "p -> replace(p, chr(2), '')), p -> p <> '')"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+wd AS (SELECT doc_id, CAST(i AS BIGINT) AS wi,
+         toks[CAST(i AS INT)] AS word
+       FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+       WHERE len(toks) > 0),
+enc AS (SELECT doc_id, wi,
+          CASE WHEN word = '' THEN []::VARCHAR[]
+               WHEN NOT regexp_matches(word, '^[!-~]+$') THEN ['[UNK]']
+               ELSE {seglist} END AS wtoks
+        FROM wd),
+tok AS (SELECT doc_id, wi, CAST(j AS BIGINT) AS ti,
+          CASE WHEN j = 1 THEN wtoks[CAST(j AS INT)]
+               ELSE '##' || wtoks[CAST(j AS INT)] END AS token
+        FROM enc, unnest(range(1, len(wtoks) + 1)) AS v(j)),
+vc AS (SELECT token, count(*) AS n FROM tok GROUP BY 1),
+vid AS (SELECT token,
+          CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT)
+            AS token_id
+        FROM vc),
+m AS (SELECT tok.doc_id, tok.wi, tok.ti, vid.token_id AS tid
+      FROM tok JOIN vid USING (token)),
+perdoc AS (SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_ids,
+         string_agg(CAST(tid AS VARCHAR), ',' ORDER BY wi, ti) AS ids_csv
+       FROM m GROUP BY doc_id),
+pk AS (SELECT d.doc_id, d.lang AS part,
+         ('0x' || substr(md5('shard|' || d.doc_id), 1, 8))::BIGINT
+           % {_UPK_SHARDS} AS shard,
+         md5('pack|' || d.doc_id) AS ord_key,
+         p.n_ids, p.ids_csv
+       FROM documents d JOIN perdoc p USING (doc_id)),
+bins AS (SELECT *,
+           CAST(floor((sum(n_ids) OVER (
+                   PARTITION BY part, shard
+                   ORDER BY ord_key, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n_ids) / {_UPK_BUDGET}.0) AS BIGINT) AS bin
+         FROM pk)
+SELECT part, shard, bin,
+       CAST(sum(n_ids) AS BIGINT) AS n_ids,
+       md5(string_agg(ids_csv, ',' ORDER BY ord_key, doc_id)) AS ids_md5,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY ord_key, doc_id))
+         AS docs_md5
+FROM bins GROUP BY 1, 2, 3
+"""
+
+
+R13_QUERIES["packed_wordpiece_ids"] = q_packed_wordpiece_ids
+R13_ORACLES["packed_wordpiece_ids"] = _sql_packed_wordpiece_ids()
