@@ -706,3 +706,195 @@ FROM bins GROUP BY 1, 2, 3
 
 R13_QUERIES["packed_wordpiece_ids"] = q_packed_wordpiece_ids
 R13_ORACLES["packed_wordpiece_ids"] = _sql_packed_wordpiece_ids()
+
+
+# ----------------------------------------- video span audit (frames)
+# The span triad's FRAME leg gets the same oracled fixture split as
+# its tile and window siblings (image_span_audit / audio_span_audit),
+# so all three planes carry full DuckDB verdicts.  Planted corpus:
+# fam = doc_id // 2; the even member is a 6-frame md5-noise "scene"
+# clip, the odd member embeds those SAME frames inside unrelated
+# lead-in/lead-out frames — whole-clip keyframe-mean hashes diverge,
+# but the per-frame dHashes are BIT-IDENTICAL (raw gray8 AVI both
+# sides; the lossy MJPEG crossing is pytest-locked elsewhere,
+# tests/test_cross_codec.py).  Unlike tiles/windows the frame plane
+# needs no alignment: the banded join pairs similar frames at ANY
+# temporal offset.
+VID_W, VID_H = 32, 24
+VID_FPS = 4
+VID_EVERY_MS = 250  # sample every frame: idx = ts*fps/1000 walks 0..n-1
+VID_MIN_SHARED = 4
+_FRAME_ID_BASE = 1_000_000
+
+
+def _video_frame(tag: str) -> bytes:
+    """One deterministic md5-noise gray frame (full-entropy dHash)."""
+    import numpy as np
+
+    raw = b"".join(
+        hashlib.md5(f"{tag}|{k}".encode()).digest()
+        for k in range(VID_W * VID_H // 16)
+    )
+    return np.frombuffer(raw, dtype=np.uint8)[: VID_W * VID_H].tobytes()
+
+
+def planted_video(doc_id: int) -> bytes:
+    """One raw gray8 AVI per doc id: even = the 6-frame scene, odd =
+    4 unrelated frames + the SAME scene + 3 unrelated frames."""
+    from prod2vec_spark.operators.multimodal import encode_avi_gray8
+
+    fam, member = int(doc_id) // 2, int(doc_id) % 2
+    scene = [_video_frame(f"sc{fam}|{k}") for k in range(6)]
+    if member == 0:
+        frames = scene
+    else:
+        pre = [_video_frame(f"pre{fam}|{k}") for k in range(4)]
+        post = [_video_frame(f"post{fam}|{k}") for k in range(3)]
+        frames = pre + scene + post
+    return encode_avi_gray8(frames, VID_W, VID_H, fps=VID_FPS)
+
+
+def frame_hash_rows(doc_id: int) -> list[tuple[int, int, int]]:
+    """[(doc_id, frame_idx, fhash)] through the REAL codec chain
+    (AVI encode → avi_frames decode → per-frame dHash) replicating
+    frame_hashes' ts→index sampling exactly (every frame at this
+    fps/every_ms pairing) — the single recipe the fixture generator
+    and the golden gate share."""
+    import numpy as np
+
+    from prod2vec_spark.operators.multimodal import avi_frames
+    from prod2vec_spark.operators.phash import dhash64
+
+    frames, m = avi_frames(planted_video(doc_id))
+    fps = m["fps"]
+    duration_ms = len(frames) / fps * 1000.0
+    out = []
+    seen = set()
+    ts = 0
+    while ts < duration_ms:
+        idx = min(len(frames) - 1, int(ts * fps / 1000.0))
+        if idx not in seen:
+            seen.add(idx)
+            g = np.frombuffer(frames[idx], dtype=np.uint8).reshape(
+                m["height"], m["width"]
+            )
+            out.append((int(doc_id), idx, dhash64(g.astype(np.float64))))
+        ts += VID_EVERY_MS
+    return out
+
+
+def rendered_frame_hashes(spark, doc_ids):
+    """(doc_id, frame_idx, fhash) via the distributed codec chain
+    (mapInPandas render → phash.frame_hashes) — the pytest-golden
+    gate."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from prod2vec_spark.operators.phash import frame_hashes
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "blob": [planted_video(i) for i in pdf["doc_id"]],
+                }
+            )
+
+    media = doc_ids.mapInPandas(render, schema="media_id long, blob binary")
+    return frame_hashes(media, every_ms=VID_EVERY_MS).select(
+        F.col("media_id").alias("doc_id"), "frame_idx", "fhash"
+    )
+
+
+def _video_fixture_path() -> str:
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests",
+        "fixtures",
+        "video_frames.parquet",
+    )
+
+
+def q_video_span_audit(spark, sf_dir):
+    """Shared-scene clip pairs over the PERSISTED per-frame hash
+    table: composite frame ids (doc·10⁶ + frame_idx) → the banded-
+    Hamming plane → same-clip pairs dropped → matched-frame count per
+    clip pair ≥ VID_MIN_SHARED, with the ``same_family`` self-audit
+    column (the image/audio protocol, frame edition)."""
+    from prod2vec_spark.operators import phash as PH
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    frames = (
+        spark.read.parquet(_video_fixture_path())
+        .join(docs, "doc_id", "leftsemi")
+        .select(
+            (
+                F.col("doc_id") * F.lit(_FRAME_ID_BASE) + F.col("frame_idx")
+            ).alias("fid"),
+            "fhash",
+        )
+    )
+    pairs = PH.phash_neardup(
+        frames, id_col="fid", hash_col="fhash", max_distance=3
+    )
+    clip_a = F.expr(f"id_a div {_FRAME_ID_BASE}").cast("long")
+    clip_b = F.expr(f"id_b div {_FRAME_ID_BASE}").cast("long")
+    return (
+        pairs.select(clip_a.alias("ca"), clip_b.alias("cb"))
+        .where(F.col("ca") != F.col("cb"))
+        .select(
+            F.least("ca", "cb").alias("id_a"),
+            F.greatest("ca", "cb").alias("id_b"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_shared_frames"))
+        .where(F.col("n_shared_frames") >= VID_MIN_SHARED)
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared_frames",
+            (
+                F.floor(F.col("id_a") / 2) == F.floor(F.col("id_b") / 2)
+            ).cast("bigint").alias("same_family"),
+        )
+    )
+
+
+def _sql_video_span_audit() -> str:
+    """DuckDB twin — the audio_span_audit SQL with frame naming."""
+    path = _video_fixture_path()
+    return f"""
+WITH t AS (
+  SELECT v.doc_id * {_FRAME_ID_BASE} + v.frame_idx AS fid, v.fhash
+  FROM read_parquet('{path}') v
+  WHERE v.doc_id IN (SELECT doc_id FROM documents)
+),
+sig AS (
+  SELECT fid, fhash, band, (fhash >> (band * 16)) & 65535 AS slice
+  FROM t CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.fid AS fa, a.fhash AS ha, b.fid AS fb, b.fhash AS hb
+  FROM sig a JOIN sig b
+    ON a.band = b.band AND a.slice = b.slice AND a.fid < b.fid
+),
+frame_pairs AS (
+  SELECT fa // {_FRAME_ID_BASE} AS ca, fb // {_FRAME_ID_BASE} AS cb
+  FROM cand
+  WHERE bit_count(xor(ha, hb)) <= 3
+    AND fa // {_FRAME_ID_BASE} <> fb // {_FRAME_ID_BASE}
+)
+SELECT LEAST(ca, cb) AS id_a, GREATEST(ca, cb) AS id_b,
+       CAST(COUNT(*) AS INT) AS n_shared_frames,
+       CAST(CASE WHEN LEAST(ca, cb) // 2 = GREATEST(ca, cb) // 2
+                 THEN 1 ELSE 0 END AS BIGINT) AS same_family
+FROM frame_pairs
+GROUP BY 1, 2
+HAVING COUNT(*) >= {VID_MIN_SHARED}
+"""
+
+
+R13_QUERIES["video_span_audit"] = q_video_span_audit
+R13_ORACLES["video_span_audit"] = _sql_video_span_audit()
