@@ -1433,3 +1433,55 @@ def kn3_perplexity(
         text_col=text_col,
         broadcast_unigrams=broadcast_unigrams,
     )
+
+
+def start_kn3_score_stream(
+    docs_stream: DataFrame,
+    model: "KN3Model",
+    out_dir: str,
+    checkpoint: str,
+    discount: float | None = None,
+    discounts3: "tuple[float, float, float] | None" = None,
+    discounts2: "tuple[float, float, float] | None" = None,
+):
+    """Score a DOCUMENT STREAM against a fitted trigram-KN model — the
+    order-3 twin of :func:`start_kn_score_stream` (round 13), same
+    stream-static scoring join per micro-batch, same
+    idempotent-by-path ``out_dir/batch_id=N`` sink, and the modified-
+    KN discounts ride through unchanged (batch parity with
+    ``score_docs_kn3`` pytest-locked)."""
+    d = DEFAULT_DISCOUNT if discount is None else discount
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        score_docs_kn3(
+            batch_df, model, discount=d,
+            discounts3=discounts3, discounts2=discounts2,
+        ).write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    return (
+        docs_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_kn3_scores(spark, out_dir: str) -> DataFrame:
+    """All committed per-batch trigram-KN score partitions as one
+    frame.  Before the first commit: empty, not an error."""
+    import glob
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    if not glob.glob(os.path.join(out_dir, "batch_id=*", "*.parquet")):
+        return spark.createDataFrame(
+            [],
+            "doc_id long, n_triples long, n_bo1 long, n_bo2 long, "
+            "avg_nll double, ppl double",
+        )
+    return (
+        spark.read.option("basePath", out_dir)
+        .parquet(out_dir)
+        .drop("batch_id")
+    )
