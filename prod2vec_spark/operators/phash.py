@@ -127,11 +127,13 @@ def dhash_gif(blob: bytes) -> int | None:
     fold is the SAME channel-mean ``_gray`` the PNG path uses, so a
     PNG↔GIF re-encode of the same grayscale image hashes
     BIT-IDENTICALLY (gray palettes have r=g=b)."""
-    g = image_gray(blob)
-    if g is None or not (
+    if not (
         isinstance(blob, (bytes, bytearray))
         and bytes(blob)[:6] in (b"GIF87a", b"GIF89a")
     ):
+        return None
+    g = image_gray(blob)
+    if g is None:
         return None
     return dhash64(g)
 
@@ -331,6 +333,17 @@ def frame_hashes(
                 while ts < duration_ms:
                     idx = min(len(frames) - 1, int(ts * fps / 1000.0))
                     if idx not in seen:  # one hash per distinct frame
+                        # composite-id safety (the tile/window-plane
+                        # guard): a frame index at or past the base
+                        # would bleed into the NEXT clip id's space —
+                        # ~11.5 days at 1 fps-sampled.  Fail loud.
+                        if idx >= _FRAME_ID_BASE:
+                            raise ValueError(
+                                f"clip {mid}: frame {idx} exceeds the "
+                                f"composite frame-id space "
+                                f"(<{_FRAME_ID_BASE}); raise every_ms "
+                                f"or split the clip"
+                            )
                         seen.add(idx)
                         g = np.frombuffer(frames[idx], dtype=np.uint8).reshape(
                             m["height"], m["width"]
