@@ -136,3 +136,27 @@ def test_gif_joins_the_tile_span_plane(spark):
         for r in image_span_pairs(media, min_shared=4).collect()
     }
     assert set(got) == {(1, 2)}, got
+
+
+def test_gif_roundtrip_property():
+    """Property test (hypothesis): ANY byte content survives the
+    GIF encode→decode roundtrip exactly (LZW width switching, table
+    resets, sub-block framing — all content-dependent paths)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 40),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(w, h, seed):
+        a = np.random.RandomState(seed).randint(
+            0, 256, (h, w), dtype=np.uint8
+        )
+        rgb, m = gif_pixels(encode_gif_gray8(a.tobytes(), w, h))
+        got = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)[:, :, 0]
+        assert np.array_equal(got, a)
+
+    check()

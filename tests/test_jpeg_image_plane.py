@@ -166,3 +166,36 @@ def test_progressive_jpeg_dhash_bit_identical_and_corrupt_unchanged():
     d = decode_media("image", prog)
     assert d["format"] == "jpeg"
     assert d["pixel_digest"] == hashlib.md5(decode_jpeg_gray(prog)[0]).hexdigest()
+
+
+def test_progressive_parity_property():
+    """Property test (hypothesis): for ANY small image and quality,
+    the progressive encoding decodes to EXACTLY the baseline's gray
+    plane — the strongest statement of the 6-scan script's
+    coefficient-identity contract, beyond the pinned cases."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from prod2vec_spark.operators.jpeg import encode_jpeg_gray_progressive
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        w=st.integers(4, 28),
+        h=st.integers(4, 28),
+        q=st.integers(5, 95),
+        seed=st.integers(0, 2**31 - 1),
+        color=st.booleans(),
+    )
+    def check(w, h, q, seed, color):
+        px = np.random.RandomState(seed).randint(
+            0, 256, (h, w), dtype=np.uint8
+        ).tobytes()
+        prog = decode_jpeg_gray(
+            encode_jpeg_gray_progressive(px, w, h, quality=q, color=color)
+        )
+        base = decode_jpeg_gray(
+            encode_jpeg_gray(px, w, h, quality=q, color=color)
+        )
+        assert prog == base
+
+    check()
