@@ -13,9 +13,20 @@ VP8/VP8L payloads are full video-codec intra frames, far beyond
 stdlib scope — a `RIFF....WEBP` blob stays in the auditable
 raw-bytes class, the same declared boundary as arithmetic-coded JPEG.
 
+Decode also covers ANIMATED GIFs (``gif_frames``): every frame on
+the Graphic-Control-Extension delay timeline, composited onto an RGB
+canvas (disposal 'restore to background' honored; 'restore to
+previous' approximated as 'do not dispose' — documented), gray-folded
+with the image plane's channel mean — the ``avi_frames`` contract, so
+animated GIFs ride frame_hashes → video_span_pairs → the streaming
+gate and the curation DAG unchanged, and a GIF scene pairs
+CROSS-CONTAINER with the same scene inside an AVI.  Single-frame GIFs
+stay in the IMAGE plane (frame_hashes emits no rows for them).
+
 Encode: single-frame grayscale (256-entry gray global color table,
-LZW-compressed) — the fixture/write half of the codec boundary, so
-cross-codec tests can plant PNG↔GIF families through real bitstreams.
+LZW-compressed) and multi-frame animated (``encode_gif_animated``) —
+the fixture/write half of the codec boundary, so cross-codec tests
+can plant PNG↔GIF and GIF↔AVI families through real bitstreams.
 
 LZW here is the GIF variant (variable code width 3..12 bits, LSB-first
 bit packing, CLEAR/END codes, dictionary reset at 4096) implemented
@@ -270,4 +281,160 @@ def encode_gif_gray8(pixels: bytes, width: int, height: int) -> bytes:
         out.append(len(chunk))
         out += chunk
     out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+# --------------------------------------------------- animated GIF
+def gif_frames(blob: bytes) -> tuple[list[bytes], dict]:
+    """Decode ALL frames of a GIF to top-down 8-bit GRAY buffers +
+    metadata — the ``avi_frames`` contract, so animated GIFs ride the
+    frame plane (frame_hashes → video_span_pairs → the streaming gate
+    and the curation DAG) unchanged.  Compositing: frames draw onto
+    the logical-screen canvas at their offsets; disposal 'restore to
+    background' refills the frame region with the background color
+    after the frame is captured; 'restore to previous' is approximated
+    as 'do not dispose' (documented — it is vanishingly rare and only
+    perturbs SUBSEQUENT frame pixels under the approximation).  The
+    gray fold is the channel mean — the image plane's ``_gray``, so a
+    gray-palette GIF's frames are exact.  Delays come from each
+    frame's Graphic Control Extension in ms (browsers' 100 ms default
+    when absent/zero — the convention the timeline sampling uses)."""
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, packed, bg, _ = struct.unpack("<HHBBB", blob[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = blob[pos : pos + 3 * n]
+        if len(gct) < 3 * n:
+            raise ValueError("truncated GIF global color table")
+        pos += 3 * n
+    fill = bg if gct is not None and bg < len(gct) // 3 else 0
+    # an RGB canvas, so frames with LOCAL palettes compose correctly
+    rgb_canvas = bytearray(sw * sh * 3)
+    base_pal = gct or bytes(768)
+    for i in range(sw * sh):
+        rgb_canvas[3 * i : 3 * i + 3] = base_pal[3 * fill : 3 * fill + 3]
+    frames: list[bytes] = []
+    delays: list[int] = []
+    next_delay_ms = 100
+    next_disposal = 0
+    while pos < len(blob):
+        b0 = blob[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension
+            label = blob[pos + 1] if pos + 1 < len(blob) else 0
+            pos += 2
+            if label == 0xF9 and pos < len(blob) and blob[pos] >= 4:
+                gce = blob[pos + 1 : pos + 5]
+                next_disposal = (gce[0] >> 2) & 0x07
+                cs = struct.unpack("<H", gce[1:3])[0]
+                next_delay_ms = cs * 10 if cs > 0 else 100
+            while pos < len(blob) and blob[pos] != 0:
+                pos += 1 + blob[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"malformed GIF block 0x{b0:02x}")
+        left, top, fw, fh, fpacked = struct.unpack(
+            "<HHHHB", blob[pos + 1 : pos + 10]
+        )
+        pos += 10
+        lct = None
+        if fpacked & 0x80:
+            n = 2 << (fpacked & 0x07)
+            lct = blob[pos : pos + 3 * n]
+            if len(lct) < 3 * n:
+                raise ValueError("truncated GIF local color table")
+            pos += 3 * n
+        palette = lct if lct is not None else gct
+        if palette is None:
+            raise ValueError("GIF frame has no color table")
+        min_code_size = blob[pos]
+        pos += 1
+        if not 2 <= min_code_size <= 11:
+            raise ValueError(f"invalid GIF LZW code size {min_code_size}")
+        lzw = bytearray()
+        while pos < len(blob) and blob[pos] != 0:
+            ln = blob[pos]
+            chunk = blob[pos + 1 : pos + 1 + ln]
+            if len(chunk) < ln:
+                raise ValueError("truncated GIF image data")
+            lzw += chunk
+            pos += 1 + ln
+        if pos >= len(blob):
+            raise ValueError("truncated GIF image data")
+        pos += 1  # block terminator
+        indices = _lzw_decode(min_code_size, bytes(lzw), fw * fh)
+        if fpacked & 0x40:
+            indices = _deinterlace(indices, fw, fh)
+        if left + fw > sw or top + fh > sh:
+            raise ValueError("GIF frame exceeds the logical screen")
+        npal = len(palette) // 3
+        if max(indices) >= npal:
+            raise ValueError("GIF index exceeds its color table")
+        for y in range(fh):
+            for x in range(fw):
+                idx = indices[y * fw + x]
+                p = 3 * ((top + y) * sw + (left + x))
+                rgb_canvas[p : p + 3] = palette[3 * idx : 3 * idx + 3]
+        gray = bytes(
+            (rgb_canvas[3 * i] + rgb_canvas[3 * i + 1] + rgb_canvas[3 * i + 2])
+            // 3
+            for i in range(sw * sh)
+        )
+        frames.append(gray)
+        delays.append(next_delay_ms)
+        if next_disposal == 2:  # restore to background
+            bgc = base_pal[3 * fill : 3 * fill + 3]
+            for y in range(fh):
+                for x in range(fw):
+                    p = 3 * ((top + y) * sw + (left + x))
+                    rgb_canvas[p : p + 3] = bgc
+        next_delay_ms = 100
+        next_disposal = 0
+    if not frames:
+        raise ValueError("GIF has no image frame")
+    meta = {
+        "width": sw,
+        "height": sh,
+        "n_frames": len(frames),
+        "delays_ms": delays,
+        "codec": "gif",
+    }
+    return frames, meta
+
+
+def encode_gif_animated(
+    frames: "list[bytes]",
+    width: int,
+    height: int,
+    delay_ms: int = 100,
+) -> bytes:
+    """Multi-frame grayscale GIF89a (gray GCT, one full-screen image
+    descriptor per frame, a Graphic Control Extension carrying the
+    delay) — the write half for frame-plane fixtures."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    for f in frames:
+        if len(f) != width * height:
+            raise ValueError("frame buffer does not match width*height")
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0x80 | 0x07, 0, 0)
+    for i in range(256):
+        out += bytes((i, i, i))
+    cs = max(1, delay_ms // 10)
+    for f in frames:
+        out += b"\x21\xf9\x04" + bytes([0]) + struct.pack("<H", cs) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        out.append(8)
+        lzw = _lzw_encode(8, f)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3b"
     return bytes(out)

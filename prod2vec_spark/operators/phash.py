@@ -303,10 +303,12 @@ def frame_hashes(
     blob_col: str = "blob",
 ) -> DataFrame:
     """(id, frame_ts_ms, frame_idx, fhash): dHash per SAMPLED frame of
-    an uncompressed-AVI clip (one decode per clip, ts→index
-    arithmetic — the multimodal.decode_frames shape with a
-    fingerprint instead of a digest).  Undecodable blobs emit no
-    rows (auditable upstream via extract_features)."""
+    an uncompressed/MJPEG-AVI clip OR (round-13) an ANIMATED GIF (≥2
+    frames; per-frame GCE delays drive the timeline — a single-frame
+    GIF belongs to the IMAGE plane and emits no rows here).  One
+    decode per clip, ts→index arithmetic — the multimodal.decode_frames
+    shape with a fingerprint instead of a digest.  Undecodable blobs
+    emit no rows (auditable upstream via extract_features)."""
     from prod2vec_spark.operators.multimodal import avi_frames
 
     if every_ms <= 0:
@@ -318,6 +320,45 @@ def frame_hashes(
             out = {id_col: [], "frame_ts_ms": [], "frame_idx": [], "fhash": []}
             for mid, b in zip(pdf[id_col], pdf[blob_col]):
                 bb = bytes(b) if isinstance(b, (bytes, bytearray)) else b""
+                if bb[:6] in (b"GIF87a", b"GIF89a"):
+                    # animated GIF: frames on the GCE-delay timeline
+                    from prod2vec_spark.operators.gif import gif_frames
+
+                    try:
+                        frames, gm = gif_frames(bb)
+                    except Exception:
+                        continue
+                    if gm["n_frames"] < 2:
+                        continue  # static GIF: the image plane's case
+                    starts = [0]
+                    for d in gm["delays_ms"]:
+                        starts.append(starts[-1] + d)
+                    duration_ms = starts[-1]
+                    seen = set()
+                    ts = 0
+                    while ts < duration_ms:
+                        idx = max(
+                            i for i in range(len(frames)) if starts[i] <= ts
+                        )
+                        if idx not in seen:
+                            if idx >= _FRAME_ID_BASE:
+                                raise ValueError(
+                                    f"clip {mid}: frame {idx} exceeds the "
+                                    f"composite frame-id space "
+                                    f"(<{_FRAME_ID_BASE})"
+                                )
+                            seen.add(idx)
+                            g = np.frombuffer(
+                                frames[idx], dtype=np.uint8
+                            ).reshape(gm["height"], gm["width"])
+                            out[id_col].append(mid)
+                            out["frame_ts_ms"].append(ts)
+                            out["frame_idx"].append(idx)
+                            out["fhash"].append(
+                                dhash64(g.astype(np.float64))
+                            )
+                        ts += every_ms
+                    continue
                 if bb[:4] != b"RIFF" or bb[8:12] != b"AVI ":
                     continue
                 try:

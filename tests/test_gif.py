@@ -160,3 +160,92 @@ def test_gif_roundtrip_property():
         assert np.array_equal(got, a)
 
     check()
+
+
+def test_animated_gif_frames_and_disposal():
+    """gif_frames decodes every frame on the GCE-delay timeline;
+    'restore to background' disposal refills the frame region after
+    capture (the next frame starts from background, not the previous
+    pixels)."""
+    from prod2vec_spark.operators.gif import encode_gif_animated, gif_frames
+
+    rng = np.random.RandomState(2)
+    frames = [
+        rng.randint(0, 256, (12, 16), dtype=np.uint8).tobytes()
+        for _ in range(3)
+    ]
+    blob = encode_gif_animated(frames, 16, 12, delay_ms=80)
+    got, m = gif_frames(blob)
+    assert (m["n_frames"], m["delays_ms"]) == (3, [80, 80, 80])
+    assert [g for g in got] == frames  # full-screen frames: exact
+    # disposal=2: set the flag on frame 1's GCE; frame 2 is a PARTIAL
+    # overlay so the disposed region shows background, not frame 1
+    from prod2vec_spark.operators.gif import _lzw_encode
+    import struct as _s
+
+    partial = rng.randint(0, 256, (4, 6), dtype=np.uint8).tobytes()
+    out = bytearray(blob[:-1])  # strip the trailing 0x3b trailer byte
+    out += b"\x21\xf9\x04" + bytes([0]) + _s.pack("<H", 8) + b"\x00\x00"
+    out += b"\x2c" + _s.pack("<HHHHB", 2, 3, 6, 4, 0)
+    out.append(8)
+    lz = _lzw_encode(8, partial)
+    for i in range(0, len(lz), 255):
+        c = lz[i : i + 255]
+        out.append(len(c))
+        out += c
+    out += b"\x00\x3b"
+    # flag disposal=2 on the THIRD frame's GCE (the one before partial
+    # would matter; set it on frame 3 so the partial starts from bg)
+    # find the 3rd GCE and set its disposal bits
+    idx = -1
+    for _ in range(3):
+        idx = bytes(out).index(b"\x21\xf9\x04", idx + 1)
+    out[idx + 3] |= 2 << 2
+    got2, m2 = gif_frames(bytes(out))
+    assert m2["n_frames"] == 4
+    # the partial frame composites over BACKGROUND (index 0 -> gray 0)
+    # everywhere outside its 6x4 region at (2,3)
+    import numpy as _np
+
+    last = _np.frombuffer(got2[3], dtype=_np.uint8).reshape(12, 16)
+    assert (last[:3, :] == 0).all() and (last[:, :2] == 0).all()
+    assert _np.array_equal(
+        last[3:7, 2:8],
+        _np.frombuffer(partial, dtype=_np.uint8).reshape(4, 6),
+    )
+
+
+def test_animated_gif_joins_the_frame_span_plane(spark):
+    """An animated GIF embedding another clip's scene pairs in
+    video_span_pairs (frame_hashes now dispatches GIF ≥2 frames), and
+    a GIF scene embedded in an AVI host pairs CROSS-CONTAINER; static
+    GIFs stay out of the frame plane (the image plane owns them)."""
+    from prod2vec_spark.operators.gif import encode_gif_animated
+    from prod2vec_spark.operators.multimodal import encode_avi_gray8
+    from prod2vec_spark.operators.phash import frame_hashes, video_span_pairs
+
+    rng = np.random.RandomState(5)
+
+    def fr(n, seed):
+        r = np.random.RandomState(seed)
+        return [r.randint(0, 256, (24, 32), dtype=np.uint8).tobytes() for _ in range(n)]
+
+    scene = fr(4, 1)
+    rows = [
+        (1, bytearray(encode_gif_animated(scene, 32, 24, delay_ms=250))),
+        (2, bytearray(encode_avi_gray8(fr(3, 2) + scene + fr(2, 3), 32, 24, fps=4))),
+        (3, bytearray(encode_gif_animated(fr(5, 9), 32, 24, delay_ms=250))),
+        (4, bytearray(encode_gif_gray8(scene[0], 32, 24))),  # static
+    ]
+    media = spark.createDataFrame(rows, "media_id long, blob binary")
+    fh = frame_hashes(media, every_ms=250)
+    ids = {r["media_id"] for r in fh.select("media_id").distinct().collect()}
+    assert ids == {1, 2, 3}  # static GIF emits no frame rows
+    got = {
+        (r["id_a"], r["id_b"]): r["n_shared_frames"]
+        for r in video_span_pairs(
+            media, every_ms=250, min_shared=2
+        ).collect()
+    }
+    assert set(got) == {(1, 2)}, got
+    assert got[(1, 2)] == 4  # the whole scene, cross-container
