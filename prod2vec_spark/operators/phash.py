@@ -461,6 +461,124 @@ def video_span_pairs(
     )
 
 
+def frame_band_table(
+    media: DataFrame,
+    every_ms: int = 1000,
+    bands: int = 4,
+    id_col: str = "media_id",
+    blob_col: str = "blob",
+) -> DataFrame:
+    """(id, frame_idx, band, slice, fhash): the PERSISTABLE band table
+    of a video corpus's SAMPLED FRAMES — the archive the incremental
+    span path probes (tile_band_table / audio_band_table, frame
+    edition, round-13: the frame plane gains the triad legs its tile
+    and window siblings already had).  One decode per clip; the
+    8-byte frame hash rides along so the incremental verify never
+    re-decodes the archive."""
+    fh = frame_hashes(media, every_ms=every_ms, id_col=id_col, blob_col=blob_col)
+    return (
+        fh.select(
+            id_col,
+            "frame_idx",
+            "fhash",
+            F.explode(F.array(*band_structs(F.col("fhash"), bands))).alias("bs"),
+        )
+        .select(
+            id_col,
+            "frame_idx",
+            F.col("bs.band").alias("band"),
+            F.col("bs.slice").alias("slice"),
+            "fhash",
+        )
+    )
+
+
+def incremental_video_span_pairs(
+    old_bands: DataFrame,
+    new_media: DataFrame,
+    every_ms: int = 1000,
+    max_distance: int = 3,
+    bands: int = 4,
+    min_shared: int = 2,
+    max_group: int | None = None,
+    id_col: str = "media_id",
+    blob_col: str = "blob",
+) -> DataFrame:
+    """Shared-scene clip pairs INVOLVING at least one new clip, probed
+    against a prior snapshot's persisted frame-band table — the
+    incremental twin of :func:`video_span_pairs`
+    (incremental_image_span_pairs / incremental_audio_span_pairs,
+    frame edition).  The archive is never re-decoded: its frame
+    hashes ride in the band table.  Guarantee (hash-locked,
+    id-disjoint snapshots, no cap):
+        video_span_pairs(old ∪ new)
+          == video_span_pairs(old) ∪ incremental_video_span_pairs(...)
+    Re-ingested ids supersede their stored signatures."""
+    from prod2vec_spark.functions.arrays import pair_expand
+
+    nb = frame_band_table(
+        new_media, every_ms=every_ms, bands=bands,
+        id_col=id_col, blob_col=blob_col,
+    )
+    new_ids = new_media.select(F.col(id_col)).distinct()
+    ob = old_bands.join(F.broadcast(new_ids), id_col, "left_anti")
+    fid = (F.col(id_col) * F.lit(_FRAME_ID_BASE) + F.col("frame_idx")).alias(
+        "fid"
+    )
+    allb = ob.select(
+        fid, "band", "slice", "fhash", F.lit(0).alias("is_new")
+    ).unionByName(
+        nb.select(fid, "band", "slice", "fhash", F.lit(1).alias("is_new"))
+    )
+    grouped = (
+        allb.groupBy("band", "slice")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("fid").alias("id"),
+                        F.col("fhash").alias("h"),
+                        F.col("is_new").alias("is_new"),
+                    )
+                )
+            ).alias("items")
+        )
+        .filter(
+            (F.size("items") > 1)
+            & (F.size(F.filter("items", lambda s: s.is_new == 1)) > 0)
+        )
+    )
+    if max_group is not None:
+        grouped = grouped.filter(F.size("items") <= max_group)
+    fpairs = (
+        grouped.select(F.explode(pair_expand(F.col("items"))).alias("p"))
+        .where((F.col("p.a.is_new") == 1) | (F.col("p.b.is_new") == 1))
+        .select(
+            F.col("p.a.id").alias("fa"),
+            F.col("p.b.id").alias("fb"),
+            F.bit_count(F.col("p.a.h").bitwiseXOR(F.col("p.b.h")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_distance)
+        .select("fa", "fb")
+        .distinct()  # a frame pair may band-collide in several bands
+    )
+    clip_a = F.expr(f"fa div {_FRAME_ID_BASE}").cast("long")
+    clip_b = F.expr(f"fb div {_FRAME_ID_BASE}").cast("long")
+    return (
+        fpairs.select(clip_a.alias("ca"), clip_b.alias("cb"))
+        .where(F.col("ca") != F.col("cb"))
+        .select(
+            F.least("ca", "cb").alias("id_a"),
+            F.greatest("ca", "cb").alias("id_b"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_shared_frames"))
+        .where(F.col("n_shared_frames") >= min_shared)
+    )
+
+
 _TILE_ID_BASE = 1_000_000  # composite tile id = image_id * BASE + tile_idx
 _TILE_COLS_PER_ROW = 1024  # tile_idx = tile_row * 1024 + tile_col
 
