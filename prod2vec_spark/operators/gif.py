@@ -125,7 +125,11 @@ def gif_pixels(blob: bytes) -> tuple[bytes, dict]:
     metadata — the ``png_pixels`` contract so the shared gray door
     (phash.image_gray) dispatches it identically.  Frames smaller than
     the logical screen are composited onto a bg-color canvas at their
-    (left, top) offset."""
+    (left, top) offset.  The background fill happens in RGB space from
+    the GLOBAL color table (a frame carrying a LOCAL palette must not
+    re-color the uncovered background — ADVICE r13), and GCE
+    transparency is honored: transparent-index pixels leave the
+    background visible instead of drawing an opaque palette color."""
     if blob[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     sw, sh, packed, bg, _ = struct.unpack("<HHBBB", blob[6:13])
@@ -137,12 +141,17 @@ def gif_pixels(blob: bytes) -> tuple[bytes, dict]:
         if len(gct) < 3 * n:
             raise ValueError("truncated GIF global color table")
         pos += 3 * n
+    transparent: int | None = None
     while pos < len(blob):
         b0 = blob[pos]
         if b0 == 0x3B:  # trailer before any image
             raise ValueError("GIF has no image frame")
-        if b0 == 0x21:  # extension: label + sub-blocks, skip
+        if b0 == 0x21:  # extension: label + sub-blocks
+            label = blob[pos + 1] if pos + 1 < len(blob) else 0
             pos += 2
+            if label == 0xF9 and pos < len(blob) and blob[pos] >= 4:
+                gce = blob[pos + 1 : pos + 5]
+                transparent = gce[3] if gce[0] & 0x01 else None
             while pos < len(blob) and blob[pos] != 0:
                 pos += 1 + blob[pos]
             pos += 1  # block terminator
@@ -181,23 +190,23 @@ def gif_pixels(blob: bytes) -> tuple[bytes, dict]:
         if fpacked & 0x40:
             indices = _deinterlace(indices, fw, fh)
         npal = len(palette) // 3
-        if max(indices) >= npal:
+        if any(ix >= npal and ix != transparent for ix in indices):
             raise ValueError("GIF index exceeds its color table")
-        # composite onto the logical screen (bg color fill)
-        if (left, top, fw, fh) == (0, 0, sw, sh):
-            canvas = indices
-        else:
-            if left + fw > sw or top + fh > sh:
-                raise ValueError("GIF frame exceeds the logical screen")
-            fill = bg if gct is not None and bg < len(gct) // 3 else 0
-            canvas = bytearray([fill]) * (sw * sh)
-            for y in range(fh):
-                canvas[(top + y) * sw + left : (top + y) * sw + left + fw] = (
-                    indices[y * fw : (y + 1) * fw]
-                )
-        rgb = bytearray(sw * sh * 3)
-        for i, idx in enumerate(canvas):
-            rgb[3 * i : 3 * i + 3] = palette[3 * idx : 3 * idx + 3]
+        if left + fw > sw or top + fh > sh:
+            raise ValueError("GIF frame exceeds the logical screen")
+        # composite onto an RGB canvas filled with the GLOBAL table's
+        # background color (never the frame's local palette), then draw
+        # the frame through ITS palette, skipping transparent pixels
+        fill = bg if gct is not None and bg < len(gct) // 3 else 0
+        fill_rgb = (gct or bytes(768))[3 * fill : 3 * fill + 3]
+        rgb = bytearray(fill_rgb * (sw * sh))
+        for y in range(fh):
+            for x in range(fw):
+                idx = indices[y * fw + x]
+                if idx == transparent:
+                    continue
+                p = 3 * ((top + y) * sw + (left + x))
+                rgb[p : p + 3] = palette[3 * idx : 3 * idx + 3]
         meta = {
             "width": sw,
             "height": sh,
@@ -296,9 +305,12 @@ def gif_frames(blob: bytes) -> tuple[list[bytes], dict]:
     as 'do not dispose' (documented — it is vanishingly rare and only
     perturbs SUBSEQUENT frame pixels under the approximation).  The
     gray fold is the channel mean — the image plane's ``_gray``, so a
-    gray-palette GIF's frames are exact.  Delays come from each
-    frame's Graphic Control Extension in ms (browsers' 100 ms default
-    when absent/zero — the convention the timeline sampling uses)."""
+    gray-palette GIF's frames are exact.  GCE transparency is honored:
+    a frame's transparent-index pixels leave the canvas (the previous
+    composite) untouched — the dominant real-world delta encoding.
+    Delays come from each frame's Graphic Control Extension in ms
+    (browsers' 100 ms default when absent/zero — the convention the
+    timeline sampling uses)."""
     if blob[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     sw, sh, packed, bg, _ = struct.unpack("<HHBBB", blob[6:13])
@@ -320,6 +332,7 @@ def gif_frames(blob: bytes) -> tuple[list[bytes], dict]:
     delays: list[int] = []
     next_delay_ms = 100
     next_disposal = 0
+    next_transparent: int | None = None
     while pos < len(blob):
         b0 = blob[pos]
         if b0 == 0x3B:  # trailer
@@ -332,6 +345,11 @@ def gif_frames(blob: bytes) -> tuple[list[bytes], dict]:
                 next_disposal = (gce[0] >> 2) & 0x07
                 cs = struct.unpack("<H", gce[1:3])[0]
                 next_delay_ms = cs * 10 if cs > 0 else 100
+                # GCE bit 0: transparent-index flag; byte 3 the index.
+                # Inter-frame deltas encode unchanged pixels with this
+                # index — compositing them opaque silently corrupts
+                # every delta-coded animation (ADVICE r13).
+                next_transparent = gce[3] if gce[0] & 0x01 else None
             while pos < len(blob) and blob[pos] != 0:
                 pos += 1 + blob[pos]
             pos += 1
@@ -373,11 +391,13 @@ def gif_frames(blob: bytes) -> tuple[list[bytes], dict]:
         if left + fw > sw or top + fh > sh:
             raise ValueError("GIF frame exceeds the logical screen")
         npal = len(palette) // 3
-        if max(indices) >= npal:
+        if any(ix >= npal and ix != next_transparent for ix in indices):
             raise ValueError("GIF index exceeds its color table")
         for y in range(fh):
             for x in range(fw):
                 idx = indices[y * fw + x]
+                if idx == next_transparent:
+                    continue  # transparent: keep the canvas pixel
                 p = 3 * ((top + y) * sw + (left + x))
                 rgb_canvas[p : p + 3] = palette[3 * idx : 3 * idx + 3]
         gray = bytes(
@@ -395,6 +415,7 @@ def gif_frames(blob: bytes) -> tuple[list[bytes], dict]:
                     rgb_canvas[p : p + 3] = bgc
         next_delay_ms = 100
         next_disposal = 0
+        next_transparent = None
     if not frames:
         raise ValueError("GIF has no image frame")
     meta = {
@@ -412,10 +433,13 @@ def encode_gif_animated(
     width: int,
     height: int,
     delay_ms: int = 100,
+    transparent_idx: "int | None" = None,
 ) -> bytes:
     """Multi-frame grayscale GIF89a (gray GCT, one full-screen image
     descriptor per frame, a Graphic Control Extension carrying the
-    delay) — the write half for frame-plane fixtures."""
+    delay).  ``transparent_idx`` sets the GCE transparent-color flag on
+    every frame — the write half for delta-coded (transparency-bearing)
+    frame-plane fixtures."""
     if not frames:
         raise ValueError("need at least one frame")
     for f in frames:
@@ -426,8 +450,16 @@ def encode_gif_animated(
     for i in range(256):
         out += bytes((i, i, i))
     cs = max(1, delay_ms // 10)
+    gce_flags = 0x01 if transparent_idx is not None else 0
+    gce_tidx = transparent_idx if transparent_idx is not None else 0
     for f in frames:
-        out += b"\x21\xf9\x04" + bytes([0]) + struct.pack("<H", cs) + b"\x00\x00"
+        out += (
+            b"\x21\xf9\x04"
+            + bytes([gce_flags])
+            + struct.pack("<H", cs)
+            + bytes([gce_tidx])
+            + b"\x00"
+        )
         out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
         out.append(8)
         lzw = _lzw_encode(8, f)

@@ -296,6 +296,30 @@ def phash_videos(
 _FRAME_ID_BASE = 1_000_000  # composite frame id = clip_id * BASE + frame_idx
 
 
+def _composite_id(id_col: str, idx_col, base: int):
+    """id*base + idx as a guarded Column: raises LOUDLY when the owner
+    id falls outside [0, 2^63/base).  SQL ``div`` truncates toward
+    zero, so a NEGATIVE id's idx>0 composites would decompose to id+1
+    (same-clip pairs then slip past the ca != cb filter), and
+    |id| >= 2^63/base silently overflows the multiply — both the
+    failure modes hash-derived full-range 64-bit ids hit (ADVICE r13).
+    Remap such ids to a dense non-negative space first."""
+    max_id = (1 << 63) // base  # exclusive
+    i = F.col(id_col).cast("long")
+    return F.when(
+        (i < 0) | (i >= F.lit(max_id)),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"composite-id owner out of range [0, {max_id}): got "
+                ),
+                i.cast("string"),
+                F.lit("; remap hash-derived ids to a dense space first"),
+            )
+        ).cast("long"),
+    ).otherwise(i * F.lit(base) + idx_col)
+
+
 def frame_hashes(
     media: DataFrame,
     every_ms: int = 1000,
@@ -433,7 +457,7 @@ def video_span_pairs(
     n_shared_frames ≥ min_shared)."""
     fh = frame_hashes(media, every_ms=every_ms, id_col=id_col, blob_col=blob_col)
     composite = fh.select(
-        (F.col(id_col) * F.lit(_FRAME_ID_BASE) + F.col("frame_idx")).alias("fid"),
+        _composite_id(id_col, F.col("frame_idx"), _FRAME_ID_BASE).alias("fid"),
         "fhash",
     )
     pairs = phash_neardup(
@@ -522,7 +546,7 @@ def incremental_video_span_pairs(
     )
     new_ids = new_media.select(F.col(id_col)).distinct()
     ob = old_bands.join(F.broadcast(new_ids), id_col, "left_anti")
-    fid = (F.col(id_col) * F.lit(_FRAME_ID_BASE) + F.col("frame_idx")).alias(
+    fid = _composite_id(id_col, F.col("frame_idx"), _FRAME_ID_BASE).alias(
         "fid"
     )
     allb = ob.select(
@@ -711,7 +735,7 @@ def image_span_pairs(
         media, tile_px=tile_px, stride=stride, id_col=id_col, blob_col=blob_col
     )
     composite = th.select(
-        (F.col(id_col) * F.lit(_TILE_ID_BASE) + F.col("tile_idx")).alias("tid"),
+        _composite_id(id_col, F.col("tile_idx"), _TILE_ID_BASE).alias("tid"),
         "thash",
     )
     pairs = phash_neardup(
@@ -805,7 +829,7 @@ def incremental_image_span_pairs(
     )
     new_ids = new_media.select(F.col(id_col)).distinct()
     ob = old_bands.join(F.broadcast(new_ids), id_col, "left_anti")
-    tid = (F.col(id_col) * F.lit(_TILE_ID_BASE) + F.col("tile_idx")).alias("tid")
+    tid = _composite_id(id_col, F.col("tile_idx"), _TILE_ID_BASE).alias("tid")
     allb = ob.select(
         tid, "band", "slice", "thash", F.lit(0).alias("is_new")
     ).unionByName(
@@ -977,7 +1001,7 @@ def audio_span_pairs(
         id_col=id_col, blob_col=blob_col,
     )
     composite = wh.select(
-        (F.col(id_col) * F.lit(_WIN_ID_BASE) + F.col("win_idx")).alias("wid"),
+        _composite_id(id_col, F.col("win_idx"), _WIN_ID_BASE).alias("wid"),
         "whash",
     )
     pairs = phash_neardup(
@@ -1066,7 +1090,7 @@ def incremental_audio_span_pairs(
     )
     new_ids = new_media.select(F.col(id_col)).distinct()
     ob = old_bands.join(F.broadcast(new_ids), id_col, "left_anti")
-    wid = (F.col(id_col) * F.lit(_WIN_ID_BASE) + F.col("win_idx")).alias("wid")
+    wid = _composite_id(id_col, F.col("win_idx"), _WIN_ID_BASE).alias("wid")
     allb = ob.select(
         wid, "band", "slice", "whash", F.lit(0).alias("is_new")
     ).unionByName(

@@ -78,7 +78,7 @@ def streaming_audio_band_owners(
     sigs = (
         wh.select(
             F.col(id_col).alias("media_id"),
-            (F.col(id_col) * F.lit(_WIN_ID_BASE) + F.col("win_idx")).alias(
+            _composite_id(id_col, F.col("win_idx"), _WIN_ID_BASE).alias(
                 "wid"
             ),
             "whash",

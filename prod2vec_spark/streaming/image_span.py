@@ -83,7 +83,7 @@ def streaming_tile_band_owners(
     sigs = (
         th.select(
             F.col(id_col).alias("media_id"),
-            (F.col(id_col) * F.lit(_TILE_ID_BASE) + F.col("tile_idx")).alias(
+            _composite_id(id_col, F.col("tile_idx"), _TILE_ID_BASE).alias(
                 "tid"
             ),
             "thash",

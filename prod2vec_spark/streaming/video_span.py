@@ -60,7 +60,7 @@ def streaming_frame_band_owners(
     sigs = (
         fh.select(
             F.col(id_col).alias("media_id"),
-            (F.col(id_col) * F.lit(_FRAME_ID_BASE) + F.col("frame_idx")).alias(
+            _composite_id(id_col, F.col("frame_idx"), _FRAME_ID_BASE).alias(
                 "fid"
             ),
             "fhash",

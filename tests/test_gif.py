@@ -249,3 +249,70 @@ def test_animated_gif_joins_the_frame_span_plane(spark):
     }
     assert set(got) == {(1, 2)}, got
     assert got[(1, 2)] == 4  # the whole scene, cross-container
+
+
+def test_animated_gif_transparency_composites_deltas():
+    """ADVICE r13 (medium): GCE transparency — delta-coded frames mark
+    unchanged pixels with the transparent index; compositing must keep
+    the canvas pixel there, not draw the palette color."""
+    from prod2vec_spark.operators.gif import encode_gif_animated, gif_frames
+
+    rng = np.random.RandomState(7)
+    base = rng.randint(0, 255, (12, 16), dtype=np.uint8)  # avoid 255
+    # frame 2 changes only a 4x6 region; everything else transparent
+    delta = np.full((12, 16), 255, dtype=np.uint8)
+    patch = rng.randint(0, 255, (4, 6), dtype=np.uint8)
+    delta[3:7, 2:8] = patch
+    expected2 = base.copy()
+    expected2[3:7, 2:8] = patch
+    blob = encode_gif_animated(
+        [base.tobytes(), delta.tobytes()], 16, 12, transparent_idx=255
+    )
+    got, m = gif_frames(blob)
+    assert m["n_frames"] == 2
+    assert np.array_equal(
+        np.frombuffer(got[0], dtype=np.uint8).reshape(12, 16), base
+    )
+    assert np.array_equal(
+        np.frombuffer(got[1], dtype=np.uint8).reshape(12, 16), expected2
+    )
+
+
+def test_gif_pixels_transparency_and_local_palette_bg():
+    """ADVICE r13 (low): gif_pixels fills the background in RGB space
+    from the GLOBAL table; a partial first frame with a LOCAL palette
+    must not re-color the uncovered background, and transparent pixels
+    leave the background visible."""
+    import struct as _s
+
+    from prod2vec_spark.operators.gif import _lzw_encode
+
+    # global table: index 1 = (10, 200, 30); background index = 1
+    out = bytearray(b"GIF89a")
+    out += _s.pack("<HHBBB", 8, 8, 0x80 | 0x00, 1, 0)  # 2-entry GCT
+    out += bytes((0, 0, 0)) + bytes((10, 200, 30))
+    # GCE: transparency on, transparent index = 3
+    out += b"\x21\xf9\x04" + bytes([0x01]) + _s.pack("<H", 10) + bytes([3, 0])
+    # partial 4x4 frame at (2,2) with a 4-entry LOCAL palette
+    out += b"\x2c" + _s.pack("<HHHHB", 2, 2, 4, 4, 0x80 | 0x01)
+    out += bytes((255, 0, 0)) + bytes((0, 0, 255)) + bytes((7, 7, 7)) + bytes((9, 9, 9))
+    idx = np.zeros((4, 4), dtype=np.uint8)
+    idx[:, 2:] = 1  # right half blue
+    idx[0, 0] = 3  # one TRANSPARENT pixel at frame (0,0) -> canvas (2,2)
+    out.append(2)  # LZW min code size
+    lz = _lzw_encode(2, idx.tobytes())
+    for i in range(0, len(lz), 255):
+        c = lz[i : i + 255]
+        out.append(len(c))
+        out += c
+    out += b"\x00\x3b"
+    rgb, m = gif_pixels(bytes(out))
+    a = np.frombuffer(rgb, dtype=np.uint8).reshape(8, 8, 3)
+    bg = np.array([10, 200, 30], dtype=np.uint8)
+    # uncovered background = GLOBAL bg color (not local palette index 1)
+    assert np.array_equal(a[0, 0], bg) and np.array_equal(a[7, 7], bg)
+    # transparent pixel inside the frame shows the background
+    assert np.array_equal(a[2, 2], bg)
+    # opaque frame pixels map through the LOCAL palette
+    assert np.array_equal(a[2, 3], np.array([255, 0, 0], dtype=np.uint8))
+    assert np.array_equal(a[3, 4], np.array([0, 0, 255], dtype=np.uint8))

@@ -7,6 +7,7 @@ audit contract."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from prod2vec_spark.operators import phash as PH
@@ -235,3 +236,31 @@ def test_audio_neardup_query_recovers_planted_families(spark):
     rows = q_audio_neardup(spark, SF_SMOKE).collect()
     assert rows, "no audio near-dup pairs found"
     assert all(r["same_family"] == 1 for r in rows)
+
+
+def test_composite_id_rejects_negative_and_overflow_ids(spark):
+    """ADVICE r13 (medium): SQL `div` truncates toward zero, so a
+    negative clip id's idx>0 composites would decompose to id+1 and
+    same-clip frame pairs slip past the ca != cb filter; |id| beyond
+    2^63/BASE silently overflows the multiply.  Both must raise LOUDLY
+    at composite-id construction."""
+    from pyspark.sql import functions as F
+
+    from prod2vec_spark.operators.phash import _FRAME_ID_BASE, _composite_id
+
+    ok = spark.createDataFrame([(42, 7)], "media_id long, frame_idx int")
+    got = ok.select(
+        _composite_id("media_id", F.col("frame_idx"), _FRAME_ID_BASE).alias("fid")
+    ).collect()
+    assert got[0]["fid"] == 42 * _FRAME_ID_BASE + 7
+
+    for bad_id in (-5, (1 << 63) // _FRAME_ID_BASE):
+        bad = spark.createDataFrame(
+            [(bad_id, 1)], "media_id long, frame_idx int"
+        )
+        with pytest.raises(Exception, match="composite-id owner out of range"):
+            bad.select(
+                _composite_id(
+                    "media_id", F.col("frame_idx"), _FRAME_ID_BASE
+                ).alias("fid")
+            ).collect()
