@@ -531,6 +531,7 @@ from prod2vec_spark.queries_r9b import R9B_ORACLES, R9B_QUERIES  # noqa: E402
 from prod2vec_spark.queries_r11 import R11_ORACLES, R11_QUERIES  # noqa: E402
 from prod2vec_spark.queries_r12 import R12_ORACLES, R12_QUERIES  # noqa: E402
 from prod2vec_spark.queries_r13 import R13_ORACLES, R13_QUERIES  # noqa: E402
+from prod2vec_spark.queries_r14 import R14_ORACLES, R14_QUERIES  # noqa: E402
 
 # Superset registry: EVERY implemented query, including the ones the
 # driver-facing catalog consolidated away (they keep full pytest
@@ -539,13 +540,13 @@ ALL_QUERIES: dict[str, QueryFn] = {
     **_QUERIES_CORE, **EXT_QUERIES, **MORE_QUERIES, **R3_QUERIES, **R4_QUERIES,
     **R5_QUERIES, **R6_QUERIES, **R6B_QUERIES, **R7_QUERIES, **R7B_QUERIES,
     **R7C_QUERIES, **R9_QUERIES, **R9B_QUERIES, **R11_QUERIES,
-    **R12_QUERIES, **R13_QUERIES,
+    **R12_QUERIES, **R13_QUERIES, **R14_QUERIES,
 }
 ALL_ORACLES: dict[str, str] = {
     **_ORACLES_CORE, **EXT_ORACLES, **MORE_ORACLES, **R3_ORACLES, **R4_ORACLES,
     **R5_ORACLES, **R6_ORACLES, **R6B_ORACLES, **R7_ORACLES, **R7B_ORACLES,
     **R7C_ORACLES, **R9_ORACLES, **R9B_ORACLES, **R11_ORACLES,
-    **R12_ORACLES, **R13_ORACLES,
+    **R12_ORACLES, **R13_ORACLES, **R14_ORACLES,
 }
 ALL_ORACLES["dq_suite"] = _sql_dq_suite()  # composed after SQL_DQ_* exist
 
@@ -621,7 +622,7 @@ CATALOG: list[str] = [
     # the embedded oracles); the RM3 feedback leg stays fully
     # superset-oracled in the pytest gate, same protocol as every
     # prior rotation.
-    "hybrid_rrf_topk", "epoch_shuffle_audit",
+    "hybrid_rrf_topk", "epoch_shuffle_audit",  # (hybrid_linear_topk retired r14)
     # round-9b rotation: stratified_split → leakage_safe_split (same
     # splits family, strictly richer surface: the identical md5 hash
     # assignment PLUS the group-key leakage guarantee over the domain
@@ -658,7 +659,29 @@ CATALOG: list[str] = [
     #     keeps minhash_jaccard_audit, neardup_editdist and
     #     verbatim_span_pairs in the catalog; simhash stays
     #     superset-oracled.
-    "kn_by_lang", "url_canonical_groups", "image_span_audit",
+    # round-14 rotation (VERDICT r13 ask #2): the round-13 tranche gets
+    # its per-round driver verdicts — three strictly-reasoned swaps,
+    # every retiree keeping its full superset oracle + family catalog
+    # siblings (the standing rotation protocol):
+    #   kn3m_perplexity in (trigram MODIFIED Kneser-Ney with the
+    #     three-discount D1/D2/D3+ family — the production KenLM
+    #     smoothing; its oracle replays the interpolated chain in IEEE
+    #     order bit-for-bit) ← kn_by_lang out: the KN family keeps its
+    #     richest member in the catalog; the per-language deployment
+    #     shape stays superset-oracled (kn_by_lang, kn_perplexity).
+    #   audio_span_audit in (partial-AUDIO embedded-jingle plane,
+    #     fully oracled via the fixture-split protocol — the span
+    #     triad's driver verdict no longer rests on the image leg
+    #     alone) ← oov_miss_count out: the miss-count family keeps
+    #     index_items (the same left-outer+UNK broadcast probe) and
+    #     dq_suite (the null/miss counters) in the catalog.
+    #   packed_wordpiece_ids in (tokenizer family #3 — greedy
+    #     longest-match WordPiece, fully oracled via the
+    #     fixed-disjoint-alphabet trick) ← hybrid_linear_topk out: the
+    #     fusion family keeps hybrid_rrf_topk in the catalog; min-max
+    #     linear fusion stays superset-oracled.
+    "kn3m_perplexity", "audio_span_audit", "packed_wordpiece_ids",
+    "url_canonical_groups", "image_span_audit",
     # round-6 new (wave 3: sketch + substring-dedup planes; retired
     # ngram_jaccard → minhash_jaccard_audit computes the exact n-gram
     # Jaccard internally + verbatim_span_pairs keeps the n-gram plane;
@@ -704,11 +727,11 @@ CATALOG: list[str] = [
     #     two entries; the tumbling-window agg shape also executes
     #     inside sessionize's gap windows and packed_input_ids'
     #     shard cumsum).
-    "ann_ivfpq_topk", "hybrid_linear_topk",
+    "ann_ivfpq_topk",
     "text_profile", "setops_parts",
     "dq_suite", "distinct_parts",
     # relational / grouping-sets / window plane
-    "pricing_summary", "baskets", "vocab", "index_items", "oov_miss_count",
+    "pricing_summary", "baskets", "vocab", "index_items",
     "skipgram_stats", "negative_sampling_stats",
     "cube_pricing",
     # joins
