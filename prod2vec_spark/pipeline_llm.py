@@ -296,6 +296,15 @@ class CorpusConfig:
     adaptive_block_k: int = 0
     adaptive_gram_n: int = 3
     adaptive_min_count: int = 100
+    # round-14: document-level toxicity/badwords screen (C4 §2.2 —
+    # 'any page containing a word on the list is removed') fused into
+    # the input scan after line_filter: category→words map (None =
+    # off); a doc drops when its badword fraction exceeds
+    # badwords_max_frac (0.0 = ANY hit drops, the C4 policy).
+    # Row-local + per-row deterministic (operators/badwords.py), so
+    # incremental_update supports it unchanged.
+    badwords_cats: "dict[str, tuple[str, ...]] | None" = None
+    badwords_max_frac: float = 0.0
 
 
 class CorpusCurationPipeline:
@@ -341,7 +350,7 @@ class CorpusCurationPipeline:
     def scrubbed_input(self) -> DataFrame:
         return self._scrubbed(self.cfg.sf_dir)
 
-    def _scrubbed(self, sf_dir: str) -> DataFrame:
+    def _scrubbed(self, sf_dir: str, badwords: bool = True) -> DataFrame:
         docs = read_table(self.spark, sf_dir, "documents")
         if self.cfg.normalize:
             from prod2vec_spark.operators.text import normalize_text
@@ -368,6 +377,28 @@ class CorpusCurationPipeline:
                 drop_brace_lines=self.cfg.lf_drop_braces,
                 max_dropped_frac=self.cfg.lf_max_dropped_frac,
             )
+        if badwords and self.cfg.badwords_cats:
+            # round-14: the C4 §2.2 doc-level badwords screen — AFTER
+            # line_filter (the gate judges surviving text), BEFORE the
+            # PII scrub (scrub tokens carry no list words, so order is
+            # immaterial for hits; cheapest-first wins).  Row-local and
+            # per-row deterministic: incremental_update supports it
+            # unchanged and the drop ledger replays it, both like
+            # line_filter.
+            from prod2vec_spark.operators.badwords import badwords_gate
+
+            rep = badwords_gate(
+                docs,
+                self.cfg.badwords_cats,
+                max_frac=self.cfg.badwords_max_frac,
+            )
+            aux = [
+                c
+                for c in rep.columns
+                if c.startswith("hits_")
+                or c in ("n_tokens", "badword_frac", "bad_verdict")
+            ]
+            docs = rep.where(~F.col("bad_verdict")).drop(*aux)
         if not self.cfg.scrub_pii:
             return docs
         from prod2vec_spark.operators.pii import scrub, scrub_cc
@@ -988,7 +1019,13 @@ class CorpusCurationPipeline:
         cfg = self.cfg
         chain: list[tuple[str, DataFrame]] = []
         if cfg.line_filter:
-            chain.append(("line_filter", self._scrubbed(cfg.sf_dir)))
+            # badwords=False isolates the line filter's own drops;
+            # the badwords entry below then attributes the rest
+            chain.append(
+                ("line_filter", self._scrubbed(cfg.sf_dir, badwords=False))
+            )
+        if cfg.badwords_cats:
+            chain.append(("badwords_gate", self._scrubbed(cfg.sf_dir)))
         if bool(cfg.domain_blocklist) or cfg.domain_cap_k > 0:
             chain.append(
                 ("url_curation",

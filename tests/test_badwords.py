@@ -1,0 +1,98 @@
+"""Round-14 (VERDICT r13 ask #4): document-level badwords gate —
+operators/badwords.py (the C4 §2.2 screen) and its curation-DAG
+integration with drop-ledger attribution."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from prod2vec_spark.operators.badwords import badwords_gate
+
+CATS = {"tox": ("darn", "heck"), "spam": ("free money",)}
+
+
+def test_badwords_planted_docs(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a perfectly clean document"),
+            (2, "well DARN that is a hit"),  # case-insensitive token
+            (3, "free money for everyone free money"),  # phrase ×2
+            (4, "darn heck darn"),  # 3 hits / 3 tokens
+            (5, None),  # NULL text: empty doc, kept
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in badwords_gate(docs, CATS).collect()}
+    assert out[1]["hits_tox"] == 0 and out[1]["hits_spam"] == 0
+    assert not out[1]["bad_verdict"]
+    assert out[2]["hits_tox"] == 1 and out[2]["bad_verdict"]
+    assert out[3]["hits_spam"] == 2 and out[3]["bad_verdict"]
+    assert out[4]["hits_tox"] == 3
+    assert out[4]["badword_frac"] == 1.0
+    assert out[5]["n_tokens"] == 0 and out[5]["badword_frac"] == 0.0
+    assert not out[5]["bad_verdict"]
+
+
+def test_badwords_whole_token_not_substring(spark):
+    """The Scunthorpe guard: single-word entries match whole tokens
+    only — 'darn' inside 'darning' is NOT a hit."""
+    docs = spark.createDataFrame(
+        [(1, "she was darning socks"), (2, "darn socks")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in badwords_gate(docs, CATS).collect()}
+    assert out[1]["hits_tox"] == 0 and not out[1]["bad_verdict"]
+    assert out[2]["hits_tox"] == 1 and out[2]["bad_verdict"]
+
+
+def test_badwords_max_frac_threshold(spark):
+    """max_frac > 0 keeps docs whose badword density stays under the
+    cut (the 'report, do not censor' deployment)."""
+    docs = spark.createDataFrame(
+        [(1, " ".join(["ok"] * 99 + ["darn"]))], "doc_id long, text string"
+    )
+    assert not badwords_gate(docs, CATS, max_frac=0.02).first()["bad_verdict"]
+    assert badwords_gate(docs, CATS, max_frac=0.0).first()["bad_verdict"]
+
+
+def test_badwords_validation_errors(spark):
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="at least one category"):
+        badwords_gate(docs, {})
+    with pytest.raises(ValueError, match="has no words"):
+        badwords_gate(docs, {"tox": ()})
+    with pytest.raises(ValueError, match="column suffix"):
+        badwords_gate(docs, {"bad cat": ("x",)})
+
+
+def test_dag_badwords_stage_and_ledger(spark, tmp_path):
+    """The curation DAG with badwords_cats set drops list-bearing docs
+    at the fused input gate and the drop ledger attributes them to
+    'badwords_gate' (not to a later stage)."""
+    from prod2vec_spark.pipeline_llm import CorpusConfig, CorpusCurationPipeline
+    from prod2vec_spark.sources.io import read_table
+    from tests.conftest import SF_SMOKE
+
+    # words guaranteed present in the synthetic corpus
+    cats = {"latency": ("slow",)}
+    cfg = CorpusConfig(
+        sf_dir=SF_SMOKE, work_dir=str(tmp_path / "w"), badwords_cats=cats
+    )
+    pipe = CorpusCurationPipeline(spark, cfg)
+    final = pipe.run()
+    docs = read_table(spark, SF_SMOKE, "documents")
+    bad_ids = {
+        r["doc_id"]
+        for r in badwords_gate(docs, cats).where("bad_verdict").collect()
+    }
+    assert bad_ids, "fixture must plant at least one list-bearing doc"
+    curated = spark.read.parquet(f"{cfg.work_dir}/decontaminated")
+    kept = {r["doc_id"] for r in curated.select("doc_id").collect()}
+    assert not (bad_ids & kept)
+    ledger = {
+        r["doc_id"]: r["dropped_at"] for r in pipe.drop_ledger().collect()
+    }
+    assert bad_ids <= set(ledger)
+    assert {ledger[i] for i in bad_ids} == {"badwords_gate"}
+    assert final is not None
