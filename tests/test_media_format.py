@@ -1,0 +1,75 @@
+"""Round-14 (VERDICT r13 ask #5): the media format audit — the codec
+boundary's unsupported share as a driver-checked number.
+operators/multimodal.classify_media + media_format_audit over the
+planted fixture (tools/gen_media_format_fixture.py)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from prod2vec_spark.operators.multimodal import classify_media
+from prod2vec_spark.queries_r14 import _media_format_fixture_path
+
+
+def test_fixture_golden_lock():
+    """Re-running the REAL classifier over every fixture blob must
+    reproduce the persisted (fmt, status) columns bit-for-bit — the
+    video_vhash golden protocol: the oracle aggregates these columns,
+    so this lock is what makes the driver entry honest."""
+    df = pd.read_parquet(_media_format_fixture_path())
+    assert len(df) == 240
+    for _, row in df.iterrows():
+        fmt, status = classify_media(bytes(row["blob"]))
+        assert (fmt, status) == (row["fmt"], row["status"]), row["media_id"]
+    # every declared class is present, including the planted WebP
+    got = set(zip(df["fmt"], df["status"]))
+    assert ("webp", "unsupported_format") in got
+    assert ("jpeg", "unsupported_format") in got  # arithmetic SOF10
+    assert ("png", "corrupt") in got and ("avi", "corrupt") in got
+    assert ("unknown", "unsupported_format") in got
+
+
+def test_classifier_boundaries():
+    """Magic-byte + decode-attempt classification: WebP and
+    arithmetic/lossless JPEG are UNSUPPORTED (declared boundary),
+    truncation is CORRUPT, valid codecs DECODE, junk is UNKNOWN."""
+    import struct
+
+    from prod2vec_spark.operators.multimodal import (
+        encode_png_gray8,
+        encode_wav_pcm16,
+    )
+
+    png = encode_png_gray8(bytes(range(256)), 16, 16)
+    assert classify_media(png) == ("png", "decoded")
+    assert classify_media(png[:20]) == ("png", "corrupt")
+    assert classify_media(encode_wav_pcm16([0] * 100)) == ("wav", "decoded")
+    webp = b"RIFF" + struct.pack("<I", 12) + b"WEBP" + bytes(12)
+    assert classify_media(webp) == ("webp", "unsupported_format")
+    arith = b"\xff\xd8\xff\xca" + struct.pack(">H", 11) + bytes(9)
+    assert classify_media(arith) == ("jpeg", "unsupported_format")
+    lossless = b"\xff\xd8\xff\xc3" + struct.pack(">H", 11) + bytes(9)
+    assert classify_media(lossless) == ("jpeg", "unsupported_format")
+    assert classify_media(b"\xff\xd8 not a real jpeg") == ("jpeg", "corrupt")
+    assert classify_media(b"garbage") == ("unknown", "unsupported_format")
+    assert classify_media(None) == ("unknown", "unsupported_format")
+
+
+def test_audit_counts_match_pandas(spark):
+    """media_format_audit (one Arrow-batched scan + tiny hash-agg)
+    reproduces the per-(fmt, status) counts of a row-by-row pandas
+    pass over the same blobs."""
+    from prod2vec_spark.operators.multimodal import media_format_audit
+
+    df = pd.read_parquet(_media_format_fixture_path())
+    want = df.groupby(["fmt", "status"]).size().to_dict()
+    media = spark.createDataFrame(
+        [(int(r["media_id"]), bytearray(r["blob"])) for _, r in df.iterrows()],
+        "media_id long, blob binary",
+    )
+    got = {
+        (r["fmt"], r["status"]): r["n"]
+        for r in media_format_audit(media).collect()
+    }
+    assert got == want

@@ -1,0 +1,125 @@
+"""Generate tests/fixtures/media_formats.parquet — the planted
+mixed-format blob corpus for the media_format_audit plane (round 14,
+VERDICT r13 ask #5).
+
+240 deterministic blobs across 12 classes (media_id % 12): valid
+PNG / JPEG baseline / JPEG progressive / GIF / animated GIF / WAV
+PCM / WAV ADPCM / AVI, truncated-PNG and truncated-AVI corruption,
+a WebP container and an arithmetic-coded-JPEG header (both declared
+unsupported boundaries), plus unknown-magic garbage.
+
+Columns: media_id, blob, fmt, status — fmt/status are the REAL
+classifier's output at generation time (operators/multimodal.
+classify_media); tests/test_media_format.py re-runs the classifier
+against the blobs and asserts bit-equality, so the persisted columns
+stay honest (the video_vhash golden-fixture protocol).  The catalog
+entry recomputes (fmt, status) from the blobs in Spark and its DuckDB
+oracle aggregates the persisted columns — classifier drift fails the
+driver's hash compare.
+
+Deterministic: all pixel/sample content is md5-expanded from the id.
+Rerun: python tools/gen_media_format_fixture.py
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import struct
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_ROWS = 240
+FIXTURE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests",
+    "fixtures",
+    "media_formats.parquet",
+)
+
+
+def _bytes(tag: str, n: int) -> bytes:
+    out = b"".join(
+        hashlib.md5(f"{tag}|{k}".encode()).digest() for k in range(n // 16 + 1)
+    )
+    return out[:n]
+
+
+def planted_media_blob(media_id: int) -> bytes:
+    from prod2vec_spark.operators.gif import (
+        encode_gif_animated,
+        encode_gif_gray8,
+    )
+    from prod2vec_spark.operators.jpeg import (
+        encode_jpeg_gray,
+        encode_jpeg_gray_progressive,
+    )
+    from prod2vec_spark.operators.multimodal import (
+        encode_avi_gray8,
+        encode_png_gray8,
+        encode_wav_adpcm,
+        encode_wav_pcm16,
+    )
+
+    i = int(media_id)
+    cls = i % 12
+    px = _bytes(f"mf{i}", 256)
+    if cls == 0:
+        return encode_png_gray8(px, 16, 16)
+    if cls == 1:  # truncated PNG -> corrupt
+        return encode_png_gray8(px, 16, 16)[: 24 + (i % 16)]
+    if cls == 2:
+        return encode_jpeg_gray(px, 16, 16)
+    if cls == 3:
+        return encode_jpeg_gray_progressive(px, 16, 16)
+    if cls == 4:
+        return encode_gif_gray8(px, 16, 16)
+    if cls == 5:
+        frames = [_bytes(f"mfg{i}|{t}", 256) for t in range(3)]
+        return encode_gif_animated(frames, 16, 16, delay_ms=100)
+    if cls == 6:
+        samples = [
+            s // 8 for s in struct.unpack("<520h", _bytes(f"mfw{i}", 1040))
+        ]
+        return encode_wav_pcm16(samples)
+    if cls == 7:
+        samples = [
+            s // 8 for s in struct.unpack("<520h", _bytes(f"mfa{i}", 1040))
+        ]
+        return encode_wav_adpcm(samples)
+    if cls == 8:
+        frames = [_bytes(f"mfv{i}|{t}", 256) for t in range(3)]
+        return encode_avi_gray8(frames, 16, 16)
+    if cls == 9:  # truncated AVI -> corrupt
+        frames = [_bytes(f"mfv{i}|{t}", 256) for t in range(3)]
+        return encode_avi_gray8(frames, 16, 16)[: 64 + (i % 32)]
+    if cls == 10:  # declared-unsupported boundaries
+        if (i // 12) % 2:
+            return b"RIFF" + struct.pack("<I", 64) + b"WEBP" + _bytes(f"wb{i}", 64)
+        # arithmetic-coded JPEG: SOI + DQT-ish stub + SOF10 header
+        sof10 = b"\xff\xca" + struct.pack(">H", 11) + bytes(9)
+        return b"\xff\xd8" + sof10 + _bytes(f"aj{i}", 32)
+    return _bytes(f"junk{i}", 40 + (i % 64))  # unknown magic
+
+
+def main() -> None:
+    import pandas as pd
+
+    from prod2vec_spark.operators.multimodal import classify_media
+
+    rows = []
+    for i in range(N_ROWS):
+        blob = planted_media_blob(i)
+        fmt, status = classify_media(blob)
+        rows.append(
+            {"media_id": i, "blob": blob, "fmt": fmt, "status": status}
+        )
+    df = pd.DataFrame(rows)
+    df.to_parquet(FIXTURE, index=False)
+    print(df.groupby(["fmt", "status"]).size())
+    print(f"wrote {len(df)} rows to {FIXTURE}")
+
+
+if __name__ == "__main__":
+    main()
