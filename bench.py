@@ -76,12 +76,9 @@ import time
 FLAGSHIP = "__flagship__"
 CURATION10X = "__curation10x__"
 CURATION_FULL = "__curation_full__"
-CURATION_R7 = "__curation_r7__"
-CURATION_R7B = "__curation_r7b__"
-CURATION_R9 = "__curation_r9__"
-CURATION_R9B = "__curation_r9b__"
-CURATION_R12 = "__curation_r12__"
+CURATION_ALL = "__curation_all__"
 CANARY = "__canary__"
+MACROS = (CURATION10X, CURATION_FULL, CURATION_ALL)
 BASELINE_SF = 0.1  # scale factor the BASELINE.json timings were recorded at
 ADJ_ABS_FLOOR_SEC = 0.5  # sub-floor deltas are bench-noise resolution, not signal
 
@@ -182,79 +179,12 @@ def _curation_full(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
-def _curation_r7(spark, sf_dir):
-    """The curation DAG with the round-7 stages ON (CCNet segment
-    dedup between exact dedup and quality scoring, bigram-LM
-    perplexity gate after it, quality-based near-dup survivor) —
-    timed separately from __curation_full__ so the new stages' cost
-    at the bench scale factor is a recorded number next to the
-    default DAG's, not folded into it (the default macro keeps its
-    baseline comparable across rounds)."""
-    import shutil
-    import tempfile
-
-    from prod2vec_spark.pipeline_llm import CorpusConfig, CorpusCurationPipeline
-
-    work = tempfile.mkdtemp(prefix="bench_curation_r7_")
-    try:
-        return CorpusCurationPipeline(
-            spark,
-            CorpusConfig(
-                sf_dir=sf_dir,
-                work_dir=work,
-                segment_dedup=True,
-                lm_gate=True,
-                canonical_policy="quality",
-            ),
-        ).run()
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
-
-
-def _curation_r7b(spark, sf_dir):
-    """The curation DAG with the round-7 WAVE-B stages ON (Luhn card
-    scrub in the PII pass, zlib compression gate fused into quality,
-    edit-distance pair verification before clustering, train/val/test
-    hash split with train-only chunking, temperature mix report,
-    epoch-0 shuffle shards of the chunks) — the wave-B composition's
-    wall clock recorded next to the default and r7 DAG macros."""
-    import shutil
-    import tempfile
-
-    from prod2vec_spark.pipeline_llm import CorpusConfig, CorpusCurationPipeline
-
-    work = tempfile.mkdtemp(prefix="bench_curation_r7b_")
-    try:
-        return CorpusCurationPipeline(
-            spark,
-            CorpusConfig(
-                sf_dir=sf_dir,
-                work_dir=work,
-                scrub_cc=True,
-                compression_gate=True,
-                editdist_verify=True,
-                holdout_split=True,
-                mix_report=True,
-                epoch_shards=8,
-            ),
-        ).run()
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
-
-
-def _curation_r9(spark, sf_dir):
-    """The curation DAG with the round-9 media-dedup stage ON: mixed
-    PNG/WAV/AVI attachments synthesized per document (planted
-    duplicate families — the multimodal testdata adapter, itself a
-    mapInPandas render with the same shape as a real blob scan, so
-    its cost is included), hashed per modality and collapsed through
-    the banded-Hamming + connected-components drop-set subtraction —
-    the media stage's wall clock recorded next to the other DAG
-    macros."""
+def _render_media(spark, sf_dir: str, media_path: str) -> None:
+    """Synthesize mixed PNG/WAV/AVI attachments per document (planted
+    duplicate families — a mapInPandas render with the same shape as a
+    real blob scan, so its cost is included in the macro's time)."""
     import hashlib
-    import shutil
     import struct as _struct
-    import tempfile
     from typing import Iterator
 
     import pandas as pd
@@ -264,7 +194,6 @@ def _curation_r9(spark, sf_dir):
         encode_png_gray8,
         encode_wav_pcm16,
     )
-    from prod2vec_spark.pipeline_llm import CorpusConfig, CorpusCurationPipeline
     from prod2vec_spark.sources.io import read_table
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -310,78 +239,70 @@ def _curation_r9(spark, sf_dir):
                     )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
-    work = tempfile.mkdtemp(prefix="bench_curation_r9_")
-    try:
-        media_path = f"{work}/media"
-        (
-            read_table(spark, sf_dir, "documents")
-            .select("doc_id")
-            .mapInPandas(render, schema="doc_id long, blob binary")
-            .write.parquet(media_path)
-        )
-        return CorpusCurationPipeline(
-            spark,
-            CorpusConfig(sf_dir=sf_dir, work_dir=work, media_path=media_path),
-        ).run()
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
+    (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .mapInPandas(render, schema="doc_id long, blob binary")
+        .write.parquet(media_path)
+    )
 
 
-def _curation_r9b(spark, sf_dir):
-    """The curation DAG with the round-9b text-curation wave ON:
-    fused C4 line filter (window mode), mined adaptive blocklist
-    (corpus-wide hotspot agg + row-local cut), keep-first segment
-    dedup, and the leakage-safe source-grouped holdout — the new
-    stages' combined wall clock recorded next to the other DAG
-    macros."""
+def _curation_all(spark, sf_dir):
+    """EVERY optional curation stage ON in one composed DAG run —
+    the round-14 macro consolidation (VERDICT r13 ask #8): the five
+    historical per-round macros (r7/r7b/r9/r9b/r12) overlapped heavily
+    and cost ~135 s of the 220 s bench; this single all-stages-on
+    composition keeps every stage's timed coverage via the per-stage
+    ``t_ms_*`` attribution rows the stats report emits (recorded in
+    the artifact under ``stage_ms``), while the default-config
+    ``__curation_full__`` macro keeps its baseline comparable across
+    rounds.  Where a stage has alternative legs (segment-dedup
+    policy, LM smoothing, tokenizer family), ONE leg is timed here —
+    keep_first / Kneser-Ney / wordpiece, the newest of each — since
+    the legs share the stage's dataflow shape."""
     import shutil
     import tempfile
 
     from prod2vec_spark.pipeline_llm import CorpusConfig, CorpusCurationPipeline
 
-    work = tempfile.mkdtemp(prefix="bench_curation_r9b_")
+    work = tempfile.mkdtemp(prefix="bench_curation_all_")
     try:
+        media_path = f"{work}/media"
+        _render_media(spark, sf_dir, media_path)
         return CorpusCurationPipeline(
             spark,
             CorpusConfig(
                 sf_dir=sf_dir,
                 work_dir=work,
+                # r7: normalization, segment dedup, LM gate, survivor
+                normalize=True,
+                segment_dedup=True,
+                seg_policy="keep_first",
+                lm_gate=True,
+                lm_smoothing="kneser_ney",
+                canonical_policy="quality",
+                # r7b: scrub/compress/verify/split/mix/shards
+                scrub_cc=True,
+                compression_gate=True,
+                editdist_verify=True,
+                holdout_split=True,
+                split_group_col="source",
+                mix_report=True,
+                epoch_shards=8,
+                # r9: media near-dup (the URL stages need a url column
+                # the sf documents table doesn't carry — they keep
+                # their oracle/pytest coverage via url_canonical_groups)
+                media_path=media_path,
+                # r9b: line filters + adaptive blocklist
                 line_filter=True,
                 adaptive_block_k=1,
                 adaptive_min_count=100,
-                segment_dedup=True,
-                seg_policy="keep_first",
-                holdout_split=True,
-                split_group_col="source",
-            ),
-        ).run()
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
-
-
-def _curation_r12(spark, sf_dir):
-    """The curation DAG with the round-12 model-plane wave ON: the
-    Kneser-Ney LM gate (continuation-count smoothing) and the
-    unigram-LM tokenizer family driving the pack stage (Viterbi
-    segmentation through the tokens_fn seam: piece-table training,
-    vocab, packed input_ids all in unigram tokens) — the new seams'
-    combined wall clock recorded next to the other DAG macros."""
-    import shutil
-    import tempfile
-
-    from prod2vec_spark.pipeline_llm import CorpusConfig, CorpusCurationPipeline
-
-    work = tempfile.mkdtemp(prefix="bench_curation_r12_")
-    try:
-        return CorpusCurationPipeline(
-            spark,
-            CorpusConfig(
-                sf_dir=sf_dir,
-                work_dir=work,
-                lm_gate=True,
-                lm_smoothing="kneser_ney",
-                tokenizer="unigram",
-                unigram_vocab_size=200,
+                # r11/r12: semantic dedup + partial-media spans
+                semantic_dedup=True,
+                media_span_dedup=True,
+                # r12/r13: tokenizer family + packed training shards
+                tokenizer="wordpiece",
+                wordpiece_merges=50,
                 pack_budget=256,
                 pack_shards=2,
             ),
@@ -390,8 +311,13 @@ def _curation_r12(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
-def run_chunk(names: list[str], sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
-    """Child entry: time the named queries in THIS process's fresh JVM."""
+def run_chunk(
+    names: list[str], sf_dir: str
+) -> tuple[dict[str, float], dict[str, float], dict[str, dict]]:
+    """Child entry: time the named queries in THIS process's fresh JVM.
+    Macro (DAG) entries also surface their per-stage ``t_ms_*``
+    attribution rows from the stats report — the regression signal the
+    consolidated all-stages-on macro carries for every stage."""
     from prod2vec_spark.queries import QUERIES
     from prod2vec_spark.session import get_spark
 
@@ -406,16 +332,13 @@ def run_chunk(names: list[str], sf_dir: str) -> tuple[dict[str, float], dict[str
     runs = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    stage_ms: dict[str, dict] = {}
     special = {
         CANARY: _canary,
         FLAGSHIP: _flagship,
         CURATION10X: _curation10x,
         CURATION_FULL: _curation_full,
-        CURATION_R7: _curation_r7,
-        CURATION_R7B: _curation_r7b,
-        CURATION_R9: _curation_r9,
-        CURATION_R9B: _curation_r9b,
-        CURATION_R12: _curation_r12,
+        CURATION_ALL: _curation_all,
     }
     # macro entries run once in the main pass (the CC loop's eager
     # checkpoints dominate; one run is representative) — but an
@@ -424,15 +347,32 @@ def run_chunk(names: list[str], sf_dir: str) -> tuple[dict[str, float], dict[str
     macro_runs = int(os.environ.get("SPARK_GRAFT_MACRO_RUNS", "1"))
     for name in names:
         fn = special.get(name) or QUERIES[name]
-        n_runs = macro_runs if name in (CURATION10X, CURATION_FULL, CURATION_R7, CURATION_R7B, CURATION_R9, CURATION_R9B, CURATION_R12) else runs
+        is_macro = name in MACROS
+        n_runs = macro_runs if is_macro else runs
         times = []
         for _ in range(n_runs):
             t0 = time.perf_counter()
+            if is_macro:
+                # the DAG executes inside fn (checkpoint writes); the
+                # report is a handful of driver rows — collect it and
+                # keep the t_ms_* stage attribution for the artifact
+                # (macros whose report carries no stage column, e.g.
+                # the 10x stress chain, just skip the extraction)
+                rep = fn(spark, sf_dir)
+                rows = rep.collect()
+                times.append(round(time.perf_counter() - t0, 3))
+                if {"stage", "n"} <= set(rep.columns):
+                    stage_ms[name] = {
+                        r["stage"]: int(r["n"])
+                        for r in rows
+                        if str(r["stage"]).startswith("t_ms_")
+                    }
+                continue
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             times.append(round(time.perf_counter() - t0, 3))
         # sub-second queries: absolute jitter (scheduler, one slow task)
         # dominates the ratio, so buy extra samples — they cost <1s each
-        while min(times) < 1.0 and len(times) < n_runs + 3:
+        while not is_macro and min(times) < 1.0 and len(times) < n_runs + 3:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             times.append(round(time.perf_counter() - t0, 3))
@@ -440,21 +380,22 @@ def run_chunk(names: list[str], sf_dir: str) -> tuple[dict[str, float], dict[str
         timings[name] = min(times)
         gc.collect()  # release py4j refs so ContextCleaner can drop broadcasts
     spark.stop()
-    return timings, cold
+    return timings, cold, stage_ms
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from prod2vec_spark.queries import QUERIES
 
-    # the flagship estimator pipeline and the 10x curation stress are
-    # timed too, appended last so their heavy driver-side work never
+    # the flagship estimator pipeline and the DAG macros are timed
+    # too, appended last so their heavy driver-side work never
     # precedes (and so ages the JVM of) the catalog queries sharing
     # their chunk
-    names = list(QUERIES) + [FLAGSHIP, CURATION10X, CURATION_FULL, CURATION_R7, CURATION_R7B, CURATION_R9, CURATION_R9B, CURATION_R12]
+    names = list(QUERIES) + [FLAGSHIP, CURATION10X, CURATION_FULL, CURATION_ALL]
     chunk_size = int(os.environ.get("SPARK_GRAFT_BENCH_CHUNK", "6"))
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    stage_ms: dict[str, dict] = {}
     here = os.path.dirname(os.path.abspath(__file__))
     for i in range(0, len(names), chunk_size):
         chunk = names[i : i + chunk_size]
@@ -471,6 +412,35 @@ def main() -> None:
         part = json.loads(proc.stdout.strip().splitlines()[-1])
         timings.update(part["queries"])
         cold.update(part["cold"])
+        stage_ms.update(part.get("stage_ms", {}))
+
+    # the canary is a VM-throughput probe, not a catalog query: it
+    # runs ISOLATED in its own fresh JVM (an aged chunk JVM's GC
+    # pressure would contaminate the ambient measurement — observed
+    # 10x when it shared the macro chunk) with extra samples, and
+    # stays out of the total, the vs_baseline geomean, and the
+    # suspect list.  It runs BEFORE the adjudication pass (round-14,
+    # VERDICT r13 ask #1) because adjudication verdicts are now
+    # computed on the CANARY-NORMALIZED ratio — uniform ambient VM
+    # drift (the measured 1.47x decay of r13) must not label an
+    # unchanged plan "regression".  The parse is crash-proof: stray
+    # stdout lines from the child (JVM/log4j leakage) degrade to
+    # canary_sec=None (raw-ratio verdicts), never a lost bench run.
+    canary_sec = None
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--chunk", CANARY],
+        capture_output=True,
+        text=True,
+        cwd=here,
+        env={**os.environ, "SPARK_GRAFT_BENCH_RUNS": "6"},
+    )
+    if proc.returncode == 0:
+        try:
+            canary_sec = json.loads(proc.stdout.strip().splitlines()[-1])[
+                "queries"
+            ][CANARY]
+        except (ValueError, KeyError, IndexError):
+            canary_sec = None
 
     # Noise adjudication pass (automates BASELINE.md's round-5 manual
     # protocol, VERDICT r5 ask #4): any query landing >1.2x its
@@ -485,6 +455,14 @@ def main() -> None:
     # engage at the baseline's scale factor
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
     baseline = _per_query_baseline() if sf == BASELINE_SF else {}
+    # canary normalization factor: how much slower THIS VM runs the
+    # fixed synthetic probe vs when baselines were recorded.  Clamped
+    # at >= 1.0 — a faster-than-baseline VM must never hide a real
+    # regression behind the divide.
+    cb = _baseline_data().get("canary_sec")
+    canary_factor = (
+        max(1.0, canary_sec / cb) if canary_sec and cb else 1.0
+    )
     adjudications: dict[str, dict] = {}
     suspects = [
         q
@@ -512,38 +490,29 @@ def main() -> None:
             continue  # keep the original number; never mask a crash
         part = json.loads(proc.stdout.strip().splitlines()[-1])
         isolated = part["queries"][q]
+        # the verdict reads the CANARY-NORMALIZED ratio (raw ratio
+        # still recorded): a query that moved WITH the VM is ambient
+        # drift ("noise_ambient"), not a plan regression
+        norm_ratio = isolated / baseline[q] / canary_factor
+        raw_ok = (
+            isolated / baseline[q] <= 1.2
+            or isolated - baseline[q] <= ADJ_ABS_FLOOR_SEC
+        )
         verdict = (
             "noise"
-            if isolated / baseline[q] <= 1.2
-            or isolated - baseline[q] <= ADJ_ABS_FLOOR_SEC
-            else "regression"
+            if raw_ok
+            else ("noise_ambient" if norm_ratio <= 1.2 else "regression")
         )
         adjudications[q] = {
             "original": timings[q],
             "isolated": isolated,
             "baseline": baseline[q],
+            "ratio_raw": round(isolated / baseline[q], 2),
+            "ratio_canary_normalized": round(norm_ratio, 2),
+            "canary_factor": round(canary_factor, 2),
             "verdict": verdict,
         }
         timings[q] = min(timings[q], isolated)
-
-    # the canary is a VM-throughput probe, not a catalog query: it
-    # runs ISOLATED in its own fresh JVM (an aged chunk JVM's GC
-    # pressure would contaminate the ambient measurement — observed
-    # 10x when it shared the macro chunk) with extra samples, and
-    # stays out of the total, the vs_baseline geomean, and the
-    # suspect list
-    canary_sec = None
-    proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--chunk", CANARY],
-        capture_output=True,
-        text=True,
-        cwd=here,
-        env={**os.environ, "SPARK_GRAFT_BENCH_RUNS": "6"},
-    )
-    if proc.returncode == 0:
-        canary_sec = json.loads(proc.stdout.strip().splitlines()[-1])[
-            "queries"
-        ][CANARY]
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "catalog_total_runtime",
@@ -553,8 +522,9 @@ def main() -> None:
         "sf": sf,
         "cold_value": round(sum(cold.values()), 3),
     }
+    if stage_ms:
+        out["stage_ms"] = stage_ms
     if canary_sec is not None:
-        cb = _baseline_data().get("canary_sec")
         out["canary"] = {
             "sec": canary_sec,
             "vs_baseline": round(canary_sec / cb, 2) if cb else None,
@@ -594,6 +564,8 @@ def main() -> None:
         json.dump(out, f, indent=1, sort_keys=True)
         f.write("\n")
     slim = dict(out)
+    if "stage_ms" in slim:
+        slim["stage_ms"] = "BENCH_LOCAL.json"  # keep stdout line small
     if "vs_baseline" in out:
         vb = dict(out["vs_baseline"])
         per_q = vb.pop("per_query_ratio")
@@ -624,7 +596,7 @@ if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     if len(sys.argv) >= 3 and sys.argv[1] == "--chunk":
         sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-        t, c = run_chunk(sys.argv[2].split(","), sf)
-        print(json.dumps({"queries": t, "cold": c}))
+        t, c, sm = run_chunk(sys.argv[2].split(","), sf)
+        print(json.dumps({"queries": t, "cold": c, "stage_ms": sm}))
     else:
         main()

@@ -206,10 +206,33 @@ class StreamCorpusConfig:
     lf_width: int = 10
     lf_min_words: int = 3
     lf_blocklist: tuple[str, ...] = ("lorem ipsum", "javascript")
+    # round-14 (VERDICT r13 ask #6): the batch lm_gate's streaming
+    # twin.  A BATCH-TRAINED model persisted at lm_model_dir (fit on
+    # the vetted archive — BigramLM / KNModel / KN3Model.save) scores
+    # each micro-batch of the exact-dedup output through the existing
+    # idempotent score streams (operators/lm.start_*_score_stream);
+    # docs whose ppl exceeds lm_max_ppl — or that are too short to
+    # score, the batch gate's semi-join semantic — drop at curated()
+    # time.  The threshold is FROZEN config (the percentile computed
+    # offline on the archived corpus, the quality_min convention): a
+    # stream has no finished corpus to take a percentile over.
+    lm_gate: bool = False
+    lm_model_dir: str | None = None
+    # 'stupid_backoff' | 'kneser_ney' (bigram) | 'kneser_ney3' (trigram)
+    lm_smoothing: str = "kneser_ney3"
+    lm_max_ppl: float = float("inf")
+    lm_discount: float | None = None  # None = operators/lm.DEFAULT_DISCOUNT
+    # optional modified-KN discount triples for the trigram scorer
+    lm_discounts3: "tuple[float, float, float] | None" = None
+    lm_discounts2: "tuple[float, float, float] | None" = None
 
     @property
     def exact_dir(self) -> str:
         return f"{self.work_dir}/exact_deduped"
+
+    @property
+    def lmscores_dir(self) -> str:
+        return f"{self.work_dir}/lm_scores"
 
     @property
     def decisions_dir(self) -> str:
@@ -352,6 +375,74 @@ class StreamingCorpusPipeline:
         )
         q.awaitTermination()
 
+    def lm_stage(self) -> None:
+        """Score the exact-dedup output against the batch-trained LM
+        through the matching idempotent score stream — per-batch
+        parquet partials under lmscores_dir, exactly-once across
+        restarts by checkpoint + batch_id-keyed overwrites (parity
+        with score_docs_* is pytest-locked per scorer)."""
+        import os
+
+        if self.cfg.lm_model_dir is None:
+            raise ValueError("lm_gate needs lm_model_dir (a persisted model)")
+        from prod2vec_spark.operators import lm as LM
+
+        os.makedirs(self.cfg.exact_dir, exist_ok=True)
+        stream = self.spark.readStream.schema(_EXACT_SCHEMA).parquet(
+            self.cfg.exact_dir
+        )
+        ckpt = f"{self.cfg.work_dir}/ckpt_lm"
+        d = (
+            LM.DEFAULT_DISCOUNT
+            if self.cfg.lm_discount is None
+            else self.cfg.lm_discount
+        )
+        if self.cfg.lm_smoothing == "kneser_ney3":
+            model = LM.KN3Model.load(self.spark, self.cfg.lm_model_dir)
+            q = LM.start_kn3_score_stream(
+                stream, model, self.cfg.lmscores_dir, ckpt,
+                discount=d,
+                discounts3=self.cfg.lm_discounts3,
+                discounts2=self.cfg.lm_discounts2,
+            )
+        elif self.cfg.lm_smoothing == "kneser_ney":
+            model = LM.KNModel.load(self.spark, self.cfg.lm_model_dir)
+            q = LM.start_kn_score_stream(
+                stream, model, self.cfg.lmscores_dir, ckpt, discount=d
+            )
+        elif self.cfg.lm_smoothing == "stupid_backoff":
+            model = LM.BigramLM.load(self.spark, self.cfg.lm_model_dir)
+            q = LM.start_lm_score_stream(
+                stream, model, self.cfg.lmscores_dir, ckpt
+            )
+        else:
+            raise ValueError(
+                f"unknown lm_smoothing {self.cfg.lm_smoothing!r} (expected "
+                "'stupid_backoff', 'kneser_ney' or 'kneser_ney3')"
+            )
+        q.awaitTermination()
+
+    def _lm_keep(self) -> DataFrame:
+        """doc_ids the LM gate KEEPS under the committed scores: ppl
+        <= lm_max_ppl.  The subtraction is a semi join (the batch
+        lm_gate shape), so unscored docs — too short for the model's
+        order — drop exactly as they do batch-side."""
+        from prod2vec_spark.operators import lm as LM
+
+        readers = {
+            "kneser_ney3": LM.read_kn3_scores,
+            "kneser_ney": LM.read_kn_scores,
+            "stupid_backoff": LM.read_lm_scores,
+        }
+        from pyspark.sql import functions as F
+
+        scores = readers[self.cfg.lm_smoothing](
+            self.spark, self.cfg.lmscores_dir
+        )
+        return scores.where(
+            F.col("ppl") <= F.lit(self.cfg.lm_max_ppl)
+        ).select("doc_id")
+
     def _segment_gate_drop(self, docs: DataFrame) -> DataFrame:
         """doc_ids whose fraction of boilerplate-estimated windows
         exceeds seg_max_frac under the CURRENT committed sketch.  The
@@ -396,6 +487,12 @@ class StreamingCorpusPipeline:
         if self.cfg.segment_gate:
             seg_drop = self._segment_gate_drop(exact)
             exact = exact.join(F.broadcast(seg_drop), "doc_id", "left_anti")
+        if self.cfg.lm_gate:
+            # semi join on the keep set (the batch lm_gate shape):
+            # high-ppl AND unscored-too-short docs both drop
+            exact = exact.join(
+                F.broadcast(self._lm_keep()), "doc_id", "left_semi"
+            )
         # subtract only the DROP set — the near-dup fraction, usually
         # small relative to the corpus — broadcast into a left-anti
         # join so the corpus side never shuffles (same shape as
@@ -438,12 +535,16 @@ class StreamingCorpusPipeline:
         self._row_gates(landing, stages=chain)
         exact = _read_output(self.spark, self.cfg.exact_dir, _EXACT_SCHEMA)
         chain.append(("exact_dedup", exact))
+        gated = exact
         if self.cfg.segment_gate:
             seg_drop = self._segment_gate_drop(exact)
-            chain.append(
-                ("segment_gate",
-                 exact.join(F.broadcast(seg_drop), "doc_id", "left_anti"))
+            gated = exact.join(F.broadcast(seg_drop), "doc_id", "left_anti")
+            chain.append(("segment_gate", gated))
+        if self.cfg.lm_gate:
+            gated = gated.join(
+                F.broadcast(self._lm_keep()), "doc_id", "left_semi"
             )
+            chain.append(("lm_gate", gated))
         chain.append(("near_dedup", self.curated()))
 
         prev = landing.select("doc_id")
@@ -461,5 +562,7 @@ class StreamingCorpusPipeline:
         self.exact_stage()
         if self.cfg.segment_gate:
             self.segment_cms_stage()
+        if self.cfg.lm_gate:
+            self.lm_stage()
         self.neardup_stage()
         return self.curated()
