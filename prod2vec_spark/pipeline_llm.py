@@ -153,6 +153,12 @@ class CorpusConfig:
     # continuation-count family; operators/lm.kn_perplexity).  Both
     # share the md5-uniform split and the percentile-cut shape.
     lm_smoothing: str = "stupid_backoff"
+    # round-14 (VERDICT r13 ask #7): derive the KN absolute discount
+    # from the train split's counts-of-counts (Ney-Essen-Kneser
+    # D = n1/(n1+2·n2), operators/lm.estimate_discount) instead of the
+    # 0.75 default — one extra 1-row driver aggregate over the fitted
+    # pair table; only meaningful with lm_smoothing='kneser_ney'.
+    lm_derive_discount: bool = False
     # near-dup survivor policy: "min_id" (dedup_clusters default) or
     # "quality" (keep each cluster's best-quality member)
     canonical_policy: str = "min_id"
@@ -315,6 +321,9 @@ class CorpusCurationPipeline:
         # pack stage and the stats report share ONE training pass
         self._uni_model = None  # unigram twin of _merges
         self._wp_vocab = None  # wordpiece twin (round-13)
+        self._stage_notes: dict[str, float] = {}  # derived scalars the
+        # last run() surfaced (e.g. the estimated KN discount) — for
+        # tests and operational introspection
         self._stage_ms: dict[str, int] = {}  # per-stage wall time of
         # the LAST run(), surfaced as t_ms_* rows in the stats report
 
@@ -663,7 +672,28 @@ class CorpusCurationPipeline:
         from prod2vec_spark.operators.lm import kn_perplexity, lm_perplexity
 
         if self.cfg.lm_smoothing == "kneser_ney":
-            rep = kn_perplexity(docs, train_frac=self.cfg.lm_train_frac)
+            if self.cfg.lm_derive_discount:
+                # derive D from the train split's counts-of-counts
+                # (estimate_discount is its own checked number): fit
+                # once, estimate, score with the fitted tables — the
+                # train-once path, so the estimate adds one bounded
+                # 1-row aggregate, not a re-derivation
+                from prod2vec_spark.operators.lm import (
+                    estimate_discount,
+                    fit_kn,
+                    score_docs_kn,
+                    with_train_split,
+                )
+
+                tagged = with_train_split(
+                    docs, self.cfg.lm_train_frac, seed="lm"
+                )
+                model = fit_kn(tagged.where(F.col("is_train")))
+                d = estimate_discount(model.c2, "c2")
+                self._stage_notes["lm_derived_discount"] = d
+                rep = score_docs_kn(tagged, model, discount=d)
+            else:
+                rep = kn_perplexity(docs, train_frac=self.cfg.lm_train_frac)
         elif self.cfg.lm_smoothing == "stupid_backoff":
             rep = lm_perplexity(docs, train_frac=self.cfg.lm_train_frac)
         else:

@@ -216,6 +216,16 @@ class StreamCorpusConfig:
     # time.  The threshold is FROZEN config (the percentile computed
     # offline on the archived corpus, the quality_min convention): a
     # stream has no finished corpus to take a percentile over.
+    # round-14 stretch (VERDICT r13 ask #9): streaming TOKEN STATS —
+    # a running (n_docs, n_tokens) total over the exact-dedup output,
+    # maintained as idempotent per-batch partials (the LM-scorer
+    # pattern: a replayed batch overwrites its own partition, so
+    # totals are exactly-once across restarts).  ``stats_count_fn``
+    # is the tokenizer seam: any text-Column → count closure
+    # (bpe_counter / unigram_counter / wordpiece_counter — trained
+    # BATCH-side on the vetted archive); None = whitespace tokens.
+    token_stats: bool = False
+    stats_count_fn: "object | None" = None
     lm_gate: bool = False
     lm_model_dir: str | None = None
     # 'stupid_backoff' | 'kneser_ney' (bigram) | 'kneser_ney3' (trigram)
@@ -233,6 +243,10 @@ class StreamCorpusConfig:
     @property
     def lmscores_dir(self) -> str:
         return f"{self.work_dir}/lm_scores"
+
+    @property
+    def tokenstats_dir(self) -> str:
+        return f"{self.work_dir}/token_stats"
 
     @property
     def decisions_dir(self) -> str:
@@ -422,6 +436,68 @@ class StreamingCorpusPipeline:
             )
         q.awaitTermination()
 
+    def token_stats_stage(self) -> None:
+        """Maintain per-batch (n_docs, n_tokens) partials over the
+        exact-dedup output under the configured tokenizer counter —
+        each partial lands idempotently at tokenstats_dir/batch_id=N
+        (a replayed batch overwrites its own partition), so the
+        summed totals are exactly-once across restarts."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from prod2vec_spark.operators.text import tokens as _ws_tokens
+
+        cf = self.cfg.stats_count_fn or (
+            lambda c: F.size(_ws_tokens(c)).cast("long")
+        )
+        os.makedirs(self.cfg.exact_dir, exist_ok=True)
+        stream = self.spark.readStream.schema(_EXACT_SCHEMA).parquet(
+            self.cfg.exact_dir
+        )
+        out = self.cfg.tokenstats_dir
+
+        def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.select(
+                cf(F.col("text")).cast("long").alias("_n")
+            ).agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.coalesce(F.sum("_n"), F.lit(0)).alias("n_tokens"),
+            ).write.mode("overwrite").parquet(f"{out}/batch_id={batch_id}")
+
+        q = (
+            stream.writeStream.foreachBatch(write_batch)
+            .option(
+                "checkpointLocation", f"{self.cfg.work_dir}/ckpt_tokenstats"
+            )
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def token_stats(self) -> "tuple[int, int]":
+        """(n_docs, n_tokens) summed over the committed partials —
+        0/0 before the first commit, never an error."""
+        import glob
+        import os
+
+        from pyspark.sql import functions as F
+
+        out = self.cfg.tokenstats_dir
+        os.makedirs(out, exist_ok=True)
+        if not glob.glob(os.path.join(out, "batch_id=*", "*.parquet")):
+            return (0, 0)
+        row = (
+            self.spark.read.option("basePath", out)
+            .parquet(out)
+            .agg(
+                F.sum("n_docs").alias("d"), F.sum("n_tokens").alias("t")
+            )
+            .first()
+        )
+        return (int(row["d"] or 0), int(row["t"] or 0))
+
     def _lm_keep(self) -> DataFrame:
         """doc_ids the LM gate KEEPS under the committed scores: ppl
         <= lm_max_ppl.  The subtraction is a semi join (the batch
@@ -564,5 +640,7 @@ class StreamingCorpusPipeline:
             self.segment_cms_stage()
         if self.cfg.lm_gate:
             self.lm_stage()
+        if self.cfg.token_stats:
+            self.token_stats_stage()
         self.neardup_stage()
         return self.curated()
