@@ -1774,3 +1774,53 @@ def knn_perplexity(
         text_col=text_col,
         broadcast_unigrams=broadcast_unigrams,
     )
+
+
+def start_knn_score_stream(
+    docs_stream: DataFrame,
+    model: "KNnModel",
+    out_dir: str,
+    checkpoint: str,
+    discount: float | None = None,
+    discounts: "dict[int, tuple] | None" = None,
+):
+    """Score a DOCUMENT STREAM against a fitted order-n KN model —
+    the order-n member of the score-stream family (lm / kn / kn3):
+    same stream-static scoring join per micro-batch, same
+    idempotent-by-path ``out_dir/batch_id=N`` sink; per-level modified
+    discounts ride through unchanged (batch parity with
+    ``score_docs_knn`` pytest-locked)."""
+    d = DEFAULT_DISCOUNT if discount is None else discount
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        score_docs_knn(
+            batch_df, model, discount=d, discounts=discounts
+        ).write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    return (
+        docs_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_knn_scores(spark, out_dir: str) -> DataFrame:
+    """All committed per-batch order-n KN score partitions as one
+    frame.  Before the first commit: empty, not an error."""
+    import glob
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    if not glob.glob(os.path.join(out_dir, "batch_id=*", "*.parquet")):
+        return spark.createDataFrame(
+            [],
+            "doc_id long, n_grams long, n_bo long, "
+            "avg_nll double, ppl double",
+        )
+    return (
+        spark.read.option("basePath", out_dir)
+        .parquet(out_dir)
+        .drop("batch_id")
+    )

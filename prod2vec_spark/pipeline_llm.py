@@ -159,6 +159,13 @@ class CorpusConfig:
     # 0.75 default — one extra 1-row driver aggregate over the fitted
     # pair table; only meaningful with lm_smoothing='kneser_ney'.
     lm_derive_discount: bool = False
+    # round-14: order of the KN gate's model — 2 (the bigram default)
+    # or >= 3 through the generic order-n chain (operators/lm.fit_knn;
+    # 5 = the production KenLM shape).  With lm_derive_discount, order
+    # >= 3 derives PER-LEVEL MODIFIED (D1, D2, D3+) triples from each
+    # level's counts-of-counts (estimate_mkn_discounts, Chen & Goodman
+    # 1999 eq. 26) — n-1 bounded 1-row aggregates.
+    lm_order: int = 2
     # near-dup survivor policy: "min_id" (dedup_clusters default) or
     # "quality" (keep each cluster's best-quality member)
     canonical_policy: str = "min_id"
@@ -671,7 +678,35 @@ class CorpusCurationPipeline:
         (doc_id, ppl) contract."""
         from prod2vec_spark.operators.lm import kn_perplexity, lm_perplexity
 
-        if self.cfg.lm_smoothing == "kneser_ney":
+        if self.cfg.lm_smoothing == "kneser_ney" and self.cfg.lm_order >= 3:
+            # order-n chain (round 14): fit once at the configured
+            # order; with lm_derive_discount the per-LEVEL modified
+            # (D1, D2, D3+) triples come from each level's own
+            # counts-of-counts — n-1 bounded 1-row aggregates over
+            # the fitted tables, the estimate_mkn_discounts path
+            # exercised end-to-end
+            from prod2vec_spark.operators.lm import (
+                estimate_mkn_discounts,
+                fit_knn,
+                score_docs_knn,
+                with_train_split,
+            )
+
+            tagged = with_train_split(docs, self.cfg.lm_train_frac, seed="lm")
+            model = fit_knn(
+                tagged.where(F.col("is_train")), order=self.cfg.lm_order
+            )
+            if self.cfg.lm_derive_discount:
+                discounts = {
+                    k: estimate_mkn_discounts(model.counts[k], f"c{k}")
+                    for k in range(2, self.cfg.lm_order + 1)
+                }
+                for k, tup in discounts.items():
+                    self._stage_notes[f"lm_derived_d{k}"] = tup
+                rep = score_docs_knn(tagged, model, discounts=discounts)
+            else:
+                rep = score_docs_knn(tagged, model)
+        elif self.cfg.lm_smoothing == "kneser_ney":
             if self.cfg.lm_derive_discount:
                 # derive D from the train split's counts-of-counts
                 # (estimate_discount is its own checked number): fit

@@ -1846,3 +1846,57 @@ def test_corpus_pipeline_kn_gate_with_derived_discount(spark, tmp_path):
         for r in spark.read.parquet(f"{cfg.work_dir}/lm_kept").collect()
     }
     assert kept == expect and kept  # the derived-D percentile cut holds
+
+
+def test_corpus_pipeline_kn_gate_order3_derived_mkn_discounts(spark, tmp_path):
+    """Round-14: lm_order=3 + lm_derive_discount runs the gate through
+    the generic order-n chain with PER-LEVEL modified discounts
+    derived from each level's counts-of-counts
+    (estimate_mkn_discounts end-to-end in the DAG); the kept set is
+    exactly the percentile cut of the derived-discount scores."""
+    from pyspark.sql import functions as F
+
+    from prod2vec_spark.operators.lm import (
+        estimate_mkn_discounts,
+        fit_knn,
+        score_docs_knn,
+        with_train_split,
+    )
+    from prod2vec_spark.pipeline_llm import CorpusConfig, CorpusCurationPipeline
+    from tests.conftest import SF_SMOKE
+
+    cfg = CorpusConfig(
+        sf_dir=SF_SMOKE,
+        work_dir=str(tmp_path / "corpus_kn3d"),
+        lm_gate=True,
+        lm_smoothing="kneser_ney",
+        lm_order=3,
+        lm_derive_discount=True,
+    )
+    pipe = CorpusCurationPipeline(spark, cfg)
+    pipe.run()
+    d3 = pipe._stage_notes["lm_derived_d3"]
+    d2 = pipe._stage_notes["lm_derived_d2"]
+    assert len(d3) == 3 and len(d2) == 3
+    # D1 = 1 − 2·Y·n2/n1 can legitimately reach 0; negatives fall back
+    assert all(x >= 0 for x in d3 + d2)
+
+    gate_in = spark.read.parquet(f"{cfg.work_dir}/quality_kept")
+    tagged = with_train_split(gate_in, cfg.lm_train_frac, seed="lm")
+    model = fit_knn(tagged.where(F.col("is_train")), order=3)
+    want_d = {
+        k: estimate_mkn_discounts(model.counts[k], f"c{k}") for k in (2, 3)
+    }
+    assert (want_d[3], want_d[2]) == (d3, d2)
+    rep = score_docs_knn(tagged, model, discounts=want_d)
+    thr = rep.agg(
+        F.percentile("ppl", F.lit(1.0 - cfg.lm_drop_pct)).alias("t")
+    ).first()["t"]
+    expect = {
+        r["doc_id"] for r in rep.where(F.col("ppl") <= F.lit(thr)).collect()
+    }
+    kept = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{cfg.work_dir}/lm_kept").collect()
+    }
+    assert kept == expect and kept

@@ -673,3 +673,69 @@ def test_streaming_kn3_scoring_matches_batch(spark, tmp_path):
     )
     drain()
     assert scores() == {**batch_scores(half_a), **batch_scores(half_b)}
+
+
+def test_streaming_knn_scoring_matches_batch(spark, tmp_path):
+    """start_knn_score_stream — the ORDER-N member of the score-stream
+    family (round 14): per-batch scores equal batch score_docs_knn
+    under the same persisted order-4 model with per-level modified
+    discounts, stay exactly-once across a no-new-input restart, and
+    extend on a second landing batch."""
+    import shutil
+
+    from prod2vec_spark.operators.lm import (
+        KNnModel,
+        fit_knn,
+        read_knn_scores,
+        score_docs_knn,
+        start_knn_score_stream,
+    )
+
+    docs = read_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    model = fit_knn(docs.where(F.col("doc_id") % 2 == 0), order=4)
+    model.save(str(tmp_path / "kn4_model"))
+    model = KNnModel.load(spark, str(tmp_path / "kn4_model"), order=4)
+    D = {k: (0.4, 0.9, 1.3) for k in (2, 3, 4)}
+
+    half_a = docs.where(F.col("doc_id") < 25)
+    half_b = docs.where((F.col("doc_id") >= 25) & (F.col("doc_id") < 50))
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    half_a.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "sa"))
+    half_b.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "sb"))
+    shutil.copy(
+        sorted((tmp_path / "sa").glob("*.parquet"))[0], landing / "a.parquet"
+    )
+    out, ckpt = str(tmp_path / "scores"), str(tmp_path / "ckpt")
+
+    def drain():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(
+            str(landing)
+        )
+        start_knn_score_stream(
+            stream, model, out, ckpt, discounts=D
+        ).awaitTermination()
+
+    def scores():
+        return {
+            r["doc_id"]: (r["n_grams"], r["n_bo"], r["avg_nll"], r["ppl"])
+            for r in read_knn_scores(spark, out).collect()
+        }
+
+    def batch_scores(df):
+        return {
+            r["doc_id"]: (r["n_grams"], r["n_bo"], r["avg_nll"], r["ppl"])
+            for r in score_docs_knn(df, model, discounts=D).collect()
+        }
+
+    assert scores() == {}  # empty before the first commit
+    drain()
+    got_a = scores()
+    assert got_a and got_a == batch_scores(half_a)
+    drain()  # no new input: exactly-once
+    assert scores() == got_a
+    shutil.copy(
+        sorted((tmp_path / "sb").glob("*.parquet"))[0], landing / "b.parquet"
+    )
+    drain()
+    assert scores() == {**batch_scores(half_a), **batch_scores(half_b)}
