@@ -215,6 +215,12 @@ class CorpusConfig:
     media_path: str | None = None
     media_max_distance: int = 3
     media_bands: int = 4
+    # round-14: also write a per-(format, status) media_format_audit
+    # artifact (operators/multimodal.media_format_audit) next to the
+    # dedup outputs — decoded / corrupt / unsupported_format counts,
+    # the boundary's blind spot as a reported number.  Optional (a
+    # second Arrow-batched decode pass over the blob column).
+    media_format_audit: bool = False
     # round-12: also collapse PARTIAL-image duplicates (a doc whose
     # image is a stride-aligned crop/letterbox of another doc's —
     # whole-image hashes diverge on those): image_span_pairs' matched-
@@ -848,6 +854,20 @@ class CorpusCurationPipeline:
         from prod2vec_spark.operators.graph import dedup_clusters
 
         media = self.spark.read.parquet(self.cfg.media_path)
+        if self.cfg.media_format_audit:
+            # round-14: publish the codec boundary's blind spot next
+            # to the dedup artifacts — per-(format, status) counts so
+            # the unsupported/corrupt share is a NUMBER in work_dir,
+            # not a docstring.  Optional: it costs a second decode
+            # pass over the blob column (one Arrow-batched scan).
+            from prod2vec_spark.operators.multimodal import (
+                media_format_audit,
+            )
+
+            write_parquet(
+                media_format_audit(media, id_col="doc_id", blob_col="blob"),
+                f"{self.cfg.work_dir}/media_format_audit",
+            )
         hashes = PH.media_hashes(media, id_col="doc_id", blob_col="blob")
         pairs = PH.media_neardup_pairs(
             hashes,

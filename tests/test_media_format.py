@@ -73,3 +73,56 @@ def test_audit_counts_match_pandas(spark):
         for r in media_format_audit(media).collect()
     }
     assert got == want
+
+
+def test_dag_media_format_audit_artifact(spark, tmp_path):
+    """media_format_audit=True writes the per-(format, status) counts
+    next to the media-dedup artifacts — including the planted WebP's
+    unsupported_format row — matching a direct audit of the same
+    blob table."""
+    from pyspark.sql import functions as F
+
+    from prod2vec_spark.operators.multimodal import (
+        encode_png_gray8,
+        media_format_audit,
+    )
+    from prod2vec_spark.pipeline_llm import CorpusConfig, CorpusCurationPipeline
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    ids = [r["doc_id"] for r in docs.select("doc_id").limit(12).collect()]
+    rows = []
+    for i, d in enumerate(ids):
+        if i % 3 == 0:
+            blob = encode_png_gray8(bytes((d * 7 + j) % 256 for j in range(256)), 16, 16)
+        elif i % 3 == 1:
+            blob = b"RIFF" + bytes(4) + b"WEBP" + bytes(16)  # unsupported
+        else:
+            blob = b"not media at all"
+        rows.append((d, bytearray(blob)))
+    media = spark.createDataFrame(rows, "doc_id long, blob binary")
+    media_path = str(tmp_path / "media")
+    media.write.parquet(media_path)
+
+    cfg = CorpusConfig(
+        sf_dir=SF_SMOKE,
+        work_dir=str(tmp_path / "w"),
+        media_path=media_path,
+        media_format_audit=True,
+    )
+    CorpusCurationPipeline(spark, cfg).run()
+    audit = {
+        (r["fmt"], r["status"]): r["n"]
+        for r in spark.read.parquet(
+            f"{cfg.work_dir}/media_format_audit"
+        ).collect()
+    }
+    want = {
+        (r["fmt"], r["status"]): r["n"]
+        for r in media_format_audit(
+            media, id_col="doc_id", blob_col="blob"
+        ).collect()
+    }
+    assert audit == want
+    assert audit[("webp", "unsupported_format")] == 4
+    assert audit[("png", "decoded")] == 4
