@@ -1567,12 +1567,22 @@ def fit_knn(
     order: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    lineage_break: bool = True,
 ) -> KNnModel:
     """Estimate order-n KN count tables: one n-tuple hash-agg, then a
     shrinking groupBy per lower level (continuation counts — distinct
     left-extensions, the 'Francisco' discipline), each level's context
     stats riding its own table's hash-agg.  Raises when the corpus has
-    no n-grams at the requested order."""
+    no n-grams at the requested order.
+
+    ``lineage_break`` (default on) localCheckpoints the level-n table:
+    the deep derivation chain (n-1 count levels + n-1 context tables +
+    r + totals all descend from ONE hash-agg) would otherwise make
+    Catalyst re-inline the corpus-sized n-tuple explode+shuffle once
+    per consumer — the kn_perplexity '100 TB caveat', amplified by
+    depth at order 5 (measured ~2x wall on the self-trained entry).
+    The production path still persists the model to parquet
+    (KNnModel.save) — this only de-amplifies the self-trained form."""
     n = order
     staged = train_docs.withColumn("_toks", tokens(F.col(text_col)))
     grams = staged.select(
@@ -1582,6 +1592,8 @@ def fit_knn(
     counts[n] = grams.groupBy(
         *[F.col(f"_g.w{i}").alias(f"w{i}") for i in range(1, n + 1)]
     ).agg(F.count(F.lit(1)).alias(f"c{n}"))
+    if lineage_break:
+        counts[n] = counts[n].localCheckpoint(eager=False)
     for k in range(n - 1, 1, -1):
         # continuation counts: group the level-(k+1) table by its LAST
         # k words; count(*) = distinct left-extensions
@@ -1595,6 +1607,10 @@ def fit_knn(
             )
             .agg(F.count(F.lit(1)).alias(f"c{k}"))
         )
+        if lineage_break:
+            # every level is consumed 2-3x (its context stats, the
+            # level below, the scoring join) — materialize each once
+            counts[k] = counts[k].localCheckpoint(eager=False)
     ctxs: dict[int, DataFrame] = {}
     for k in range(2, n + 1):
         c = F.col(f"c{k}")

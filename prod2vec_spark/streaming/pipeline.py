@@ -228,13 +228,17 @@ class StreamCorpusConfig:
     stats_count_fn: "object | None" = None
     lm_gate: bool = False
     lm_model_dir: str | None = None
-    # 'stupid_backoff' | 'kneser_ney' (bigram) | 'kneser_ney3' (trigram)
+    # 'stupid_backoff' | 'kneser_ney' (bigram) | 'kneser_ney3'
+    # (trigram) | 'kneser_ney_n' (generic order-n at lm_model_order)
     lm_smoothing: str = "kneser_ney3"
     lm_max_ppl: float = float("inf")
     lm_discount: float | None = None  # None = operators/lm.DEFAULT_DISCOUNT
     # optional modified-KN discount triples for the trigram scorer
     lm_discounts3: "tuple[float, float, float] | None" = None
     lm_discounts2: "tuple[float, float, float] | None" = None
+    # order + optional per-level modified triples for 'kneser_ney_n'
+    lm_model_order: int = 5
+    lm_discounts_n: "dict[int, tuple] | None" = None
 
     @property
     def exact_dir(self) -> str:
@@ -424,6 +428,15 @@ class StreamingCorpusPipeline:
             q = LM.start_kn_score_stream(
                 stream, model, self.cfg.lmscores_dir, ckpt, discount=d
             )
+        elif self.cfg.lm_smoothing == "kneser_ney_n":
+            model = LM.KNnModel.load(
+                self.spark, self.cfg.lm_model_dir,
+                order=self.cfg.lm_model_order,
+            )
+            q = LM.start_knn_score_stream(
+                stream, model, self.cfg.lmscores_dir, ckpt,
+                discount=d, discounts=self.cfg.lm_discounts_n,
+            )
         elif self.cfg.lm_smoothing == "stupid_backoff":
             model = LM.BigramLM.load(self.spark, self.cfg.lm_model_dir)
             q = LM.start_lm_score_stream(
@@ -432,7 +445,8 @@ class StreamingCorpusPipeline:
         else:
             raise ValueError(
                 f"unknown lm_smoothing {self.cfg.lm_smoothing!r} (expected "
-                "'stupid_backoff', 'kneser_ney' or 'kneser_ney3')"
+                "'stupid_backoff', 'kneser_ney', 'kneser_ney3' or "
+                "'kneser_ney_n')"
             )
         q.awaitTermination()
 
@@ -506,6 +520,7 @@ class StreamingCorpusPipeline:
         from prod2vec_spark.operators import lm as LM
 
         readers = {
+            "kneser_ney_n": LM.read_knn_scores,
             "kneser_ney3": LM.read_kn3_scores,
             "kneser_ney": LM.read_kn_scores,
             "stupid_backoff": LM.read_lm_scores,

@@ -333,3 +333,67 @@ def test_streaming_token_stats_match_batch_counter(spark, tmp_path):
         F.size(ws_tokens(F.col("text"))).cast("long").alias("n")
     ).agg(F.count(F.lit(1)), F.sum("n")).first()
     assert pipe_ws.token_stats() == (want[0], want[1])
+
+
+def test_streaming_corpus_lm_gate_order_n(spark, tmp_path):
+    """The streaming LM gate under the generic ORDER-N scorer
+    (kneser_ney_n, order 4, per-level modified discounts): curated()
+    equals the batch keep set under the same persisted model and
+    frozen threshold; ledger attributes 'lm_gate'."""
+    import hashlib
+    import shutil
+
+    from prod2vec_spark.operators.lm import KNnModel, fit_knn, score_docs_knn
+    from prod2vec_spark.streaming.pipeline import (
+        StreamCorpusConfig,
+        StreamingCorpusPipeline,
+    )
+
+    def words(i):
+        return " ".join(
+            f"v{int(hashlib.md5(f'n{i}|{j}'.encode()).hexdigest()[:6], 16) % 25}"
+            for j in range(18)
+        )
+
+    docs = spark.createDataFrame(
+        [(i, words(i), "en") for i in range(40)],
+        "doc_id long, text string, lang string",
+    )
+    model = fit_knn(docs.where(F.col("doc_id") % 2 == 0), order=4)
+    model_dir = str(tmp_path / "kn4_model")
+    model.save(model_dir)
+    model = KNnModel.load(spark, model_dir, order=4)
+    D = {k: (0.4, 0.9, 1.3) for k in (2, 3, 4)}
+
+    scored = score_docs_knn(docs, model, discounts=D)
+    thr = scored.agg(F.percentile("ppl", F.lit(0.75)).alias("t")).first()["t"]
+    batch_keep = {
+        r["doc_id"]
+        for r in scored.where(F.col("ppl") <= F.lit(thr)).collect()
+    }
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    docs.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "w0"))
+    shutil.copy(
+        sorted((tmp_path / "w0").glob("*.parquet"))[0], landing / "a.parquet"
+    )
+    cfg = StreamCorpusConfig(
+        landing_dir=str(landing),
+        work_dir=str(tmp_path / "work"),
+        lm_gate=True,
+        lm_model_dir=model_dir,
+        lm_smoothing="kneser_ney_n",
+        lm_model_order=4,
+        lm_discounts_n=D,
+        lm_max_ppl=float(thr),
+    )
+    pipe = StreamingCorpusPipeline(spark, cfg)
+    cur = pipe.run()
+    got = {r["doc_id"] for r in cur.select("doc_id").collect()}
+    assert got == batch_keep and got
+    ledger = {
+        r["doc_id"]: r["dropped_at"] for r in pipe.drop_ledger().collect()
+    }
+    assert set(ledger.values()) <= {"lm_gate"}
+    assert set(ledger) == {r["doc_id"] for r in docs.collect()} - batch_keep
