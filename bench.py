@@ -275,12 +275,20 @@ def _curation_all(spark, sf_dir):
                 sf_dir=sf_dir,
                 work_dir=work,
                 # r7: normalization, segment dedup, LM gate, survivor
+                # (r14: the gate runs the ORDER-3 chain with per-level
+                # discounts derived from counts-of-counts)
                 normalize=True,
                 segment_dedup=True,
                 seg_policy="keep_first",
                 lm_gate=True,
                 lm_smoothing="kneser_ney",
+                lm_order=3,
+                lm_derive_discount=True,
                 canonical_policy="quality",
+                # r14: doc-level badwords gate + media format audit
+                badwords_cats={"latency": ("slow",), "scale": ("big big",)},
+                badwords_max_frac=0.2,
+                media_format_audit=True,
                 # r7b: scrub/compress/verify/split/mix/shards
                 scrub_cc=True,
                 compression_gate=True,

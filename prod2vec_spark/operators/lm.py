@@ -1561,6 +1561,17 @@ class KNnModel:
             spark.read.parquet(f"{dir_path}/totals"),
         )
 
+    def pruned(self, min_count: int = 2) -> "KNnModel":
+        """Count-floor pruning of the TOP-LEVEL table only (the
+        KNModel/KN3Model convention): pruned n-grams fall to the
+        discounted-to-zero numerator but keep their λ·P_{n-1} leg —
+        stats/context tables stay computed over the full training
+        mass, so scores stay finite and normalized."""
+        n = self.order
+        counts = dict(self.counts)
+        counts[n] = self.counts[n].where(F.col(f"c{n}") >= min_count)
+        return KNnModel(n, counts, self.ctxs, self.r, self.totals)
+
 
 def fit_knn(
     train_docs: DataFrame,

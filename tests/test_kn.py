@@ -596,3 +596,35 @@ def test_knn_validation_errors(spark):
         score_docs_knn(docs, model, discounts={3: (0.5, 1.1, 1.6)})
     with pytest.raises(ValueError, match="discount must be in"):
         knn_perplexity(docs, order=3, discount=1.5, tagged=docs)
+
+
+def test_knn_pruned_keeps_interpolation_mass(spark):
+    """KNnModel.pruned floors the top-level numerator but keeps the
+    interpolation legs (the KN3Model convention): a pruned singleton
+    5-gram scores exactly its λ-chain, and n_bo counts it as
+    backed off."""
+    from prod2vec_spark.operators.lm import fit_knn, score_docs_knn
+
+    train = spark.createDataFrame(
+        [(1, "a b c d e a b c d e"), (2, "a b c d f")],
+        "doc_id long, text string",
+    )
+    full = fit_knn(train, order=5)
+    pruned = full.pruned(min_count=2)
+    test = spark.createDataFrame(
+        [(7, "a b c d f")], "doc_id long, text string"
+    )
+    r_full = score_docs_knn(test, full, discount=0.75).first()
+    r_pruned = score_docs_knn(test, pruned, discount=0.75).first()
+    # (a,b,c,d,f) has c5=1 in full, pruned away at floor 2
+    assert r_full["n_bo"] == 0 and r_pruned["n_bo"] == 1
+    assert r_pruned["avg_nll"] > r_full["avg_nll"]
+    # hand-check the pruned top leg: numerator 0, λ(abcd) intact
+    import math
+
+    p1 = 2 / 13
+    p2 = (1 - 0.75) / 2 + (0.75 * 2 / 2) * p1
+    p3 = (1 - 0.75) / 2 + (0.75 * 2 / 2) * p2
+    p4 = (1 - 0.75) / 2 + (0.75 * 2 / 2) * p3
+    p5 = 0.0 / 3 + (0.75 * 2 / 3) * p4
+    assert r_pruned["avg_nll"] == round(-math.log(p5), 4)
