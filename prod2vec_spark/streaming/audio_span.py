@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 
 from prod2vec_spark.operators.phash import (
     _WIN_ID_BASE,
+    _composite_id,
     audio_window_hashes,
     band_structs,
 )

@@ -52,6 +52,7 @@ from pyspark.sql import functions as F
 
 from prod2vec_spark.operators.phash import (
     _TILE_ID_BASE,
+    _composite_id,
     band_structs,
     image_tile_hashes,
 )

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from prod2vec_spark.operators.phash import (
     _FRAME_ID_BASE,
+    _composite_id,
     band_structs,
     frame_hashes,
 )
