@@ -1591,9 +1591,11 @@ def fit_knn(
     r + totals all descend from ONE hash-agg) would otherwise make
     Catalyst re-inline the corpus-sized n-tuple explode+shuffle once
     per consumer — the kn_perplexity '100 TB caveat', amplified by
-    depth at order 5 (measured ~2x wall on the self-trained entry).
-    The production path still persists the model to parquet
-    (KNnModel.save) — this only de-amplifies the self-trained form."""
+    depth at order 5 (measured ~15% wall at sf0.1 on the self-trained
+    entry; the re-derivation share grows with corpus size since the
+    explode is the per-byte cost).  The production path still persists
+    the model to parquet (KNnModel.save) — this only de-amplifies the
+    self-trained form."""
     n = order
     staged = train_docs.withColumn("_toks", tokens(F.col(text_col)))
     grams = staged.select(
