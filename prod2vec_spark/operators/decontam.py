@@ -103,3 +103,90 @@ def contamination_report(
             "contaminated", F.col("hit_frac") >= F.lit(contaminated_min_frac)
         )
     )
+
+
+def fuzzy_contamination_report(
+    docs: DataFrame,
+    bench_frac: float = 0.1,
+    seed: str = "bench",
+    shingle_k: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 4,
+    min_jaccard: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tagged: DataFrame | None = None,
+) -> DataFrame:
+    """FUZZY benchmark decontamination (round 14): MinHash/LSH
+    candidates between the training corpus and the held-out eval set,
+    verified by EXACT shingle Jaccard — the screen that catches
+    paraphrased / lightly-edited / partial eval contamination the
+    exact n-gram collision scrub (``contamination_report``) misses
+    (the Llama-style fuzzy-dedup decontamination, vs GPT-3's exact
+    13-gram rule; both belong in a production scrub).
+
+    Scale shape: the bench side is SMALL by construction (eval suites
+    are a few MB), so its band table AND its shingle sets broadcast;
+    the training corpus streams ONCE through the shared minhash
+    pipeline (dedup.minhash_sigs — one md5 per shingle), candidates
+    come from a broadcast band equi-join (never corpus×corpus), and
+    the exact-Jaccard verify is row-local on the candidate pairs.
+
+    Output, one row per training doc with ≥1 band collision:
+    (doc_id, n_bench_candidates, max_jaccard, contaminated =
+    rounded max ≥ min_jaccard).  Training docs with no collision are
+    absent (nothing to verify) — the contamination_report convention
+    for docs with nothing to collide."""
+    from prod2vec_spark.operators.dedup import bands_from_sigs, minhash_sigs
+
+    if tagged is None:
+        tagged = with_bench_split(
+            docs, bench_frac=bench_frac, seed=seed, id_col=id_col
+        )
+    bench = tagged.where(F.col("is_bench"))
+    train = tagged.where(~F.col("is_bench"))
+    bsig = minhash_sigs(
+        bench, text_col=text_col, shingle_k=shingle_k, num_hashes=num_hashes,
+        keep_shingles=True,
+    )
+    tsig = minhash_sigs(
+        train, text_col=text_col, shingle_k=shingle_k, num_hashes=num_hashes,
+        keep_shingles=True,
+    )
+    mh_cols = [f"mh{j}" for j in range(num_hashes)]
+    bband = bands_from_sigs(
+        bsig.drop("_sh"), num_hashes=num_hashes, band_size=band_size
+    ).withColumnRenamed(id_col, "bench_id")
+    tband = bands_from_sigs(
+        tsig.drop("_sh"), num_hashes=num_hashes, band_size=band_size
+    )
+    cand = (
+        tband.join(F.broadcast(bband), ["band_id", "band_sig"])
+        .select(id_col, "bench_id")
+        .distinct()
+    )
+    bsh = F.broadcast(
+        bsig.select(F.col(id_col).alias("bench_id"), F.col("_sh").alias("sh_b"))
+    )
+    verified = (
+        tsig.drop(*mh_cols)
+        .join(F.broadcast(cand), id_col)
+        .join(bsh, "bench_id")
+        .select(
+            id_col,
+            (
+                F.size(F.array_intersect("_sh", "sh_b")).cast("double")
+                / F.size(F.array_union("_sh", "sh_b"))
+            ).alias("jacc"),
+        )
+    )
+    return (
+        verified.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bench_candidates"),
+            F.round(F.max("jacc"), 5).alias("max_jaccard"),
+        )
+        .withColumn(
+            "contaminated", F.col("max_jaccard") >= F.lit(min_jaccard)
+        )
+    )

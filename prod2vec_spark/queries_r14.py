@@ -272,13 +272,68 @@ GROUP BY fmt, status
 """
 
 
+# ---------------------------------------- fuzzy decontamination
+FUZZY_BENCH_FRAC = 0.1
+FUZZY_MIN_JACCARD = 0.5
+
+
+def q_decontaminate_fuzzy(spark, sf_dir):
+    """MinHash/LSH fuzzy benchmark decontamination: band-collision
+    candidates between training docs and the md5-held-out eval split,
+    verified by EXACT shingle Jaccard — catches the paraphrased /
+    partial contamination the exact n-gram scrub misses
+    (operators/decontam.fuzzy_contamination_report)."""
+    from prod2vec_spark.operators.decontam import fuzzy_contamination_report
+
+    docs = read_table(spark, sf_dir, "documents")
+    return fuzzy_contamination_report(
+        docs, bench_frac=FUZZY_BENCH_FRAC, min_jaccard=FUZZY_MIN_JACCARD
+    )
+
+
+def _sql_decontaminate_fuzzy() -> str:
+    """DuckDB twin: the shared shingle/minhash/band CTE machinery
+    (queries_ext._SQL_SHINGLES3/_SQL_MINHASH conventions) split by the
+    md5-uniform bench tag, band equi-join candidates, exact Jaccard
+    verify, per-train-doc max."""
+    from prod2vec_spark.queries_ext import _SQL_MINHASH, _SQL_SHINGLES3
+
+    return f"""
+WITH sp AS (SELECT doc_id,
+    (('0x' || substr(md5('bench|' || doc_id), 1, 8))::BIGINT / 4294967296.0)
+      < {FUZZY_BENCH_FRAC} AS is_bench
+  FROM documents),
+{_SQL_SHINGLES3},
+{_SQL_MINHASH},
+cand AS (
+  SELECT DISTINCT t.doc_id AS doc_id, b.doc_id AS bench_id
+  FROM bands t
+  JOIN sp st ON st.doc_id = t.doc_id AND NOT st.is_bench
+  JOIN bands b ON t.band_id = b.band_id AND t.band_sig = b.band_sig
+  JOIN sp sb ON sb.doc_id = b.doc_id AND sb.is_bench),
+det AS (
+  SELECT c.doc_id,
+         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+           / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jacc
+  FROM cand c
+  JOIN sh3 sa ON sa.doc_id = c.doc_id
+  JOIN sh3 sb ON sb.doc_id = c.bench_id)
+SELECT doc_id, count(*) AS n_bench_candidates,
+       round(max(jacc), 5) AS max_jaccard,
+       round(max(jacc), 5) >= {FUZZY_MIN_JACCARD} AS contaminated
+FROM det GROUP BY doc_id
+"""
+
+
 R14_QUERIES = {
     "kn5m_perplexity": q_kn5m_perplexity,
     "badwords_gate": q_badwords_gate,
     "media_format_audit": q_media_format_audit,
+    "decontaminate_fuzzy": q_decontaminate_fuzzy,
 }
 R14_ORACLES: dict[str, str] = {
     "kn5m_perplexity": _sql_knm_perplexity(5, KN5M_D),
     "badwords_gate": _sql_badwords_gate(),
     "media_format_audit": _sql_media_format_audit(),
+    "decontaminate_fuzzy": _sql_decontaminate_fuzzy(),
 }

@@ -656,3 +656,42 @@ def test_semdedup_max_cluster_valve_and_oversize_audit(spark):
     assert not semdedup_oversize_clusters(
         df, max_cluster=10_000, **kw
     ).collect()
+
+
+def test_fuzzy_decontamination_catches_paraphrase(spark):
+    """Round-14: the fuzzy (MinHash+exact-Jaccard) screen flags a
+    training doc that shares MOST shingles with a bench doc (the
+    lightly-edited contamination case) while the exact n-gram
+    hit-FRACTION screen under-reports it; unrelated docs either
+    produce no band collision or verify below the Jaccard cut."""
+    from pyspark.sql import functions as F
+
+    from prod2vec_spark.operators.decontam import (
+        fuzzy_contamination_report,
+    )
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo")
+    # paraphrase: one word changed near the end — most shingles shared
+    para = base.replace("quebec", "sierra")
+    rows = [
+        (1, base, True),    # the bench doc
+        (2, para, False),   # contaminated training doc
+        (3, "totally different words about completely other things "
+            "nothing shared here at all in any shingle of this text",
+         False),            # clean training doc
+    ]
+    tagged = spark.createDataFrame(
+        rows, "doc_id long, text string, is_bench boolean"
+    )
+    rep = {
+        r["doc_id"]: r
+        for r in fuzzy_contamination_report(
+            tagged.drop("is_bench"), min_jaccard=0.5, tagged=tagged
+        ).collect()
+    }
+    assert 2 in rep and rep[2]["contaminated"]
+    assert rep[2]["max_jaccard"] > 0.7
+    assert 3 not in rep or not rep[3]["contaminated"]
+    # bench docs never appear on the training side of the report
+    assert 1 not in rep
