@@ -113,6 +113,19 @@ class CorpusConfig:
     decon_n: int = 5  # decontamination word-n-gram order
     decon_bench_frac: float = 0.1  # held-out split fraction
     decon_min_frac: float = 0.2  # collision fraction that drops a doc
+    # round-14: ALSO run the fuzzy (MinHash + exact-Jaccard) screen —
+    # paraphrased/partial eval overlap the exact n-gram rule misses
+    # (operators/decontam.fuzzy_contamination_report); drops union
+    # into the same anti-join set.  The screen uses FINER banding than
+    # the near-dedup stage on purpose: with the dedup's own 8/4
+    # banding every band-colliding pair is already collapsed upstream
+    # (the candidate rules coincide), so the screen's marginal catches
+    # live BELOW the near-dup threshold — 16 hashes in 8 bands of 2
+    # gives ~50% collision at Jaccard 0.3 where 2 bands of 4 give ~2%.
+    decon_fuzzy: bool = False
+    decon_fuzzy_jaccard: float = 0.3
+    decon_fuzzy_hashes: int = 16
+    decon_fuzzy_band: int = 2
     chunk_len: int = 32
     chunk_stride: int = 24
     chunk_min: int = 8
@@ -940,6 +953,27 @@ class CorpusCurationPipeline:
         # NOTE: the held-out split itself also leaves the training
         # corpus here — eval documents are not training data.
         bad = rep.where(F.col("contaminated")).select("doc_id")
+        if self.cfg.decon_fuzzy:
+            # round-14: the fuzzy (MinHash + exact-Jaccard) screen
+            # UNIONS into the drop set — paraphrased/partial overlap
+            # the exact n-gram rule misses; same tagged split by
+            # construction
+            from prod2vec_spark.operators.decontam import (
+                fuzzy_contamination_report,
+            )
+
+            fuzzy_bad = (
+                fuzzy_contamination_report(
+                    docs,
+                    num_hashes=self.cfg.decon_fuzzy_hashes,
+                    band_size=self.cfg.decon_fuzzy_band,
+                    min_jaccard=self.cfg.decon_fuzzy_jaccard,
+                    tagged=tagged,
+                )
+                .where(F.col("contaminated"))
+                .select("doc_id")
+            )
+            bad = bad.unionByName(fuzzy_bad).distinct()
         out = train.join(F.broadcast(bad), "doc_id", "left_anti")
         write_parquet(out, f"{self.cfg.work_dir}/decontaminated",
                       partition_by=["lang"])

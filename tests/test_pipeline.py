@@ -1900,3 +1900,78 @@ def test_corpus_pipeline_kn_gate_order3_derived_mkn_discounts(spark, tmp_path):
         for r in spark.read.parquet(f"{cfg.work_dir}/lm_kept").collect()
     }
     assert kept == expect and kept
+
+
+def test_corpus_pipeline_fuzzy_decontamination(spark, tmp_path):
+    """Round-14: decon_fuzzy=True unions the MinHash+Jaccard screen's
+    drops into the decontamination anti-join — the curated corpus is
+    the default run's minus exactly the fuzzy-flagged docs."""
+    from pyspark.sql import functions as F
+
+    from prod2vec_spark.operators.decontam import (
+        fuzzy_contamination_report,
+        with_bench_split,
+    )
+    from prod2vec_spark.pipeline_llm import CorpusConfig, CorpusCurationPipeline
+    from tests.conftest import SF_SMOKE
+
+    base = CorpusConfig(sf_dir=SF_SMOKE, work_dir=str(tmp_path / "plain"))
+    CorpusCurationPipeline(spark, base).run()
+    plain = {
+        r["doc_id"]
+        for r in spark.read.parquet(
+            f"{base.work_dir}/decontaminated"
+        ).collect()
+    }
+    # the near-dedup stage already collapses every pair the DEDUP
+    # banding (8/4) would catch, so the screen's marginal catches live
+    # BELOW that threshold (the reason the config defaults to finer
+    # 16/2 banding).  The synthetic corpus's surviving cross-doc
+    # overlaps are small, so the test derives a cut from the data —
+    # just under the strongest surviving overlap — to exercise the
+    # union/anti-join plumbing; the operator's verdict semantics are
+    # pinned by the planted-paraphrase unit test.
+    probe_in = spark.read.parquet(f"{base.work_dir}/curated")
+    probe_tagged = with_bench_split(probe_in, bench_frac=0.1)
+    top = (
+        fuzzy_contamination_report(
+            probe_in, num_hashes=16, band_size=2, min_jaccard=1.0,
+            tagged=probe_tagged,
+        )
+        .agg(F.max("max_jaccard").alias("m"))
+        .first()["m"]
+    )
+    assert top is not None and top > 0
+    cut = float(top) * 0.99
+    cfg = CorpusConfig(
+        sf_dir=SF_SMOKE,
+        work_dir=str(tmp_path / "fuzzy"),
+        decon_fuzzy=True,
+        decon_fuzzy_jaccard=cut,
+    )
+    CorpusCurationPipeline(spark, cfg).run()
+    fuzzy = {
+        r["doc_id"]
+        for r in spark.read.parquet(
+            f"{cfg.work_dir}/decontaminated"
+        ).collect()
+    }
+    # expected drop set computed over the STAGE INPUT (the near-dedup
+    # survivors), exactly as decontaminate() sees it
+    stage_in = spark.read.parquet(f"{cfg.work_dir}/curated")
+    tagged = with_bench_split(stage_in, bench_frac=cfg.decon_bench_frac)
+    flagged = {
+        r["doc_id"]
+        for r in fuzzy_contamination_report(
+            stage_in,
+            num_hashes=cfg.decon_fuzzy_hashes,
+            band_size=cfg.decon_fuzzy_band,
+            min_jaccard=cfg.decon_fuzzy_jaccard,
+            tagged=tagged,
+        )
+        .where(F.col("contaminated"))
+        .collect()
+    }
+    assert flagged, "the derived cut must flag the strongest overlap"
+    assert fuzzy == plain - flagged
+    assert fuzzy < plain  # the screen genuinely removed docs
