@@ -308,6 +308,8 @@ def _curation_all(spark, sf_dir):
                 # r11/r12: semantic dedup + partial-media spans
                 semantic_dedup=True,
                 media_span_dedup=True,
+                # r14: fuzzy decontamination rides the DAG leg
+                decon_fuzzy=True,
                 # r12/r13: tokenizer family + packed training shards
                 tokenizer="wordpiece",
                 wordpiece_merges=50,
