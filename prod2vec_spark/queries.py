@@ -755,8 +755,10 @@ CATALOG: list[str] = [
 #     pytest goldens (tests/test_fusion.py).
 #   * lang_id_learned — iterative MLlib training (logistic regression
 #     fit), same class as kmeans refinement; accuracy-gated pytest.
-#   * compression_profile / nfc_normalize — zlib / Unicode-NFC codec
-#     boundaries DuckDB cannot replay; golden-tested pytests.
+#   * compression_profile — a zlib codec boundary DuckDB cannot
+#     replay; golden-tested pytests.  (text_normalize_nfc LEFT this
+#     class in round 14: DuckDB ships nfc_normalize, so the entry is
+#     now fully oracled.)
 #   * phash/media goldens (dhash_png/jpeg, ahash_wav, video frames) —
 #     pixel/sample decoding is a codec boundary; the DRIVER sees the
 #     media plane through video_neardup (rows-only by the same

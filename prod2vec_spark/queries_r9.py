@@ -300,12 +300,17 @@ WHERE len(ctoks) >= {_B_MIN}
 
 
 def q_text_normalize_nfc(spark, sf_dir):
-    """NFC-complete normalization digests (rows-only: Unicode NFC is
-    the Arrow codec boundary, no SQL twin — ``text_normalize`` stays
-    the oracled portable subset).  (doc_id, norm_md5): the digest of
-    normalize_text(text, nfc=True), the key the exact-dedup plane
-    uses when composed/decomposed variants must collapse
-    (operators/text.nfc_normalize)."""
+    """NFC-complete normalization digests: (doc_id, norm_md5) — the
+    digest of normalize_text(text, nfc=True), the key the exact-dedup
+    plane uses when composed/decomposed variants must collapse
+    (operators/text.nfc_normalize).
+
+    Round-14 upgrade: previously rows-only (the declared Arrow codec
+    boundary), now FULLY ORACLED — DuckDB ships ``nfc_normalize``
+    (UAX #15, the same normalization stdlib unicodedata implements),
+    so the twin replays the whole chain including the NFC hop.  The
+    codec-boundary pytests (tests/test_nfc.py) keep pinning the
+    composed/decomposed behavior on real non-ASCII fixtures."""
     from prod2vec_spark.operators.text import normalize_text
 
     docs = read_table(spark, sf_dir, "documents")
@@ -314,6 +319,18 @@ def q_text_normalize_nfc(spark, sf_dir):
         F.md5(F.coalesce(normalize_text(F.col("text"), nfc=True), F.lit("")))
         .alias("norm_md5"),
     )
+
+
+def _sql_text_normalize_nfc() -> str:
+    return r"""
+WITH n AS (
+  SELECT doc_id,
+    lower(trim(regexp_replace(
+      regexp_replace(nfc_normalize(text), '[\x00-\x1F\x7F]', ' ', 'g'),
+      '\s+', ' ', 'g'))) AS norm
+  FROM documents)
+SELECT doc_id, md5(coalesce(norm, '')) AS norm_md5 FROM n
+"""
 
 
 # -------------------------------------------- URL/domain curation plane
@@ -598,6 +615,7 @@ R9_QUERIES = {
 }
 R9_ORACLES: dict[str, str] = {
     "video_neardup": _sql_video_neardup(),
+    "text_normalize_nfc": _sql_text_normalize_nfc(),
     "bpe_chunk_budget": _sql_bpe_chunk_budget(),
     "domain_profile": _sql_domain_profile(),
     "domain_cap": _sql_domain_cap(),

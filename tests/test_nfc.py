@@ -77,3 +77,46 @@ def test_text_normalize_nfc_query_rows(spark):
     rows = out.collect()
     assert len(rows) == n_docs
     assert all(r["norm_md5"] is not None for r in rows)
+
+
+def test_nfc_oracle_parity_on_non_ascii(spark, tmp_path):
+    """Round-14: the text_normalize_nfc entry gained a real DuckDB
+    twin (duckdb nfc_normalize).  The sf corpora are ASCII, so this
+    pins the parity where it matters: composed vs decomposed é, NBSP
+    whitespace, control chars — Spark digests == DuckDB digests on a
+    planted non-ASCII corpus."""
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from prod2vec_spark.operators.text import normalize_text
+
+    rows = [
+        (1, "café crème"),              # composed é
+        (2, "café crème"),             # decomposed e + U+0301
+        (3, "tab\there\x00and\x1fcontrol"),  # control chars
+        (4, None),                            # NULL text
+        (5, "ümlauẗ mix Å ring"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    docs = spark.createDataFrame(pdf)
+    got = {
+        r["doc_id"]: r["norm_md5"]
+        for r in docs.select(
+            "doc_id",
+            F.md5(
+                F.coalesce(normalize_text(F.col("text"), nfc=True), F.lit(""))
+            ).alias("norm_md5"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    from prod2vec_spark.queries_r9 import _sql_text_normalize_nfc
+
+    want = {
+        int(r[0]): r[1]
+        for r in con.execute(_sql_text_normalize_nfc()).fetchall()
+    }
+    assert got == want
+    # the whole point: composed and decomposed collapse to ONE digest
+    assert got[1] == got[2]
