@@ -113,7 +113,6 @@ def fuzzy_contamination_report(
     num_hashes: int = 8,
     band_size: int = 4,
     min_jaccard: float = 0.5,
-    id_col: str = "doc_id",
     text_col: str = "text",
     tagged: DataFrame | None = None,
 ) -> DataFrame:
@@ -132,6 +131,10 @@ def fuzzy_contamination_report(
     come from a broadcast band equi-join (never corpus×corpus), and
     the exact-Jaccard verify is row-local on the candidate pairs.
 
+    The frame must carry ``doc_id`` — the minhash plane's id contract
+    (dedup.minhash_sigs); a configurable id column would be a dead
+    parameter here (code-review r14).
+
     Output, one row per training doc with ≥1 band collision:
     (doc_id, n_bench_candidates, max_jaccard, contaminated =
     rounded max ≥ min_jaccard).  Training docs with no collision are
@@ -140,9 +143,7 @@ def fuzzy_contamination_report(
     from prod2vec_spark.operators.dedup import bands_from_sigs, minhash_sigs
 
     if tagged is None:
-        tagged = with_bench_split(
-            docs, bench_frac=bench_frac, seed=seed, id_col=id_col
-        )
+        tagged = with_bench_split(docs, bench_frac=bench_frac, seed=seed)
     bench = tagged.where(F.col("is_bench"))
     train = tagged.where(~F.col("is_bench"))
     bsig = minhash_sigs(
@@ -156,24 +157,24 @@ def fuzzy_contamination_report(
     mh_cols = [f"mh{j}" for j in range(num_hashes)]
     bband = bands_from_sigs(
         bsig.drop("_sh"), num_hashes=num_hashes, band_size=band_size
-    ).withColumnRenamed(id_col, "bench_id")
+    ).withColumnRenamed("doc_id", "bench_id")
     tband = bands_from_sigs(
         tsig.drop("_sh"), num_hashes=num_hashes, band_size=band_size
     )
     cand = (
         tband.join(F.broadcast(bband), ["band_id", "band_sig"])
-        .select(id_col, "bench_id")
+        .select("doc_id", "bench_id")
         .distinct()
     )
     bsh = F.broadcast(
-        bsig.select(F.col(id_col).alias("bench_id"), F.col("_sh").alias("sh_b"))
+        bsig.select(F.col("doc_id").alias("bench_id"), F.col("_sh").alias("sh_b"))
     )
     verified = (
         tsig.drop(*mh_cols)
-        .join(F.broadcast(cand), id_col)
+        .join(F.broadcast(cand), "doc_id")
         .join(bsh, "bench_id")
         .select(
-            id_col,
+            "doc_id",
             (
                 F.size(F.array_intersect("_sh", "sh_b")).cast("double")
                 / F.size(F.array_union("_sh", "sh_b"))
@@ -181,7 +182,7 @@ def fuzzy_contamination_report(
         )
     )
     return (
-        verified.groupBy(id_col)
+        verified.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bench_candidates"),
             F.round(F.max("jacc"), 5).alias("max_jaccard"),

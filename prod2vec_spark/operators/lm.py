@@ -1542,9 +1542,22 @@ class KNnModel:
             df.write.mode("overwrite").parquet(f"{dir_path}/ctx{k}")
         self.r.write.mode("overwrite").parquet(f"{dir_path}/r")
         self.totals.write.mode("overwrite").parquet(f"{dir_path}/totals")
+        # order metadata: loading at a SMALLER order would otherwise
+        # succeed silently with continuation counts masquerading as
+        # raw top-level counts (code-review r14)
+        self.r.sparkSession.createDataFrame(
+            [(self.order,)], "model_order int"
+        ).write.mode("overwrite").parquet(f"{dir_path}/meta")
 
     @staticmethod
     def load(spark, dir_path: str, order: int) -> "KNnModel":
+        saved = spark.read.parquet(f"{dir_path}/meta").first()["model_order"]
+        if saved != order:
+            raise ValueError(
+                f"KNnModel at {dir_path} was saved at order {saved}, "
+                f"load requested order {order} — a mismatched load would "
+                f"treat continuation counts as raw top-level counts"
+            )
         counts = {
             k: spark.read.parquet(f"{dir_path}/counts{k}")
             for k in range(2, order + 1)

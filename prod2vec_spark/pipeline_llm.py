@@ -697,6 +697,16 @@ class CorpusCurationPipeline:
         (doc_id, ppl) contract."""
         from prod2vec_spark.operators.lm import kn_perplexity, lm_perplexity
 
+        if self.cfg.lm_smoothing != "kneser_ney" and (
+            self.cfg.lm_order != 2 or self.cfg.lm_derive_discount
+        ):
+            # silently running a different scorer than the options
+            # describe would be the worst failure mode for a gate that
+            # decides what enters the training corpus
+            raise ValueError(
+                "lm_order / lm_derive_discount apply only to "
+                f"lm_smoothing='kneser_ney' (got {self.cfg.lm_smoothing!r})"
+            )
         if self.cfg.lm_smoothing == "kneser_ney" and self.cfg.lm_order >= 3:
             # order-n chain (round 14): fit once at the configured
             # order; with lm_derive_discount the per-LEVEL modified

@@ -42,11 +42,12 @@ def q_kn5m_perplexity(spark, sf_dir):
     """Per-document 5-gram perplexity under MODIFIED Kneser-Ney —
     fit on the md5-uniform train split, score every doc
     (operators/lm.knn_perplexity at order=5)."""
-    from prod2vec_spark.operators.lm import knn_perplexity, with_train_split
+    from prod2vec_spark.operators.lm import knn_perplexity
 
     docs = read_table(spark, sf_dir, "documents")
-    tagged = with_train_split(docs, KN_TRAIN_FRAC, seed="lm")
-    return knn_perplexity(docs, order=5, discounts=KN5M_D, tagged=tagged)
+    return knn_perplexity(
+        docs, order=5, train_frac=KN_TRAIN_FRAC, discounts=KN5M_D
+    )
 
 
 def _sql_knm_perplexity(order: int, discounts: dict) -> str:

@@ -249,6 +249,10 @@ class StreamCorpusConfig:
         return f"{self.work_dir}/lm_scores"
 
     @property
+    def lmkept_dir(self) -> str:
+        return f"{self.work_dir}/lm_kept"
+
+    @property
     def tokenstats_dir(self) -> str:
         return f"{self.work_dir}/token_stats"
 
@@ -355,9 +359,13 @@ class StreamingCorpusPipeline:
             streaming_band_owners,
         )
 
-        os.makedirs(self.cfg.exact_dir, exist_ok=True)
+        # with the LM gate on, first-presenter ownership is decided
+        # among GATE SURVIVORS (the batch lm_gate → near_dedup order);
+        # otherwise over the exact-dedup output as before
+        src = self.cfg.lmkept_dir if self.cfg.lm_gate else self.cfg.exact_dir
+        os.makedirs(src, exist_ok=True)
         survivors = self.spark.readStream.schema(_EXACT_SCHEMA).parquet(
-            self.cfg.exact_dir
+            src
         )
         owners = streaming_band_owners(
             survivors,
@@ -393,23 +401,14 @@ class StreamingCorpusPipeline:
         )
         q.awaitTermination()
 
-    def lm_stage(self) -> None:
-        """Score the exact-dedup output against the batch-trained LM
-        through the matching idempotent score stream — per-batch
-        parquet partials under lmscores_dir, exactly-once across
-        restarts by checkpoint + batch_id-keyed overwrites (parity
-        with score_docs_* is pytest-locked per scorer)."""
-        import os
-
+    def _lm_scorer(self):
+        """(score_fn, model): the batch scorer matching cfg.lm_smoothing
+        against the loaded persisted model — one definition shared by
+        the stage and any introspection."""
         if self.cfg.lm_model_dir is None:
             raise ValueError("lm_gate needs lm_model_dir (a persisted model)")
         from prod2vec_spark.operators import lm as LM
 
-        os.makedirs(self.cfg.exact_dir, exist_ok=True)
-        stream = self.spark.readStream.schema(_EXACT_SCHEMA).parquet(
-            self.cfg.exact_dir
-        )
-        ckpt = f"{self.cfg.work_dir}/ckpt_lm"
         d = (
             LM.DEFAULT_DISCOUNT
             if self.cfg.lm_discount is None
@@ -417,37 +416,86 @@ class StreamingCorpusPipeline:
         )
         if self.cfg.lm_smoothing == "kneser_ney3":
             model = LM.KN3Model.load(self.spark, self.cfg.lm_model_dir)
-            q = LM.start_kn3_score_stream(
-                stream, model, self.cfg.lmscores_dir, ckpt,
-                discount=d,
-                discounts3=self.cfg.lm_discounts3,
-                discounts2=self.cfg.lm_discounts2,
+            return (
+                lambda df: LM.score_docs_kn3(
+                    df, model, discount=d,
+                    discounts3=self.cfg.lm_discounts3,
+                    discounts2=self.cfg.lm_discounts2,
+                ),
+                model,
             )
-        elif self.cfg.lm_smoothing == "kneser_ney":
+        if self.cfg.lm_smoothing == "kneser_ney":
             model = LM.KNModel.load(self.spark, self.cfg.lm_model_dir)
-            q = LM.start_kn_score_stream(
-                stream, model, self.cfg.lmscores_dir, ckpt, discount=d
+            return (
+                lambda df: LM.score_docs_kn(df, model, discount=d),
+                model,
             )
-        elif self.cfg.lm_smoothing == "kneser_ney_n":
+        if self.cfg.lm_smoothing == "kneser_ney_n":
             model = LM.KNnModel.load(
                 self.spark, self.cfg.lm_model_dir,
                 order=self.cfg.lm_model_order,
             )
-            q = LM.start_knn_score_stream(
-                stream, model, self.cfg.lmscores_dir, ckpt,
-                discount=d, discounts=self.cfg.lm_discounts_n,
+            return (
+                lambda df: LM.score_docs_knn(
+                    df, model, discount=d, discounts=self.cfg.lm_discounts_n
+                ),
+                model,
             )
-        elif self.cfg.lm_smoothing == "stupid_backoff":
+        if self.cfg.lm_smoothing == "stupid_backoff":
             model = LM.BigramLM.load(self.spark, self.cfg.lm_model_dir)
-            q = LM.start_lm_score_stream(
-                stream, model, self.cfg.lmscores_dir, ckpt
+            return (lambda df: LM.score_docs(df, model), model)
+        raise ValueError(
+            f"unknown lm_smoothing {self.cfg.lm_smoothing!r} (expected "
+            "'stupid_backoff', 'kneser_ney', 'kneser_ney3' or "
+            "'kneser_ney_n')"
+        )
+
+    def lm_stage(self) -> None:
+        """Score the exact-dedup output against the batch-trained LM
+        and MATERIALIZE the kept rows: per micro-batch, the scores
+        land at lmscores_dir/batch_id=N and the gate's survivors
+        (ppl <= lm_max_ppl via semi join — unscored/too-short docs
+        drop, the batch semantic) land at lmkept_dir/batch_id=N, both
+        idempotent by path across restarts.  The near-dedup stage then
+        streams the SURVIVORS, so first-presenter ownership is decided
+        among gate-passing docs only — matching the batch DAG's
+        lm_gate → near_dedup ordering (code-review r14: with the gate
+        applied after pre-gate decisions, a cluster whose canonical
+        failed the gate would vanish entirely instead of re-electing
+        a surviving member)."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        score_fn, _ = self._lm_scorer()
+        os.makedirs(self.cfg.exact_dir, exist_ok=True)
+        stream = self.spark.readStream.schema(_EXACT_SCHEMA).parquet(
+            self.cfg.exact_dir
+        )
+        ckpt = f"{self.cfg.work_dir}/ckpt_lm"
+        scores_dir, kept_dir = self.cfg.lmscores_dir, self.cfg.lmkept_dir
+        thr = self.cfg.lm_max_ppl
+
+        def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            score_fn(batch_df).write.mode("overwrite").parquet(
+                f"{scores_dir}/batch_id={batch_id}"
             )
-        else:
-            raise ValueError(
-                f"unknown lm_smoothing {self.cfg.lm_smoothing!r} (expected "
-                "'stupid_backoff', 'kneser_ney', 'kneser_ney3' or "
-                "'kneser_ney_n')"
+            keep = (
+                self.spark.read.parquet(f"{scores_dir}/batch_id={batch_id}")
+                .where(F.col("ppl") <= F.lit(thr))
+                .select("doc_id")
             )
+            batch_df.join(keep, "doc_id", "left_semi").write.mode(
+                "overwrite"
+            ).parquet(f"{kept_dir}/batch_id={batch_id}")
+
+        q = (
+            stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
         q.awaitTermination()
 
     def token_stats_stage(self) -> None:
@@ -512,27 +560,22 @@ class StreamingCorpusPipeline:
         )
         return (int(row["d"] or 0), int(row["t"] or 0))
 
-    def _lm_keep(self) -> DataFrame:
-        """doc_ids the LM gate KEEPS under the committed scores: ppl
-        <= lm_max_ppl.  The subtraction is a semi join (the batch
-        lm_gate shape), so unscored docs — too short for the model's
-        order — drop exactly as they do batch-side."""
-        from prod2vec_spark.operators import lm as LM
+    def _lm_kept(self) -> DataFrame:
+        """The LM gate's committed survivor rows (full _EXACT_SCHEMA
+        columns) — the materialized output the near-dedup stage
+        streams.  Empty typed frame before the first commit."""
+        import glob
+        import os
 
-        readers = {
-            "kneser_ney_n": LM.read_knn_scores,
-            "kneser_ney3": LM.read_kn3_scores,
-            "kneser_ney": LM.read_kn_scores,
-            "stupid_backoff": LM.read_lm_scores,
-        }
-        from pyspark.sql import functions as F
-
-        scores = readers[self.cfg.lm_smoothing](
-            self.spark, self.cfg.lmscores_dir
+        out = self.cfg.lmkept_dir
+        os.makedirs(out, exist_ok=True)
+        if not glob.glob(os.path.join(out, "batch_id=*", "*.parquet")):
+            return self.spark.createDataFrame([], _EXACT_SCHEMA)
+        return (
+            self.spark.read.option("basePath", out)
+            .parquet(out)
+            .drop("batch_id")
         )
-        return scores.where(
-            F.col("ppl") <= F.lit(self.cfg.lm_max_ppl)
-        ).select("doc_id")
 
     def _segment_gate_drop(self, docs: DataFrame) -> DataFrame:
         """doc_ids whose fraction of boilerplate-estimated windows
@@ -574,16 +617,18 @@ class StreamingCorpusPipeline:
 
         from prod2vec_spark.streaming.neardup import read_decisions
 
-        exact = _read_output(self.spark, self.cfg.exact_dir, _EXACT_SCHEMA)
+        # base = the LM gate's materialized survivors when the gate is
+        # on (near-dup decisions were computed over this same set —
+        # the batch lm_gate → near_dedup order), else the exact output
+        base = (
+            self._lm_kept()
+            if self.cfg.lm_gate
+            else _read_output(self.spark, self.cfg.exact_dir, _EXACT_SCHEMA)
+        )
+        exact = base
         if self.cfg.segment_gate:
             seg_drop = self._segment_gate_drop(exact)
             exact = exact.join(F.broadcast(seg_drop), "doc_id", "left_anti")
-        if self.cfg.lm_gate:
-            # semi join on the keep set (the batch lm_gate shape):
-            # high-ppl AND unscored-too-short docs both drop
-            exact = exact.join(
-                F.broadcast(self._lm_keep()), "doc_id", "left_semi"
-            )
         # subtract only the DROP set — the near-dup fraction, usually
         # small relative to the corpus — broadcast into a left-anti
         # join so the corpus side never shuffles (same shape as
@@ -627,15 +672,15 @@ class StreamingCorpusPipeline:
         exact = _read_output(self.spark, self.cfg.exact_dir, _EXACT_SCHEMA)
         chain.append(("exact_dedup", exact))
         gated = exact
-        if self.cfg.segment_gate:
-            seg_drop = self._segment_gate_drop(exact)
-            gated = exact.join(F.broadcast(seg_drop), "doc_id", "left_anti")
-            chain.append(("segment_gate", gated))
         if self.cfg.lm_gate:
-            gated = gated.join(
-                F.broadcast(self._lm_keep()), "doc_id", "left_semi"
-            )
+            # the gate's committed survivors (batch order: lm before
+            # near-dedup; ⊆ exact by construction)
+            gated = self._lm_kept()
             chain.append(("lm_gate", gated))
+        if self.cfg.segment_gate:
+            seg_drop = self._segment_gate_drop(gated)
+            gated = gated.join(F.broadcast(seg_drop), "doc_id", "left_anti")
+            chain.append(("segment_gate", gated))
         chain.append(("near_dedup", self.curated()))
 
         prev = landing.select("doc_id")

@@ -397,3 +397,82 @@ def test_streaming_corpus_lm_gate_order_n(spark, tmp_path):
     }
     assert set(ledger.values()) <= {"lm_gate"}
     assert set(ledger) == {r["doc_id"] for r in docs.collect()} - batch_keep
+
+
+def test_streaming_lm_gate_runs_before_near_dedup(spark, tmp_path):
+    """Code-review r14: when a near-dup cluster's would-be first
+    presenter fails the LM gate, the surviving member must be
+    re-elected — the batch DAG's lm_gate → near_dedup order.  (Under
+    the pre-fix composition the gate subtracted AFTER pre-gate
+    decisions: A dropped at the gate AND B as A's near-dup loser, the
+    whole cluster vanishing.)"""
+    import shutil
+
+    from prod2vec_spark.operators import dedup as DD
+    from prod2vec_spark.operators.lm import KN3Model, fit_kn3, score_docs_kn3
+    from prod2vec_spark.streaming.pipeline import (
+        StreamCorpusConfig,
+        StreamingCorpusPipeline,
+    )
+
+    prefix = " ".join(f"u{i}" for i in range(60))
+    a_text = prefix + " " + " ".join(f"zzq0x{j}" for j in range(4))  # OOV tail
+    b_text = prefix + " p1 p2 p3 p4"  # in-vocab tail
+    # precondition: the pair genuinely band-collides (J ≈ 0.85 over
+    # 3-shingles — deterministic given the fixed strings)
+    bands = DD.minhash_bands(
+        spark.createDataFrame(
+            [(1, a_text), (2, b_text)], "doc_id long, text string"
+        )
+    ).collect()
+    sig = {}
+    collide = False
+    for r in bands:
+        key = (r["band_id"], r["band_sig"])
+        collide = collide or (key in sig and sig[key] != r["doc_id"])
+        sig[key] = r["doc_id"]
+    assert collide, "fixture pair must be an LSH candidate"
+
+    # model trained on the prefix + fluent vocabulary; A's OOV tail
+    # scores strictly worse
+    train = spark.createDataFrame(
+        [(100 + i, prefix + " p1 p2 p3 p4") for i in range(3)],
+        "doc_id long, text string",
+    )
+    model = fit_kn3(train)
+    model_dir = str(tmp_path / "m")
+    model.save(model_dir)
+    model = KN3Model.load(spark, model_dir)
+    both = spark.createDataFrame(
+        [(1, a_text, "en"), (2, b_text, "en")],
+        "doc_id long, text string, lang string",
+    )
+    ppl = {
+        r["doc_id"]: r["ppl"]
+        for r in score_docs_kn3(both.drop("lang"), model).collect()
+    }
+    assert ppl[1] > ppl[2]
+    thr = (ppl[1] + ppl[2]) / 2
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    both.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "w"))
+    shutil.copy(
+        sorted((tmp_path / "w").glob("*.parquet"))[0], landing / "a.parquet"
+    )
+    cfg = StreamCorpusConfig(
+        landing_dir=str(landing),
+        work_dir=str(tmp_path / "work"),
+        lm_gate=True,
+        lm_model_dir=model_dir,
+        lm_smoothing="kneser_ney3",
+        lm_max_ppl=float(thr),
+    )
+    pipe = StreamingCorpusPipeline(spark, cfg)
+    cur = pipe.run()
+    kept = {r["doc_id"] for r in cur.select("doc_id").collect()}
+    assert kept == {2}, kept  # B re-elected, not vanished
+    ledger = {
+        r["doc_id"]: r["dropped_at"] for r in pipe.drop_ledger().collect()
+    }
+    assert ledger == {1: "lm_gate"}
