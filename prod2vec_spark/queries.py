@@ -769,6 +769,13 @@ CATALOG: list[str] = [
 # the same operator family (see the per-wave notes above) or is a
 # macro deliberately kept out of the per-query bench loop
 # (curation_stress_audit — timed as bench.py's __curation10x__).
+# Round-15 rotation candidates (fully oracled, superset-only as of
+# r14): kn5m_perplexity (the 5-gram modified-KN flagship),
+# badwords_gate, media_format_audit, decontaminate_fuzzy, and the
+# round-13 leftovers video_span_audit / packed_unigram_ids /
+# kn3_perplexity.  Standard protocol: retirees keep superset oracles
+# + family catalog siblings; plan snapshots re-blessed; fresh
+# isolated baselines.
 # ---------------------------------------------------------------------
 # import-time guards (explicit raise, NOT assert: asserts vanish under
 # python -O and the driver catalog must stay guarded in optimized runs)
