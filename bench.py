@@ -77,8 +77,9 @@ FLAGSHIP = "__flagship__"
 CURATION10X = "__curation10x__"
 CURATION_FULL = "__curation_full__"
 CURATION_ALL = "__curation_all__"
+STREAMING = "__streaming_corpus__"
 CANARY = "__canary__"
-MACROS = (CURATION10X, CURATION_FULL, CURATION_ALL)
+MACROS = (CURATION10X, CURATION_FULL, CURATION_ALL, STREAMING)
 BASELINE_SF = 0.1  # scale factor the BASELINE.json timings were recorded at
 ADJ_ABS_FLOOR_SEC = 0.5  # sub-floor deltas are bench-noise resolution, not signal
 
@@ -321,6 +322,52 @@ def _curation_all(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _streaming_corpus(spark, sf_dir):
+    """End-to-end STREAMING corpus curation at the bench scale factor
+    (round 14 — the streaming plane's first timed coverage): the sf
+    documents land as one wave; the pipeline drains exact dedup →
+    C4 line filter → token stats → banded near-dup gate through its
+    real checkpointed streams, and the returned report carries the
+    curated/landed counts.  Macro entry: runs once per bench
+    (checkpoint + state-store writes dominate)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from prod2vec_spark.sources.io import read_table
+    from prod2vec_spark.streaming.pipeline import (
+        StreamCorpusConfig,
+        StreamingCorpusPipeline,
+    )
+
+    work = tempfile.mkdtemp(prefix="bench_streaming_")
+    try:
+        landing = f"{work}/landing"
+        (
+            read_table(spark, sf_dir, "documents")
+            .select("doc_id", "text", "lang")
+            .coalesce(4)
+            .write.parquet(landing)
+        )
+        cfg = StreamCorpusConfig(
+            landing_dir=landing,
+            work_dir=f"{work}/w",
+            line_filter=True,
+            token_stats=True,
+        )
+        pipe = StreamingCorpusPipeline(spark, cfg)
+        curated = pipe.run()
+        n_docs, n_tokens = pipe.token_stats()
+        # driver-local 1-row report (collected before work dir cleanup)
+        return spark.createDataFrame(
+            [(curated.count(), n_docs, n_tokens)],
+            "n_curated long, n_stats_docs long, n_stats_tokens long",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def run_chunk(
     names: list[str], sf_dir: str
 ) -> tuple[dict[str, float], dict[str, float], dict[str, dict]]:
@@ -349,6 +396,7 @@ def run_chunk(
         CURATION10X: _curation10x,
         CURATION_FULL: _curation_full,
         CURATION_ALL: _curation_all,
+        STREAMING: _streaming_corpus,
     }
     # macro entries run once in the main pass (the CC loop's eager
     # checkpoints dominate; one run is representative) — but an
@@ -401,7 +449,7 @@ def main() -> None:
     # too, appended last so their heavy driver-side work never
     # precedes (and so ages the JVM of) the catalog queries sharing
     # their chunk
-    names = list(QUERIES) + [FLAGSHIP, CURATION10X, CURATION_FULL, CURATION_ALL]
+    names = list(QUERIES) + [FLAGSHIP, CURATION10X, CURATION_FULL, CURATION_ALL, STREAMING]
     chunk_size = int(os.environ.get("SPARK_GRAFT_BENCH_CHUNK", "6"))
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
