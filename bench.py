@@ -84,6 +84,31 @@ BASELINE_SF = 0.1  # scale factor the BASELINE.json timings were recorded at
 ADJ_ABS_FLOOR_SEC = 0.5  # sub-floor deltas are bench-noise resolution, not signal
 
 
+def adjudicate(
+    isolated: float, baseline: float, canary_factor: float
+) -> "tuple[str, float]":
+    """(verdict, canary_normalized_ratio) for one isolated re-run —
+    the round-14 protocol (BASELINE.md): sub-floor or sub-1.2x RAW
+    deltas are measurement resolution ("noise"); above that, the
+    verdict reads the CANARY-NORMALIZED ratio, so a query that moved
+    WITH the VM is ambient drift ("noise_ambient"), and only a query
+    elevated beyond the ambient factor is a "regression".
+    ``canary_factor`` must already be clamped >= 1.0 (a
+    faster-than-baseline VM must never hide a real regression)."""
+    norm_ratio = isolated / baseline / canary_factor
+    raw_ok = (
+        isolated / baseline <= 1.2
+        or isolated - baseline <= ADJ_ABS_FLOOR_SEC
+    )
+    if raw_ok:
+        return ("noise", norm_ratio)
+    return (
+        ("noise_ambient", norm_ratio)
+        if norm_ratio <= 1.2
+        else ("regression", norm_ratio)
+    )
+
+
 def _canary(spark, sf_dir):
     """Throughput canary (VERDICT r12 ask #8): a FIXED synthetic
     pure-Spark busy query — md5 over a 24M-row range, no I/O, no
@@ -548,18 +573,8 @@ def main() -> None:
             continue  # keep the original number; never mask a crash
         part = json.loads(proc.stdout.strip().splitlines()[-1])
         isolated = part["queries"][q]
-        # the verdict reads the CANARY-NORMALIZED ratio (raw ratio
-        # still recorded): a query that moved WITH the VM is ambient
-        # drift ("noise_ambient"), not a plan regression
-        norm_ratio = isolated / baseline[q] / canary_factor
-        raw_ok = (
-            isolated / baseline[q] <= 1.2
-            or isolated - baseline[q] <= ADJ_ABS_FLOOR_SEC
-        )
-        verdict = (
-            "noise"
-            if raw_ok
-            else ("noise_ambient" if norm_ratio <= 1.2 else "regression")
+        verdict, norm_ratio = adjudicate(
+            isolated, baseline[q], canary_factor
         )
         adjudications[q] = {
             "original": timings[q],
