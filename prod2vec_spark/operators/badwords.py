@@ -12,7 +12,11 @@ Semantics:
 
 * single-token entries match WHOLE TOKENS (case-insensitive) — a
   substring match would hit inside innocent words (the classic
-  'Scunthorpe' false positive);
+  'Scunthorpe' false positive).  Tokens are whitespace-split and then
+  stripped of LEADING/TRAILING ASCII punctuation before the compare,
+  so a listed word adjacent to punctuation ('slow.', '"slow,') still
+  counts — C4's gate matches on word boundaries, and a raw-split
+  compare under-matches on real prose (ADVICE r14);
 * entries containing a space match as case-insensitive SUBSTRING
   phrases with occurrence counting (the linefilters convention);
 * per-category hit counts + a total badword fraction over the token
@@ -43,14 +47,23 @@ def _phrase_hits(lower_text: Column, phrase: str) -> Column:
     ).cast("long")
 
 
+_PUNCT_EDGE = r"^\p{Punct}+|\p{Punct}+$"  # Java regex; DuckDB twin uses [[:punct:]]
+
+
 def _category_hits(toks: Column, lower_text: Column, words) -> Column:
-    """Total hits for one category: whole-token matches for single
-    words + substring occurrence counts for space-bearing phrases."""
+    """Total hits for one category: whole-token matches (punctuation-
+    stripped at the edges) for single words + substring occurrence
+    counts for space-bearing phrases."""
     singles = tuple(w.lower() for w in words if " " not in w)
     phrases = tuple(w for w in words if " " in w)
     hits = F.lit(0).cast("long")
     if singles:
-        hits = hits + F.size(F.filter(toks, lambda t: t.isin(*singles)))
+        hits = hits + F.size(
+            F.filter(
+                toks,
+                lambda t: F.regexp_replace(t, _PUNCT_EDGE, "").isin(*singles),
+            )
+        )
     for p in phrases:
         hits = hits + _phrase_hits(lower_text, p)
     return hits

@@ -1526,7 +1526,15 @@ class KNnModel:
     scalar — KN3Model generalized (reference parity n/a: the
     reference has no LM surface; this is ENGINE scope)."""
 
-    def __init__(self, order: int, counts: dict, ctxs: dict, r, totals):
+    def __init__(
+        self,
+        order: int,
+        counts: dict,
+        ctxs: dict,
+        r,
+        totals,
+        min_count: "int | None" = None,
+    ):
         if order < 2:
             raise ValueError(f"KN order must be >= 2, got {order}")
         self.order = order
@@ -1534,6 +1542,10 @@ class KNnModel:
         self.ctxs = ctxs  # k -> DataFrame keyed w1..w{k-1} with den{k}…
         self.r = r  # (w, n1p_r)
         self.totals = totals  # 1 row: (n_types2p, v_vocab)
+        # count-floor applied to the top-level table (None = full fit);
+        # persisted in meta so a floored table can't masquerade as a
+        # full one after a save/load round trip (ADVICE r14)
+        self.min_count = min_count
 
     def save(self, dir_path: str) -> None:
         for k, df in self.counts.items():
@@ -1544,20 +1556,29 @@ class KNnModel:
         self.totals.write.mode("overwrite").parquet(f"{dir_path}/totals")
         # order metadata: loading at a SMALLER order would otherwise
         # succeed silently with continuation counts masquerading as
-        # raw top-level counts (code-review r14)
+        # raw top-level counts (code-review r14).  min_count rides
+        # along for the same reason in the count-floor dimension: a
+        # pruned() model's top-level table is missing its singleton
+        # mass and must be distinguishable from a full fit at load.
         self.r.sparkSession.createDataFrame(
-            [(self.order,)], "model_order int"
+            [(self.order, self.min_count)],
+            "model_order int, min_count int",
         ).write.mode("overwrite").parquet(f"{dir_path}/meta")
 
     @staticmethod
     def load(spark, dir_path: str, order: int) -> "KNnModel":
-        saved = spark.read.parquet(f"{dir_path}/meta").first()["model_order"]
+        meta = spark.read.parquet(f"{dir_path}/meta").first()
+        saved = meta["model_order"]
         if saved != order:
             raise ValueError(
                 f"KNnModel at {dir_path} was saved at order {saved}, "
                 f"load requested order {order} — a mismatched load would "
                 f"treat continuation counts as raw top-level counts"
             )
+        # pre-r15 saves have no min_count column: read as a full fit
+        min_count = (
+            meta["min_count"] if "min_count" in meta.asDict() else None
+        )
         counts = {
             k: spark.read.parquet(f"{dir_path}/counts{k}")
             for k in range(2, order + 1)
@@ -1572,6 +1593,7 @@ class KNnModel:
             ctxs,
             spark.read.parquet(f"{dir_path}/r"),
             spark.read.parquet(f"{dir_path}/totals"),
+            min_count=min_count,
         )
 
     def pruned(self, min_count: int = 2) -> "KNnModel":
@@ -1579,11 +1601,15 @@ class KNnModel:
         KNModel/KN3Model convention): pruned n-grams fall to the
         discounted-to-zero numerator but keep their λ·P_{n-1} leg —
         stats/context tables stay computed over the full training
-        mass, so scores stay finite and normalized."""
+        mass, so scores stay finite and normalized.  The floor is
+        recorded on the model (and in saved meta) so consumers can
+        tell a floored top-level table from a full one."""
         n = self.order
         counts = dict(self.counts)
         counts[n] = self.counts[n].where(F.col(f"c{n}") >= min_count)
-        return KNnModel(n, counts, self.ctxs, self.r, self.totals)
+        return KNnModel(
+            n, counts, self.ctxs, self.r, self.totals, min_count=min_count
+        )
 
 
 def fit_knn(
@@ -1703,13 +1729,20 @@ def score_docs_knn(
     id_col: str = "doc_id",
     text_col: str = "text",
     broadcast_unigrams: bool = True,
+    broadcast_bigrams: bool = False,
 ) -> DataFrame:
     """Per-document order-n KN score against a fitted model: (doc_id
     [, is_train], n_grams, n_bo — positions whose full-order n-gram is
     absent from the model —, avg_nll, ppl).  Docs under n tokens are
     absent.  Joins: level-k count and context probes on renamed
     suffix keys (the disjoint-key discipline of score_docs_kn3);
-    1-word-keyed tables broadcast when ``broadcast_unigrams``."""
+    1-word-keyed tables broadcast when ``broadcast_unigrams``.  The
+    level-2 COUNT table is pair-keyed (the raw corpus bigram table at
+    order 2) and therefore corpus-sized at web scale — it stays a
+    shuffle join unless ``broadcast_bigrams`` is set explicitly; at
+    small scale AQE's runtime join re-optimization converts it to a
+    broadcast join from the REAL table size, which is the size guard a
+    plan-time ``F.broadcast`` hint would bypass."""
     n = model.order
     if discounts is not None:
         missing = [k for k in range(2, n + 1) if k not in discounts]
@@ -1742,10 +1775,12 @@ def score_docs_knn(
             *[F.col(f"w{i}").alias(f"x{k}_{i}") for i in range(1, k)],
             f"den{k}", f"n1p_{k}", f"n1_{k}", f"n2_{k}", f"n3p_{k}",
         )
-        if broadcast_unigrams and k == 2:
-            ctab = F.broadcast(ctab)  # pair-keyed but vocab²-bounded…
+        if broadcast_bigrams and k == 2:
+            # pair-keyed (vocab²-bounded, corpus-sized at order 2):
+            # opt-in only — see the docstring; AQE handles small cases
+            ctab = F.broadcast(ctab)
         if broadcast_unigrams and k - 1 == 1:
-            xtab = F.broadcast(xtab)
+            xtab = F.broadcast(xtab)  # 1-word-keyed context probe
         ccond = None
         for i in range(1, k + 1):
             e = F.col(f"g{off + i}") == F.col(f"k{k}_{i}")
@@ -1793,6 +1828,7 @@ def knn_perplexity(
     id_col: str = "doc_id",
     text_col: str = "text",
     broadcast_unigrams: bool = True,
+    broadcast_bigrams: bool = False,
     tagged: DataFrame | None = None,
 ) -> DataFrame:
     """Self-trained order-n (modified) Kneser-Ney: fit on the
@@ -1815,6 +1851,7 @@ def knn_perplexity(
         id_col=id_col,
         text_col=text_col,
         broadcast_unigrams=broadcast_unigrams,
+        broadcast_bigrams=broadcast_bigrams,
     )
 
 

@@ -680,7 +680,39 @@ CATALOG: list[str] = [
     #     fixed-disjoint-alphabet trick) ← hybrid_linear_topk out: the
     #     fusion family keeps hybrid_rrf_topk in the catalog; min-max
     #     linear fusion stays superset-oracled.
-    "kn3m_perplexity", "audio_span_audit", "packed_wordpiece_ids",
+    # round-15 rotation (VERDICT r14 ask #1): the round-14 tranche gets
+    # its per-round driver verdicts — four strictly-reasoned swaps,
+    # every retiree keeping its full superset oracle + family catalog
+    # siblings (the standing rotation protocol):
+    #   kn5m_perplexity in (order-5 MODIFIED Kneser-Ney from the
+    #     program-generated order-n chain — the production KenLM
+    #     order; its DuckDB twin is generated by the same recursion
+    #     that builds the Spark plan) ← kn3m_perplexity out: the KN
+    #     family keeps its richest member in the catalog; the order-3
+    #     modified chain stays superset-oracled AND pytest-locked
+    #     equal to the order-n chain at order 3.
+    #   media_format_audit in (the codec boundary's blind spot as a
+    #     hash-checked number, fully oracled via the golden-fixture
+    #     split) ← video_neardup out: the media plane keeps
+    #     image_span_audit + audio_span_audit + the format audit in
+    #     the catalog — a strict verdict-class upgrade (three fully
+    #     oracled entries replace the plane's one rows-only-contract
+    #     lineage); video dHash stays superset-oracled
+    #     (video_span_audit) + planted-family pytests.
+    #   badwords_gate in (the C4 §2.2 document-level blocklist gate —
+    #     word-boundary matching with the per-doc hit ledger) ←
+    #     text_profile out: the regex-extraction shape keeps pii_scrub
+    #     in the catalog and the profile aggregates execute inside
+    #     dq_suite/quality_filter; text_profile stays superset-oracled.
+    #   decontaminate_fuzzy in (MinHash-banded + exact-Jaccard
+    #     benchmark screen — catches paraphrased contamination the
+    #     exact n-gram scrub misses; deliberately finer banding than
+    #     dedup) ← string_agg_names out: the rank-ordered string agg
+    #     (F9) executes inside word2vec_neighbors' enrichment leg
+    #     (catalog) and stays superset-oracled.
+    "kn5m_perplexity", "media_format_audit", "badwords_gate",
+    "decontaminate_fuzzy",
+    "audio_span_audit", "packed_wordpiece_ids",
     "url_canonical_groups", "image_span_audit",
     # round-6 new (wave 3: sketch + substring-dedup planes; retired
     # ngram_jaccard → minhash_jaccard_audit computes the exact n-gram
@@ -706,7 +738,8 @@ CATALOG: list[str] = [
     # word2vec_stability out: its M1 family keeps word2vec_neighbors
     # in the catalog and the stability audit stays superset-oracled
     # in the pytest gate.
-    "video_neardup",
+    # (video_neardup retired r15 — media plane keeps image_span_audit,
+    # audio_span_audit and media_format_audit in the catalog)
     "heavy_hitters",
     "bloom_blocklist",
     # round-5 new / reshaped
@@ -728,7 +761,7 @@ CATALOG: list[str] = [
     #     inside sessionize's gap windows and packed_input_ids'
     #     shard cumsum).
     "ann_ivfpq_topk",
-    "text_profile", "setops_parts",
+    "setops_parts",  # (text_profile retired r15)
     "dq_suite", "distinct_parts",
     # relational / grouping-sets / window plane
     "pricing_summary", "baskets", "vocab", "index_items",
@@ -738,8 +771,7 @@ CATALOG: list[str] = [
     "revenue_topk",
     "asof_latest_event", "range_join_bands",
     # seeded randomness / sampling
-    "skipgram_subsampled",
-    "string_agg_names",
+    "skipgram_subsampled",  # (string_agg_names retired r15)
     # LLM pipeline: dedup / text / similarity
     "dedup_clusters", "quality_filter", "embedding_neardup",
     "ann_ivf_topk",
@@ -769,13 +801,14 @@ CATALOG: list[str] = [
 # the same operator family (see the per-wave notes above) or is a
 # macro deliberately kept out of the per-query bench loop
 # (curation_stress_audit — timed as bench.py's __curation10x__).
-# Round-15 rotation candidates (fully oracled, superset-only as of
-# r14): kn5m_perplexity (the 5-gram modified-KN flagship),
-# badwords_gate, media_format_audit, decontaminate_fuzzy, and the
-# round-13 leftovers video_span_audit / packed_unigram_ids /
-# kn3_perplexity.  Standard protocol: retirees keep superset oracles
-# + family catalog siblings; plan snapshots re-blessed; fresh
-# isolated baselines.
+# Round-15 rotation DONE (VERDICT r14 ask #1): kn5m_perplexity,
+# media_format_audit, badwords_gate, decontaminate_fuzzy are now
+# catalog entries (see the round-15 block above for the four
+# retirees' family reasoning).  Round-16 rotation candidates (fully
+# oracled, superset-only): video_span_audit, packed_unigram_ids,
+# kn3_perplexity, plus whatever round 15 adds superset-only.
+# Standard protocol: retirees keep superset oracles + family catalog
+# siblings; plan snapshots re-blessed; fresh isolated baselines.
 # ---------------------------------------------------------------------
 # import-time guards (explicit raise, NOT assert: asserts vanish under
 # python -O and the driver catalog must stay guarded in optimized runs)

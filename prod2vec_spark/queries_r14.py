@@ -208,9 +208,13 @@ WITH t AS (SELECT doc_id,
 h AS (SELECT doc_id,
     CAST((length(lt) - length(replace(lt, '{phrase}', ''))) / {plen} AS BIGINT)
       AS hits_engine,
-    CAST(len(list_filter(toks, x -> x = 'slow')) AS BIGINT) AS hits_latency,
-    CAST(len(list_filter(toks, x -> x IN ('big', 'small'))) AS BIGINT)
-      AS hits_scale,
+    CAST(len(list_filter(toks,
+      x -> regexp_replace(x, '^[[:punct:]]+|[[:punct:]]+$', '', 'g') = 'slow'
+    )) AS BIGINT) AS hits_latency,
+    CAST(len(list_filter(toks,
+      x -> regexp_replace(x, '^[[:punct:]]+|[[:punct:]]+$', '', 'g')
+             IN ('big', 'small')
+    )) AS BIGINT) AS hits_scale,
     CAST(len(toks) AS INT) AS n_tokens
   FROM t)
 SELECT doc_id, hits_engine, hits_latency, hits_scale, n_tokens,

@@ -96,3 +96,24 @@ def test_dag_badwords_stage_and_ledger(spark, tmp_path):
     assert bad_ids <= set(ledger)
     assert {ledger[i] for i in bad_ids} == {"badwords_gate"}
     assert final is not None
+
+
+def test_badwords_punctuation_adjacent_tokens_count(spark):
+    """Word-boundary matching (ADVICE r14): a listed word adjacent to
+    punctuation — 'darn.', 'darn,', '"darn"', '(darn!)' — still counts
+    as a whole-token hit, while punctuation INSIDE a word ('da.rn')
+    and substrings ('darning.') still do not."""
+    docs = spark.createDataFrame(
+        [
+            (1, "well darn. that hurts"),
+            (2, 'she said "darn," twice (darn!)'),
+            (3, "da.rn is not a hit and darning. is not either"),
+            (4, "...darn..."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in badwords_gate(docs, CATS).collect()}
+    assert out[1]["hits_tox"] == 1
+    assert out[2]["hits_tox"] == 2
+    assert out[3]["hits_tox"] == 0
+    assert out[4]["hits_tox"] == 1 and out[4]["bad_verdict"]
