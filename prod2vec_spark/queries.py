@@ -793,8 +793,11 @@ CATALOG: list[str] = [
 #     now fully oracled.)
 #   * phash/media goldens (dhash_png/jpeg, ahash_wav, video frames) —
 #     pixel/sample decoding is a codec boundary; the DRIVER sees the
-#     media plane through video_neardup (rows-only by the same
-#     contract) and the planted-family pytests.
+#     media plane through the fully-oracled fixture-split entries
+#     (image/audio span audits, media_format_audit) and the
+#     planted-family pytests.  (phash_neardup and audio_neardup LEFT
+#     this class in round 15: the fixture-split protocol gave both
+#     full DuckDB oracles over pytest-locked golden hashes.)
 #   * kmeans_audit stays IN the catalog but its Lloyd refinement is
 #     pytest-gated; the catalog entry oracles the assignment step.
 # Everything else in the superset either has a catalog sibling from

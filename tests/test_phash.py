@@ -264,3 +264,21 @@ def test_composite_id_rejects_negative_and_overflow_ids(spark):
                     "media_id", F.col("frame_idx"), _FRAME_ID_BASE
                 ).alias("fid")
             ).collect()
+
+
+def test_phash_pair_fixture_goldens_match_codecs():
+    """Fixture-split honesty lock (round 15): the persisted dhash /
+    ahash goldens in tests/fixtures/phash_pairs_*.parquet must equal
+    the REAL codec chain's output over the persisted blobs — codec
+    drift must fail here, not hide behind a stale fixture."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    fixdir = os.path.join(os.path.dirname(__file__), "fixtures")
+    img = pq.read_table(os.path.join(fixdir, "phash_pairs_images.parquet"))
+    for blob, want in zip(img["blob"].to_pylist(), img["dhash"].to_pylist()):
+        assert PH.dhash_png(blob) == want
+    wav = pq.read_table(os.path.join(fixdir, "phash_pairs_audio.parquet"))
+    for blob, want in zip(wav["blob"].to_pylist(), wav["ahash"].to_pylist()):
+        assert PH.ahash_wav(blob) == want
