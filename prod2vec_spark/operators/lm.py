@@ -40,6 +40,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from prod2vec_spark.functions.hashing import hash_unit
+from prod2vec_spark.functions.lineage import break_lineage as _break_lineage
 from prod2vec_spark.operators.text import tokens
 
 DEFAULT_ALPHA = 0.4
@@ -1618,6 +1619,7 @@ def fit_knn(
     id_col: str = "doc_id",
     text_col: str = "text",
     lineage_break: bool = True,
+    checkpoint_dir: "str | None" = None,
 ) -> KNnModel:
     """Estimate order-n KN count tables: one n-tuple hash-agg, then a
     shrinking groupBy per lower level (continuation counts — distinct
@@ -1645,7 +1647,7 @@ def fit_knn(
         *[F.col(f"_g.w{i}").alias(f"w{i}") for i in range(1, n + 1)]
     ).agg(F.count(F.lit(1)).alias(f"c{n}"))
     if lineage_break:
-        counts[n] = counts[n].localCheckpoint(eager=False)
+        counts[n] = _break_lineage(counts[n], checkpoint_dir, eager=False)
     for k in range(n - 1, 1, -1):
         # continuation counts: group the level-(k+1) table by its LAST
         # k words; count(*) = distinct left-extensions
@@ -1662,7 +1664,7 @@ def fit_knn(
         if lineage_break:
             # every level is consumed 2-3x (its context stats, the
             # level below, the scoring join) — materialize each once
-            counts[k] = counts[k].localCheckpoint(eager=False)
+            counts[k] = _break_lineage(counts[k], checkpoint_dir, eager=False)
     ctxs: dict[int, DataFrame] = {}
     for k in range(2, n + 1):
         c = F.col(f"c{k}")

@@ -951,3 +951,55 @@ def test_cms_overestimate_property(spark):
             assert est[t] >= n, (t, est[t], n)
 
     check()
+
+
+def test_cc_reliable_checkpoint_equivalence(spark, tmp_path):
+    """VERDICT r14 ask #7: passing checkpoint_dir switches the
+    per-round lineage breaks to RELIABLE checkpoints (survive executor
+    loss on a real cluster) — labels and rounds must be identical to
+    the localCheckpoint path on both CC variants, and the checkpoint
+    dir must actually receive data."""
+    import os
+
+    from prod2vec_spark.operators.graph import (
+        connected_components_star,
+        connected_components_with_rounds,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 9), (10, 11), (11, 12), (12, 13)],
+        "src long, dst long",
+    )
+    ckpt = str(tmp_path / "cc_ckpt")
+    want, want_r = connected_components_with_rounds(edges)
+    got, got_r = connected_components_with_rounds(edges, checkpoint_dir=ckpt)
+    assert {(r["node"], r["comp"]) for r in got.collect()} == {
+        (r["node"], r["comp"]) for r in want.collect()
+    }
+    assert got_r == want_r
+    assert any(files for _, _, files in os.walk(ckpt)), (
+        "reliable checkpoint dir received no data"
+    )
+    want_s, _ = connected_components_star(edges)
+    got_s, _ = connected_components_star(
+        edges, checkpoint_dir=str(tmp_path / "star_ckpt")
+    )
+    assert {(r["node"], r["comp"]) for r in got_s.collect()} == {
+        (r["node"], r["comp"]) for r in want_s.collect()
+    }
+
+
+def test_fit_knn_reliable_checkpoint_equivalence(spark, tmp_path):
+    """fit_knn's per-level lineage breaks honor checkpoint_dir with
+    score output row-identical to the localCheckpoint path."""
+    from prod2vec_spark.operators.lm import fit_knn, score_docs_knn
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e a b c"), (2, "a b c d f g h"), (3, "x y z w v u t")],
+        "doc_id long, text string",
+    )
+    m_local = fit_knn(docs, order=4)
+    m_ckpt = fit_knn(docs, order=4, checkpoint_dir=str(tmp_path / "kn_ckpt"))
+    want = {r["doc_id"]: r.asDict() for r in score_docs_knn(docs, m_local).collect()}
+    got = {r["doc_id"]: r.asDict() for r in score_docs_knn(docs, m_ckpt).collect()}
+    assert got == want and len(want) == 3
