@@ -739,3 +739,119 @@ def test_streaming_knn_scoring_matches_batch(spark, tmp_path):
     )
     drain()
     assert scores() == {**batch_scores(half_a), **batch_scores(half_b)}
+
+
+def test_streaming_decontamination_matches_batch_and_replays(spark, tmp_path):
+    """Round-15 (VERDICT r14 ask #8): the streaming decon gate's
+    committed decisions must equal the batch operators' verdicts over
+    the same exact-dedup survivors and the same static bench suite —
+    exact n-gram screen AND fuzzy MinHash/exact-Jaccard screen (the
+    fuzzy leg must catch a planted paraphrase the exact rule misses) —
+    drop at curated() with 'decon_gate' ledger attribution, and stay
+    exactly-once across a no-new-input restart and a full replay."""
+    import shutil
+
+    from prod2vec_spark.operators.decontam import (
+        contamination_report,
+        fuzzy_contamination_report,
+    )
+
+    docs = (
+        read_table(spark, SF_SMOKE, "documents")
+        .limit(80)
+        .select("doc_id", "text", "lang")
+        .localCheckpoint()
+    )
+    planted = {r["doc_id"]: r["text"] for r in docs.where(
+        F.col("doc_id").isin(3, 7)).collect()}
+    # bench suite: one verbatim leak (exact screen) + one paraphrase
+    # (every 12th token swapped — under the 0.9 exact collision floor,
+    # above the 0.4 Jaccard floor)
+    toks = planted[7].split()
+    edited = " ".join(
+        ("EDITTOK" if i % 12 == 0 else t) for i, t in enumerate(toks)
+    )
+    bench = spark.createDataFrame(
+        [(100001, planted[3], "en"), (100002, edited, "en")],
+        "doc_id long, text string, lang string",
+    )
+    bench_dir = str(tmp_path / "bench")
+    bench.write.parquet(bench_dir)
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    docs.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage"))
+    src = sorted((tmp_path / "stage").glob("*.parquet"))[0]
+    shutil.copy(src, landing / "a.parquet")
+
+    cfg = StreamCorpusConfig(
+        landing_dir=str(landing),
+        work_dir=str(tmp_path / "work"),
+        decon_gate=True,
+        decon_bench_dir=bench_dir,
+        decon_n=5,
+        decon_min_frac=0.9,
+        decon_fuzzy=True,
+        decon_fuzzy_jaccard=0.4,
+        decon_fuzzy_hashes=16,
+        decon_fuzzy_band=1,
+    )
+    pipe = StreamingCorpusPipeline(spark, cfg)
+    curated = pipe.run().localCheckpoint()
+
+    # batch parity over the SAME exact-dedup survivors + bench suite
+    exact = spark.read.parquet(cfg.exact_dir)
+    tagged = (
+        exact.select("doc_id", "text")
+        .withColumn("is_bench", F.lit(False))
+        .unionByName(
+            bench.select("doc_id", "text").withColumn(
+                "is_bench", F.lit(True)
+            )
+        )
+    )
+    exp_exact = {
+        r["doc_id"]
+        for r in contamination_report(
+            tagged, n=5, contaminated_min_frac=0.9, tagged=tagged
+        ).where("contaminated").collect()
+    }
+    exp_fuzzy = {
+        r["doc_id"]
+        for r in fuzzy_contamination_report(
+            tagged,
+            shingle_k=3,
+            num_hashes=16,
+            band_size=1,
+            min_jaccard=0.4,
+            tagged=tagged,
+        ).where("contaminated").collect()
+    }
+    assert 3 in exp_exact, "verbatim leak must trip the exact screen"
+    assert 7 in exp_fuzzy and 7 not in exp_exact, (
+        "paraphrase must be fuzzy-only"
+    )
+    got_drop = {r["doc_id"] for r in pipe._decon_drop().collect()}
+    assert got_drop == (exp_exact | exp_fuzzy)
+
+    curated_ids = {r["doc_id"] for r in curated.select("doc_id").collect()}
+    assert not (curated_ids & got_drop)
+    ledger = {
+        r["doc_id"]: r["dropped_at"] for r in pipe.drop_ledger().collect()
+    }
+    assert ledger[3] == "decon_gate" and ledger[7] == "decon_gate"
+    # partition contract still holds with the gate on
+    landing_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert curated_ids | set(ledger) == landing_ids
+    assert not (curated_ids & set(ledger))
+
+    # exactly-once: no new input, then a full replay — same curated set
+    pipe.run()
+    assert {
+        r["doc_id"] for r in pipe.curated().select("doc_id").collect()
+    } == curated_ids
+    shutil.copy(src, landing / "a_replay.parquet")
+    pipe.run()
+    assert {
+        r["doc_id"] for r in pipe.curated().select("doc_id").collect()
+    } == curated_ids
