@@ -8,10 +8,11 @@ out, the PNG/JPEG door): FIRST frame only, palette → RGB, global or
 local color table, interlaced row order supported (the four-pass
 permutation is a pure row shuffle).  Rejected loudly (never
 mis-decoded): missing color tables, truncated LZW streams, malformed
-block structure.  WebP is an explicit out-of-scope boundary: its
-VP8/VP8L payloads are full video-codec intra frames, far beyond
-stdlib scope — a `RIFF....WEBP` blob stays in the auditable
-raw-bytes class, the same declared boundary as arithmetic-coded JPEG.
+block structure.  WebP: the LOSSLESS (VP8L) payload decodes through
+operators/webp.py since round 15; lossy VP8 remains the declared
+out-of-scope boundary (a full video-codec intra frame) — a lossy
+`RIFF....WEBP` blob stays in the auditable raw-bytes class, the same
+declared boundary as arithmetic-coded JPEG.
 
 Decode also covers ANIMATED GIFs (``gif_frames``): every frame on
 the Graphic-Control-Extension delay timeline, composited onto an RGB

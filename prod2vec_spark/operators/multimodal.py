@@ -732,8 +732,8 @@ def decode_gif(blob: bytes) -> dict:
     LZW decoder.  Dimensions plus a digest + mean of the decoded RGB
     plane; closes the VERDICT r12 gap where GIF blobs fell to
     ``format='raw'`` byte stats and were invisible to media dedup.
-    WebP stays a documented out-of-scope boundary (operators/gif.py
-    module docstring): ``RIFF....WEBP`` remains in the raw class."""
+    (Lossless WebP decodes through decode_webp since round 15; only
+    lossy VP8 remains in the raw class — operators/webp.py.)"""
     from prod2vec_spark.operators.gif import gif_pixels
 
     rgb, m = gif_pixels(blob)
@@ -748,13 +748,36 @@ def decode_gif(blob: bytes) -> dict:
     }
 
 
+def decode_webp(blob: bytes) -> dict:
+    """Real stdlib-only lossless-WebP (VP8L) decode feature row
+    (round-15) — closes the measured blind spot the format audit
+    reports: WebP is the dominant modern web image format, and its
+    blobs previously fell to ``format='raw'`` byte stats and were
+    invisible to media dedup.  Dimensions plus a digest + mean of the
+    decoded RGB plane (the GIF contract); lossy VP8 payloads raise
+    (the remaining declared boundary) and classify as
+    unsupported_format upstream."""
+    from prod2vec_spark.operators.webp import webp_pixels
+
+    rgb, m = webp_pixels(blob)
+    return {
+        "format": "webp",
+        "width": m["width"],
+        "height": m["height"],
+        "bit_depth": m["bit_depth"],
+        "channels": m["channels"],
+        "pixel_digest": hashlib.md5(rgb).hexdigest(),
+        "mean_pixel_byte": (sum(rgb) / len(rgb)) if rgb else 0.0,
+    }
+
+
 def decode_media(media_type: str, blob: bytes) -> dict:
     """Sniff the container by magic bytes and run the REAL decoder
-    (PNG / JPEG / GIF / WAV / uncompressed AVI); unknown formats fall
-    through to the deterministic byte-stats path with ``format='raw'``
-    (including WebP — the documented boundary).  A corrupt
-    PNG/JPEG/GIF/WAV/AVI is reported as ``format='corrupt'`` rather
-    than mis-decoded."""
+    (PNG / JPEG / GIF / lossless WebP / WAV / uncompressed AVI);
+    unknown formats fall through to the deterministic byte-stats path
+    with ``format='raw'`` (including lossy-VP8 WebP — the remaining
+    documented boundary).  A corrupt PNG/JPEG/GIF/WebP/WAV/AVI is
+    reported as ``format='corrupt'`` rather than mis-decoded."""
     fmt = "raw"
     if blob[:8] == PNG_SIG:
         try:
@@ -771,6 +794,19 @@ def decode_media(media_type: str, blob: bytes) -> dict:
             return decode_gif(blob)
         except Exception:
             fmt = "corrupt"
+    elif blob[:4] == b"RIFF" and blob[8:12] == b"WEBP":
+        from prod2vec_spark.operators.webp import _vp8l_payload
+
+        try:
+            lossless = _vp8l_payload(blob) is not None
+        except Exception:
+            lossless = True  # truncated VP8L chunk -> corrupt below
+        if lossless:
+            try:
+                return decode_webp(blob)
+            except Exception:
+                fmt = "corrupt"
+        # lossy VP8 payload: fall through to raw (declared boundary)
     elif blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
         try:
             return decode_wav(blob)
@@ -1027,7 +1063,22 @@ def classify_media(blob) -> "tuple[str, str]":
         except Exception:
             return ("gif", "corrupt")
     if bb[:4] == b"RIFF" and bb[8:12] == b"WEBP":
-        return ("webp", "unsupported_format")
+        from prod2vec_spark.operators.webp import _vp8l_payload, webp_pixels
+
+        try:
+            lossless = _vp8l_payload(bb) is not None
+        except Exception:
+            return ("webp", "corrupt")  # truncated VP8L chunk
+        if not lossless:
+            # lossy VP8 / VP8X-wrapped lossy: a full video codec —
+            # the remaining declared boundary (round-15 narrowed the
+            # webp class from all-of-WebP to lossy-only)
+            return ("webp", "unsupported_format")
+        try:
+            webp_pixels(bb)
+            return ("webp", "decoded")
+        except Exception:
+            return ("webp", "corrupt")
     if bb[:4] == b"RIFF" and bb[8:12] == b"WAVE":
         try:
             wav_samples(bb)

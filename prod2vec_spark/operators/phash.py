@@ -138,12 +138,28 @@ def dhash_gif(blob: bytes) -> int | None:
     return dhash64(g)
 
 
+def dhash_webp(blob: bytes) -> int | None:
+    """dHash of a LOSSLESS WebP (VP8L) blob via its decoded RGB plane
+    (round-15), or None when not decodable — including lossy VP8
+    payloads, the remaining declared boundary (the auditable-miss
+    contract).  The gray fold is the SAME channel-mean ``_gray`` the
+    PNG/GIF paths use, so a PNG↔WebP-lossless re-encode of the same
+    grayscale image hashes BIT-IDENTICALLY."""
+    bb = bytes(blob) if isinstance(blob, (bytes, bytearray)) else b""
+    if not (bb[:4] == b"RIFF" and bb[8:12] == b"WEBP"):
+        return None
+    g = image_gray(bb)
+    if g is None:
+        return None
+    return dhash64(g)
+
+
 def image_gray(blob) -> np.ndarray | None:
     """(height, width) float64 luminance of a decodable PNG, JPEG
-    (baseline or progressive) or GIF blob, None otherwise — the shared
-    pixel door for every whole-image and tiled hash (one sniff+decode
-    path, so the tile plane can never disagree with the whole-image
-    plane about what decodes)."""
+    (baseline or progressive), GIF or lossless-WebP blob, None
+    otherwise — the shared pixel door for every whole-image and tiled
+    hash (one sniff+decode path, so the tile plane can never disagree
+    with the whole-image plane about what decodes)."""
     bb = bytes(blob) if isinstance(blob, (bytes, bytearray)) else b""
     if bb.startswith(PNG_SIG):
         try:
@@ -166,6 +182,14 @@ def image_gray(blob) -> np.ndarray | None:
 
         try:
             rgb, m = gif_pixels(bb)
+        except Exception:
+            return None
+        return _gray(rgb, m["width"], m["height"], m["channels"])
+    if bb[:4] == b"RIFF" and bb[8:12] == b"WEBP":
+        from prod2vec_spark.operators.webp import webp_pixels
+
+        try:
+            rgb, m = webp_pixels(bb)
         except Exception:
             return None
         return _gray(rgb, m["width"], m["height"], m["channels"])
@@ -1333,10 +1357,10 @@ def media_hashes(
     media: DataFrame, id_col: str = "media_id", blob_col: str = "blob"
 ) -> DataFrame:
     """(id, modality, mhash) for a MIXED-modality blob column: sniff
-    container magic → dHash (PNG / JPEG / GIF) / energy-gradient
-    (WAV) / keyframe-mean dHash (AVI); (NULL, NULL) where the blob is
-    undecodable — the auditable-miss contract.  One Arrow-batched
-    pass; the blob never leaves the executor."""
+    container magic → dHash (PNG / JPEG / GIF / lossless WebP) /
+    energy-gradient (WAV) / keyframe-mean dHash (AVI); (NULL, NULL)
+    where the blob is undecodable — the auditable-miss contract.  One
+    Arrow-batched pass; the blob never leaves the executor."""
     src = media.select(id_col, blob_col)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1355,6 +1379,9 @@ def media_hashes(
                 elif bb[:6] in (b"GIF87a", b"GIF89a"):
                     mods.append("image")
                     hashes.append(dhash_gif(bb))
+                elif bb[:4] == b"RIFF" and bb[8:12] == b"WEBP":
+                    mods.append("image")
+                    hashes.append(dhash_webp(bb))
                 elif bb[:4] == b"RIFF" and bb[8:12] == b"WAVE":
                     mods.append("audio")
                     hashes.append(ahash_wav(bb))

@@ -1,0 +1,764 @@
+"""WebP lossless (VP8L) codec, stdlib-only, for the image plane.
+
+ENGINE scope beyond the reference (the reference ships static JPEG
+images only, `/root/reference/Img/`): round-15 closes the measured
+blind spot the media format audit reports (VERDICT r14 ask #4) —
+`RIFF....WEBP` blobs previously classified `unsupported_format` and
+skipped media dedup entirely, and WebP is the dominant modern web
+image format, so a real crawl corpus hits the gap constantly.
+
+Decode implements the public "WebP Lossless Bitstream Specification"
+(the VP8L format shipped in libwebp; this implementation is written
+from the specification, not ported code):
+
+* RIFF container walk to the ``VP8L`` chunk (a ``VP8 `` chunk — the
+  LOSSY VP8 intra-frame payload — stays a declared out-of-scope
+  boundary: it is a full video codec);
+* LSB-first bit reader; 14-bit dimensions header;
+* canonical prefix codes — both "simple" (1-2 symbol, including the
+  0-bit single-symbol edge case) and normal (code lengths themselves
+  prefix-coded over the 19-symbol code-length alphabet with 16/17/18
+  repeat codes and the optional max_symbol cap);
+* the five-code groups (green+length+cache / red / blue / alpha /
+  distance), optional META prefix image selecting per-tile groups;
+* LZ77 backward references (length/distance prefix-coded with extra
+  bits; the 120-entry two-dimensional distance map — generated, not
+  transcribed: the map is exactly the (dx in [-7, 8], dy in [0, 7])
+  neighborhood sorted by (dx² + dy², dy descending, positive dx
+  first), which reproduces the specification's table);
+* the color cache ((0x1e35a7bd · pixel) >> (32 − bits) hash slots);
+* all four transforms, inverted in reverse stream order: PREDICTOR
+  (14 modes, per-tile sub-image), COLOR (per-tile signed multiplier
+  triples), SUBTRACT_GREEN, and COLOR_INDEXING (delta-coded palette,
+  sub-byte index bundling for palettes ≤ 16 entries).
+
+Corrupt streams are rejected loudly (truncated bit reads, over-long
+codes, out-of-range cache/back-ref/palette accesses) — never
+mis-decoded; the auditable-miss contract of every codec here.
+
+Encode (`encode_webp_lossless_gray8`) is the fixture/write half of
+the boundary, mirroring encode_png_gray8/encode_gif_gray8: grayscale
+via the SUBTRACT_GREEN transform (red/blue residuals collapse to
+single-symbol codes), a fixed Kraft-exact two-length code for the
+green channel, and optional run-length LZ77 back-references — enough
+surface for cross-codec PNG↔WebP dHash parity tests and the format
+audit through REAL bitstreams.  It produces valid, complete VP8L; it
+does not attempt rate optimization.
+
+Scale notes: the codec runs inside the existing Arrow-batched
+``mapInPandas`` media stages (multimodal.py / phash.py) — per-blob
+Python is the declared slow path there, batched through Arrow;
+nothing here adds driver-side work or a shuffle.
+"""
+
+from __future__ import annotations
+
+import struct
+
+# --------------------------------------------------------------- util
+
+_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+_GREEN_BASE = 256  # literal greens
+_LENGTH_CODES = 24
+_CACHE_MULT = 0x1E35A7BD
+
+
+def _distance_map() -> "list[tuple[int, int]]":
+    """The spec's 120-entry 2D distance table, generated from its
+    construction rule: the (dx, dy) window dx ∈ [-7, 8], dy ∈ [0, 7]
+    (dy = 0 restricted to dx ≥ 1 — strictly-previous pixels), sorted
+    by squared distance, then larger dy first, then positive dx
+    first.  8 + 7·16 = 120 entries exactly."""
+    cand = [
+        (dx, dy)
+        for dy in range(8)
+        for dx in range(-7, 9)
+        if dy > 0 or dx > 0
+    ]
+    cand.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1], -p[1], p[0] < 0))
+    return cand
+
+
+_DIST_MAP = _distance_map()
+
+
+class _Bits:
+    """LSB-first bit reader over bytes; raises on exhaustion."""
+
+    __slots__ = ("d", "pos", "n")
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.pos = 0
+        self.n = len(data) * 8
+
+    def u(self, k: int) -> int:
+        p = self.pos
+        if p + k > self.n:
+            raise ValueError("VP8L: truncated bitstream")
+        v = 0
+        d = self.d
+        for i in range(k):
+            v |= ((d[(p + i) >> 3] >> ((p + i) & 7)) & 1) << i
+        self.pos = p + k
+        return v
+
+    def bit(self) -> int:
+        p = self.pos
+        if p >= self.n:
+            raise ValueError("VP8L: truncated bitstream")
+        self.pos = p + 1
+        return (self.d[p >> 3] >> (p & 7)) & 1
+
+
+class _Code:
+    """A canonical prefix code: either a single 0-bit symbol or a
+    (length, code)->symbol map walked MSB-first (the DEFLATE
+    convention the VP8L spec follows)."""
+
+    __slots__ = ("single", "table", "max_len")
+
+    def __init__(self, single: "int | None", table: "dict | None"):
+        self.single = single
+        self.table = table
+        self.max_len = max((l for l, _ in table), default=0) if table else 0
+
+    def read(self, br: _Bits) -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        length = 0
+        t = self.table
+        ml = self.max_len
+        while True:
+            code = (code << 1) | br.bit()
+            length += 1
+            s = t.get((length, code))
+            if s is not None:
+                return s
+            if length >= ml:
+                raise ValueError("VP8L: invalid prefix code in stream")
+
+
+def _canonical(lengths: "list[int]") -> _Code:
+    nz = [(l, s) for s, l in enumerate(lengths) if l > 0]
+    if not nz:
+        raise ValueError("VP8L: empty prefix code")
+    if len(nz) == 1:
+        return _Code(nz[0][1], None)
+    max_len = max(l for l, _ in nz)
+    bl_count = [0] * (max_len + 1)
+    for l, _ in nz:
+        bl_count[l] += 1
+    code = 0
+    next_code = [0] * (max_len + 1)
+    for l in range(1, max_len + 1):
+        code = (code + bl_count[l - 1]) << 1
+        next_code[l] = code
+    table: dict = {}
+    for s, l in enumerate(lengths):
+        if l > 0:
+            table[(l, next_code[l])] = s
+            next_code[l] += 1
+    # Kraft check: an over-subscribed code would alias symbols
+    if sum(1 << (max_len - l) for l, _ in nz) > (1 << max_len):
+        raise ValueError("VP8L: over-subscribed prefix code")
+    return _Code(None, table)
+
+
+def _two_symbol_code(s0: int, s1: int) -> _Code:
+    # simple 2-symbol codes assign code 0 to the FIRST symbol read
+    return _Code(None, {(1, 0): s0, (1, 1): s1})
+
+
+def _read_prefix_code(br: _Bits, alphabet_size: int) -> _Code:
+    if br.bit():  # simple code
+        num = br.u(1) + 1
+        s0 = br.u(8) if br.bit() else br.u(1)
+        if s0 >= alphabet_size:
+            raise ValueError("VP8L: simple-code symbol out of range")
+        if num == 1:
+            return _Code(s0, None)
+        s1 = br.u(8)
+        if s1 >= alphabet_size:
+            raise ValueError("VP8L: simple-code symbol out of range")
+        return _two_symbol_code(s0, s1)
+    # normal: code lengths are themselves prefix-coded
+    num_cl = br.u(4) + 4
+    cl_lengths = [0] * 19
+    for i in range(num_cl):
+        cl_lengths[_CL_ORDER[i]] = br.u(3)
+    cl_code = _canonical(cl_lengths)
+    if br.bit():  # optional cap on the number of coded lengths
+        length_nbits = 2 + 2 * br.u(3)
+        max_symbol = 2 + br.u(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = [0] * alphabet_size
+    symbol = 0
+    prev = 8
+    while symbol < alphabet_size:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        cl = cl_code.read(br)
+        if cl < 16:
+            lengths[symbol] = cl
+            symbol += 1
+            if cl:
+                prev = cl
+        else:
+            if cl == 16:
+                repeat, fill = 3 + br.u(2), prev
+            elif cl == 17:
+                repeat, fill = 3 + br.u(3), 0
+            else:
+                repeat, fill = 11 + br.u(7), 0
+            if symbol + repeat > alphabet_size:
+                raise ValueError("VP8L: code-length repeat overflows alphabet")
+            for _ in range(repeat):
+                lengths[symbol] = fill
+                symbol += 1
+    return _canonical(lengths)
+
+
+def _prefix_decode(code: int, br: _Bits) -> int:
+    """Length/distance prefix decoding: codes 0-3 are literal 1-4;
+    above, (2 + (code & 1)) << extra plus extra bits."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + br.u(extra) + 1
+
+
+def _sub_dims(size: int, bits: int) -> int:
+    return (size + (1 << bits) - 1) >> bits
+
+
+# ------------------------------------------------------------ decoder
+
+
+def _decode_image(br: _Bits, w: int, h: int, allow_meta: bool) -> "list[int]":
+    """Entropy-coded ARGB image (w×h) as a flat list of uint32 —
+    DecodeImageStream without the transform loop (the caller handles
+    transforms for the top-level image)."""
+    cache_bits = br.u(4) if br.bit() else 0
+    if cache_bits > 11:
+        raise ValueError("VP8L: color cache bits out of range")
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    cache = [0] * cache_size
+
+    meta = None
+    meta_bits = 0
+    n_groups = 1
+    if allow_meta and br.bit():
+        meta_bits = br.u(3) + 2
+        mw, mh = _sub_dims(w, meta_bits), _sub_dims(h, meta_bits)
+        meta = _decode_image(br, mw, mh, allow_meta=False)
+        n_groups = max(((p >> 8) & 0xFFFF) for p in meta) + 1
+
+    green_size = _GREEN_BASE + _LENGTH_CODES + cache_size
+    groups = []
+    for _ in range(n_groups):
+        groups.append(
+            (
+                _read_prefix_code(br, green_size),
+                _read_prefix_code(br, 256),  # red
+                _read_prefix_code(br, 256),  # blue
+                _read_prefix_code(br, 256),  # alpha
+                _read_prefix_code(br, 40),  # distance
+            )
+        )
+
+    out: "list[int]" = [0] * (w * h)
+    pos = 0
+    total = w * h
+    shift = 32 - cache_bits if cache_bits else 0
+    mw = _sub_dims(w, meta_bits) if meta is not None else 0
+    g = groups[0]
+    while pos < total:
+        if meta is not None:
+            x, y = pos % w, pos // w
+            mp = meta[(y >> meta_bits) * mw + (x >> meta_bits)]
+            g = groups[(mp >> 8) & 0xFFFF]
+        s = g[0].read(br)
+        if s < _GREEN_BASE:  # literal
+            red = g[1].read(br)
+            blue = g[2].read(br)
+            alpha = g[3].read(br)
+            px = (alpha << 24) | (red << 16) | (s << 8) | blue
+            out[pos] = px
+            pos += 1
+            if cache_bits:
+                cache[(_CACHE_MULT * px & 0xFFFFFFFF) >> shift] = px
+        elif s < _GREEN_BASE + _LENGTH_CODES:  # backward reference
+            length = _prefix_decode(s - _GREEN_BASE, br)
+            dist_code = _prefix_decode(g[4].read(br), br)
+            if dist_code > 120:
+                dist = dist_code - 120
+            else:
+                dx, dy = _DIST_MAP[dist_code - 1]
+                dist = dy * w + dx
+                if dist < 1:
+                    dist = 1
+            if dist > pos or pos + length > total:
+                raise ValueError("VP8L: backward reference out of range")
+            for _ in range(length):
+                px = out[pos - dist]
+                out[pos] = px
+                pos += 1
+                if cache_bits:
+                    cache[(_CACHE_MULT * px & 0xFFFFFFFF) >> shift] = px
+        else:  # color cache hit
+            idx = s - _GREEN_BASE - _LENGTH_CODES
+            if idx >= cache_size:
+                raise ValueError("VP8L: cache index out of range")
+            out[pos] = cache[idx]
+            pos += 1
+    return out
+
+
+def _avg2(a: int, b: int) -> int:
+    # per-channel (a + b) // 2 without unpacking: SWAR average
+    return (((a ^ b) & 0xFEFEFEFE) >> 1) + (a & b)
+
+
+def _chans(p: int) -> "tuple[int, int, int, int]":
+    return ((p >> 24) & 0xFF, (p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF)
+
+
+def _pack(a: int, r: int, g: int, b: int) -> int:
+    return ((a & 0xFF) << 24) | ((r & 0xFF) << 16) | ((g & 0xFF) << 8) | (b & 0xFF)
+
+
+def _add_px(p: int, q: int) -> int:
+    pa, pr, pg, pb = _chans(p)
+    qa, qr, qg, qb = _chans(q)
+    return _pack(pa + qa, pr + qr, pg + qg, pb + qb)
+
+
+def _select(t: int, l: int, tl: int) -> int:
+    ta, tr_, tg, tb = _chans(t)
+    la, lr, lg, lb = _chans(l)
+    ca, cr, cg, cb = _chans(tl)
+    pa, pr, pg, pb = la + ta - ca, lr + tr_ - cr, lg + tg - cg, lb + tb - cb
+    p_t = abs(pa - ta) + abs(pr - tr_) + abs(pg - tg) + abs(pb - tb)
+    p_l = abs(pa - la) + abs(pr - lr) + abs(pg - lg) + abs(pb - lb)
+    return t if p_t <= p_l else l
+
+
+def _clamp(v: int) -> int:
+    return 0 if v < 0 else (255 if v > 255 else v)
+
+
+def _clamp_add_sub_full(l: int, t: int, tl: int) -> int:
+    la, lr, lg, lb = _chans(l)
+    ta, tr_, tg, tb = _chans(t)
+    ca, cr, cg, cb = _chans(tl)
+    return _pack(
+        _clamp(la + ta - ca),
+        _clamp(lr + tr_ - cr),
+        _clamp(lg + tg - cg),
+        _clamp(lb + tb - cb),
+    )
+
+
+def _clamp_add_sub_half(l: int, t: int, tl: int) -> int:
+    av = _avg2(l, t)
+    aa, ar, ag, ab = _chans(av)
+    ca, cr, cg, cb = _chans(tl)
+
+    def half(c1: int, c2: int) -> int:
+        d = c1 - c2
+        # C integer division truncates toward zero
+        return _clamp(c1 + (d // 2 if d >= 0 else -((-d) // 2)))
+
+    return _pack(half(aa, ca), half(ar, cr), half(ag, cg), half(ab, cb))
+
+
+def _inverse_predictor(
+    argb: "list[int]", w: int, h: int, modes: "list[int]", bits: int
+) -> None:
+    mw = _sub_dims(w, bits)
+    for y in range(h):
+        row = y * w
+        for x in range(w):
+            pos = row + x
+            if x == 0 and y == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = argb[pos - 1]  # L
+            elif x == 0:
+                pred = argb[pos - w]  # T
+            else:
+                mode = (modes[(y >> bits) * mw + (x >> bits)] >> 8) & 0xFF
+                l = argb[pos - 1]
+                t = argb[pos - w]
+                tl = argb[pos - w - 1]
+                # contiguous layout: TR = argb[pos - w + 1] for EVERY
+                # column — at x = w-1 that is the (already decoded)
+                # leftmost pixel of the same row, the spec's rule
+                tr = argb[pos - w + 1]
+                if mode == 0:
+                    pred = 0xFF000000
+                elif mode == 1:
+                    pred = l
+                elif mode == 2:
+                    pred = t
+                elif mode == 3:
+                    pred = tr
+                elif mode == 4:
+                    pred = tl
+                elif mode == 5:
+                    pred = _avg2(_avg2(l, tr), t)
+                elif mode == 6:
+                    pred = _avg2(l, tl)
+                elif mode == 7:
+                    pred = _avg2(l, t)
+                elif mode == 8:
+                    pred = _avg2(tl, t)
+                elif mode == 9:
+                    pred = _avg2(t, tr)
+                elif mode == 10:
+                    pred = _avg2(_avg2(l, tl), _avg2(t, tr))
+                elif mode == 11:
+                    pred = _select(t, l, tl)
+                elif mode == 12:
+                    pred = _clamp_add_sub_full(l, t, tl)
+                elif mode == 13:
+                    pred = _clamp_add_sub_half(l, t, tl)
+                else:
+                    raise ValueError(f"VP8L: predictor mode {mode} out of range")
+            argb[pos] = _add_px(argb[pos], pred)
+
+
+def _s8(v: int) -> int:
+    return v - 256 if v >= 128 else v
+
+
+def _ct_delta(t: int, c: int) -> int:
+    # both arguments signed int8; arithmetic >> 5 (Python >> floors,
+    # matching C arithmetic shift on negatives)
+    return (_s8(t) * _s8(c)) >> 5
+
+
+def _inverse_color_transform(
+    argb: "list[int]", w: int, h: int, elems: "list[int]", bits: int
+) -> None:
+    mw = _sub_dims(w, bits)
+    for y in range(h):
+        row = y * w
+        for x in range(w):
+            pos = row + x
+            e = elems[(y >> bits) * mw + (x >> bits)]
+            g2r = e & 0xFF
+            g2b = (e >> 8) & 0xFF
+            r2b = (e >> 16) & 0xFF
+            p = argb[pos]
+            a, r, g, b = _chans(p)
+            r = (r + _ct_delta(g2r, g)) & 0xFF
+            b = (b + _ct_delta(g2b, g) + _ct_delta(r2b, r)) & 0xFF
+            argb[pos] = _pack(a, r, g, b)
+
+
+def _inverse_subtract_green(argb: "list[int]") -> None:
+    for i, p in enumerate(argb):
+        a, r, g, b = _chans(p)
+        argb[i] = _pack(a, (r + g) & 0xFF, g, (b + g) & 0xFF)
+
+
+def _inverse_color_indexing(
+    argb: "list[int]", w: int, h: int, palette: "list[int]", packed_w: int
+) -> "list[int]":
+    n = len(palette)
+    if n <= 2:
+        width_bits = 3
+    elif n <= 4:
+        width_bits = 2
+    elif n <= 16:
+        width_bits = 1
+    else:
+        width_bits = 0
+    if width_bits == 0:
+        out = [0] * (w * h)
+        for i, p in enumerate(argb):
+            idx = (p >> 8) & 0xFF
+            if idx >= n:
+                raise ValueError("VP8L: palette index out of range")
+            out[i] = palette[idx]
+        return out
+    px_per = 1 << width_bits
+    bits_per = 8 >> width_bits
+    mask = (1 << bits_per) - 1
+    out = [0] * (w * h)
+    for y in range(h):
+        for x in range(w):
+            packed = argb[y * packed_w + (x >> width_bits)]
+            idx = ((packed >> 8) & 0xFF) >> (bits_per * (x & (px_per - 1)))
+            idx &= mask
+            if idx >= n:
+                raise ValueError("VP8L: palette index out of range")
+            out[y * w + x] = palette[idx]
+    return out
+
+
+def _vp8l_payload(blob: bytes) -> "bytes | None":
+    """Extract the VP8L chunk payload from a RIFF/WEBP container, or
+    None when the container carries no VP8L chunk (e.g. lossy
+    ``VP8 `` or extended ``VP8X``-wrapped lossy — the declared
+    boundary)."""
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WEBP":
+        return None
+    pos = 12
+    n = len(blob)
+    while pos + 8 <= n:
+        tag = blob[pos : pos + 4]
+        size = struct.unpack("<I", blob[pos + 4 : pos + 8])[0]
+        if tag == b"VP8L":
+            payload = blob[pos + 8 : pos + 8 + size]
+            if len(payload) < size:
+                raise ValueError("VP8L: truncated chunk")
+            return payload
+        pos += 8 + size + (size & 1)
+    return None
+
+
+def webp_pixels(blob: bytes) -> "tuple[bytes, dict]":
+    """Decode a LOSSLESS WebP blob → (rgb_bytes, meta) — the
+    gif_pixels contract (RGB out, alpha reported in meta), so the
+    image plane's channel-mean gray fold hashes a gray WebP
+    BIT-IDENTICALLY to the same pixels as PNG/GIF.  Raises ValueError
+    on corrupt streams and on lossy-VP8 containers (the declared
+    codec boundary — callers classify, never mis-decode)."""
+    payload = _vp8l_payload(bytes(blob))
+    if payload is None:
+        raise ValueError("not a lossless (VP8L) WebP")
+    if not payload or payload[0] != 0x2F:
+        raise ValueError("VP8L: bad signature byte")
+    br = _Bits(payload[1:])
+    w = br.u(14) + 1
+    h = br.u(14) + 1
+    has_alpha = br.u(1)
+    if br.u(3) != 0:
+        raise ValueError("VP8L: unknown version")
+
+    # transforms, read in stream order; each captures the xsize it
+    # applies at (color-indexing shrinks xsize for everything after)
+    cur_w = w
+    transforms: "list[tuple]" = []
+    seen = set()
+    while br.bit():
+        ttype = br.u(2)
+        if ttype in seen:
+            raise ValueError("VP8L: duplicate transform")
+        seen.add(ttype)
+        if ttype == 0:  # PREDICTOR
+            bits = br.u(3) + 2
+            mw, mh = _sub_dims(cur_w, bits), _sub_dims(h, bits)
+            modes = _decode_image(br, mw, mh, allow_meta=False)
+            transforms.append(("predictor", cur_w, bits, modes))
+        elif ttype == 1:  # COLOR
+            bits = br.u(3) + 2
+            mw, mh = _sub_dims(cur_w, bits), _sub_dims(h, bits)
+            elems = _decode_image(br, mw, mh, allow_meta=False)
+            transforms.append(("color", cur_w, bits, elems))
+        elif ttype == 2:  # SUBTRACT_GREEN
+            transforms.append(("subtract_green", cur_w))
+        else:  # COLOR_INDEXING
+            n_colors = br.u(8) + 1
+            deltas = _decode_image(br, n_colors, 1, allow_meta=False)
+            palette = []
+            acc = 0
+            for d in deltas:
+                acc = _add_px(acc, d)
+                palette.append(acc)
+            if n_colors <= 2:
+                wb = 3
+            elif n_colors <= 4:
+                wb = 2
+            elif n_colors <= 16:
+                wb = 1
+            else:
+                wb = 0
+            prev_w = cur_w
+            cur_w = _sub_dims(cur_w, wb)
+            transforms.append(("color_indexing", prev_w, palette, cur_w))
+
+    argb = _decode_image(br, cur_w, h, allow_meta=True)
+
+    for t in reversed(transforms):
+        if t[0] == "color_indexing":
+            _, prev_w, palette, packed_w = t
+            argb = _inverse_color_indexing(argb, prev_w, h, palette, packed_w)
+        elif t[0] == "subtract_green":
+            _inverse_subtract_green(argb)
+        elif t[0] == "predictor":
+            _, tw, bits, modes = t
+            _inverse_predictor(argb, tw, h, modes, bits)
+        else:
+            _, tw, bits, elems = t
+            _inverse_color_transform(argb, tw, h, elems, bits)
+
+    rgb = bytearray(w * h * 3)
+    for i, p in enumerate(argb):
+        rgb[3 * i] = (p >> 16) & 0xFF
+        rgb[3 * i + 1] = (p >> 8) & 0xFF
+        rgb[3 * i + 2] = p & 0xFF
+    return bytes(rgb), {
+        "width": w,
+        "height": h,
+        "channels": 3,
+        "bit_depth": 8,
+        "has_alpha": bool(has_alpha),
+    }
+
+
+# ------------------------------------------------------------ encoder
+
+
+class _BitWriter:
+    __slots__ = ("buf", "cur", "nbits")
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.cur = 0
+        self.nbits = 0
+
+    def u(self, value: int, k: int) -> None:
+        """LSB-first write of k bits."""
+        for i in range(k):
+            self.cur |= ((value >> i) & 1) << self.nbits
+            self.nbits += 1
+            if self.nbits == 8:
+                self.buf.append(self.cur)
+                self.cur = 0
+                self.nbits = 0
+
+    def code(self, code: int, length: int) -> None:
+        """Prefix-code write: MSB of the canonical code first."""
+        for i in range(length - 1, -1, -1):
+            self.u((code >> i) & 1, 1)
+
+    def done(self) -> bytes:
+        if self.nbits:
+            self.buf.append(self.cur)
+            self.cur = 0
+            self.nbits = 0
+        return bytes(self.buf)
+
+
+# fixed Kraft-exact green code: 232 symbols at 8 bits + 48 at 9 bits
+# (232·2⁻⁸ + 48·2⁻⁹ = 1); canonical codes follow directly
+_GREEN_LEN = [8] * 232 + [9] * 48
+
+
+def _green_code_of(sym: int) -> "tuple[int, int]":
+    if sym < 232:
+        return sym, 8
+    return 464 + (sym - 232), 9
+
+
+def _write_simple_code(bw: _BitWriter, symbols: "list[int]") -> None:
+    bw.u(1, 1)  # simple
+    bw.u(len(symbols) - 1, 1)
+    s0 = symbols[0]
+    if s0 > 1:
+        bw.u(1, 1)
+        bw.u(s0, 8)
+    else:
+        bw.u(0, 1)
+        bw.u(s0, 1)
+    if len(symbols) == 2:
+        bw.u(symbols[1], 8)
+
+
+def _write_green_code(bw: _BitWriter) -> None:
+    """The fixed 280-symbol two-length code via the normal
+    (code-length-coded) path: CL alphabet {8, 9} with 1-bit codes."""
+    bw.u(0, 1)  # not simple
+    bw.u(19 - 4, 4)  # write all 19 CL slots
+    cl_lengths = {8: 1, 9: 1}
+    for sym in _CL_ORDER:
+        bw.u(cl_lengths.get(sym, 0), 3)
+    bw.u(0, 1)  # no max_symbol cap
+    # CL canonical over {8, 9} at lengths {1, 1}: 8 -> 0, 9 -> 1
+    for L in _GREEN_LEN:
+        bw.u(0 if L == 8 else 1, 1)
+
+
+def encode_webp_lossless_gray8(
+    pixels: bytes, width: int, height: int, use_backrefs: bool = True
+) -> bytes:
+    """Minimal valid VP8L for an 8-bit GRAY image: SUBTRACT_GREEN
+    (gray rides the green channel; red/blue residuals collapse to a
+    single-symbol code each), the fixed two-length green code, and —
+    when ``use_backrefs`` — run-length LZ77 back-references (distance
+    1 via the plain-distance escape) for runs of ≥ 4 equal pixels,
+    exercising the decoder's length/distance/copy path through a real
+    bitstream.  The write half of the codec boundary, for fixtures
+    and cross-codec parity tests (the encode_png_gray8 convention)."""
+    if len(pixels) != width * height:
+        raise ValueError("pixel buffer does not match dimensions")
+    if not (0 < width <= 16384 and 0 < height <= 16384):
+        raise ValueError("dimensions out of VP8L range")
+    bw = _BitWriter()
+    bw.u(width - 1, 14)
+    bw.u(height - 1, 14)
+    bw.u(0, 1)  # no alpha
+    bw.u(0, 3)  # version
+    # transforms: subtract-green, then end-of-transforms
+    bw.u(1, 1)
+    bw.u(2, 2)
+    bw.u(0, 1)
+    # entropy image: no color cache, no meta prefix
+    bw.u(0, 1)
+    bw.u(0, 1)
+    _write_green_code(bw)  # green + length (+ 0 cache)
+    _write_simple_code(bw, [0])  # red residual
+    _write_simple_code(bw, [0])  # blue residual
+    _write_simple_code(bw, [255])  # alpha
+    # distance: single-symbol code for symbol 13 (0 bits/use); with
+    # its 5 extra bits = 24 it prefix-decodes to dist_code 121 = the
+    # plain-distance escape for dist 1
+    _write_simple_code(bw, [13])
+
+    def emit_prefix_value(value: int) -> "tuple[int, int, int]":
+        """(code, extra, extra_bits) — the inverse of _prefix_decode."""
+        if value <= 4:
+            return value - 1, 0, 0
+        v = value - 1
+        extra_bits = v.bit_length() - 2
+        code = 2 * extra_bits + 2 + ((v >> extra_bits) & 1)
+        return code, v & ((1 << extra_bits) - 1), extra_bits
+
+    def emit_length(length: int) -> None:
+        code, extra, extra_bits = emit_prefix_value(length)
+        c, L = _green_code_of(_GREEN_BASE + code)
+        bw.code(c, L)
+        if extra_bits:
+            bw.u(extra, extra_bits)
+
+    i = 0
+    n = len(pixels)
+    while i < n:
+        v = pixels[i]
+        run = 1
+        if use_backrefs:
+            while i + run < n and pixels[i + run] == v and run < 4096:
+                run += 1
+        c, L = _green_code_of(v)
+        bw.code(c, L)  # literal (green=gray; r/b/alpha are 0-bit)
+        i += 1
+        if use_backrefs and run >= 4:
+            emit_length(run - 1)
+            bw.u(24, 5)  # distance symbol 13's extra bits -> dist 1
+            i += run - 1
+
+    payload = b"\x2f" + bw.done()
+    riff_size = 4 + 8 + len(payload) + (len(payload) & 1)
+    out = b"RIFF" + struct.pack("<I", riff_size) + b"WEBP"
+    out += b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        out += b"\x00"
+    return out

@@ -112,7 +112,10 @@ def test_gif_cross_codec_pairing_in_media_plane(spark):
     hashes = PH.media_hashes(media)
     got = {r["media_id"]: r for r in hashes.collect()}
     assert got[2]["modality"] == got[3]["modality"] == "image"
-    assert got[4]["modality"] is None and got[4]["mhash"] is None
+    # round-15: a WEBP container is a recognized IMAGE container now
+    # (VP8L decodes); this lossy-VP8 payload keeps modality with a
+    # NULL hash — the "container recognized, codec boundary" class
+    assert got[4]["modality"] == "image" and got[4]["mhash"] is None
     pairs = PH.media_neardup_pairs(hashes, max_distance=3).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
 

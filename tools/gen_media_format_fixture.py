@@ -5,8 +5,10 @@ VERDICT r13 ask #5).
 240 deterministic blobs across 12 classes (media_id % 12): valid
 PNG / JPEG baseline / JPEG progressive / GIF / animated GIF / WAV
 PCM / WAV ADPCM / AVI, truncated-PNG and truncated-AVI corruption,
-a WebP container and an arithmetic-coded-JPEG header (both declared
-unsupported boundaries), plus unknown-magic garbage.
+the boundary class (round-15 split: valid LOSSLESS WebP now DECODES
+through the stdlib VP8L codec, a lossy ``VP8 `` container and an
+arithmetic-coded-JPEG header stay declared unsupported), plus
+unknown-magic garbage.
 
 Columns: media_id, blob, fmt, status — fmt/status are the REAL
 classifier's output at generation time (operators/multimodal.
@@ -94,9 +96,25 @@ def planted_media_blob(media_id: int) -> bytes:
     if cls == 9:  # truncated AVI -> corrupt
         frames = [_bytes(f"mfv{i}|{t}", 256) for t in range(3)]
         return encode_avi_gray8(frames, 16, 16)[: 64 + (i % 32)]
-    if cls == 10:  # declared-unsupported boundaries
-        if (i // 12) % 2:
-            return b"RIFF" + struct.pack("<I", 64) + b"WEBP" + _bytes(f"wb{i}", 64)
+    if cls == 10:
+        # round-15 reshape: the WebP class now SPLITS — valid VP8L
+        # decodes (the blind spot closed), a lossy ``VP8 `` container
+        # stays the declared boundary, arithmetic JPEG stays declared
+        from prod2vec_spark.operators.webp import encode_webp_lossless_gray8
+
+        sub = (i // 12) % 3
+        if sub == 0:  # lossless WebP -> decoded
+            return encode_webp_lossless_gray8(_bytes(f"wl{i}", 256), 16, 16)
+        if sub == 1:  # lossy VP8 payload -> unsupported boundary
+            vp8 = _bytes(f"wb{i}", 64)
+            return (
+                b"RIFF"
+                + struct.pack("<I", 4 + 8 + len(vp8))
+                + b"WEBP"
+                + b"VP8 "
+                + struct.pack("<I", len(vp8))
+                + vp8
+            )
         # arithmetic-coded JPEG: SOI + DQT-ish stub + SOF10 header
         sof10 = b"\xff\xca" + struct.pack(">H", 11) + bytes(9)
         return b"\xff\xd8" + sof10 + _bytes(f"aj{i}", 32)
