@@ -235,29 +235,45 @@ def corpus_ngram_hotspots(
     intra-document stutter, n_occurrences ≈ n_docs ≫ 1 is shared
     boilerplate.
 
-    Scale shape: one explode + ONE hash-agg on the gram key (map-side
-    partial aggregation collapses repeats before the shuffle; the
-    shuffle carries (gram, partial count, partial doc-set) — at
-    100 TB, pre-filter with the count-min plane
-    (operators/sketches.py) to explode only candidate grams), then
-    ``orderBy().limit(k)`` which Spark executes as TakeOrderedAndProject
-    — per-partition top-k, NEVER a global sort.
+    Scale shape (round-15 reshape, profiled on the curation macro's
+    hottest stage): the top-k is found by a COUNT-ONLY hash-agg first
+    (map-side partials collapse to one row per distinct gram per
+    partition; ``orderBy().limit(k)`` runs as TakeOrderedAndProject —
+    per-partition top-k, never a global sort), and the distinct-doc
+    count then computes ONLY for the k winners via a broadcast
+    semi-join on a second scan.  The previous one-pass
+    count+countDistinct shape forced Spark to carry per-(gram, doc)
+    distinct state through the shuffle — the distinct-pair universe,
+    corpus-sized at 100 TB; the reshape's first shuffle is bounded by
+    the distinct-GRAM universe partials and its second by k rows
+    (recomputing the explode is the cheap scan — the expensive
+    resource at scale is the shuffle, the _sketched variant's rule).
+    At 100 TB, additionally pre-filter with the count-min plane
+    (``corpus_ngram_hotspots_sketched``).  Output is row-identical to
+    the one-pass shape (pytest-locked).
     """
     from pyspark.sql import functions as F
 
     staged = docs.select(
         F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks")
     ).withColumn("_grams", word_ngrams(F.col("_toks"), n))
-    return (
-        staged.select(F.col(id_col), F.explode("_grams").alias("gram"))
-        .groupBy("gram")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
-            F.countDistinct(id_col).cast("long").alias("n_docs"),
-        )
+    ex = staged.select(F.col(id_col), F.explode("_grams").alias("gram"))
+    top = (
+        ex.groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
         .where(F.col("n_occurrences") >= min_count)
         .orderBy(F.col("n_occurrences").desc(), F.col("gram"))
         .limit(k)
+    )
+    nd = (
+        ex.join(F.broadcast(top.select("gram")), "gram", "left_semi")
+        .groupBy("gram")
+        .agg(F.countDistinct(id_col).cast("long").alias("n_docs"))
+    )
+    return (
+        top.join(F.broadcast(nd), "gram")
+        .select("gram", "n_occurrences", "n_docs")
+        .orderBy(F.col("n_occurrences").desc(), F.col("gram"))
     )
 
 
