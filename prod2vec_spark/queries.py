@@ -532,6 +532,7 @@ from prod2vec_spark.queries_r11 import R11_ORACLES, R11_QUERIES  # noqa: E402
 from prod2vec_spark.queries_r12 import R12_ORACLES, R12_QUERIES  # noqa: E402
 from prod2vec_spark.queries_r13 import R13_ORACLES, R13_QUERIES  # noqa: E402
 from prod2vec_spark.queries_r14 import R14_ORACLES, R14_QUERIES  # noqa: E402
+from prod2vec_spark.queries_r15 import R15_ORACLES, R15_QUERIES  # noqa: E402
 
 # Superset registry: EVERY implemented query, including the ones the
 # driver-facing catalog consolidated away (they keep full pytest
@@ -540,13 +541,13 @@ ALL_QUERIES: dict[str, QueryFn] = {
     **_QUERIES_CORE, **EXT_QUERIES, **MORE_QUERIES, **R3_QUERIES, **R4_QUERIES,
     **R5_QUERIES, **R6_QUERIES, **R6B_QUERIES, **R7_QUERIES, **R7B_QUERIES,
     **R7C_QUERIES, **R9_QUERIES, **R9B_QUERIES, **R11_QUERIES,
-    **R12_QUERIES, **R13_QUERIES, **R14_QUERIES,
+    **R12_QUERIES, **R13_QUERIES, **R14_QUERIES, **R15_QUERIES,
 }
 ALL_ORACLES: dict[str, str] = {
     **_ORACLES_CORE, **EXT_ORACLES, **MORE_ORACLES, **R3_ORACLES, **R4_ORACLES,
     **R5_ORACLES, **R6_ORACLES, **R6B_ORACLES, **R7_ORACLES, **R7B_ORACLES,
     **R7C_ORACLES, **R9_ORACLES, **R9B_ORACLES, **R11_ORACLES,
-    **R12_ORACLES, **R13_ORACLES, **R14_ORACLES,
+    **R12_ORACLES, **R13_ORACLES, **R14_ORACLES, **R15_ORACLES,
 }
 ALL_ORACLES["dq_suite"] = _sql_dq_suite()  # composed after SQL_DQ_* exist
 

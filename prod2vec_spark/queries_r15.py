@@ -1,0 +1,110 @@
+"""Round-15 superset queries.
+
+* ``webp_crosscodec_neardup`` — perceptual near-dup across CODECS:
+  the planted 40-family corpus exists once as PNG (the round-7c
+  fixture) and once as LOSSLESS WEBP members of the same families
+  (different per-member perturbations, so cross pairs are near-dups,
+  never re-encodes).  The Spark side runs the MIXED-modality door
+  (operators/phash.media_hashes — magic sniff → the right codec per
+  blob, the new VP8L decoder included) and the banded-Hamming verify;
+  the DuckDB twin replays the banding over the fixtures' pytest-locked
+  golden hashes (the fixture-split protocol).  This is the entry that
+  certifies round-15's WebP codec INSIDE the dedup plane, not just at
+  the format audit.
+
+Composite ids: PNG row = doc_id·2, WebP row = doc_id·2 + 1 — parity
+of the id encodes the codec side, so ``cross_codec`` is replayable in
+SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from prod2vec_spark.sources.io import read_table
+
+
+def _pair_fixture(name: str) -> str:
+    import os
+
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests",
+        "fixtures",
+        f"phash_pairs_{name}.parquet",
+    )
+
+
+def q_webp_crosscodec_neardup(spark, sf_dir):
+    """PNG↔WebP cross-codec near-dup pairs over the planted families:
+    one mixed-blob frame → media_hashes (sniff + decode + dHash, one
+    Arrow-batched scan) → banded-Hamming candidates → bit_count
+    verify.  Output per pair: composite ids, hamming, cross_codec
+    (codec sides differ), same_family (planted family agreement —
+    the self-audit column, pytest-asserted 1 on every pair)."""
+    from prod2vec_spark.operators import phash as PH
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    png = (
+        spark.read.parquet(_pair_fixture("images"))
+        .join(docs, F.col("media_id") == F.col("doc_id"), "leftsemi")
+        .select((F.col("media_id") * 2).alias("media_id"), "blob")
+    )
+    webp = (
+        spark.read.parquet(_pair_fixture("webp"))
+        .join(docs, F.col("media_id") == F.col("doc_id"), "leftsemi")
+        .select((F.col("media_id") * 2 + 1).alias("media_id"), "blob")
+    )
+    hashes = PH.media_hashes(png.unionByName(webp)).select(
+        "media_id", "mhash"
+    )
+    pairs = PH.phash_neardup(hashes, hash_col="mhash", max_distance=3)
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "hamming",
+        (F.col("id_a") % 2 != F.col("id_b") % 2).cast("bigint").alias(
+            "cross_codec"
+        ),
+        (
+            F.floor(F.col("id_a") / 2) % 40 == F.floor(F.col("id_b") / 2) % 40
+        ).cast("bigint").alias("same_family"),
+    )
+
+
+def _sql_webp_crosscodec_neardup() -> str:
+    png, webp = _pair_fixture("images"), _pair_fixture("webp")
+    return f"""
+WITH t AS (
+  SELECT media_id * 2 AS mid, dhash AS h FROM read_parquet('{png}')
+  WHERE media_id IN (SELECT doc_id FROM documents)
+  UNION ALL
+  SELECT media_id * 2 + 1 AS mid, dhash AS h FROM read_parquet('{webp}')
+  WHERE media_id IN (SELECT doc_id FROM documents)
+),
+sig AS (
+  SELECT mid, h, band, (h >> (band * 16)) & 65535 AS slice
+  FROM t CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.mid AS ia, a.h AS ha, b.mid AS ib, b.h AS hb
+  FROM sig a JOIN sig b ON a.band = b.band AND a.slice = b.slice
+   AND a.mid < b.mid
+)
+SELECT ia AS id_a, ib AS id_b,
+       CAST(bit_count(xor(ha, hb)) AS INT) AS hamming,
+       CAST(CASE WHEN ia % 2 <> ib % 2 THEN 1 ELSE 0 END AS BIGINT)
+         AS cross_codec,
+       CAST(CASE WHEN (ia // 2) % 40 = (ib // 2) % 40
+                 THEN 1 ELSE 0 END AS BIGINT) AS same_family
+FROM cand
+WHERE bit_count(xor(ha, hb)) <= 3
+"""
+
+
+R15_QUERIES = {
+    "webp_crosscodec_neardup": q_webp_crosscodec_neardup,
+}
+R15_ORACLES: dict[str, str] = {
+    "webp_crosscodec_neardup": _sql_webp_crosscodec_neardup(),
+}

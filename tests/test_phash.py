@@ -282,3 +282,6 @@ def test_phash_pair_fixture_goldens_match_codecs():
     wav = pq.read_table(os.path.join(fixdir, "phash_pairs_audio.parquet"))
     for blob, want in zip(wav["blob"].to_pylist(), wav["ahash"].to_pylist()):
         assert PH.ahash_wav(blob) == want
+    wp = pq.read_table(os.path.join(fixdir, "phash_pairs_webp.parquet"))
+    for blob, want in zip(wp["blob"].to_pylist(), wp["dhash"].to_pylist()):
+        assert PH.dhash_webp(blob) == want

@@ -413,3 +413,44 @@ def test_corrupt_streams_raise():
     with pytest.raises(ValueError):
         webp_pixels(bytes(bad_sig[:21]))
     assert PH.dhash_webp(good[:-8]) is None  # auditable miss, no raise
+
+
+def test_webp_crosscodec_neardup_query_self_audit(spark):
+    """The round-15 superset entry: every emitted pair is
+    within-family, cross-codec pairs exist (the PNG corpus pairs with
+    its WebP re-shoots through the mixed-modality door), and the pair
+    set equals the golden-hash replay computed directly from the
+    fixtures."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from prod2vec_spark.queries_r15 import q_webp_crosscodec_neardup
+    from tests.conftest import SF_SMOKE
+
+    rows = q_webp_crosscodec_neardup(spark, SF_SMOKE).collect()
+    assert rows and all(r["same_family"] == 1 for r in rows)
+    assert any(r["cross_codec"] == 1 for r in rows)
+    # golden replay: banded candidates + hamming <= 3 over the fixture
+    # hashes must give the exact same pair set
+    fixdir = os.path.join(os.path.dirname(__file__), "fixtures")
+    ids = {}
+    for name, off in (("images", 0), ("webp", 1)):
+        t = pq.read_table(os.path.join(fixdir, f"phash_pairs_{name}.parquet"))
+        for m, h in zip(t["media_id"].to_pylist(), t["dhash"].to_pylist()):
+            ids[m * 2 + off] = h & 0xFFFFFFFFFFFFFFFF
+    import collections
+
+    buckets = collections.defaultdict(list)
+    for m, h in ids.items():
+        for band in range(4):
+            buckets[(band, (h >> (band * 16)) & 0xFFFF)].append(m)
+    want = set()
+    for members in buckets.values():
+        for i, a in enumerate(members):
+            for b in members[i + 1 :]:
+                x, y = min(a, b), max(a, b)
+                if bin(ids[x] ^ ids[y]).count("1") <= 3:
+                    want.add((x, y))
+    got = {(r["id_a"], r["id_b"]) for r in rows}
+    assert got == want

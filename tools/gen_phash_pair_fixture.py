@@ -1,5 +1,4 @@
-"""Generate tests/fixtures/phash_pairs_images.parquet and
-tests/fixtures/phash_pairs_audio.parquet — the planted near-dup
+"""Generate tests/fixtures/phash_pairs_{images,webp,audio}.parquet — the planted near-dup
 corpora that upgrade `phash_neardup` / `audio_neardup` from rows-only
 to fully-oracled superset entries (round 15, VERDICT r14 ask #5; the
 image_span_audit / media_format_audit fixture-split protocol).
@@ -75,11 +74,30 @@ def planted_audio_blob(media_id: int) -> bytes:
     return bytes(encode_wav_pcm16(samples))
 
 
+def planted_webp_blob(media_id: int) -> bytes:
+    """Lossless-WebP member of the SAME 40 families as the PNG
+    fixture, with a DIFFERENT per-member perturbation (member offset
+    +1000), so PNG↔WebP pairs within a family are near-duplicates
+    (Hamming ≤ 3), never byte-identical re-encodes — the cross-codec
+    dedup case."""
+    from prod2vec_spark.operators.webp import encode_webp_lossless_gray8
+
+    fam = media_id % 40
+    member = media_id // 40 + 1000
+    raw = b"".join(
+        hashlib.md5(f"img{fam}|{k}".encode()).digest() for k in range(16)
+    )
+    mat = bytearray(raw)
+    pos = (member * 37) % 256
+    mat[pos] = (mat[pos] + 1) % 256
+    return encode_webp_lossless_gray8(bytes(mat), 16, 16)
+
+
 def main() -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from prod2vec_spark.operators.phash import ahash_wav, dhash_png
+    from prod2vec_spark.operators.phash import ahash_wav, dhash_png, dhash_webp
 
     img_blobs = [planted_image_blob(i) for i in range(N_ROWS)]
     img_hashes = [dhash_png(b) for b in img_blobs]
@@ -94,6 +112,19 @@ def main() -> None:
         ),
         os.path.join(FIXDIR, "phash_pairs_images.parquet"),
     )
+    webp_blobs = [planted_webp_blob(i) for i in range(N_ROWS)]
+    webp_hashes = [dhash_webp(b) for b in webp_blobs]
+    assert all(h is not None for h in webp_hashes)
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array(range(N_ROWS), pa.int64()),
+                "blob": pa.array(webp_blobs, pa.binary()),
+                "dhash": pa.array(webp_hashes, pa.int64()),
+            }
+        ),
+        os.path.join(FIXDIR, "phash_pairs_webp.parquet"),
+    )
     wav_blobs = [planted_audio_blob(i) for i in range(N_ROWS)]
     wav_hashes = [ahash_wav(b) for b in wav_blobs]
     assert all(h is not None for h in wav_hashes)
@@ -107,7 +138,7 @@ def main() -> None:
         ),
         os.path.join(FIXDIR, "phash_pairs_audio.parquet"),
     )
-    print(f"wrote 2 × {N_ROWS}-row fixtures to {FIXDIR}")
+    print(f"wrote 3 × {N_ROWS}-row fixtures to {FIXDIR}")
 
 
 if __name__ == "__main__":
