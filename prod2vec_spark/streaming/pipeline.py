@@ -206,6 +206,12 @@ class StreamCorpusConfig:
     lf_width: int = 10
     lf_min_words: int = 3
     lf_blocklist: tuple[str, ...] = ("lorem ipsum", "javascript")
+    # round-15: the batch DAG's doc-level badwords screen (C4 §2.2,
+    # operators/badwords.py) in the streaming gate chain — row-local
+    # and per-row deterministic, so stream-safe with no semantic gap;
+    # None/empty disables (the batch default).
+    badwords_cats: "dict[str, tuple[str, ...]] | None" = None
+    badwords_max_frac: float = 0.0
     # round-14 (VERDICT r13 ask #6): the batch lm_gate's streaming
     # twin.  A BATCH-TRAINED model persisted at lm_model_dir (fit on
     # the vetted archive — BigramLM / KNModel / KN3Model.save) scores
@@ -329,12 +335,12 @@ class StreamingCorpusPipeline:
         self.cfg = cfg
 
     def _row_gates(self, docs: DataFrame, stages: list | None = None) -> DataFrame:
-        """The pre-dedup ROW-LOCAL gate chain (line filter → quality →
-        repetition), shared by the streaming stage and the batch
-        drop-ledger replay — one code path, zero batch/stream drift
-        (the apply_line_filter precedent).  ``stages``: optional list
-        the caller hands in to receive (stage_name, survivors) pairs
-        — the ledger's attribution boundaries."""
+        """The pre-dedup ROW-LOCAL gate chain (line filter → badwords
+        → quality → repetition), shared by the streaming stage and the
+        batch drop-ledger replay — one code path, zero batch/stream
+        drift (the apply_line_filter precedent).  ``stages``: optional
+        list the caller hands in to receive (stage_name, survivors)
+        pairs — the ledger's attribution boundaries."""
         from pyspark.sql import functions as F
 
         from prod2vec_spark.operators.text import quality_score
@@ -351,6 +357,29 @@ class StreamingCorpusPipeline:
             )
             if stages is not None:
                 stages.append(("line_filter", docs))
+        if self.cfg.badwords_cats:
+            # round-15: the batch DAG's C4 §2.2 doc-level badwords
+            # screen joins the streaming gate chain — row-local and
+            # per-row deterministic like line_filter, so it is
+            # stream-safe with ZERO batch/stream semantic gap; same
+            # position (after line_filter: the gate judges surviving
+            # text), same operator, same drop-ledger replay
+            from prod2vec_spark.operators.badwords import badwords_gate
+
+            rep = badwords_gate(
+                docs,
+                self.cfg.badwords_cats,
+                max_frac=self.cfg.badwords_max_frac,
+            )
+            aux = [
+                c
+                for c in rep.columns
+                if c.startswith("hits_")
+                or c in ("n_tokens", "badword_frac", "bad_verdict")
+            ]
+            docs = rep.where(~F.col("bad_verdict")).drop(*aux)
+            if stages is not None:
+                stages.append(("badwords_gate", docs))
         # quality gate first (row-local, stateless) so low-quality docs
         # never occupy digest state
         if self.cfg.quality_min > 0.0:

@@ -855,3 +855,51 @@ def test_streaming_decontamination_matches_batch_and_replays(spark, tmp_path):
     assert {
         r["doc_id"] for r in pipe.curated().select("doc_id").collect()
     } == curated_ids
+
+
+def test_streaming_badwords_gate_matches_batch(spark, tmp_path):
+    """Round-15: with badwords_cats set, the streaming gate chain must
+    admit EXACTLY the docs the batch badwords_gate keeps (row-local +
+    deterministic — zero semantic gap), and the drop ledger must
+    attribute the drops to 'badwords_gate'."""
+    import shutil
+
+    from prod2vec_spark.operators.badwords import badwords_gate
+
+    docs = (
+        read_table(spark, SF_SMOKE, "documents")
+        .limit(60)
+        .select("doc_id", "text", "lang")
+        .localCheckpoint()
+    )
+    cats = {"latency": ("slow",)}
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    docs.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage"))
+    shutil.copy(
+        sorted((tmp_path / "stage").glob("*.parquet"))[0],
+        landing / "a.parquet",
+    )
+    cfg = StreamCorpusConfig(
+        landing_dir=str(landing),
+        work_dir=str(tmp_path / "work"),
+        badwords_cats=cats,
+        badwords_max_frac=0.0,
+    )
+    pipe = StreamingCorpusPipeline(spark, cfg)
+    pipe.run()
+    bad_ids = {
+        r["doc_id"]
+        for r in badwords_gate(docs, cats).where("bad_verdict").collect()
+    }
+    assert bad_ids, "fixture must plant at least one list-bearing doc"
+    exact_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(cfg.exact_dir).select("doc_id").collect()
+    }
+    assert not (exact_ids & bad_ids)
+    ledger = {
+        r["doc_id"]: r["dropped_at"] for r in pipe.drop_ledger().collect()
+    }
+    assert bad_ids <= set(ledger)
+    assert {ledger[i] for i in bad_ids} == {"badwords_gate"}
