@@ -9,8 +9,11 @@ case the engine's no-Python-in-the-hot-path rule reserves for
 Arrow-batched pandas_udfs (same class as the multimodal decoders).
 The UDF is scalar, vectorized per Arrow batch, deterministic (fixed
 zlib level), and its semantics are pinned against the stdlib
-reference in pytest.  No DuckDB twin exists (no zlib in SQL), so the
-catalog entry is rows-only — the honest class for codec-backed ops.
+reference in pytest.  No SQL engine ships zlib, but since round 15
+the superset entry is FULLY ORACLED anyway via the golden-column
+protocol: tools/gen_compress_golden_fixture.py persists per-text
+compressed lengths, the DuckDB twin replays the ratio arithmetic
+over them, and a pytest locks the goldens to live zlib.
 """
 
 from __future__ import annotations

@@ -788,10 +788,10 @@ CATALOG: list[str] = [
 #     pytest goldens (tests/test_fusion.py).
 #   * lang_id_learned — iterative MLlib training (logistic regression
 #     fit), same class as kmeans refinement; accuracy-gated pytest.
-#   * compression_profile — a zlib codec boundary DuckDB cannot
-#     replay; golden-tested pytests.  (text_normalize_nfc LEFT this
-#     class in round 14: DuckDB ships nfc_normalize, so the entry is
-#     now fully oracled.)
+#   (compression_profile LEFT this class in round 15: the
+#   golden-column protocol oracles it — persisted per-text zlib
+#   lengths, live codec on the Spark side, honesty pytest;
+#   text_normalize_nfc left in round 14 via DuckDB's nfc_normalize.)
 #   * phash/media goldens (dhash_png/jpeg, ahash_wav, video frames) —
 #     pixel/sample decoding is a codec boundary; the DRIVER sees the
 #     media plane through the fully-oracled fixture-split entries

@@ -694,10 +694,15 @@ COMP_LOW = 0.35  # below this, text is suspiciously repetitive
 
 def q_compression_profile(spark, sf_dir):
     """Per-document zlib compression ratio + low-entropy flag — the
-    codec-backed quality signal (functions/compress.py).  Rows-only
-    entry: no SQL engine ships zlib, so the oracle class is the same
-    as the trained-model listings; semantics are pinned against the
-    stdlib reference in pytest instead."""
+    codec-backed quality signal (functions/compress.py).  FULLY
+    ORACLED since round 15 via the golden-column protocol (the
+    media_format_audit precedent, adapted for input-derived values:
+    tools/gen_compress_golden_fixture.py persists (md5(text) →
+    raw/compressed byte lengths) for every testdata sf; Spark keeps
+    running zlib LIVE through the Arrow-batched UDF, the DuckDB twin
+    joins the goldens and replays the ratio arithmetic + threshold —
+    codec drift fails the hash compare, and the honesty pytest re-runs
+    zlib over the actual testdata texts against the fixture)."""
     from prod2vec_spark.functions.compress import compression_ratio
 
     docs = read_table(spark, sf_dir, "documents")
@@ -710,8 +715,35 @@ def q_compression_profile(spark, sf_dir):
     )
 
 
+def _compress_golden_fixture() -> str:
+    import os
+
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests",
+        "fixtures",
+        "compress_goldens.parquet",
+    )
+
+
+def _sql_compression_profile() -> str:
+    path = _compress_golden_fixture()
+    return f"""
+SELECT d.doc_id,
+       CAST(length(d.text) AS BIGINT) AS n_chars,
+       round(CASE WHEN g.raw_len = 0 THEN 1.0
+                  ELSE g.comp_len / CAST(g.raw_len AS DOUBLE) END, 4)
+         AS comp_ratio,
+       CAST(round(CASE WHEN g.raw_len = 0 THEN 1.0
+                       ELSE g.comp_len / CAST(g.raw_len AS DOUBLE) END, 4)
+            < {COMP_LOW} AS BIGINT) AS low_entropy
+FROM documents d
+LEFT JOIN read_parquet('{path}') g ON g.text_md5 = md5(d.text)
+"""
+
+
 R7B_QUERIES["compression_profile"] = q_compression_profile
-# rows-only: no oracle registered (codec boundary — documented)
+R7B_ORACLES["compression_profile"] = _sql_compression_profile()
 
 
 # --------------------------------------------- script-mix profile

@@ -775,6 +775,9 @@ def test_compression_ratio_matches_stdlib_and_separates(spark):
 
 
 def test_compression_profile_rows_only_contract(spark):
+    # (name kept for the coverage matrix's history; the entry is
+    # FULLY ORACLED since round 15 — see the golden-honesty test
+    # below, which locks the fixture to the live codec)
     from prod2vec_spark.queries_r7b import q_compression_profile
     from tests.conftest import SF_SMOKE
 
@@ -783,6 +786,42 @@ def test_compression_profile_rows_only_contract(spark):
     assert len(rows) > 0
     assert all(0.0 < r["comp_ratio"] <= 1.2 for r in rows)
     assert all(r["low_entropy"] in (0, 1) for r in rows)
+
+
+def test_compress_goldens_match_live_zlib():
+    """Round-15 honesty lock: the persisted (md5(text) -> raw/comp
+    lengths) goldens must equal live zlib over the ACTUAL testdata
+    texts at every sf — a zlib-level or encoding drift must fail here,
+    not hide behind a stale fixture."""
+    import hashlib
+    import os
+    import zlib
+
+    import pyarrow.parquet as pq
+
+    fix = pq.read_table(
+        os.path.join(os.path.dirname(__file__), "fixtures", "compress_goldens.parquet")
+    )
+    goldens = {
+        h: (r, c)
+        for h, r, c in zip(
+            fix["text_md5"].to_pylist(),
+            fix["raw_len"].to_pylist(),
+            fix["comp_len"].to_pylist(),
+        )
+    }
+    for sf in ("0.001", "0.01", "0.1"):
+        t = pq.read_table(
+            f"/root/testdata/sf{sf}/documents.parquet", columns=["text"]
+        )
+        for text in t["text"].to_pylist():
+            raw = text.encode("utf-8")
+            h = hashlib.md5(raw).hexdigest()
+            assert h in goldens, f"sf{sf} text missing from goldens"
+            want_raw, want_comp = goldens[h]
+            assert want_raw == len(raw)
+            if raw:
+                assert want_comp == len(zlib.compress(raw, 6))
 
 
 # ------------------------------------------- script profile
