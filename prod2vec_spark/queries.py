@@ -783,9 +783,10 @@ CATALOG: list[str] = [
 # Rotation debt — PERMANENTLY superset-only families (do not burn
 # future rotation slots re-litigating these; the coverage matrix
 # encodes the claims and tests/test_coverage_matrix.py enforces them):
-#   * mmr_diverse_topk — greedy sequential selection has no relational
-#     form (declared applyInPandas boundary class); rows-only + exact
-#     pytest goldens (tests/test_fusion.py).
+#   (mmr_diverse_topk LEFT this class in round 15: a DuckDB
+#   RECURSIVE CTE replays the greedy selection exactly — see
+#   queries_r11._sql_mmr_diverse_topk; the applyInPandas boundary
+#   claim was about SPARK's relational algebra, not SQL recursion.)
 #   * lang_id_learned — iterative MLlib training (logistic regression
 #     fit), same class as kmeans refinement; accuracy-gated pytest.
 #   (compression_profile LEFT this class in round 15: the

@@ -390,9 +390,20 @@ WHERE rank <= {_HYBRID_DEPTH}
 
 def q_mmr_diverse_topk(spark, sf_dir):
     """MMR diversity re-rank of an exact-cosine top-30 shortlist
-    (operators/fusion.mmr_rerank) — greedy selection is sequential,
-    so this is the rows-only oracle class (like the k-means family);
-    the exact-value/property gates live in tests/test_fusion.py."""
+    (operators/fusion.mmr_rerank).  FULLY ORACLED since round 15:
+    greedy sequential selection was the declared applyInPandas
+    boundary class ("no relational form"), but a DuckDB RECURSIVE CTE
+    replays it exactly — the recursion carries the per-query selected
+    set (ids + unit vectors) and a LATERAL argmax performs each greedy
+    step with the operator's own tie-break (score desc, rel desc, doc
+    id asc).  Score parity is exact at 6 dp because the testdata
+    embeddings have 5-dp-quantized pairwise cosines, so every MMR
+    score is mathematically an exact 6-dp decimal: both engines'
+    float64 evaluations land within ~1e-15 of it, comparisons between
+    candidates differ by ≥ 1e-6, and the 6-dp round is 5e-7 from any
+    boundary — selection and values replay deterministically.  The
+    exact-value/property gates (lam edge cases, failure modes) remain
+    in tests/test_fusion.py."""
     from prod2vec_spark.operators.fusion import mmr_rerank
 
     emb = read_table(spark, sf_dir, "embeddings")
@@ -402,7 +413,8 @@ def q_mmr_diverse_topk(spark, sf_dir):
         F.col("neighbor_id").alias("doc_id"),
         F.col("cosine_sim").alias("rel"),
     )
-    return mmr_rerank(cand, emb, k=10, lam=0.7)
+    out = mmr_rerank(cand, emb, k=10, lam=0.7)
+    return out.withColumn("mmr_score", F.round("mmr_score", 6))
 
 
 R11_QUERIES = {
@@ -412,9 +424,67 @@ R11_QUERIES = {
     "hybrid_linear_topk": q_hybrid_linear_topk,
     "mmr_diverse_topk": q_mmr_diverse_topk,
 }
+_MMR_LAM, _MMR_K, _MMR_N = 0.7, 10, 30
+
+
+def _sql_mmr_diverse_topk() -> str:
+    """Greedy MMR as a RECURSIVE CTE (round 15): state = one row per
+    (query, step) carrying the selected ids + unit vectors; each
+    recursive step is a LATERAL argmax over the remaining shortlist
+    with penalty = max dot against the carried vectors.  Nested
+    lambdas can't capture outer lambda variables in DuckDB, so the
+    penalty dot unnests BOTH vectors positionally in a correlated
+    plain-SQL subquery instead of list_transform."""
+    from prod2vec_spark.queries_ext import _DOT, _UNIT
+
+    pen = (
+        "(SELECT max(dsum) FROM (SELECT (SELECT sum(z.a * z.b) FROM "
+        "(SELECT unnest(c.vec) AS a, unnest(u.pv) AS b) z) AS dsum "
+        "FROM (SELECT unnest(s.pvecs) AS pv) u) t)"
+    )
+    return f"""
+WITH RECURSIVE
+n AS (SELECT vec_id, {_UNIT.format(a='embedding')} AS nvec FROM embeddings),
+q AS (SELECT vec_id AS query_id, nvec AS qn FROM n WHERE vec_id < 5),
+p AS (SELECT query_id, vec_id AS doc_id,
+             ({_DOT.format(a='qn', b='nvec')}) AS sim, nvec
+      FROM n CROSS JOIN q WHERE vec_id != query_id),
+cand AS (SELECT query_id, doc_id, round(sim, 5) AS rel, nvec AS vec
+         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                           ORDER BY sim DESC, doc_id) rn FROM p)
+         WHERE rn <= {_MMR_N}),
+sel AS (
+  SELECT query_id, 1 AS rank, doc_id, {_MMR_LAM} * rel AS mmr_score,
+         [doc_id] AS picked, [vec] AS pvecs
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY rel DESC, doc_id) rn FROM cand)
+  WHERE rn = 1
+  UNION ALL
+  SELECT s.query_id, s.rank + 1, best.doc_id, best.mmr_score,
+         list_append(s.picked, best.doc_id), list_append(s.pvecs, best.vec)
+  FROM sel s, LATERAL (
+     SELECT c.doc_id, c.vec,
+            {_MMR_LAM} * c.rel - (1 - {_MMR_LAM}) * ({pen}) AS mmr_score,
+            c.rel
+     FROM cand c
+     WHERE c.query_id = s.query_id
+       AND NOT list_contains(s.picked, c.doc_id)
+     ORDER BY mmr_score DESC, c.rel DESC, c.doc_id
+     LIMIT 1
+  ) best
+  WHERE s.rank < {_MMR_K}
+)
+SELECT query_id, doc_id, round(mmr_score, 6) AS mmr_score,
+       CAST(rank AS INT) AS rank
+FROM sel
+"""
+
+
 R11_ORACLES: dict[str, str] = {
     "ann_pq_topk": _sql_ann_pq(),
     "ann_ivfpq_topk": _sql_ann_ivfpq(),
     "hybrid_rrf_topk": _sql_hybrid_rrf(),
     "hybrid_linear_topk": _sql_hybrid_linear(),
+    # round-15 upgrade: the greedy re-rank replayed by recursion
+    "mmr_diverse_topk": _sql_mmr_diverse_topk(),
 }
