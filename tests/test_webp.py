@@ -454,3 +454,28 @@ def test_webp_crosscodec_neardup_query_self_audit(spark):
                     want.add((x, y))
     got = {(r["id_a"], r["id_b"]) for r in rows}
     assert got == want
+
+
+def test_webp_joins_the_tile_span_plane(spark):
+    """image_tile_hashes accepts lossless-WebP blobs through the
+    shared decode door: a WebP crop of a PNG original pairs in
+    image_span_pairs — the cross-codec partial-image case, WebP
+    edition (the GIF test's shape)."""
+    import numpy as np
+
+    from prod2vec_spark.operators.phash import image_span_pairs
+
+    base = np.random.RandomState(21).randint(0, 256, (48, 48), dtype=np.uint8)
+    crop = np.ascontiguousarray(base[16:, 16:])
+    other = np.random.RandomState(22).randint(0, 256, (48, 48), dtype=np.uint8)
+    rows = [
+        (1, bytearray(encode_png_gray8(base.tobytes(), 48, 48))),
+        (2, bytearray(encode_webp_lossless_gray8(crop.tobytes(), 32, 32))),
+        (3, bytearray(encode_webp_lossless_gray8(other.tobytes(), 48, 48))),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, blob binary")
+    got = {
+        (r["id_a"], r["id_b"]): r["n_shared_tiles"]
+        for r in image_span_pairs(media, min_shared=4).collect()
+    }
+    assert set(got) == {(1, 2)}, got
