@@ -1130,3 +1130,77 @@ def media_format_audit(
         .groupBy("fmt", "status")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# ---------------------------------------------- image resize / thumbnails
+def image_thumbnails(
+    media: DataFrame,
+    width: int = 32,
+    height: int = 32,
+    id_col: str = "media_id",
+    blob_col: str = "blob",
+) -> DataFrame:
+    """Deterministic grayscale thumbnails for every decodable image
+    blob (round-15 — the brief's 'resize' multimodal op promoted from
+    the hash planes' internal helper to a user-facing operator):
+    decode through the SHARED image door (phash.image_gray — PNG /
+    JPEG / GIF / lossless WebP, one sniff+decode path so the resize
+    plane can never disagree with the hash planes about what decodes),
+    area-average downsample to (width, height) with the SAME
+    deterministic cell geometry dHash uses (phash._area_resize —
+    cell (i, j) averages source rows floor(i·h/H)..floor((i+1)·h/H)−1,
+    edge cells repeat for upscales), re-encode as gray8 PNG.
+
+    Output: (id, thumb binary, src_width, src_height, src_format) —
+    thumb/dims NULL where the blob is undecodable (the auditable-miss
+    contract; lossy-WebP and corrupt blobs are misses, never wrong
+    pixels).  Grayscale by design: the engine's perceptual planes are
+    luma-based and the stdlib codecs encode gray8 losslessly; callers
+    needing color thumbnails are outside the declared codec scope.
+
+    Scale shape: one Arrow-batched mapInPandas scan — project to
+    (id, blob) BEFORE calling so column pruning reaches the parquet
+    reader; per-blob Python is the declared codec slow path, batched
+    through Arrow; no shuffle, no driver-side work."""
+    import numpy as np
+
+    from prod2vec_spark.operators.phash import _area_resize, image_gray
+
+    if width <= 0 or height <= 0:
+        raise ValueError("thumbnail dimensions must be positive")
+    src = media.select(id_col, blob_col)
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            thumbs, ws, hs, fmts = [], [], [], []
+            for b in pdf[blob_col]:
+                g = image_gray(b)
+                if g is None:
+                    thumbs.append(None)
+                    ws.append(None)
+                    hs.append(None)
+                    fmts.append(None)
+                    continue
+                small = _area_resize(g, height, width)
+                px = np.clip(np.rint(small), 0, 255).astype(np.uint8)
+                thumbs.append(bytes(encode_png_gray8(px.tobytes(), width, height)))
+                hs.append(g.shape[0])
+                ws.append(g.shape[1])
+                fmts.append(classify_media(b)[0])
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "thumb": thumbs,
+                    "src_width": pd.array(ws, dtype="Int32"),
+                    "src_height": pd.array(hs, dtype="Int32"),
+                    "src_format": fmts,
+                }
+            )
+
+    return src.mapInPandas(
+        run,
+        schema=(
+            f"{id_col} long, thumb binary, src_width int, "
+            "src_height int, src_format string"
+        ),
+    )

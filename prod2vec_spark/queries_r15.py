@@ -102,9 +102,54 @@ WHERE bit_count(xor(ha, hb)) <= 3
 """
 
 
+def q_thumbnail_audit(spark, sf_dir):
+    """The round-15 'resize' operator certified end-to-end: recompute
+    8×8 grayscale thumbnails from the planted corpus's raw blobs
+    through the REAL chain (shared decode door → dHash-geometry
+    area-resize → gray8 PNG re-encode, operators/multimodal.
+    image_thumbnails) and emit md5(thumb) + source metadata; the
+    DuckDB twin reads the pytest-locked goldens
+    (tests/fixtures/thumb_goldens.parquet, tools/
+    gen_thumb_golden_fixture.py) — drift anywhere in the
+    decode/resize/encode chain fails the hash compare."""
+    from prod2vec_spark.operators.multimodal import image_thumbnails
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    media = (
+        spark.read.parquet(_pair_fixture("images"))
+        .join(docs, F.col("media_id") == F.col("doc_id"), "leftsemi")
+        .select("media_id", "blob")
+    )
+    return image_thumbnails(media, 8, 8).select(
+        "media_id",
+        F.md5("thumb").alias("thumb_md5"),
+        "src_width",
+        "src_height",
+        "src_format",
+    )
+
+
+def _sql_thumbnail_audit() -> str:
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests",
+        "fixtures",
+        "thumb_goldens.parquet",
+    )
+    return f"""
+SELECT media_id, thumb_md5, src_width, src_height, src_format
+FROM read_parquet('{path}')
+WHERE media_id IN (SELECT doc_id FROM documents)
+"""
+
+
 R15_QUERIES = {
     "webp_crosscodec_neardup": q_webp_crosscodec_neardup,
+    "thumbnail_audit": q_thumbnail_audit,
 }
 R15_ORACLES: dict[str, str] = {
     "webp_crosscodec_neardup": _sql_webp_crosscodec_neardup(),
+    "thumbnail_audit": _sql_thumbnail_audit(),
 }

@@ -479,3 +479,67 @@ def test_webp_joins_the_tile_span_plane(spark):
         for r in image_span_pairs(media, min_shared=4).collect()
     }
     assert set(got) == {(1, 2)}, got
+
+
+def test_image_thumbnails_resize_all_codecs(spark):
+    """Round-15 'resize' op: thumbnails decode through the shared
+    image door (PNG/GIF/WebP here), downsample with the dHash cell
+    geometry (exact parity with phash._area_resize), and re-encode as
+    gray8 PNG; undecodable blobs yield NULL thumbs (auditable miss)."""
+    import numpy as np
+
+    from prod2vec_spark.operators.gif import encode_gif_gray8
+    from prod2vec_spark.operators.multimodal import image_thumbnails, png_pixels
+    from prod2vec_spark.operators.phash import _area_resize
+
+    base = np.random.RandomState(31).randint(0, 256, (48, 48), dtype=np.uint8)
+    rows = [
+        (1, bytearray(encode_png_gray8(base.tobytes(), 48, 48))),
+        (2, bytearray(encode_gif_gray8(base.tobytes(), 48, 48))),
+        (3, bytearray(encode_webp_lossless_gray8(base.tobytes(), 48, 48))),
+        (4, bytearray(b"not an image at all")),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, blob binary")
+    got = {r["media_id"]: r for r in image_thumbnails(media, 8, 8).collect()}
+    want = np.clip(
+        np.rint(_area_resize(base.astype(np.float64), 8, 8)), 0, 255
+    ).astype(np.uint8)
+    for mid, fmt in ((1, "png"), (2, "gif"), (3, "webp")):
+        r = got[mid]
+        assert (r["src_width"], r["src_height"], r["src_format"]) == (48, 48, fmt)
+        px, hdr = png_pixels(bytes(r["thumb"]))
+        assert (hdr["width"], hdr["height"]) == (8, 8)
+        assert px == want.tobytes(), f"thumb pixels diverge for {fmt}"
+    r = got[4]
+    assert r["thumb"] is None and r["src_format"] is None
+    # upscales repeat edge cells deterministically (no crash, exact dims)
+    up = {r["media_id"]: r for r in image_thumbnails(media.where("media_id = 1"), 96, 64).collect()}
+    px, hdr = png_pixels(bytes(up[1]["thumb"]))
+    assert (hdr["width"], hdr["height"]) == (96, 64)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="positive"):
+        image_thumbnails(media, 0, 8)
+
+
+def test_thumb_goldens_match_live_chain():
+    """Honesty lock: the persisted thumbnail digests must equal the
+    live decode→resize→encode chain over the fixture blobs."""
+    import hashlib
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from prod2vec_spark.operators.multimodal import encode_png_gray8
+    from prod2vec_spark.operators.phash import _area_resize, image_gray
+
+    fixdir = os.path.join(os.path.dirname(__file__), "fixtures")
+    src = pq.read_table(os.path.join(fixdir, "phash_pairs_images.parquet"))
+    gold = pq.read_table(os.path.join(fixdir, "thumb_goldens.parquet"))
+    want = dict(zip(gold["media_id"].to_pylist(), gold["thumb_md5"].to_pylist()))
+    for m, b in zip(src["media_id"].to_pylist(), src["blob"].to_pylist()):
+        g = image_gray(b)
+        px = np.clip(np.rint(_area_resize(g, 8, 8)), 0, 255).astype(np.uint8)
+        thumb = bytes(encode_png_gray8(px.tobytes(), 8, 8))
+        assert hashlib.md5(thumb).hexdigest() == want[m]
