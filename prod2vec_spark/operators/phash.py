@@ -457,6 +457,34 @@ def frame_hashes(
     )
 
 
+def _span_rollup(
+    pairs: DataFrame, base: int, min_shared: int, out_col: str
+) -> DataFrame:
+    """Shared media-pair rollup of a composite-id near-dup pair table
+    (round 15 — the batch twin of streaming/span_gate.py's
+    consolidation; these three identical blocks were the same
+    drift class the streaming gates carried): decompose composite ids
+    back to media ids, drop same-media pairs, count matched units per
+    media pair, apply the min_shared cut.
+
+    `div` is exact 64-bit integer division; floor(double/double) can
+    be off-by-one once the composite id exceeds 2^53 (hash-derived
+    ids)."""
+    a = F.expr(f"id_a div {base}").cast("long")
+    b = F.expr(f"id_b div {base}").cast("long")
+    return (
+        pairs.select(a.alias("ma"), b.alias("mb"))
+        .where(F.col("ma") != F.col("mb"))
+        .select(
+            F.least("ma", "mb").alias("id_a"),
+            F.greatest("ma", "mb").alias("id_b"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("int").alias(out_col))
+        .where(F.col(out_col) >= min_shared)
+    )
+
+
 def video_span_pairs(
     media: DataFrame,
     every_ms: int = 1000,
@@ -492,21 +520,7 @@ def video_span_pairs(
         bands=bands,
         max_group=max_group,
     )
-    # `div` is exact 64-bit integer division; floor(double/double) can be
-    # off-by-one once the composite id exceeds 2^53 (hash-derived ids).
-    clip_a = F.expr(f"id_a div {_FRAME_ID_BASE}").cast("long")
-    clip_b = F.expr(f"id_b div {_FRAME_ID_BASE}").cast("long")
-    return (
-        pairs.select(clip_a.alias("ca"), clip_b.alias("cb"))
-        .where(F.col("ca") != F.col("cb"))
-        .select(
-            F.least("ca", "cb").alias("id_a"),
-            F.greatest("ca", "cb").alias("id_b"),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).cast("int").alias("n_shared_frames"))
-        .where(F.col("n_shared_frames") >= min_shared)
-    )
+    return _span_rollup(pairs, _FRAME_ID_BASE, min_shared, "n_shared_frames")
 
 
 def frame_band_table(
@@ -609,22 +623,10 @@ def incremental_video_span_pairs(
             .alias("hamming"),
         )
         .filter(F.col("hamming") <= max_distance)
-        .select("fa", "fb")
+        .select(F.col("fa").alias("id_a"), F.col("fb").alias("id_b"))
         .distinct()  # a frame pair may band-collide in several bands
     )
-    clip_a = F.expr(f"fa div {_FRAME_ID_BASE}").cast("long")
-    clip_b = F.expr(f"fb div {_FRAME_ID_BASE}").cast("long")
-    return (
-        fpairs.select(clip_a.alias("ca"), clip_b.alias("cb"))
-        .where(F.col("ca") != F.col("cb"))
-        .select(
-            F.least("ca", "cb").alias("id_a"),
-            F.greatest("ca", "cb").alias("id_b"),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).cast("int").alias("n_shared_frames"))
-        .where(F.col("n_shared_frames") >= min_shared)
-    )
+    return _span_rollup(fpairs, _FRAME_ID_BASE, min_shared, "n_shared_frames")
 
 
 _TILE_ID_BASE = 1_000_000  # composite tile id = image_id * BASE + tile_idx
@@ -770,19 +772,7 @@ def image_span_pairs(
         bands=bands,
         max_group=max_group,
     )
-    img_a = F.expr(f"id_a div {_TILE_ID_BASE}").cast("long")
-    img_b = F.expr(f"id_b div {_TILE_ID_BASE}").cast("long")
-    return (
-        pairs.select(img_a.alias("ia"), img_b.alias("ib"))
-        .where(F.col("ia") != F.col("ib"))
-        .select(
-            F.least("ia", "ib").alias("id_a"),
-            F.greatest("ia", "ib").alias("id_b"),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).cast("int").alias("n_shared_tiles"))
-        .where(F.col("n_shared_tiles") >= min_shared)
-    )
+    return _span_rollup(pairs, _TILE_ID_BASE, min_shared, "n_shared_tiles")
 
 
 def tile_band_table(
@@ -890,22 +880,10 @@ def incremental_image_span_pairs(
             .alias("hamming"),
         )
         .filter(F.col("hamming") <= max_distance)
-        .select("ta", "tb")
+        .select(F.col("ta").alias("id_a"), F.col("tb").alias("id_b"))
         .distinct()  # a tile pair may band-collide in several bands
     )
-    img_a = F.expr(f"ta div {_TILE_ID_BASE}").cast("long")
-    img_b = F.expr(f"tb div {_TILE_ID_BASE}").cast("long")
-    return (
-        tpairs.select(img_a.alias("ia"), img_b.alias("ib"))
-        .where(F.col("ia") != F.col("ib"))
-        .select(
-            F.least("ia", "ib").alias("id_a"),
-            F.greatest("ia", "ib").alias("id_b"),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).cast("int").alias("n_shared_tiles"))
-        .where(F.col("n_shared_tiles") >= min_shared)
-    )
+    return _span_rollup(tpairs, _TILE_ID_BASE, min_shared, "n_shared_tiles")
 
 
 _WIN_ID_BASE = 1_000_000  # composite window id = clip_id * BASE + win_idx
@@ -1036,19 +1014,7 @@ def audio_span_pairs(
         bands=bands,
         max_group=max_group,
     )
-    clip_a = F.expr(f"id_a div {_WIN_ID_BASE}").cast("long")
-    clip_b = F.expr(f"id_b div {_WIN_ID_BASE}").cast("long")
-    return (
-        pairs.select(clip_a.alias("ca"), clip_b.alias("cb"))
-        .where(F.col("ca") != F.col("cb"))
-        .select(
-            F.least("ca", "cb").alias("id_a"),
-            F.greatest("ca", "cb").alias("id_b"),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).cast("int").alias("n_shared_windows"))
-        .where(F.col("n_shared_windows") >= min_shared)
-    )
+    return _span_rollup(pairs, _WIN_ID_BASE, min_shared, "n_shared_windows")
 
 
 def audio_band_table(
@@ -1151,22 +1117,10 @@ def incremental_audio_span_pairs(
             .alias("hamming"),
         )
         .filter(F.col("hamming") <= max_distance)
-        .select("wa", "wb")
+        .select(F.col("wa").alias("id_a"), F.col("wb").alias("id_b"))
         .distinct()  # a window pair may band-collide in several bands
     )
-    clip_a = F.expr(f"wa div {_WIN_ID_BASE}").cast("long")
-    clip_b = F.expr(f"wb div {_WIN_ID_BASE}").cast("long")
-    return (
-        wpairs.select(clip_a.alias("ca"), clip_b.alias("cb"))
-        .where(F.col("ca") != F.col("cb"))
-        .select(
-            F.least("ca", "cb").alias("id_a"),
-            F.greatest("ca", "cb").alias("id_b"),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).cast("int").alias("n_shared_windows"))
-        .where(F.col("n_shared_windows") >= min_shared)
-    )
+    return _span_rollup(wpairs, _WIN_ID_BASE, min_shared, "n_shared_windows")
 
 
 def phash_audio(
