@@ -543,3 +543,48 @@ def test_thumb_goldens_match_live_chain():
         px = np.clip(np.rint(_area_resize(g, 8, 8)), 0, 255).astype(np.uint8)
         thumb = bytes(encode_png_gray8(px.tobytes(), 8, 8))
         assert hashlib.md5(thumb).hexdigest() == want[m]
+
+
+def test_image_thumbnails_runs_on_a_stream(spark, tmp_path):
+    """The resize op is stream-safe as-is: mapInPandas runs unchanged
+    on a readStream frame — per-batch thumbnails equal the batch
+    operator's output over the same blobs (the media-stage streaming
+    convention)."""
+    import numpy as np
+
+    from prod2vec_spark.operators.multimodal import image_thumbnails
+
+    base = np.random.RandomState(41).randint(0, 256, (32, 32), dtype=np.uint8)
+    rows = [
+        (1, bytearray(encode_png_gray8(base.tobytes(), 32, 32))),
+        (2, bytearray(encode_webp_lossless_gray8(base.tobytes(), 32, 32))),
+        (3, bytearray(b"junk")),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, blob binary")
+    landing = str(tmp_path / "landing")
+    media.coalesce(1).write.mode("overwrite").parquet(landing)
+    out = str(tmp_path / "thumbs")
+    stream = spark.readStream.schema("media_id long, blob binary").parquet(
+        landing
+    )
+    q = (
+        image_thumbnails(stream, 8, 8)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["media_id"]: (bytes(r["thumb"]) if r["thumb"] is not None else None,
+                        r["src_format"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r["media_id"]: (bytes(r["thumb"]) if r["thumb"] is not None else None,
+                        r["src_format"])
+        for r in image_thumbnails(media, 8, 8).collect()
+    }
+    assert got == want and got[3] == (None, None)
+    assert got[1][0] == got[2][0] is not None  # cross-codec identical
