@@ -810,10 +810,18 @@ CATALOG: list[str] = [
 # media_format_audit, badwords_gate, decontaminate_fuzzy are now
 # catalog entries (see the round-15 block above for the four
 # retirees' family reasoning).  Round-16 rotation candidates (fully
-# oracled, superset-only): video_span_audit, packed_unigram_ids,
-# kn3_perplexity, plus whatever round 15 adds superset-only.
-# Standard protocol: retirees keep superset oracles + family catalog
-# siblings; plan snapshots re-blessed; fresh isolated baselines.
+# oracled, superset-only, round-15 tranche first): 
+#   webp_crosscodec_neardup (the VP8L codec certified INSIDE the
+#     dedup plane through the mixed-modality door),
+#   thumbnail_audit (the resize operator end-to-end),
+#   mmr_diverse_topk (the recursion-oracled greedy re-rank — a
+#     strictly stronger verdict class than its old rows-only self),
+#   compression_profile (golden-length oracled zlib),
+#   phash_neardup / audio_neardup (fixture-split upgrades),
+# plus the round-13 leftovers video_span_audit / packed_unigram_ids /
+# kn3_perplexity.  Standard protocol: retirees keep superset oracles
+# + family catalog siblings; plan snapshots re-blessed; fresh
+# isolated baselines.
 # ---------------------------------------------------------------------
 # import-time guards (explicit raise, NOT assert: asserts vanish under
 # python -O and the driver catalog must stay guarded in optimized runs)
