@@ -206,9 +206,14 @@ def _curation_full(spark, sf_dir):
 
 
 def _render_media(spark, sf_dir: str, media_path: str) -> None:
-    """Synthesize mixed PNG/WAV/AVI attachments per document (planted
-    duplicate families — a mapInPandas render with the same shape as a
-    real blob scan, so its cost is included in the macro's time)."""
+    """Synthesize mixed PNG/WebP/WAV/AVI attachments per document
+    (planted duplicate families — a mapInPandas render with the same
+    shape as a real blob scan, so its cost is included in the macro's
+    time).  Round-15: ODD members of each image family encode as
+    LOSSLESS WEBP instead of PNG, so the macro's media-dedup stage
+    exercises the VP8L decoder per run and its family pairs are
+    CROSS-CODEC — the dominant modern web image format's cost is a
+    measured number in the flagship macro, not just a pytest."""
     import hashlib
     import struct as _struct
     from typing import Iterator
@@ -220,6 +225,7 @@ def _render_media(spark, sf_dir: str, media_path: str) -> None:
         encode_png_gray8,
         encode_wav_pcm16,
     )
+    from prod2vec_spark.operators.webp import encode_webp_lossless_gray8
     from prod2vec_spark.sources.io import read_table
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -237,7 +243,12 @@ def _render_media(spark, sf_dir: str, media_path: str) -> None:
                     )
                     if member:
                         raw[(member * 37) % 256] = (raw[(member * 37) % 256] + 1) % 256
-                    blobs.append(encode_png_gray8(bytes(raw), 16, 16))
+                    if member % 2:  # round-15: cross-codec families
+                        blobs.append(
+                            encode_webp_lossless_gray8(bytes(raw), 16, 16)
+                        )
+                    else:
+                        blobs.append(encode_png_gray8(bytes(raw), 16, 16))
                 elif modality == 1:  # audio
                     raw = b"".join(
                         hashlib.md5(f"bwav{fam}|{k}".encode()).digest()
