@@ -1204,3 +1204,100 @@ def image_thumbnails(
             "src_height int, src_format string"
         ),
     )
+
+
+# ---------------------------------------------- audio resample
+def audio_resample(
+    media: DataFrame,
+    target_rate: int = 16000,
+    id_col: str = "media_id",
+    blob_col: str = "blob",
+) -> DataFrame:
+    """Deterministic linear-interpolation resampling for every
+    decodable WAV blob (round-15 — the audio analog of
+    image_thumbnails: training pipelines normalize heterogeneous
+    crawl audio to one model rate): decode through the SHARED sample
+    door (wav_samples — PCM or IMA-ADPCM, stereo folded to the
+    channel MEAN, the ahash_wav convention, so the resample plane can
+    never disagree with the fingerprint plane about what decodes),
+    linearly interpolate onto the uniform target grid (output sample
+    i sits at source position i·src/target; endpoints clamp), round
+    half-away-from-zero to int16, re-encode PCM16 WAV at
+    ``target_rate``.
+
+    Output: (id, resampled binary, src_rate, src_samples) — NULL
+    where the blob is undecodable (the auditable-miss contract).  A
+    source already at ``target_rate`` round-trips its channel-mean
+    EXACTLY (the interpolation grid is then the identity — mono PCM16
+    in == PCM16 out, pytest-locked).
+
+    Scale shape: one Arrow-batched mapInPandas scan, no shuffle —
+    identical to every codec stage here; project to (id, blob) before
+    calling so pruning reaches the scan."""
+    if target_rate <= 0:
+        raise ValueError("target_rate must be positive")
+    if _np is None:  # pragma: no cover - numpy is baked into the env
+        raise RuntimeError("audio_resample needs numpy")
+    src = media.select(id_col, blob_col)
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            blobs, rates, counts = [], [], []
+            for b in pdf[blob_col]:
+                try:
+                    samples, meta = wav_samples(bytes(b))
+                except Exception:
+                    blobs.append(None)
+                    rates.append(None)
+                    counts.append(None)
+                    continue
+                nch = meta.get("n_channels", 1) or 1
+                a = _np.asarray(samples, dtype=_np.float64)
+                if nch > 1:
+                    a = a[: len(a) - len(a) % nch].reshape(-1, nch).mean(axis=1)
+                if a.size == 0:
+                    blobs.append(None)
+                    rates.append(meta["framerate"])
+                    counts.append(0)
+                    continue
+                src_rate = int(meta["framerate"])
+                n_out = max(1, int(round(a.size * target_rate / src_rate)))
+                pos = _np.arange(n_out, dtype=_np.float64) * (
+                    src_rate / float(target_rate)
+                )
+                pos = _np.clip(pos, 0.0, a.size - 1.0)
+                lo = _np.floor(pos).astype(_np.int64)
+                hi = _np.minimum(lo + 1, a.size - 1)
+                frac = pos - lo
+                out = a[lo] * (1.0 - frac) + a[hi] * frac
+                # half-away-from-zero (C lround), clipped to int16
+                q = _np.clip(
+                    _np.sign(out) * _np.floor(_np.abs(out) + 0.5),
+                    -32768,
+                    32767,
+                ).astype(_np.int64)
+                blobs.append(
+                    bytes(
+                        encode_wav_pcm16(
+                            [int(x) for x in q], sample_rate=target_rate
+                        )
+                    )
+                )
+                rates.append(src_rate)
+                counts.append(int(a.size))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "resampled": blobs,
+                    "src_rate": pd.array(rates, dtype="Int32"),
+                    "src_samples": pd.array(counts, dtype="Int64"),
+                }
+            )
+
+    return src.mapInPandas(
+        run,
+        schema=(
+            f"{id_col} long, resampled binary, src_rate int, "
+            "src_samples long"
+        ),
+    )

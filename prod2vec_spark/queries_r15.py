@@ -145,11 +145,53 @@ WHERE media_id IN (SELECT doc_id FROM documents)
 """
 
 
+def q_resample_audit(spark, sf_dir):
+    """The round-15 audio resample operator certified end-to-end (the
+    thumbnail_audit protocol, audio side): recompute 16 kHz resamples
+    from the planted corpus's raw WAV blobs through the REAL chain
+    (shared sample door → linear grid → half-away int16 → PCM16
+    re-encode, operators/multimodal.audio_resample) and emit
+    md5(resampled) + source metadata; the DuckDB twin reads the
+    pytest-locked goldens (tools/gen_resample_golden_fixture.py)."""
+    from prod2vec_spark.operators.multimodal import audio_resample
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    media = (
+        spark.read.parquet(_pair_fixture("audio"))
+        .join(docs, F.col("media_id") == F.col("doc_id"), "leftsemi")
+        .select("media_id", "blob")
+    )
+    return audio_resample(media, 16000).select(
+        "media_id",
+        F.md5("resampled").alias("res_md5"),
+        "src_rate",
+        "src_samples",
+    )
+
+
+def _sql_resample_audit() -> str:
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests",
+        "fixtures",
+        "resample_goldens.parquet",
+    )
+    return f"""
+SELECT media_id, res_md5, src_rate, src_samples
+FROM read_parquet('{path}')
+WHERE media_id IN (SELECT doc_id FROM documents)
+"""
+
+
 R15_QUERIES = {
     "webp_crosscodec_neardup": q_webp_crosscodec_neardup,
     "thumbnail_audit": q_thumbnail_audit,
+    "resample_audit": q_resample_audit,
 }
 R15_ORACLES: dict[str, str] = {
     "webp_crosscodec_neardup": _sql_webp_crosscodec_neardup(),
     "thumbnail_audit": _sql_thumbnail_audit(),
+    "resample_audit": _sql_resample_audit(),
 }
