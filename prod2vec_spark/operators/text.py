@@ -265,3 +265,72 @@ def strip_html(html: Column) -> Column:
     for ent, rep in _HTML_ENTITIES:
         out = F.replace(out, F.lit(ent), F.lit(rep))
     return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+# --------------------------------------------- sentence segmentation
+# Shared sentence pattern: a maximal run of non-terminal characters
+# followed by a run of terminal punctuation.  Deliberately
+# LOOKAROUND-FREE so the identical pattern string compiles under Java
+# regex (Spark) AND RE2 (the DuckDB oracle) — the script_counts
+# portability rule.  Text after the last terminator is NOT a sentence
+# (it is reported as tail_chars by sentence_profile).
+SENTENCE_RE = r"[^.!?]+[.!?]+"
+
+
+def sentences(text: Column) -> Column:
+    """Array of trimmed sentences of a document: maximal spans ending
+    in terminal punctuation ('.', '!', '?'), terminators kept.  NULL
+    text reads as the empty document (empty array — the linefilters
+    NULL-poisoning convention); blank spans (e.g. between '..')
+    cannot occur by construction (the span regex requires ≥1
+    non-terminal char)."""
+    t = F.coalesce(text, F.lit(""))
+    return F.transform(
+        F.regexp_extract_all(t, F.lit(SENTENCE_RE), F.lit(0)),
+        lambda s: F.trim(s),
+    )
+
+
+def sentence_profile(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document sentence statistics (round 15 — the segmentation
+    primitive sentence-level dedup / SFT-style example prep builds
+    on): n_sentences, avg/max trimmed sentence length (0 when no
+    sentence terminates), and tail_chars — the characters after the
+    last terminator, i.e. the unterminated remainder the C4
+    terminal-punctuation line rule would flag.  One row-local scan,
+    zero shuffle, fully inside whole-stage codegen except the regex
+    itself."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    staged = docs.select(
+        id_col,
+        t.alias("_t"),
+        sentences(F.col(text_col)).alias("_sents"),
+    )
+    lens = F.transform(F.col("_sents"), lambda s: F.length(s))
+    n = F.size("_sents")
+    # tail = everything after the last matched span; matched spans are
+    # contiguous from the start by construction (the pattern's two
+    # classes partition the alphabet), so raw-match total length ==
+    # the prefix length consumed
+    raw_lens = F.transform(
+        F.regexp_extract_all(F.col("_t"), F.lit(SENTENCE_RE), F.lit(0)),
+        lambda s: F.length(s),
+    )
+    consumed = F.coalesce(
+        F.aggregate(raw_lens, F.lit(0), lambda a, x: a + x), F.lit(0)
+    )
+    return staged.select(
+        id_col,
+        n.cast("long").alias("n_sentences"),
+        F.when(n > 0, F.round(
+            F.aggregate(lens, F.lit(0), lambda a, x: a + x)
+            / n.cast("double"), 4))
+        .otherwise(F.lit(0.0))
+        .alias("avg_sentence_chars"),
+        F.coalesce(F.array_max(lens), F.lit(0)).cast("long").alias(
+            "max_sentence_chars"
+        ),
+        (F.length("_t") - consumed).cast("long").alias("tail_chars"),
+    )

@@ -195,3 +195,50 @@ R15_ORACLES: dict[str, str] = {
     "thumbnail_audit": _sql_thumbnail_audit(),
     "resample_audit": _sql_resample_audit(),
 }
+
+
+def q_sentence_stats(spark, sf_dir):
+    """Per-document sentence segmentation stats over the documents
+    table (operators/text.sentence_profile): n_sentences, avg/max
+    trimmed sentence length, unterminated tail length — the
+    segmentation primitive sentence-level dedup and SFT-style example
+    prep build on.  Row-local, zero shuffle; the lookaround-free
+    sentence regex compiles identically under Java regex and RE2, so
+    the DuckDB twin replays the exact splits."""
+    from prod2vec_spark.operators.text import sentence_profile
+
+    docs = read_table(spark, sf_dir, "documents")
+    return sentence_profile(docs)
+
+
+def _sql_sentence_stats() -> str:
+    pat = r"[^.!?]+[.!?]+"
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         coalesce(text, '') AS t,
+         regexp_extract_all(coalesce(text, ''), '{pat}') AS raw
+  FROM documents
+),
+m AS (
+  SELECT doc_id, t, raw,
+         list_transform(raw, x -> trim(x)) AS sents,
+         coalesce(list_sum(list_transform(raw, x -> length(x))), 0)
+           AS consumed
+  FROM s
+)
+SELECT doc_id,
+       CAST(len(sents) AS BIGINT) AS n_sentences,
+       CASE WHEN len(sents) > 0
+            THEN round(list_sum(list_transform(sents, x -> length(x)))
+                       / CAST(len(sents) AS DOUBLE), 4)
+            ELSE 0.0 END AS avg_sentence_chars,
+       CAST(coalesce(list_max(list_transform(sents, x -> length(x))), 0)
+            AS BIGINT) AS max_sentence_chars,
+       CAST(length(t) - consumed AS BIGINT) AS tail_chars
+FROM m
+"""
+
+
+R15_QUERIES["sentence_stats"] = q_sentence_stats
+R15_ORACLES["sentence_stats"] = _sql_sentence_stats()
