@@ -79,6 +79,7 @@ CURATION_FULL = "__curation_full__"
 CURATION_ALL = "__curation_all__"
 STREAMING = "__streaming_corpus__"
 CANARY = "__canary__"
+CANARY_IO = "__canary_io__"
 MACROS = (CURATION10X, CURATION_FULL, CURATION_ALL, STREAMING)
 BASELINE_SF = 0.1  # scale factor the BASELINE.json timings were recorded at
 ADJ_ABS_FLOOR_SEC = 0.5  # sub-floor deltas are bench-noise resolution, not signal
@@ -130,6 +131,46 @@ def _canary(spark, sf_dir):
             F.max("h").alias("hmax"),
         )
     )
+
+
+def _canary_io(spark, sf_dir):
+    """I/O canary (VERDICT r15 ask #5): a FIXED-size parquet
+    write+read probe so ambient *I/O* regimes are measured directly —
+    the CPU canary above is blind to them by design (the r14/r15
+    episode signature: every macro inflates 25-70% while the CPU
+    canary reads clean).  One fresh-JVM probe per bench run: write a
+    deterministic 2M-row / ~90 MB-on-disk frame to a temp dir, read
+    it back and count, delete.  sf-independent by construction; its
+    ratio vs BASELINE.json's ``canary_io_sec`` rides the artifact as
+    ``canary_io.vs_baseline``, turning the episode signature into one
+    recorded number instead of a manual control-probe recipe.
+
+    Runs as a macro-style entry (does its own I/O, returns a 1-row
+    report) so the shared run loop never noop-writes it."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    work = tempfile.mkdtemp(prefix="bench_canary_io_")
+    try:
+        out = f"{work}/probe"
+        (
+            spark.range(0, 2_000_000, 1, 32)
+            .select(
+                "id",
+                F.md5(F.concat_ws("|", F.col("id"), F.lit("io"))).alias("h1"),
+                F.sha2(
+                    F.concat_ws("|", F.col("id"), F.lit("io2")), 256
+                ).alias("h2"),
+            )
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        n = spark.read.parquet(out).count()
+        return spark.createDataFrame([(n,)], "n long")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def _flagship(spark, sf_dir):
@@ -428,6 +469,7 @@ def run_chunk(
     stage_ms: dict[str, dict] = {}
     special = {
         CANARY: _canary,
+        CANARY_IO: _canary_io,
         FLAGSHIP: _flagship,
         CURATION10X: _curation10x,
         CURATION_FULL: _curation_full,
@@ -441,8 +483,15 @@ def run_chunk(
     macro_runs = int(os.environ.get("SPARK_GRAFT_MACRO_RUNS", "1"))
     for name in names:
         fn = special.get(name) or QUERIES[name]
-        is_macro = name in MACROS
-        n_runs = macro_runs if is_macro else runs
+        # the I/O canary performs its own write/read side effects and
+        # returns a 1-row report — macro execution shape, but its runs
+        # count rides SPARK_GRAFT_BENCH_RUNS like the CPU canary
+        is_macro = name in MACROS or name == CANARY_IO
+        if name == CANARY_IO:
+            macro_runs_here = runs
+        else:
+            macro_runs_here = macro_runs
+        n_runs = macro_runs_here if is_macro else runs
         times = []
         for _ in range(n_runs):
             t0 = time.perf_counter()
@@ -536,6 +585,27 @@ def main() -> None:
         except (ValueError, KeyError, IndexError):
             canary_sec = None
 
+    # I/O canary (VERDICT r15 ask #5): same isolation discipline as the
+    # CPU canary — own fresh JVM, best-of-N — but the probe is a fixed
+    # parquet write+read, so ambient I/O regimes (invisible to the
+    # CPU-bound probe; the r14/r15 episode signature) read directly off
+    # the artifact as canary_io.vs_baseline.
+    canary_io_sec = None
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--chunk", CANARY_IO],
+        capture_output=True,
+        text=True,
+        cwd=here,
+        env={**os.environ, "SPARK_GRAFT_BENCH_RUNS": "5"},
+    )
+    if proc.returncode == 0:
+        try:
+            canary_io_sec = json.loads(
+                proc.stdout.strip().splitlines()[-1]
+            )["queries"][CANARY_IO]
+        except (ValueError, KeyError, IndexError):
+            canary_io_sec = None
+
     # Noise adjudication pass (automates BASELINE.md's round-5 manual
     # protocol, VERDICT r5 ask #4): any query landing >1.2x its
     # recorded baseline is re-run ISOLATED — alone in a fresh JVM,
@@ -558,6 +628,12 @@ def main() -> None:
         max(1.0, canary_sec / cb) if canary_sec and cb else 1.0
     )
     adjudications: dict[str, dict] = {}
+    # per-entry recording protocol (VERDICT r15 ask #9): a baseline is
+    # only adjudicable when we know which protocol recorded it — an
+    # entry with no protocols row gets a structural "no_protocol"
+    # verdict instead of a numeric comparison a human would have to
+    # refuse by reading BASELINE.md
+    protocols = _baseline_data().get("protocols", {})
     suspects = [
         q
         for q in names
@@ -567,6 +643,18 @@ def main() -> None:
         and timings[q] - baseline[q] > ADJ_ABS_FLOOR_SEC
     ]
     for q in suspects:
+        if q not in protocols:
+            adjudications[q] = {
+                "original": timings[q],
+                "baseline": baseline[q],
+                "verdict": "no_protocol",
+                "note": (
+                    "baseline has no BASELINE.json protocols entry — "
+                    "cross-protocol comparison refused; record a fresh "
+                    "baseline under the standing isolated protocol"
+                ),
+            }
+            continue
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--chunk", q],
             capture_output=True,
@@ -594,6 +682,7 @@ def main() -> None:
             "ratio_raw": round(isolated / baseline[q], 2),
             "ratio_canary_normalized": round(norm_ratio, 2),
             "canary_factor": round(canary_factor, 2),
+            "baseline_protocol": protocols[q],
             "verdict": verdict,
         }
         timings[q] = min(timings[q], isolated)
@@ -628,6 +717,14 @@ def main() -> None:
         out["canary"] = {
             "sec": canary_sec,
             "vs_baseline": round(canary_sec / cb, 2) if cb else None,
+        }
+    if canary_io_sec is not None:
+        cib = _baseline_data().get("canary_io_sec")
+        out["canary_io"] = {
+            "sec": canary_io_sec,
+            "vs_baseline": (
+                round(canary_io_sec / cib, 2) if cib else None
+            ),
         }
     if adjudications:
         out["adjudications"] = adjudications

@@ -33,13 +33,41 @@ def break_lineage(
     else a RELIABLE ``checkpoint`` into ``checkpoint_dir`` (survives
     executor loss — the cluster-scale option).
 
-    ``setCheckpointDir`` is SparkContext-global; it is (re)applied per
-    call, which is idempotent — Spark creates a fresh UUID subdir per
-    application and per-RDD subdirs under it, so two operators passing
-    different dirs simply land in the last-set root for subsequent
-    breaks.  Pass one dir per session for a coherent layout."""
+    ``setCheckpointDir`` is SparkContext-global, so the 'one dir per
+    session' rule is SURFACED, not just documented (ADVICE r15):
+    re-pointing an already-set, different root emits a warning naming
+    both roots — two operators running concurrently with different
+    dirs would otherwise silently land later breaks in whichever root
+    was set last.  (A warning, not an error: SEQUENTIAL re-pointing is
+    legal and safe — Spark keys per-RDD subdirs under whatever root is
+    current at checkpoint time.)"""
     if checkpoint_dir is None:
         return df.localCheckpoint(eager=eager)
     sc = df.sparkSession.sparkContext
+    current = sc._jsc.sc().getCheckpointDir()
+    existing = current.get() if current.isDefined() else None
+    if existing is not None:
+        # the JVM normalizes the dir to a fully-qualified URI AND
+        # appends a per-application UUID subdir (file:/tmp/x/<uuid>);
+        # a repeat call with the same root is idempotent when the
+        # existing path sits under the requested root
+        want = checkpoint_dir.rstrip("/")
+        got = existing.rstrip("/")
+        for scheme in ("file://", "file:"):
+            if got.startswith(scheme):
+                got = got[len(scheme):]
+                break
+        if not (got == want or got.startswith(want + "/")):
+            import warnings
+
+            warnings.warn(
+                f"re-pointing SparkContext checkpoint dir from "
+                f"{existing!r} to {checkpoint_dir!r} — the setting is "
+                f"context-GLOBAL; any concurrently-running operator's "
+                f"later lineage breaks land in the new root (one dir "
+                f"per session)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     sc.setCheckpointDir(checkpoint_dir)
     return df.checkpoint(eager=eager)

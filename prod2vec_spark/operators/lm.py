@@ -1535,6 +1535,7 @@ class KNnModel:
         r,
         totals,
         min_count: "int | None" = None,
+        min_counts: "dict[int, int] | None" = None,
     ):
         if order < 2:
             raise ValueError(f"KN order must be >= 2, got {order}")
@@ -1543,10 +1544,18 @@ class KNnModel:
         self.ctxs = ctxs  # k -> DataFrame keyed w1..w{k-1} with den{k}…
         self.r = r  # (w, n1p_r)
         self.totals = totals  # 1 row: (n_types2p, v_vocab)
-        # count-floor applied to the top-level table (None = full fit);
-        # persisted in meta so a floored table can't masquerade as a
-        # full one after a save/load round trip (ADVICE r14)
-        self.min_count = min_count
+        # count floors applied per level (None = full fit); persisted
+        # IN FULL in meta so a floored table can't masquerade as a
+        # full one after a save/load round trip at ANY level, not just
+        # the top (ADVICE r14, completed per-level ADVICE r15).
+        # min_counts is canonical; min_count mirrors the top-level
+        # entry for back-compat readers.
+        if min_counts is None and min_count is not None:
+            min_counts = {order: min_count}
+        self.min_counts = dict(min_counts) if min_counts else None
+        self.min_count = (
+            self.min_counts.get(order) if self.min_counts else None
+        )
 
     def save(self, dir_path: str) -> None:
         for k, df in self.counts.items():
@@ -1557,13 +1566,20 @@ class KNnModel:
         self.totals.write.mode("overwrite").parquet(f"{dir_path}/totals")
         # order metadata: loading at a SMALLER order would otherwise
         # succeed silently with continuation counts masquerading as
-        # raw top-level counts (code-review r14).  min_count rides
-        # along for the same reason in the count-floor dimension: a
-        # pruned() model's top-level table is missing its singleton
-        # mass and must be distinguishable from a full fit at load.
+        # raw top-level counts (code-review r14).  The FULL per-level
+        # floor map rides along for the same reason in the count-floor
+        # dimension: a pruned() model's tables are missing their
+        # low-count mass at EVERY floored level and must be
+        # distinguishable from a full fit at load (ADVICE r15 — the
+        # top-level-only min_count column lost mid-level floors).
+        import json as _json
+
+        floors_json = (
+            _json.dumps(self.min_counts) if self.min_counts else None
+        )
         self.r.sparkSession.createDataFrame(
-            [(self.order, self.min_count)],
-            "model_order int, min_count int",
+            [(self.order, self.min_count, floors_json)],
+            "model_order int, min_count int, min_counts_json string",
         ).write.mode("overwrite").parquet(f"{dir_path}/meta")
 
     @staticmethod
@@ -1576,10 +1592,20 @@ class KNnModel:
                 f"load requested order {order} — a mismatched load would "
                 f"treat continuation counts as raw top-level counts"
             )
-        # pre-r15 saves have no min_count column: read as a full fit
-        min_count = (
-            meta["min_count"] if "min_count" in meta.asDict() else None
-        )
+        # pre-r15 saves have no min_count column (full fit); r15 saves
+        # have min_count only (top-level floor); r16+ saves carry the
+        # full per-level map as JSON
+        import json as _json
+
+        d = meta.asDict()
+        if d.get("min_counts_json"):
+            min_counts = {
+                int(k): v for k, v in _json.loads(d["min_counts_json"]).items()
+            }
+        elif d.get("min_count") is not None:
+            min_counts = {order: d["min_count"]}
+        else:
+            min_counts = None
         counts = {
             k: spark.read.parquet(f"{dir_path}/counts{k}")
             for k in range(2, order + 1)
@@ -1594,12 +1620,12 @@ class KNnModel:
             ctxs,
             spark.read.parquet(f"{dir_path}/r"),
             spark.read.parquet(f"{dir_path}/totals"),
-            min_count=min_count,
+            min_counts=min_counts,
         )
 
     def pruned(
         self,
-        min_count: int = 2,
+        min_count: "int | None" = None,
         min_counts: "dict[int, int] | None" = None,
     ) -> "KNnModel":
         """Count-floor pruning (the KNModel/KN3Model convention):
@@ -1617,10 +1643,18 @@ class KNnModel:
         where it is actually big, and scoring degrades gracefully —
         a pruned level-k probe backs off through the SAME λ-chain a
         genuinely-unseen k-gram does (pytest-locked).  Levels absent
-        from the dict keep their full tables; the top level may be
-        given via either argument (``min_counts`` wins)."""
+        from the dict keep their full tables — including the top
+        level: ``pruned(min_counts={3: 5})`` floors ONLY level 3
+        (ADVICE r15; the old default silently floored the top at 2).
+        With no arguments at all, the top level floors at 2 (the
+        KNModel/KN3Model default).  When both name the top level,
+        ``min_counts`` wins."""
         n = self.order
-        floors: dict[int, int] = {n: min_count}
+        if min_count is None and not min_counts:
+            min_count = 2
+        floors: dict[int, int] = {}
+        if min_count is not None:
+            floors[n] = min_count
         if min_counts:
             bad = [k for k in min_counts if not 2 <= k <= n]
             if bad:
@@ -1632,7 +1666,7 @@ class KNnModel:
                 counts[k] = self.counts[k].where(F.col(f"c{k}") >= floor)
         return KNnModel(
             n, counts, self.ctxs, self.r, self.totals,
-            min_count=floors[n],
+            min_counts=floors,
         )
 
 

@@ -1033,6 +1033,27 @@ def _jpeg_unsupported_mode(blob: bytes) -> bool:
     return False
 
 
+def sniff_format(blob) -> str:
+    """Format label from magic bytes ALONE — no decode.  The cheap
+    companion to classify_media for callers that already know the
+    decode status (ADVICE r15: image_thumbnails was paying a second
+    full decode just to label src_format)."""
+    bb = bytes(blob) if isinstance(blob, (bytes, bytearray)) else b""
+    if bb.startswith(PNG_SIG):
+        return "png"
+    if bb[:2] == b"\xff\xd8":
+        return "jpeg"
+    if bb[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if bb[:4] == b"RIFF" and bb[8:12] == b"WEBP":
+        return "webp"
+    if bb[:4] == b"RIFF" and bb[8:12] == b"WAVE":
+        return "wav"
+    if bb[:4] == b"RIFF" and bb[8:12] == b"AVI ":
+        return "avi"
+    return "unknown"
+
+
 def classify_media(blob) -> "tuple[str, str]":
     """(format, status) for one blob by magic-byte sniff + a real
     decode attempt through the SAME codecs the hash planes use — the
@@ -1186,7 +1207,10 @@ def image_thumbnails(
                 thumbs.append(bytes(encode_png_gray8(px.tobytes(), width, height)))
                 hs.append(g.shape[0])
                 ws.append(g.shape[1])
-                fmts.append(classify_media(b)[0])
+                # decode already succeeded via image_gray — the label
+                # needs only the magic-byte sniff, never a second
+                # decode (ADVICE r15: decode-once doctrine)
+                fmts.append(sniff_format(b))
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],

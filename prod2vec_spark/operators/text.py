@@ -310,16 +310,15 @@ def sentence_profile(
     )
     lens = F.transform(F.col("_sents"), lambda s: F.length(s))
     n = F.size("_sents")
-    # tail = everything after the last matched span; matched spans are
-    # contiguous from the start by construction (the pattern's two
-    # classes partition the alphabet), so raw-match total length ==
-    # the prefix length consumed
-    raw_lens = F.transform(
-        F.regexp_extract_all(F.col("_t"), F.lit(SENTENCE_RE), F.lit(0)),
-        lambda s: F.length(s),
-    )
-    consumed = F.coalesce(
-        F.aggregate(raw_lens, F.lit(0), lambda a, x: a + x), F.lit(0)
+    # tail = everything after the LAST terminator: strip the anchored
+    # greedy prefix ending in a terminator and measure what is left.
+    # Anchored + greedy means the replace fires at most once, and a
+    # leading terminator run ('. Hello') is correctly consumed (the
+    # old contiguous-prefix accounting miscounted it as tail —
+    # ADVICE r15).  (?s) so '.' crosses newlines in BOTH Java regex
+    # and RE2 — the script_counts portability rule.
+    tail = F.length(
+        F.regexp_replace(F.col("_t"), r"(?s)^.*[.!?]", "")
     )
     return staged.select(
         id_col,
@@ -332,5 +331,5 @@ def sentence_profile(
         F.coalesce(F.array_max(lens), F.lit(0)).cast("long").alias(
             "max_sentence_chars"
         ),
-        (F.length("_t") - consumed).cast("long").alias("tail_chars"),
+        tail.cast("long").alias("tail_chars"),
     )

@@ -222,9 +222,7 @@ WITH s AS (
 ),
 m AS (
   SELECT doc_id, t, raw,
-         list_transform(raw, x -> trim(x)) AS sents,
-         coalesce(list_sum(list_transform(raw, x -> length(x))), 0)
-           AS consumed
+         list_transform(raw, x -> trim(x)) AS sents
   FROM s
 )
 SELECT doc_id,
@@ -235,7 +233,8 @@ SELECT doc_id,
             ELSE 0.0 END AS avg_sentence_chars,
        CAST(coalesce(list_max(list_transform(sents, x -> length(x))), 0)
             AS BIGINT) AS max_sentence_chars,
-       CAST(length(t) - consumed AS BIGINT) AS tail_chars
+       CAST(length(regexp_replace(t, '(?s)^.*[.!?]', ''))
+            AS BIGINT) AS tail_chars
 FROM m
 """
 

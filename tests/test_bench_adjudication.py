@@ -52,3 +52,48 @@ def test_fast_vm_cannot_hide_a_regression():
     # stays a regression even if the raw canary read 0.5x
     verdict, _ = adjudicate(4.0, 2.0, 1.0)
     assert verdict == "regression"
+
+
+def _baseline():
+    import json
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BASELINE.json",
+    )
+    with open(path) as f:
+        return json.load(f)
+
+
+def test_every_catalog_entry_has_a_baseline_row():
+    """VERDICT r15 'what's wrong' #1: dsir_select entered the catalog
+    without a BASELINE.json row and silently escaped the 2x regression
+    tripwire for five rounds.  Structural guard: every driver-catalog
+    entry (plus the always-timed bench macros) must carry a recorded
+    baseline, so a rotation can never ship outside the gate again."""
+    from bench import CURATION10X, CURATION_ALL, CURATION_FULL, FLAGSHIP, STREAMING
+    from prod2vec_spark.queries import CATALOG
+
+    timed = set(CATALOG) | {
+        FLAGSHIP, CURATION10X, CURATION_FULL, CURATION_ALL, STREAMING
+    }
+    baseline = set(_baseline().get("queries", {}))
+    missing = sorted(timed - baseline)
+    assert not missing, (
+        f"timed bench entries with no BASELINE.json row (outside the "
+        f"2x tripwire): {missing}"
+    )
+
+
+def test_every_baseline_row_has_a_protocol():
+    """VERDICT r15 ask #9: adjudication code refuses cross-protocol
+    comparisons via BASELINE.json's per-entry 'protocols' map — which
+    only works if the map stays total over the recorded queries."""
+    b = _baseline()
+    queries = set(b.get("queries", {}))
+    protocols = b.get("protocols", {})
+    allowed = {"r3-raw", "isolated-raw", "canary-verified"}
+    missing = sorted(queries - set(protocols))
+    assert not missing, f"baseline rows with no protocol entry: {missing}"
+    bad = {k: v for k, v in protocols.items() if v not in allowed}
+    assert not bad, f"unknown protocol labels: {bad}"

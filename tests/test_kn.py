@@ -731,3 +731,34 @@ def test_knn_per_level_pruning_backs_off_gracefully(spark):
         full.pruned(min_counts={9: 2})
     # the top-level floor still rides meta through save/load
     assert pruned.min_count == 1
+
+
+def test_knn_per_level_floors_persist_and_no_implicit_top(spark, tmp_path):
+    """ADVICE r15: (a) the FULL {level: floor} map survives save/load
+    — a model floored at level 3 must not round-trip indistinguishable
+    from a full fit at that level; (b) pruned(min_counts={3: k})
+    floors ONLY level 3 — the top level keeps its full table instead
+    of silently inheriting the default floor of 2."""
+    from prod2vec_spark.operators.lm import KNnModel, fit_knn
+
+    train = spark.createDataFrame(
+        [(1, "a b c d e a b c d e"), (2, "a b c d f"), (3, "a b x d e")],
+        "doc_id long, text string",
+    )
+    full = fit_knn(train, order=4)
+    # (b) mid-level-only floor: top level untouched
+    mid_only = full.pruned(min_counts={3: 3})
+    assert mid_only.min_count is None
+    assert mid_only.min_counts == {3: 3}
+    assert mid_only.counts[4].count() == full.counts[4].count()
+    assert mid_only.counts[3].count() < full.counts[3].count()
+    # (a) the whole map round-trips
+    mixed = full.pruned(min_count=2, min_counts={3: 3})
+    assert mixed.min_counts == {4: 2, 3: 3}
+    mixed.save(str(tmp_path / "kn4m"))
+    loaded = KNnModel.load(spark, str(tmp_path / "kn4m"), order=4)
+    assert loaded.min_counts == {4: 2, 3: 3}
+    assert loaded.min_count == 2
+    # no-arg default unchanged: top level floors at 2
+    dflt = full.pruned()
+    assert dflt.min_counts == {4: 2} and dflt.min_count == 2

@@ -989,6 +989,31 @@ def test_cc_reliable_checkpoint_equivalence(spark, tmp_path):
     }
 
 
+def test_break_lineage_warns_on_checkpoint_root_repoint(spark, tmp_path):
+    """ADVICE r15: setCheckpointDir is SparkContext-global — silently
+    re-pointing an already-set different root races concurrent
+    operators.  break_lineage must warn (naming both roots) on a
+    re-point and stay silent on an idempotent repeat."""
+    import warnings
+
+    from prod2vec_spark.functions.lineage import break_lineage
+
+    df = spark.range(3)
+    a = str(tmp_path / "root_a")
+    b = str(tmp_path / "root_b")
+    break_lineage(df, checkpoint_dir=a)
+    # same root again: no warning
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        break_lineage(df, checkpoint_dir=a)
+    # different root: one RuntimeWarning naming both
+    with warnings.catch_warnings(record=True) as got:
+        warnings.simplefilter("always")
+        break_lineage(df, checkpoint_dir=b)
+    msgs = [str(w.message) for w in got if w.category is RuntimeWarning]
+    assert any("root_a" in m and "root_b" in m for m in msgs)
+
+
 def test_fit_knn_reliable_checkpoint_equivalence(spark, tmp_path):
     """fit_knn's per-level lineage breaks honor checkpoint_dir with
     score output row-identical to the localCheckpoint path."""

@@ -50,3 +50,25 @@ def test_sentence_profile_stats(spark):
     assert got[2]["avg_sentence_chars"] == 0.0
     assert got[2]["tail_chars"] == len("no end")
     assert got[3]["n_sentences"] == 0 and got[3]["tail_chars"] == 0
+
+
+def test_sentence_profile_leading_terminator(spark):
+    """ADVICE r15: text that BEGINS with terminator chars must not
+    count the unmatched leading run as tail — tail_chars is the
+    characters after the LAST terminator, full stop."""
+    rows = [
+        (1, ". Hello."),          # leading '.', fully terminated
+        (2, "?!Only leading"),    # leading run then unterminated text
+        (3, "...a. b"),           # leading ellipsis, tail ' b'
+        (4, "x.\ny"),             # newline in the tail region
+        (5, "a.\nb. c"),          # newline BEFORE the last terminator
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in sentence_profile(docs).collect()}
+    assert got[1]["tail_chars"] == 0
+    assert got[1]["n_sentences"] == 1  # ' Hello.' -> 'Hello.'
+    assert got[2]["tail_chars"] == len("Only leading")
+    assert got[2]["n_sentences"] == 0
+    assert got[3]["tail_chars"] == len(" b")
+    assert got[4]["tail_chars"] == len("\ny")
+    assert got[5]["tail_chars"] == len(" c")
