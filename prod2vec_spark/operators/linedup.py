@@ -200,3 +200,112 @@ def doc_distinct_segment_hashes(
             ).alias("seg_h"),
         )
     )
+
+
+def sentence_dedup(
+    docs: DataFrame,
+    min_docs: int = 2,
+    min_chars: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_repeats: bool = True,
+    policy: str = "drop_all",
+) -> DataFrame:
+    """Cross-document repeated-SENTENCE screen (round 16 — the CCNet
+    segment plane at sentence granularity, built on the round-15
+    ``sentences`` primitive; the SFT-example-prep building block its
+    docstring promised).  Per-document survival report
+    (doc_id, n_sentences, n_dropped, kept_text): a sentence appearing
+    in ``min_docs``-or-more DISTINCT documents is boilerplate
+    (nav chrome, license blurbs, disclaimer lines), removed per
+    ``policy``; kept_text is the position-ordered join of surviving
+    sentences.  Unterminated tail text is OUT OF SCOPE by the
+    ``sentences`` contract (sentence_profile reports it as
+    tail_chars); NULL/empty docs survive with kept_text='' via the
+    left join back to the corpus.
+
+    ``min_chars``: sentences shorter than this never participate in
+    the repeated screen (they are always kept) — the standard guard
+    against nuking short ubiquitous sentences ("Yes.", "Thanks.")
+    that are content, not boilerplate.  Hash-identity note: a short
+    and a long sentence can never share an xxhash64 bucket-decision
+    inconsistently, since equal hashes come from equal sentences
+    (mod collision) and equal sentences share one length.
+
+    ``policy`` mirrors segment_dedup: "drop_all" (CCNet — every copy
+    cut) or "keep_first" (Lee et al. 2022 ExactSubstr choice — the
+    min-id document containing the sentence keeps it).
+
+    Scale shape (the segment_dedup discipline): explode to
+    (doc_id, pos, sentence) row-locally; ONE hash-agg shuffle on the
+    8-byte xxhash64 sentence key for the distinct-doc counts (+ the
+    min-id owner for keep_first); the repeated set is the >=min_docs
+    tail of the sentence-frequency distribution — broadcastable in
+    practice (``broadcast_repeats``, default True; set False and
+    Spark plans a shuffle hash join on the same 8-byte key); one
+    reassembly shuffle per doc_id.  No driver-side work, no UDFs.
+
+    DuckDB oracle (queries_r16): identical splits via the shared
+    lookaround-free SENTENCE_RE, positions via unnest(range()),
+    count(DISTINCT doc_id), string_agg(... ORDER BY pos).
+    """
+    if policy not in ("drop_all", "keep_first"):
+        raise ValueError(f"unknown sentence policy: {policy!r}")
+    from prod2vec_spark.operators.text import sentences
+
+    sents = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(sentences(F.col(text_col))).alias("pos", "sent"),
+    ).withColumn("sent_h", F.xxhash64("sent"))
+    elig = sents.where(F.length("sent") >= min_chars)
+    if policy == "drop_all":
+        repeats = (
+            elig.groupBy("sent_h")
+            .agg(F.count_distinct("doc_id").alias("n_docs"))
+            .where(F.col("n_docs") >= min_docs)
+            .select("sent_h")
+        )
+        if broadcast_repeats:
+            repeats = F.broadcast(repeats)
+        kept = sents.join(repeats, "sent_h", "left_anti")
+    else:
+        owners = (
+            elig.groupBy("sent_h")
+            .agg(
+                F.count_distinct("doc_id").alias("n_docs"),
+                F.min("doc_id").alias("owner"),
+            )
+            .where(F.col("n_docs") >= min_docs)
+            .select("sent_h", "owner")
+        )
+        if broadcast_repeats:
+            owners = F.broadcast(owners)
+        kept = (
+            sents.join(owners, "sent_h", "left")
+            .where(
+                F.col("owner").isNull() | (F.col("doc_id") == F.col("owner"))
+            )
+            .drop("owner")
+        )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "sent"))),
+                lambda s: s.sent,
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+    totals = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(sentences(F.col(text_col))).cast("long").alias("n_sentences"),
+    )
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_sentences",
+        (
+            F.col("n_sentences") - F.coalesce(F.col("n_kept"), F.lit(0))
+        ).alias("n_dropped"),
+        F.coalesce(F.col("kept_text"), F.lit("")).alias("kept_text"),
+    )

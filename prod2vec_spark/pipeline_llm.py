@@ -155,6 +155,17 @@ class CorpusConfig:
     # shared windows vanish everywhere) or "keep_first" (ExactSubstr:
     # the min-id doc containing a window keeps it, one copy survives)
     seg_policy: str = "drop_all"
+    # round-16: sentence-level dedup (the segment plane at SENTENCE
+    # granularity, operators/linedup.sentence_dedup) — cross-document
+    # repeated sentences cut per sent_policy; docs losing more than
+    # sent_max_dropped_frac of their sentences drop entirely.
+    # Independent of segment_dedup (both can run; sentences after
+    # windows — the finer screen judges the coarser screen's output).
+    sentence_dedup: bool = False
+    sent_min_docs: int = 2
+    sent_min_chars: int = 12
+    sent_max_dropped_frac: float = 0.5
+    sent_policy: str = "drop_all"
     # bigram-LM perplexity gate after the quality filter: drop the
     # highest-ppl tail (lm_drop_pct) — the KenLM-style fluency screen.
     lm_gate: bool = False
@@ -622,6 +633,50 @@ class CorpusCurationPipeline:
         out = docs.drop("text").join(kept, "doc_id")
         write_parquet(out, f"{self.cfg.work_dir}/segment_deduped")
         return self.spark.read.parquet(f"{self.cfg.work_dir}/segment_deduped")
+
+    # -- stage 1.6: sentence dedup (optional, round 16) ----------------
+    def sentence_dedup(self, docs: DataFrame) -> DataFrame:
+        """Cross-document repeated-SENTENCE removal (the segment plane
+        at sentence granularity): sentences >= sent_min_chars chars
+        appearing in >= sent_min_docs distinct documents are cut per
+        sent_policy; docs losing more than sent_max_dropped_frac of
+        their sentences leave the corpus (boilerplate pages).  Docs
+        with ZERO sentences (no terminal punctuation — short titles,
+        code fragments) pass through untouched: the screen has no
+        evidence about them, and 0/0 must not read as 'dropped
+        everything'."""
+        from prod2vec_spark.operators.linedup import sentence_dedup
+
+        rep = sentence_dedup(
+            docs,
+            min_docs=self.cfg.sent_min_docs,
+            min_chars=self.cfg.sent_min_chars,
+            policy=self.cfg.sent_policy,
+        )
+        kept = rep.where(
+            (F.col("n_sentences") == 0)
+            | (
+                (F.col("n_dropped") / F.col("n_sentences"))
+                <= F.lit(self.cfg.sent_max_dropped_frac)
+            )
+        )
+        # zero-sentence docs keep their ORIGINAL text (kept_text would
+        # be '' — the sentences contract scopes out unterminated text)
+        kept = kept.select("doc_id", "n_sentences", "kept_text")
+        out = (
+            docs.join(kept, "doc_id")
+            .withColumn(
+                "text",
+                F.when(F.col("n_sentences") > 0, F.col("kept_text")).otherwise(
+                    F.col("text")
+                ),
+            )
+            .drop("n_sentences", "kept_text")
+        )
+        write_parquet(out, f"{self.cfg.work_dir}/sentence_deduped")
+        return self.spark.read.parquet(
+            f"{self.cfg.work_dir}/sentence_deduped"
+        )
 
     # -- stage 2: quality filter ---------------------------------------
     def quality_filter(self, docs: DataFrame) -> DataFrame:
@@ -1205,6 +1260,11 @@ class CorpusCurationPipeline:
                 ("segment_dedup",
                  self.spark.read.parquet(f"{cfg.work_dir}/segment_deduped"))
             )
+        if cfg.sentence_dedup:
+            chain.append(
+                ("sentence_dedup",
+                 self.spark.read.parquet(f"{cfg.work_dir}/sentence_deduped"))
+            )
         chain.append(
             ("quality_filter",
              self.spark.read.parquet(f"{cfg.work_dir}/quality_kept"))
@@ -1262,6 +1322,8 @@ class CorpusCurationPipeline:
         n_exact = exact.count()
         if self.cfg.segment_dedup:
             exact = self._timed("segment_dedup", self.segment_dedup, exact)
+        if self.cfg.sentence_dedup:
+            exact = self._timed("sentence_dedup", self.sentence_dedup, exact)
         quality = self._timed("quality_filter", self.quality_filter, exact)
         if self.cfg.lm_gate:
             quality = self._timed("lm_gate", self.lm_gate, quality)
@@ -1469,6 +1531,7 @@ class CorpusCurationPipeline:
                 ("canonical_policy!=min_id", cfg.canonical_policy != "min_id"),
                 ("quality_scope!=global", cfg.quality_scope != "global"),
                 ("segment_dedup", cfg.segment_dedup),
+                ("sentence_dedup", cfg.sentence_dedup),
                 ("lm_gate", cfg.lm_gate),
                 ("semantic_dedup", cfg.semantic_dedup),
                 ("editdist_verify", cfg.editdist_verify),

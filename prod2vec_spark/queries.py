@@ -533,6 +533,7 @@ from prod2vec_spark.queries_r12 import R12_ORACLES, R12_QUERIES  # noqa: E402
 from prod2vec_spark.queries_r13 import R13_ORACLES, R13_QUERIES  # noqa: E402
 from prod2vec_spark.queries_r14 import R14_ORACLES, R14_QUERIES  # noqa: E402
 from prod2vec_spark.queries_r15 import R15_ORACLES, R15_QUERIES  # noqa: E402
+from prod2vec_spark.queries_r16 import R16_ORACLES, R16_QUERIES  # noqa: E402
 
 # Superset registry: EVERY implemented query, including the ones the
 # driver-facing catalog consolidated away (they keep full pytest
@@ -542,12 +543,14 @@ ALL_QUERIES: dict[str, QueryFn] = {
     **R5_QUERIES, **R6_QUERIES, **R6B_QUERIES, **R7_QUERIES, **R7B_QUERIES,
     **R7C_QUERIES, **R9_QUERIES, **R9B_QUERIES, **R11_QUERIES,
     **R12_QUERIES, **R13_QUERIES, **R14_QUERIES, **R15_QUERIES,
+    **R16_QUERIES,
 }
 ALL_ORACLES: dict[str, str] = {
     **_ORACLES_CORE, **EXT_ORACLES, **MORE_ORACLES, **R3_ORACLES, **R4_ORACLES,
     **R5_ORACLES, **R6_ORACLES, **R6B_ORACLES, **R7_ORACLES, **R7B_ORACLES,
     **R7C_ORACLES, **R9_ORACLES, **R9B_ORACLES, **R11_ORACLES,
     **R12_ORACLES, **R13_ORACLES, **R14_ORACLES, **R15_ORACLES,
+    **R16_ORACLES,
 }
 ALL_ORACLES["dq_suite"] = _sql_dq_suite()  # composed after SQL_DQ_* exist
 
@@ -711,6 +714,49 @@ CATALOG: list[str] = [
     #     dedup) ← string_agg_names out: the rank-ordered string agg
     #     (F9) executes inside word2vec_neighbors' enrichment leg
     #     (catalog) and stays superset-oracled.
+    # round-16 rotation (VERDICT r15 ask #1): the round-15 tranche gets
+    # its per-round driver verdicts — six strictly-reasoned swaps,
+    # every retiree keeping its full superset oracle + family catalog
+    # siblings (the standing rotation protocol):
+    #   webp_crosscodec_neardup in (the VP8L codec certified INSIDE
+    #     the dedup plane: PNG and lossless-WebP encodings of the same
+    #     planted families pair cross-codec, fully oracled via the
+    #     fixture-split protocol) ← minhash_jaccard_audit out: the
+    #     near-dup estimator family keeps dedup_clusters,
+    #     neardup_editdist, verbatim_span_pairs, embedding_neardup AND
+    #     decontaminate_fuzzy (which runs the same MinHash-vs-exact-
+    #     Jaccard machinery) in the catalog; the estimator audit stays
+    #     superset-oracled.
+    #   phash_neardup in (the image banded-Hamming plane under its
+    #     round-15 FULL DuckDB oracle — a strict verdict-class upgrade
+    #     from the old rows-only contract) ← quantile_sketch out: the
+    #     mergeable-sketch family keeps heavy_hitters (CMS) and
+    #     bloom_blocklist in the catalog; the KLL twin stays
+    #     superset-oracled.
+    #   audio_neardup in (the audio fingerprint plane, same
+    #     fixture-split full-oracle upgrade) ← events_json out: the
+    #     events family keeps sessionize + asof_latest_event in the
+    #     catalog; the JSON-source parse shape stays superset-oracled.
+    #   thumbnail_audit in (the resize operator end-to-end: decode →
+    #     area-average downsample → PNG re-encode, golden-column
+    #     oracled) ← decontaminate out: the decontamination family
+    #     keeps decontaminate_fuzzy (the strictly finer screen) in the
+    #     catalog; the exact n-gram scrub stays superset-oracled and
+    #     runs in every __curation_all__ bench macro.
+    #   mmr_diverse_topk in (the greedy diversity re-rank, oracled
+    #     round 15 via a DuckDB recursive CTE — a strictly stronger
+    #     verdict class than its old rows-only self) ←
+    #     skipgram_subsampled out: the seeded-sampling family keeps
+    #     skipgram_stats, negative_sampling_stats, temperature_mix and
+    #     dsir_select in the catalog; the subsample screen stays
+    #     superset-oracled.
+    #   compression_profile in (zlib compression-ratio quality signal,
+    #     oracled round 15 via persisted golden lengths with the live
+    #     codec on the Spark side) ← setops_parts out: the set-
+    #     semantics family keeps distinct_parts in the catalog;
+    #     union/intersect/except stay superset-oracled.
+    "webp_crosscodec_neardup", "phash_neardup", "audio_neardup",
+    "thumbnail_audit", "mmr_diverse_topk", "compression_profile",
     "kn5m_perplexity", "media_format_audit", "badwords_gate",
     "decontaminate_fuzzy",
     "audio_span_audit", "packed_wordpiece_ids",
@@ -720,9 +766,9 @@ CATALOG: list[str] = [
     # Jaccard internally + verbatim_span_pairs keeps the n-gram plane;
     # ann_topk → the exact brute force still executes inside
     # ann_recall's ground-truth side every round)
-    "quantile_sketch", "verbatim_span_pairs",
+    "verbatim_span_pairs",  # (quantile_sketch retired r16)
     # round-6 new (wave 2: LLM depth tranche)
-    "doc_repetition", "decontaminate",
+    "doc_repetition",  # (decontaminate retired r16)
     "semdedup_audit", "pii_scrub",
     # round-11 rotation (VERDICT r9 ask #9): doc_chunks →
     # packed_input_ids — the chunking module's TERMINAL op
@@ -744,7 +790,7 @@ CATALOG: list[str] = [
     "heavy_hitters",
     "bloom_blocklist",
     # round-5 new / reshaped
-    "minhash_jaccard_audit", "word2vec_neighbors", "kmeans_audit",
+    "word2vec_neighbors", "kmeans_audit",  # (minhash_jaccard_audit retired r16)
     # round-12 rotation (VERDICT r11 asks #2/#5): the PQ plane —
     # round 11's flagship ANN addition — gets a per-round driver
     # verdict via ann_ivfpq_topk (the composed FAISS shape: IVF
@@ -762,7 +808,7 @@ CATALOG: list[str] = [
     #     inside sessionize's gap windows and packed_input_ids'
     #     shard cumsum).
     "ann_ivfpq_topk",
-    "setops_parts",  # (text_profile retired r15)
+    # (setops_parts retired r16; text_profile retired r15)
     "dq_suite", "distinct_parts",
     # relational / grouping-sets / window plane
     "pricing_summary", "baskets", "vocab", "index_items",
@@ -772,12 +818,12 @@ CATALOG: list[str] = [
     "revenue_topk",
     "asof_latest_event", "range_join_bands",
     # seeded randomness / sampling
-    "skipgram_subsampled",  # (string_agg_names retired r15)
+    # (skipgram_subsampled retired r16; string_agg_names retired r15)
     # LLM pipeline: dedup / text / similarity
     "dedup_clusters", "quality_filter", "embedding_neardup",
     "ann_ivf_topk",
     # events
-    "events_json", "sessionize",
+    "sessionize",  # (events_json retired r16)
 ]
 # ---------------------------------------------------------------------
 # Rotation debt — PERMANENTLY superset-only families (do not burn
@@ -809,19 +855,17 @@ CATALOG: list[str] = [
 # Round-15 rotation DONE (VERDICT r14 ask #1): kn5m_perplexity,
 # media_format_audit, badwords_gate, decontaminate_fuzzy are now
 # catalog entries (see the round-15 block above for the four
-# retirees' family reasoning).  Round-16 rotation candidates (fully
-# oracled, superset-only, round-15 tranche first): 
-#   webp_crosscodec_neardup (the VP8L codec certified INSIDE the
-#     dedup plane through the mixed-modality door),
-#   thumbnail_audit (the resize operator end-to-end),
-#   mmr_diverse_topk (the recursion-oracled greedy re-rank — a
-#     strictly stronger verdict class than its old rows-only self),
-#   compression_profile (golden-length oracled zlib),
-#   phash_neardup / audio_neardup (fixture-split upgrades),
-# plus the round-13 leftovers video_span_audit / packed_unigram_ids /
-# kn3_perplexity.  Standard protocol: retirees keep superset oracles
-# + family catalog siblings; plan snapshots re-blessed; fresh
-# isolated baselines.
+# retirees' family reasoning).
+# Round-16 rotation DONE (VERDICT r15 ask #1): webp_crosscodec_neardup,
+# phash_neardup, audio_neardup, thumbnail_audit, mmr_diverse_topk,
+# compression_profile are now catalog entries (see the round-16 block
+# above for the six retirees' family reasoning).  Round-17 rotation
+# candidates (fully oracled, superset-only): the round-13 leftovers
+# video_span_audit / packed_unigram_ids / kn3_perplexity, plus any
+# round-16 tranche entries.  Standard protocol: retirees keep superset
+# oracles + family catalog siblings; plan snapshots re-blessed; fresh
+# isolated baselines recorded BEFORE the rotation commit (the
+# dsir_select tripwire test fails otherwise — by design).
 # ---------------------------------------------------------------------
 # import-time guards (explicit raise, NOT assert: asserts vanish under
 # python -O and the driver catalog must stay guarded in optimized runs)

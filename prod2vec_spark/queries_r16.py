@@ -1,0 +1,163 @@
+"""Round-16 superset queries.
+
+* ``sentence_dedup_stats`` — the cross-document repeated-sentence
+  screen (operators/linedup.sentence_dedup, VERDICT r15 ask #3): the
+  CCNet segment plane at SENTENCE granularity, fully replayed by
+  DuckDB (identical splits via the shared lookaround-free
+  SENTENCE_RE, count(DISTINCT doc_id) boilerplate set,
+  position-ordered reassembly).
+* ``sentence_dedup_keepfirst`` — the same screen under the
+  keep_first policy (Lee et al. 2022 ExactSubstr choice): the min-id
+  document containing a repeated sentence keeps it, every other copy
+  is cut — exactly one survivor per repeated sentence corpus-wide.
+
+Sentence-corpus note: the synthetic documents table deliberately has
+NO terminal punctuation (it was generated for token-window operators),
+so these entries first derive a SENTENCED corpus from it — two
+40-char substring sentences per document plus boilerplate sentences
+planted on deterministic doc_id residues — with the same expression
+in both engines (substr/CASE/|| are 1-based and ASCII-identical in
+Spark and DuckDB).  The screen then has real cross-document repeats
+to find: the planted boilerplate repeats corpus-wide; the substring
+sentences are (almost always) unique per doc, and where amplified
+replicas make them repeat, both engines agree.
+
+Reference parity: n/a — the reference (pipeline/data_preprocessing/
+data_prep.py) has no cross-document text hygiene; ENGINE scope.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from prod2vec_spark.sources.io import read_table
+
+_SD_MIN_DOCS = 2
+_SD_MIN_CHARS = 12
+_SD_DISCLAIMER = "This content is provided for informational purposes only."
+_SD_PROMO = "Subscribe to our newsletter for weekly updates!"
+
+
+def sentence_corpus(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) with REAL sentences: two trimmed 40-char
+    substring sentences from the document's own text, a disclaimer
+    planted on doc_id % 3 == 0 and a promo on doc_id % 5 == 0 — the
+    deterministic cross-document boilerplate the sentence screen
+    exists to remove.  Row-local; the identical expression replays in
+    DuckDB (see _SQL_SENT_CORPUS)."""
+    base = F.coalesce(F.col("text"), F.lit(""))
+    s1 = F.trim(F.substring(base, 1, 40))
+    s2 = F.trim(F.substring(base, 41, 40))
+    parts = F.array(
+        F.when(s1 != "", F.concat(s1, F.lit("."))),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(_SD_DISCLAIMER)),
+        F.when(s2 != "", F.concat(s2, F.lit("."))),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(_SD_PROMO)),
+    )
+    return docs.select(
+        "doc_id",
+        F.array_join(F.filter(parts, lambda x: x.isNotNull()), " ").alias(
+            "text"
+        ),
+    )
+
+
+_SQL_SENT_CORPUS = f"""
+  SELECT doc_id,
+         concat_ws(' ',
+           CASE WHEN trim(substr(coalesce(text, ''), 1, 40)) <> ''
+                THEN trim(substr(coalesce(text, ''), 1, 40)) || '.' END,
+           CASE WHEN doc_id % 3 = 0 THEN '{_SD_DISCLAIMER}' END,
+           CASE WHEN trim(substr(coalesce(text, ''), 41, 40)) <> ''
+                THEN trim(substr(coalesce(text, ''), 41, 40)) || '.' END,
+           CASE WHEN doc_id % 5 = 0 THEN '{_SD_PROMO}' END
+         ) AS text
+  FROM documents
+"""
+
+
+def q_sentence_dedup_stats(spark, sf_dir):
+    """Per-document repeated-sentence survival report under the CCNet
+    drop_all policy over the sentenced corpus: sentences >= 12 chars
+    appearing in >= 2 distinct documents are cut from every document;
+    shorter sentences are always kept (the short-ubiquitous-sentence
+    guard)."""
+    from prod2vec_spark.operators.linedup import sentence_dedup
+
+    docs = sentence_corpus(read_table(spark, sf_dir, "documents"))
+    return sentence_dedup(
+        docs, min_docs=_SD_MIN_DOCS, min_chars=_SD_MIN_CHARS
+    )
+
+
+def q_sentence_dedup_keepfirst(spark, sf_dir):
+    """Same screen, keep_first policy: the minimum-doc_id document
+    containing each repeated sentence keeps its copies; every other
+    document cuts them."""
+    from prod2vec_spark.operators.linedup import sentence_dedup
+
+    docs = sentence_corpus(read_table(spark, sf_dir, "documents"))
+    return sentence_dedup(
+        docs,
+        min_docs=_SD_MIN_DOCS,
+        min_chars=_SD_MIN_CHARS,
+        policy="keep_first",
+    )
+
+
+_SENT_PAT = r"[^.!?]+[.!?]+"
+
+
+def _sql_sentence_dedup(policy: str) -> str:
+    keep = (
+        "sent NOT IN (SELECT sent FROM rep)"
+        if policy == "drop_all"
+        else (
+            "sent NOT IN (SELECT sent FROM rep) OR doc_id IN "
+            "(SELECT owner FROM rep r WHERE r.sent = e.sent)"
+        )
+    )
+    return f"""
+WITH corpus AS ({_SQL_SENT_CORPUS}),
+s AS (
+  SELECT doc_id,
+         list_transform(
+           regexp_extract_all(coalesce(text, ''), '{_SENT_PAT}'),
+           x -> trim(x)) AS sents
+  FROM corpus
+),
+e AS (
+  SELECT doc_id, CAST(u.i AS INT) AS pos, sents[u.i + 1] AS sent
+  FROM s, unnest(range(0, len(sents))) AS u(i)
+),
+rep AS (
+  SELECT sent, min(doc_id) AS owner
+  FROM e
+  WHERE length(sent) >= {_SD_MIN_CHARS}
+  GROUP BY sent
+  HAVING count(DISTINCT doc_id) >= {_SD_MIN_DOCS}
+),
+reb AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(sent, ' ' ORDER BY pos) AS kept_text
+  FROM e
+  WHERE {keep}
+  GROUP BY doc_id
+)
+SELECT s.doc_id,
+       CAST(len(s.sents) AS BIGINT) AS n_sentences,
+       CAST(len(s.sents) - coalesce(reb.n_kept, 0) AS BIGINT) AS n_dropped,
+       coalesce(reb.kept_text, '') AS kept_text
+FROM s LEFT JOIN reb ON s.doc_id = reb.doc_id
+"""
+
+
+R16_QUERIES = {
+    "sentence_dedup_stats": q_sentence_dedup_stats,
+    "sentence_dedup_keepfirst": q_sentence_dedup_keepfirst,
+}
+R16_ORACLES: dict[str, str] = {
+    "sentence_dedup_stats": _sql_sentence_dedup("drop_all"),
+    "sentence_dedup_keepfirst": _sql_sentence_dedup("keep_first"),
+}
