@@ -113,3 +113,94 @@ def badwords_gate(
         .withColumn("badword_frac", frac)
         .withColumn("bad_verdict", F.col("badword_frac") > F.lit(max_frac))
     )
+
+
+def badwords_by_lang(
+    docs: DataFrame,
+    lists: "dict[str, dict[str, tuple[str, ...]]]",
+    *,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    max_frac: float = 0.0,
+    default_lang: "str | None" = None,
+) -> DataFrame:
+    """Per-LANGUAGE badwords gate (round 16, VERDICT r15 ask #8): the
+    C4 blocklist is per-language in production (the public list ships
+    ~25 language files) — ``lists`` maps lang -> {category -> words}
+    and each document is screened against ITS OWN language's list,
+    selected row-locally by ``lang_col`` (the lm_by_lang
+    one-grouped-computation rule: one pass, no per-language frame
+    split, no shuffle).
+
+    Output: ``hits_<category>`` for every category in the UNION of
+    all languages' category sets (a doc whose language's list lacks a
+    category reads 0 there — its language IS listed, the list simply
+    has no such category), plus ``n_tokens`` / ``badword_frac`` /
+    ``bad_verdict`` exactly as badwords_gate.
+
+    Documents whose language is NOT a key of ``lists`` (including
+    NULL lang) fall back to ``default_lang``'s list when given, else
+    read 0 hits everywhere and pass — an unscreened language is
+    absence of evidence, not a verdict; route it to a lang-ID stage,
+    not a drop.
+
+    Matching semantics are badwords_gate's verbatim (same
+    ``_category_hits``): whole-token single words with
+    punctuation-edge stripping, substring counting for space-bearing
+    phrases.  Scale shape: every list is a literal in the plan (the
+    full 25-language C4 blocklist is a few thousand words — trivially
+    broadcastable as constants); the gate stays one row-local HOF
+    pass inside whole-stage codegen, zero shuffle.
+    """
+    if not lists:
+        raise ValueError("badwords_by_lang needs at least one language")
+    for lang, cats in lists.items():
+        if not cats:
+            raise ValueError(f"language {lang!r} has no categories")
+        for cat, words in cats.items():
+            if not words:
+                raise ValueError(
+                    f"badwords category {lang}/{cat} has no words"
+                )
+            if not cat.isidentifier():
+                raise ValueError(
+                    f"category name {cat!r} must be a valid column suffix"
+                )
+    if default_lang is not None and default_lang not in lists:
+        raise ValueError(
+            f"default_lang {default_lang!r} is not a key of lists"
+        )
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lower_text = F.lower(text)
+    toks = F.filter(
+        F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != ""
+    )
+    all_cats = sorted({c for cats in lists.values() for c in cats})
+    out = docs
+    total = F.lit(0).cast("long")
+    for cat in all_cats:
+        # fallback leg first (unlisted languages), then one CASE arm
+        # per language — all row-local column expressions
+        if default_lang is not None and cat in lists[default_lang]:
+            expr = _category_hits(toks, lower_text, lists[default_lang][cat])
+        else:
+            expr = F.lit(0).cast("long")
+        for lang in sorted(lists):
+            arm = (
+                _category_hits(toks, lower_text, lists[lang][cat])
+                if cat in lists[lang]
+                else F.lit(0).cast("long")
+            )
+            expr = F.when(F.col(lang_col) == F.lit(lang), arm).otherwise(expr)
+        out = out.withColumn(f"hits_{cat}", expr)
+        total = total + F.col(f"hits_{cat}")
+    n_tokens = F.size(toks)
+    frac = F.round(
+        total.cast("double") / F.greatest(n_tokens, F.lit(1)).cast("double"),
+        6,
+    )
+    return (
+        out.withColumn("n_tokens", n_tokens)
+        .withColumn("badword_frac", frac)
+        .withColumn("bad_verdict", F.col("badword_frac") > F.lit(max_frac))
+    )

@@ -650,10 +650,24 @@ def ivf_pq_topk(
     cbs = codebooks if codebooks is not None else pq_codebooks(
         corpus, dims, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col
     )
-    m = len(cbs)
-    sub = len(cbs[0][0])
-    lits = _pq_literal(cbs)
-    # coarse quantizer: ivf_topk's seeded sample, verbatim protocol
+    cents = _ivf_seeded_centroids(corpus, n_centroids, id_col, vec_col)
+    enc = _ivfpq_encode(corpus, cents, cbs, id_col, vec_col)
+    return _ivfpq_probe(
+        enc, queries, cents, cbs,
+        k=k, nprobe=nprobe, refine=refine,
+        id_col=id_col, vec_col=vec_col,
+        corpus=corpus if refine else None,
+    )
+
+
+def _ivf_seeded_centroids(
+    corpus: DataFrame, n_centroids: int, id_col: str, vec_col: str
+) -> list[list[float]]:
+    """ivf_topk's seeded coarse-quantizer sample, verbatim protocol
+    ('ivf' md5 tag, driver-side unit scaling with the l2_norm fold) —
+    shared by ivf_pq_topk and IvfPqIndex.fit so cells always match."""
+    import math
+
     raw_rows = (
         corpus.select(id_col, vec_col)
         .where(l2_norm(F.col(vec_col)) > 0)
@@ -669,13 +683,34 @@ def ivf_pq_topk(
             acc = acc + x * x
         nrm = math.sqrt(acc)
         cents.append([x / nrm for x in v])
-    cmat = F.expr(
+    return cents
+
+
+def _cent_matrix(cents: list[list[float]]) -> Column:
+    return F.expr(
         "array("
         + ",".join(
             "array(" + ",".join(repr(c) + "D" for c in row) + ")" for row in cents
         )
         + ")"
     )
+
+
+def _ivfpq_encode(
+    corpus: DataFrame,
+    cents: list[list[float]],
+    cbs: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """ONE corpus pass: cid (raw-dot argmax against the unit
+    centroids) + PQ codes (unit slices against the codebooks) — zero
+    shuffle; (id, cid, codes) is the persistable index table
+    (~m bytes/vector, cell-prunable)."""
+    m = len(cbs)
+    sub = len(cbs[0][0])
+    lits = _pq_literal(cbs)
+    cmat = _cent_matrix(cents)
     cell_structs = F.zip_with(
         cmat,
         F.sequence(F.lit(0), F.lit(len(cents) - 1)),
@@ -686,8 +721,7 @@ def ivf_pq_topk(
         F.struct(F.lit(float("-inf")).alias("d"), F.lit(-1).cast("int").alias("i")),
         lambda acc, x: F.when(x["d"] > acc["d"], x).otherwise(acc),
     )["i"]
-    # ONE corpus pass: cid (raw-dot argmax) + PQ codes (unit slices)
-    enc = _with_unit(
+    return _with_unit(
         corpus.where(l2_norm(F.col(vec_col)) > 0), vec_col, "nvec"
     ).select(
         id_col,
@@ -699,7 +733,30 @@ def ivf_pq_topk(
             ]
         ).alias("codes"),
     )
-    # queries: nprobe nearest cells + the ADC LUT, broadcast together
+
+
+def _ivfpq_probe(
+    enc: DataFrame,
+    queries: DataFrame,
+    cents: list[list[float]],
+    cbs: list[list[list[float]]],
+    k: int,
+    nprobe: int,
+    refine: int,
+    id_col: str,
+    vec_col: str,
+    corpus: DataFrame | None = None,
+) -> DataFrame:
+    """Probe an encoded (id, cid, codes) table: broadcast equi-join on
+    cell id carrying each query's ADC LUT, per-query top-k window;
+    ``refine`` re-ranks the k*refine ADC shortlist against the RAW
+    ``corpus`` vectors (required exactly then — the index stores only
+    codes; at scale the raw vectors live in their own table)."""
+    if refine and corpus is None:
+        raise ValueError("refine > 0 needs the raw-vector corpus")
+    m = len(cbs)
+    sub = len(cbs[0][0])
+    cmat = _cent_matrix(cents)
     qkeyed = F.zip_with(
         cmat,
         F.sequence(F.lit(0), F.lit(len(cents) - 1)),
@@ -764,6 +821,118 @@ def ivf_pq_topk(
             "rank",
         )
     )
+
+
+class IvfPqIndex:
+    """A fitted, PERSISTABLE IVF+PQ index (round 16, VERDICT r15 ask
+    #6 — the ANN plane joins the KNnModel/BigramLM/LSH-band-table
+    train-once/probe-many discipline): coarse centroids + PQ
+    codebooks (tiny driver-side lists) plus the encoded corpus table
+    (id, cid, codes) — ~m bytes/vector, the only thing a probe scan
+    reads at 100 TB.
+
+    save/load follow the KNnModel parquet-meta pattern
+    (operators/lm.py): the codes table persists as plain parquet; the
+    quantizers ride a 1-row meta table as JSON (n_centroids x dims
+    doubles + the m x n_codes x sub codebook — a few KB).  ``ingest``
+    re-encodes NEW vectors with the STORED quantizers and unions the
+    codes table — the incremental-band-table convention (the archive
+    is never re-encoded, and cell assignments stay comparable across
+    ingests)."""
+
+    def __init__(
+        self,
+        dims: int,
+        cents: list[list[float]],
+        cbs: list[list[list[float]]],
+        enc: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ):
+        self.dims = dims
+        self.cents = cents
+        self.cbs = cbs
+        self.enc = enc
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    @staticmethod
+    def fit(
+        corpus: DataFrame,
+        dims: int,
+        n_centroids: int = 8,
+        m: int = 4,
+        n_codes: int = 8,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        codebooks: list[list[list[float]]] | None = None,
+    ) -> "IvfPqIndex":
+        """Same quantizer protocol as ivf_pq_topk verbatim (seeded
+        'ivf' centroids, seeded 'pq' codebooks or a caller-refined
+        set), so a fit-then-probe reproduces it row-for-row."""
+        cbs = codebooks if codebooks is not None else pq_codebooks(
+            corpus, dims, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col
+        )
+        cents = _ivf_seeded_centroids(corpus, n_centroids, id_col, vec_col)
+        enc = _ivfpq_encode(corpus, cents, cbs, id_col, vec_col)
+        return IvfPqIndex(dims, cents, cbs, enc, id_col, vec_col)
+
+    def topk(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        nprobe: int = 2,
+        refine: int = 0,
+        corpus: DataFrame | None = None,
+    ) -> DataFrame:
+        return _ivfpq_probe(
+            self.enc, queries, self.cents, self.cbs,
+            k=k, nprobe=nprobe, refine=refine,
+            id_col=self.id_col, vec_col=self.vec_col, corpus=corpus,
+        )
+
+    def ingest(self, new_corpus: DataFrame) -> "IvfPqIndex":
+        """Incremental ingest: encode ONLY the new vectors with the
+        stored quantizers, union onto the codes table.  The archive is
+        never re-encoded; quantizers are frozen at fit time (the FAISS
+        add() semantic) — re-fit when the distribution drifts."""
+        new_enc = _ivfpq_encode(
+            new_corpus, self.cents, self.cbs, self.id_col, self.vec_col
+        )
+        return IvfPqIndex(
+            self.dims, self.cents, self.cbs,
+            self.enc.unionByName(new_enc), self.id_col, self.vec_col,
+        )
+
+    def save(self, dir_path: str) -> None:
+        import json as _json
+
+        self.enc.write.mode("overwrite").parquet(f"{dir_path}/codes")
+        self.enc.sparkSession.createDataFrame(
+            [(
+                self.dims,
+                self.id_col,
+                self.vec_col,
+                _json.dumps(self.cents),
+                _json.dumps(self.cbs),
+            )],
+            "dims int, id_col string, vec_col string, "
+            "cents_json string, cbs_json string",
+        ).write.mode("overwrite").parquet(f"{dir_path}/meta")
+
+    @staticmethod
+    def load(spark, dir_path: str) -> "IvfPqIndex":
+        import json as _json
+
+        meta = spark.read.parquet(f"{dir_path}/meta").first()
+        return IvfPqIndex(
+            meta["dims"],
+            _json.loads(meta["cents_json"]),
+            _json.loads(meta["cbs_json"]),
+            spark.read.parquet(f"{dir_path}/codes"),
+            meta["id_col"],
+            meta["vec_col"],
+        )
 
 
 def embedding_neardup(

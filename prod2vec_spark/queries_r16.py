@@ -161,3 +161,86 @@ R16_ORACLES: dict[str, str] = {
     "sentence_dedup_stats": _sql_sentence_dedup("drop_all"),
     "sentence_dedup_keepfirst": _sql_sentence_dedup("keep_first"),
 }
+
+
+# ----------------------------------------- per-language badwords gate
+# Demo blocklists over the corpus vocabulary (stand-ins for the real
+# per-language C4 lists): en/de/es/fr each get their OWN list (es via
+# a space-bearing phrase to exercise substring counting per-language);
+# zh is deliberately unlisted and falls back to default_lang='en' —
+# the fallback leg is driver-checked, not just pytest-checked.
+BWL_LISTS: "dict[str, dict[str, tuple[str, ...]]]" = {
+    "en": {"latency": ("slow",), "scale": ("big", "small")},
+    "de": {"latency": ("slow", "fast")},
+    "es": {"latency": ("join order",)},
+    "fr": {"scale": ("table",)},
+}
+BWL_MAX_FRAC = 0.02
+
+
+def q_badwords_by_lang(spark, sf_dir):
+    """Per-language badwords screen (C4 ships per-language lists):
+    each document is gated against ITS language's blocklist, selected
+    row-locally — one HOF pass, zero shuffle
+    (operators/badwords.badwords_by_lang)."""
+    from prod2vec_spark.operators.badwords import badwords_by_lang
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    return badwords_by_lang(
+        docs, BWL_LISTS, max_frac=BWL_MAX_FRAC, default_lang="en"
+    ).select(
+        "doc_id", "lang", "hits_latency", "hits_scale",
+        "n_tokens", "badword_frac", "bad_verdict",
+    )
+
+
+def _sql_badwords_by_lang() -> str:
+    strip = "regexp_replace(x, '^[[:punct:]]+|[[:punct:]]+$', '', 'g')"
+    en_lat = f"CAST(len(list_filter(toks, x -> {strip} = 'slow')) AS BIGINT)"
+    de_lat = (
+        f"CAST(len(list_filter(toks, x -> {strip} IN ('fast', 'slow')))"
+        " AS BIGINT)"
+    )
+    es_lat = (
+        "CAST((length(lt) - length(replace(lt, 'join order', ''))) / 10"
+        " AS BIGINT)"
+    )
+    en_sca = (
+        f"CAST(len(list_filter(toks, x -> {strip} IN ('big', 'small')))"
+        " AS BIGINT)"
+    )
+    fr_sca = f"CAST(len(list_filter(toks, x -> {strip} = 'table')) AS BIGINT)"
+    zero = "CAST(0 AS BIGINT)"
+    return f"""
+WITH t AS (SELECT doc_id, lang,
+    lower(coalesce(text, '')) AS lt,
+    list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'),
+                x -> x <> '') AS toks
+  FROM documents),
+h AS (SELECT doc_id, lang,
+    CASE lang WHEN 'de' THEN {de_lat}
+              WHEN 'es' THEN {es_lat}
+              WHEN 'fr' THEN {zero}
+              WHEN 'en' THEN {en_lat}
+              ELSE {en_lat} END AS hits_latency,
+    CASE lang WHEN 'de' THEN {zero}
+              WHEN 'es' THEN {zero}
+              WHEN 'fr' THEN {fr_sca}
+              WHEN 'en' THEN {en_sca}
+              ELSE {en_sca} END AS hits_scale,
+    CAST(len(toks) AS INT) AS n_tokens
+  FROM t)
+SELECT doc_id, lang, hits_latency, hits_scale, n_tokens,
+  round(CAST(hits_latency + hits_scale AS DOUBLE)
+        / CAST(greatest(n_tokens, 1) AS DOUBLE), 6) AS badword_frac,
+  round(CAST(hits_latency + hits_scale AS DOUBLE)
+        / CAST(greatest(n_tokens, 1) AS DOUBLE), 6) > {BWL_MAX_FRAC}
+    AS bad_verdict
+FROM h
+"""
+
+
+R16_QUERIES["badwords_by_lang"] = q_badwords_by_lang
+R16_ORACLES["badwords_by_lang"] = _sql_badwords_by_lang()

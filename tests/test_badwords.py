@@ -117,3 +117,99 @@ def test_badwords_punctuation_adjacent_tokens_count(spark):
     assert out[2]["hits_tox"] == 2
     assert out[3]["hits_tox"] == 0
     assert out[4]["hits_tox"] == 1 and out[4]["bad_verdict"]
+
+
+def test_badwords_by_lang_selects_each_docs_own_list(spark):
+    """Round-16 (VERDICT r15 ask #8): each doc is screened against
+    ITS language's blocklist; a listed language missing a category
+    reads 0 there (not the default list); unlisted languages fall
+    back to default_lang; NULL lang follows the fallback too."""
+    from prod2vec_spark.operators.badwords import badwords_by_lang
+
+    rows = [
+        (1, "en", "the slow big engine"),
+        (2, "de", "der fast slow motor"),
+        (3, "fr", "la table grande table"),
+        (4, "zh", "slow big words here"),   # unlisted -> en fallback
+        (5, None, "slow small things"),     # NULL lang -> fallback
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    lists = {
+        "en": {"latency": ("slow",), "scale": ("big", "small")},
+        "de": {"latency": ("slow", "fast")},
+        "fr": {"scale": ("table",)},
+    }
+    got = {
+        r["doc_id"]: r
+        for r in badwords_by_lang(
+            docs, lists, default_lang="en"
+        ).collect()
+    }
+    assert (got[1]["hits_latency"], got[1]["hits_scale"]) == (1, 1)
+    # de list counts fast AND slow for latency, has NO scale category
+    assert (got[2]["hits_latency"], got[2]["hits_scale"]) == (2, 0)
+    # fr has no latency category — 'slow'-free text, scale counts 'table'
+    assert (got[3]["hits_latency"], got[3]["hits_scale"]) == (0, 2)
+    # zh unlisted -> en fallback
+    assert (got[4]["hits_latency"], got[4]["hits_scale"]) == (1, 1)
+    # NULL lang -> fallback as well
+    assert (got[5]["hits_latency"], got[5]["hits_scale"]) == (1, 1)
+
+
+def test_badwords_by_lang_language_independence(spark):
+    """Adding another language's list must not change any other
+    language's rows (the lm_by_lang one-grouped-computation rule,
+    checked as an invariant)."""
+    from prod2vec_spark.operators.badwords import badwords_by_lang
+
+    rows = [
+        (1, "en", "slow big text"),
+        (2, "de", "fast slow text"),
+        (3, "zh", "slow words"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    base_lists = {
+        "en": {"latency": ("slow",), "scale": ("big",)},
+        "de": {"latency": ("fast",)},
+    }
+    grown = dict(base_lists)
+    grown["fr"] = {"latency": ("lent",), "scale": ("table", "grande")}
+    cols = ["hits_latency", "hits_scale", "badword_frac", "bad_verdict"]
+    before = {
+        r["doc_id"]: tuple(r[c] for c in cols)
+        for r in badwords_by_lang(docs, base_lists, default_lang="en").collect()
+    }
+    after = {
+        r["doc_id"]: tuple(r[c] for c in cols)
+        for r in badwords_by_lang(docs, grown, default_lang="en").collect()
+    }
+    assert before == after
+
+
+def test_badwords_by_lang_unlisted_without_default_passes(spark):
+    """No default_lang: an unlisted language reads 0 hits and passes
+    — absence of evidence, not a verdict."""
+    from prod2vec_spark.operators.badwords import badwords_by_lang
+
+    docs = spark.createDataFrame(
+        [(1, "zh", "slow big text")], "doc_id long, lang string, text string"
+    )
+    lists = {"en": {"latency": ("slow",)}}
+    r = badwords_by_lang(docs, lists).collect()[0]
+    assert r["hits_latency"] == 0 and r["bad_verdict"] is False
+
+
+def test_badwords_by_lang_validation(spark):
+    import pytest as _pytest
+
+    from prod2vec_spark.operators.badwords import badwords_by_lang
+
+    docs = spark.createDataFrame(
+        [(1, "en", "x")], "doc_id long, lang string, text string"
+    )
+    with _pytest.raises(ValueError, match="at least one language"):
+        badwords_by_lang(docs, {})
+    with _pytest.raises(ValueError, match="no words"):
+        badwords_by_lang(docs, {"en": {"latency": ()}})
+    with _pytest.raises(ValueError, match="default_lang"):
+        badwords_by_lang(docs, {"en": {"latency": ("slow",)}}, default_lang="xx")

@@ -327,3 +327,59 @@ def test_ivfpq_candidates_are_ivf_cell_restricted(spark):
         ivf_all.select("query_id", "neighbor_id")
     )
     assert extra.count() == 0
+
+
+def test_ivfpq_index_roundtrip_reproduces_topk(spark, tmp_path):
+    """Round-16 (VERDICT r15 ask #6): IvfPqIndex.fit → save → load →
+    topk reproduces ivf_pq_topk row-for-row — with and without the
+    exact re-rank (the refine path re-reads the raw corpus, which the
+    index deliberately does not duplicate)."""
+    emb = _emb(spark)
+    queries = emb.where(F.col("vec_id") < 3)
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    idx = SS.IvfPqIndex.fit(emb, DIMS, n_centroids=8, m=4, n_codes=8)
+    idx.save(str(tmp_path / "ivfpq"))
+    loaded = SS.IvfPqIndex.load(spark, str(tmp_path / "ivfpq"))
+    assert loaded.dims == DIMS and loaded.cents == idx.cents
+    assert loaded.cbs == idx.cbs
+
+    want_adc = SS.ivf_pq_topk(emb, queries, DIMS, k=5, nprobe=2)
+    assert rows(loaded.topk(queries, k=5, nprobe=2)) == rows(want_adc)
+
+    want_ref = SS.ivf_pq_topk(emb, queries, DIMS, k=5, nprobe=2, refine=3)
+    got_ref = loaded.topk(queries, k=5, nprobe=2, refine=3, corpus=emb)
+    assert rows(got_ref) == rows(want_ref)
+    # refine without the raw corpus is a structural error, not silence
+    with pytest.raises(ValueError, match="raw-vector corpus"):
+        loaded.topk(queries, k=5, refine=3)
+
+
+def test_ivfpq_index_incremental_ingest(spark, tmp_path):
+    """ingest() encodes ONLY new vectors with the FROZEN quantizers:
+    the union index equals encoding the union corpus with the stored
+    quantizers (archive never re-encoded, assignments comparable),
+    and newly ingested vectors are probe-visible."""
+    emb = _emb(spark)
+    old = emb.where(F.col("vec_id") % 2 == 0)
+    new = emb.where(F.col("vec_id") % 2 == 1)
+    idx = SS.IvfPqIndex.fit(old, DIMS, n_centroids=8, m=4, n_codes=8)
+    grown = idx.ingest(new)
+    # quantizers frozen
+    assert grown.cents == idx.cents and grown.cbs == idx.cbs
+    # union codes table == one-shot encode of the union with the
+    # STORED quantizers (not a re-fit)
+    want = SS._ivfpq_encode(emb, idx.cents, idx.cbs, "vec_id", "embedding")
+    got = grown.enc
+    key = lambda df: sorted(  # noqa: E731
+        (r["vec_id"], r["cid"], tuple(r["codes"])) for r in df.collect()
+    )
+    assert key(got) == key(want)
+    # survives a save/load cycle and the new vectors are probe-visible
+    grown.save(str(tmp_path / "grown"))
+    reloaded = SS.IvfPqIndex.load(spark, str(tmp_path / "grown"))
+    res = reloaded.topk(emb.where(F.col("vec_id") == 1), k=8, nprobe=8)
+    neighbors = {r["neighbor_id"] for r in res.collect()}
+    assert any(n % 2 == 1 for n in neighbors), "ingested vectors invisible"
