@@ -806,7 +806,23 @@ def decode_media(media_type: str, blob: bytes) -> dict:
                 return decode_webp(blob)
             except Exception:
                 fmt = "corrupt"
-        # lossy VP8 payload: fall through to raw (declared boundary)
+        else:
+            # lossy VP8: PIXELS stay the declared boundary (RFC 6386's
+            # entropy decode needs spec probability tables unavailable
+            # here — operators/webp.py), but the header is parseable:
+            # dimensions + frame-tag fields become an auditable
+            # feature row instead of opaque 'raw' byte stats (r16)
+            from prod2vec_spark.operators.webp import webp_info
+
+            try:
+                inf = webp_info(blob)
+                return {
+                    "format": "webp_lossy",
+                    "width": inf.get("width"),
+                    "height": inf.get("height"),
+                }
+            except Exception:
+                fmt = "corrupt"
     elif blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
         try:
             return decode_wav(blob)

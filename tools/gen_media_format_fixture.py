@@ -105,15 +105,28 @@ def planted_media_blob(media_id: int) -> bytes:
         sub = (i // 12) % 3
         if sub == 0:  # lossless WebP -> decoded
             return encode_webp_lossless_gray8(_bytes(f"wl{i}", 256), 16, 16)
-        if sub == 1:  # lossy VP8 payload -> unsupported boundary
-            vp8 = _bytes(f"wb{i}", 64)
+        if sub == 1:
+            # lossy VP8 -> pixels stay the unsupported boundary, but
+            # since r16 the KEY-FRAME HEADER is well-formed (RFC 6386
+            # §9.1 frame tag + start code + 14-bit dims) so the
+            # header-feature plane (webp_info / decode_media
+            # 'webp_lossy' rows) has real dimensions to audit
+            w, h = 33 + (i % 64), 17 + (i % 48)
+            tag3 = (0) | (2 << 1) | (1 << 4) | (24 << 5)
+            hdr = (
+                bytes([tag3 & 0xFF, (tag3 >> 8) & 0xFF, (tag3 >> 16) & 0xFF])
+                + b"\x9d\x01\x2a"
+                + struct.pack("<H", w)
+                + struct.pack("<H", h)
+                + _bytes(f"wb{i}", 24)
+            )
             return (
                 b"RIFF"
-                + struct.pack("<I", 4 + 8 + len(vp8))
+                + struct.pack("<I", 4 + 8 + len(hdr))
                 + b"WEBP"
                 + b"VP8 "
-                + struct.pack("<I", len(vp8))
-                + vp8
+                + struct.pack("<I", len(hdr))
+                + hdr
             )
         # arithmetic-coded JPEG: SOI + DQT-ish stub + SOF10 header
         sof10 = b"\xff\xca" + struct.pack(">H", 11) + bytes(9)
@@ -124,16 +137,31 @@ def planted_media_blob(media_id: int) -> bytes:
 def main() -> None:
     import pandas as pd
 
-    from prod2vec_spark.operators.multimodal import classify_media
+    from prod2vec_spark.operators.multimodal import classify_media, decode_media
 
     rows = []
     for i in range(N_ROWS):
         blob = planted_media_blob(i)
         fmt, status = classify_media(blob)
+        # r16 golden columns for the header-feature plane: the
+        # decode_media feature-row format plus dims (None where the
+        # decoder reports none) — DuckDB replays these, the honesty
+        # pytest re-derives them from the blobs
+        dec = decode_media("media", blob)
         rows.append(
-            {"media_id": i, "blob": blob, "fmt": fmt, "status": status}
+            {
+                "media_id": i,
+                "blob": blob,
+                "fmt": fmt,
+                "status": status,
+                "dec_format": dec["format"],
+                "width": dec.get("width"),
+                "height": dec.get("height"),
+            }
         )
     df = pd.DataFrame(rows)
+    df["width"] = df["width"].astype("Int32")
+    df["height"] = df["height"].astype("Int32")
     df.to_parquet(FIXTURE, index=False)
     print(df.groupby(["fmt", "status"]).size())
     print(f"wrote {len(df)} rows to {FIXTURE}")
