@@ -833,6 +833,37 @@ def decode_media(media_type: str, blob: bytes) -> dict:
             return decode_avi(blob)
         except Exception:
             fmt = "corrupt"
+    elif len(blob) >= 12 and blob[4:8] == b"ftyp":
+        # MP4: payload decode stays the boundary; the box walk yields
+        # auditable dims/duration feature rows (r16, the webp_lossy
+        # pattern)
+        from prod2vec_spark.operators.mediainfo import mp4_info
+
+        try:
+            inf = mp4_info(blob)
+            return {
+                "format": "mp4_meta",
+                "width": inf.get("width"),
+                "height": inf.get("height"),
+                "duration_ms": inf.get("duration_ms"),
+            }
+        except Exception:
+            fmt = "corrupt"
+    elif blob[:3] == b"ID3" or (
+        len(blob) >= 4 and blob[0] == 0xFF and (blob[1] & 0xE0) == 0xE0
+    ):
+        from prod2vec_spark.operators.mediainfo import mp3_info
+
+        try:
+            inf = mp3_info(blob)
+            return {
+                "format": "mp3_meta",
+                "sample_rate": inf["sample_rate"],
+                "duration_ms": inf.get("duration_est_ms"),
+            }
+        except Exception:
+            if blob[:3] == b"ID3":
+                fmt = "corrupt"
     return {"format": fmt}
 
 
@@ -1067,6 +1098,10 @@ def sniff_format(blob) -> str:
         return "wav"
     if bb[:4] == b"RIFF" and bb[8:12] == b"AVI ":
         return "avi"
+    if len(bb) >= 12 and bb[4:8] == b"ftyp":
+        return "mp4"
+    if bb[:3] == b"ID3":
+        return "mp3"
     return "unknown"
 
 
@@ -1128,6 +1163,32 @@ def classify_media(blob) -> "tuple[str, str]":
             return ("avi", "decoded")
         except Exception:
             return ("avi", "corrupt")
+    if len(bb) >= 12 and bb[4:8] == b"ftyp":
+        # MP4/ISO-BMFF: payload decode (H.264/AAC) is the declared
+        # boundary, but the box structure parses (r16) — corrupt when
+        # even the container walk fails
+        from prod2vec_spark.operators.mediainfo import mp4_info
+
+        try:
+            mp4_info(bb)
+            return ("mp4", "unsupported_format")
+        except Exception:
+            return ("mp4", "corrupt")
+    if bb[:3] == b"ID3" or (
+        len(bb) >= 4 and bb[0] == 0xFF and (bb[1] & 0xE0) == 0xE0
+    ):
+        # MP3: an ID3 prefix is a strong magic (parse failure =
+        # corrupt); a bare 0xFFEx frame sync is WEAK — claim mp3 only
+        # when the full frame header parses, else fall through to
+        # unknown rather than mislabel arbitrary bytes
+        from prod2vec_spark.operators.mediainfo import mp3_info
+
+        try:
+            mp3_info(bb)
+            return ("mp3", "unsupported_format")
+        except Exception:
+            if bb[:3] == b"ID3":
+                return ("mp3", "corrupt")
     return ("unknown", "unsupported_format")
 
 

@@ -1,0 +1,127 @@
+"""Round-16 container-metadata boundary (operators/mediainfo.py —
+the webp_info pattern extended to MP4/ISO-BMFF and MP3, VERDICT r15
+'missing' #3): payload decode stays out of scope, the container
+structures parse into auditable feature rows."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from prod2vec_spark.operators.mediainfo import mp3_info, mp4_info
+from prod2vec_spark.operators.multimodal import classify_media, decode_media
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def make_mp4(
+    w: int,
+    h: int,
+    dur_ms: int,
+    *,
+    timescale: int = 1000,
+    v1: bool = False,
+    audio: bool = False,
+) -> bytes:
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"mp42")
+    if v1:
+        mvhd_p = (
+            b"\x01" + bytes(3) + bytes(16)
+            + struct.pack(">I", timescale)
+            + struct.pack(">Q", dur_ms * timescale // 1000)
+        )
+    else:
+        mvhd_p = (
+            bytes(4) + bytes(8)
+            + struct.pack(">I", timescale)
+            + struct.pack(">I", dur_ms * timescale // 1000)
+        )
+    mvhd = _box(b"mvhd", mvhd_p + bytes(80))
+    tkhd = _box(
+        b"tkhd",
+        bytes(4) + bytes(8) + struct.pack(">I", 1) + bytes(4)
+        + struct.pack(">I", dur_ms) + bytes(8) + bytes(8) + bytes(36)
+        + struct.pack(">I", w << 16) + struct.pack(">I", h << 16),
+    )
+    handler = b"soun" if audio else b"vide"
+    hdlr = _box(b"hdlr", bytes(8) + handler + bytes(12) + b"\x00")
+    trak = _box(b"trak", tkhd + _box(b"mdia", hdlr))
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + moov
+
+
+def make_mp3(n: int = 2000, *, id3: bool = True) -> bytes:
+    tag = b"ID3\x04\x00\x00\x00\x00\x00\x00" if id3 else b""
+    frame = bytes([0xFF, 0xFB, 0x90, 0x00])  # MPEG1 L3, 128k, 44.1k
+    return tag + frame + b"\x00" * (n - 4)
+
+
+def test_mp4_info_dims_duration_and_tracks():
+    inf = mp4_info(make_mp4(640, 360, 12_000))
+    assert (inf["width"], inf["height"]) == (640, 360)
+    assert inf["duration_ms"] == 12_000
+    assert inf["brand"] == "isom"
+    assert inf["has_video"] is True and inf["has_audio"] is False
+    assert inf["n_tracks"] == 1
+    # version-1 mvhd (64-bit times) and a non-ms timescale
+    inf1 = mp4_info(make_mp4(320, 240, 7_500, timescale=90_000, v1=True))
+    assert inf1["duration_ms"] == 7_500
+    # audio handler flag
+    infa = mp4_info(make_mp4(0, 0, 1_000, audio=True))
+    assert infa["has_audio"] is True and infa["has_video"] is False
+    assert infa["width"] is None  # zero-sized track reports no dims
+
+
+def test_mp4_info_corrupt_raises():
+    with pytest.raises(ValueError, match="not an MP4"):
+        mp4_info(b"RIFF....WAVE")
+    with pytest.raises(ValueError):  # truncated box walk
+        mp4_info(make_mp4(320, 240, 9000)[:40])
+    # no moov
+    ftyp_only = _box(b"ftyp", b"isom" + bytes(4) + b"mp42")
+    with pytest.raises(ValueError, match="no moov"):
+        mp4_info(ftyp_only)
+
+
+def test_mp3_info_tables_and_duration_estimate():
+    blob = make_mp3(16_010)
+    inf = mp3_info(blob)
+    assert inf["mpeg_version"] == 1 and inf["layer"] == 3
+    assert inf["bitrate_kbps"] == 128 and inf["sample_rate"] == 44100
+    assert inf["channels"] == 2 and inf["has_id3"] is True
+    # CBR estimate: audio bytes * 8 / 128 kbps -> ms
+    assert inf["duration_est_ms"] == int(16_000 * 8 / 128)
+    # bare frame (no ID3) parses too
+    bare = mp3_info(make_mp3(500, id3=False))
+    assert bare["has_id3"] is False
+    # sync garbage: a bare 0xFF byte is NOT enough
+    with pytest.raises(ValueError):
+        mp3_info(b"\xff\x00garbage")
+
+
+def test_classify_and_decode_media_mp4_mp3():
+    """classify_media sniffs the new containers (payloads stay the
+    unsupported boundary); decode_media emits metadata feature rows
+    instead of raw byte stats; truncation classifies corrupt."""
+    mp4 = make_mp4(480, 270, 5_000)
+    assert classify_media(mp4) == ("mp4", "unsupported_format")
+    d = decode_media("video", mp4)
+    assert d["format"] == "mp4_meta"
+    assert (d["width"], d["height"], d["duration_ms"]) == (480, 270, 5_000)
+    assert classify_media(mp4[:40]) == ("mp4", "corrupt")
+
+    mp3 = make_mp3(4_000)
+    assert classify_media(mp3) == ("mp3", "unsupported_format")
+    d3 = decode_media("audio", mp3)
+    assert d3["format"] == "mp3_meta" and d3["sample_rate"] == 44100
+    # ID3 prefix with a broken frame -> corrupt (strong magic)
+    broken = b"ID3\x04\x00\x00\x00\x00\x00\x00" + b"\x00\x00\x00\x00"
+    assert classify_media(broken) == ("mp3", "corrupt")
+    # bare weak sync that fails to parse falls through to unknown
+    assert classify_media(b"\xff\xe0\x00\x00junk") == (
+        "unknown",
+        "unsupported_format",
+    )

@@ -131,7 +131,70 @@ def planted_media_blob(media_id: int) -> bytes:
         # arithmetic-coded JPEG: SOI + DQT-ish stub + SOF10 header
         sof10 = b"\xff\xca" + struct.pack(">H", 11) + bytes(9)
         return b"\xff\xd8" + sof10 + _bytes(f"aj{i}", 32)
+    # class 11 (round-16 split): unknown-magic junk, plus the MP4/MP3
+    # container-metadata boundary (payload decode stays out of scope;
+    # the box/frame headers parse — operators/mediainfo.py) and a
+    # truncated MP4 for the corrupt leg
+    sub11 = (i // 12) % 4
+    if sub11 == 1:  # valid MP4 skeleton -> unsupported boundary w/ dims
+        return _make_mp4(
+            320 + (i % 5) * 16, 180 + (i % 4) * 30, 4000 + i * 10
+        )
+    if sub11 == 2:  # valid MP3 header -> unsupported boundary w/ rate
+        return _make_mp3(2000 + (i % 7) * 512)
+    if sub11 == 3:  # truncated MP4 -> corrupt
+        return _make_mp4(320, 240, 9000)[:40]
     return _bytes(f"junk{i}", 40 + (i % 64))  # unknown magic
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _make_mp4(w: int, h: int, dur_ms: int) -> bytes:
+    """Minimal ISO-BMFF skeleton: ftyp + moov(mvhd + trak(tkhd +
+    mdia(hdlr 'vide'))) — no media data; the metadata plane is the
+    point (mediainfo.mp4_info)."""
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"mp42")
+    mvhd = _box(
+        b"mvhd",
+        bytes(4)  # version 0 + flags
+        + bytes(8)  # ctime/mtime
+        + struct.pack(">I", 1000)  # timescale (ms)
+        + struct.pack(">I", dur_ms)  # duration
+        + struct.pack(">I", 0x00010000)  # rate
+        + struct.pack(">H", 0x0100)  # volume
+        + bytes(10)
+        + bytes(36)  # matrix
+        + bytes(24)  # predefined
+        + struct.pack(">I", 2),  # next track id
+    )
+    tkhd = _box(
+        b"tkhd",
+        bytes(4)
+        + bytes(8)
+        + struct.pack(">I", 1)  # track id
+        + bytes(4)
+        + struct.pack(">I", dur_ms)
+        + bytes(8)
+        + bytes(8)  # layer/alt/volume/reserved
+        + bytes(36)  # matrix
+        + struct.pack(">I", w << 16)
+        + struct.pack(">I", h << 16),
+    )
+    hdlr = _box(b"hdlr", bytes(4) + bytes(4) + b"vide" + bytes(12) + b"\x00")
+    mdia = _box(b"mdia", hdlr)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + moov
+
+
+def _make_mp3(n_audio_bytes: int) -> bytes:
+    """ID3v2 tag (empty) + one MPEG-1 Layer III 128 kbps / 44.1 kHz
+    stereo frame header + deterministic filler."""
+    id3 = b"ID3\x04\x00\x00\x00\x00\x00\x00"
+    frame = bytes([0xFF, 0xFB, 0x90, 0x00])
+    return id3 + frame + _bytes("mp3fill", n_audio_bytes - 4)
 
 
 def main() -> None:
