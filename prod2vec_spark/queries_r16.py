@@ -310,3 +310,109 @@ WHERE fmt = 'webp'
 
 R16_QUERIES["webp_header_audit"] = q_webp_header_audit
 R16_ORACLES["webp_header_audit"] = _sql_webp_header_audit()
+
+
+# --------------------------------------------------- SFT example prep
+def q_sft_input_ids(spark, sf_dir):
+    """SFT training-input materialization end-to-end (round 16 — the
+    second half of VERDICT r15 'missing' #2): sentenced corpus →
+    (prompt, response) split → chat-template render → BPE token ids →
+    loss mask (labels = input_ids with the prompt/role region set to
+    -100).  Sequences compared as scalars: (doc_id, n_ids,
+    n_prompt_ids, ids_md5, labels_md5) — the packed_input_ids
+    convention (operators/sft.py)."""
+    from prod2vec_spark.operators.bpe import token_vocab
+    from prod2vec_spark.operators.sft import sft_examples, sft_input_ids
+    from prod2vec_spark.queries_r9 import BPE_FIXED_MERGES
+
+    docs = sentence_corpus(read_table(spark, sf_dir, "documents"))
+    ex = sft_examples(docs)
+    vocab = token_vocab(ex, BPE_FIXED_MERGES, text_col="text")
+    ids = sft_input_ids(ex, BPE_FIXED_MERGES, vocab)
+    jm = lambda c: F.md5(  # noqa: E731
+        F.concat_ws(",", F.transform(c, lambda x: x.cast("string")))
+    )
+    return ids.select(
+        "doc_id",
+        "n_ids",
+        "n_prompt_ids",
+        jm(F.col("input_ids")).alias("ids_md5"),
+        jm(F.col("labels")).alias("labels_md5"),
+    )
+
+
+def _sql_sft_input_ids() -> str:
+    from prod2vec_spark.queries_r9 import BPE_FIXED_MERGES
+
+    def w(sym: str) -> str:
+        return f"chr(1)||'{sym}'||chr(2)"
+
+    s = (
+        "array_to_string(list_transform(str_split("
+        "replace(replace(word, chr(1), ''), chr(2), ''), ''), "
+        "c -> chr(1)||c||chr(2)), '') || " + w("▁")
+    )
+    for a, b in BPE_FIXED_MERGES:
+        s = f"replace({s}, {w(a)}||{w(b)}, {w(a + b)})"
+    toklist = (
+        f"list_filter(list_transform(str_split({s}, chr(1)), "
+        "p -> replace(p, chr(2), '')), p -> p <> '')"
+    )
+    return f"""
+WITH corpus AS ({_SQL_SENT_CORPUS}),
+sp AS (
+  SELECT doc_id,
+         list_transform(
+           regexp_extract_all(coalesce(text, ''), '{_SENT_PAT}'),
+           x -> trim(x)) AS sents
+  FROM corpus
+),
+r AS (
+  SELECT doc_id,
+         '<|user|> ' || sents[1] || ' <|assistant|>' AS prompt_text,
+         '<|user|> ' || sents[1] || ' <|assistant|> '
+           || array_to_string(list_transform(sents[2:], x -> x), ' ')
+           || ' <|end|>' AS text
+  FROM sp WHERE len(sents) >= 2
+),
+t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks,
+             regexp_split_to_array(trim(prompt_text), '\\s+') AS ptoks
+      FROM r),
+wd AS (SELECT doc_id, CAST(i AS BIGINT) AS wi,
+         toks[CAST(i AS INT)] AS word
+       FROM t, unnest(range(1, len(toks) + 1)) AS u(i)),
+enc AS (SELECT doc_id, wi, {toklist} AS wtoks FROM wd),
+tok AS (SELECT doc_id, wi, CAST(j AS BIGINT) AS ti,
+          wtoks[CAST(j AS INT)] AS token
+        FROM enc, unnest(range(1, len(wtoks) + 1)) AS v(j)),
+vc AS (SELECT token, count(*) AS n FROM tok GROUP BY 1),
+vid AS (SELECT token,
+          CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT)
+            AS token_id
+        FROM vc),
+pw AS (SELECT doc_id, CAST(i AS BIGINT) AS wi,
+         ptoks[CAST(i AS INT)] AS word
+       FROM t, unnest(range(1, len(ptoks) + 1)) AS u(i)),
+penc AS (SELECT doc_id, {toklist} AS wtoks FROM pw),
+np AS (SELECT doc_id, CAST(sum(len(wtoks)) AS BIGINT) AS n_prompt_ids
+       FROM penc GROUP BY doc_id),
+m AS (SELECT tok.doc_id, tok.wi, tok.ti, vid.token_id AS tid,
+        row_number() OVER (PARTITION BY tok.doc_id ORDER BY tok.wi, tok.ti)
+          AS rn
+      FROM tok JOIN vid USING (token))
+SELECT m.doc_id,
+       CAST(count(*) AS BIGINT) AS n_ids,
+       any_value(np.n_prompt_ids) AS n_prompt_ids,
+       md5(string_agg(CAST(tid AS VARCHAR), ',' ORDER BY wi, ti))
+         AS ids_md5,
+       md5(string_agg(
+         CASE WHEN rn <= np.n_prompt_ids THEN '-100'
+              ELSE CAST(tid AS VARCHAR) END, ',' ORDER BY wi, ti))
+         AS labels_md5
+FROM m JOIN np USING (doc_id)
+GROUP BY m.doc_id
+"""
+
+
+R16_QUERIES["sft_input_ids"] = q_sft_input_ids
+R16_ORACLES["sft_input_ids"] = _sql_sft_input_ids()
