@@ -1,6 +1,6 @@
 """Header-level metadata for the CODEC-BOUNDARY media containers
 (round 16 — the lossy-WebP `webp_info` pattern extended to VERDICT
-r15 'missing' #3): MP4/ISO-BMFF and MP3.
+r15 'missing' #3): MP4/ISO-BMFF, MP3, FLAC and ADTS AAC.
 
 The payloads stay the declared boundary — H.264/AAC/MP3 DECODE is not
 honestly reimplementable here (entropy decoders parameterized by spec
@@ -183,4 +183,83 @@ def mp3_info(blob: bytes) -> dict:
         "channels": channels,
         "has_id3": has_id3,
         "duration_est_ms": dur_ms,
+    }
+
+
+_AAC_RATES = [
+    96000, 88200, 64000, 48000, 44100, 32000,
+    24000, 22050, 16000, 12000, 11025, 8000,
+]
+
+
+def flac_info(blob: bytes) -> dict:
+    """FLAC STREAMINFO metadata (the 'fLaC' marker + first metadata
+    block, which the format REQUIRES to be STREAMINFO): sample rate
+    (20 bits), channels, bits per sample, total samples — and from
+    them the EXACT ``duration_ms`` (unlike MP3's CBR estimate, FLAC
+    records the sample count).  Payload decode (rice-coded
+    subframes) stays the declared boundary.  Raises ValueError on
+    non-FLAC input / truncated or mis-typed first block."""
+    b = bytes(blob)
+    if b[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream")
+    if len(b) < 8 + 34:
+        raise ValueError("flac: truncated metadata")
+    btype = b[4] & 0x7F
+    blen = b[5] << 16 | b[6] << 8 | b[7]
+    if btype != 0 or blen < 34:
+        raise ValueError("flac: first block is not STREAMINFO")
+    s = b[8:42]
+    # bytes 10..17 pack rate(20) channels-1(3) bps-1(5) samples(36)
+    rate = s[10] << 12 | s[11] << 4 | s[12] >> 4
+    channels = ((s[12] >> 1) & 0x7) + 1
+    bps = ((s[12] & 1) << 4 | s[13] >> 4) + 1
+    total = (
+        (s[13] & 0x0F) << 32 | s[14] << 24 | s[15] << 16 | s[16] << 8 | s[17]
+    )
+    if rate == 0:
+        raise ValueError("flac: zero sample rate")
+    return {
+        "sample_rate": rate,
+        "channels": channels,
+        "bits_per_sample": bps,
+        "total_samples": total,
+        "duration_ms": int(total * 1000 / rate),
+    }
+
+
+def adts_info(blob: bytes) -> dict:
+    """ADTS AAC stream metadata: first-frame header fields (profile,
+    sample rate from the public index table, channel config) plus an
+    EXACT frame count from walking the length-prefixed frames (each
+    frame = 1024 samples, so ``duration_ms`` is exact for a complete
+    stream; a truncated final frame raises).  AAC payload decode
+    stays the declared boundary."""
+    b = bytes(blob)
+    if len(b) < 7 or b[0] != 0xFF or (b[1] & 0xF6) != 0xF0:
+        raise ValueError("not an ADTS stream")
+    sr_idx = (b[2] >> 2) & 0xF
+    if sr_idx >= len(_AAC_RATES):
+        raise ValueError("adts: reserved sample-rate index")
+    rate = _AAC_RATES[sr_idx]
+    profile = ((b[2] >> 6) & 3) + 1
+    channels = ((b[2] & 1) << 2) | (b[3] >> 6)
+    n_frames = 0
+    pos = 0
+    while pos < len(b):
+        if pos + 7 > len(b) or b[pos] != 0xFF or (b[pos + 1] & 0xF6) != 0xF0:
+            raise ValueError(f"adts: bad frame sync at byte {pos}")
+        flen = (
+            (b[pos + 3] & 0x03) << 11 | b[pos + 4] << 3 | b[pos + 5] >> 5
+        )
+        if flen < 7 or pos + flen > len(b):
+            raise ValueError(f"adts: truncated frame at byte {pos}")
+        n_frames += 1
+        pos += flen
+    return {
+        "profile": profile,
+        "sample_rate": rate,
+        "channels": channels,
+        "n_frames": n_frames,
+        "duration_ms": int(n_frames * 1024 * 1000 / rate),
     }

@@ -849,11 +849,32 @@ def decode_media(media_type: str, blob: bytes) -> dict:
             }
         except Exception:
             fmt = "corrupt"
+    elif blob[:4] == b"fLaC":
+        from prod2vec_spark.operators.mediainfo import flac_info
+
+        try:
+            inf = flac_info(blob)
+            return {
+                "format": "flac_meta",
+                "sample_rate": inf["sample_rate"],
+                "duration_ms": inf["duration_ms"],
+            }
+        except Exception:
+            fmt = "corrupt"
     elif blob[:3] == b"ID3" or (
         len(blob) >= 4 and blob[0] == 0xFF and (blob[1] & 0xE0) == 0xE0
     ):
-        from prod2vec_spark.operators.mediainfo import mp3_info
+        from prod2vec_spark.operators.mediainfo import adts_info, mp3_info
 
+        try:
+            inf = adts_info(blob)
+            return {
+                "format": "aac_meta",
+                "sample_rate": inf["sample_rate"],
+                "duration_ms": inf["duration_ms"],
+            }
+        except Exception:
+            pass
         try:
             inf = mp3_info(blob)
             return {
@@ -1174,15 +1195,30 @@ def classify_media(blob) -> "tuple[str, str]":
             return ("mp4", "unsupported_format")
         except Exception:
             return ("mp4", "corrupt")
+    if bb[:4] == b"fLaC":
+        from prod2vec_spark.operators.mediainfo import flac_info
+
+        try:
+            flac_info(bb)
+            return ("flac", "unsupported_format")
+        except Exception:
+            return ("flac", "corrupt")
     if bb[:3] == b"ID3" or (
         len(bb) >= 4 and bb[0] == 0xFF and (bb[1] & 0xE0) == 0xE0
     ):
-        # MP3: an ID3 prefix is a strong magic (parse failure =
-        # corrupt); a bare 0xFFEx frame sync is WEAK — claim mp3 only
-        # when the full frame header parses, else fall through to
-        # unknown rather than mislabel arbitrary bytes
-        from prod2vec_spark.operators.mediainfo import mp3_info
+        # MPEG audio: an ID3 prefix is a strong magic (parse failure =
+        # corrupt); a bare 0xFFEx frame sync is WEAK — claim adts/mp3
+        # only when a full frame header parses (ADTS first: its layer
+        # bits are 00, which mp3_info rejects, so the two never both
+        # claim), else fall through to unknown rather than mislabel
+        # arbitrary bytes
+        from prod2vec_spark.operators.mediainfo import adts_info, mp3_info
 
+        try:
+            adts_info(bb)
+            return ("aac", "unsupported_format")
+        except Exception:
+            pass
         try:
             mp3_info(bb)
             return ("mp3", "unsupported_format")

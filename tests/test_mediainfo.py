@@ -125,3 +125,68 @@ def test_classify_and_decode_media_mp4_mp3():
         "unknown",
         "unsupported_format",
     )
+
+
+def make_flac(rate: int = 44100, channels: int = 2, bps: int = 16,
+              total: int = 441_000) -> bytes:
+    hdr = bytearray(b"fLaC")
+    hdr += bytes([0x80, 0, 0, 34])  # last-block flag + STREAMINFO + len
+    s = bytearray(34)
+    s[0:2] = (4096).to_bytes(2, "big")
+    s[2:4] = (4096).to_bytes(2, "big")
+    s[10] = (rate >> 12) & 0xFF
+    s[11] = (rate >> 4) & 0xFF
+    s[12] = ((rate & 0xF) << 4) | ((channels - 1) << 1) | ((bps - 1) >> 4)
+    s[13] = (((bps - 1) & 0xF) << 4) | ((total >> 32) & 0xF)
+    s[14:18] = (total & 0xFFFFFFFF).to_bytes(4, "big")
+    return bytes(hdr) + bytes(s) + b"\x00" * 32
+
+
+def make_adts(n_frames: int = 5, sr_idx: int = 4, payload: int = 20) -> bytes:
+    out = bytearray()
+    flen = 7 + payload
+    for _ in range(n_frames):
+        f = bytearray(7)
+        f[0] = 0xFF
+        f[1] = 0xF1  # MPEG-4, layer 00, no CRC
+        f[2] = (1 << 6) | (sr_idx << 2) | 0  # profile LC(2-1=1), chan hi
+        f[3] = (2 << 6) | ((flen >> 11) & 0x3)  # stereo + len hi
+        f[4] = (flen >> 3) & 0xFF
+        f[5] = ((flen & 0x7) << 5) | 0x1F
+        f[6] = 0xFC
+        out += f + b"\x00" * payload
+    return bytes(out)
+
+
+def test_flac_info_exact_duration():
+    from prod2vec_spark.operators.mediainfo import flac_info
+
+    inf = flac_info(make_flac(rate=48000, channels=1, bps=24, total=96_000))
+    assert inf["sample_rate"] == 48000 and inf["channels"] == 1
+    assert inf["bits_per_sample"] == 24
+    assert inf["duration_ms"] == 2000  # exact, not an estimate
+    with pytest.raises(ValueError):
+        flac_info(b"fLaC\x00\x00\x00")
+    assert classify_media(make_flac()) == ("flac", "unsupported_format")
+    assert classify_media(b"fLaC" + b"\x00" * 3) == ("flac", "corrupt")
+    d = decode_media("audio", make_flac())
+    assert d["format"] == "flac_meta" and d["sample_rate"] == 44100
+
+
+def test_adts_info_frame_walk():
+    from prod2vec_spark.operators.mediainfo import adts_info
+
+    blob = make_adts(n_frames=10, sr_idx=4)  # 44.1 kHz
+    inf = adts_info(blob)
+    assert inf["sample_rate"] == 44100 and inf["n_frames"] == 10
+    assert inf["channels"] == 2 and inf["profile"] == 2
+    assert inf["duration_ms"] == int(10 * 1024 * 1000 / 44100)
+    # truncated final frame raises (honest, not an estimate)
+    with pytest.raises(ValueError, match="truncated frame"):
+        adts_info(blob[:-5])
+    # classification: ADTS and MP3 never both claim (layer bits 00)
+    assert classify_media(blob) == ("aac", "unsupported_format")
+    d = decode_media("audio", blob)
+    assert d["format"] == "aac_meta" and d["duration_ms"] == inf["duration_ms"]
+    from tests.test_mediainfo import make_mp3 as _mk  # self-import ok
+    assert classify_media(_mk(1000)) == ("mp3", "unsupported_format")

@@ -135,7 +135,7 @@ def planted_media_blob(media_id: int) -> bytes:
     # container-metadata boundary (payload decode stays out of scope;
     # the box/frame headers parse — operators/mediainfo.py) and a
     # truncated MP4 for the corrupt leg
-    sub11 = (i // 12) % 4
+    sub11 = (i // 12) % 6
     if sub11 == 1:  # valid MP4 skeleton -> unsupported boundary w/ dims
         return _make_mp4(
             320 + (i % 5) * 16, 180 + (i % 4) * 30, 4000 + i * 10
@@ -144,6 +144,10 @@ def planted_media_blob(media_id: int) -> bytes:
         return _make_mp3(2000 + (i % 7) * 512)
     if sub11 == 3:  # truncated MP4 -> corrupt
         return _make_mp4(320, 240, 9000)[:40]
+    if sub11 == 4:  # FLAC STREAMINFO -> unsupported boundary, exact dur
+        return _make_flac(44100 if i % 2 else 48000, 44100 * (2 + i % 5))
+    if sub11 == 5:  # ADTS AAC -> unsupported boundary, frame-walk dur
+        return _make_adts(3 + i % 6)
     return _bytes(f"junk{i}", 40 + (i % 64))  # unknown magic
 
 
@@ -187,6 +191,36 @@ def _make_mp4(w: int, h: int, dur_ms: int) -> bytes:
     trak = _box(b"trak", tkhd + mdia)
     moov = _box(b"moov", mvhd + trak)
     return ftyp + moov
+
+
+def _make_flac(rate: int, total: int) -> bytes:
+    """'fLaC' + a single STREAMINFO block (mediainfo.flac_info's
+    documented layout) + filler."""
+    hdr = bytearray(b"fLaC") + bytes([0x80, 0, 0, 34])
+    s = bytearray(34)
+    s[0:2] = (4096).to_bytes(2, "big")
+    s[2:4] = (4096).to_bytes(2, "big")
+    s[10] = (rate >> 12) & 0xFF
+    s[11] = (rate >> 4) & 0xFF
+    s[12] = ((rate & 0xF) << 4) | (1 << 1)  # stereo, bps-1 high bit 0
+    s[13] = (15 << 4) | ((total >> 32) & 0xF)  # bps 16
+    s[14:18] = (total & 0xFFFFFFFF).to_bytes(4, "big")
+    return bytes(hdr) + bytes(s) + _bytes("flacfill", 48)
+
+
+def _make_adts(n_frames: int) -> bytes:
+    out = bytearray()
+    flen = 7 + 20
+    for _ in range(n_frames):
+        f = bytearray(7)
+        f[0], f[1] = 0xFF, 0xF1
+        f[2] = (1 << 6) | (4 << 2)  # LC profile, 44.1 kHz
+        f[3] = (2 << 6) | ((flen >> 11) & 0x3)
+        f[4] = (flen >> 3) & 0xFF
+        f[5] = ((flen & 0x7) << 5) | 0x1F
+        f[6] = 0xFC
+        out += f + b"\x00" * 20
+    return bytes(out)
 
 
 def _make_mp3(n_audio_bytes: int) -> bytes:
