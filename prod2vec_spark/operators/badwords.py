@@ -204,3 +204,44 @@ def badwords_by_lang(
         .withColumn("badword_frac", frac)
         .withColumn("bad_verdict", F.col("badword_frac") > F.lit(max_frac))
     )
+
+
+def badwords_screen(
+    docs: DataFrame,
+    cats: "dict[str, tuple[str, ...]] | None" = None,
+    lang_lists: "dict[str, dict[str, tuple[str, ...]]] | None" = None,
+    *,
+    max_frac: float = 0.0,
+    default_lang: "str | None" = None,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """GATE form shared by the batch DAG and the streaming pipeline:
+    run the badwords report (single-list ``cats`` or per-language
+    ``lang_lists`` — exactly one must be given), drop flagged docs,
+    strip the report columns.  One definition so the two chains can
+    never drift (the span-gate consolidation rule)."""
+    if (cats is None) == (lang_lists is None):
+        raise ValueError(
+            "badwords_screen takes exactly one of cats / lang_lists"
+        )
+    if cats is not None:
+        rep = badwords_gate(
+            docs, cats, text_col=text_col, max_frac=max_frac
+        )
+    else:
+        rep = badwords_by_lang(
+            docs,
+            lang_lists,
+            lang_col=lang_col,
+            text_col=text_col,
+            max_frac=max_frac,
+            default_lang=default_lang,
+        )
+    aux = [
+        c
+        for c in rep.columns
+        if c.startswith("hits_")
+        or c in ("n_tokens", "badword_frac", "bad_verdict")
+    ]
+    return rep.where(~F.col("bad_verdict")).drop(*aux)

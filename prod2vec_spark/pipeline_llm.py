@@ -357,6 +357,13 @@ class CorpusConfig:
     # incremental_update supports it unchanged.
     badwords_cats: "dict[str, tuple[str, ...]] | None" = None
     badwords_max_frac: float = 0.0
+    # round-16: per-LANGUAGE blocklists (C4 ships ~25 language files) —
+    # lang -> {category -> words}, each doc screened against ITS
+    # language's list (operators/badwords.badwords_by_lang); mutually
+    # exclusive with badwords_cats.  Unlisted languages fall back to
+    # badwords_default_lang's list when set, else pass unscreened.
+    badwords_lang_lists: "dict[str, dict[str, tuple[str, ...]]] | None" = None
+    badwords_default_lang: "str | None" = None
 
 
 class CorpusCurationPipeline:
@@ -432,28 +439,30 @@ class CorpusCurationPipeline:
                 drop_brace_lines=self.cfg.lf_drop_braces,
                 max_dropped_frac=self.cfg.lf_max_dropped_frac,
             )
-        if badwords and self.cfg.badwords_cats:
-            # round-14: the C4 §2.2 doc-level badwords screen — AFTER
-            # line_filter (the gate judges surviving text), BEFORE the
-            # PII scrub (scrub tokens carry no list words, so order is
-            # immaterial for hits; cheapest-first wins).  Row-local and
-            # per-row deterministic: incremental_update supports it
-            # unchanged and the drop ledger replays it, both like
-            # line_filter.
-            from prod2vec_spark.operators.badwords import badwords_gate
-
-            rep = badwords_gate(
-                docs,
-                self.cfg.badwords_cats,
-                max_frac=self.cfg.badwords_max_frac,
+        if self.cfg.badwords_cats and self.cfg.badwords_lang_lists:
+            raise ValueError(
+                "badwords_cats and badwords_lang_lists are mutually "
+                "exclusive — pick the single-list or per-language gate"
             )
-            aux = [
-                c
-                for c in rep.columns
-                if c.startswith("hits_")
-                or c in ("n_tokens", "badword_frac", "bad_verdict")
-            ]
-            docs = rep.where(~F.col("bad_verdict")).drop(*aux)
+        if badwords and (
+            self.cfg.badwords_cats or self.cfg.badwords_lang_lists
+        ):
+            # round-14 (per-language round-16): the C4 §2.2 doc-level
+            # badwords screen — AFTER line_filter (the gate judges
+            # surviving text), BEFORE the PII scrub (scrub tokens
+            # carry no list words, so order is immaterial for hits;
+            # cheapest-first wins).  Row-local and per-row
+            # deterministic: incremental_update supports it unchanged
+            # and the drop ledger replays it, both like line_filter.
+            from prod2vec_spark.operators.badwords import badwords_screen
+
+            docs = badwords_screen(
+                docs,
+                cats=self.cfg.badwords_cats,
+                lang_lists=self.cfg.badwords_lang_lists,
+                max_frac=self.cfg.badwords_max_frac,
+                default_lang=self.cfg.badwords_default_lang,
+            )
         if not self.cfg.scrub_pii:
             return docs
         from prod2vec_spark.operators.pii import scrub, scrub_cc
@@ -1239,7 +1248,7 @@ class CorpusCurationPipeline:
             chain.append(
                 ("line_filter", self._scrubbed(cfg.sf_dir, badwords=False))
             )
-        if cfg.badwords_cats:
+        if cfg.badwords_cats or cfg.badwords_lang_lists:
             chain.append(("badwords_gate", self._scrubbed(cfg.sf_dir)))
         if bool(cfg.domain_blocklist) or cfg.domain_cap_k > 0:
             chain.append(

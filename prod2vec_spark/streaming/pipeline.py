@@ -212,6 +212,11 @@ class StreamCorpusConfig:
     # None/empty disables (the batch default).
     badwords_cats: "dict[str, tuple[str, ...]] | None" = None
     badwords_max_frac: float = 0.0
+    # round-16: per-language lists (operators/badwords.badwords_by_lang),
+    # mutually exclusive with badwords_cats — same dispatch as the
+    # batch DAG via the shared badwords_screen gate
+    badwords_lang_lists: "dict[str, dict[str, tuple[str, ...]]] | None" = None
+    badwords_default_lang: "str | None" = None
     # round-14 (VERDICT r13 ask #6): the batch lm_gate's streaming
     # twin.  A BATCH-TRAINED model persisted at lm_model_dir (fit on
     # the vetted archive — BigramLM / KNModel / KN3Model.save) scores
@@ -357,27 +362,28 @@ class StreamingCorpusPipeline:
             )
             if stages is not None:
                 stages.append(("line_filter", docs))
-        if self.cfg.badwords_cats:
-            # round-15: the batch DAG's C4 §2.2 doc-level badwords
-            # screen joins the streaming gate chain — row-local and
-            # per-row deterministic like line_filter, so it is
-            # stream-safe with ZERO batch/stream semantic gap; same
-            # position (after line_filter: the gate judges surviving
-            # text), same operator, same drop-ledger replay
-            from prod2vec_spark.operators.badwords import badwords_gate
-
-            rep = badwords_gate(
-                docs,
-                self.cfg.badwords_cats,
-                max_frac=self.cfg.badwords_max_frac,
+        if self.cfg.badwords_cats and self.cfg.badwords_lang_lists:
+            raise ValueError(
+                "badwords_cats and badwords_lang_lists are mutually "
+                "exclusive — pick the single-list or per-language gate"
             )
-            aux = [
-                c
-                for c in rep.columns
-                if c.startswith("hits_")
-                or c in ("n_tokens", "badword_frac", "bad_verdict")
-            ]
-            docs = rep.where(~F.col("bad_verdict")).drop(*aux)
+        if self.cfg.badwords_cats or self.cfg.badwords_lang_lists:
+            # round-15 (per-language round-16): the batch DAG's C4
+            # §2.2 doc-level badwords screen joins the streaming gate
+            # chain — row-local and per-row deterministic like
+            # line_filter, so it is stream-safe with ZERO batch/stream
+            # semantic gap; same position (after line_filter: the gate
+            # judges surviving text), same shared badwords_screen
+            # gate, same drop-ledger replay
+            from prod2vec_spark.operators.badwords import badwords_screen
+
+            docs = badwords_screen(
+                docs,
+                cats=self.cfg.badwords_cats,
+                lang_lists=self.cfg.badwords_lang_lists,
+                max_frac=self.cfg.badwords_max_frac,
+                default_lang=self.cfg.badwords_default_lang,
+            )
             if stages is not None:
                 stages.append(("badwords_gate", docs))
         # quality gate first (row-local, stateless) so low-quality docs

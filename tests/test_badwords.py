@@ -213,3 +213,54 @@ def test_badwords_by_lang_validation(spark):
         badwords_by_lang(docs, {"en": {"latency": ()}})
     with _pytest.raises(ValueError, match="default_lang"):
         badwords_by_lang(docs, {"en": {"latency": ("slow",)}}, default_lang="xx")
+
+
+def test_dag_badwords_by_lang_stage_and_ledger(spark, tmp_path):
+    """Round-16: the curation DAG with badwords_lang_lists drops each
+    doc by ITS language's list (zh falls back to the en default), the
+    ledger attributes to 'badwords_gate', and mixing both config
+    forms raises."""
+    import pytest as _pytest
+
+    from prod2vec_spark.operators.badwords import badwords_by_lang
+    from prod2vec_spark.pipeline_llm import CorpusConfig, CorpusCurationPipeline
+    from prod2vec_spark.sources.io import read_table
+    from tests.conftest import SF_SMOKE
+
+    lists = {
+        "en": {"latency": ("slow",)},
+        "de": {"latency": ("slow", "fast")},
+    }
+    cfg = CorpusConfig(
+        sf_dir=SF_SMOKE,
+        work_dir=str(tmp_path / "w"),
+        badwords_lang_lists=lists,
+        badwords_default_lang="en",
+    )
+    pipe = CorpusCurationPipeline(spark, cfg)
+    pipe.run()
+    docs = read_table(spark, SF_SMOKE, "documents")
+    bad_ids = {
+        r["doc_id"]
+        for r in badwords_by_lang(docs, lists, default_lang="en")
+        .where("bad_verdict")
+        .collect()
+    }
+    assert bad_ids
+    curated = spark.read.parquet(f"{cfg.work_dir}/decontaminated")
+    kept = {r["doc_id"] for r in curated.select("doc_id").collect()}
+    assert not (bad_ids & kept)
+    ledger = {
+        r["doc_id"]: r["dropped_at"] for r in pipe.drop_ledger().collect()
+    }
+    assert bad_ids <= set(ledger)
+    assert {ledger[i] for i in bad_ids} == {"badwords_gate"}
+    # mutually exclusive with the single-list form
+    both = CorpusConfig(
+        sf_dir=SF_SMOKE,
+        work_dir=str(tmp_path / "w2"),
+        badwords_cats={"latency": ("slow",)},
+        badwords_lang_lists=lists,
+    )
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        CorpusCurationPipeline(spark, both).run()

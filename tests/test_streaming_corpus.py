@@ -903,3 +903,57 @@ def test_streaming_badwords_gate_matches_batch(spark, tmp_path):
     }
     assert bad_ids <= set(ledger)
     assert {ledger[i] for i in bad_ids} == {"badwords_gate"}
+
+
+def test_streaming_badwords_by_lang_matches_batch(spark, tmp_path):
+    """Round-16: the per-LANGUAGE badwords gate in the streaming
+    chain admits exactly the docs the batch operator keeps (row-local
+    + deterministic — zero semantic gap), with 'badwords_gate' ledger
+    attribution; the shared badwords_screen gate means the two chains
+    cannot drift."""
+    import shutil
+
+    from prod2vec_spark.operators.badwords import badwords_by_lang
+
+    docs = (
+        read_table(spark, SF_SMOKE, "documents")
+        .limit(60)
+        .select("doc_id", "text", "lang")
+        .localCheckpoint()
+    )
+    lists = {
+        "en": {"latency": ("slow",)},
+        "de": {"latency": ("slow", "fast")},
+    }
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    docs.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage"))
+    shutil.copy(
+        sorted((tmp_path / "stage").glob("*.parquet"))[0],
+        landing / "a.parquet",
+    )
+    cfg = StreamCorpusConfig(
+        landing_dir=str(landing),
+        work_dir=str(tmp_path / "work"),
+        badwords_lang_lists=lists,
+        badwords_default_lang="en",
+    )
+    pipe = StreamingCorpusPipeline(spark, cfg)
+    pipe.run()
+    bad_ids = {
+        r["doc_id"]
+        for r in badwords_by_lang(docs, lists, default_lang="en")
+        .where("bad_verdict")
+        .collect()
+    }
+    assert bad_ids
+    exact_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(cfg.exact_dir).select("doc_id").collect()
+    }
+    assert not (exact_ids & bad_ids)
+    ledger = {
+        r["doc_id"]: r["dropped_at"] for r in pipe.drop_ledger().collect()
+    }
+    assert bad_ids <= set(ledger)
+    assert {ledger[i] for i in bad_ids} == {"badwords_gate"}
