@@ -1,6 +1,7 @@
 """Header-level metadata for the CODEC-BOUNDARY media containers
 (round 16 — the lossy-WebP `webp_info` pattern extended to VERDICT
-r15 'missing' #3): MP4/ISO-BMFF, MP3, FLAC and ADTS AAC.
+r15 'missing' #3): MP4/ISO-BMFF, MP3, FLAC, ADTS AAC and Ogg
+(Opus/Vorbis).
 
 The payloads stay the declared boundary — H.264/AAC/MP3 DECODE is not
 honestly reimplementable here (entropy decoders parameterized by spec
@@ -263,3 +264,57 @@ def adts_info(blob: bytes) -> dict:
         "n_frames": n_frames,
         "duration_ms": int(n_frames * 1024 * 1000 / rate),
     }
+
+
+def ogg_info(blob: bytes) -> dict:
+    """Ogg container metadata (the last of the common boundary audio
+    containers): first-page identification header — ``codec``
+    ('opus' | 'vorbis' | 'unknown'), ``sample_rate``, ``channels`` —
+    plus ``duration_ms`` from the LAST page's granule position (the
+    container records absolute PCM position in-band: granules are
+    48 kHz samples for Opus regardless of input rate, sample-rate
+    samples for Vorbis).  Codec payload decode stays the declared
+    boundary.  Raises ValueError on non-Ogg input / truncated first
+    page."""
+    b = bytes(blob)
+    if b[:4] != b"OggS":
+        raise ValueError("not an Ogg container")
+    if len(b) < 27:
+        raise ValueError("ogg: truncated page header")
+    n_segs = b[26]
+    if len(b) < 27 + n_segs:
+        raise ValueError("ogg: truncated segment table")
+    body_start = 27 + n_segs
+    body_len = sum(b[27 : 27 + n_segs])
+    body = b[body_start : body_start + body_len]
+    info: dict = {
+        "codec": "unknown",
+        "sample_rate": None,
+        "channels": None,
+        "duration_ms": None,
+    }
+    if body[:8] == b"OpusHead" and len(body) >= 14:
+        info["codec"] = "opus"
+        info["channels"] = body[9]
+        # input sample rate (informational); granules are always 48k
+        info["sample_rate"] = struct.unpack("<I", body[12:16])[0] if len(body) >= 16 else None
+        gscale = 48000
+    elif body[:7] == b"\x01vorbis" and len(body) >= 16:
+        info["codec"] = "vorbis"
+        info["channels"] = body[11]
+        info["sample_rate"] = struct.unpack("<I", body[12:16])[0]
+        gscale = info["sample_rate"]
+    else:
+        gscale = None
+    # duration: granule position of the LAST page (64-bit LE at
+    # offset 6 of the page header) — scan from the final 'OggS'
+    last = b.rfind(b"OggS")
+    if gscale and last >= 0 and last + 14 <= len(b):
+        granule = struct.unpack("<q", b[last + 6 : last + 14])[0]
+        if granule > 0:
+            if info["codec"] == "opus" and len(body) >= 12:
+                # subtract the Opus pre-skip (samples at 48k)
+                granule -= struct.unpack("<H", body[10:12])[0]
+            if granule > 0:
+                info["duration_ms"] = int(granule * 1000 / gscale)
+    return info

@@ -861,6 +861,18 @@ def decode_media(media_type: str, blob: bytes) -> dict:
             }
         except Exception:
             fmt = "corrupt"
+    elif blob[:4] == b"OggS":
+        from prod2vec_spark.operators.mediainfo import ogg_info
+
+        try:
+            inf = ogg_info(blob)
+            return {
+                "format": "ogg_meta",
+                "sample_rate": inf.get("sample_rate"),
+                "duration_ms": inf.get("duration_ms"),
+            }
+        except Exception:
+            fmt = "corrupt"
     elif blob[:3] == b"ID3" or (
         len(blob) >= 4 and blob[0] == 0xFF and (blob[1] & 0xE0) == 0xE0
     ):
@@ -1203,6 +1215,14 @@ def classify_media(blob) -> "tuple[str, str]":
             return ("flac", "unsupported_format")
         except Exception:
             return ("flac", "corrupt")
+    if bb[:4] == b"OggS":
+        from prod2vec_spark.operators.mediainfo import ogg_info
+
+        try:
+            ogg_info(bb)
+            return ("ogg", "unsupported_format")
+        except Exception:
+            return ("ogg", "corrupt")
     if bb[:3] == b"ID3" or (
         len(bb) >= 4 and bb[0] == 0xFF and (bb[1] & 0xE0) == 0xE0
     ):

@@ -860,10 +860,19 @@ CATALOG: list[str] = [
 # phash_neardup, audio_neardup, thumbnail_audit, mmr_diverse_topk,
 # compression_profile are now catalog entries (see the round-16 block
 # above for the six retirees' family reasoning).  Round-17 rotation
-# candidates (fully oracled, superset-only): the round-13 leftovers
-# video_span_audit / packed_unigram_ids / kn3_perplexity, plus any
-# round-16 tranche entries.  Standard protocol: retirees keep superset
-# oracles + family catalog siblings; plan snapshots re-blessed; fresh
+# candidates (fully oracled, superset-only), round-16 tranche first:
+#   sentence_dedup_stats / sentence_dedup_keepfirst (the repeated-
+#     sentence screen, both policies — CCNet drop_all and ExactSubstr
+#     keep_first — over the deterministic sentenced corpus),
+#   sft_input_ids (the SFT loss-mask training-input contract,
+#     BPE-replay oracled end-to-end),
+#   badwords_by_lang (the per-language C4 gate incl. the fallback
+#     leg),
+#   webp_header_audit (the lossy-VP8 header-feature plane, golden-
+#     fixture oracled),
+# plus the round-13 leftovers video_span_audit / packed_unigram_ids /
+# kn3_perplexity.  Standard protocol: retirees keep superset oracles
+# + family catalog siblings; plan snapshots re-blessed; fresh
 # isolated baselines recorded BEFORE the rotation commit (the
 # dsir_select tripwire test fails otherwise — by design).
 # ---------------------------------------------------------------------

@@ -190,3 +190,66 @@ def test_adts_info_frame_walk():
     assert d["format"] == "aac_meta" and d["duration_ms"] == inf["duration_ms"]
     from tests.test_mediainfo import make_mp3 as _mk  # self-import ok
     assert classify_media(_mk(1000)) == ("mp3", "unsupported_format")
+
+
+def _ogg_page(body: bytes, *, granule: int = 0, seq: int = 0,
+              htype: int = 2) -> bytes:
+    segs = []
+    n = len(body)
+    while n >= 255:
+        segs.append(255)
+        n -= 255
+    segs.append(n)
+    hdr = (
+        b"OggS" + bytes([0, htype])
+        + struct.pack("<q", granule)
+        + struct.pack("<I", 1)      # serial
+        + struct.pack("<I", seq)
+        + struct.pack("<I", 0)      # crc (unchecked by the parser)
+        + bytes([len(segs)]) + bytes(segs)
+    )
+    return hdr + body
+
+
+def make_opus(duration_ms: int = 2500, pre_skip: int = 312) -> bytes:
+    head = (
+        b"OpusHead" + bytes([1, 2])          # version, channels
+        + struct.pack("<H", pre_skip)
+        + struct.pack("<I", 48000)
+        + struct.pack("<h", 0) + bytes([0])  # gain, mapping
+    )
+    granule = pre_skip + duration_ms * 48
+    first = _ogg_page(head, htype=2, seq=0)
+    last = _ogg_page(b"\x00" * 10, granule=granule, htype=4, seq=1)
+    return first + last
+
+
+def make_vorbis(duration_ms: int = 1500, rate: int = 44100) -> bytes:
+    ident = (
+        b"\x01vorbis" + struct.pack("<I", 0)
+        + bytes([2])                          # channels
+        + struct.pack("<I", rate)
+        + bytes(16)
+    )
+    granule = duration_ms * rate // 1000
+    return _ogg_page(ident, seq=0) + _ogg_page(
+        b"\x00" * 8, granule=granule, htype=4, seq=1
+    )
+
+
+def test_ogg_info_opus_and_vorbis():
+    from prod2vec_spark.operators.mediainfo import ogg_info
+
+    o = ogg_info(make_opus(duration_ms=2500))
+    assert o["codec"] == "opus" and o["channels"] == 2
+    assert o["sample_rate"] == 48000
+    assert o["duration_ms"] == 2500  # pre-skip subtracted
+    v = ogg_info(make_vorbis(duration_ms=1500, rate=44100))
+    assert v["codec"] == "vorbis" and v["sample_rate"] == 44100
+    assert abs(v["duration_ms"] - 1500) <= 1
+    with pytest.raises(ValueError):
+        ogg_info(b"OggS" + b"\x00" * 5)  # truncated page header
+    assert classify_media(make_opus()) == ("ogg", "unsupported_format")
+    assert classify_media(b"OggS" + b"\x00" * 3) == ("ogg", "corrupt")
+    d = decode_media("audio", make_opus(duration_ms=1000))
+    assert d["format"] == "ogg_meta" and d["duration_ms"] == 1000

@@ -135,7 +135,11 @@ def planted_media_blob(media_id: int) -> bytes:
     # container-metadata boundary (payload decode stays out of scope;
     # the box/frame headers parse — operators/mediainfo.py) and a
     # truncated MP4 for the corrupt leg
-    sub11 = (i // 12) % 6
+    sub11 = (i // 12) % 8
+    if sub11 == 6:  # Ogg Opus -> unsupported boundary, granule duration
+        return _make_opus(1000 + (i % 9) * 250)
+    if sub11 == 7:  # Ogg Vorbis -> same, rate-scaled granules
+        return _make_vorbis(800 + (i % 5) * 400)
     if sub11 == 1:  # valid MP4 skeleton -> unsupported boundary w/ dims
         return _make_mp4(
             320 + (i % 5) * 16, 180 + (i % 4) * 30, 4000 + i * 10
@@ -221,6 +225,49 @@ def _make_adts(n_frames: int) -> bytes:
         f[6] = 0xFC
         out += f + b"\x00" * 20
     return bytes(out)
+
+
+def _ogg_page(body: bytes, granule: int = 0, seq: int = 0,
+              htype: int = 2) -> bytes:
+    segs = []
+    n = len(body)
+    while n >= 255:
+        segs.append(255)
+        n -= 255
+    segs.append(n)
+    return (
+        b"OggS" + bytes([0, htype])
+        + struct.pack("<q", granule)
+        + struct.pack("<I", 1)
+        + struct.pack("<I", seq)
+        + struct.pack("<I", 0)
+        + bytes([len(segs)]) + bytes(segs)
+        + body
+    )
+
+
+def _make_opus(duration_ms: int) -> bytes:
+    pre_skip = 312
+    head = (
+        b"OpusHead" + bytes([1, 2]) + struct.pack("<H", pre_skip)
+        + struct.pack("<I", 48000) + struct.pack("<h", 0) + bytes([0])
+    )
+    return _ogg_page(head, htype=2, seq=0) + _ogg_page(
+        _bytes("opusfill", 24), granule=pre_skip + duration_ms * 48,
+        htype=4, seq=1,
+    )
+
+
+def _make_vorbis(duration_ms: int) -> bytes:
+    rate = 44100
+    ident = (
+        b"\x01vorbis" + struct.pack("<I", 0) + bytes([2])
+        + struct.pack("<I", rate) + bytes(16)
+    )
+    return _ogg_page(ident, seq=0) + _ogg_page(
+        _bytes("vorbfill", 16), granule=duration_ms * rate // 1000,
+        htype=4, seq=1,
+    )
 
 
 def _make_mp3(n_audio_bytes: int) -> bytes:
