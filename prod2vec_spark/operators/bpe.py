@@ -274,6 +274,23 @@ def token_id_sequences(
     tf = tokens_fn if tokens_fn is not None else (
         lambda c: bpe_tokens(c, merges)
     )
+    ids = token_ids_column(tf(F.col(text_col)), vocab)
+    if ids is not None:
+        # row-local form (round 16): the vocab fits the broadcast-map
+        # guard, so each doc's id sequence is one in-array transform —
+        # zero shuffle, versus the posexplode → join → reassembly
+        # shape below (2 exchanges of corpus-sized token rows).
+        return docs.select(
+            F.col(id_col),
+            ids.alias("ids"),
+        ).select(
+            id_col,
+            F.size("ids").cast("long").alias("n_ids"),
+            F.size(F.filter("ids", lambda t: t == 0)).cast("long").alias(
+                "n_unk"
+            ),
+            "ids",
+        )
     toks = docs.select(
         F.col(id_col),
         F.posexplode(tf(F.col(text_col))).alias("pos", "token"),
@@ -290,4 +307,39 @@ def token_id_sequences(
             F.array_sort(F.collect_list(F.struct("pos", "tid"))),
             lambda s: s.tid,
         ).alias("ids"),
+    )
+
+
+# vocab tables above this row count keep the shuffle-join id mapping:
+# element_at on a map LITERAL is a linear key scan (ArrayBasedMapData),
+# so past a few thousand entries the per-token probe loses to the
+# broadcast hash join it replaces (the baskets.index_items
+# max_map_size precedent, tightened for the per-element call site)
+TOKEN_MAP_MAX = 4096
+
+
+def token_ids_column(toks: Column, vocab: DataFrame) -> "Column | None":
+    """token-array Column → id-array Column via a broadcast map
+    literal (UNK→0, the J2 OOV convention) — or None when the vocab
+    exceeds TOKEN_MAP_MAX rows and callers must keep the join path.
+    Collecting the vocab is a bounded driver edge by the same
+    contract that lets it broadcast (token_vocab output is capped by
+    merge count + charset)."""
+    # limit()+collect: one bounded job decides fit AND fetches the
+    # entries (a separate count() would execute the vocab DAG twice)
+    rows = vocab.select("token", "token_id").limit(TOKEN_MAP_MAX + 1).collect()
+    if len(rows) > TOKEN_MAP_MAX:
+        return None
+    if not rows:
+        return F.transform(toks, lambda t: F.lit(0).cast("long"))
+    m = F.create_map(
+        *[
+            F.lit(x)
+            for r in rows
+            for x in (r["token"], int(r["token_id"]))
+        ]
+    )
+    return F.transform(
+        toks,
+        lambda t: F.coalesce(F.element_at(m, t), F.lit(0)).cast("long"),
     )

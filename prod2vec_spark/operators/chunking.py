@@ -185,7 +185,12 @@ def pack_token_ids(
     doc's ids — the GPT-style corpus delimiter — counted in n_ids
     but never in doc_lens.
     """
-    from prod2vec_spark.operators.bpe import bpe_token_count, token_id_sequences
+    from prod2vec_spark.operators.bpe import (
+        bpe_token_count,
+        bpe_tokens,
+        token_id_sequences,
+        token_ids_column,
+    )
 
     # tokenizer-family seam (round 12): tokens_fn/count_fn swap the
     # tokenizer (the unigram plane passes its Viterbi segmenter +
@@ -199,26 +204,81 @@ def pack_token_ids(
     # with an EOD separator, the budget counts ids as WRITTEN —
     # each doc costs its token count plus one separator
     sep = 1 if eod_id is not None else 0
-    bins = pack_sequences(
-        docs,
-        budget=budget,
-        n_shards=n_shards,
-        part_col=part_col,
-        id_col=id_col,
-        text_col=text_col,
-        count_fn=lambda c: count(c) + F.lit(sep),
+    tf = tokens_fn if tokens_fn is not None else (
+        lambda c: bpe_tokens(c, merges)
     )
-    seqs = token_id_sequences(
-        docs, merges, vocab, id_col=id_col, text_col=text_col,
-        tokens_fn=tokens_fn,
-    ).select(id_col, "ids")
-    if eod_id is not None:
-        seqs = seqs.withColumn(
-            "ids", F.concat("ids", F.array(F.lit(eod_id).cast("long")))
+    ids_of = token_ids_column(tf(F.col(text_col)), vocab)
+    if ids_of is not None:
+        # single-scan form (round 16, guide §2.3/§2.4): when the vocab
+        # fits the broadcast-map guard, encode each document ONCE and
+        # carry its id array through the one unavoidable shuffle (the
+        # pack window's part+shard exchange).  The previous shape ran
+        # the tokenizer over the corpus twice (count pass + id pass),
+        # reassembled ids through a posexplode → join → groupBy (two
+        # more corpus-sized exchanges), then joined bins back to
+        # payloads; count(text) + sep == size(ids)+sep by the
+        # tokens_fn/count_fn contract, so the bin assignment is
+        # bit-identical.  The final groupBy re-uses the window's
+        # (part, shard) hash partitioning — no new exchange.
+        from prod2vec_spark.functions.hashing import hex_prefix_long
+        from pyspark.sql import Window
+
+        if budget <= 0 or n_shards <= 0:
+            raise ValueError(
+                f"need budget > 0 and n_shards > 0, got {budget}/{n_shards}"
+            )
+        ids_col = ids_of
+        if eod_id is not None:
+            ids_col = F.concat(
+                ids_col, F.array(F.lit(eod_id).cast("long"))
+            )
+        staged = docs.select(
+            F.col(id_col),
+            F.col(part_col).alias("part"),
+            (
+                hex_prefix_long(
+                    F.concat_ws("|", F.lit("shard"), F.col(id_col)), 8
+                )
+                % F.lit(n_shards)
+            ).alias("shard"),
+            F.md5(
+                F.concat_ws("|", F.lit("pack"), F.col(id_col))
+            ).alias("_ord"),
+            ids_col.alias("ids"),
+        ).withColumn("n_tokens", F.size("ids"))
+        w = (
+            Window.partitionBy("part", "shard")
+            .orderBy("_ord", id_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-    ordered = bins.withColumn(
-        "_ord", F.md5(F.concat_ws("|", F.lit("pack"), F.col(id_col)))
-    ).join(seqs, id_col)
+        ordered = staged.withColumn(
+            "bin",
+            F.floor(
+                (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+                / F.lit(budget)
+            ).cast("int"),
+        )
+    else:
+        bins = pack_sequences(
+            docs,
+            budget=budget,
+            n_shards=n_shards,
+            part_col=part_col,
+            id_col=id_col,
+            text_col=text_col,
+            count_fn=lambda c: count(c) + F.lit(sep),
+        )
+        seqs = token_id_sequences(
+            docs, merges, vocab, id_col=id_col, text_col=text_col,
+            tokens_fn=tokens_fn,
+        ).select(id_col, "ids")
+        if eod_id is not None:
+            seqs = seqs.withColumn(
+                "ids", F.concat("ids", F.array(F.lit(eod_id).cast("long")))
+            )
+        ordered = bins.withColumn(
+            "_ord", F.md5(F.concat_ws("|", F.lit("pack"), F.col(id_col)))
+        ).join(seqs, id_col)
     return (
         ordered.groupBy("part", "shard", "bin")
         .agg(

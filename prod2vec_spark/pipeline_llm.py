@@ -1434,17 +1434,44 @@ class CorpusCurationPipeline:
                 merges = self._merges
                 tokens_fn = None
                 count_fn = None
-            vocab = token_vocab(train, merges, tokens_fn=tokens_fn)
+            # Round-16 (guide §4.2/§8 decode-once): run the tokenizer
+            # over the train corpus EXACTLY ONCE and persist the token
+            # arrays; the vocab aggregation and the packer then read
+            # columns instead of re-encoding (the wordpiece/unigram
+            # encoders are pandas_udf boundaries — previously paid 3×
+            # per pack: vocab + count + ids; measured 39 s → the
+            # dominant __curation_all__ stage).  Identity tokens_fn
+            # over the staged array column keeps both operators'
+            # dataflow unchanged.
+            from prod2vec_spark.operators.bpe import bpe_tokens
+
+            tf = tokens_fn if tokens_fn is not None else (
+                lambda c: bpe_tokens(c, merges)
+            )
+            write_parquet(
+                train.select(
+                    "doc_id", "lang", tf(F.col("text")).alias("_toks")
+                ),
+                f"{self.cfg.work_dir}/train_tokens",
+            )
+            staged = self.spark.read.parquet(
+                f"{self.cfg.work_dir}/train_tokens"
+            )
+            ident = lambda c: c  # noqa: E731
+            vocab = token_vocab(
+                staged, merges, text_col="_toks", tokens_fn=ident
+            )
             write_parquet(vocab, f"{self.cfg.work_dir}/token_vocab")
             vocab = self.spark.read.parquet(f"{self.cfg.work_dir}/token_vocab")
             packed = pack_token_ids(
-                train,
+                staged,
                 merges,
                 vocab,
                 budget=self.cfg.pack_budget,
                 n_shards=self.cfg.pack_shards,
-                tokens_fn=tokens_fn,
-                count_fn=count_fn,
+                text_col="_toks",
+                tokens_fn=ident,
+                count_fn=lambda c: F.size(c),
             )
             write_parquet(packed, f"{self.cfg.work_dir}/input_ids")
             self._stage_ms["pack"] = int((time.monotonic() - t0) * 1000)
