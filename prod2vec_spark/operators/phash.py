@@ -760,7 +760,30 @@ def image_span_pairs(
     th = image_tile_hashes(
         media, tile_px=tile_px, stride=stride, id_col=id_col, blob_col=blob_col
     )
-    composite = th.select(
+    return image_span_pairs_from_tiles(
+        th,
+        max_distance=max_distance,
+        bands=bands,
+        min_shared=min_shared,
+        max_group=max_group,
+        id_col=id_col,
+    )
+
+
+def image_span_pairs_from_tiles(
+    tile_hashes: DataFrame,
+    max_distance: int = 3,
+    bands: int = 4,
+    min_shared: int = 4,
+    max_group: int | None = None,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """:func:`image_span_pairs` over a PRECOMPUTED (id, tile_idx,
+    thash) table — the banding/verify/rollup half split out (round 16)
+    so a fused decode pass (:func:`media_features`) can feed the span
+    plane without re-decoding blobs the whole-hash pass already
+    decoded."""
+    composite = tile_hashes.select(
         _composite_id(id_col, F.col("tile_idx"), _TILE_ID_BASE).alias("tid"),
         "thash",
     )
@@ -1002,7 +1025,28 @@ def audio_span_pairs(
         media, window_ms=window_ms, hop_ms=hop_ms,
         id_col=id_col, blob_col=blob_col,
     )
-    composite = wh.select(
+    return audio_span_pairs_from_windows(
+        wh,
+        max_distance=max_distance,
+        bands=bands,
+        min_shared=min_shared,
+        max_group=max_group,
+        id_col=id_col,
+    )
+
+
+def audio_span_pairs_from_windows(
+    window_hashes: DataFrame,
+    max_distance: int = 3,
+    bands: int = 4,
+    min_shared: int = 2,
+    max_group: int | None = None,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """:func:`audio_span_pairs` over a PRECOMPUTED (id, win_idx,
+    whash) table — the banding/verify/rollup half split out (round 16,
+    the image_span_pairs_from_tiles twin) for the fused decode pass."""
+    composite = window_hashes.select(
         _composite_id(id_col, F.col("win_idx"), _WIN_ID_BASE).alias("wid"),
         "whash",
     )
@@ -1356,6 +1400,216 @@ def media_hashes(
             )
 
     return src.mapInPandas(run, schema=f"{id_col} long, modality string, mhash long")
+
+
+def media_features(
+    media: DataFrame,
+    tile_px: int = 16,
+    stride: int = 8,
+    window_ms: int = 1000,
+    hop_ms: int = 500,
+    id_col: str = "media_id",
+    blob_col: str = "blob",
+) -> DataFrame:
+    """EVERY per-blob media feature from ONE decode (round 16, guide
+    §4.2/§8 decode-once): (id, fmt, status, modality, mhash, tiles,
+    wins) where ``tiles`` is array<struct<tile_idx int, thash long>>
+    (the image_tile_hashes rows, in-array) and ``wins`` is
+    array<struct<win_idx int, whash long>> (the audio_window_hashes
+    rows).  The curation pipeline's media stage previously ran FOUR
+    Arrow passes over the blob column — format audit, whole-media
+    hash, image tiles, audio windows — each paying the full Python
+    codec chain per blob; this pass decodes once and derives all four
+    surfaces, bit-identical by construction:
+
+    * fmt/status — the classify_media contract (the decodable six
+      fused here; container-metadata formats delegate to
+      classify_media, whose walks never decode payloads);
+    * modality/mhash — the media_hashes contract (NULL hash where the
+      codec fails, modality kept for decodable containers);
+    * tiles — tile_rows_py over the SAME gray plane, with the same
+      composite-id guard;
+    * wins — window_rows_py over the SAME mono signal.
+
+    tests/test_media_features.py locks the equivalence against the
+    four standalone passes over the planted mixed fixture."""
+    if tile_px < 2:
+        raise ValueError(f"tile_px must be >= 2, got {tile_px}")
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    if window_ms <= 0:
+        raise ValueError(f"window_ms must be positive, got {window_ms}")
+    if hop_ms <= 0:
+        raise ValueError(f"hop_ms must be positive, got {hop_ms}")
+    src = media.select(id_col, blob_col)
+
+    def one(mid, b):
+        from prod2vec_spark.operators.gif import gif_pixels
+        from prod2vec_spark.operators.jpeg import decode_jpeg_gray
+        from prod2vec_spark.operators.multimodal import (
+            _jpeg_unsupported_mode,
+            avi_frames,
+            classify_media,
+        )
+        from prod2vec_spark.operators.webp import _vp8l_payload, webp_pixels
+
+        bb = bytes(b) if isinstance(b, (bytes, bytearray)) else b""
+        fmt = status = modality = mhash = None
+        gray = audio = None
+        if bb.startswith(PNG_SIG):
+            fmt, modality = "png", "image"
+            try:
+                pixels, hdr = png_pixels(bb)
+                status = "decoded"
+                if hdr["bit_depth"] == 8:
+                    gray = _gray(
+                        pixels, hdr["width"], hdr["height"], hdr["channels"]
+                    )
+            except Exception:
+                status = "corrupt"
+        elif bb[:2] == b"\xff\xd8":
+            fmt, modality = "jpeg", "image"
+            if _jpeg_unsupported_mode(bb):
+                status = "unsupported_format"
+            else:
+                try:
+                    g8, w, h = decode_jpeg_gray(bb)
+                    status = "decoded"
+                    gray = (
+                        np.frombuffer(g8, dtype=np.uint8)
+                        .astype(np.float64)
+                        .reshape(h, w)
+                    )
+                except Exception:
+                    status = "corrupt"
+        elif bb[:6] in (b"GIF87a", b"GIF89a"):
+            fmt, modality = "gif", "image"
+            try:
+                rgb, m = gif_pixels(bb)
+                status = "decoded"
+                gray = _gray(rgb, m["width"], m["height"], m["channels"])
+            except Exception:
+                status = "corrupt"
+        elif bb[:4] == b"RIFF" and bb[8:12] == b"WEBP":
+            fmt, modality = "webp", "image"
+            try:
+                lossless = _vp8l_payload(bb) is not None
+            except Exception:
+                lossless = None
+                status = "corrupt"
+            if lossless is False:
+                status = "unsupported_format"
+            elif lossless:
+                try:
+                    rgb, m = webp_pixels(bb)
+                    status = "decoded"
+                    gray = _gray(rgb, m["width"], m["height"], m["channels"])
+                except Exception:
+                    status = "corrupt"
+        elif bb[:4] == b"RIFF" and bb[8:12] == b"WAVE":
+            from prod2vec_spark.operators.multimodal import wav_samples
+
+            fmt, modality = "wav", "audio"
+            try:
+                samples, m = wav_samples(bb)
+                status = "decoded"  # classify's contract: parse = decoded
+            except Exception:
+                status = "corrupt"
+                samples = None
+            if samples is not None:
+                # the audio_mono door, on the ALREADY-decoded samples:
+                # channel-mean mono; rate<=0 keeps status but no hash
+                a = np.asarray(samples, dtype=np.float64)
+                nch = m["n_channels"]
+                if nch > 1:
+                    a = a[: (len(a) // nch) * nch].reshape(-1, nch).mean(
+                        axis=1
+                    )
+                rate = int(m.get("framerate") or 0)
+                if rate > 0:
+                    audio = (a, rate)
+        elif bb[:4] == b"RIFF" and bb[8:12] == b"AVI ":
+            fmt, modality = "avi", "video"
+            try:
+                frames, m = avi_frames(bb)
+                status = "decoded"
+                mhash = vhash64(frames, m["width"], m["height"])
+            except Exception:
+                status = "corrupt"
+        else:
+            # container-metadata formats (mp4/flac/ogg/aac/mp3) and
+            # unknown: classify_media's walks parse headers only —
+            # there is no payload decode to fuse, and media_hashes
+            # reports (NULL, NULL) for all of them
+            fmt, status = classify_media(bb)
+        tiles, wins = [], []
+        if gray is not None:
+            if modality == "image":
+                mhash = dhash64(gray)
+            for ti, tj, th in tile_rows_py(gray, tile_px, stride):
+                if tj >= _TILE_COLS_PER_ROW or (
+                    ti * _TILE_COLS_PER_ROW + tj >= _TILE_ID_BASE
+                ):
+                    raise ValueError(
+                        f"image {mid}: tile ({ti},{tj}) exceeds the "
+                        f"composite tile-id space "
+                        f"(cols<{_TILE_COLS_PER_ROW}, idx<{_TILE_ID_BASE}); "
+                        f"raise stride/tile_px or split the image"
+                    )
+                tiles.append(
+                    {"tile_idx": ti * _TILE_COLS_PER_ROW + tj, "thash": th}
+                )
+        if audio is not None:
+            a, rate = audio
+            mhash = ahash64(a)
+            for wi, wh in window_rows_py(a, rate, window_ms, hop_ms):
+                if wi >= _WIN_ID_BASE:
+                    raise ValueError(
+                        f"clip {mid}: window {wi} exceeds the composite "
+                        f"window-id space (<{_WIN_ID_BASE}); raise hop_ms "
+                        f"or split the clip"
+                    )
+                wins.append({"win_idx": wi, "whash": wh})
+        if fmt in ("mp4", "flac", "ogg", "aac", "mp3", "unknown"):
+            modality = None  # the media_hashes else-branch contract
+        return fmt, status, modality, mhash, tiles, wins
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                id_col: [], "fmt": [], "status": [], "modality": [],
+                "mhash": [], "tiles": [], "wins": [],
+            }
+            for mid, b in zip(pdf[id_col], pdf[blob_col]):
+                fmt, status, modality, mhash, tiles, wins = one(mid, b)
+                rows[id_col].append(mid)
+                rows["fmt"].append(fmt)
+                rows["status"].append(status)
+                rows["modality"].append(modality)
+                rows["mhash"].append(mhash)
+                rows["tiles"].append(tiles)
+                rows["wins"].append(wins)
+            yield pd.DataFrame(
+                {
+                    id_col: rows[id_col],
+                    "fmt": rows["fmt"],
+                    "status": rows["status"],
+                    "modality": rows["modality"],
+                    "mhash": pd.array(rows["mhash"], dtype="Int64"),
+                    "tiles": rows["tiles"],
+                    "wins": rows["wins"],
+                }
+            )
+
+    return src.mapInPandas(
+        run,
+        schema=(
+            f"{id_col} long, fmt string, status string, modality string, "
+            f"mhash long, "
+            f"tiles array<struct<tile_idx: int, thash: long>>, "
+            f"wins array<struct<win_idx: int, whash: long>>"
+        ),
+    )
 
 
 MODALITIES = ("image", "audio", "video")

@@ -972,21 +972,41 @@ class CorpusCurationPipeline:
         from prod2vec_spark.operators.graph import dedup_clusters
 
         media = self.spark.read.parquet(self.cfg.media_path)
+        # Round-16 (guide §4.2/§8 decode-once): ONE Arrow pass decodes
+        # every blob and derives all four media surfaces at once —
+        # format audit rows, whole-media hashes, image tiles, audio
+        # windows (previously four separate passes, each paying the
+        # full Python codec chain per blob; measured 28.5 s of the
+        # all-stages macro).  The features persist to work_dir so the
+        # audit aggregate and the three pair planes read columns,
+        # never re-decode; equivalence with the standalone passes is
+        # pytest-locked (tests/test_media_features.py).
+        write_parquet(
+            PH.media_features(
+                media,
+                tile_px=self.cfg.media_tile_px,
+                stride=self.cfg.media_tile_stride,
+                window_ms=self.cfg.media_window_ms,
+                hop_ms=self.cfg.media_hop_ms,
+                id_col="doc_id",
+                blob_col="blob",
+            ),
+            f"{self.cfg.work_dir}/media_features",
+        )
+        feats = self.spark.read.parquet(f"{self.cfg.work_dir}/media_features")
         if self.cfg.media_format_audit:
             # round-14: publish the codec boundary's blind spot next
             # to the dedup artifacts — per-(format, status) counts so
             # the unsupported/corrupt share is a NUMBER in work_dir,
-            # not a docstring.  Optional: it costs a second decode
-            # pass over the blob column (one Arrow-batched scan).
-            from prod2vec_spark.operators.multimodal import (
-                media_format_audit,
-            )
-
+            # not a docstring.  Now a tiny hash-agg over the fused
+            # features — no second decode pass.
             write_parquet(
-                media_format_audit(media, id_col="doc_id", blob_col="blob"),
+                feats.groupBy("fmt", "status").agg(
+                    F.count(F.lit(1)).alias("n")
+                ),
                 f"{self.cfg.work_dir}/media_format_audit",
             )
-        hashes = PH.media_hashes(media, id_col="doc_id", blob_col="blob")
+        hashes = feats.select("doc_id", "modality", "mhash")
         pairs = PH.media_neardup_pairs(
             hashes,
             id_col="doc_id",
@@ -996,31 +1016,37 @@ class CorpusCurationPipeline:
         ).select("id_a", "id_b")
         if self.cfg.media_span_dedup:
             # partial-image dups (crops/letterboxes) union into the
-            # SAME component pass — one decode per image, the span
+            # SAME component pass — zero extra decodes, the span
             # plane's hot-bucket cap applied (image_span_pairs
             # docstring)
-            span = PH.image_span_pairs(
-                media,
-                tile_px=self.cfg.media_tile_px,
-                stride=self.cfg.media_tile_stride,
+            span = PH.image_span_pairs_from_tiles(
+                feats.select(
+                    "doc_id", F.explode("tiles").alias("t")
+                ).select(
+                    "doc_id",
+                    F.col("t.tile_idx").alias("tile_idx"),
+                    F.col("t.thash").alias("thash"),
+                ),
                 max_distance=self.cfg.media_max_distance,
                 min_shared=self.cfg.media_span_min_shared,
                 max_group=self.cfg.lsh_max_group,
                 id_col="doc_id",
-                blob_col="blob",
             ).select("id_a", "id_b")
             # round-13: partial-AUDIO spans ride the same switch — a
             # doc whose clip embeds another doc's jingle (hop-aligned,
             # incl. across PCM↔ADPCM) joins the same component pass
-            aspan = PH.audio_span_pairs(
-                media,
-                window_ms=self.cfg.media_window_ms,
-                hop_ms=self.cfg.media_hop_ms,
+            aspan = PH.audio_span_pairs_from_windows(
+                feats.select(
+                    "doc_id", F.explode("wins").alias("w")
+                ).select(
+                    "doc_id",
+                    F.col("w.win_idx").alias("win_idx"),
+                    F.col("w.whash").alias("whash"),
+                ),
                 max_distance=self.cfg.media_max_distance,
                 min_shared=self.cfg.media_audio_min_shared,
                 max_group=self.cfg.lsh_max_group,
                 id_col="doc_id",
-                blob_col="blob",
             ).select("id_a", "id_b")
             pairs = pairs.unionByName(span).unionByName(aspan).distinct()
         clusters = dedup_clusters(
