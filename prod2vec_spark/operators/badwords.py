@@ -48,25 +48,38 @@ def _phrase_hits(lower_text: Column, phrase: str) -> Column:
 
 
 _PUNCT_EDGE = r"^\p{Punct}+|\p{Punct}+$"  # Java regex; DuckDB twin uses [[:punct:]]
+# the 32 chars of \p{Punct} / [[:punct:]] (ASCII POSIX punct) — btrim
+# over this set strips the same leading/trailing runs the regex does,
+# without a per-token regex engine call (round 16, guide §1.2 step 2:
+# the strip ran once per token per CATEGORY per reference and measured
+# ~6 s of the curation macro's scrub chain)
+_PUNCT_CHARS = r"""!"#$%&'()*+,-./:;<=>?@[\]^_`{|}~"""
 
 
 def _category_hits(toks: Column, lower_text: Column, words) -> Column:
     """Total hits for one category: whole-token matches (punctuation-
     stripped at the edges) for single words + substring occurrence
-    counts for space-bearing phrases."""
+    counts for space-bearing phrases.  ``toks`` must already be the
+    punctuation-stripped token array (see ``_stripped_tokens``)."""
     singles = tuple(w.lower() for w in words if " " not in w)
     phrases = tuple(w for w in words if " " in w)
     hits = F.lit(0).cast("long")
     if singles:
-        hits = hits + F.size(
-            F.filter(
-                toks,
-                lambda t: F.regexp_replace(t, _PUNCT_EDGE, "").isin(*singles),
-            )
-        )
+        hits = hits + F.size(F.filter(toks, lambda t: t.isin(*singles)))
     for p in phrases:
         hits = hits + _phrase_hits(lower_text, p)
     return hits
+
+
+def _stripped_tokens(text: Column) -> Column:
+    """Lowercased whitespace tokens with leading/trailing punctuation
+    stripped — the shared per-token staging both gates bind ONCE per
+    row (HOF expressions have no CSE; the let-bound array(…)/transform
+    wrapper is the simhash staging rule)."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != ""
+    )
+    return F.transform(toks, lambda t: F.btrim(t, F.lit(_PUNCT_CHARS)))
 
 
 def badwords_gate(
@@ -94,16 +107,46 @@ def badwords_gate(
             )
     text = F.coalesce(F.col(text_col), F.lit(""))
     lower_text = F.lower(text)
-    toks = F.filter(
-        F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != ""
+    # ONE let-bound evaluation of the split+strip chain (round 16):
+    # the token staging binds once inside an array(…)/transform
+    # wrapper and every category's whole-token count computes from
+    # the SAME bound array — previously each hits_<cat> column (and
+    # n_tokens) re-derived split + per-token strip from text.
+    cats_sorted = sorted(categories)
+    singles = {
+        cat: tuple(
+            w.lower() for w in categories[cat] if " " not in w
+        )
+        for cat in cats_sorted
+    }
+    stats = F.element_at(
+        F.transform(
+            F.array(_stripped_tokens(text)),
+            lambda c: F.struct(
+                *[
+                    (
+                        F.size(
+                            F.filter(c, lambda t: t.isin(*singles[cat]))
+                        )
+                        if singles[cat]
+                        else F.lit(0)
+                    ).alias(f"h_{cat}")
+                    for cat in cats_sorted
+                ],
+                F.size(c).alias("n"),
+            ),
+        ),
+        1,
     )
-    out = docs
+    out = docs.withColumn("_bw", stats)
     total = F.lit(0).cast("long")
-    for cat in sorted(categories):
-        h = _category_hits(toks, lower_text, categories[cat])
+    for cat in cats_sorted:
+        h = F.col("_bw")[f"h_{cat}"].cast("long")
+        for p in (w for w in categories[cat] if " " in w):
+            h = h + _phrase_hits(lower_text, p)
         out = out.withColumn(f"hits_{cat}", h)
         total = total + F.col(f"hits_{cat}")
-    n_tokens = F.size(toks)
+    n_tokens = F.col("_bw")["n"]
     frac = F.round(
         total.cast("double") / F.greatest(n_tokens, F.lit(1)).cast("double"),
         6,
@@ -112,6 +155,7 @@ def badwords_gate(
         out.withColumn("n_tokens", n_tokens)
         .withColumn("badword_frac", frac)
         .withColumn("bad_verdict", F.col("badword_frac") > F.lit(max_frac))
+        .drop("_bw")
     )
 
 
@@ -172,29 +216,66 @@ def badwords_by_lang(
         )
     text = F.coalesce(F.col(text_col), F.lit(""))
     lower_text = F.lower(text)
-    toks = F.filter(
-        F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != ""
-    )
     all_cats = sorted({c for cats in lists.values() for c in cats})
-    out = docs
+    # ONE let-bound evaluation of the split+strip chain (round 16,
+    # the badwords_gate staging): whole-token counts for every
+    # (language, category) pair compute from the SAME bound token
+    # array; the per-language CASE below then selects among cheap
+    # struct-field references — previously every CASE arm re-derived
+    # split + per-token strip from text.
+    singles = {
+        (lang, cat): tuple(
+            w.lower() for w in lists[lang][cat] if " " not in w
+        )
+        for lang in lists
+        for cat in lists[lang]
+    }
+    pairs = sorted(k for k, v in singles.items() if v)
+    stats = F.element_at(
+        F.transform(
+            F.array(_stripped_tokens(text)),
+            lambda c: F.struct(
+                *[
+                    F.size(
+                        F.filter(c, lambda t: t.isin(*singles[(lg, ct)]))
+                    ).alias(f"h_{lg}_{ct}")
+                    for lg, ct in pairs
+                ],
+                F.size(c).alias("n"),
+            ),
+        ),
+        1,
+    )
+    out = docs.withColumn("_bw", stats)
+
+    def cat_hits(lang: str, cat: str) -> Column:
+        h = (
+            F.col("_bw")[f"h_{lang}_{cat}"].cast("long")
+            if singles[(lang, cat)]
+            else F.lit(0).cast("long")
+        )
+        for p in (w for w in lists[lang][cat] if " " in w):
+            h = h + _phrase_hits(lower_text, p)
+        return h
+
     total = F.lit(0).cast("long")
     for cat in all_cats:
         # fallback leg first (unlisted languages), then one CASE arm
         # per language — all row-local column expressions
         if default_lang is not None and cat in lists[default_lang]:
-            expr = _category_hits(toks, lower_text, lists[default_lang][cat])
+            expr = cat_hits(default_lang, cat)
         else:
             expr = F.lit(0).cast("long")
         for lang in sorted(lists):
             arm = (
-                _category_hits(toks, lower_text, lists[lang][cat])
+                cat_hits(lang, cat)
                 if cat in lists[lang]
                 else F.lit(0).cast("long")
             )
             expr = F.when(F.col(lang_col) == F.lit(lang), arm).otherwise(expr)
         out = out.withColumn(f"hits_{cat}", expr)
         total = total + F.col(f"hits_{cat}")
-    n_tokens = F.size(toks)
+    n_tokens = F.col("_bw")["n"]
     frac = F.round(
         total.cast("double") / F.greatest(n_tokens, F.lit(1)).cast("double"),
         6,
@@ -203,6 +284,7 @@ def badwords_by_lang(
         out.withColumn("n_tokens", n_tokens)
         .withColumn("badword_frac", frac)
         .withColumn("bad_verdict", F.col("badword_frac") > F.lit(max_frac))
+        .drop("_bw")
     )
 
 

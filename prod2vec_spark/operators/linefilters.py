@@ -135,32 +135,56 @@ def line_filter(
     else:
         raise ValueError(f"unknown line mode: {mode!r}")
 
-    def keep(l: Column) -> Column:
-        k = ~_too_short(l, min_words) & ~_blocked(l, blocklist)
-        if require_terminal_punct:
-            k = k & ~_no_terminal_punct(l)
-        if drop_brace_lines:
-            k = k & ~_has_brace(l)
-        return k
+    # stage the per-line RULE FLAGS once (round 16 — the HOF-CSE rule,
+    # taken one level deeper): the previous shape staged only the line
+    # array and then ran five separate HOF traversals, each
+    # re-evaluating the per-line word-split / blocklist-contains work
+    # (n_short, n_blocked, n_kept and kept_text all re-derived them).
+    # One transform computes every rule flag per line; the count and
+    # reassembly passes below traverse cheap boolean fields.
+    def flags(l: Column) -> Column:
+        return F.struct(
+            l.alias("l"),
+            _too_short(l, min_words).alias("short"),
+            _blocked(l, blocklist).alias("blocked"),
+            (
+                _no_terminal_punct(l)
+                if require_terminal_punct
+                else F.lit(False)
+            ).alias("nopunct"),
+            (_has_brace(l) if drop_brace_lines else F.lit(False)).alias(
+                "brace"
+            ),
+        )
 
-    # stage the array once (HOF-CSE rule) before the per-rule counts
-    staged = docs.withColumn("_lines", lines)
-    n_if = lambda pred: F.size(F.filter(F.col("_lines"), pred)).cast("long")  # noqa: E731
+    keep = (
+        lambda f: ~f["short"] & ~f["blocked"] & ~f["nopunct"] & ~f["brace"]
+    )
+    staged = docs.withColumn("_lf", F.transform(lines, flags))
+    n_if = lambda pred: F.size(F.filter(F.col("_lf"), pred)).cast("long")  # noqa: E731
     return (
-        staged.withColumn("n_lines", F.size("_lines").cast("long"))
-        .withColumn("n_short", n_if(lambda l: _too_short(l, min_words)))
-        .withColumn("n_blocked", n_if(lambda l: _blocked(l, blocklist)))
+        staged.withColumn("n_lines", F.size("_lf").cast("long"))
+        .withColumn("n_short", n_if(lambda f: f["short"]))
+        .withColumn("n_blocked", n_if(lambda f: f["blocked"]))
         .withColumn(
             "n_nopunct",
-            n_if(_no_terminal_punct) if require_terminal_punct else F.lit(0).cast("long"),
+            n_if(lambda f: f["nopunct"]) if require_terminal_punct else F.lit(0).cast("long"),
         )
         .withColumn(
             "n_brace",
-            n_if(_has_brace) if drop_brace_lines else F.lit(0).cast("long"),
+            n_if(lambda f: f["brace"]) if drop_brace_lines else F.lit(0).cast("long"),
         )
         .withColumn("n_kept", n_if(keep))
-        .withColumn("kept_text", F.array_join(F.filter(F.col("_lines"), keep), joiner))
-        .drop("_lines")
+        .withColumn(
+            "kept_text",
+            F.array_join(
+                F.transform(
+                    F.filter(F.col("_lf"), keep), lambda f: f["l"]
+                ),
+                joiner,
+            ),
+        )
+        .drop("_lf")
     )
 
 
