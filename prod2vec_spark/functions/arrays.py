@@ -53,6 +53,32 @@ def seeded_shuffle(arr: Column, salt: Column, seed: int = 42) -> Column:
     return F.transform(F.array_sort(keyed), lambda s: s["v"])
 
 
+def bind(df, name: str, value: Column):
+    """Single-evaluation STAGING of an expensive column as a real
+    attribute: ``bind(df, "_s", expr)`` returns ``df`` with one new
+    column ``name`` holding ``expr``, guaranteed to evaluate ONCE per
+    row however many downstream filters/projections reference it.
+
+    Why ``withColumn`` is not enough (round 16): a withColumn alias is
+    transparent to the optimizer — PushDownPredicates substitutes the
+    defining expression into every predicate it pushes through the
+    project, and CollapseProject inlines it into every consuming
+    projection, so a column consumed by a filter AND k derived columns
+    re-evaluates its full lineage k+1 times (the round-11 ``let``
+    lesson, one level up: ``let`` binds references WITHIN one
+    expression; ``bind`` binds references ACROSS operators).
+
+    Mechanism: ``explode(array(expr))`` — a Generate over a 1-element
+    array.  Generate materializes its output attribute per row, and
+    the optimizer can neither collapse a Project through Generate nor
+    push a predicate on the generated attribute below it, so the
+    attribute behaves like a checkpointed column at zero I/O cost.
+    Unrelated predicates still push through Generate to the scan, and
+    column pruning of the child still works.  Stream-safe (stateless,
+    row-local)."""
+    return df.select("*", F.explode(F.array(value)).alias(name))
+
+
 def let(value: Column, body) -> Column:
     """Single-evaluation binding for an expensive Column expression —
     ``let(expr, lambda v: ...)`` evaluates ``expr`` ONCE per row and

@@ -36,6 +36,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from prod2vec_spark.functions.arrays import bind
+
 
 def _phrase_hits(lower_text: Column, phrase: str) -> Column:
     """Occurrence count of a lowercase phrase: (len - len(without)) /
@@ -71,15 +73,27 @@ def _category_hits(toks: Column, lower_text: Column, words) -> Column:
     return hits
 
 
-def _stripped_tokens(text: Column) -> Column:
-    """Lowercased whitespace tokens with leading/trailing punctuation
-    stripped — the shared per-token staging both gates bind ONCE per
-    row (HOF expressions have no CSE; the let-bound array(…)/transform
-    wrapper is the simhash staging rule)."""
+def _stripped_tokens(lower_text: Column) -> Column:
+    """Whitespace tokens of already-LOWERCASED text with leading/
+    trailing punctuation stripped — the per-token staging both gates
+    bind ONCE per row through ``functions.arrays.bind`` (HOF
+    expressions have no CSE, and withColumn aliases re-inline)."""
     toks = F.filter(
-        F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != ""
+        F.split(F.trim(lower_text), r"\s+"), lambda t: t != ""
     )
     return F.transform(toks, lambda t: F.btrim(t, F.lit(_PUNCT_CHARS)))
+
+
+def _staged(docs: DataFrame, text_col: str) -> DataFrame:
+    """Shared staging for both gates: ``_bwl`` = lowercased text and
+    ``_bwtoks`` = stripped token array, each bound through the
+    Generate barrier (functions/arrays.bind) so the split+strip chain
+    — and, in the fused scrub DAG, the upstream line-filter rewrite
+    the text column aliases — evaluates exactly once per row however
+    many hit columns and pushed-down verdict predicates consume it."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    out = bind(docs, "_bwl", F.lower(text))
+    return bind(out, "_bwtoks", _stripped_tokens(F.col("_bwl")))
 
 
 def badwords_gate(
@@ -105,46 +119,30 @@ def badwords_gate(
             raise ValueError(
                 f"category name {cat!r} must be a valid column suffix"
             )
-    text = F.coalesce(F.col(text_col), F.lit(""))
-    lower_text = F.lower(text)
-    # ONE let-bound evaluation of the split+strip chain (round 16):
-    # the token staging binds once inside an array(…)/transform
-    # wrapper and every category's whole-token count computes from
-    # the SAME bound array — previously each hits_<cat> column (and
-    # n_tokens) re-derived split + per-token strip from text.
+    # Round-16 staging: _bwl (lower text) and _bwtoks (stripped token
+    # array) bind once per row through the Generate barrier, then ONE
+    # more bound struct carries every category's TOTAL hits (whole-
+    # token + phrase) and the token count — the derived columns and
+    # the caller's pushed-down verdict predicate are all O(1) field
+    # reads of a materialized attribute.
     cats_sorted = sorted(categories)
-    singles = {
-        cat: tuple(
-            w.lower() for w in categories[cat] if " " not in w
-        )
-        for cat in cats_sorted
-    }
-    stats = F.element_at(
-        F.transform(
-            F.array(_stripped_tokens(text)),
-            lambda c: F.struct(
-                *[
-                    (
-                        F.size(
-                            F.filter(c, lambda t: t.isin(*singles[cat]))
-                        )
-                        if singles[cat]
-                        else F.lit(0)
-                    ).alias(f"h_{cat}")
-                    for cat in cats_sorted
-                ],
-                F.size(c).alias("n"),
-            ),
+    out = _staged(docs, text_col)
+    out = bind(
+        out,
+        "_bw",
+        F.struct(
+            *[
+                _category_hits(
+                    F.col("_bwtoks"), F.col("_bwl"), categories[cat]
+                ).alias(f"h_{cat}")
+                for cat in cats_sorted
+            ],
+            F.size(F.col("_bwtoks")).alias("n"),
         ),
-        1,
     )
-    out = docs.withColumn("_bw", stats)
     total = F.lit(0).cast("long")
     for cat in cats_sorted:
-        h = F.col("_bw")[f"h_{cat}"].cast("long")
-        for p in (w for w in categories[cat] if " " in w):
-            h = h + _phrase_hits(lower_text, p)
-        out = out.withColumn(f"hits_{cat}", h)
+        out = out.withColumn(f"hits_{cat}", F.col("_bw")[f"h_{cat}"])
         total = total + F.col(f"hits_{cat}")
     n_tokens = F.col("_bw")["n"]
     frac = F.round(
@@ -155,7 +153,7 @@ def badwords_gate(
         out.withColumn("n_tokens", n_tokens)
         .withColumn("badword_frac", frac)
         .withColumn("bad_verdict", F.col("badword_frac") > F.lit(max_frac))
-        .drop("_bw")
+        .drop("_bwl", "_bwtoks", "_bw")
     )
 
 
@@ -214,49 +212,34 @@ def badwords_by_lang(
         raise ValueError(
             f"default_lang {default_lang!r} is not a key of lists"
         )
-    text = F.coalesce(F.col(text_col), F.lit(""))
-    lower_text = F.lower(text)
     all_cats = sorted({c for cats in lists.values() for c in cats})
-    # ONE let-bound evaluation of the split+strip chain (round 16,
-    # the badwords_gate staging): whole-token counts for every
-    # (language, category) pair compute from the SAME bound token
-    # array; the per-language CASE below then selects among cheap
-    # struct-field references — previously every CASE arm re-derived
-    # split + per-token strip from text.
-    singles = {
-        (lang, cat): tuple(
-            w.lower() for w in lists[lang][cat] if " " not in w
-        )
-        for lang in lists
-        for cat in lists[lang]
-    }
-    pairs = sorted(k for k, v in singles.items() if v)
-    stats = F.element_at(
-        F.transform(
-            F.array(_stripped_tokens(text)),
-            lambda c: F.struct(
-                *[
-                    F.size(
-                        F.filter(c, lambda t: t.isin(*singles[(lg, ct)]))
-                    ).alias(f"h_{lg}_{ct}")
-                    for lg, ct in pairs
-                ],
-                F.size(c).alias("n"),
-            ),
-        ),
-        1,
+    # Round-16 staging (the badwords_gate shape): _bwl/_bwtoks bound
+    # once via the Generate barrier, then ONE bound struct carries the
+    # TOTAL per-(language, category) hits — the per-language CASE
+    # below selects among O(1) struct-field reads of a materialized
+    # attribute (previously every CASE arm re-derived split +
+    # per-token strip from text, and the withColumn alias re-inlined
+    # the chain into each consumer).
+    pairs = sorted(
+        (lang, cat) for lang in lists for cat in lists[lang]
     )
-    out = docs.withColumn("_bw", stats)
+    out = _staged(docs, text_col)
+    out = bind(
+        out,
+        "_bw",
+        F.struct(
+            *[
+                _category_hits(
+                    F.col("_bwtoks"), F.col("_bwl"), lists[lg][ct]
+                ).alias(f"h_{lg}_{ct}")
+                for lg, ct in pairs
+            ],
+            F.size(F.col("_bwtoks")).alias("n"),
+        ),
+    )
 
     def cat_hits(lang: str, cat: str) -> Column:
-        h = (
-            F.col("_bw")[f"h_{lang}_{cat}"].cast("long")
-            if singles[(lang, cat)]
-            else F.lit(0).cast("long")
-        )
-        for p in (w for w in lists[lang][cat] if " " in w):
-            h = h + _phrase_hits(lower_text, p)
-        return h
+        return F.col("_bw")[f"h_{lang}_{cat}"]
 
     total = F.lit(0).cast("long")
     for cat in all_cats:
@@ -284,7 +267,7 @@ def badwords_by_lang(
         out.withColumn("n_tokens", n_tokens)
         .withColumn("badword_frac", frac)
         .withColumn("bad_verdict", F.col("badword_frac") > F.lit(max_frac))
-        .drop("_bw")
+        .drop("_bwl", "_bwtoks", "_bw")
     )
 
 

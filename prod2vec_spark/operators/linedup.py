@@ -119,11 +119,24 @@ def segment_dedup(
     if policy not in ("drop_all", "keep_first"):
         raise ValueError(f"unknown segment policy: {policy!r}")
     segs = exploded_segments(docs, width, text_col=text_col, id_col=id_col)
+    # Round-16 reshape (guide §1.2 step 1 — don't compute things
+    # twice): the repeated set joins back with a KEEP FLAG instead of
+    # an anti-join, so ONE per-doc aggregation yields the window
+    # total (count of exploded rows == ceil(n_toks/width) by
+    # construction), the kept count (count_if) and the reassembled
+    # text (collect_list skips the NULL-when-dropped structs) — the
+    # previous shape ran a third tokenize scan just for n_segs and
+    # joined two corpus-sized tables; now the final join carries ids
+    # only (NULL-text docs still surface as n_segs=0 via the left
+    # join — the report never silently loses rows).
     if policy == "drop_all":
-        boiler = boilerplate_segments(segs, min_docs).select("seg_h")
+        boiler = boilerplate_segments(segs, min_docs).select(
+            "seg_h", F.lit(True).alias("_boil")
+        )
         if broadcast_boiler:
             boiler = F.broadcast(boiler)
-        kept = segs.join(boiler, "seg_h", "left_anti")
+        flagged = segs.join(boiler, "seg_h", "left")
+        keep = F.col("_boil").isNull()
     else:
         owners = (
             segs.groupBy("seg_h")
@@ -136,45 +149,32 @@ def segment_dedup(
         )
         if broadcast_boiler:
             owners = F.broadcast(owners)
-        kept = (
-            segs.join(owners, "seg_h", "left")
-            .where(F.col("owner").isNull() | (F.col("doc_id") == F.col("owner")))
-            .drop("owner")
-        )
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
+        flagged = segs.join(owners, "seg_h", "left")
+        keep = F.col("owner").isNull() | (F.col("doc_id") == F.col("owner"))
+    rebuilt = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("_n_segs"),
+        F.count_if(keep).alias("n_kept"),
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                F.array_sort(
+                    F.collect_list(F.when(keep, F.struct("pos", "seg")))
+                ),
                 lambda s: s.seg,
             ),
             " ",
         ).alias("kept_text"),
     )
-    # per-doc window total is row-local arithmetic (ceil(n_toks/width))
-    # — one slim scan, not a third explode + shuffle
-    # every input doc gets a report row — NULL-text docs surface as
-    # n_segs=0, n_dropped=0, kept_text='' (drop policy stays with the
-    # caller; the report never silently loses rows)
-    totals = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.coalesce(
-            F.ceil(F.size(tokens(F.col(text_col))) / F.lit(float(width))).cast(
-                "long"
-            ),
-            F.lit(0).cast("long"),
-        ).alias("n_segs"),
-    )
-    return (
-        totals.join(rebuilt, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_segs",
-            (F.col("n_segs") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
-                "n_dropped"
-            ),
-            F.coalesce(F.col("kept_text"), F.lit("")).alias("kept_text"),
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+    return ids.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("_n_segs"), F.lit(0)).cast("long").alias("n_segs"),
+        (
+            F.coalesce(F.col("_n_segs"), F.lit(0))
+            - F.coalesce(F.col("n_kept"), F.lit(0))
         )
+        .cast("long")
+        .alias("n_dropped"),
+        F.coalesce(F.col("kept_text"), F.lit("")).alias("kept_text"),
     )
 
 
@@ -267,7 +267,10 @@ def sentence_dedup(
         )
         if broadcast_repeats:
             repeats = F.broadcast(repeats)
-        kept = sents.join(repeats, "sent_h", "left_anti")
+        flagged = sents.join(
+            repeats.withColumn("_rep", F.lit(True)), "sent_h", "left"
+        )
+        keep = F.col("_rep").isNull()
     else:
         owners = (
             elig.groupBy("sent_h")
@@ -280,32 +283,37 @@ def sentence_dedup(
         )
         if broadcast_repeats:
             owners = F.broadcast(owners)
-        kept = (
-            sents.join(owners, "sent_h", "left")
-            .where(
-                F.col("owner").isNull() | (F.col("doc_id") == F.col("owner"))
-            )
-            .drop("owner")
-        )
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
+        flagged = sents.join(owners, "sent_h", "left")
+        keep = F.col("owner").isNull() | (F.col("doc_id") == F.col("owner"))
+    # Round-16 reshape (the segment_dedup fold): the repeated set
+    # joins back with a keep FLAG, so one per-doc aggregation yields
+    # the sentence total (count of exploded rows == size(sentences)),
+    # the kept count and the reassembly — removing the second
+    # sentence-split scan and shrinking the final join to ids only.
+    rebuilt = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("_n_sents"),
+        F.count_if(keep).alias("n_kept"),
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "sent"))),
+                F.array_sort(
+                    F.collect_list(F.when(keep, F.struct("pos", "sent")))
+                ),
                 lambda s: s.sent,
             ),
             " ",
         ).alias("kept_text"),
     )
-    totals = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(sentences(F.col(text_col))).cast("long").alias("n_sentences"),
-    )
-    return totals.join(rebuilt, "doc_id", "left").select(
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+    return ids.join(rebuilt, "doc_id", "left").select(
         "doc_id",
-        "n_sentences",
+        F.coalesce(F.col("_n_sents"), F.lit(0))
+        .cast("long")
+        .alias("n_sentences"),
         (
-            F.col("n_sentences") - F.coalesce(F.col("n_kept"), F.lit(0))
-        ).alias("n_dropped"),
+            F.coalesce(F.col("_n_sents"), F.lit(0))
+            - F.coalesce(F.col("n_kept"), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_dropped"),
         F.coalesce(F.col("kept_text"), F.lit("")).alias("kept_text"),
     )

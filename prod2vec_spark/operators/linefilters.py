@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from prod2vec_spark.functions.arrays import bind
+
 # C4's own blocklist is page-level ("lorem ipsum", the word
 # "javascript", source-code braces); kept here as the line-level
 # default, overridable per call.
@@ -54,16 +56,29 @@ def window_lines(text: Column, width: int) -> Column:
     table): consecutive ``width``-token windows, space-joined — the
     same segmentation operators/linedup.py uses, so both planes see
     identical "lines".  Empty/blank text → empty array (guarded;
-    ``sequence(0, -1)`` would count DOWN)."""
-    toks = F.split(F.trim(text), r"\s+")
-    n_win = F.ceil(F.size(toks) / F.lit(float(width))).cast("int")
-    return F.when(
-        F.trim(text) == "", F.array().cast("array<string>")
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), n_win - 1),
-            lambda i: F.array_join(F.slice(toks, i * width + 1, width), " "),
+    ``sequence(0, -1)`` would count DOWN).
+
+    The token array is ``let``-bound (round 16): the previous shape
+    closed over the raw ``split`` expression inside the per-window
+    lambda, re-splitting the WHOLE document once per window — O(n²/w)
+    per row.  The let-bound var is a bound value, so the split runs
+    once.  This is the repetition_keep nesting shape (outer HOF var
+    inside a nested transform lambda — see the CAUTION in
+    functions/arrays.let); test_linefilters pins equality against the
+    staged-column reference form."""
+    from prod2vec_spark.functions.arrays import let
+
+    def wins(toks: Column) -> Column:
+        n_win = F.ceil(F.size(toks) / F.lit(float(width))).cast("int")
+        return F.when(F.size(toks) == 0, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), n_win - 1),
+                lambda i: F.array_join(F.slice(toks, i * width + 1, width), " "),
+            )
         )
+
+    return let(
+        F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != ""), wins
     )
 
 
@@ -160,7 +175,13 @@ def line_filter(
     keep = (
         lambda f: ~f["short"] & ~f["blocked"] & ~f["nopunct"] & ~f["brace"]
     )
-    staged = docs.withColumn("_lf", F.transform(lines, flags))
+    # bind (NOT withColumn): the flag array is consumed by six derived
+    # columns and, in apply_line_filter, a pushed-down keep predicate —
+    # a withColumn alias re-evaluates the whole transform chain per
+    # consumer once CollapseProject/PushDownPredicates inline it
+    # (functions/arrays.bind docstring); the Generate barrier pins it
+    # to exactly one evaluation per row.
+    staged = bind(docs, "_lf", F.transform(lines, flags))
     n_if = lambda pred: F.size(F.filter(F.col("_lf"), pred)).cast("long")  # noqa: E731
     return (
         staged.withColumn("n_lines", F.size("_lf").cast("long"))
@@ -245,16 +266,24 @@ def adaptive_boilerplate_filter(
     else:
         raise ValueError(f"unknown line mode: {mode!r}")
 
-    staged = docs.crossJoin(F.broadcast(grams)).withColumn("_lines", lines)
+    # bind both the line array and the kept subset (functions/arrays
+    # .bind): n_lines / n_kept / kept_text and the caller's pushed-down
+    # keep predicate otherwise each re-evaluate the segmentation and
+    # the per-line × per-gram contains scan.
+    staged = bind(
+        docs.crossJoin(F.broadcast(grams)), "_lines", lines
+    )
     blocked = lambda l: F.exists(  # noqa: E731
         F.col("hot_grams"), lambda g: l.contains(g)
     )
-    kept = F.filter(F.col("_lines"), lambda l: ~blocked(l))
+    staged = bind(
+        staged, "_kept", F.filter(F.col("_lines"), lambda l: ~blocked(l))
+    )
     return (
         staged.withColumn("n_lines", F.size("_lines").cast("long"))
-        .withColumn("n_kept", F.size(kept).cast("long"))
-        .withColumn("kept_text", F.array_join(kept, joiner))
-        .drop("_lines")
+        .withColumn("n_kept", F.size("_kept").cast("long"))
+        .withColumn("kept_text", F.array_join(F.col("_kept"), joiner))
+        .drop("_lines", "_kept")
     )
 
 

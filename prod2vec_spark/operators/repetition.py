@@ -265,10 +265,26 @@ def corpus_ngram_hotspots(
         .orderBy(F.col("n_occurrences").desc(), F.col("gram"))
         .limit(k)
     )
+    # Round-16 (guide §2.3 — shuffle fewer bytes): the distinct-doc
+    # pass filters BEFORE it explodes.  The ≤ k winners collapse to a
+    # 1-row sorted array broadcast (the adaptive_boilerplate_filter
+    # trick); each doc row-locally intersects its DISTINCT gram set
+    # with the winners and explodes only the matches, so the second
+    # scan's shuffle carries ≤ k rows per doc instead of every gram
+    # occurrence, and n_docs is a plain count (one row per containing
+    # doc by construction) instead of a countDistinct carrying
+    # per-(gram, doc) state.  Output row-identical (pytest-locked +
+    # the adaptive_line_filter oracle).
+    hotarr = top.agg(F.sort_array(F.collect_list("gram")).alias("_hot"))
     nd = (
-        ex.join(F.broadcast(top.select("gram")), "gram", "left_semi")
+        staged.crossJoin(F.broadcast(hotarr))
+        .select(
+            F.explode(
+                F.array_intersect(F.array_distinct("_grams"), F.col("_hot"))
+            ).alias("gram")
+        )
         .groupBy("gram")
-        .agg(F.countDistinct(id_col).cast("long").alias("n_docs"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
     return (
         top.join(F.broadcast(nd), "gram")

@@ -96,12 +96,34 @@ def quality_features(text: Column) -> dict[str, Column]:
 
 def quality_score(text: Column) -> Column:
     """Composite [0,1] quality score — monotone in 'looks like prose':
-    penalize very short docs, symbol soup, and extreme repetition."""
-    f = quality_features(text)
-    length_ok = F.least(F.lit(1.0), f["n_tokens"].cast("double") / F.lit(20.0))
-    symbol_ok = F.greatest(F.lit(0.0), F.lit(1.0) - F.lit(4.0) * f["symbol_ratio"])
-    repeat_ok = f["type_token_ratio"]
-    return F.round((length_ok + symbol_ok + repeat_ok) / F.lit(3.0), 4)
+    penalize very short docs, symbol soup, and extreme repetition.
+
+    Round 16: the token array is ``let``-bound so the three
+    token-derived terms share ONE tokenization — the quality_features
+    dict hands out independent expressions, so referencing three of
+    its fields in one projection tokenized the document three times
+    (HOF expressions have no CSE).  Arithmetic is byte-identical to
+    the quality_features composition (same round() placement); the
+    oracle-checked quality_filter entry pins it."""
+    from prod2vec_spark.functions.arrays import let
+
+    def score(toks: Column) -> Column:
+        n = F.size(toks)
+        length_ok = F.least(F.lit(1.0), n.cast("double") / F.lit(20.0))
+        symbol_ratio = F.round(
+            F.length(F.regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast(
+                "double"
+            )
+            / F.length(text),
+            4,
+        )
+        symbol_ok = F.greatest(F.lit(0.0), F.lit(1.0) - F.lit(4.0) * symbol_ratio)
+        repeat_ok = F.round(
+            F.size(F.array_distinct(toks)).cast("double") / n, 4
+        )
+        return F.round((length_ok + symbol_ok + repeat_ok) / F.lit(3.0), 4)
+
+    return let(tokens(text), score)
 
 
 def fingerprint(text: Column) -> Column:

@@ -712,12 +712,20 @@ class CorpusCurationPipeline:
             # the n-gram/zlib gate staging above is far more expensive
             # than a parquet write — checkpoint the gated survivors
             # ONCE so both scans read columns, not recomputed lineage
-            # (was 32 s of the macro, ~7 s after).
-            write_parquet(docs, f"{self.cfg.work_dir}/quality_gated")
-            docs = self.spark.read.parquet(
+            # (was 32 s of the macro, ~7 s after).  Round 16: the
+            # quality score rides the SAME checkpoint write (one
+            # narrow extra column), so the percentile pass and the
+            # kept pass read `q` instead of each re-tokenizing the
+            # corpus (guide §1.2 step 1 — don't compute things twice).
+            write_parquet(
+                docs.withColumn("q", TX.quality_score(F.col("text"))),
+                f"{self.cfg.work_dir}/quality_gated",
+            )
+            scored = self.spark.read.parquet(
                 f"{self.cfg.work_dir}/quality_gated"
             )
-        scored = docs.withColumn("q", TX.quality_score(F.col("text")))
+        else:
+            scored = docs.withColumn("q", TX.quality_score(F.col("text")))
         thr_path = f"{self.cfg.work_dir}/quality_thr"
         if self.cfg.quality_scope == "per_source":
             # fairness variant: the percentile is computed WITHIN each
@@ -860,6 +868,15 @@ class CorpusCurationPipeline:
                 f"unknown lm_smoothing {self.cfg.lm_smoothing!r} "
                 "(expected 'stupid_backoff' or 'kneser_ney')"
             )
+        # Round-16: materialize the narrow (doc_id, ppl) report ONCE —
+        # the percentile aggregate and the keep filter otherwise each
+        # re-run the whole scoring pass (model-table joins + per-doc
+        # probe evaluation); two columns of parquet are far cheaper
+        # than a second scoring scan (the quality_gated precedent).
+        write_parquet(
+            rep.select("doc_id", "ppl"), f"{self.cfg.work_dir}/lm_ppl"
+        )
+        rep = self.spark.read.parquet(f"{self.cfg.work_dir}/lm_ppl")
         thr = rep.agg(
             F.percentile("ppl", F.lit(1.0 - self.cfg.lm_drop_pct)).alias(
                 "ppl_thr"
