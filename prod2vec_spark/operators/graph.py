@@ -105,7 +105,8 @@ def connected_components_with_rounds(
     labels = e.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").alias("comp")
     )
-    labels = break_lineage(labels, checkpoint_dir)
+    # lazy break — the checksum below materializes it (round 16)
+    labels = break_lineage(labels, checkpoint_dir, eager=False)
     prev = _label_checksum(labels)
 
     rounds = 0
@@ -116,11 +117,16 @@ def connected_components_with_rounds(
         prop = e.join(labels, e["a"] == labels["node"]).select(
             F.col("b").alias("node"), "comp"
         )
+        # lazy break (round 16): the checkpoint's RDD materializes
+        # under the checksum action two lines down, so each round runs
+        # ONE job instead of an eager-checkpoint job plus the checksum
+        # job; the returned plan is already truncated either way.
         labels = break_lineage(
             prop.unionByName(labels)
             .groupBy("node")
             .agg(F.min("comp").alias("comp")),
             checkpoint_dir,
+            eager=False,
         )
         rounds += 1
         cur = _label_checksum(labels)
@@ -193,7 +199,8 @@ def connected_components_star(
         )
         .distinct()
     )
-    e = break_lineage(e, checkpoint_dir)
+    # lazy break — the initial checksum below materializes it
+    e = break_lineage(e, checkpoint_dir, eager=False)
     singletons = both.select(F.col("a").alias("node")).distinct()
 
     def _star(cur: DataFrame, large: bool) -> DataFrame:
@@ -239,7 +246,8 @@ def connected_components_star(
     converged = False
     for _ in range(max_iter):
         e = _star(e, large=True)
-        e = break_lineage(_star(e, large=False), checkpoint_dir)
+        # lazy break — the checksum materializes it (round 16)
+        e = break_lineage(_star(e, large=False), checkpoint_dir, eager=False)
         rounds += 1
         cur = _checksum(e)
         if cur == prev:

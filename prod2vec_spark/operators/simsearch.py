@@ -1050,6 +1050,7 @@ def semdedup(
     centroids: list[list[float]] | None = None,
     min_parallelism: int | None = None,
     max_cluster: int | None = None,
+    staged_dir: str | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by clustering embeddings, then dropping within-
@@ -1164,6 +1165,20 @@ def semdedup(
     assigned = _with_unit(corpus, vec_col, "nvec").select(
         F.col(id_col).alias("id"), best.alias("cid"), F.col("nvec")
     )
+    if staged_dir is not None:
+        # Round-16 (guide §1.2 step 1): the normalize + argmax
+        # assignment chain feeds BOTH self-join legs and the final
+        # report join — three full evaluations of the per-row
+        # n_clusters×dims dot fold (no exchange reuse across the
+        # aliased legs).  Callers with a work dir (the curation DAG)
+        # materialize it once; plan-sensitive callers (the oracled
+        # semdedup_audit entry) pass None and keep the stateless shape.
+        from prod2vec_spark.sources.io import write_parquet
+
+        write_parquet(assigned, f"{staged_dir}/semdedup_assigned")
+        assigned = corpus.sparkSession.read.parquet(
+            f"{staged_dir}/semdedup_assigned"
+        )
     # zero-norm rows have null nvec: kept unconditionally, never paired
     pairable = assigned.where(F.col("nvec").isNotNull())
     if max_cluster is not None:

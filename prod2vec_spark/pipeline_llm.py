@@ -963,6 +963,7 @@ class CorpusCurationPipeline:
             dims=64,
             n_clusters=self.cfg.semantic_clusters,
             threshold=self.cfg.semantic_threshold,
+            staged_dir=self.cfg.work_dir,
         )
         # the drop set (semantic near-dups) is a small fraction —
         # broadcast anti join on doc_id, the corpus never shuffles

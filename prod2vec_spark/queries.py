@@ -305,11 +305,23 @@ def q_negative_sampling_stats(spark, sf_dir):
     target.  The oracle replays the exact same hash-derived stream."""
     pairs = SG.skipgram_pairs_array(_baskets_for_pairs(spark, sf_dir), SKIPGRAM_WINDOW)
     withneg = SG.negative_samples(pairs, vocab_size=VOCAB_SIZE, num_ns=NUM_NS, seed=SEED)
-    flat = SG.training_examples_flat(withneg)
-    return flat.groupBy("target").agg(
-        F.count(F.lit(1)).alias("n_examples"),
-        F.sum("label").alias("n_pos"),
-        F.sum(F.when(F.col("label") == 0, F.col("candidate")).otherwise(0)).alias("neg_sum"),
+    # Round-16 (guide §2.3 — aggregate before you explode): the flat
+    # (target, candidate, label) stream multiplies every pair into
+    # 1 + num_ns rows before the hash-agg; the same three aggregates
+    # compute row-locally per PAIR (the positive contributes the
+    # count, the negatives an in-array sum), 5× fewer rows into the
+    # partial aggregation.  Row-identical to the flat form (oracle
+    # replays the flat stream; equality proven there).
+    return withneg.groupBy("target").agg(
+        (F.count(F.lit(1)) + F.sum(F.size("negatives"))).alias("n_examples"),
+        F.count(F.lit(1)).alias("n_pos"),
+        F.sum(
+            F.aggregate(
+                F.col("negatives"),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+        ).alias("neg_sum"),
     )
 
 
