@@ -608,10 +608,24 @@ class CorpusCurationPipeline:
         )
         docs = self._timed("adaptive_block", self.adaptive_block, docs)
         t0 = time.monotonic()
-        keep = DD.exact_dup_groups(docs).select(
-            F.col("keep_doc_id").alias("doc_id")
+        # Round-16 (guide §2.4): keep the min-id doc per content digest
+        # via ONE row_number window over the digest — one corpus
+        # shuffle and one evaluation of the (possibly still-fused)
+        # scrub lineage.  The previous agg + left-semi shape shuffled
+        # the corpus twice (digest hash-agg, then the doc_id join) and
+        # re-evaluated the input lineage once per leg.  Survivors are
+        # identical (min doc_id per digest — exact_dup_groups'
+        # keep_doc_id rule; pytest-pinned via the pipeline e2e and
+        # drop-ledger partition contract).
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("_th").orderBy("doc_id")
+        out = (
+            docs.withColumn("_th", DD.text_digest(F.col("text")))
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_th", "_rn")
         )
-        out = docs.join(keep, "doc_id", "left_semi")
         write_parquet(out, f"{self.cfg.work_dir}/exact_deduped")
         self._stage_ms["exact_dedup"] = self._stage_ms.get(
             "exact_dedup", 0

@@ -227,7 +227,13 @@ def curation_stress(spark, sf_dir, factor: int = 10, max_group: int = 64):
     survivors = docs.join(keep, "doc_id", "left_semi")
     n_exact = survivors.count()
 
-    bands = minhash_bands(survivors, shingle_k=3)
+    # Round-16 (guide §1.2 step 1): the band table feeds BOTH the
+    # candidate-pair leg and the oversize audit — without a break the
+    # shingle+minhash signature pass re-runs per consumer over the
+    # amplified corpus.  localCheckpoint (lazy — the audit count below
+    # materializes it) is the in-query analogue of the DAG's persisted
+    # bands parquet; results unchanged.
+    bands = minhash_bands(survivors, shingle_k=3).localCheckpoint(eager=False)
     pairs = lsh_candidate_pairs(bands, max_group=max_group)
     n_dropped_groups = lsh_oversize_groups(bands, max_group).count()
 
