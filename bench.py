@@ -422,7 +422,7 @@ def _streaming_corpus(spark, sf_dir):
     try:
         landing = f"{work}/landing"
         (
-            read_table(spark, sf_dir, "documents")
+            read_table(spark, sf_dir, "documents", spread=False)
             .select("doc_id", "text", "lang")
             .coalesce(4)
             .write.parquet(landing)

@@ -68,15 +68,27 @@ def bind(df, name: str, value: Column):
     lesson, one level up: ``let`` binds references WITHIN one
     expression; ``bind`` binds references ACROSS operators).
 
-    Mechanism: ``explode(array(expr))`` — a Generate over a 1-element
-    array.  Generate materializes its output attribute per row, and
-    the optimizer can neither collapse a Project through Generate nor
-    push a predicate on the generated attribute below it, so the
-    attribute behaves like a checkpointed column at zero I/O cost.
-    Unrelated predicates still push through Generate to the scan, and
-    column pruning of the child still works.  Stream-safe (stateless,
-    row-local)."""
-    return df.select("*", F.explode(F.array(value)).alias(name))
+    Mechanism (round 16, hardened): ``shuffle(array(expr))[0]`` — a
+    value-identity wrapper (a 1-element array has exactly one
+    permutation) whose ``shuffle`` is NON-DETERMINISTIC to the
+    optimizer, so PushDownPredicates refuses to substitute the alias
+    into predicates it pushes and CollapseProject refuses to inline it
+    into consuming projections — the guide §4.4 UDF trick applied to a
+    JVM expression.  The first form of this barrier
+    (``explode(array(expr))``, a Generate over a 1-element array) is
+    REWRITTEN by Spark 4.1's optimizer into a plain transparent
+    Project, after which InferFiltersFromGenerate's ``size(col) > 0``
+    filter under a downstream explode re-inlines the column's ENTIRE
+    derivation into a scan-level Filter (quadratic for gram chains:
+    the tokenize sits inside the per-position lambda) — measured as
+    the dominant cost of verbatim_span_pairs.  Column pruning of the
+    child still works.  CAVEAT: PushDownPredicates only pushes filters
+    through a Project whose fields are ALL deterministic, so NO filter
+    (related or not) pushes below a bind — place binds above any
+    selective filters that should reach the scan.  Stream-safe
+    (stateless, row-local; retry-safe: re-evaluation reproduces the
+    same value)."""
+    return df.select("*", F.shuffle(F.array(value)).getItem(0).alias(name))
 
 
 def let(value: Column, body) -> Column:

@@ -49,8 +49,13 @@ def postings(
 ) -> DataFrame:
     """Inverted-index postings (term, doc_id, tf): one explode + one
     hash-agg shuffle on (term, doc_id)."""
+    from prod2vec_spark.functions.arrays import bind
+
+    # _toks rides the bind barrier: the explode's inferred size>0
+    # filter otherwise re-inlines the tokenize into a scan-level
+    # Filter — one full duplicate split per row (functions/arrays.bind)
     return (
-        docs.withColumn("_toks", tokens(F.col(text_col)))
+        bind(docs, "_toks", tokens(F.col(text_col)))
         .select(F.col(id_col).alias("doc_id"), F.explode("_toks").alias("term"))
         .groupBy("term", "doc_id")
         .agg(F.count(F.lit(1)).alias("tf"))
@@ -93,8 +98,11 @@ def bm25_topk(
         ).where(F.col("dl") > 0)
         # broadcast-filter the exploded term stream BEFORE any
         # aggregation: only query-term occurrences reach the tf agg
+        from prod2vec_spark.functions.arrays import bind
+
+        # bind barrier on _toks (see postings)
         hits = (
-            docs.withColumn("_toks", tokens(F.col(text_col)))
+            bind(docs, "_toks", tokens(F.col(text_col)))
             .select(
                 F.col(id_col).alias("doc_id"), F.explode("_toks").alias("term")
             )
@@ -182,7 +190,10 @@ def ql_topk(
         F.size(tokens(F.col(text_col))).alias("dl"),
     ).where(F.col("dl") > 0)
     total = dl.agg(F.sum("dl").alias("c_tokens"))
-    exploded = docs.withColumn("_toks", tokens(F.col(text_col))).select(
+    from prod2vec_spark.functions.arrays import bind
+
+    # bind barrier on _toks (see postings)
+    exploded = bind(docs, "_toks", tokens(F.col(text_col))).select(
         F.col(id_col).alias("doc_id"), F.explode("_toks").alias("term")
     )
     hits = (

@@ -42,11 +42,16 @@ def doc_distinct_ngrams(
     """(id, gram) rows — each document's DISTINCT word n-grams.
     Token/gram arrays staged as columns (HOF-CSE rule,
     operators/repetition.py)."""
-    return (
-        docs.withColumn("_toks", tokens(F.col(text_col)))
-        .withColumn("_grams", word_ngrams(F.col("_toks"), n))
-        .select(id_col, F.explode(F.array_distinct(F.col("_grams"))).alias("gram"))
-    )
+    from prod2vec_spark.functions.arrays import bind
+
+    # the distinct-gram array rides the bind barrier: the explode's
+    # inferred size>0 filter otherwise re-inlines the tokenize+n-gram
+    # chain into a scan-level Filter (functions/arrays.bind)
+    return bind(
+        docs.withColumn("_toks", tokens(F.col(text_col))),
+        "_dga",
+        F.array_distinct(word_ngrams(F.col("_toks"), n)),
+    ).select(id_col, F.explode(F.col("_dga")).alias("gram"))
 
 
 def contamination_report(

@@ -348,14 +348,21 @@ def winnow_candidate_pairs(
     carries fingerprint + id-list rows), then count pairs.
     ``max_group`` caps a degenerate fingerprint (boilerplate shared by
     thousands of docs) exactly like lsh_candidate_pairs' cap."""
-    from prod2vec_spark.functions.arrays import pair_expand
+    from prod2vec_spark.functions.arrays import bind, pair_expand
     from prod2vec_spark.operators.text import tokens
 
-    fps = (
-        docs.withColumn("_toks", tokens(F.col(text_col)))
-        .withColumn("_fps", winnow_fingerprints(F.col("_toks"), k=k, w=w))
-        .select(id_col, F.explode(F.col("_fps")).alias("fp"))
-    )
+    # _fps rides a bind (Generate) barrier, not a withColumn: the
+    # explode below makes InferFiltersFromGenerate add a size>0
+    # filter, and on a transparent alias PushDownPredicates re-inlines
+    # the ENTIRE tokenize+gram-hash+window-min chain into a scan-level
+    # filter — a full duplicate evaluation of the operator's quadratic
+    # expression per row (round 16, guide §1.2 step 2).  Behind the
+    # barrier the filter tests the materialized array instead.
+    fps = bind(
+        docs.withColumn("_toks", tokens(F.col(text_col))),
+        "_fps",
+        winnow_fingerprints(F.col("_toks"), k=k, w=w),
+    ).select(id_col, F.explode(F.col("_fps")).alias("fp"))
     grouped = (
         fps.groupBy("fp")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))

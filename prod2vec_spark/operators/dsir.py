@@ -79,10 +79,19 @@ def fit_bucket_counts(
     n-gram HOFs — interpreted HOF lambdas have no CSE, so an inline
     split() would re-tokenize the full text once per element_at
     (measured 13.6s → 2.8s for dsir_select at sf0.1)."""
+    from prod2vec_spark.functions.arrays import bind
+
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # the bucket array rides the bind barrier: the explode's inferred
+    # size>0 filter otherwise re-inlines the tokenize+n-gram chain
+    # into a scan-level Filter (functions/arrays.bind)
     return (
-        docs.select(toks.alias("_toks"))
-        .select(F.explode(ngram_buckets(F.col("_toks"), n_buckets)).alias("bucket"))
+        bind(
+            docs.select(toks.alias("_toks")),
+            "_ba",
+            ngram_buckets(F.col("_toks"), n_buckets),
+        )
+        .select(F.explode(F.col("_ba")).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
@@ -99,10 +108,17 @@ def fit_bucket_counts_pair(
     deployment shape: raw = crawl, target = its high-quality slice).
     Returns (target_counts, raw_counts) sharing a single exploded
     aggregation: the conditional sum replaces a second full scan."""
+    from prod2vec_spark.functions.arrays import bind
+
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # bind barrier on the bucket array (see fit_bucket_counts)
     both = (
-        docs.select(target_cond.alias("_is_t"), toks.alias("_toks"))
-        .select("_is_t", F.explode(ngram_buckets(F.col("_toks"), n_buckets)).alias("bucket"))
+        bind(
+            docs.select(target_cond.alias("_is_t"), toks.alias("_toks")),
+            "_ba",
+            ngram_buckets(F.col("_toks"), n_buckets),
+        )
+        .select("_is_t", F.explode(F.col("_ba")).alias("bucket"))
         .groupBy("bucket")
         .agg(
             F.sum(F.when(F.col("_is_t"), 1).otherwise(0)).cast("long").alias("t_cnt"),
@@ -177,9 +193,13 @@ def dsir_scores(
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     # materialize the token array before the HOFs (no CSE in
     # interpreted lambdas — see fit_bucket_counts)
-    exploded = docs.select(F.col(id_col), toks.alias("_toks")).select(
-        id_col, F.explode(ngram_buckets(F.col("_toks"), n_buckets)).alias("bucket")
-    )
+    from prod2vec_spark.functions.arrays import bind
+
+    exploded = bind(
+        docs.select(F.col(id_col), toks.alias("_toks")),
+        "_ba",
+        ngram_buckets(F.col("_toks"), n_buckets),
+    ).select(id_col, F.explode(F.col("_ba")).alias("bucket"))
     return (
         exploded.join(F.broadcast(ratio.where(F.col("bucket") >= 0)), "bucket", "left")
         .crossJoin(F.broadcast(default))

@@ -77,10 +77,19 @@ def doc_pairs(
 ) -> DataFrame:
     """(doc_id [, is_train], w1, w2): one row per adjacent token pair.
     Token array staged before the HOF consumes it (HOF-CSE rule)."""
+    from prod2vec_spark.functions.arrays import bind
+
     carry = [id_col] + (["is_train"] if "is_train" in docs.columns else [])
+    # bind barrier on the pair array (see fit_knn: the explode's
+    # inferred size>0 filter otherwise re-inlines the full chain into
+    # a scan-level Filter)
     return (
-        docs.withColumn("_toks", tokens(F.col(text_col)))
-        .select(*carry, F.explode(token_pairs(F.col("_toks"))).alias("_p"))
+        bind(
+            docs.withColumn("_toks", tokens(F.col(text_col))),
+            "_pa",
+            token_pairs(F.col("_toks")),
+        )
+        .select(*carry, F.explode(F.col("_pa")).alias("_p"))
         .select(*carry, F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
     )
 
@@ -1695,10 +1704,18 @@ def fit_knn(
     the model to parquet (KNnModel.save) — this only de-amplifies the
     self-trained form."""
     n = order
-    staged = train_docs.withColumn("_toks", tokens(F.col(text_col)))
-    grams = staged.select(
-        F.explode(token_ngrams(F.col("_toks"), n)).alias("_g")
+    from prod2vec_spark.functions.arrays import bind
+
+    # the n-gram array rides the bind barrier: the explode's inferred
+    # size>0 filter otherwise re-inlines the whole tokenize+n-tuple
+    # chain into a scan-level Filter (a full duplicate evaluation per
+    # row — guide §1.2 step 2; see functions/arrays.bind)
+    staged = bind(
+        train_docs.withColumn("_toks", tokens(F.col(text_col))),
+        "_ga",
+        token_ngrams(F.col("_toks"), n),
     )
+    grams = staged.select(F.explode(F.col("_ga")).alias("_g"))
     counts: dict[int, DataFrame] = {}
     counts[n] = grams.groupBy(
         *[F.col(f"_g.w{i}").alias(f"w{i}") for i in range(1, n + 1)]
@@ -1815,9 +1832,16 @@ def score_docs_knn(
         raise ValueError(f"discount must be in (0, 1), got {discount}")
     has_tag = "is_train" in docs.columns
     carry = ["is_train"] if has_tag else []
-    staged = docs.withColumn("_toks", tokens(F.col(text_col)))
+    from prod2vec_spark.functions.arrays import bind
+
+    # bind barrier on the doc-side n-gram array (see fit_knn)
+    staged = bind(
+        docs.withColumn("_toks", tokens(F.col(text_col))),
+        "_ga",
+        token_ngrams(F.col("_toks"), n),
+    )
     gr = staged.select(
-        id_col, *carry, F.explode(token_ngrams(F.col("_toks"), n)).alias("_g")
+        id_col, *carry, F.explode(F.col("_ga")).alias("_g")
     ).select(
         id_col, *carry,
         *[F.col(f"_g.w{i}").alias(f"g{i}") for i in range(1, n + 1)],

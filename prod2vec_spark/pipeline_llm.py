@@ -1002,8 +1002,13 @@ class CorpusCurationPipeline:
         unconditionally."""
         from prod2vec_spark.operators import phash as PH
         from prod2vec_spark.operators.graph import dedup_clusters
+        from prod2vec_spark.sources.io import spread_scan
 
-        media = self.spark.read.parquet(self.cfg.media_path)
+        # Round-16 (guide §2.5 input parallelism): the attachment table
+        # is typically few local files — without a floor the fused
+        # Python decode below runs on one core; at real scale the scan
+        # already has more splits than cores and this is a no-op.
+        media = spread_scan(self.spark.read.parquet(self.cfg.media_path))
         # Round-16 (guide §4.2/§8 decode-once): ONE Arrow pass decodes
         # every blob and derives all four media surfaces at once —
         # format audit rows, whole-media hashes, image tiles, audio

@@ -150,7 +150,7 @@ def q_image_span_audit(spark, sf_dir):
     planted family is recovered."""
     from prod2vec_spark.operators import phash as PH
 
-    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    docs = read_table(spark, sf_dir, "documents", spread=False).select("doc_id")
     tiles = (
         spark.read.parquet(_image_fixture_path())
         .join(docs, "doc_id", "leftsemi")
@@ -394,7 +394,7 @@ def q_url_canonical_groups(spark, sf_dir):
     Row-local normalization + ONE hash-agg on the canonical key."""
     from prod2vec_spark.operators.domains import canonical_url
 
-    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    docs = read_table(spark, sf_dir, "documents", spread=False).select("doc_id")
     staged = docs.withColumn("url", _messy_url("doc_id")).withColumn(
         "canon", canonical_url(F.col("url"))
     )

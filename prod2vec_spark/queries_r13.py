@@ -157,7 +157,7 @@ def q_audio_span_audit(spark, sf_dir):
     every pair and that every planted family is recovered."""
     from prod2vec_spark.operators import phash as PH
 
-    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    docs = read_table(spark, sf_dir, "documents", spread=False).select("doc_id")
     wins = (
         spark.read.parquet(_audio_fixture_path())
         .join(docs, "doc_id", "leftsemi")
@@ -825,7 +825,7 @@ def q_video_span_audit(spark, sf_dir):
     column (the image/audio protocol, frame edition)."""
     from prod2vec_spark.operators import phash as PH
 
-    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    docs = read_table(spark, sf_dir, "documents", spread=False).select("doc_id")
     frames = (
         spark.read.parquet(_video_fixture_path())
         .join(docs, "doc_id", "leftsemi")

@@ -255,11 +255,14 @@ def q_media_format_audit(spark, sf_dir):
     codec boundary's blind spot (the unsupported_format share) is a
     driver-checked number."""
     from prod2vec_spark.operators.multimodal import media_format_audit
+    from prod2vec_spark.sources.io import spread_scan
 
-    docs = read_table(spark, sf_dir, "documents").select(
+    # spread=False on docs / spread_scan on the blobs: the sniff+decode
+    # classifier is the per-row cost (guide §2.5/§4)
+    docs = read_table(spark, sf_dir, "documents", spread=False).select(
         F.col("doc_id").alias("media_id")
     )
-    media = (
+    media = spread_scan(
         spark.read.parquet(_media_format_fixture_path())
         .join(docs, "media_id", "leftsemi")
         .select("media_id", "blob")

@@ -43,8 +43,13 @@ def q_webp_crosscodec_neardup(spark, sf_dir):
     (codec sides differ), same_family (planted family agreement —
     the self-audit column, pytest-asserted 1 on every pair)."""
     from prod2vec_spark.operators import phash as PH
+    from prod2vec_spark.sources.io import spread_scan
 
-    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    # spread=False on docs / spread_scan on the mixed-blob frame: the
+    # PNG+VP8L decode is the per-row cost (guide §2.5/§4)
+    docs = read_table(spark, sf_dir, "documents", spread=False).select(
+        "doc_id"
+    )
     png = (
         spark.read.parquet(_pair_fixture("images"))
         .join(docs, F.col("media_id") == F.col("doc_id"), "leftsemi")
@@ -55,7 +60,7 @@ def q_webp_crosscodec_neardup(spark, sf_dir):
         .join(docs, F.col("media_id") == F.col("doc_id"), "leftsemi")
         .select((F.col("media_id") * 2 + 1).alias("media_id"), "blob")
     )
-    hashes = PH.media_hashes(png.unionByName(webp)).select(
+    hashes = PH.media_hashes(spread_scan(png.unionByName(webp))).select(
         "media_id", "mhash"
     )
     pairs = PH.phash_neardup(hashes, hash_col="mhash", max_distance=3)
@@ -113,9 +118,14 @@ def q_thumbnail_audit(spark, sf_dir):
     gen_thumb_golden_fixture.py) — drift anywhere in the
     decode/resize/encode chain fails the hash compare."""
     from prod2vec_spark.operators.multimodal import image_thumbnails
+    from prod2vec_spark.sources.io import spread_scan
 
-    docs = read_table(spark, sf_dir, "documents").select("doc_id")
-    media = (
+    # spread=False on docs / spread_scan on the blobs: decode+resize+
+    # re-encode is the per-row cost (guide §2.5/§4)
+    docs = read_table(spark, sf_dir, "documents", spread=False).select(
+        "doc_id"
+    )
+    media = spread_scan(
         spark.read.parquet(_pair_fixture("images"))
         .join(docs, F.col("media_id") == F.col("doc_id"), "leftsemi")
         .select("media_id", "blob")
@@ -155,7 +165,7 @@ def q_resample_audit(spark, sf_dir):
     pytest-locked goldens (tools/gen_resample_golden_fixture.py)."""
     from prod2vec_spark.operators.multimodal import audio_resample
 
-    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    docs = read_table(spark, sf_dir, "documents", spread=False).select("doc_id")
     media = (
         spark.read.parquet(_pair_fixture("audio"))
         .join(docs, F.col("media_id") == F.col("doc_id"), "leftsemi")

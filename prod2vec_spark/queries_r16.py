@@ -268,7 +268,7 @@ def q_webp_header_audit(spark, sf_dir):
     media = spark.read.parquet(_media_format_fixture_path()).where(
         "fmt = 'webp'"
     )
-    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    docs = read_table(spark, sf_dir, "documents", spread=False).select("doc_id")
     media = media.join(
         docs, media["media_id"] == docs["doc_id"], "left_semi"
     )

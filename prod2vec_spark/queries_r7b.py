@@ -589,7 +589,7 @@ def q_epoch_shuffle_audit(spark, sf_dir):
         epoch_order_checksum,
     )
 
-    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    docs = read_table(spark, sf_dir, "documents", spread=False).select("doc_id")
     return epoch_order_checksum(epoch_assignments(docs, EPOCH, N_SHARDS))
 
 

@@ -151,9 +151,15 @@ def q_phash_neardup(spark, sf_dir):
     asserts it is 1 on every pair and that all within-family pairs
     surface (pigeonhole recall)."""
     from prod2vec_spark.operators import phash as PH
+    from prod2vec_spark.sources.io import spread_scan
 
-    docs = read_table(spark, sf_dir, "documents").select("doc_id")
-    media = (
+    # spread=False: docs is only the semi-join id probe here — the
+    # blob table below is what needs the parallelism floor (the PNG
+    # decode is the per-row cost, guide §2.5/§4)
+    docs = read_table(spark, sf_dir, "documents", spread=False).select(
+        "doc_id"
+    )
+    media = spread_scan(
         spark.read.parquet(_phash_pair_fixture("images"))
         .join(docs, F.col("media_id") == F.col("doc_id"), "leftsemi")
         .select("media_id", "blob")
@@ -182,9 +188,14 @@ def q_audio_neardup(spark, sf_dir):
     banded-Hamming join; the DuckDB twin replays the banding over the
     persisted goldens."""
     from prod2vec_spark.operators import phash as PH
+    from prod2vec_spark.sources.io import spread_scan
 
-    docs = read_table(spark, sf_dir, "documents").select("doc_id")
-    media = (
+    # spread=False on docs / spread_scan on the blobs: the WAV decode
+    # is the per-row cost (see q_phash_neardup)
+    docs = read_table(spark, sf_dir, "documents", spread=False).select(
+        "doc_id"
+    )
+    media = spread_scan(
         spark.read.parquet(_phash_pair_fixture("audio"))
         .join(docs, F.col("media_id") == F.col("doc_id"), "leftsemi")
         .select("media_id", "blob")

@@ -97,7 +97,7 @@ def q_video_neardup(spark, sf_dir):
     pairs surface (pigeonhole recall)."""
     from prod2vec_spark.operators import phash as PH
 
-    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    docs = read_table(spark, sf_dir, "documents", spread=False).select("doc_id")
     hashes = (
         spark.read.parquet(_video_fixture_path())
         .join(docs, "doc_id", "leftsemi")
@@ -190,7 +190,7 @@ def q_lang_id_learned(spark, sf_dir):
     from prod2vec_spark.ml.langid_clf import fit_lang_classifier, score_lang
 
     langs = sorted(_LID_VOCAB)
-    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    docs = read_table(spark, sf_dir, "documents", spread=False).select("doc_id")
     # cap the planted corpus: enough to fit/score, bounded driver work
     ids = [r["doc_id"] for r in docs.orderBy("doc_id").limit(400).collect()]
     rows = [

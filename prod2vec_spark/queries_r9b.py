@@ -115,7 +115,7 @@ def q_leakage_safe_split(spark, sf_dir):
     from prod2vec_spark.operators.domains import attach_urls, with_domain
     from prod2vec_spark.operators.splits import group_split
 
-    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    docs = read_table(spark, sf_dir, "documents", spread=False).select("doc_id")
     d = with_domain(attach_urls(docs)).select("doc_id", "domain")
     s = group_split(d, "domain", seed=_GS_SEED)
     per = s.groupBy("split").agg(

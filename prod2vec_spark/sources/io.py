@@ -119,18 +119,68 @@ def expected_schema(name: str) -> T.StructType:
     return TABLES[name]
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def spread_scan(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Scale-adaptive parallelism floor before expensive per-row work
+    (optimization guide §2.5, input skew: "repartition immediately
+    after the read").
+
+    A parquet table written as ONE row group yields one scan task no
+    matter how many cores the session has — Spark can only split scans
+    at row-group boundaries — so every tokenizer/codec/HOF/n-gram
+    chain above it runs serially until the first shuffle.  This helper
+    round-robin-repartitions to the session's default parallelism ONLY
+    when the scan has fewer partitions than that floor: on a real
+    multi-file table (100 TB: thousands of splits) the condition is
+    false and the function is an exact no-op — no extra exchange ever
+    ships at scale.  The floor derives from the session's core count,
+    never a constant, so the driver's lower-core bench runs keep their
+    scaling measurement.
+
+    Only worth applying where per-row compute dominates the one-time
+    cost of shuffling the rows once (text/codec/vector operators) —
+    a plain relational aggregate's map-side partial agg is cheaper
+    than the repartition write, so those scans are left alone."""
+    spark = df.sparkSession
+    n = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
+# Tables whose consumers are uniformly compute-heavy per row (text
+# tokenization / HOF chains on ``documents``, per-row vector math on
+# ``embeddings``) — the two corpus-class tables.  Relational tables
+# (lineitem/orders/events/dims) keep their raw scans: their consumers
+# are partial-agg-before-shuffle shapes where a blanket repartition
+# would pay a full-width shuffle write on the single scan task for no
+# downstream win.
+_SPREAD_TABLES = frozenset({"documents", "embeddings"})
+
+
+def read_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool | None = None
+) -> DataFrame:
     """S1-class scan: one logical table from the testdata directory.
 
     The events table carries TIMESTAMP(NANOS) parquet, which Spark 4
     refuses by default — enable the nanos-as-long escape hatch
     defensively (harmless otherwise) and convert ns → microsecond
-    TimestampType with integer division (no double rounding)."""
+    TimestampType with integer division (no double rounding).
+
+    ``spread`` (default: on for the corpus-class tables, see
+    ``_SPREAD_TABLES``) applies the scale-adaptive parallelism floor
+    of ``spread_scan`` so compute-heavy consumers never serialize on a
+    single-row-group local file; pass ``spread=False`` to pin the raw
+    scan partitioning."""
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if spread is None:
+        spread = name in _SPREAD_TABLES
+    if spread:
+        df = spread_scan(df)
     return df
 
 

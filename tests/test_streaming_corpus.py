@@ -756,8 +756,11 @@ def test_streaming_decontamination_matches_batch_and_replays(spark, tmp_path):
         fuzzy_contamination_report,
     )
 
+    # spread=False: the planted-leak ids (3, 7) must land inside the
+    # limit(80) slice, which is file-order-dependent — pin the raw
+    # scan order (read_table's default spread repartitions round-robin)
     docs = (
-        read_table(spark, SF_SMOKE, "documents")
+        read_table(spark, SF_SMOKE, "documents", spread=False)
         .limit(80)
         .select("doc_id", "text", "lang")
         .localCheckpoint()
