@@ -51,5 +51,28 @@ def count_exchanges(df: DataFrame) -> int:
     return len(ids)
 
 
+def count_operator_exchanges(df: DataFrame) -> int:
+    """Exchanges EXCLUDING round-robin repartitions — the operator's
+    own shuffle count.  The round-16 input-parallelism floor
+    (sources/io.spread_scan) adds one RoundRobinPartitioning exchange
+    when a local single-row-group scan would otherwise serialize
+    per-row compute on one core; that exchange is an exact no-op at
+    scale (the floor only fires when scan partitions < cores), so
+    plan-shape tests locking an operator's 'shuffle-free / N-shuffle'
+    claim count past it."""
+    plan = explain_str(df)
+    ids = set(re.findall(r"\((\d+)\) Exchange", plan))
+    rr = set()
+    for i in ids:
+        m = re.search(
+            rf"\({i}\) Exchange\n(?:.*\n){{0,3}}?"
+            r"Arguments: RoundRobinPartitioning",
+            plan,
+        )
+        if m:
+            rr.add(i)
+    return len(ids - rr)
+
+
 def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in explain_str(df)

@@ -281,6 +281,9 @@ def test_line_filter_plan_is_shuffle_free(spark):
     from prod2vec_spark.sources.io import read_table
     from tests.conftest import SF_SMOKE
 
-    docs = read_table(spark, SF_SMOKE, "documents")
+    # spread=False: this locks the OPERATOR's zero-exchange claim —
+    # the input-parallelism floor (io.spread_scan) is input-layer and
+    # absent at scale
+    docs = read_table(spark, SF_SMOKE, "documents", spread=False)
     out = line_filter(docs, mode="window")
     assert count_exchanges(out) == 0

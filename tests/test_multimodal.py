@@ -153,7 +153,9 @@ def test_decode_media_dispatch():
 
 
 def test_feature_extraction_contract(spark):
-    docs = read_table(spark, SF_SMOKE, "documents").limit(50)
+    # spread=False: the id→text cross-check below slices a limit of
+    # the raw scan — file-order-dependent by construction
+    docs = read_table(spark, SF_SMOKE, "documents", spread=False).limit(50)
     media = attach_blobs(docs)
     feats = extract_features(media)
     rows = feats.collect()
@@ -220,7 +222,7 @@ def test_metadata_filter_avoids_blob_read(spark):
 
 
 def test_frame_sample_plan(spark):
-    docs = read_table(spark, SF_SMOKE, "documents").limit(30)
+    docs = read_table(spark, SF_SMOKE, "documents", spread=False).limit(30)
     media = attach_blobs(docs)
     plan = frame_sample_plan(media, every_ms=10_000)
     rows = plan.collect()

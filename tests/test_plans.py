@@ -70,10 +70,14 @@ def test_lineitem_agg_prunes_columns(spark):
 
 
 def test_text_pipeline_no_shuffle(spark):
-    """Row-local text operators must stay shuffle-free."""
+    """Row-local text operators must stay shuffle-free (counted past
+    the round-16 input-parallelism floor — see
+    plans/inspect.count_operator_exchanges)."""
+    from prod2vec_spark.plans.inspect import count_operator_exchanges
+
     for name in ["text_stats", "simhash", "fingerprint", "token_counts"]:
         df = QUERIES[name](spark, SF_SMOKE)
-        assert count_exchanges(df) == 0, name
+        assert count_operator_exchanges(df) == 0, name
 
 
 def test_embedding_neardup_no_signature_selfjoin(spark):
@@ -250,9 +254,11 @@ def test_text_profile_and_signatures_are_shuffle_free(spark):
     """The merged text-analysis queries must stay pure row-local maps:
     zero Exchange operators — the embarrassingly-parallel 100 TB claim
     as a plan fact, not prose."""
+    from prod2vec_spark.plans.inspect import count_operator_exchanges
+
     for name in ["text_profile", "doc_signatures"]:
         df = QUERIES[name](spark, SF_SMOKE)
-        assert count_exchanges(df) == 0, name
+        assert count_operator_exchanges(df) == 0, name
 
 
 def test_events_windows_two_legs_one_shuffle_each(spark):
@@ -295,9 +301,9 @@ def test_r6_sketch_and_mix_entries_broadcast_not_sortmerge(spark):
         plan = explain_str(df)
         assert "SortMergeJoin" not in plan, name
         assert "BroadcastHashJoin" in plan, name
-        from prod2vec_spark.plans import count_exchanges
+        from prod2vec_spark.plans.inspect import count_operator_exchanges
 
-        assert count_exchanges(df) == n_ex, name
+        assert count_operator_exchanges(df) == n_ex, name
 
 
 def test_r6b_llm_entries_plan_shapes(spark):
@@ -309,16 +315,18 @@ def test_r6b_llm_entries_plan_shapes(spark):
     from prod2vec_spark.plans import count_exchanges
     from prod2vec_spark.plans.inspect import explain_str
 
+    from prod2vec_spark.plans.inspect import count_operator_exchanges
+
     for name in ("doc_repetition", "doc_chunks", "pii_scrub"):
         df = QUERIES[name](spark, SF_SMOKE)
-        assert count_exchanges(df) == 0, name
+        assert count_operator_exchanges(df) == 0, name
 
     ws = QUERIES["weighted_sample"](spark, SF_SMOKE)
     plan = explain_str(ws)
-    assert count_exchanges(ws) == 0
+    assert count_operator_exchanges(ws) == 0
     assert "TakeOrderedAndProject" in plan and "Sort " not in plan
 
     dc = QUERIES["decontaminate"](spark, SF_SMOKE)
     plan = explain_str(dc)
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" in plan
-    assert count_exchanges(dc) <= 2
+    assert count_operator_exchanges(dc) <= 2

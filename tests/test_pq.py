@@ -20,7 +20,10 @@ DIMS = 64
 
 
 def _emb(spark):
-    return read_table(spark, SF_SMOKE, "embeddings")
+    # spread=False: the encode shuffle-free lock below asserts the
+    # OPERATOR's plan; the input-parallelism floor (io.spread_scan) is
+    # input-layer and absent at scale
+    return read_table(spark, SF_SMOKE, "embeddings", spread=False)
 
 
 def test_pq_codebooks_shape_and_determinism(spark):
