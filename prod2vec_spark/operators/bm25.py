@@ -6,13 +6,15 @@ reference has no retrieval surface).
 
 Two execution paths, both one-corpus-scan:
 
-* **Ad-hoc** (no prebuilt index): the exploded (doc_id, term) stream
-  is filtered by the BROADCAST query-term set BEFORE any aggregation,
-  so the only postings that ever reach a shuffle are the matching
-  ones — the corpus-wide (term, doc_id) hash-agg never happens.
-  Document length is row-local (size of the token array — no
-  sum-of-tf reconstruction), and (N, avgdl) is a 1-row aggregate
-  over that slim projection.
+* **Ad-hoc** (no prebuilt index): ONE corpus scan stages the narrow
+  (doc_id, dl, query-term hits) frame — the token array is split once
+  per row (bind barrier) and filtered row-locally against the literal
+  query-term set, so the only postings that ever reach a shuffle are
+  the matching ones and the corpus-wide (term, doc_id) hash-agg never
+  happens.  Document length is row-local (size of the token array —
+  no sum-of-tf reconstruction), (N, avgdl) is a 1-row aggregate over
+  the staged slim rows, and the lazy localCheckpoint lets the dl / tf
+  / cf legs share that single scan (_staged_query_hits).
 * **Indexed** (``post`` passed): a persisted postings table (bucketed
   by term, sources/io.py write_bucketed) is probed with the same
   broadcast join and dl derives from the index (sum of a doc's tfs)
@@ -67,6 +69,41 @@ def doc_lengths(post: DataFrame) -> DataFrame:
     return post.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
 
 
+def _staged_query_hits(
+    docs: DataFrame,
+    queries: list[tuple[str, list[str]]],
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """One-corpus-scan staging shared by the ad-hoc rankers: tokenize
+    ONCE per row (bind barrier, functions/arrays.bind) and emit the
+    narrow (doc_id, dl, _qhits) frame — ``dl`` the full token count,
+    ``_qhits`` the row's tokens restricted to the queries' term set
+    (duplicates kept, so downstream counts are exact tfs).  Lazily
+    localCheckpointed: the first consumer materializes the slim rows,
+    every other consumer reuses them — the corpus text is scanned and
+    split exactly once however many legs (dl / tf / cf) read it."""
+    from prod2vec_spark.functions.arrays import bind
+
+    tset = sorted({t for _, terms in queries for t in terms})
+    tlit = F.array(*[F.lit(t) for t in tset])
+    return (
+        bind(
+            docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
+            "_toks",
+            tokens(F.col(text_col)),
+        )
+        .select(
+            "doc_id",
+            F.size("_toks").alias("dl"),
+            F.filter(
+                "_toks", lambda t: F.array_contains(tlit, t)
+            ).alias("_qhits"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: list[tuple[str, list[str]]],
@@ -90,22 +127,19 @@ def bm25_topk(
         dl = doc_lengths(post)
         hits = post.join(F.broadcast(qterms), "term")
     else:
-        # dl is row-local (token-array size == sum of tfs) — no
-        # postings reconstruction, one slim scan
-        dl = docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.size(tokens(F.col(text_col))).alias("dl"),
-        ).where(F.col("dl") > 0)
-        # broadcast-filter the exploded term stream BEFORE any
-        # aggregation: only query-term occurrences reach the tf agg
-        from prod2vec_spark.functions.arrays import bind
-
-        # bind barrier on _toks (see postings)
+        # ---- single-scan staging (round 16, guide §1.2 step 1): ONE
+        # tokenize per corpus row feeds BOTH the dl leg and the hits
+        # leg (previously two full scans, each paying the split).  The
+        # staged frame is NARROW — (doc_id, dl, matched terms); the
+        # query terms are a small driver-side set, so the match is a
+        # row-local literal-array membership filter (the broadcast
+        # term prune moved INTO the scan), and the lazy localCheckpoint
+        # materializes the slim rows once for the two consumers (the
+        # curation band-table precedent; never the text payload).
+        cdocs = _staged_query_hits(docs, queries, id_col, text_col)
+        dl = cdocs.select("doc_id", "dl").where(F.col("dl") > 0)
         hits = (
-            bind(docs, "_toks", tokens(F.col(text_col)))
-            .select(
-                F.col(id_col).alias("doc_id"), F.explode("_toks").alias("term")
-            )
+            cdocs.select("doc_id", F.explode("_qhits").alias("term"))
             .join(F.broadcast(qterms), "term")
             .groupBy("query_id", "term", "doc_id")
             .agg(F.count(F.lit(1)).alias("tf"))
@@ -185,30 +219,22 @@ def ql_topk(
         [(qid, t) for qid, terms in queries for t in set(terms)],
         "query_id string, term string",
     )
-    dl = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(tokens(F.col(text_col))).alias("dl"),
-    ).where(F.col("dl") > 0)
+    # single-scan staging (round 16): one tokenize feeds the dl, tf
+    # AND cf legs (previously THREE full corpus scans) — see
+    # _staged_query_hits; _qhits already carries only query-term
+    # occurrences, so cf is a plain bounded hash-agg over it
+    cdocs = _staged_query_hits(docs, queries, id_col, text_col)
+    dl = cdocs.select("doc_id", "dl").where(F.col("dl") > 0)
     total = dl.agg(F.sum("dl").alias("c_tokens"))
-    from prod2vec_spark.functions.arrays import bind
-
-    # bind barrier on _toks (see postings)
-    exploded = bind(docs, "_toks", tokens(F.col(text_col))).select(
-        F.col(id_col).alias("doc_id"), F.explode("_toks").alias("term")
-    )
+    exploded = cdocs.select("doc_id", F.explode("_qhits").alias("term"))
     hits = (
         exploded.join(F.broadcast(qterms), "term")
         .groupBy("query_id", "term", "doc_id")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    # corpus frequency of the probed terms (for p(t|C)): the exploded
-    # stream broadcast-pruned to the distinct query terms, one bounded
-    # hash-agg (<= |query terms| rows)
-    cf = (
-        exploded.join(F.broadcast(qterms.select("term").distinct()), "term")
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("cf"))
-    )
+    # corpus frequency of the probed terms (for p(t|C)): <= |query
+    # terms| rows out of one bounded hash-agg
+    cf = exploded.groupBy("term").agg(F.count(F.lit(1)).alias("cf"))
     # candidates: docs matching >= 1 term; each candidate needs a row
     # per QUERY term (missing terms -> tf 0) — right join the query's
     # term list against the candidate's hits

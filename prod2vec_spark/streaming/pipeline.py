@@ -339,6 +339,29 @@ class StreamingCorpusPipeline:
         self.spark = spark
         self.cfg = cfg
 
+    def _spread_stream(self, df: DataFrame, path: str) -> DataFrame:
+        """Input-parallelism floor for a drain's micro-batches — the
+        streaming twin of sources/io.spread_scan (guide §2.5 "input
+        skew"): when the committed input directory holds fewer parquet
+        files than the session's core count, the row-local heavy chain
+        above the first stateful shuffle (line-filter gates, MinHash
+        banding) runs on that few tasks while the rest of the machine
+        idles.  A round-robin repartition to defaultParallelism
+        restores the floor; the condition is checked once at stream
+        construction, so a production drain whose landing has
+        thousands of files (or a long-lived stream started before its
+        input exists, n == 0) keeps the shuffle-free plan — no extra
+        exchange ships at scale, and the floor derives from the
+        session core count, never a constant."""
+        import glob
+        import os
+
+        n = len(glob.glob(os.path.join(path, "*.parquet")))
+        floor = self.spark.sparkContext.defaultParallelism
+        if 0 < n < floor:
+            return df.repartition(floor)
+        return df
+
     def _row_gates(self, docs: DataFrame, stages: list | None = None) -> DataFrame:
         """The pre-dedup ROW-LOCAL gate chain (line filter → badwords
         → quality → repetition), shared by the streaming stage and the
@@ -408,8 +431,11 @@ class StreamingCorpusPipeline:
         from prod2vec_spark.operators.dedup import text_digest
 
         docs = self._row_gates(
-            self.spark.readStream.schema(_DOCS_SCHEMA).parquet(
-                self.cfg.landing_dir
+            self._spread_stream(
+                self.spark.readStream.schema(_DOCS_SCHEMA).parquet(
+                    self.cfg.landing_dir
+                ),
+                self.cfg.landing_dir,
             )
         )
         deduped = docs.withColumn(
@@ -421,6 +447,9 @@ class StreamingCorpusPipeline:
         q.awaitTermination()
 
     def neardup_stage(self) -> None:
+        self._start_neardup().awaitTermination()
+
+    def _start_neardup(self):
         import os
 
         from prod2vec_spark.streaming.neardup import (
@@ -433,8 +462,8 @@ class StreamingCorpusPipeline:
         # otherwise over the exact-dedup output as before
         src = self.cfg.lmkept_dir if self.cfg.lm_gate else self.cfg.exact_dir
         os.makedirs(src, exist_ok=True)
-        survivors = self.spark.readStream.schema(_EXACT_SCHEMA).parquet(
-            src
+        survivors = self._spread_stream(
+            self.spark.readStream.schema(_EXACT_SCHEMA).parquet(src), src
         )
         owners = streaming_band_owners(
             survivors,
@@ -442,12 +471,14 @@ class StreamingCorpusPipeline:
             num_hashes=self.cfg.num_hashes,
             band_size=self.cfg.band_size,
         )
-        q = start_near_dedup(
+        return start_near_dedup(
             owners, self.cfg.decisions_dir, f"{self.cfg.work_dir}/ckpt_neardup"
         )
-        q.awaitTermination()
 
     def segment_cms_stage(self) -> None:
+        self._start_segment_cms().awaitTermination()
+
+    def _start_segment_cms(self):
         """Maintain the boilerplate-window CMS over the exact-dedup
         output (so each distinct content contributes once): stream the
         committed stage-1 parquet, project per-doc DISTINCT window
@@ -462,13 +493,12 @@ class StreamingCorpusPipeline:
             self.cfg.exact_dir
         )
         segs = doc_distinct_segment_hashes(docs, self.cfg.seg_width)
-        q = start_cms_stream(
+        return start_cms_stream(
             segs,
             self.cfg.segcms_dir,
             f"{self.cfg.work_dir}/ckpt_segcms",
             col="seg_h",
         )
-        q.awaitTermination()
 
     def _lm_scorer(self):
         """(score_fn, model): the batch scorer matching cfg.lm_smoothing
@@ -532,6 +562,9 @@ class StreamingCorpusPipeline:
         applied after pre-gate decisions, a cluster whose canonical
         failed the gate would vanish entirely instead of re-electing
         a surviving member)."""
+        self._start_lm().awaitTermination()
+
+    def _start_lm(self):
         import os
 
         from pyspark.sql import functions as F
@@ -558,14 +591,13 @@ class StreamingCorpusPipeline:
                 "overwrite"
             ).parquet(f"{kept_dir}/batch_id={batch_id}")
 
-        q = (
+        return (
             stream.writeStream.foreachBatch(write_batch)
             .option("checkpointLocation", ckpt)
             .outputMode("append")
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
 
     def decon_stage(self) -> None:
         """Benchmark-decontamination decisions over the exact-dedup
@@ -580,6 +612,9 @@ class StreamingCorpusPipeline:
         is a stream-static broadcast screen; the corpus side streams
         once.  Contaminated docs drop at curated() time — the batch
         ordering (decontamination after near-dedup) preserved."""
+        self._start_decon().awaitTermination()
+
+    def _start_decon(self):
         import os
 
         from pyspark.sql import functions as F
@@ -643,14 +678,13 @@ class StreamingCorpusPipeline:
                 .alias("keep"),
             ).write.mode("overwrite").parquet(f"{out}/batch_id={batch_id}")
 
-        q = (
+        return (
             stream.writeStream.foreachBatch(write_batch)
             .option("checkpointLocation", f"{self.cfg.work_dir}/ckpt_decon")
             .outputMode("append")
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
 
     def _decon_drop(self) -> DataFrame:
         """doc_ids the decontamination screen dropped, over the
@@ -677,6 +711,9 @@ class StreamingCorpusPipeline:
         each partial lands idempotently at tokenstats_dir/batch_id=N
         (a replayed batch overwrites its own partition), so the
         summed totals are exactly-once across restarts."""
+        self._start_token_stats().awaitTermination()
+
+    def _start_token_stats(self):
         import os
 
         from pyspark.sql import functions as F
@@ -700,7 +737,7 @@ class StreamingCorpusPipeline:
                 F.coalesce(F.sum("_n"), F.lit(0)).alias("n_tokens"),
             ).write.mode("overwrite").parquet(f"{out}/batch_id={batch_id}")
 
-        q = (
+        return (
             stream.writeStream.foreachBatch(write_batch)
             .option(
                 "checkpointLocation", f"{self.cfg.work_dir}/ckpt_tokenstats"
@@ -709,7 +746,6 @@ class StreamingCorpusPipeline:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
 
     def token_stats(self) -> "tuple[int, int]":
         """(n_docs, n_tokens) summed over the committed partials —
@@ -893,14 +929,29 @@ class StreamingCorpusPipeline:
         return ledger
 
     def run(self) -> DataFrame:
+        """Drain everything available, overlapping the independent
+        post-exact stages (guide §2.6 — actions are only sequential
+        when the driver calls them sequentially): the segment-CMS,
+        LM-score, token-stats and decon streams all read stage 1's
+        COMMITTED output and write disjoint artifacts, so they run
+        CONCURRENTLY; only near-dedup orders after the LM gate (it
+        streams the gate's survivors).  Each query keeps its own
+        checkpoint — restart/idempotency semantics are unchanged, the
+        drain is just no longer serialized on per-stream startup."""
         self.exact_stage()
+        qs = []
         if self.cfg.segment_gate:
-            self.segment_cms_stage()
-        if self.cfg.lm_gate:
-            self.lm_stage()
+            qs.append(self._start_segment_cms())
         if self.cfg.token_stats:
-            self.token_stats_stage()
+            qs.append(self._start_token_stats())
         if self.cfg.decon_gate:
-            self.decon_stage()
-        self.neardup_stage()
+            qs.append(self._start_decon())
+        if self.cfg.lm_gate:
+            # near-dedup consumes the gate's survivors: await the LM
+            # stream (it overlaps the independent gates above) before
+            # starting the dependent stage
+            self._start_lm().awaitTermination()
+        qs.append(self._start_neardup())
+        for q in qs:
+            q.awaitTermination()
         return self.curated()
