@@ -39,6 +39,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from prod2vec_spark.functions.arrays import bind
 from prod2vec_spark.functions.hashing import hash_unit
 from prod2vec_spark.functions.lineage import break_lineage as _break_lineage
 from prod2vec_spark.operators.text import tokens
@@ -72,13 +73,21 @@ def token_pairs(toks: Column) -> Column:
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
 
 
+def _bound_toks(docs: DataFrame, text_col: str) -> DataFrame:
+    """``docs`` + a ``_toks`` column staged behind the bind barrier
+    (functions/arrays.bind): downstream explode/size consumers — and
+    the optimizer's inferred ``size(...) > 0`` filters under each
+    explode — read ONE materialized attribute instead of re-inlining
+    the tokenize chain into a scan-level Filter (the fit_knn
+    precedent, guide §4.4 generalized; VERDICT r16 ask #4)."""
+    return bind(docs, "_toks", tokens(F.col(text_col)))
+
+
 def doc_pairs(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(doc_id [, is_train], w1, w2): one row per adjacent token pair.
     Token array staged before the HOF consumes it (HOF-CSE rule)."""
-    from prod2vec_spark.functions.arrays import bind
-
     carry = [id_col] + (["is_train"] if "is_train" in docs.columns else [])
     # bind barrier on the pair array (see fit_knn: the explode's
     # inferred size>0 filter otherwise re-inlines the full chain into
@@ -144,8 +153,9 @@ def fit_lm(
     pairs = doc_pairs(train_docs, id_col=id_col, text_col=text_col)
     c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     # unigram counts over the pair stream would drop each doc's final
-    # token — count from the token stream instead
-    toks = train_docs.withColumn("_toks", tokens(F.col(text_col))).select(
+    # token — count from the token stream instead (bound: one tokenize
+    # per row, the explode's inferred filter tests the attribute)
+    toks = _bound_toks(train_docs, text_col).select(
         F.explode("_toks").alias("w")
     )
     c1 = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
@@ -421,9 +431,7 @@ def kn_perplexity(
         F.sum("c2").alias("den"), F.count(F.lit(1)).alias("n1p_left")
     )
     right = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_right"))
-    toks = train.withColumn("_toks", tokens(F.col(text_col))).select(
-        F.explode("_toks").alias("w")
-    )
+    toks = _bound_toks(train, text_col).select(F.explode("_toks").alias("w"))
     totals = c2.agg(F.count(F.lit(1)).alias("n_types")).crossJoin(
         toks.agg(F.countDistinct("w").alias("v_vocab"))
     )
@@ -542,7 +550,7 @@ def fit_kn(
         F.sum("c2").alias("den"), F.count(F.lit(1)).alias("n1p_left")
     )
     right = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_right"))
-    toks = train_docs.withColumn("_toks", tokens(F.col(text_col))).select(
+    toks = _bound_toks(train_docs, text_col).select(
         F.explode("_toks").alias("w")
     )
     totals = c2.agg(F.count(F.lit(1)).alias("n_types")).crossJoin(
@@ -643,20 +651,31 @@ def kn_perplexity_by_lang(
     if not 0.0 < discount < 1.0:
         raise ValueError(f"discount must be in (0, 1), got {discount}")
     tagged = with_train_split(docs, train_frac, seed=seed, id_col=id_col)
-    staged = tagged.withColumn("_toks", tokens(F.col(text_col)))
+    # _toks AND the pair array ride the bind barrier (VERDICT r16 ask
+    # #4): each explode's inferred size>0 filter tests a staged
+    # attribute instead of re-inlining the tokenize+pair chain into a
+    # scan-level Filter.  The train legs bind AFTER the is_train
+    # filter (bind blocks pushdown through its Project), so the split
+    # predicate still reaches the scan and only train rows tokenize.
+    def _staged(d: DataFrame) -> DataFrame:
+        return bind(
+            _bound_toks(d, text_col), "_pa", token_pairs(F.col("_toks"))
+        )
+
+    staged = _staged(tagged)
     pairs = staged.select(
         id_col,
         F.col(lang_col).alias("lang"),
         "is_train",
-        F.explode(token_pairs(F.col("_toks"))).alias("_p"),
+        F.explode(F.col("_pa")).alias("_p"),
     ).select(
         id_col, "lang", "is_train",
         F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"),
     )
-    train = staged.where(F.col("is_train"))
+    train = _staged(tagged.where(F.col("is_train")))
     t_pairs = train.select(
         F.col(lang_col).alias("lang"),
-        F.explode(token_pairs(F.col("_toks"))).alias("_p"),
+        F.explode(F.col("_pa")).alias("_p"),
     ).select("lang", F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
     c2 = t_pairs.groupBy("lang", "w1", "w2").agg(
         F.count(F.lit(1)).alias("c2")
@@ -800,25 +819,39 @@ def trigram_perplexity(
     split like lm_perplexity's."""
     if tagged is None:
         tagged = with_train_split(docs, train_frac, seed=seed, id_col=id_col)
-    staged = tagged.withColumn("_toks", tokens(F.col(text_col)))
+    # bind-staged _toks + triple array (VERDICT r16 ask #4): the
+    # explodes' inferred size>0 filters test staged attributes; the
+    # train legs bind after the is_train filter and additionally stage
+    # the pair array their c2 leg explodes
+    staged = bind(
+        _bound_toks(tagged, text_col), "_ta", token_triples(F.col("_toks"))
+    )
     trips = staged.select(
         id_col,
         "is_train",
-        F.explode(token_triples(F.col("_toks"))).alias("_t"),
+        F.explode(F.col("_ta")).alias("_t"),
     ).select(
         id_col, "is_train",
         F.col("_t.w1").alias("w1"),
         F.col("_t.w2").alias("w2"),
         F.col("_t.w3").alias("w3"),
     )
-    train = staged.where(F.col("is_train"))
-    t_trips = train.select(F.explode(token_triples(F.col("_toks"))).alias("_t"))
+    train = bind(
+        bind(
+            _bound_toks(tagged.where(F.col("is_train")), text_col),
+            "_ta",
+            token_triples(F.col("_toks")),
+        ),
+        "_pa",
+        token_pairs(F.col("_toks")),
+    )
+    t_trips = train.select(F.explode(F.col("_ta")).alias("_t"))
     c3 = t_trips.groupBy(
         F.col("_t.w1").alias("w1"),
         F.col("_t.w2").alias("w2"),
         F.col("_t.w3").alias("w3"),
     ).agg(F.count(F.lit(1)).alias("c3"))
-    t_pairs = train.select(F.explode(token_pairs(F.col("_toks"))).alias("_p"))
+    t_pairs = train.select(F.explode(F.col("_pa")).alias("_p"))
     c2 = t_pairs.groupBy(
         F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2")
     ).agg(F.count(F.lit(1)).alias("c2"))
@@ -931,20 +964,27 @@ def lm_perplexity_by_lang(
     agree).  Output: (doc_id, lang, is_train 0/1, n_pairs,
     n_backoff, avg_nll, ppl)."""
     tagged = with_train_split(docs, train_frac, seed=seed, id_col=id_col)
-    staged = tagged.withColumn("_toks", tokens(F.col(text_col)))
+    # bind-staged _toks + pair array (see kn_perplexity_by_lang):
+    # train legs bind after the is_train filter
+    def _staged(d: DataFrame) -> DataFrame:
+        return bind(
+            _bound_toks(d, text_col), "_pa", token_pairs(F.col("_toks"))
+        )
+
+    staged = _staged(tagged)
     pairs = staged.select(
         id_col,
         F.col(lang_col).alias("lang"),
         "is_train",
-        F.explode(token_pairs(F.col("_toks"))).alias("_p"),
+        F.explode(F.col("_pa")).alias("_p"),
     ).select(
         id_col, "lang", "is_train",
         F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"),
     )
-    train = staged.where(F.col("is_train"))
+    train = _staged(tagged.where(F.col("is_train")))
     t_pairs = train.select(
         F.col(lang_col).alias("lang"),
-        F.explode(token_pairs(F.col("_toks"))).alias("_p"),
+        F.explode(F.col("_pa")).alias("_p"),
     ).select("lang", F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
     c2 = t_pairs.groupBy("lang", "w1", "w2").agg(
         F.count(F.lit(1)).alias("c2")
@@ -1227,10 +1267,13 @@ def fit_kn3(
     (lm.py's kn_perplexity docstring: 'Francisco').  Scale: c3 and its
     two pair-keyed derivatives are corpus-sized shuffle aggregates;
     mid/r3/totals are vocab-sized or scalar."""
-    staged = train_docs.withColumn("_toks", tokens(F.col(text_col)))
-    t_trips = staged.select(
-        F.explode(token_triples(F.col("_toks"))).alias("_t")
+    # bind-staged _toks + triple array (VERDICT r16 ask #4)
+    staged = bind(
+        _bound_toks(train_docs, text_col),
+        "_ta",
+        token_triples(F.col("_toks")),
     )
+    t_trips = staged.select(F.explode(F.col("_ta")).alias("_t"))
     c3 = t_trips.groupBy(
         F.col("_t.w1").alias("w1"),
         F.col("_t.w2").alias("w2"),
@@ -1315,12 +1358,15 @@ def score_docs_kn3(
     elif not 0.0 < discount < 1.0:
         raise ValueError(f"discount must be in (0, 1), got {discount}")
     has_tag = "is_train" in docs.columns
-    staged = docs.withColumn("_toks", tokens(F.col(text_col)))
+    # bind-staged _toks + triple array (VERDICT r16 ask #4)
+    staged = bind(
+        _bound_toks(docs, text_col), "_ta", token_triples(F.col("_toks"))
+    )
     carry = ["is_train"] if has_tag else []
     trips = staged.select(
         id_col,
         *carry,
-        F.explode(token_triples(F.col("_toks"))).alias("_t"),
+        F.explode(F.col("_ta")).alias("_t"),
     ).select(
         id_col, *carry,
         F.col("_t.w1").alias("w1"),
@@ -1704,14 +1750,15 @@ def fit_knn(
     the model to parquet (KNnModel.save) — this only de-amplifies the
     self-trained form."""
     n = order
-    from prod2vec_spark.functions.arrays import bind
 
     # the n-gram array rides the bind barrier: the explode's inferred
     # size>0 filter otherwise re-inlines the whole tokenize+n-tuple
     # chain into a scan-level Filter (a full duplicate evaluation per
-    # row — guide §1.2 step 2; see functions/arrays.bind)
+    # row — guide §1.2 step 2; see functions/arrays.bind).  _toks is
+    # bound too, so the v_vocab leg's explode below doesn't re-inline
+    # the tokenize into ITS inferred filter (round 17)
     staged = bind(
-        train_docs.withColumn("_toks", tokens(F.col(text_col))),
+        _bound_toks(train_docs, text_col),
         "_ga",
         token_ngrams(F.col("_toks"), n),
     )
@@ -1832,11 +1879,9 @@ def score_docs_knn(
         raise ValueError(f"discount must be in (0, 1), got {discount}")
     has_tag = "is_train" in docs.columns
     carry = ["is_train"] if has_tag else []
-    from prod2vec_spark.functions.arrays import bind
-
     # bind barrier on the doc-side n-gram array (see fit_knn)
     staged = bind(
-        docs.withColumn("_toks", tokens(F.col(text_col))),
+        _bound_toks(docs, text_col),
         "_ga",
         token_ngrams(F.col("_toks"), n),
     )

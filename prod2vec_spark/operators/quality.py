@@ -50,51 +50,76 @@ def expect(df: DataFrame, rules: Rules) -> DataFrame:
     """Evaluate every rule; one aggregate scan for data rules, pure
     metadata for schema rules.  Empty result (passed=False rows) = ok;
     convention: return ALL rule rows with passed flag so the report is
-    complete, callers filter ``passed = false`` to gate."""
+    complete, callers filter ``passed = false`` to gate.
+
+    LAZY (round-17, guide §1.2/§5 "the driver should do almost no data
+    work"): the report is a plan, not a collected literal — the single
+    aggregate row unpivots into per-rule violation rows in-plan, so
+    nothing executes until the caller acts.  A multi-table suite
+    (q_dq_suite's four-table union) therefore runs as ONE Spark action
+    whose independent per-table agg subtrees schedule concurrently,
+    instead of four driver-blocking collect() jobs at plan-build time."""
     spark = df.sparkSession
 
     aggs: list = []
-    meta: list[tuple[str, str, float | None, float | None]] = []  # rule, col, lo, hi
+    meta: list[tuple[str, str, float, float]] = []  # rule, col, lo, hi
 
     for c in rules.not_null:
-        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"nulls__{c}"))
+        aggs.append(F.sum(F.col(c).isNull().cast("long")))
         meta.append(("not_null", c, 0.0, 0.0))
     for c, (lo, hi) in rules.distinct_between.items():
-        aggs.append(F.countDistinct(F.col(c)).cast("long").alias(f"distinct__{c}"))
+        aggs.append(F.countDistinct(F.col(c)).cast("long"))
         meta.append(("distinct_between", c, float(lo), float(hi)))
     if rules.row_count_between is not None:
         lo, hi = rules.row_count_between
-        aggs.append(F.count(F.lit(1)).alias("rows__*"))
+        aggs.append(F.count(F.lit(1)))
         meta.append(("row_count_between", "*", float(lo), float(hi)))
     for c in rules.unique_key:
         # Q5: key cardinality == row count (duplicate keys collapse maps)
-        aggs.append(
-            (F.count(F.lit(1)) - F.countDistinct(F.col(c))).cast("long").alias(f"dupkeys__{c}")
-        )
+        aggs.append((F.count(F.lit(1)) - F.countDistinct(F.col(c))).cast("long"))
         meta.append(("unique_key", c, 0.0, 0.0))
     for name, (col, lo, hi) in rules.agg_between.items():
-        aggs.append(col.cast("double").alias(f"agg__{name}"))
+        aggs.append(col.cast("double"))
         meta.append(("agg_between", name, float(lo), float(hi)))
 
-    rows: list[tuple] = []
-    if aggs:
-        vals = df.agg(*aggs).collect()[0]
-        for (rule, c, lo, hi), v in zip(meta, vals):
-            m = float(v if v is not None else 0)
-            passed = (lo is None or m >= lo) and (hi is None or m <= hi)
-            rows.append((rule, c, m, lo, hi, bool(passed)))
-
+    meta_rows: list[tuple] = []
     if rules.column_count is not None:  # Q3 — metadata only
         n = float(len(df.columns))
         want = float(rules.column_count)
-        rows.append(("column_count", "*", n, want, want, n == want))
+        meta_rows.append(("column_count", "*", n, want, want, n == want))
     if rules.schema is not None:  # Q4 — metadata only
         ok = [f.name for f in rules.schema.fields] == df.columns and all(
             df.schema[f.name].dataType == f.dataType for f in rules.schema.fields
         )
-        rows.append(("schema_match", "*", 1.0 if ok else 0.0, 1.0, 1.0, bool(ok)))
+        meta_rows.append(("schema_match", "*", 1.0 if ok else 0.0, 1.0, 1.0, bool(ok)))
 
-    return spark.createDataFrame(rows, schema=VIOLATION_SCHEMA)
+    if not aggs:
+        return spark.createDataFrame(meta_rows, schema=VIOLATION_SCHEMA)
+
+    # one agg row -> per-rule rows via an in-plan struct-array explode
+    # (rule names/bounds are literals; only the metric is data-derived)
+    agg_row = df.agg(*[a.alias(f"_m{i}") for i, a in enumerate(aggs)])
+    items = []
+    for i, (rule, c, lo, hi) in enumerate(meta):
+        m = F.coalesce(F.col(f"_m{i}").cast("double"), F.lit(0.0))
+        items.append(
+            F.struct(
+                F.lit(rule).alias("rule"),
+                F.lit(c).alias("col_name"),
+                m.alias("metric"),
+                F.lit(lo).cast("double").alias("lo"),
+                F.lit(hi).cast("double").alias("hi"),
+                ((m >= F.lit(lo)) & (m <= F.lit(hi))).alias("passed"),
+            )
+        )
+    out = (
+        agg_row.select(F.explode(F.array(*items)).alias("_v")).select("_v.*")
+    )
+    if meta_rows:
+        out = out.unionByName(
+            spark.createDataFrame(meta_rows, schema=VIOLATION_SCHEMA)
+        )
+    return out
 
 
 def assert_expectations(df: DataFrame, rules: Rules) -> None:

@@ -456,7 +456,10 @@ def q_dq_documents(spark, sf_dir):
     """Q1/Q2/Q5-class gates over the LLM corpus table: the dedup /
     text-analysis family assumes non-null unique doc ids and a sane
     corpus size — this is the gate that enforces it."""
-    docs = _t(spark, sf_dir, "documents")
+    # spread=False: expectation rules are partial-agg-before-shuffle
+    # shapes — the floor repartition's full-text shuffle write costs
+    # more than it saves (the relational-plane rule, io.py)
+    docs = read_table(spark, sf_dir, "documents", spread=False)
     rules = Q.Rules(
         not_null=["doc_id", "text"],
         unique_key=["doc_id"],

@@ -324,7 +324,12 @@ def q_ann_ivf_topk(spark, sf_dir):
     the sign-LSH bucket path.  Fully deterministic: centroid choice is
     md5 hash order, assignment/probing replayed identically by the
     oracle."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    # spread=False: ivf_topk's centroid collect + assignment pass run
+    # several short jobs over this scan — the blanket floor repartition
+    # re-executes under each of them for row-local dot products too
+    # cheap to pay it back (VERDICT r16 ask #1); the operator's own
+    # min_parallelism floor still spreads the corpus leg exactly once
+    emb = read_table(spark, sf_dir, "embeddings", spread=False)
     return SS.ivf_topk(
         emb,
         emb.filter(F.col("vec_id") < 20),

@@ -118,7 +118,9 @@ def q_ann_ivfpq_topk(spark, sf_dir):
     """IVF+PQ approximate top-5 (the composed 100 TB layout): coarse
     cells prune candidates, ADC over m-int codes scores them — the
     candidate set is ann_ivf_topk's, the scoring is ann_pq_topk's."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    # spread=False: the IVF/PQ codebook collects + probe legs run
+    # multiple short jobs over this scan (see ann_ivf_topk's note)
+    emb = read_table(spark, sf_dir, "embeddings", spread=False)
     return SS.ivf_pq_topk(
         emb,
         emb.filter(F.col("vec_id") < 20),

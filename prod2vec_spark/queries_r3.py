@@ -463,7 +463,8 @@ def q_kmeans_profile(spark, sf_dir):
     (tests/test_operators.py)."""
     from prod2vec_spark.ml.clustering import cluster_profile, kmeans_fit
 
-    emb = _t(spark, sf_dir, "embeddings")
+    # spread=False for the iterative MLlib fit input (see kmeans_audit)
+    emb = read_table(spark, sf_dir, "embeddings", spread=False)
     _, assigned = kmeans_fit(emb, k=8, seed=42, max_iter=10)
     return cluster_profile(assigned).orderBy("cluster")
 
@@ -481,7 +482,9 @@ def q_dq_embeddings(spark, sf_dir):
     aggregate scan."""
     from prod2vec_spark.operators import quality as Q
 
-    emb = _t(spark, sf_dir, "embeddings")
+    # spread=False: one partial-agg scan — the floor repartition's
+    # full-vector shuffle write costs more than the row-local checks
+    emb = read_table(spark, sf_dir, "embeddings", spread=False)
     wrong_dim = F.sum((F.size("embedding") != EMB_DIM).cast("long"))
     zero_norm = F.sum(
         (

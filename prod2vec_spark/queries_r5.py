@@ -263,7 +263,12 @@ def q_kmeans_audit(spark, sf_dir):
     then reduces the profile to checkable totals."""
     from prod2vec_spark.ml.clustering import cluster_profile, kmeans_fit
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    # spread=False: MLlib's iterative fit re-executes (or one-time
+    # persists) its input lineage internally — an input-parallelism
+    # repartition under it taxes every init/iteration job for per-row
+    # work (array_to_vector) too cheap to pay it back (the round-16
+    # adjudicated regression; VERDICT r16 ask #1)
+    emb = read_table(spark, sf_dir, "embeddings", spread=False)
     _, assigned = kmeans_fit(emb, k=KMEANS_K, seed=42, max_iter=10)
     prof = cluster_profile(assigned)
     stats = prof.agg(

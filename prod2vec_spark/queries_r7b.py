@@ -121,7 +121,10 @@ def q_temperature_mix(spark, sf_dir):
     """Exponentiated-sampling source recipe (p ∝ tokens^0.7): one
     scan, one bounded per-source aggregate, a 1-row total broadcast
     back (operators/mixing.py)."""
-    docs = read_table(spark, sf_dir, "documents")
+    # spread=False: one whitespace split + a per-source partial agg is
+    # cheaper than the floor repartition's full-text shuffle write
+    # (VERDICT r16 ask #1 — scaling ratio 0.60 under the blanket floor)
+    docs = read_table(spark, sf_dir, "documents", spread=False)
     return temperature_mix(docs, alpha=MIX_ALPHA, budget_tokens=MIX_BUDGET)
 
 
