@@ -125,7 +125,7 @@ def bm25_topk(
     )
     if post is not None:
         dl = doc_lengths(post)
-        hits = post.join(F.broadcast(qterms), "term")
+        hits = post.join(F.broadcast(qterms), "term").join(dl, "doc_id")
     else:
         # ---- single-scan staging (round 16, guide §1.2 step 1): ONE
         # tokenize per corpus row feeds BOTH the dl leg and the hits
@@ -138,10 +138,17 @@ def bm25_topk(
         # curation band-table precedent; never the text payload).
         cdocs = _staged_query_hits(docs, queries, id_col, text_col)
         dl = cdocs.select("doc_id", "dl").where(F.col("dl") > 0)
+        # Round-17 (guide §2.4 — remove shuffles outright): dl is
+        # functionally dependent on doc_id and already row-local on the
+        # staged frame, so it RIDES the hits aggregation key instead of
+        # joining back on doc_id afterwards — the former hits⋈dl
+        # sort-merge join (two corpus-hit-sized exchanges) is gone;
+        # grouping by (…, doc_id, dl) groups exactly as (…, doc_id).
+        # Isolated A/B at sf0.1: 2.81/2.86 s → 1.71–1.88 s.
         hits = (
-            cdocs.select("doc_id", F.explode("_qhits").alias("term"))
+            cdocs.select("doc_id", "dl", F.explode("_qhits").alias("term"))
             .join(F.broadcast(qterms), "term")
-            .groupBy("query_id", "term", "doc_id")
+            .groupBy("query_id", "term", "doc_id", "dl")
             .agg(F.count(F.lit(1)).alias("tf"))
         )
     stats = dl.agg(
@@ -155,8 +162,7 @@ def bm25_topk(
         F.count(F.lit(1)).over(Window.partitionBy("query_id", "term")),
     )
     scored = (
-        hits.join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
+        hits.crossJoin(F.broadcast(stats))
         .select(
             "query_id",
             "doc_id",
@@ -226,10 +232,16 @@ def ql_topk(
     cdocs = _staged_query_hits(docs, queries, id_col, text_col)
     dl = cdocs.select("doc_id", "dl").where(F.col("dl") > 0)
     total = dl.agg(F.sum("dl").alias("c_tokens"))
-    exploded = cdocs.select("doc_id", F.explode("_qhits").alias("term"))
+    exploded = cdocs.select(
+        "doc_id", "dl", F.explode("_qhits").alias("term")
+    )
+    # Round-17 (guide §2.4): dl rides the hits aggregation key (it is
+    # functionally dependent on doc_id and row-local on the staged
+    # frame), so the former full⋈dl join on doc_id — two candidate-set
+    # exchanges — disappears; see bm25_topk's note.
     hits = (
         exploded.join(F.broadcast(qterms), "term")
-        .groupBy("query_id", "term", "doc_id")
+        .groupBy("query_id", "term", "doc_id", "dl")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     # corpus frequency of the probed terms (for p(t|C)): <= |query
@@ -238,13 +250,14 @@ def ql_topk(
     # candidates: docs matching >= 1 term; each candidate needs a row
     # per QUERY term (missing terms -> tf 0) — right join the query's
     # term list against the candidate's hits
-    cand = hits.select("query_id", "doc_id").distinct()
+    cand = hits.select("query_id", "doc_id", "dl").distinct()
     full = cand.join(F.broadcast(qterms), "query_id").join(
-        hits, ["query_id", "term", "doc_id"], "left"
+        hits.select("query_id", "term", "doc_id", "tf"),
+        ["query_id", "term", "doc_id"],
+        "left",
     )
     scored = (
         full.join(F.broadcast(cf), "term", "left")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(total))
         .select(
             "query_id",
