@@ -143,6 +143,115 @@ def start_near_dedup(
     )
 
 
+def start_near_dedup_registry(
+    docs: DataFrame,
+    registry_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 4,
+):
+    """First-presenter gate for DRAIN-style pipelines with ZERO Python
+    state (optimization round 17, guide §4 — eliminate the Python
+    boundary): per micro-batch, band signatures derive row-locally
+    (the exact same minhash_bands expressions as the GroupState gate),
+    batch-local ownership is one JVM hash-agg (min doc_id per
+    signature), earlier-batch ownership comes from the committed band
+    REGISTRY (idempotent ``batch_id=N`` partials — the
+    start_incremental_lsh_stream recipe), and (doc_id, keep) decisions
+    land at ``out_dir/batch_id=N`` with overwrite.
+
+    Semantics are IDENTICAL to streaming_band_owners+start_near_dedup
+    (pytest-locked parity, tests/test_streaming_neardup.py): owner =
+    the earliest batch's presenter, min doc_id within a batch; a doc
+    is kept iff it owns every band it presented; dropped docs keep
+    their bands owned; docs too short to shingle emit no bands and no
+    decision row.  Replays are exactly-once: both partials are
+    idempotent by path, and the registry read EXCLUDES the current
+    batch id, so a replayed batch recomputes byte-identical output.
+
+    Why it exists: the GroupState gate calls the Python state function
+    once per distinct signature — ~10k pandas-group calls per drained
+    wave at sf0.1, profiled as the streaming macro's dominant cost
+    (6.4 s of the ~12 s warm drain).  Tradeoff, documented not hidden:
+    each micro-batch joins against the committed registry (one shuffle
+    per batch) instead of probing a resident state store — the right
+    shape for availableNow drains with few large batches; a
+    LONG-RUNNING many-small-batch deployment keeps the GroupState
+    variant, whose state store touches only the arriving keys."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # bands feed two consumers (ownership agg + the per-doc fold):
+        # lazy lineage break so the minhash chain evaluates once
+        bands = minhash_bands(
+            batch_df,
+            text_col=text_col,
+            shingle_k=shingle_k,
+            num_hashes=num_hashes,
+            band_size=band_size,
+        ).localCheckpoint(eager=False)
+        batch_own = bands.groupBy("band_id", "band_sig").agg(
+            F.min("doc_id").alias("_bown")
+        )
+        old = read_band_registry(spark, registry_dir).where(
+            F.col("batch_id") != batch_id
+        ).select("band_id", "band_sig", "owner")
+        sig_owner = (
+            batch_own.join(old, ["band_id", "band_sig"], "left")
+            .select(
+                "band_id",
+                "band_sig",
+                F.coalesce("owner", "_bown").alias("owner"),
+            )
+            .localCheckpoint(eager=False)  # read by decisions + new-sig legs
+        )
+        decisions = (
+            bands.join(sig_owner, ["band_id", "band_sig"])
+            .groupBy("doc_id")
+            .agg(
+                F.min(
+                    (F.col("owner") == F.col("doc_id")).cast("int")
+                ).alias("keep")
+            )
+        )
+        decisions.write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
+        # register only FIRST-presented signatures: re-presented ones
+        # already have an earlier partial, and duplicate rows would
+        # grow the registry past its one-row-per-signature contract
+        new_sigs = sig_owner.join(old, ["band_id", "band_sig"], "left_anti")
+        new_sigs.write.mode("overwrite").parquet(
+            f"{registry_dir}/batch_id={batch_id}"
+        )
+
+    return (
+        docs.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_band_registry(spark, registry_dir: str) -> DataFrame:
+    """The committed first-presenter signature registry (union of
+    per-batch partials) with its batch_id partition column — empty
+    before the first commit, never an error."""
+    import glob
+    import os
+
+    os.makedirs(registry_dir, exist_ok=True)
+    if not glob.glob(os.path.join(registry_dir, "batch_id=*", "*.parquet")):
+        return spark.createDataFrame(
+            [], "band_id int, band_sig string, owner long, batch_id long"
+        )
+    return spark.read.option("basePath", registry_dir).parquet(registry_dir)
+
+
 def read_decisions(spark, out_dir: str) -> DataFrame:
     """The accumulated (doc_id, keep) decision table across all drained
     batches.  A gate that has not committed any batch yet (empty

@@ -452,10 +452,7 @@ class StreamingCorpusPipeline:
     def _start_neardup(self):
         import os
 
-        from prod2vec_spark.streaming.neardup import (
-            start_near_dedup,
-            streaming_band_owners,
-        )
+        from prod2vec_spark.streaming.neardup import start_near_dedup_registry
 
         # with the LM gate on, first-presenter ownership is decided
         # among GATE SURVIVORS (the batch lm_gate → near_dedup order);
@@ -465,14 +462,19 @@ class StreamingCorpusPipeline:
         survivors = self._spread_stream(
             self.spark.readStream.schema(_EXACT_SCHEMA).parquet(src), src
         )
-        owners = streaming_band_owners(
+        # round-17: the drain-style pipeline uses the REGISTRY variant
+        # of the first-presenter gate — identical keep/drop semantics
+        # (pytest-locked parity) with every per-signature step in JVM
+        # expressions; the GroupState variant stays the long-running
+        # many-small-batch deployment's shape (neardup.py docstrings)
+        return start_near_dedup_registry(
             survivors,
+            f"{self.cfg.work_dir}/band_registry",
+            self.cfg.decisions_dir,
+            f"{self.cfg.work_dir}/ckpt_neardup",
             shingle_k=self.cfg.shingle_k,
             num_hashes=self.cfg.num_hashes,
             band_size=self.cfg.band_size,
-        )
-        return start_near_dedup(
-            owners, self.cfg.decisions_dir, f"{self.cfg.work_dir}/ckpt_neardup"
         )
 
     def segment_cms_stage(self) -> None:

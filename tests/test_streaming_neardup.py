@@ -342,3 +342,77 @@ def test_streaming_incremental_lsh_matches_batch(spark, tmp_path):
     bands = read_committed_bands(spark, bands_dir)
     assert bands.count() == minhash_bands(docs).count()
     assert bands.select("doc_id", "band_id").distinct().count() == bands.count()
+
+
+def _drain_registry(spark, landing, reg, out, ckpt, **kw):
+    from prod2vec_spark.streaming.neardup import start_near_dedup_registry
+
+    stream = spark.readStream.schema(_DOCS_SCHEMA).parquet(landing)
+    q = start_near_dedup_registry(stream, reg, out, ckpt, **kw)
+    q.awaitTermination()
+
+
+def test_registry_gate_matches_groupstate_gate(spark, tmp_path):
+    """Round-17 parity lock: the JVM-only registry gate (the drain
+    pipeline's shape) emits the EXACT decision table of the GroupState
+    gate on the same landing — per wave, across a restart wave, and
+    under an idempotent no-input re-drain."""
+    import shutil
+
+    docs = (
+        amplify_documents(
+            read_table(spark, SF_SMOKE, "documents").limit(120), factor=3
+        )
+        .select("doc_id", "text", "lang")
+        .localCheckpoint()
+    )
+    wave_a = docs.where(F.col("doc_id") % 2 == 0)
+    wave_b = docs.where(F.col("doc_id") % 2 == 1)
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    for name, half in [("a", wave_a), ("b", wave_b)]:
+        half.coalesce(1).write.parquet(str(tmp_path / f"st_{name}"))
+
+    gs_out, gs_ckpt = str(tmp_path / "gs_out"), str(tmp_path / "gs_ckpt")
+    rg_reg = str(tmp_path / "rg_registry")
+    rg_out, rg_ckpt = str(tmp_path / "rg_out"), str(tmp_path / "rg_ckpt")
+
+    def both():
+        _drain(spark, str(landing), gs_out, gs_ckpt)
+        _drain_registry(spark, str(landing), rg_reg, rg_out, rg_ckpt)
+
+    def decisions(out):
+        return {
+            (r["doc_id"], r["keep"])
+            for r in read_decisions(spark, out).collect()
+        }
+
+    for f in (tmp_path / "st_a").glob("*.parquet"):
+        shutil.copy(f, landing / "a.parquet")
+    both()
+    got_a = decisions(rg_out)
+    assert got_a == decisions(gs_out) and got_a
+
+    # second wave across a restart: earlier-batch owners must win in
+    # BOTH gates (registry partials vs the checkpointed state store)
+    for f in (tmp_path / "st_b").glob("*.parquet"):
+        shutil.copy(f, landing / "b.parquet")
+    both()
+    got_ab = decisions(rg_out)
+    assert got_ab == decisions(gs_out) and len(got_ab) > len(got_a)
+
+    # no-new-input re-drain: both decision tables unchanged
+    both()
+    assert decisions(rg_out) == got_ab == decisions(gs_out)
+
+    # one registry row per distinct presented signature (the registry
+    # growth contract: re-presented signatures never re-register)
+    from prod2vec_spark.operators.dedup import minhash_bands
+    from prod2vec_spark.streaming.neardup import read_band_registry
+
+    reg = read_band_registry(spark, rg_reg)
+    n_sigs = (
+        minhash_bands(docs).select("band_id", "band_sig").distinct().count()
+    )
+    assert reg.count() == n_sigs
+    assert reg.select("band_id", "band_sig").distinct().count() == n_sigs
