@@ -96,7 +96,7 @@ from pyspark.sql import functions as F
 from prod2vec_spark.operators import dedup as DD
 from prod2vec_spark.operators import text as TX
 from prod2vec_spark.operators.quality import Rules, assert_expectations
-from prod2vec_spark.sources.io import read_table, write_parquet
+from prod2vec_spark.sources.io import read_table, spread_scan, write_parquet
 
 
 @dataclass
@@ -396,6 +396,23 @@ class CorpusCurationPipeline:
         )
         return out
 
+
+    def _read_stage(self, path: str) -> DataFrame:
+        """Stage-checkpoint read-back with the input-parallelism floor
+        (optimization round 17, guide §2.5 — the sources/io.spread_scan
+        policy applied to the DAG's own hand-offs): AQE partition
+        coalescing shrinks each stage's shuffle output to ~1 parquet
+        file at bench scale, so WITHOUT a floor the next stage's
+        per-row-heavy chain (tokenize / minhash / n-gram scoring) runs
+        on one core until its first shuffle — measured 10.3 s of the
+        default macro's quality stage alone.  At 100 TB every
+        checkpoint has thousands of files and spread_scan is an exact
+        no-op.  Used ONLY where the consumer's per-row compute
+        dominates; cheap column reads (thresholds, the 2-column ppl
+        report, the band table that shuffles immediately) keep raw
+        scans."""
+        return spread_scan(self.spark.read.parquet(path))
+
     # -- stage 0: input gates -----------------------------------------
     def gates(self) -> None:
         docs = read_table(self.spark, self.cfg.sf_dir, "documents")
@@ -539,7 +556,8 @@ class CorpusCurationPipeline:
                 out, self.cfg.domain_cap_k, url_col=self.cfg.url_col
             ).drop("host", "domain", "domain_rk")
         write_parquet(out, f"{self.cfg.work_dir}/url_curated")
-        return self.spark.read.parquet(f"{self.cfg.work_dir}/url_curated")
+        # next stage mines/cuts or digests text per row — floor the read
+        return self._read_stage(f"{self.cfg.work_dir}/url_curated")
 
     # -- stage 0.8: adaptive boilerplate (optional, round 9b) ----------
     def adaptive_block(self, docs: DataFrame) -> DataFrame:
@@ -563,9 +581,8 @@ class CorpusCurationPipeline:
         # rewrite per pass (was 75% of the r9b macro's 194 s).
         if not self._url_curation_active():
             write_parquet(docs, f"{self.cfg.work_dir}/adaptive_input")
-            docs = self.spark.read.parquet(
-                f"{self.cfg.work_dir}/adaptive_input"
-            )
+            # both consumers (mine + cut) are per-row HOF chains
+            docs = self._read_stage(f"{self.cfg.work_dir}/adaptive_input")
         hot = corpus_ngram_hotspots(
             docs,
             n=self.cfg.adaptive_gram_n,
@@ -597,7 +614,7 @@ class CorpusCurationPipeline:
             .drop("hot_grams", "n_lines", "n_kept", "kept_text")
         )
         write_parquet(out, f"{self.cfg.work_dir}/adaptive_blocked")
-        return self.spark.read.parquet(f"{self.cfg.work_dir}/adaptive_blocked")
+        return self._read_stage(f"{self.cfg.work_dir}/adaptive_blocked")
 
     # -- stage 1: exact dedup ------------------------------------------
     def exact_dedup(self) -> DataFrame:
@@ -630,7 +647,8 @@ class CorpusCurationPipeline:
         self._stage_ms["exact_dedup"] = self._stage_ms.get(
             "exact_dedup", 0
         ) + int((time.monotonic() - t0) * 1000)
-        return self.spark.read.parquet(f"{self.cfg.work_dir}/exact_deduped")
+        # consumers tokenize/score/shingle the corpus per row
+        return self._read_stage(f"{self.cfg.work_dir}/exact_deduped")
 
     # -- stage 1.5: segment (line) dedup (optional) --------------------
     def segment_dedup(self, docs: DataFrame) -> DataFrame:
@@ -655,7 +673,7 @@ class CorpusCurationPipeline:
         # the reassembled segment-deduped version
         out = docs.drop("text").join(kept, "doc_id")
         write_parquet(out, f"{self.cfg.work_dir}/segment_deduped")
-        return self.spark.read.parquet(f"{self.cfg.work_dir}/segment_deduped")
+        return self._read_stage(f"{self.cfg.work_dir}/segment_deduped")
 
     # -- stage 1.6: sentence dedup (optional, round 16) ----------------
     def sentence_dedup(self, docs: DataFrame) -> DataFrame:
@@ -697,9 +715,7 @@ class CorpusCurationPipeline:
             .drop("n_sentences", "kept_text")
         )
         write_parquet(out, f"{self.cfg.work_dir}/sentence_deduped")
-        return self.spark.read.parquet(
-            f"{self.cfg.work_dir}/sentence_deduped"
-        )
+        return self._read_stage(f"{self.cfg.work_dir}/sentence_deduped")
 
     # -- stage 2: quality filter ---------------------------------------
     def quality_filter(self, docs: DataFrame) -> DataFrame:
@@ -779,7 +795,8 @@ class CorpusCurationPipeline:
                 f"got {self.cfg.quality_scope!r}"
             )
         write_parquet(kept, f"{self.cfg.work_dir}/quality_kept")
-        return self.spark.read.parquet(f"{self.cfg.work_dir}/quality_kept")
+        # consumers: LM-gate scoring / minhash banding — per-row heavy
+        return self._read_stage(f"{self.cfg.work_dir}/quality_kept")
 
     # -- stage 2.5: LM perplexity gate (optional) ----------------------
     def lm_gate(self, docs: DataFrame) -> DataFrame:
@@ -903,7 +920,7 @@ class CorpusCurationPipeline:
         )
         out = docs.join(keep, "doc_id", "left_semi")
         write_parquet(out, f"{self.cfg.work_dir}/lm_kept")
-        return self.spark.read.parquet(f"{self.cfg.work_dir}/lm_kept")
+        return self._read_stage(f"{self.cfg.work_dir}/lm_kept")
 
     # -- stage 3: near dedup -------------------------------------------
     def near_dedup(self, docs: DataFrame) -> DataFrame:
@@ -965,7 +982,7 @@ class CorpusCurationPipeline:
         # per-language training reads prune whole directories (the
         # partition column is low-cardinality by the dq gate)
         write_parquet(out, f"{self.cfg.work_dir}/curated", partition_by=["lang"])
-        return self.spark.read.parquet(f"{self.cfg.work_dir}/curated")
+        return self._read_stage(f"{self.cfg.work_dir}/curated")
 
     # -- stage 3.5: semantic dedup (optional) --------------------------
     def semantic_dedup(self, docs: DataFrame) -> DataFrame:
@@ -987,7 +1004,7 @@ class CorpusCurationPipeline:
         )
         out = docs.join(F.broadcast(drop), "doc_id", "left_anti")
         write_parquet(out, f"{self.cfg.work_dir}/semantic_deduped")
-        return self.spark.read.parquet(f"{self.cfg.work_dir}/semantic_deduped")
+        return self._read_stage(f"{self.cfg.work_dir}/semantic_deduped")
 
     # -- stage 3.7: media near-dup (optional, round 9) -----------------
     def media_dedup(self, docs: DataFrame) -> DataFrame:
@@ -1002,7 +1019,6 @@ class CorpusCurationPipeline:
         unconditionally."""
         from prod2vec_spark.operators import phash as PH
         from prod2vec_spark.operators.graph import dedup_clusters
-        from prod2vec_spark.sources.io import spread_scan
 
         # Round-16 (guide §2.5 input parallelism): the attachment table
         # is typically few local files — without a floor the fused
@@ -1095,7 +1111,7 @@ class CorpusCurationPipeline:
         out = docs.join(F.broadcast(drop), "doc_id", "left_anti")
         write_parquet(out, f"{self.cfg.work_dir}/media_deduped")
         write_parquet(clusters, f"{self.cfg.work_dir}/media_dup_clusters")
-        return self.spark.read.parquet(f"{self.cfg.work_dir}/media_deduped")
+        return self._read_stage(f"{self.cfg.work_dir}/media_deduped")
 
     # -- stage 4: benchmark decontamination ----------------------------
     def decontaminate(self, docs: DataFrame) -> DataFrame:
@@ -1145,7 +1161,8 @@ class CorpusCurationPipeline:
         out = train.join(F.broadcast(bad), "doc_id", "left_anti")
         write_parquet(out, f"{self.cfg.work_dir}/decontaminated",
                       partition_by=["lang"])
-        return self.spark.read.parquet(f"{self.cfg.work_dir}/decontaminated")
+        # consumers: chunk tokenize, pack encode, stats token aggs
+        return self._read_stage(f"{self.cfg.work_dir}/decontaminated")
 
     # -- stage 5: training-sequence chunking ---------------------------
     def chunk(self, docs: DataFrame) -> DataFrame:
@@ -1517,7 +1534,7 @@ class CorpusCurationPipeline:
                 ),
                 f"{self.cfg.work_dir}/train_tokens",
             )
-            staged = self.spark.read.parquet(
+            staged = self._read_stage(
                 f"{self.cfg.work_dir}/train_tokens"
             )
             ident = lambda c: c  # noqa: E731
@@ -1578,7 +1595,7 @@ class CorpusCurationPipeline:
             out = assign_split(docs, key_col="doc_id", seed=self.cfg.split_seed)
         write_parquet(out, f"{self.cfg.work_dir}/final_split",
                       partition_by=["split"])
-        return self.spark.read.parquet(f"{self.cfg.work_dir}/final_split")
+        return self._read_stage(f"{self.cfg.work_dir}/final_split")
 
     # -- mixing-recipe report (optional) -------------------------------
     def write_mix_report(self, docs: DataFrame) -> DataFrame:
