@@ -119,6 +119,7 @@ def test_ahash_stable_across_codec():
     assert _ham(PH.ahash_wav(encode_wav_adpcm(_am(10))), far) > 10
 
 
+@pytest.mark.slow  # driver-budget suite skips (VERDICT r16 ask #3)
 def test_adpcm_neardup_planted_families(spark):
     """Planted near-duplicate audio families survive ADPCM: the
     compressed twin of test_phash_audio_neardup_planted_families."""

@@ -13,6 +13,9 @@ from pyspark.sql import functions as F
 from prod2vec_spark.operators.simsearch import brute_force_topk, ivf_topk
 from prod2vec_spark.sources.io import read_table
 from tests.conftest import SF_SMOKE
+import pytest
+
+pytestmark = pytest.mark.slow  # e2e/replay file: driver-budget suite skips it (conftest hook)
 
 FACTOR = 10
 K = 5

@@ -66,6 +66,7 @@ def test_badwords_validation_errors(spark):
         badwords_gate(docs, {"bad cat": ("x",)})
 
 
+@pytest.mark.slow  # driver-budget suite skips (VERDICT r16 ask #3)
 def test_dag_badwords_stage_and_ledger(spark, tmp_path):
     """The curation DAG with badwords_cats set drops list-bearing docs
     at the fused input gate and the drop ledger attributes them to
@@ -215,6 +216,7 @@ def test_badwords_by_lang_validation(spark):
         badwords_by_lang(docs, {"en": {"latency": ("slow",)}}, default_lang="xx")
 
 
+@pytest.mark.slow  # driver-budget suite skips (VERDICT r16 ask #3)
 def test_dag_badwords_by_lang_stage_and_ledger(spark, tmp_path):
     """Round-16: the curation DAG with badwords_lang_lists drops each
     doc by ITS language's list (zh falls back to the en default), the

@@ -8,6 +8,8 @@ from __future__ import annotations
 import math
 
 import pytest
+
+pytestmark = pytest.mark.slow  # e2e/replay file: driver-budget suite skips it (conftest hook)
 from pyspark.sql import functions as F
 
 from prod2vec_spark.operators.lm import kn_perplexity

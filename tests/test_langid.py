@@ -14,6 +14,10 @@ from prod2vec_spark.ml.langid_clf import (
     score_lang,
 )
 
+import pytest
+
+pytestmark = pytest.mark.slow  # e2e/replay file: driver-budget suite skips it (conftest hook)
+
 _VOCAB = {
     "en": ("the cat sat on a mat and that dog is in his house of king "
            "with this from they were not what when there which").split(),

@@ -116,6 +116,7 @@ def test_decontamination_flags_planted_leak(spark):
     assert rep[train_ids[1]]["n_hit"] == 0 and not rep[train_ids[1]]["contaminated"]
 
 
+@pytest.mark.slow  # driver-budget suite skips (VERDICT r16 ask #3)
 def test_weighted_sample_tracks_weights_and_is_deterministic(spark):
     from prod2vec_spark.operators.relational import weighted_sample_aes
 
@@ -585,6 +586,7 @@ def test_repetition_keep_matches_staged_gate_form(spark):
     assert 900002 in new      # sub-window doc still passes
 
 
+@pytest.mark.slow  # driver-budget suite skips (VERDICT r16 ask #3)
 def test_semdedup_max_cluster_valve_and_oversize_audit(spark):
     """VERDICT r12 watch item: one degenerate centroid attracting a
     huge corpus slice must not trigger an unbounded quadratic pair

@@ -328,6 +328,7 @@ def test_segment_dedup_matches_python_reference_property(spark):
     check()
 
 
+@pytest.mark.slow  # driver-budget suite skips (VERDICT r16 ask #3)
 def test_lm_perplexity_matches_python_reference_property(spark):
     """Property: on random corpora with explicit train membership,
     lm_perplexity agrees with a pure-Python Stupid-Backoff reference
@@ -494,6 +495,7 @@ def test_hard_negatives_exclude_query_label(spark):
 
 
 # ------------------------------------------- learned quality classifier
+@pytest.mark.slow  # driver-budget suite skips (VERDICT r16 ask #3)
 def test_quality_classifier_separates_planted_spam(spark, tmp_path):
     """The L-QUALITY checked number: LR on the heuristic feature
     vector must separate planted spam (looped text / symbol soup)

@@ -75,6 +75,7 @@ def test_audit_counts_match_pandas(spark):
     assert got == want
 
 
+@pytest.mark.slow  # driver-budget suite skips (VERDICT r16 ask #3)
 def test_dag_media_format_audit_artifact(spark, tmp_path):
     """media_format_audit=True writes the per-(format, status) counts
     next to the media-dedup artifacts — including the planted WebP's

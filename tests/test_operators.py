@@ -542,6 +542,7 @@ def test_star_cc_matches_propagation(spark):
     assert got == want
 
 
+@pytest.mark.slow  # driver-budget suite skips (VERDICT r16 ask #3)
 def test_star_cc_beats_diameter_on_long_chain(spark):
     """The reason the two-phase algorithm exists: on a path graph of
     diameter 63, min-label propagation needs ~63 rounds while
@@ -626,6 +627,7 @@ def test_kmeans_ivf_recall_beats_sampled_centroids(spark):
     assert r_km > 0.3  # sanity floor: refined cells must stay useful
 
 
+@pytest.mark.slow  # driver-budget suite skips (VERDICT r16 ask #3)
 def test_bin_range_join_equivalent_to_between_property(spark):
     """Property (hypothesis): on arbitrary generated interval tables
     and point sets, the binned equi-join form must produce EXACTLY the
@@ -677,6 +679,7 @@ def test_bin_range_join_equivalent_to_between_property(spark):
     check()
 
 
+@pytest.mark.slow  # driver-budget suite skips (VERDICT r16 ask #3)
 def test_overlap_range_join_equivalent_to_theta_property(spark):
     """Property (hypothesis): the binned interval-overlap join emits
     exactly the pairs of the naive overlap theta join
@@ -806,6 +809,7 @@ def test_kmeans_ivf_all_zero_corpus_raises(spark):
         kmeans_ivf_topk(zeros, queries, dims=3, n_centroids=2)
 
 
+@pytest.mark.slow  # driver-budget suite skips (VERDICT r16 ask #3)
 def test_cc_both_algorithms_match_union_find_property(spark):
     """Property (hypothesis): on arbitrary random graphs (self-loops,
     duplicates, multi-component, chains) BOTH distributed CC
@@ -917,6 +921,7 @@ def test_cms_sketch_never_underestimates_and_merges(spark):
     assert one_shot.exceptAll(merged).count() == 0
 
 
+@pytest.mark.slow  # driver-budget suite skips (VERDICT r16 ask #3)
 def test_cms_overestimate_property(spark):
     """Property (hypothesis): for ARBITRARY multisets the CMS estimate
     is >= the true count for every distinct item — the one-sided error
@@ -953,6 +958,7 @@ def test_cms_overestimate_property(spark):
     check()
 
 
+@pytest.mark.slow  # driver-budget suite skips (VERDICT r16 ask #3)
 def test_cc_reliable_checkpoint_equivalence(spark, tmp_path):
     """VERDICT r14 ask #7: passing checkpoint_dir switches the
     per-round lineage breaks to RELIABLE checkpoints (survive executor

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import pytest
 
+pytestmark = pytest.mark.slow  # e2e/replay file: driver-budget suite skips it (conftest hook)
+
 from prod2vec_spark.pipeline import PipelineConfig, Prod2VecPipeline
 from prod2vec_spark.ml.prod2vec import Prod2VecParams
 from tests.conftest import SF_SMOKE

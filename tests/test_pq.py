@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # e2e/replay file: driver-budget suite skips it (conftest hook)
 from pyspark.sql import functions as F
 
 from prod2vec_spark.operators import simsearch as SS

@@ -12,6 +12,8 @@ fixture (no new fixtures): see queries_r6.amplify_documents.
 from __future__ import annotations
 
 import pytest
+
+pytestmark = pytest.mark.slow  # e2e/replay file: driver-budget suite skips it (conftest hook)
 from pyspark.sql import functions as F
 
 from prod2vec_spark.operators.dedup import (

@@ -169,6 +169,7 @@ def test_dag_sentence_stage_semantics(spark, tmp_path):
     assert got[1] == "Alpha fact one. Alpha fact two."
 
 
+@pytest.mark.slow  # driver-budget suite skips (VERDICT r16 ask #3)
 def test_dag_sentence_stage_and_drop_ledger_contract(spark, tmp_path):
     """Full DAG run with sentence_dedup on: the drop ledger's
     partition contract (input ids = final ids ∪ ledger ids, disjoint)

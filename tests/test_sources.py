@@ -186,6 +186,7 @@ def test_register_views_sql_equals_dataframe(spark):
     assert got == want
 
 
+@pytest.mark.slow  # driver-budget suite skips (VERDICT r16 ask #3)
 def test_register_query_views_sql_surface(spark):
     """Every catalog query is reachable from spark.sql as q_<name>,
     results identical to the DataFrame form.  (Full registration at

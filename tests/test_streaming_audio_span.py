@@ -23,6 +23,10 @@ from prod2vec_spark.streaming.audio_span import (
     streaming_audio_band_owners,
 )
 
+import pytest
+
+pytestmark = pytest.mark.slow  # e2e/replay file: driver-budget suite skips it (conftest hook)
+
 RATE = 8000
 KW = dict(window_ms=500, hop_ms=250)
 

@@ -20,6 +20,9 @@ from prod2vec_spark.streaming.pipeline import (
     StreamingCorpusPipeline,
 )
 from tests.conftest import SF_SMOKE
+import pytest
+
+pytestmark = pytest.mark.slow  # e2e/replay file: driver-budget suite skips it (conftest hook)
 
 
 def test_streaming_corpus_curation_invariants_and_replay(spark, tmp_path):

@@ -16,6 +16,10 @@ from prod2vec_spark.streaming.image_span import (
     streaming_tile_band_owners,
 )
 
+import pytest
+
+pytestmark = pytest.mark.slow  # e2e/replay file: driver-budget suite skips it (conftest hook)
+
 KW = dict(tile_px=16, stride=8)
 
 

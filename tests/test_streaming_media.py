@@ -22,6 +22,10 @@ from prod2vec_spark.streaming.media import (
     streaming_media_band_owners,
 )
 
+import pytest
+
+pytestmark = pytest.mark.slow  # e2e/replay file: driver-budget suite skips it (conftest hook)
+
 
 def _media_rows() -> list[tuple[int, bytearray]]:
     """Mixed-modality corpus with planted near-dup families (3

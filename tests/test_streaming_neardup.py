@@ -6,6 +6,8 @@ cross-restart state persistence and idempotent re-drains.
 from __future__ import annotations
 
 import pytest
+
+pytestmark = pytest.mark.slow  # e2e/replay file: driver-budget suite skips it (conftest hook)
 from pyspark.sql import functions as F
 
 from prod2vec_spark.operators.dedup import lsh_candidate_pairs, minhash_bands

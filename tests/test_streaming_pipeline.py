@@ -7,6 +7,8 @@ invariants asserted against batch ground truth at every step.
 from __future__ import annotations
 
 import pytest
+
+pytestmark = pytest.mark.slow  # e2e/replay file: driver-budget suite skips it (conftest hook)
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
