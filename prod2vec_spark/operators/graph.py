@@ -94,9 +94,26 @@ def connected_components_with_rounds(
     RELIABLE checkpoint that survives executor loss — the 100×
     durability option (functions/lineage.break_lineage).
     """
+    # Round-17 (guide §1.2 step 1 — don't compute things twice): both
+    # edge directions emit from ONE row-local explode instead of a
+    # self-union, whose two legs each re-evaluate the full candidate-
+    # pair lineage (LSH banding / Hamming pair planes) — Spark has no
+    # cross-leg subtree reuse.  Value-identical multiset before the
+    # distinct.
     e = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src).alias("a"), F.col(dst).alias("b")
+                    ),
+                    F.struct(
+                        F.col(dst).alias("a"), F.col(src).alias("b")
+                    ),
+                )
+            ).alias("_e")
+        )
+        .select("_e.a", "_e.b")
         .distinct()
     )
     # one round trip of the loop re-reads e; keep it hot
@@ -187,8 +204,21 @@ def connected_components_star(
     graph is NOT a union of near-cliques (e.g. transitive similarity
     chains across a corpus); for LSH near-clique graphs propagation's
     ~2 rounds wins."""
-    both = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    # one-scan both-directions emit — see connected_components' note
+    both = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src).alias("a"), F.col(dst).alias("b")
+                    ),
+                    F.struct(
+                        F.col(dst).alias("a"), F.col(src).alias("b")
+                    ),
+                )
+            ).alias("_e")
+        )
+        .select("_e.a", "_e.b")
     )
     # canonical undirected edge list (u < v), self-loops dropped
     e = (
